@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each operator family lives in its own module under
+  * `graft.operators`; every module contributes a `queries` map
+  * (name → builder) and an `oracles` map (name → DuckDB SQL over the
+  * same fixture tables, referenced by bare table name). This object
+  * only concatenates them.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Wordcount is the reference's single golden-verified query
+    * (SURVEY.md §5) and exercises its entire dataflow shape. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TextOps.wordcount(spark, "/root/testdata/sf0.001")
+
+  private val modules: Seq[Map[String, (SparkSession, String) => DataFrame]] =
+    Seq(TextOps.queries)
+
+  private val oracleModules: Seq[Map[String, String]] =
+    Seq(TextOps.oracles)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    oracleModules.reduce(_ ++ _)
 }

@@ -1,0 +1,30 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table loaders (TESTDATA.md / FIXTURES.md §2).
+  *
+  * One accessor per driver-generated parquet table. All engine
+  * operators take `(spark, sfDir)` and resolve their inputs here, so
+  * the scan always goes through the vectorized parquet reader and any
+  * per-table read options stay in one place.
+  *
+  * At 100 TB each of these becomes a partitioned table (or catalog
+  * reference); only this file changes — operators are written against
+  * DataFrames, not paths.
+  */
+object Tables {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+}
