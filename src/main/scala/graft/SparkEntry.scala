@@ -21,10 +21,10 @@ object SparkEntry {
     TextOps.wordcount(spark, "/root/testdata/sf0.001")
 
   private val modules: Seq[Map[String, (SparkSession, String) => DataFrame]] =
-    Seq(TextOps.queries)
+    Seq(TextOps.queries, MrOps.queries, Relational.queries)
 
   private val oracleModules: Seq[Map[String, String]] =
-    Seq(TextOps.oracles)
+    Seq(TextOps.oracles, MrOps.oracles, Relational.oracles)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

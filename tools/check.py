@@ -24,7 +24,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     # datetimes → utc-naive micros for cross-engine compare
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
-            df[c] = pd.to_datetime(df[c]).dt.floor("us")
+            df[c] = pd.to_datetime(df[c]).dt.floor("us").astype("datetime64[ns]")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
