@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{cosine_sim, xxhash64Seeded}
+import graft.sources.Tables
+
+/** Deduplication suite over the `documents` / `embeddings` fixtures —
+  * north-star LLM-pipeline operators (the reference has none of these;
+  * SURVEY.md §2.2 last row).
+  *
+  * Five operators, in increasing scale-sophistication:
+  *  - exact: content-hash groupBy — one shuffle of (hash, id).
+  *  - ngram-jaccard: exact all-pairs similarity via shingle self-join —
+  *    the oracle-checkable ground truth; quadratic in the worst case,
+  *    used at audit scale, not 100 TB scale.
+  *  - minhash LSH: 64-permutation signatures, 16 bands × 4 rows —
+  *    the 100 TB path: cost is O(docs × shingles) + a band-key shuffle;
+  *    only bucket-mates are verified exactly.
+  *  - simhash: 64-bit weighted token fingerprint + 4×16-bit pigeonhole
+  *    banding for hamming ≤ 3.
+  *  - embedding-cosine: near-dup pairs in vector space (codegen'd
+  *    cosine expression); all-pairs here, the LSH-bucketed variant
+  *    lives in Similarity.annLsh.
+  *
+  * Determinism: every hash is a fixed-seed XxHash64 or md5, so all
+  * outputs are bit-stable across runs and partitionings.
+  */
+object Dedup {
+
+  /** Distinct k-word shingles of the reference-tokenized text.
+    * Empty array when the document has fewer than k tokens. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = filter(
+      split(lower(regexp_replace(text, "[^a-zA-Z0-9]+", " ")), " "),
+      t => length(t) > 0)
+    when(size(toks) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id as
+    * representative. At 100 TB this is the cheapest possible dedup:
+    * shuffle (16-byte hash, id) pairs only, never the text. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(md5(col("text").cast("binary")).as("text_hash"), col("doc_id"))
+      .groupBy("text_hash")
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact pairwise n-gram Jaccard ≥ 0.8 via shingle self-join.
+    * Ground truth for the approximate variants. The shingle self-join
+    * is the scan→shuffle pattern that explodes on hot shingles at
+    * scale — SURVEY.md's reason the minhash path exists. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  private val NumPerms = 64
+  private val Bands = 16
+  private val RowsPerBand = NumPerms / Bands // 4
+  private val SeedBase = 0x9E3779B9L
+
+  /** MinHash signature per doc: one min of an independently-seeded
+    * XxHash64 per permutation. Declarative min-aggregates → Catalyst
+    * plans partial+final aggregation (map-side combine), so the
+    * shuffle carries 64 longs per doc per partition, not per shingle. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val aggs = (0 until NumPerms).map(i =>
+      min(xxhash64Seeded(SeedBase + i, col("shingle"))).as(s"h$i"))
+    sh.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumPerms).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH near-dup pairs, exact-verified.
+    * Banding: 16 bands × 4 rows ⇒ P(candidate) = 1-(1-j⁴)¹⁶ — at
+    * j=0.98 a miss is ~1e-18, so on this corpus the output equals the
+    * exact ngram-jaccard result (same SQL oracle). Candidates are
+    * verified with exact shingle-hash-set Jaccard, so a band collision
+    * can never produce a false positive. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => concat_ws(",", transform(
+          slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
+          h => h.cast("string"))))))
+      .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_key"))
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification on the candidate set only
+    val feats = docShingles(spark, dir)
+      .groupBy("doc_id")
+      .agg(collect_set(xxhash64Seeded(SeedBase, col("shingle"))).as("hs"))
+    cands
+      .join(feats.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(feats.as("fb"), col("doc_b") === col("fb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("fa.hs"), col("fb.hs"))) /
+          size(array_union(col("fa.hs"), col("fb.hs")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** 64-bit SimHash per doc (token-frequency weighted), plus near-dup
+    * pairs at hamming ≤ 3 found by 4×16-bit pigeonhole banding — the
+    * standard crawl-dedup configuration: a pair within hamming 3 must
+    * agree exactly on ≥1 of 4 disjoint chunks, so a bucket-join finds
+    * all of them without an all-pairs scan; bit_count(xor)
+    * verification removes chunk-collision false positives.
+    *
+    * Operating point measured on the fixture: planted shingle-level
+    * near-dups sit at hamming 0–5 but the corpus's token-frequency
+    * background crowds in from hamming 4 (45 pairs at 5, 301 at 7), so
+    * ≤ 3 is the precision-preserving threshold; recall vs the
+    * shingle-Jaccard ground truth is ~0.6 — SimHash's documented
+    * weakness vs MinHash when near-dup is defined on shingles, which
+    * is why both operators exist. */
+  def simhashes(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(filter(
+          split(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", " ")), " "),
+          t => length(t) > 0)).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("w"))
+      .withColumn("h", xxhash64Seeded(SeedBase, col("tok")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("w"))
+        .otherwise(-col("w"))).as(s"b$j"))
+    tokens.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashes(spark, dir)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk_key"))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk_key") === col("y.chunk_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** Embedding-cosine near-dup pairs (≥ 0.45). All-pairs with the
+    * codegen'd cosine expression — correct at audit scale; the
+    * LSH-bucketed variant for 100 TB is Similarity.annLsh. */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"     -> dedupExact,
+    "dedup_ngram"     -> dedupNgramJaccard,
+    "dedup_minhash"   -> dedupMinhash,
+    "dedup_simhash"   -> dedupSimhash,
+    "dedup_embedding" -> dedupEmbedding)
+
+  /** Shared DuckDB shingle pipeline (window-based trigram build). */
+  private val ShinglesCte =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS w,
+      |         unnest(range(1, len(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '))+1)) AS pos
+      |  FROM documents),
+      |tok2 AS (SELECT * FROM toks WHERE w <> ''),
+      |tri AS (
+      |  SELECT doc_id, w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS shingle,
+      |         lead(w,2) OVER win AS w2
+      |  FROM tok2 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM tri WHERE w2 IS NOT NULL),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val ExactJaccardSql =
+    s"""$ShinglesCte
+       |SELECT doc_a, doc_b, inter/(ca.n + cb.n - inter) AS jaccard
+       |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE inter/(ca.n + cb.n - inter) >= 0.8""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_ngram" -> ExactJaccardSql,
+    // minhash banding at (16,4) has ~1e-18 miss probability at the
+    // corpus's j≈0.98 near-dup pairs, and exact verification removes
+    // false positives ⇒ identical result to the exact ngram query.
+    "dedup_minhash" -> ExactJaccardSql,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |                               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |                             list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.45""".stripMargin)
+    // dedup_simhash: no oracle (XxHash64 not reproducible in DuckDB) →
+    // driver rows-only check; exactness covered by DedupSpec.
+}

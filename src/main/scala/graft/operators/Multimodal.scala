@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (north-star op; the reference is
+  * text-only — SURVEY.md §1.2).
+  *
+  * Media is modeled as an opaque `binary` column plus typed metadata,
+  * processed in partition-sized batches via `mapPartitions` — the
+  * Scala analogue of `mapInPandas`: the decode loop sees an iterator
+  * of rows per partition, so a real decoder would amortize its codec/
+  * model initialization per partition, not per row. The Spark-side
+  * plumbing (schema, batching, partitioning, output shape) is real
+  * and oracle-tested; only [[decodeStub]] — the byte-level "decoder" —
+  * is a deterministic stand-in for an image/audio library, which this
+  * container does not ship.
+  *
+  * 100 TB notes: binary payloads ride the scan (parquet binary
+  * columns), are never shuffled (all derived columns are computed
+  * before any wide op), and the decode stage is a narrow map — its
+  * cost scales linearly and spills nothing.
+  */
+object Multimodal {
+
+  /** One decoded media record. `feat` stands in for an embedding /
+    * thumbnail / spectrogram a real decoder would emit. */
+  case class MediaMeta(
+      doc_id: Long, media_len: Long, width: Long, height: Long, feat: Array[Float])
+
+  /** STUB DECODER. A real pipeline would decode image bytes here
+    * (e.g. JPEG → WxH + features). Deterministic stand-in: header
+    * bytes → dimensions, remaining bytes → features. Keeps the exact
+    * batch shape a real decoder needs: one iterator per partition. */
+  def decodeStub(rows: Iterator[(Long, Array[Byte])]): Iterator[MediaMeta] =
+    rows.map { case (id, bytes) =>
+      val b0 = if (bytes.length > 0) bytes(0) & 0xFF else 0
+      val b1 = if (bytes.length > 1) bytes(1) & 0xFF else 0
+      MediaMeta(
+        doc_id = id,
+        media_len = bytes.length.toLong,
+        width = 64L + (b0 % 128),
+        height = 64L + (b1 % 128),
+        feat =
+          if (bytes.isEmpty) Array.fill(8)(0.0f)
+          else Array.tabulate(8)(i => (bytes(i % bytes.length) & 0xFF) / 255.0f))
+    }
+
+  /** Fabricate a deterministic binary "media" column (md5 digest bytes
+    * of the text — 16 bytes) and run it through the batch decoder. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(decodeStub)
+  }
+
+  /** Metadata extraction over the decoded batch — the oracle recomputes
+    * width/height from md5 bytes in SQL, so the full binary → decode →
+    * metadata path is correctness-gated even though the decoder is a
+    * stub. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("media_len"), col("width"), col("height"))
+
+  /** Feature aggregation: mean feature vector per width bucket —
+    * exercises the Array[Float] feature column through a shuffle. */
+  def multimodalFeatAgg(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("width"), posexplode(col("feat")))
+      .groupBy(col("width"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("mean_feat"), count(lit(1)).as("n"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta" -> multimodalMeta)
+  // multimodal_feat_agg exercised in MultimodalSpec (float means are
+  // not bit-stable across engines, so no SQL oracle).
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(16 AS BIGINT) AS media_len,
+        |  CAST(64 + CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) % 128 AS BIGINT) AS width,
+        |  CAST(64 + CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) % 128 AS BIGINT) AS height
+        |FROM documents""".stripMargin)
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosine_sim
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` fixture (north-star op;
+  * the reference has no vector surface — SURVEY.md §2.2).
+  *
+  * Two paths:
+  *  - `annTopkBrute`: exact top-k by cosine. The (small) query set is
+  *    broadcast against the full vector table, so the big side streams
+  *    once with no shuffle of the vectors themselves; per-query top-k
+  *    is a rank over the scored stream. This is the correct 100 TB
+  *    baseline: one scan, one narrow (qid, nid, score) shuffle.
+  *  - `annLsh`: random-hyperplane LSH. Vectors hash to 16-bit sign
+  *    buckets; only bucket-mates are scored. Sub-linear candidate
+  *    generation at the cost of recall — the scale path when the
+  *    query set is itself huge. Hyperplanes are derived from a
+  *    fixed-seed SplitMix64 so results are bit-stable.
+  */
+object Similarity {
+
+  private val K = 5
+  private val NQueries = 10
+
+  def annTopkBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos", cosine_sim(col("qe"), col("ne")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 4).as("cos"))
+  }
+
+  // -- deterministic random hyperplanes (SplitMix64, fixed seed) -----
+
+  private val NTables = 16
+  private val BitsPerTable = 6
+  private val Dim = 64
+
+  private def splitmix64(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed) { s => s + 0x9E3779B97F4A7C15L }.drop(1).map { z0 =>
+      var z = z0
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+
+  /** NTables×BitsPerTable hyperplanes of ±1 entries, fixed seed. */
+  private[operators] val planes: Array[Array[Float]] = {
+    val rng = splitmix64(42L)
+    Array.fill(NTables * BitsPerTable)(
+      Array.fill(Dim)(if ((rng.next() & 1L) == 0L) 1.0f else -1.0f))
+  }
+
+  /** Per-table sign-bucket keys: element t packs BitsPerTable sign
+    * bits of the dots with that table's hyperplanes. Short keys +
+    * many tables is the right operating point for mid-similarity
+    * neighbors (cos ≈ 0.5 ⇒ P(bit agree) ≈ 0.67 ⇒ P(6-bit key match)
+    * ≈ 0.09/table, ≈ 0.78 over 16 tables); for true near-dups
+    * (cos ≥ 0.9) the same scheme is effectively lossless. */
+  private[operators] def lshKeys(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until NTables).map { t =>
+      (0 until BitsPerTable).map { j =>
+        val dot = aggregate(
+          zip_with(emb, typedLit(planes(t * BitsPerTable + j).toSeq), (x, m) => x * m),
+          lit(0.0d), (acc, x) => acc + x)
+        when(dot >= 0, shiftleft(lit(1), j)).otherwise(lit(0))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
+
+  /** LSH-bucketed ANN: candidates = vectors sharing ≥1 of 16 table
+    * keys with the query, scored exactly, top-k per query. The
+    * candidate join shuffles only (table, key, id) tuples — at 100 TB
+    * the vectors themselves are re-joined only for the surviving
+    * candidate set. Recall vs. the brute-force truth is asserted in
+    * PipelineOpsSpec on the fixed-seed fixtures. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val tagged = e
+      .select(col("vec_id"), posexplode(lshKeys(col("embedding"))))
+      .withColumnsRenamed(Map("pos" -> "table_idx", "col" -> "table_key"))
+    val qTagged = tagged.filter(col("vec_id") < NQueries)
+      .withColumnRenamed("vec_id", "qid")
+    val candPairs = tagged.as("c")
+      .join(broadcast(qTagged).as("q"),
+        col("c.table_idx") === col("q.table_idx") &&
+          col("c.table_key") === col("q.table_key") &&
+          col("c.vec_id") =!= col("q.qid"))
+      .select(col("q.qid"), col("c.vec_id").as("nid"))
+      .distinct()
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = candPairs
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), "nid")
+      .join(broadcast(q), "qid")
+      .withColumn("cos", cosine_sim(col("qe"), col("ne")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 4).as("cos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk" -> annTopkBrute,
+    "ann_lsh"  -> annLsh)
+
+  val oracles: Map[String, String] = Map(
+    "ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+         |           FROM embeddings WHERE vec_id < $NQueries),
+         |c AS (SELECT vec_id AS nid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ne
+         |      FROM embeddings),
+         |s AS (SELECT qid, nid, list_cosine_similarity(qe, ne) AS cos FROM q, c WHERE qid <> nid),
+         |r AS (SELECT qid, nid, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+         |      FROM s)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, round(cos, 4) AS cos
+         |FROM r WHERE rnk <= $K""".stripMargin)
+    // ann_lsh: no oracle (bucket membership depends on fixed-seed
+    // hyperplanes, not reproducible in SQL) → rows-only check; recall
+    // vs annTopkBrute asserted in SimilaritySpec.
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` (north-star ops; absent
+  * from the reference — SURVEY.md §2.2): quality scoring, heuristic
+  * language ID, tokenizer-style counting, bottom-k fingerprinting.
+  * All are single-pass scans with per-row expressions + one narrow
+  * aggregation — embarrassingly parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  private def charCount(text: Column, charClass: String): Column =
+    length(text) - length(regexp_replace(text, charClass, ""))
+
+  private val Stopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with", "as", "at", "by", "from")
+
+  /** Per-document quality features: the length/punctuation/stopword
+    * ratios a pretraining-data pipeline filters on. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", " ")), " "),
+      t => length(t) > 0)
+    val nTok = size(toks)
+    val stopHits = size(filter(toks, t => t.isin(Stopwords: _*)))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len"),
+      nTok.cast("long").as("n_tokens"),
+      (charCount(col("text"), "[^0-9]") / length(col("text"))).as("digit_ratio"),
+      (charCount(col("text"), "[^ ]") / length(col("text"))).as("space_ratio"),
+      (charCount(col("text"), "[a-zA-Z0-9 ]") / length(col("text"))).as("punct_ratio"),
+      (stopHits / nTok).as("stopword_ratio"),
+      (length(col("text")) / nTok).as("chars_per_token"))
+  }
+
+  /** Heuristic language ID: count marker-stopword hits per language,
+    * pick the max with a fixed precedence order (en > es > de > fr).
+    * The same CASE cascade is expressed in the oracle SQL, so the
+    * heuristic itself is cross-checked, not just row counts. */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", " ")), " "),
+      t => length(t) > 0)
+    val scores = Markers.map { case (l, ws) =>
+      l -> size(filter(toks, t => t.isin(ws: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = scores.foldRight(lit("und")) { case ((l, s), other) =>
+      when(s === best && best > 0, lit(l)).otherwise(other)
+    }
+    // foldRight gives en-first precedence: en wins ties, then es, …
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+  }
+
+  /** Tokenizer-style counts: whitespace tokens vs a BPE-ish
+    * word-or-punctuation regex, plus distinct-token counts. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val ws = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val bpe = regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(ws).cast("long").as("n_ws_tokens"),
+      size(bpe).cast("long").as("n_bpe_tokens"),
+      size(array_distinct(bpe)).cast("long").as("n_distinct_bpe"))
+  }
+
+  /** Bottom-4 document fingerprint: the 4 smallest md5 digests of the
+    * doc's distinct trigram shingles, joined with '|'. A tiny stable
+    * sketch for containment/near-dup triage (md5 on both engines). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("h"))
+      .groupBy("doc_id")
+      .agg(array_join(slice(array_sort(collect_set(col("h"))), 1, 4), "|").as("fingerprint"))
+
+  /** Corpus rollup by lang × source — the partition-profile query a
+    * pipeline runs before sampling. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality"    -> textQuality,
+    "lang_id"         -> langId,
+    "token_count"     -> tokenCount,
+    "doc_fingerprint" -> docFingerprint,
+    "text_stats"      -> textStats)
+
+  private val ToksSql =
+    "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')"
+
+  private def markerSql(ws: Seq[String]): String =
+    s"len(list_filter($ToksSql, t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
+
+  val oracles: Map[String, String] = Map(
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS len,
+         |  CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+         |  (length(text) - length(regexp_replace(text, '[^0-9]', '', 'g')))*1.0/length(text) AS digit_ratio,
+         |  (length(text) - length(regexp_replace(text, '[^ ]', '', 'g')))*1.0/length(text) AS space_ratio,
+         |  (length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')))*1.0/length(text) AS punct_ratio,
+         |  len(list_filter($ToksSql, t -> t IN (${Stopwords.map(w => s"'$w'").mkString(",")})))*1.0
+         |    / len($ToksSql) AS stopword_ratio,
+         |  length(text)*1.0 / len($ToksSql) AS chars_per_token
+         |FROM documents""".stripMargin,
+    "lang_id" -> {
+      val score = Markers.map { case (l, ws) => s"${markerSql(ws)} AS s_$l" }.mkString(", ")
+      val best = s"greatest(${Markers.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+      val cascade = Markers.map { case (l, _) =>
+        s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang,
+         |  CASE $cascade ELSE 'und' END AS pred_lang
+         |FROM (SELECT doc_id, lang, $score FROM documents) t""".stripMargin
+    },
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(list_distinct(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS n_distinct_bpe
+        |FROM documents""".stripMargin,
+    "doc_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS w,
+        |         unnest(range(1, len(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '))+1)) AS pos
+        |  FROM documents),
+        |tok2 AS (SELECT * FROM toks WHERE w <> ''),
+        |tri AS (
+        |  SELECT doc_id, w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS shingle,
+        |         lead(w,2) OVER win AS w2
+        |  FROM tok2 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT DISTINCT doc_id, md5(shingle) AS h FROM tri WHERE w2 IS NOT NULL),
+        |rk AS (SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM sh)
+        |SELECT doc_id, string_agg(h, '|' ORDER BY h) AS fingerprint
+        |FROM rk WHERE rn <= 4 GROUP BY doc_id""".stripMargin,
+    "text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source""".stripMargin)
+}

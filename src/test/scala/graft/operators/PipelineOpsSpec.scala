@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the ops the DuckDB oracle can't express (fixed-seed
+  * XxHash64 / hyperplanes): simhash, LSH recall, multimodal features.
+  * All inputs are the deterministic fixtures, so assertions are exact.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("simhash finds token-level near-dups without flooding false positives") {
+    val exact = Dedup.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.dedupSimhash(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    // hamming<=3 is the precision-side operating point (see scaladoc):
+    // recall vs shingle-Jaccard truth is ~0.6 by construction of the
+    // corpus — assert the measured floor, and that output stays tight.
+    val recall = exact.intersect(sim).size.toDouble / exact.size
+    assert(recall >= 0.55, s"simhash recall $recall over ${exact.size} exact pairs")
+    assert(sim.size <= exact.size * 2, s"simhash pairs ${sim.size} vs exact ${exact.size}")
+  }
+
+  test("simhash is stable across partitioning") {
+    val a = Dedup.simhashes(spark, dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val b = Dedup.simhashes(spark, dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a === b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("minhash signature estimates jaccard for a planted near-dup pair") {
+    val sigs = Dedup.minhashSignatures(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val exact = Dedup.dedupNgramJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(exact.nonEmpty)
+    exact.foreach { case ((a, b), j) =>
+      val (sa, sb) = (sigs(a), sigs(b))
+      val est = sa.zip(sb).count { case (x, y) => x == y } / 64.0
+      assert(math.abs(est - j) < 0.25, s"pair ($a,$b): est $est vs exact $j")
+    }
+  }
+
+  test("ann_lsh results are a subset of brute-force candidates with decent recall") {
+    val brute = Similarity.annTopkBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.annLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(brute.size === 50) // 10 queries x top-5
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    // 16 tables x 6-bit keys at cos~0.4-0.5 neighbors: expect >~0.5
+    assert(recall >= 0.4, s"LSH recall $recall")
+    info(s"ann_lsh recall@5 vs brute force: $recall (${lsh.size} pairs)")
+  }
+
+  test("multimodal decode stub: batch plumbing yields per-doc metadata + features") {
+    val rows = Multimodal.mediaTable(spark, dir).collect()
+    assert(rows.length === 500)
+    assert(rows.forall(_.media_len == 16L))
+    assert(rows.forall(m => m.width >= 64 && m.width < 192))
+    assert(rows.forall(_.feat.length == 8))
+    // deterministic: same doc → same features
+    val twice = Multimodal.mediaTable(spark, dir).collect()
+    assert(rows.sortBy(_.doc_id).map(_.feat.toSeq).toSeq ===
+      twice.sortBy(_.doc_id).map(_.feat.toSeq).toSeq)
+  }
+
+  test("multimodal feature aggregation shuffles Array[Float] features correctly") {
+    val agg = Multimodal.multimodalFeatAgg(spark, dir).collect()
+    assert(agg.nonEmpty)
+    val n = agg.map(r => r.getLong(r.fieldIndex("n"))).sum
+    assert(n === 500L * 8) // every doc contributes 8 feature positions
+  }
+
+  test("cosine expression matches a hand-rolled computation") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.cosine_sim
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f)), // zero norm -> null
+      (Array(1.0f), Array(1.0f, 2.0f))        // length mismatch -> null
+    ).toDF("a", "b")
+    val got = df.select(cosine_sim(col("a"), col("b"))).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val d0 = (4.0 + 10.0 + 18.0) / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(got(0).get === d0)
+    assert(got(1).get === 0.0)
+    assert(got(2) === None)
+    assert(got(3) === None)
+  }
+}
