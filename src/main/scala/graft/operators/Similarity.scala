@@ -67,16 +67,43 @@ object Similarity {
     * many tables is the right operating point for mid-similarity
     * neighbors (cos ≈ 0.5 ⇒ P(bit agree) ≈ 0.67 ⇒ P(6-bit key match)
     * ≈ 0.09/table, ≈ 0.78 over 16 tables); for true near-dups
-    * (cos ≥ 0.9) the same scheme is effectively lossless. */
-  private[operators] def lshKeys(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    array((0 until NTables).map { t =>
-      (0 until BitsPerTable).map { j =>
-        val dot = aggregate(
-          zip_with(emb, typedLit(planes(t * BitsPerTable + j).toSeq), (x, m) => x * m),
-          lit(0.0d), (acc, x) => acc + x)
-        when(dot >= 0, shiftleft(lit(1), j)).otherwise(lit(0))
-      }.reduce((a, b) => a.bitwiseOR(b))
-    }: _*)
+    * (cos ≥ 0.9) the same scheme is effectively lossless.
+    *
+    * Computed in a typed closure, not 96 literal-array expressions: a
+    * Column formulation embeds every hyperplane in the plan, and the
+    * resulting analyzer/codegen cost dwarfed the arithmetic. Double
+    * accumulation in index order keeps buckets bit-stable. */
+  private[operators] def lshKeysOf(emb: Array[Float]): Array[Int] = {
+    val keys = new Array[Int](NTables)
+    var t = 0
+    while (t < NTables) {
+      var key = 0
+      var j = 0
+      while (j < BitsPerTable) {
+        val p = planes(t * BitsPerTable + j)
+        var dot = 0.0
+        var i = 0
+        while (i < p.length && i < emb.length) { dot += emb(i).toDouble * p(i).toDouble; i += 1 }
+        if (dot >= 0) key |= (1 << j)
+        j += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    keys
+  }
+
+  /** (vec_id, table_idx, table_key) rows for every vector. */
+  private def tableKeys(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { r =>
+        val keys = lshKeysOf(r._2)
+        keys.iterator.zipWithIndex.map { case (k, t) => (r._1, t, k) }
+      }
+      .toDF("vec_id", "table_idx", "table_key")
+  }
 
   /** LSH-bucketed ANN: candidates = vectors sharing ≥1 of 16 table
     * keys with the query, scored exactly, top-k per query. The
@@ -86,9 +113,7 @@ object Similarity {
     * PipelineOpsSpec on the fixed-seed fixtures. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val tagged = e
-      .select(col("vec_id"), posexplode(lshKeys(col("embedding"))))
-      .withColumnsRenamed(Map("pos" -> "table_idx", "col" -> "table_key"))
+    val tagged = tableKeys(spark, dir)
     val qTagged = tagged.filter(col("vec_id") < NQueries)
       .withColumnRenamed("vec_id", "qid")
     val candPairs = tagged.as("c")

@@ -78,8 +78,7 @@ object TextAnalysis {
     * doc's distinct trigram shingles, joined with '|'. A tiny stable
     * sketch for containment/near-dup triage (md5 on both engines). */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+    Dedup.docShingles(spark, dir)
       .select(col("doc_id"), md5(col("shingle").cast("binary")).as("h"))
       .groupBy("doc_id")
       .agg(array_join(slice(array_sort(collect_set(col("h"))), 1, 4), "|").as("fingerprint"))

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Streaming semantics: the same windowed plan over (a) the events
+  * batch table and (b) a MemoryStream replay of the same rows must
+  * produce identical final windows (watermark passed, append mode).
+  */
+class EventStreamSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("stream replay of events equals batch windowed aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch = Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+    val rows = batch.as[(Timestamp, String, Double)].collect().sortBy(_._1.getTime)
+    assert(rows.length === 1000)
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val streamed = EventStream.windowedTypeCounts(
+      input.toDF().toDF("ts", "event_type", "value"))
+    val q = streamed.writeStream
+      .format("memory").queryName("stream_out").outputMode("append").start()
+    try {
+      // feed in two chunks, then a far-future row to advance the
+      // watermark past every real window so append emits them all
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(rest.toSeq)
+      q.processAllAvailable()
+      input.addData(Seq((Timestamp.valueOf("2030-01-01 00:00:00"), "flush", 0.0)))
+      q.processAllAvailable()
+
+      val got = spark.table("stream_out")
+        .filter(col("event_type") =!= "flush")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val want = EventStream.windowedTypeCounts(batch)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sliding windows produce one row per window a user is active in") {
+    val out = EventStream.slidingUserActivity(Tables.events(spark, dir)).collect()
+    assert(out.nonEmpty)
+    // 5-min window, 1-min slide: every event lands in exactly 5 windows
+    val totalEvents = Tables.events(spark, dir).count()
+    assert(out.map(_.getLong(2)).sum === totalEvents * 5)
+  }
+}
