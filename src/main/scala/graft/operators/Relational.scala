@@ -218,6 +218,26 @@ object Relational {
         sqrt(col("l_quantity")).as("qty_sqrt"),
         (col("l_quantity") * col("l_quantity")).as("qty_sq"))
 
+  /** Moment statistics with exact decimal accumulation: plain
+    * stddev/var aggregates accumulate doubles in partition order and
+    * are not reproducible across engines; sum and sum-of-squares in
+    * decimal are, and the final double arithmetic is identical on both
+    * sides. */
+  def aggStats(spark: SparkSession, dir: String): DataFrame = {
+    val qd = col("l_quantity").cast(DecimalType(18, 4))
+    val n = count(lit(1))
+    val sumD = sum(qd).cast("double")
+    val sumSqD = sum(qd * qd).cast("double")
+    val varSamp = (sumSqD - sumD * sumD / n) / (n - lit(1))
+    Tables.lineitem(spark, dir)
+      .groupBy("l_linestatus")
+      .agg(
+        n.as("n"),
+        (sumD / n).as("mean_qty"),
+        varSamp.as("var_qty"),
+        sqrt(varSamp).as("stddev_qty"))
+  }
+
   def jsonEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
@@ -246,6 +266,7 @@ object Relational {
     "join_anti"        -> joinAnti,
     "join_left_agg"    -> joinLeftAgg,
     "agg_distinct"     -> aggDistinct,
+    "agg_stats"        -> aggStats,
     "agg_rollup"       -> aggRollup,
     "agg_cube"         -> aggCube,
     "window_rank"      -> windowRank,
@@ -328,6 +349,18 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_qty,
+        |  (CAST(sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |     - CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |       * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+        |    / (count(*) - 1) AS var_qty,
+        |  sqrt((CAST(sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |     - CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |       * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+        |    / (count(*) - 1)) AS stddev_qty
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "agg_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n, $DSUM_Q AS sum_qty
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,

@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+
+import graft.mr.TabCodec
+
+/** Text source/sink parity with the reference platform (SURVEY.md §2.1
+  * O1/O2/O10/O11).
+  *
+  * - Source: line-oriented UTF-8 text shards. One reference shard =
+  *   one map task; here shard sizing maps to
+  *   `spark.sql.files.maxPartitionBytes` (set per-read below), and a
+  *   directory of shards reads as one Dataset.
+  * - Sink: the reference concatenates reducer outputs to `final.txt`
+  *   (`ControlServiceImpl.java:397–427`) because its only data plane
+  *   is a shared POSIX FS. At scale a single concatenated file is an
+  *   anti-pattern; the Spark-native equivalent is a partitioned text
+  *   directory whose `_SUCCESS` marker plays the role of the
+  *   reference's final.txt existence poll (`gridmr_submit.py:76–86`).
+  *   `writeSingle` exists for byte-level parity in tests only.
+  */
+object TextIO {
+
+  /** Read a text file/directory of shards; `shardMb` mirrors the
+    * reference's GRIDMR_CHUNK_SIZE_MB split sizing. */
+  def readLines(spark: SparkSession, path: String, shardMb: Int = 32): Dataset[String] = {
+    spark.conf.set("spark.sql.files.maxPartitionBytes", s"${shardMb}m")
+    spark.read.textFile(path)
+  }
+
+  /** Write (key, value) pairs as `key\tvalue` lines, partitioned, with
+    * a `_SUCCESS` marker — the scale-correct final.txt. */
+  def writeTabbed(pairs: Dataset[(String, String)], path: String): Unit = {
+    import pairs.sparkSession.implicits._
+    pairs.map(kv => TabCodec.encode(kv._1, kv._2))
+      .write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  /** Single-file variant (coalesce(1)) — test/parity use ONLY; never
+    * at scale. */
+  def writeSingle(pairs: Dataset[(String, String)], path: String): Unit = {
+    import pairs.sparkSession.implicits._
+    pairs.map(kv => TabCodec.encode(kv._1, kv._2))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).text(path)
+  }
+}
