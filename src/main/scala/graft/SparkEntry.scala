@@ -21,11 +21,11 @@ object SparkEntry {
     TextOps.wordcount(spark, "/root/testdata/sf0.001")
 
   private val modules: Seq[Map[String, (SparkSession, String) => DataFrame]] =
-    Seq(TextOps.queries, MrOps.queries, Relational.queries,
+    Seq(TextOps.queries, MrOps.queries, Relational.queries, AsOfJoin.queries,
       Dedup.queries, Similarity.queries, TextAnalysis.queries, Multimodal.queries)
 
   private val oracleModules: Seq[Map[String, String]] =
-    Seq(TextOps.oracles, MrOps.oracles, Relational.oracles,
+    Seq(TextOps.oracles, MrOps.oracles, Relational.oracles, AsOfJoin.oracles,
       Dedup.oracles, Similarity.oracles, TextAnalysis.oracles, Multimodal.oracles)
 
   /** One entry per implemented operator from SURVEY.md §2. */

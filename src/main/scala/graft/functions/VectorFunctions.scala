@@ -147,4 +147,14 @@ object VectorFunctions {
     * Uses the same codegen'd Catalyst hash as the built-in. */
   def xxhash64Seeded(seed: Long, c: Column): Column =
     ColumnBridge.column(XxHash64(Seq(ColumnBridge.expression(c)), seed))
+
+  /** Register cosine_sim/dot_product as SQL functions on a live
+    * session (complement of `graft.plans.GraftExtensions`, which does
+    * the same at session construction via spark.sql.extensions). */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    ColumnBridge.registerFunction(spark, "cosine_sim",
+      args => CosineSimilarity(args(0), args(1)))
+    ColumnBridge.registerFunction(spark, "dot_product",
+      args => DotProduct(args(0), args(1)))
+  }
 }

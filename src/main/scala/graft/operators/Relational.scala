@@ -249,6 +249,17 @@ object Relational {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
 
+  /** Exact interpolated percentiles — Spark's `percentile` and
+    * DuckDB's `quantile_cont` share the (n-1)·q linear-interpolation
+    * definition, so values compare exactly. */
+  def aggMedian(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.9)).as("p90"),
+        count(lit(1)).as("n"))
+
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
@@ -267,6 +278,7 @@ object Relational {
     "join_left_agg"    -> joinLeftAgg,
     "agg_distinct"     -> aggDistinct,
     "agg_stats"        -> aggStats,
+    "agg_median"       -> aggMedian,
     "agg_rollup"       -> aggRollup,
     "agg_cube"         -> aggCube,
     "window_rank"      -> windowRank,
@@ -349,6 +361,10 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_median" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "agg_stats" ->
       """SELECT l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_qty,

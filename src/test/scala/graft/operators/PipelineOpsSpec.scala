@@ -88,6 +88,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(n === 500L * 8) // every doc contributes 8 feature positions
   }
 
+  test("cosine_sim/dot_product are callable from SQL after registration") {
+    graft.functions.VectorFunctions.registerSql(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0F,2.0F), array(2.0F,3.0F)) AS c, " +
+        "dot_product(array(1.0F,2.0F), array(2.0F,3.0F)) AS d").collect()(0)
+    assert(r.getDouble(1) === 8.0)
+    assert(math.abs(r.getDouble(0) - 8.0 / (math.sqrt(5.0) * math.sqrt(13.0))) < 1e-12)
+  }
+
   test("cosine expression matches a hand-rolled computation") {
     import spark.implicits._
     import graft.functions.VectorFunctions.cosine_sim
