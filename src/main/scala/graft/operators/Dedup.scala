@@ -102,7 +102,10 @@ object Dedup {
   private val SeedBase = 0x9E3779B9L
 
   /** MinHash signatures + exact shingle-hash sets, one shingle scan
-    * and ONE groupBy for both: the base shingle hash is computed once
+    * and ONE groupBy for both (per plan branch — the downstream
+    * self-joins make Catalyst recompute this pipeline per join side;
+    * at 100 TB persist/checkpoint this output first, it is ~10⁻⁴ of
+    * the input bytes — see PLANS.md): the base shingle hash is computed once
     * per row (codegen'd XxHash64 over the string), and each of the 64
     * permutations re-hashes the 8-byte base value — fixed-width long
     * hashing, ~10× cheaper than hashing the string per permutation.

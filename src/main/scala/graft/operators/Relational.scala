@@ -249,6 +249,17 @@ object Relational {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
 
+  /** HLL++ approximate distinct counts — the sketch an exact
+    * countDistinct can't afford at 100 TB (no per-key state, one pass,
+    * mergeable). No SQL oracle: DuckDB's approx sketch differs; the
+    * 2% envelope vs exact is asserted in PipelineOpsSpec. */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
   /** Exact interpolated percentiles — Spark's `percentile` and
     * DuckDB's `quantile_cont` share the (n-1)·q linear-interpolation
     * definition, so values compare exactly. */
@@ -279,6 +290,7 @@ object Relational {
     "agg_distinct"     -> aggDistinct,
     "agg_stats"        -> aggStats,
     "agg_median"       -> aggMedian,
+    "agg_approx_distinct" -> aggApproxDistinct,
     "agg_rollup"       -> aggRollup,
     "agg_cube"         -> aggCube,
     "window_rank"      -> windowRank,

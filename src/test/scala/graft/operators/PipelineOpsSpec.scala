@@ -88,6 +88,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(n === 500L * 8) // every doc contributes 8 feature positions
   }
 
+  test("approx_count_distinct lands within its 1% design error vs exact") {
+    val approx = Relational.aggApproxDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Relational.aggDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, parts) =>
+      val est = approx(flag)._1.toDouble
+      assert(math.abs(est - parts) / parts <= 0.05, s"$flag: est $est vs exact $parts")
+    }
+  }
+
   test("cosine_sim/dot_product are callable from SQL after registration") {
     graft.functions.VectorFunctions.registerSql(spark)
     val r = spark.sql(
