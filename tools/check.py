@@ -21,10 +21,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    # datetimes → utc-naive micros for cross-engine compare
+    # datetimes → utc-naive micros; arrays → tuples (sortable/hashable)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).dt.floor("us").astype("datetime64[ns]")
+        elif df[c].dtype == object and df[c].map(
+                lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist")).any():
+            df[c] = df[c].map(
+                lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
+                else tuple(v) if isinstance(v, (list, tuple)) else v)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
