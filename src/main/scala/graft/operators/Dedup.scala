@@ -182,15 +182,10 @@ object Dedup {
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("w"))
       .withColumn("h", xxhash64Seeded(SeedBase, col("tok")))
-    val bitSums = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("w"))
-        .otherwise(-col("w"))).as(s"b$j"))
+    // custom TypedImperativeAggregate: one 64-lane buffer instead of
+    // 64 conditional sum expressions (see SimhashAgg scaladoc)
     tokens.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(j =>
-          when(col(s"b$j") >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+      .agg(graft.functions.SimhashAgg.simhash_agg(col("h"), col("w")).as("simhash"))
   }
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
