@@ -53,8 +53,39 @@ object AsOfJoin {
   def purchasesWithLastClickStrict(spark: SparkSession, dir: String): DataFrame =
     purchasesWithLastClick(spark, dir).filter(col("click_id").isNotNull)
 
+  /** Range join: same-user event pairs within 60 seconds — the
+    * non-equi time-window join. Naively this is a per-user cross join
+    * with an inequality filter; the scalable form buckets time into
+    * window-sized cells, registers the RIGHT side in its own cell and
+    * both neighbors, and probes the LEFT side in its own cell only.
+    * Any pair within one window length differs by at most one bucket,
+    * and exactly ONE of the three right-side copies lands in the left
+    * row's bucket — so the theta-join becomes an equi-join on
+    * (user, bucket) + residual filter, with no duplicate matches and
+    * no distinct. Shuffle volume is 4× the input rows, independent of
+    * the time span — versus the per-user quadratic blowup of the
+    * naive form. */
+  def eventPairsWithin60s(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (unix_micros(col("ts")) / lit(60000000L)).cast("long").as("bucket"))
+    val a = ev.select(col("user_id"), col("event_id").as("id_a"),
+      col("ts").as("ts_a"), col("bucket"))
+    val b0 = ev.select(col("user_id"), col("event_id").as("id_b"),
+      col("ts").as("ts_b"), col("bucket"))
+    val b = b0
+      .unionByName(b0.withColumn("bucket", col("bucket") - 1))
+      .unionByName(b0.withColumn("bucket", col("bucket") + 1))
+    a.join(b, Seq("user_id", "bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(unix_micros(col("ts_a")) - unix_micros(col("ts_b"))) <= 60000000L)
+      .select(col("user_id"), col("id_a"), col("id_b"),
+        ((unix_micros(col("ts_b")) - unix_micros(col("ts_a"))) / lit(1000000.0)).as("dt_sec"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "asof_join" -> purchasesWithLastClickStrict)
+    "asof_join"  -> purchasesWithLastClickStrict,
+    "range_join" -> eventPairsWithin60s)
 
   val oracles: Map[String, String] = Map(
     "asof_join" ->
@@ -62,5 +93,11 @@ object AsOfJoin {
         |       c.event_id AS click_id, c.ts AS click_ts
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin)
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+    "range_join" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  (epoch_ns(b.ts) - epoch_ns(a.ts)) / 1e9 AS dt_sec
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_ns(b.ts) - epoch_ns(a.ts)) <= 60000000000""".stripMargin)
 }

@@ -75,8 +75,58 @@ object Multimodal {
       .groupBy(col("width"), col("pos"))
       .agg(avg(col("col").cast("double")).as("mean_feat"), count(lit(1)).as("n"))
 
+  /** One sampled "frame" of a media payload. */
+  case class Frame(doc_id: Long, frame_idx: Long, frame_off: Long, frame_sig: Long)
+
+  /** STUB FRAME-SAMPLER. A real pipeline decodes video and samples
+    * every Nth frame; the stand-in slices the payload into fixed-size
+    * chunks and fingerprints each. The Spark shape is the real part:
+    * one input row fans out to 0..n frame rows inside a partition
+    * iterator (no shuffle), and downstream ops treat frames as plain
+    * rows. */
+  def frameSample(rows: Iterator[(Long, Array[Byte])], frameBytes: Int): Iterator[Frame] =
+    rows.flatMap { case (id, bytes) =>
+      bytes.grouped(frameBytes).zipWithIndex.map { case (chunk, i) =>
+        var sig = 1125899906842597L
+        chunk.foreach(b => sig = sig * 31 + (b & 0xFF))
+        Frame(id, i.toLong, i.toLong * frameBytes, sig)
+      }
+    }
+
+  /** STUB RESIZE. A real decoder scales WxH; the stand-in halves the
+    * decoded dimensions (min 1) — the point is that resize is a
+    * narrow, per-row map over the decoded batch, never a shuffle. */
+  def resize(meta: Iterator[MediaMeta], maxSide: Long): Iterator[MediaMeta] =
+    meta.map { m =>
+      var (w, h) = (m.width, m.height)
+      while (w > maxSide || h > maxSide) { w = math.max(1, w / 2); h = math.max(1, h / 2) }
+      m.copy(width = w, height = h)
+    }
+
+  /** Frame table: media → 4-byte "frames" with rolling-hash sigs.
+    * Oracle-checked structurally (doc_id/frame_idx/frame_off are
+    * byte-arithmetic DuckDB can reproduce); frame_sig is asserted
+    * deterministic in MultimodalSpec. */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => frameSample(rows, frameBytes = 4))
+      .select(col("doc_id"), col("frame_idx"), col("frame_off"))
+  }
+
+  def multimodalResized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .mapPartitions(rows => resize(rows, maxSide = 96))
+      .select(col("doc_id"), col("width"), col("height"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_meta" -> multimodalMeta)
+    "multimodal_meta"   -> multimodalMeta,
+    "multimodal_frames" -> multimodalFrames,
+    "multimodal_resize" -> multimodalResized)
   // multimodal_feat_agg exercised in MultimodalSpec (float means are
   // not bit-stable across engines, so no SQL oracle).
 
@@ -86,5 +136,18 @@ object Multimodal {
         |  CAST(16 AS BIGINT) AS media_len,
         |  CAST(64 + CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) % 128 AS BIGINT) AS width,
         |  CAST(64 + CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) % 128 AS BIGINT) AS height
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(i*4 AS BIGINT) AS frame_off
+        |FROM documents, generate_series(0, 3) AS t(i)""".stripMargin,
+    // resize halves BOTH dims while EITHER exceeds 96 (aspect-ratio
+    // preserving); one halving always suffices since max dim is 191
+    "multimodal_resize" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN w > 96 OR h > 96 THEN w // 2 ELSE w END AS BIGINT) AS width,
+        |  CAST(CASE WHEN w > 96 OR h > 96 THEN h // 2 ELSE h END AS BIGINT) AS height
+        |FROM (SELECT doc_id,
+        |        64 + CAST('0x' || substr(md5(text),1,2) AS INTEGER) % 128 AS w,
+        |        64 + CAST('0x' || substr(md5(text),3,2) AS INTEGER) % 128 AS h
+        |      FROM documents) t""".stripMargin)
 }
