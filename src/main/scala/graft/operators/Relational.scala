@@ -140,6 +140,40 @@ object Relational {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
 
+  /** GROUPING SETS — only expressible through the SQL surface (the
+    * DataFrame API stops at rollup/cube); same SQL text runs on both
+    * engines. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
+  /** Correlated scalar subquery (SQL surface): biggest order per
+    * customer, 0 when none. Catalyst decorrelates this into an
+    * aggregate + left join — same plan shape as joinLeftAgg. */
+  def subqueryScalar(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey,
+        |  COALESCE((SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey), 0.0) AS max_order
+        |FROM customer""".stripMargin)
+  }
+
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
+
   def windowRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -293,6 +327,9 @@ object Relational {
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_rollup"       -> aggRollup,
     "agg_cube"         -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "subquery_scalar"  -> subqueryScalar,
+    "window_ntile"     -> windowNtile,
     "window_rank"      -> windowRank,
     "window_running"   -> windowRunning,
     "window_lag"       -> windowLag,
@@ -396,6 +433,22 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "subquery_scalar" ->
+      """SELECT c_custkey,
+        |  COALESCE((SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey), 0.0) AS max_order
+        |FROM customer""".stripMargin,
+    "window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER win AS BIGINT) AS quartile,
+        |  percent_rank() OVER win AS pct_rank,
+        |  cume_dist() OVER win AS cume
+        |FROM orders
+        |WINDOW win AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
     "window_rank" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
