@@ -1,0 +1,55 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** File-format connector coverage (SURVEY.md §2.2 row 1): the engine's
+  * operators are format-agnostic DataFrame transforms, so CSV/JSON
+  * interop only needs the standard readers/writers to round-trip the
+  * fixture schemas. Timestamps are the classic loss point — both
+  * round-trips pin them explicitly.
+  */
+class FormatsSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("orders round-trips parquet -> csv -> DataFrame including timestamps") {
+    val tmp = Files.createTempDirectory("graft_csv").toString
+    val orders = Tables.orders(spark, dir)
+    orders.write.option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(s"$tmp/orders_csv")
+    val back = spark.read.option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .schema(orders.schema)
+      .csv(s"$tmp/orders_csv")
+    assert(back.count() === orders.count())
+    val a = orders.orderBy("o_orderkey").collect()
+    val b = back.orderBy("o_orderkey").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("events round-trips parquet -> json -> aggregation parity") {
+    val tmp = Files.createTempDirectory("graft_json").toString
+    val events = Tables.events(spark, dir)
+    events.write.json(s"$tmp/events_json")
+    val back = spark.read.schema(events.schema).json(s"$tmp/events_json")
+    assert(back.count() === events.count())
+    // aggregation over the JSON copy must equal the parquet original
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,4)")).cast("double").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(agg(back) === agg(events))
+  }
+}
