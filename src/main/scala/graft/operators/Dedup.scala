@@ -79,9 +79,14 @@ object Dedup {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // join on the 8-byte shingle hash, not the string: same pair counts
     // (64-bit collision odds are negligible) at a fraction of the
-    // shuffle bytes and comparison cost
+    // shuffle bytes and comparison cost. Persisted because the plan
+    // consumes it three times (both join sides + per-doc counts);
+    // Spark's cache manager dedups by plan equality so repeated calls
+    // share one entry (~8 bytes+id per shingle). Batch drivers can
+    // spark.catalog.clearCache() between workloads.
     val sh = docShingles(spark, dir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -137,7 +142,11 @@ object Dedup {
     * can never produce a false positive. Band keys are codegen'd
     * multi-arg hashes of the 4 signature columns, not string concats. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    // the sketch table feeds banding + both verification sides; it is
+    // ~10^-4 of the input bytes, so persisting it is the PLANS.md
+    // "materialize the sketch" recommendation applied in-plan
     val feats = minhashFeatures(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = (0 until Bands).map(b =>
       xxhash64((0 until RowsPerBand).map(r =>
         element_at(col("sig"), b * RowsPerBand + r + 1)): _*))
