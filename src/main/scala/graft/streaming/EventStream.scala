@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured-Streaming surface over the `events` schema (stretch goal
@@ -31,6 +34,92 @@ object EventStream {
         count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(30, 4))).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** One closed user session: contiguous activity with gaps < the
+    * session timeout. */
+  case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** `sumE4` holds value×10⁴ as a long: exact, order-insensitive
+    * accumulation that equals the oracle's DECIMAL(30,4) sum.
+    * (Public: the GroupState encoder needs the constructor.) */
+  case class SessionState(
+      start: Long, last: Long, n: Long, sumE4: Long)
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the
+    * operator the windowed APIs can't express (session length is
+    * data-dependent, not clock-aligned). State per user is O(1): the
+    * open session's bounds and aggregates. With an event-time timeout
+    * a session closes `gapMs` after its last event; the same code
+    * also runs in batch (used by the spec to cross-check a window-free
+    * SQL formulation).
+    *
+    * 100 TB notes: state is partitioned by user across executors and
+    * checkpointed by the streaming engine; memory is bounded by
+    * (active users × ~40 bytes), independent of event volume. */
+  def sessionize(
+      events: Dataset[(Long, Timestamp, Double)],
+      gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    // state carries epoch-MICROS: Timestamp.getTime is millis-only and
+    // silently truncates the fixture's microsecond precision
+    def toMicros(ts: Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    def close(uid: Long, s: SessionState): Session =
+      Session(uid, toTs(s.start), toTs(s.last), s.n, s.sumE4 / 1e4)
+    def e4(v: Double): Long = math.round(v * 1e4)
+    val gapUs = gapMs * 1000L
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Timestamp, Double)], state: GroupState[SessionState]) =>
+          // batch path: rows arrive unordered; sort within the group
+          // (bounded by one user's events)
+          val sorted = rows.toSeq.sortBy(r => toMicros(r._2))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var cur = state.getOption.orNull
+          sorted.foreach { case (_, ts, v) =>
+            val t = toMicros(ts)
+            cur match {
+              case null =>
+                cur = SessionState(t, t, 1L, e4(v))
+              case s if t - s.last <= gapUs =>
+                cur = SessionState(s.start, t, s.n + 1, s.sumE4 + e4(v))
+              case s =>
+                out += close(uid, s)
+                cur = SessionState(t, t, 1L, e4(v))
+            }
+          }
+          // the open session stays in state — closed only by a later
+          // out-of-gap event (or a sentinel flush). Closing it here
+          // would truncate sessions at micro-batch boundaries.
+          if (cur != null) state.update(cur)
+          out.iterator
+      }
+  }
+
+  /** Far-future sentinel used to flush open tail sessions. */
+  val FlushTs: Timestamp = Timestamp.valueOf("9999-01-01 00:00:00")
+
+  /** Batch entry: sessionize the events fixture with a 30-minute gap.
+    * Tail sessions are flushed by appending one sentinel event per
+    * user and dropping the sentinel's own session. */
+  def sessionizeBatch(spark: SparkSession, dir: String, gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, Timestamp, Double)]
+    val flush = ev.map(_._1).distinct().map(u => (u, FlushTs, 0.0))
+    sessionize(ev.union(flush), gapMs)
+      .filter(s => s.session_start.before(FlushTs))
+  }
 
   /** Sliding-window event rate per user (5-minute window, 1-minute
     * slide): the fan-out pattern for rolling activity metrics. */

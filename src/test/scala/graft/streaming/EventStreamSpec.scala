@@ -63,6 +63,38 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionization: incremental stream equals batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 30 * 60 * 1000L
+    val batchRows = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, Timestamp, Double)].collect().sortBy(_._2.getTime)
+    val want = EventStream.sessionizeBatch(spark, dir, gap)
+      .collect().map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
+
+    // streaming mode: feed time-ordered chunks; GroupState carries the
+    // open session across micro-batches. NoTimeout means tail sessions
+    // stay open, so compare only sessions closed by a later event and
+    // flush with a far-future event per user.
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val flush = batchRows.map(_._1).distinct
+      .map(u => (u, Timestamp.valueOf("2031-01-01 00:00:00"), 0.0))
+    val q = EventStream.sessionize(input.toDS(), gap)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      batchRows.grouped(250).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      input.addData(flush.toSeq); q.processAllAvailable()
+      val got = spark.table("sessions_out")
+        .filter(col("session_start") < "2030-01-01")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("sliding windows produce one row per window a user is active in") {
     val out = EventStream.slidingUserActivity(Tables.events(spark, dir)).collect()
     assert(out.nonEmpty)
