@@ -136,9 +136,77 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 4).as("cos"))
   }
 
+  // -- IVF-flat: coarse quantizer + nprobe ---------------------------
+
+  private val NCells = 16
+  private val NProbe = 2
+
+  /** Deterministic coarse centroids: a fixed slice of the corpus
+    * itself (vec_id ∈ [100, 100+NCells)) stands in for k-means
+    * centroids — sampled-point initialization without the
+    * float-order-sensitive Lloyd updates that would break bit-stable
+    * results. At 100 TB the centroid set is tiny driver-side metadata
+    * (cells × dim floats) broadcast into the assignment closure, while
+    * the vector table streams once to build the cell index. */
+  private def centroids(spark: SparkSession, dir: String): Array[(Int, Array[Float])] =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= 100 && col("vec_id") < (100 + NCells))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+
+  private def cosTo(c: Array[Float], v: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < c.length && i < v.length) {
+      val u = c(i).toDouble; val w = v(i).toDouble
+      dot += u * w; na += u * u; nb += w * w; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Top-`n` nearest cells for a vector (ties → lower cell idx). */
+  private def nearestCells(cents: Array[(Int, Array[Float])], v: Array[Float], n: Int): Seq[Int] =
+    cents.map { case (i, c) => (i, cosTo(c, v)) }
+      .sortBy { case (i, s) => (-s, i) }.take(n).map(_._1).toSeq
+
+  /** IVF-flat ANN: vectors are assigned to their nearest centroid
+    * cell; each query probes its NProbe nearest cells and scores only
+    * those cells' members. Complements annLsh: IVF adapts to the data
+    * distribution (cells are data points) where hyperplane LSH is
+    * data-oblivious. Same output shape; recall vs brute force asserted
+    * in PipelineOpsSpec. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = centroids(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+    val cells = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map(r => (r._1, nearestCells(cents, r._2, 1).head))
+      .toDF("nid", "cell")
+    val qCells = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap(r => nearestCells(cents, r._2, NProbe).map(c => (r._1, c)))
+      .toDF("qid", "cell")
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = cells
+      .join(broadcast(qCells), "cell")
+      .filter(col("qid") =!= col("nid"))
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), "nid")
+      .join(broadcast(q), "qid")
+      .withColumn("cos", cosine_sim(col("qe"), col("ne")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 4).as("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> annTopkBrute,
-    "ann_lsh"  -> annLsh)
+    "ann_lsh"  -> annLsh,
+    "ann_ivf"  -> annIvf)
 
   val oracles: Map[String, String] = Map(
     "ann_topk" ->

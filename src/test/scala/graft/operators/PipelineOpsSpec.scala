@@ -69,6 +69,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     info(s"ann_lsh recall@5 vs brute force: $recall (${lsh.size} pairs)")
   }
 
+  test("ann_ivf probes its cells deterministically with nonzero recall") {
+    val brute = Similarity.annTopkBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf1 = Similarity.annIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ivf2 = Similarity.annIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ivf1.sorted.sameElements(ivf2.sorted), "IVF must be deterministic")
+    val recall = brute.intersect(ivf1.map(t => (t._1, t._3)).toSet).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall $recall")
+    info(s"ann_ivf recall@5 vs brute force: $recall")
+  }
+
   test("multimodal decode stub: batch plumbing yields per-doc metadata + features") {
     val rows = Multimodal.mediaTable(spark, dir).collect()
     assert(rows.length === 500)
