@@ -39,6 +39,17 @@ class FormatsSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("lineitem round-trips parquet -> orc value-exact") {
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    val li = Tables.lineitem(spark, dir)
+    li.write.orc(s"$tmp/li_orc")
+    val back = spark.read.orc(s"$tmp/li_orc")
+    assert(back.count() === li.count())
+    val a = li.orderBy("l_orderkey", "l_linenumber").collect()
+    val b = back.orderBy("l_orderkey", "l_linenumber").collect()
+    assert(a.sameElements(b))
+  }
+
   test("events round-trips parquet -> json -> aggregation parity") {
     val tmp = Files.createTempDirectory("graft_json").toString
     val events = Tables.events(spark, dir)
