@@ -24,16 +24,33 @@ object Bench {
     // untimed warmup: exercises scan + shuffle + codegen paths
     try SparkEntry.queries("wordcount")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    spark.catalog.clearCache()
 
+    // A failed query must never bench as ~0 s and read as a speedup:
+    // record its error and surface it in the JSON. Caches are cleared
+    // after every query so timings are order-independent (a query that
+    // persists intermediates is charged their build AND cannot donate
+    // them to a later query).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    if (errors.nonEmpty)
+      System.err.println(s"BENCH ERRORS (${errors.size}): ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

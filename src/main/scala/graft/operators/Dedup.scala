@@ -72,21 +72,41 @@ object Dedup {
       .groupBy("text_hash")
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Shingles appearing in more than this many documents are dropped
+    * from the [[dedupNgramJaccard]] universe before the self-join. A
+    * single boilerplate shingle in d docs contributes d² join rows —
+    * one hot header at 100 TB turns the exact join into a cartesian
+    * blowup. Dropping ultra-common shingles is standard corpus-dedup
+    * practice (they carry no near-dup signal: sharing a shingle that a
+    * million docs share is not evidence of duplication). The cap
+    * bounds the join fan-out at cap² per shingle. On the test fixture
+    * no shingle reaches 0.2×cap (DedupSpec proves the guard is a
+    * no-op there), so the oracle stays hash-exact. */
+  private[operators] val MaxShingleDf = 1000L
+
   /** Exact pairwise n-gram Jaccard ≥ 0.8 via shingle self-join.
     * Ground truth for the approximate variants. The shingle self-join
     * is the scan→shuffle pattern that explodes on hot shingles at
-    * scale — SURVEY.md's reason the minhash path exists. */
+    * scale — SURVEY.md's reason the minhash path exists; the
+    * [[MaxShingleDf]] guard (counts AND intersections both computed on
+    * the capped universe, so the Jaccard stays internally consistent)
+    * bounds that blowup. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // join on the 8-byte shingle hash, not the string: same pair counts
     // (64-bit collision odds are negligible) at a fraction of the
     // shuffle bytes and comparison cost. Persisted because the plan
-    // consumes it three times (both join sides + per-doc counts);
-    // Spark's cache manager dedups by plan equality so repeated calls
-    // share one entry (~8 bytes+id per shingle). Batch drivers can
-    // spark.catalog.clearCache() between workloads.
-    val sh = docShingles(spark, dir)
+    // consumes it four times (df guard, both join sides, per-doc
+    // counts); Spark's cache manager dedups by plan equality so
+    // repeated calls share one entry (~8 bytes+id per shingle). Batch
+    // drivers can spark.catalog.clearCache() between workloads.
+    val shAll = docShingles(spark, dir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hot-shingle guard: the >cap list is tiny (it cannot exceed
+    // total_shingles/cap entries), so the anti-join broadcasts
+    val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("sh")
+    val sh = shAll.join(hot, Seq("sh"), "left_anti")
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -106,51 +126,62 @@ object Dedup {
   private val RowsPerBand = NumPerms / Bands // 4
   private val SeedBase = 0x9E3779B9L
 
-  /** MinHash signatures + exact shingle-hash sets, one shingle scan
-    * and ONE groupBy for both (per plan branch — the downstream
-    * self-joins make Catalyst recompute this pipeline per join side;
-    * at 100 TB persist/checkpoint this output first, it is ~10⁻⁴ of
-    * the input bytes — see PLANS.md): the base shingle hash is computed once
-    * per row (codegen'd XxHash64 over the string), and each of the 64
-    * permutations re-hashes the 8-byte base value — fixed-width long
-    * hashing, ~10× cheaper than hashing the string per permutation.
-    * Declarative min/collect_set aggregates get Catalyst's partial+
-    * final split, so the shuffle carries 64 longs + the doc's hash set
-    * per doc per partition, never per shingle. */
-  def minhashFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir)
+  /** (doc_id, h0) — 8-byte shingle hashes, computed per use from the
+    * scan (codegen'd XxHash64 over the string). Deliberately NOT
+    * persisted: it is the same order of magnitude as the input text
+    * (~8 B per shingle), so caching it would make the "sketch" cache
+    * O(input) — re-scanning is the 100 TB-honest trade. */
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    docShingles(spark, dir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h0"))
+
+  /** MinHash sketch: 64 permutation minima + the doc's shingle count,
+    * ONE groupBy over one shingle scan. Each of the 64 permutations
+    * re-hashes the 8-byte base value — fixed-width long hashing, ~10×
+    * cheaper than hashing the string per permutation. Declarative min/
+    * count aggregates get Catalyst's partial+final split, so the
+    * shuffle carries 65 longs per doc per partition, never per
+    * shingle. The sketch is 520 B/doc ≈ 10⁻⁴ of the input bytes —
+    * persisting it (done in [[dedupMinhash]]) is genuinely cheap. */
+  def minhashSketch(spark: SparkSession, dir: String): DataFrame = {
     val aggs = (0 until NumPerms).map(i =>
       min(xxhash64Seeded(SeedBase + i, col("h0"))).as(s"h$i")) :+
-      collect_set(col("h0")).as("hs")
-    sh.groupBy("doc_id")
+      count(lit(1)).as("n")
+    shingleHashes(spark, dir)
+      .groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until NumPerms).map(i => col(s"h$i")): _*).as("sig"),
-        col("hs"))
+        col("n"))
   }
 
   /** Signature-only view (compat + tests). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    minhashFeatures(spark, dir).select(col("doc_id"), col("sig"))
+    minhashSketch(spark, dir).select(col("doc_id"), col("sig"))
 
   /** MinHash + LSH near-dup pairs, exact-verified.
     * Banding: 16 bands × 4 rows ⇒ P(candidate) = 1-(1-j⁴)¹⁶ — at
     * j=0.98 a miss is ~1e-18, so on this corpus the output equals the
     * exact ngram-jaccard result (same SQL oracle). Candidates are
-    * verified with exact shingle-hash-set Jaccard, so a band collision
-    * can never produce a false positive. Band keys are codegen'd
-    * multi-arg hashes of the 4 signature columns, not string concats. */
+    * verified exactly, so a band collision can never produce a false
+    * positive. Band keys are codegen'd multi-arg hashes of the 4
+    * signature columns, not string concats.
+    *
+    * Scale shape: the ONLY persisted state is the 520 B/doc sketch.
+    * Verification re-derives shingle hashes from the scan and
+    * immediately semi-joins them to the candidate doc-id set (a
+    * broadcast-sized list in any realistic near-dup regime), so the
+    * pair-intersection groupBy touches candidate docs only; the
+    * surviving (tiny) shingle subset is what gets cached for the
+    * two-sided pair join. Exact per-doc set sizes ride the sketch
+    * (`n`), so no second full aggregation is needed. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // the sketch table feeds banding + both verification sides; it is
-    // ~10^-4 of the input bytes, so persisting it is the PLANS.md
-    // "materialize the sketch" recommendation applied in-plan
-    val feats = minhashFeatures(spark, dir)
+    val sketch = minhashSketch(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = (0 until Bands).map(b =>
       xxhash64((0 until RowsPerBand).map(r =>
         element_at(col("sig"), b * RowsPerBand + r + 1)): _*))
-    val bands = feats.select(col("doc_id"),
+    val bands = sketch.select(col("doc_id"),
       posexplode(array(bandKeys: _*)))
       .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_key"))
     val cands = bands.as("x")
@@ -160,12 +191,25 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cands
-      .join(feats.select(col("doc_id"), col("hs")).as("fa"), col("doc_a") === col("fa.doc_id"))
-      .join(feats.select(col("doc_id"), col("hs")).as("fb"), col("doc_b") === col("fb.doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact verification: shingles of candidate docs only
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val shc = shingleHashes(spark, dir)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inter = cands
+      .join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shc.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.h0") === col("sb.h0"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sketch.select(col("doc_id"), col("n")).as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(sketch.select(col("doc_id"), col("n")).as("cb"), col("doc_b") === col("cb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("fa.hs"), col("fb.hs"))) /
-          size(array_union(col("fa.hs"), col("fb.hs")))).as("jaccard"))
+        (col("inter") / (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
   }
 

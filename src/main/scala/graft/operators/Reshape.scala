@@ -34,6 +34,15 @@ object Reshape {
         array_sort(collect_set(year(col("o_orderdate")).cast("long"))).as("years"),
         countDistinct(year(col("o_orderdate"))).as("n_years"))
 
+  /** Gated form of [[arrayAggYears]]: the sorted array serialized to a
+    * canonical comma string. The driver's comparator lexsorts columns
+    * through pandas, which cannot hash an `array<bigint>` cell — the
+    * string form carries the identical information and is comparable.
+    * Library users call [[arrayAggYears]] for the typed array. */
+  def arrayAggYearsGated(spark: SparkSession, dir: String): DataFrame =
+    arrayAggYears(spark, dir)
+      .select(col("o_custkey"), array_join(col("years"), ",").as("years"), col("n_years"))
+
   /** String aggregation, deterministically ordered. */
   def stringAggPriorities(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -75,7 +84,7 @@ object Reshape {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pivot_status"    -> pivotStatus,
-    "array_agg_years" -> arrayAggYears,
+    "array_agg_years" -> arrayAggYearsGated,
     "string_agg"      -> stringAggPriorities,
     "date_intervals"  -> dateIntervals,
     "agg_salted"      -> aggSalted)
@@ -89,7 +98,7 @@ object Reshape {
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "array_agg_years" ->
       """SELECT o_custkey,
-        |  list_sort(list(DISTINCT CAST(year(o_orderdate) AS BIGINT))) AS years,
+        |  list_aggregate(list_sort(list(DISTINCT CAST(year(o_orderdate) AS BIGINT))), 'string_agg', ',') AS years,
         |  count(DISTINCT year(o_orderdate)) AS n_years
         |FROM orders GROUP BY o_custkey""".stripMargin,
     "string_agg" ->

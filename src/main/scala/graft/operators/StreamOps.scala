@@ -6,21 +6,48 @@ import org.apache.spark.sql.functions.col
 import graft.streaming.EventStream
 
 /** Batch entries for the streaming-shaped operators, wired into the
-  * driver contract. `sessionize` is the custom-state op
-  * (flatMapGroupsWithState); the oracle reproduces it with the SQL
-  * gaps-and-islands pattern, so the stateful logic itself is
-  * correctness-gated, not just row counts. */
+  * driver contract. The same declarative plans also run under
+  * `readStream` (EventStreamSpec proves stream parity); registering
+  * them on the batch table gives each a real DuckDB oracle.
+  *
+  * `sessionize` runs the gaps-and-islands window formulation — the
+  * scale-safe batch plan (spilling sorts, no per-user in-memory
+  * buffering); the stateful flatMapGroupsWithState operator remains
+  * the streaming path and is asserted equal in EventStreamSpec. */
 object StreamOps {
 
   def sessionize(spark: SparkSession, dir: String): DataFrame =
-    EventStream.sessionizeBatch(spark, dir)
+    EventStream.sessionizeBatchWindowed(spark, dir)
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("sum_value"))
 
+  def streamWindowCounts(spark: SparkSession, dir: String): DataFrame =
+    EventStream.windowedTypeCounts(
+      graft.sources.Tables.events(spark, dir))
+
+  def streamSlidingActivity(spark: SparkSession, dir: String): DataFrame =
+    EventStream.slidingUserActivity(
+      graft.sources.Tables.events(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sessionize" -> sessionize)
+    "sessionize"              -> sessionize,
+    "stream_window_counts"    -> streamWindowCounts,
+    "stream_sliding_activity" -> streamSlidingActivity)
 
   val oracles: Map[String, String] = Map(
+    // 1-hour tumbling windows on the epoch grid == date_trunc('hour')
+    "stream_window_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // 5-min window / 1-min slide: every event lands in exactly the 5
+    // windows starting at trunc_minute(ts) - k minutes, k = 0..4
+    "stream_sliding_activity" ->
+      """SELECT date_trunc('minute', ts) - k * INTERVAL 1 MINUTE AS window_start,
+        |  user_id, count(*) AS n_events
+        |FROM events CROSS JOIN (SELECT unnest(range(5)) AS k) ks
+        |GROUP BY 1, 2""".stripMargin,
     "sessionize" ->
       """WITH m AS (
         |  SELECT user_id, ts, value,

@@ -121,6 +121,35 @@ object EventStream {
       .filter(s => s.session_start.before(FlushTs))
   }
 
+  /** Batch sessionization via the gaps-and-islands window pattern —
+    * the scale-safe formulation: lag + running sum + groupBy are all
+    * Spark window/agg operators whose per-partition sorts SPILL, so a
+    * single bot user with 10⁹ events streams through disk instead of
+    * materializing in task memory (the weakness of the
+    * flatMapGroupsWithState batch path, which buffers one user's whole
+    * history to sort it). Semantics are identical to [[sessionize]]
+    * (EventStreamSpec asserts equality); keep the stateful operator
+    * for streaming, where micro-batches bound the group. */
+  def sessionizeBatchWindowed(spark: SparkSession, dir: String, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapMs * 1000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(30, 4))).cast("double").as("sum_value"))
+      .drop("sid")
+  }
+
   /** Sliding-window event rate per user (5-minute window, 1-minute
     * slide): the fan-out pattern for rolling activity metrics. */
   def slidingUserActivity(events: DataFrame): DataFrame =

@@ -44,6 +44,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("hot-shingle guard is a no-op on the fixture (headroom proved)") {
+    import org.apache.spark.sql.functions._
+    val maxDf = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)](org.apache.spark.sql.Encoders.product[(Long, String)])
+      .flatMap { case (id, text) =>
+        val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (toks.length < 3) Iterator.empty
+        else toks.sliding(3).map(w => (id, w.mkString(" "))).toSet.iterator
+      }(org.apache.spark.sql.Encoders.product[(Long, String)])
+      .toDF("doc_id", "shingle")
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .agg(max("df")).collect()(0).getLong(0)
+    assert(maxDf <= Dedup.MaxShingleDf / 5,
+      s"fixture max shingle DF $maxDf too close to cap ${Dedup.MaxShingleDf}")
+  }
+
+  test("minhash banding + exact verify equals the exact ngram result") {
+    val exact = Dedup.dedupNgramJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), math.rint(r.getDouble(2) * 1e9))).toMap
+    val mh = Dedup.dedupMinhash(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), math.rint(r.getDouble(2) * 1e9))).toMap
+    assert(exact.nonEmpty)
+    assert(mh === exact)
+  }
+
   test("minhash signature estimates jaccard for a planted near-dup pair") {
     val sigs = Dedup.minhashSignatures(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap

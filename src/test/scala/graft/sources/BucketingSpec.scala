@@ -30,7 +30,26 @@ class BucketingSpec extends AnyFunSuite {
       .getOrCreate()
   }
 
+  /** The warehouse config above only applies if THIS suite creates the
+    * session; when an earlier suite in the same JVM got there first,
+    * saveAsTable targets whatever warehouse that session resolved —
+    * possibly with a stale table directory from a prior run
+    * (LOCATION_ALREADY_EXISTS). Drop the catalog entry AND the
+    * physical location before writing. */
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new java.io.File(
+      if (wh.getScheme == null) wh.toString else new java.io.File(wh).toString, name)
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+  }
+
   test("bucketed fact tables join with zero exchanges") {
+    resetTable("orders_b")
+    resetTable("lineitem_b")
     Tables.orders(spark, dir).write
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("orders_b")

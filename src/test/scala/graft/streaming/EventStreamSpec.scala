@@ -95,6 +95,19 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed gaps-and-islands sessionize equals the stateful operator") {
+    val stateful = EventStream.sessionizeBatch(spark, dir)
+      .collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events,
+        math.rint(s.sum_value * 1e4))).toSet
+    val windowed = EventStream.sessionizeBatchWindowed(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3),
+        math.rint(r.getDouble(4) * 1e4))).toSet
+    assert(windowed === stateful)
+    assert(windowed.nonEmpty)
+  }
+
   test("sliding windows produce one row per window a user is active in") {
     val out = EventStream.slidingUserActivity(Tables.events(spark, dir)).collect()
     assert(out.nonEmpty)
