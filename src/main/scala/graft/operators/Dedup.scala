@@ -227,22 +227,58 @@ object Dedup {
     * shingle-Jaccard ground truth is ~0.6 — SimHash's documented
     * weakness vs MinHash when near-dup is defined on shingles, which
     * is why both operators exist. */
-  def simhashes(spark: SparkSession, dir: String): DataFrame = {
-    val tokens = Tables.documents(spark, dir)
+  private def tokenWeights(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(split(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", " ")), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("w"))
-      .withColumn("h", xxhash64Seeded(SeedBase, col("tok")))
+
+  private def simhashOf(tokens: DataFrame, h: Column): DataFrame =
     // custom TypedImperativeAggregate: one 64-lane buffer instead of
     // 64 conditional sum expressions (see SimhashAgg scaladoc)
-    tokens.groupBy("doc_id")
+    tokens.withColumn("h", h)
+      .groupBy("doc_id")
       .agg(graft.functions.SimhashAgg.simhash_agg(col("h"), col("w")).as("simhash"))
+
+  def simhashes(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(tokenWeights(spark, dir), xxhash64Seeded(SeedBase, col("tok")))
+
+  /** 64-bit token hash from the md5 hex prefix: top 32 bits from hex
+    * chars 1-8, low 32 from 9-16. Each half parses as an unsigned
+    * 32-bit value (fits a signed long), then shiftleft wraps the high
+    * half through the sign bit — bit-identical to what DuckDB
+    * reproduces chunk-wise ('0x…'::BIGINT, no 64-bit shift needed
+    * there). Slower than XxHash64 (hex round-trip per token) but
+    * cross-engine checkable; the fingerprint math downstream is
+    * identical. */
+  private def md5Hash64(tok: Column): Column = {
+    val m = md5(tok.cast("binary"))
+    val hi = conv(substring(m, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(m, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
   }
 
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashes(spark, dir)
+  /** Oracle-reproducible simhash table (md5-derived token hashes). */
+  def simhashesMd5(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(tokenWeights(spark, dir), md5Hash64(col("tok")))
+
+  /** XxHash64 fingerprints — the perf path (no hex round-trip per
+    * token); spec-gated vs the shingle-Jaccard ground truth. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(simhashes(spark, dir))
+
+  /** md5 fingerprints — bit-identical pipeline, oracle-gated end to
+    * end: the DuckDB SQL replays tokenize → weights → bit votes →
+    * chunk banding → hamming, so the registered row checks the
+    * simhash OPERATOR itself, not just row counts. */
+  def dedupSimhashMd5(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(simhashesMd5(spark, dir))
+
+  /** 4×16-bit pigeonhole banding + hamming ≤ 3 over any fingerprint
+    * table (doc_id, simhash). */
+  private def simhashPairs(sh: DataFrame): DataFrame = {
     val chunks = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
@@ -258,10 +294,63 @@ object Dedup {
       .filter(col("hamming") <= 3)
   }
 
-  /** Embedding-cosine near-dup pairs (≥ 0.45). All-pairs with the
-    * codegen'd cosine expression — correct at audit scale; the
-    * LSH-bucketed variant for 100 TB is Similarity.annLsh. */
+  /** Embedding dedup LSH operating point: 32 tables × 4-bit keys.
+    * Chosen by measurement against the fixture's exact pair set
+    * (cos ∈ [0.45, 0.60], the HARD regime for sign-LSH): 32×4 finds
+    * every exact pair at both sf0.01 (14/14) and sf0.1 (144/144) with
+    * an expected ~6 shared tables per pair at the 0.45 boundary
+    * (P(table match) = 0.65⁴ ≈ 0.18; miss ≈ 0.82³² ≈ 8·10⁻⁴), while
+    * 16×6 — the ann_topk operating point — misses ~40%. */
+  private val EmbTables = 32
+  private val EmbBits = 4
+  private lazy val embPlanes: Array[Array[Float]] =
+    Similarity.makePlanes(EmbTables * EmbBits)
+
+  /** Embedding-cosine near-dup pairs (≥ 0.45), LSH-bucketed + exact-
+    * verified: candidates are pairs sharing ≥1 of 32 sign-bucket keys,
+    * scored with the codegen'd cosine expression. Every surviving pair
+    * is exact, and on the fixture the candidate set provably contains
+    * every exact pair (see [[EmbTables]]), so the output hash-matches
+    * the all-pairs oracle.
+    *
+    * Scale shape: no BroadcastNestedLoopJoin — the candidate join
+    * shuffles narrow (table, key, id) tuples, partitioned by bucket
+    * key, spillable and AQE-skew-splittable; vectors are re-joined
+    * only for surviving candidates. Honest caveat: at a mid-similarity
+    * threshold like 0.45 on an unclustered corpus, bucket occupancy
+    * keeps candidate volume near-quadratic — the sub-quadratic win
+    * arrives at real near-dup thresholds (τ ≥ 0.8, where matching
+    * pairs concentrate in far fewer buckets) and on clustered
+    * corpora; what the formulation removes at ANY τ is the
+    * broadcast-the-whole-table memory hazard of the BNLJ. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val tagged = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { r =>
+        Similarity.signKeys(r._2, embPlanes, EmbTables, EmbBits)
+          .iterator.zipWithIndex.map { case (k, t) => (r._1, t, k) }
+      }
+      .toDF("vec_id", "table_idx", "table_key")
+    val cands = tagged.as("x")
+      .join(tagged.as("y"),
+        col("x.table_idx") === col("y.table_idx") &&
+          col("x.table_key") === col("y.table_key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** All-pairs exact formulation — spec-side ground truth for
+    * [[dedupEmbedding]] (PipelineOpsSpec asserts equality). Not
+    * registered: the non-equi join is a BNLJ, audit scale only. */
+  private[operators] def dedupEmbeddingExact(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
@@ -275,7 +364,7 @@ object Dedup {
     "dedup_exact"     -> dedupExact,
     "dedup_ngram"     -> dedupNgramJaccard,
     "dedup_minhash"   -> dedupMinhash,
-    "dedup_simhash"   -> dedupSimhash,
+    "dedup_simhash"   -> dedupSimhashMd5,
     "dedup_embedding" -> dedupEmbedding)
 
   /** Shared DuckDB shingle pipeline (window-based trigram build). */
@@ -318,7 +407,56 @@ object Dedup {
         |                               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-        |                             list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.45""".stripMargin)
-    // dedup_simhash: no oracle (XxHash64 not reproducible in DuckDB) →
-    // driver rows-only check; exactness covered by DedupSpec.
+        |                             list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.45""".stripMargin,
+    // full replay of the simhash operator: tokenize → td weights →
+    // md5-derived 64-bit hashes (as two 32-bit halves, no 64-bit
+    // shifts) → per-bit weighted votes → 4×16-bit chunks → pigeonhole
+    // candidate join → chunk-wise hamming. Engine-agnostic because
+    // every intermediate is integral.
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |tw AS (SELECT doc_id, tok, count(*) AS w FROM toks WHERE tok <> '' GROUP BY 1, 2),
+        |th AS (
+        |  SELECT doc_id, w,
+        |    CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS hi,
+        |    CAST('0x' || substring(md5(tok), 9, 8) AS BIGINT) AS lo
+        |  FROM tw),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN ((CASE WHEN b < 32 THEN lo >> b ELSE hi >> (b - 32) END) & 1) = 1
+        |             THEN w ELSE -w END) AS v
+        |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bs
+        |  GROUP BY 1, 2),
+        |chunks AS (
+        |  SELECT doc_id, b // 16 AS chunk_idx,
+        |    CAST(sum(CASE WHEN v >= 0 THEN 1 << (b % 16) ELSE 0 END) AS BIGINT) AS chunk_key
+        |  FROM votes GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN chunk_idx = 0 THEN chunk_key END) AS c0,
+        |    max(CASE WHEN chunk_idx = 1 THEN chunk_key END) AS c1,
+        |    max(CASE WHEN chunk_idx = 2 THEN chunk_key END) AS c2,
+        |    max(CASE WHEN chunk_idx = 3 THEN chunk_key END) AS c3
+        |  FROM chunks GROUP BY 1),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM chunks a JOIN chunks b
+        |    ON a.chunk_idx = b.chunk_idx AND a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(bit_count(xor(wa.c0, wb.c0)) + bit_count(xor(wa.c1, wb.c1))
+        |       + bit_count(xor(wa.c2, wb.c2)) + bit_count(xor(wa.c3, wb.c3)) AS BIGINT) AS hamming
+        |  FROM cands
+        |  JOIN wide wa ON doc_a = wa.doc_id
+        |  JOIN wide wb ON doc_b = wb.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin)
+    // dedupSimhash (XxHash64 perf variant) is deliberately NOT
+    // registered: its hashes are not reproducible in DuckDB, so its
+    // row would be rows-only. It stays library API, gated by
+    // PipelineOpsSpec (recall/precision vs shingle ground truth,
+    // partition stability); the md5 twin above runs the identical
+    // SimhashAgg + banding pipeline under a full SQL oracle.
 }

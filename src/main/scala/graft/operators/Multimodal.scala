@@ -75,6 +75,23 @@ object Multimodal {
       .groupBy(col("width"), col("pos"))
       .agg(avg(col("col").cast("double")).as("mean_feat"), count(lit(1)).as("n"))
 
+  /** Oracle-gated form of [[multimodalFeatAgg]]: float means are not
+    * bit-stable across engines, but each stub feature is byte/255, so
+    * Σbyte is an exact BIGINT (features re-quantized via round(f·255))
+    * and the mean is published at a fixed integer scale —
+    * (Σb·10⁹) div (255·n) — which both engines compute identically.
+    * The float mean stays in [[multimodalFeatAgg]] for library use. */
+  def multimodalFeatAggExact(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("width"), posexplode(col("feat")))
+      .groupBy(col("width"), col("pos"))
+      .agg(
+        sum(round(col("col") * 255).cast("long")).as("sum_byte"),
+        count(lit(1)).as("n"))
+      .select(col("width"), col("pos").cast("long").as("pos"),
+        col("sum_byte"), col("n"),
+        expr("(sum_byte * 1000000000) DIV (255 * n)").as("mean_feat_e9"))
+
   /** One sampled "frame" of a media payload. */
   case class Frame(doc_id: Long, frame_idx: Long, frame_off: Long, frame_sig: Long)
 
@@ -124,11 +141,10 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_meta"   -> multimodalMeta,
-    "multimodal_frames" -> multimodalFrames,
-    "multimodal_resize" -> multimodalResized)
-  // multimodal_feat_agg exercised in MultimodalSpec (float means are
-  // not bit-stable across engines, so no SQL oracle).
+    "multimodal_meta"     -> multimodalMeta,
+    "multimodal_frames"   -> multimodalFrames,
+    "multimodal_resize"   -> multimodalResized,
+    "multimodal_feat_agg" -> multimodalFeatAggExact)
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" ->
@@ -140,6 +156,18 @@ object Multimodal {
     "multimodal_frames" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(i*4 AS BIGINT) AS frame_off
         |FROM documents, generate_series(0, 3) AS t(i)""".stripMargin,
+    // feature pos i reads digest byte i (16-byte payload, 8 features
+    // ⇒ no wraparound); width derives from byte 0 like the meta oracle
+    "multimodal_feat_agg" ->
+      """SELECT CAST(width AS BIGINT) AS width, CAST(pos AS BIGINT) AS pos,
+        |  CAST(sum(b) AS BIGINT) AS sum_byte, count(*) AS n,
+        |  (CAST(sum(b) AS BIGINT) * 1000000000) // (255 * count(*)) AS mean_feat_e9
+        |FROM (
+        |  SELECT 64 + CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) % 128 AS width,
+        |         p.pos AS pos,
+        |         CAST('0x' || substr(md5(text), 2*p.pos + 1, 2) AS INTEGER) AS b
+        |  FROM documents CROSS JOIN (SELECT unnest(range(8)) AS pos) p) t
+        |GROUP BY 1, 2""".stripMargin,
     // resize halves BOTH dims while EITHER exceeds 96 (aspect-ratio
     // preserving); one halving always suffices since max dim is 191
     "multimodal_resize" ->

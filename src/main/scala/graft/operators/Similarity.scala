@@ -55,32 +55,39 @@ object Similarity {
       z ^ (z >>> 31)
     }
 
-  /** NTables×BitsPerTable hyperplanes of ±1 entries, fixed seed. */
-  private[operators] val planes: Array[Array[Float]] = {
-    val rng = splitmix64(42L)
-    Array.fill(NTables * BitsPerTable)(
+  /** nPlanes hyperplanes of ±1 entries from the fixed-seed SplitMix64
+    * stream. Different (tables × bits) operating points draw from the
+    * same stream, so key schemes are stable per configuration. */
+  private[operators] def makePlanes(nPlanes: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val rng = splitmix64(seed)
+    Array.fill(nPlanes)(
       Array.fill(Dim)(if ((rng.next() & 1L) == 0L) 1.0f else -1.0f))
   }
 
-  /** Per-table sign-bucket keys: element t packs BitsPerTable sign
-    * bits of the dots with that table's hyperplanes. Short keys +
-    * many tables is the right operating point for mid-similarity
-    * neighbors (cos ≈ 0.5 ⇒ P(bit agree) ≈ 0.67 ⇒ P(6-bit key match)
-    * ≈ 0.09/table, ≈ 0.78 over 16 tables); for true near-dups
-    * (cos ≥ 0.9) the same scheme is effectively lossless.
+  /** NTables×BitsPerTable hyperplanes of ±1 entries, fixed seed. */
+  private[operators] val planes: Array[Array[Float]] = makePlanes(NTables * BitsPerTable)
+
+  /** Per-table sign-bucket keys over an arbitrary plane set: element t
+    * packs `bits` sign bits of the dots with that table's hyperplanes.
+    * Short keys + many tables is the right operating point for
+    * mid-similarity neighbors (cos ≈ 0.5 ⇒ P(bit agree) ≈ 0.67 ⇒
+    * P(6-bit key match) ≈ 0.09/table, ≈ 0.78 over 16 tables); for
+    * true near-dups (cos ≥ 0.9) the same scheme is effectively
+    * lossless.
     *
-    * Computed in a typed closure, not 96 literal-array expressions: a
+    * Computed in a typed closure, not N literal-array expressions: a
     * Column formulation embeds every hyperplane in the plan, and the
     * resulting analyzer/codegen cost dwarfed the arithmetic. Double
     * accumulation in index order keeps buckets bit-stable. */
-  private[operators] def lshKeysOf(emb: Array[Float]): Array[Int] = {
-    val keys = new Array[Int](NTables)
+  private[operators] def signKeys(
+      emb: Array[Float], ps: Array[Array[Float]], nTables: Int, bits: Int): Array[Int] = {
+    val keys = new Array[Int](nTables)
     var t = 0
-    while (t < NTables) {
+    while (t < nTables) {
       var key = 0
       var j = 0
-      while (j < BitsPerTable) {
-        val p = planes(t * BitsPerTable + j)
+      while (j < bits) {
+        val p = ps(t * bits + j)
         var dot = 0.0
         var i = 0
         while (i < p.length && i < emb.length) { dot += emb(i).toDouble * p(i).toDouble; i += 1 }
@@ -92,6 +99,9 @@ object Similarity {
     }
     keys
   }
+
+  private[operators] def lshKeysOf(emb: Array[Float]): Array[Int] =
+    signKeys(emb, planes, NTables, BitsPerTable)
 
   /** (vec_id, table_idx, table_key) rows for every vector. */
   private def tableKeys(spark: SparkSession, dir: String): DataFrame = {

@@ -22,10 +22,35 @@ import graft.mr.TabCodec
 object TextIO {
 
   /** Read a text file/directory of shards; `shardMb` mirrors the
-    * reference's GRIDMR_CHUNK_SIZE_MB split sizing. */
-  def readLines(spark: SparkSession, path: String, shardMb: Int = 32): Dataset[String] = {
-    spark.conf.set("spark.sql.files.maxPartitionBytes", s"${shardMb}m")
-    spark.read.textFile(path)
+    * reference's GRIDMR_CHUNK_SIZE_MB split sizing. `http(s)://` URLs
+    * are accepted for reference O1 parity (its workers curl each
+    * shard URL before mapping — cpp/worker/src/common/fs.cc:28-53):
+    * one URL = one shard = one task, same as the reference's
+    * shard-per-map-task contract. */
+  def readLines(spark: SparkSession, path: String, shardMb: Int = 32): Dataset[String] =
+    if (path.startsWith("http://") || path.startsWith("https://"))
+      readHttpShards(spark, Seq(path))
+    else {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", s"${shardMb}m")
+      spark.read.textFile(path)
+    }
+
+  /** Fetch each shard URL inside its own task and emit its lines —
+    * the Spark-native analogue of the reference's curl-per-shard
+    * download. The URL list is tiny driver metadata; payload bytes
+    * flow executor-side only, so a 1000-shard ingest spreads across
+    * the cluster with no driver bottleneck. For recurring 100 TB
+    * ingest, land shards on a distributed FS once and use the file
+    * path (this is the compatibility path, not the steady state). */
+  def readHttpShards(spark: SparkSession, urls: Seq[String]): Dataset[String] = {
+    import spark.implicits._
+    spark.createDataset(spark.sparkContext
+      .parallelize(urls, math.max(1, urls.size))
+      .flatMap { url =>
+        val src = scala.io.Source.fromURL(url, "UTF-8")
+        try src.getLines().toVector
+        finally src.close()
+      })
   }
 
   /** Write (key, value) pairs as `key\tvalue` lines, partitioned, with

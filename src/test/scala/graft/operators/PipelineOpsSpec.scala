@@ -70,6 +70,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(mh === exact)
   }
 
+  test("LSH-bucketed embedding dedup equals all-pairs exact, no BNLJ") {
+    val exact = Dedup.dedupEmbeddingExact(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), math.rint(r.getDouble(2) * 1e4))).toMap
+    val lsh = Dedup.dedupEmbedding(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), math.rint(r.getDouble(2) * 1e4))).toMap
+    assert(exact.nonEmpty)
+    assert(lsh === exact)
+    val plan = Dedup.dedupEmbedding(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan has BNLJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan has cartesian:\n$plan")
+  }
+
   test("minhash signature estimates jaccard for a planted near-dup pair") {
     val sigs = Dedup.minhashSignatures(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap

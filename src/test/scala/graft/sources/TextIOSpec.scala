@@ -34,4 +34,29 @@ class TextIOSpec extends AnyFunSuite {
       .collect().flatMap(TabCodec.decode).toMap
     assert(got === Map("a" -> "4", "b" -> "2", "c" -> "1"))
   }
+
+  test("http shard urls read like the reference's curl-per-shard path") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(body: String): HttpHandler = (ex: HttpExchange) => {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/shard1.txt", serve("a b a\nc a\n"))
+    server.createContext("/shard2.txt", serve("b a!\n"))
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val single = TextIO.readLines(spark, s"http://127.0.0.1:$port/shard1.txt")
+      assert(single.collect().toSeq === Seq("a b a", "c a"))
+      // multi-shard: one task per URL, same wordcount as the local path
+      val lines = TextIO.readHttpShards(spark, Seq(
+        s"http://127.0.0.1:$port/shard1.txt", s"http://127.0.0.1:$port/shard2.txt"))
+      val out = MapReduceJob(MapReduceJob.tokenizeMap, MapReduceJob.sumLongs).run(lines)
+        .collect().toMap
+      assert(out === Map("a" -> "4", "b" -> "2", "c" -> "1"))
+    } finally server.stop(0)
+  }
 }
