@@ -229,8 +229,33 @@ object Similarity {
          |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
          |      FROM s)
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, round(cos, 4) AS cos
+         |FROM r WHERE rnk <= $K""".stripMargin,
+    // IVF is fully SQL-expressible because the coarse quantizer is a
+    // deterministic corpus slice: DuckDB replays centroid selection,
+    // nearest-cell assignment (ties → lower cell), nprobe probing,
+    // in-cell scoring, and per-query top-k — the whole operator is
+    // hash-gated, not just row counts. (ann_lsh stays rows-only: its
+    // fixed-seed hyperplane stream is not reproducible in SQL.)
+    "ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |           FROM embeddings),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS ce
+         |  FROM e WHERE vec_id >= 100 AND vec_id < ${100 + NCells}),
+         |assign AS (
+         |  SELECT e.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.emb, c.ce) DESC, c.cell ASC) AS rk
+         |  FROM e CROSS JOIN cents c),
+         |cells AS (SELECT vec_id AS nid, cell FROM assign WHERE rk = 1),
+         |qcells AS (SELECT vec_id AS qid, cell FROM assign WHERE vec_id < $NQueries AND rk <= $NProbe),
+         |s AS (
+         |  SELECT q.qid, c.nid, list_cosine_similarity(qe.emb, ne.emb) AS cos
+         |  FROM qcells q JOIN cells c ON q.cell = c.cell AND c.nid <> q.qid
+         |  JOIN e qe ON qe.vec_id = q.qid JOIN e ne ON ne.vec_id = c.nid),
+         |r AS (SELECT qid, nid, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+         |      FROM s)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, round(cos, 4) AS cos
          |FROM r WHERE rnk <= $K""".stripMargin)
-    // ann_lsh: no oracle (bucket membership depends on fixed-seed
-    // hyperplanes, not reproducible in SQL) → rows-only check; recall
-    // vs annTopkBrute asserted in SimilaritySpec.
 }

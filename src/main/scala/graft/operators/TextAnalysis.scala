@@ -83,6 +83,61 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(array_join(slice(array_sort(collect_set(col("h"))), 1, 4), "|").as("fingerprint"))
 
+  /** Deterministic train/val/test assignment: bucket = first 16 bits
+    * of md5(content) mod 100 → 90/5/5. Hashing CONTENT (not doc_id)
+    * is the pretraining-pipeline convention: the split survives
+    * re-ingestion and re-numbering, and exact duplicates always land
+    * in the same split (no train/test leakage through copies). Pure
+    * narrow map — embarrassingly parallel at any scale. */
+  def docSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("text").cast("binary")), 1, 4), 16, 10).cast("long"), lit(100L))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
+  }
+
+  /** Gopher-style repetition signals: token count, distinct tokens,
+    * the hottest token's count, top-token ratio and type-token ratio.
+    * explode + two partial-agg groupBys keyed by doc — the scale-safe
+    * shape (never materializes a doc's token multiset in one task;
+    * compare the higher-order-function alternative, which is O(n²)
+    * per doc AND interpreted). Zero-token docs are absent by
+    * construction on both engines. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", " ")), " "),
+      t => length(t) > 0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_count"),
+        (col("top_count") / col("n_tokens")).as("top_ratio"),
+        (col("n_distinct") / col("n_tokens")).as("type_token_ratio"))
+  }
+
+  private val EmailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val LongNumPat = "[0-9]{3,}"
+
+  /** PII-style redaction: mask emails and long digit runs, count the
+    * hits. Plain character-class regexes chosen deliberately — they
+    * mean the same thing to Java regex (Spark codegen) and RE2
+    * (DuckDB), so the oracle checks the actual redacted text, and the
+    * operator stays inside whole-stage codegen (no UDF). */
+  def textRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), EmailPat, "<EMAIL>"), LongNumPat, "<NUM>")
+        .as("redacted"),
+      size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(LongNumPat), lit(0))).cast("long").as("n_longnums"))
+
   /** Corpus rollup by lang × source — the partition-profile query a
     * pipeline runs before sampling. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
@@ -99,7 +154,10 @@ object TextAnalysis {
     "lang_id"         -> langId,
     "token_count"     -> tokenCount,
     "doc_fingerprint" -> docFingerprint,
-    "text_stats"      -> textStats)
+    "text_stats"      -> textStats,
+    "doc_split"       -> docSplit,
+    "text_repetition" -> textRepetition,
+    "text_redact"     -> textRedact)
 
   private val ToksSql =
     "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')"
@@ -154,5 +212,31 @@ object TextAnalysis {
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
-        |FROM documents GROUP BY lang, source""".stripMargin)
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "doc_split" ->
+      """SELECT doc_id,
+        |  CAST(CAST('0x' || substring(md5(text), 1, 4) AS INTEGER) % 100 AS BIGINT) AS bucket,
+        |  CASE WHEN CAST('0x' || substring(md5(text), 1, 4) AS INTEGER) % 100 < 90 THEN 'train'
+        |       WHEN CAST('0x' || substring(md5(text), 1, 4) AS INTEGER) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "text_repetition" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest($ToksSql) AS tok FROM documents) t
+         |  GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_distinct,
+         |  CAST(max(c) AS BIGINT) AS top_count,
+         |  CAST(max(c) AS BIGINT)*1.0 / CAST(sum(c) AS BIGINT) AS top_ratio,
+         |  count(*)*1.0 / CAST(sum(c) AS BIGINT) AS type_token_ratio
+         |FROM tc GROUP BY doc_id""".stripMargin,
+    "text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |                 '[0-9]{3,}', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3,}')) AS BIGINT) AS n_longnums
+        |FROM documents""".stripMargin)
 }
