@@ -85,6 +85,45 @@ object Relational {
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
   }
 
+  /** Q7 shape: two-nation volume shipping — the double-dimension join
+    * (supplier nation AND customer nation) plus a symmetric OR
+    * predicate, grouped by year. Both nation dims broadcast; the
+    * fact-side chain shuffles only on its join keys. */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    Tables.supplier(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+  }
+
+  /** Q10 shape: returned-item reporting — 4-way join, one quarter of
+    * orders, revenue per customer, deterministic top-20. */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1996-04-01"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   // ---- core operator surface ---------------------------------------
 
   def filterProject(spark: SparkSession, dir: String): DataFrame =
@@ -316,6 +355,8 @@ object Relational {
     "q1_pricing"       -> q1Pricing,
     "q3_shipping"      -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
+    "q7_volume"         -> q7Volume,
+    "q10_returns"       -> q10Returns,
     "filter_project"   -> filterProject,
     "join_broadcast"   -> joinBroadcastDims,
     "join_semi"        -> joinSemi,
@@ -384,6 +425,30 @@ object Relational {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY n_name""".stripMargin,
+    "q7_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year, $REV AS revenue
+         |FROM supplier
+         |JOIN lineitem ON s_suppkey = l_suppkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "q10_returns" ->
+      s"""SELECT c_custkey, c_name, n_name, $REV AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  AND l_returnflag = 'R'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, c_custkey ASC
+         |LIMIT 20""".stripMargin,
     "filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice*(1-l_discount) AS net_price
         |FROM lineitem

@@ -150,6 +150,19 @@ object EventStream {
       .drop("sid")
   }
 
+  /** Exactly-once ingest dedup: drop replayed events by event_id
+    * within the watermark horizon. At-least-once transports (Kafka
+    * redelivery, job retries) make this the first operator of every
+    * production ingest. On a stream the engine keeps one state entry
+    * per event_id and EXPIRES it once the watermark passes — bounded
+    * state, indefinitely runnable; the batch form degenerates to
+    * dropDuplicates. EventStreamSpec replays chunks with injected
+    * duplicates and asserts parity with the batch distinct. */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   /** Sliding-window event rate per user (5-minute window, 1-minute
     * slide): the fan-out pattern for rolling activity metrics. */
   def slidingUserActivity(events: DataFrame): DataFrame =

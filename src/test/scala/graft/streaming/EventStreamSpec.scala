@@ -108,6 +108,34 @@ class EventStreamSpec extends AnyFunSuite {
     assert(windowed.nonEmpty)
   }
 
+  test("streaming dedup drops replayed event_ids; batch parity holds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[(Long, Timestamp, Long)].collect().sortBy(_._2.getTime)
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventStream.dedupEvents(
+      input.toDF().toDF("event_id", "ts", "user_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // at-least-once transport: every chunk is delivered twice, and
+      // the tail of each chunk is replayed at the head of the next
+      val chunks = rows.grouped(250).toSeq
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        val replayed = if (i == 0) chunk else chunks(i - 1).takeRight(50) ++ chunk
+        input.addData(replayed.toSeq); q.processAllAvailable()
+        input.addData(chunk.toSeq); q.processAllAvailable() // full redelivery
+      }
+      val got = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      val want = rows.map(_._1).sorted
+      assert(got.length === want.length, "every replay must be dropped")
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("sliding windows produce one row per window a user is active in") {
     val out = EventStream.slidingUserActivity(Tables.events(spark, dir)).collect()
     assert(out.nonEmpty)
