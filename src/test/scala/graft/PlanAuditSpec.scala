@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Enforces PLANS.md's physical-plan claims as assertions, so a
+  * regression that silently degrades a plan (a lost pushdown, a new
+  * cartesian) fails CI instead of surviving until someone re-reads an
+  * explain dump.
+  *
+  * Checks run on the ANALYZED+PLANNED form (`executedPlan` before
+  * execution), which is what AQE starts from; tiny-SF broadcast
+  * flips are expected and allowed for — assertions target properties
+  * that hold at every scale (no cartesian, pushdown present, partial
+  * aggregation planned, rank-limit pushdown planned).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("no registered query plans a CartesianProduct; BNLJ only where broadcast is by-construction tiny") {
+    // ann_topk broadcasts its 10-row query set against the scan — the
+    // one legitimate nested-loop (PLANS.md). Everything else must be
+    // hash/sort-merge joinable.
+    val allowedBnlj = Set("ann_topk")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      if (!allowedBnlj(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
+    }
+  }
+
+  test("q1_pricing: filter is pushed to the parquet scan and the schema is pruned") {
+    val p = plan("q1_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.linesIterator.take(30).mkString("\n"))
+    // 7 needed columns out of 11 — pruning must reach ReadSchema
+    assert(!p.contains("l_orderkey"), "q1 must not read the order key")
+  }
+
+  test("aggregations plan partial+final (map-side combine everywhere)") {
+    Seq("q1_pricing", "events_hourly", "text_stats", "wordcount").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("partial_"), s"$name lacks a partial aggregation phase")
+    }
+  }
+
+  test("top-k queries plan rank-limit pushdown before the exchange") {
+    assert(plan("ann_topk").contains("WindowGroupLimit"))
+    // sort+limit form: Spark plans TakeOrderedAndProject — no global sort
+    assert(plan("topk_orders").contains("TakeOrderedAndProject"))
+    assert(plan("q3_shipping").contains("TakeOrderedAndProject"))
+    assert(plan("q10_returns").contains("TakeOrderedAndProject"))
+  }
+
+  test("dimension joins broadcast in the TPC-H shapes") {
+    Seq("q5_local_supplier", "q7_volume", "q10_returns").foreach { name =>
+      assert(plan(name).contains("BroadcastHashJoin"), s"$name has no broadcast join")
+    }
+  }
+
+  test("sessionize plans exactly one exchange (windows reuse the sort)") {
+    val p = plan("sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+}
