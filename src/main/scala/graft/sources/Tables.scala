@@ -17,6 +17,26 @@ object Tables {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan CPU-heavy pipelines out to every core when the scan
+    * under-partitions. Parquet splits only at row-group boundaries,
+    * and the fixture files are single-row-group — so without this,
+    * an entire tokenize/shingle/hash pipeline (narrow, pipelined with
+    * the scan) runs on ONE task no matter how many cores the session
+    * has. Applied ONLY to the tables whose consumers are
+    * compute-bound (documents: shingling/fingerprinting; embeddings:
+    * LSH keys/cosine) — for scan-and-aggregate tables the exchange
+    * costs more than the single-task scan (measured: whole-suite A/B
+    * at sf0.1 regressed 20% with every fact table fanned out). The
+    * check is on the PLANNED scan partitioning, not data size: at
+    * production scale a table yields ≥ cores partitions and this is a
+    * no-op, so no gratuitous shuffle survives the scale-up. The
+    * round-robin exchange moves the raw rows once; every downstream
+    * result is partitioning-invariant (the oracle gate proves it). */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "customer")
@@ -36,6 +56,6 @@ object Tables {
     t(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame = fanOut(t(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame = fanOut(t(spark, dir, "embeddings"))
 }
