@@ -50,9 +50,10 @@ object Dedup {
   /** (doc_id, shingle) rows — one per distinct trigram per document.
     * Typed flatMap: tokenize rule identical to the oracle SQL (lower,
     * then split on non-alnum runs, drop empties). */
-  private[operators] def docShingles(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def docShinglesOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { r =>
         val id = r._1
@@ -62,6 +63,9 @@ object Dedup {
       }
       .toDF("doc_id", "shingle")
   }
+
+  private[operators] def docShingles(spark: SparkSession, dir: String): DataFrame =
+    docShinglesOf(Tables.documents(spark, dir))
 
   /** Exact dedup: group by content hash, keep the smallest doc_id as
     * representative. At 100 TB this is the cheapest possible dedup:
@@ -138,22 +142,21 @@ object Dedup {
   /** MinHash sketch: 64 permutation minima + the doc's shingle count,
     * ONE groupBy over one shingle scan. Each of the 64 permutations
     * re-hashes the 8-byte base value — fixed-width long hashing, ~10×
-    * cheaper than hashing the string per permutation. Declarative min/
-    * count aggregates get Catalyst's partial+final split, so the
-    * shuffle carries 65 longs per doc per partition, never per
-    * shingle. The sketch is 520 B/doc ≈ 10⁻⁴ of the input bytes —
-    * persisting it (done in [[dedupMinhash]]) is genuinely cheap. */
-  def minhashSketch(spark: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until NumPerms).map(i =>
-      min(xxhash64Seeded(SeedBase + i, col("h0"))).as(s"h$i")) :+
-      count(lit(1)).as("n")
+    * cheaper than hashing the string per permutation. The signature
+    * is a single [[graft.functions.MinhashSigAgg]] imperative
+    * aggregate (bit-identical to 64 declarative `min(xxhash64Seeded)`
+    * columns, but without their several-thousand-line codegen class —
+    * see its scaladoc for the measured first-run cost); Catalyst
+    * plans partial+final, so the shuffle carries 65 longs per doc per
+    * partition, never per shingle. The sketch is 520 B/doc ≈ 10⁻⁴ of
+    * the input bytes — persisting it (done in [[dedupMinhash]]) is
+    * genuinely cheap. */
+  def minhashSketch(spark: SparkSession, dir: String): DataFrame =
     shingleHashes(spark, dir)
       .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumPerms).map(i => col(s"h$i")): _*).as("sig"),
-        col("n"))
-  }
+      .agg(
+        graft.functions.MinhashSigAgg.minhash_sig(col("h0"), SeedBase, NumPerms).as("sig"),
+        count(lit(1)).as("n"))
 
   /** Signature-only view (compat + tests). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
@@ -178,6 +181,13 @@ object Dedup {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sketch = minhashSketch(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band keys as Column expressions over the cached sketch — a
+    // typed-closure variant was MEASURED SLOWER here (8.1 s vs 5.8 s
+    // first-run): SerializeFromObject hides size statistics, so the
+    // band self-join loses its broadcast and falls back to a
+    // sort-merge shuffle. Opposite trade from the LSH planes/shingle
+    // closures — closures win when expression COUNT explodes codegen,
+    // lose when they sit where Catalyst needs stats.
     val bandKeys = (0 until Bands).map(b =>
       xxhash64((0 until RowsPerBand).map(r =>
         element_at(col("sig"), b * RowsPerBand + r + 1)): _*))
@@ -192,12 +202,16 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // exact verification: shingles of candidate docs only
+    // exact verification: the candidate-id semi-join sits BELOW the
+    // tokenizer, so the second pass re-shingles only candidate docs —
+    // the scan streams all rows but the CPU-heavy flatMap touches the
+    // (tiny) near-dup subset
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id")))
       .distinct()
-    val shc = shingleHashes(spark, dir)
-      .join(candDocs, Seq("doc_id"), "left_semi")
+    val shc = docShinglesOf(
+        Tables.documents(spark, dir).join(candDocs, Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h0"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = cands
       .join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))

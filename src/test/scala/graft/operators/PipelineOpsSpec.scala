@@ -82,6 +82,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"plan has cartesian:\n$plan")
   }
 
+  test("MinhashSigAgg is bit-identical to the declarative 64-column form") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.xxhash64Seeded
+    val sh = Dedup.docShingles(spark, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h0"))
+    val aggs = (0 until 64).map(i => min(xxhash64Seeded(0x9E3779B9L + i, col("h0"))).as(s"h$i"))
+    val declarative = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until 64).map(i => col(s"h$i")): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val imperative = Dedup.minhashSignatures(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(imperative === declarative)
+  }
+
   test("minhash signature estimates jaccard for a planted near-dup pair") {
     val sigs = Dedup.minhashSignatures(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
