@@ -234,8 +234,7 @@ object Similarity {
     // deterministic corpus slice: DuckDB replays centroid selection,
     // nearest-cell assignment (ties → lower cell), nprobe probing,
     // in-cell scoring, and per-query top-k — the whole operator is
-    // hash-gated, not just row counts. (ann_lsh stays rows-only: its
-    // fixed-seed hyperplane stream is not reproducible in SQL.)
+    // hash-gated, not just row counts.
     "ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
          |           FROM embeddings),
@@ -257,5 +256,37 @@ object Similarity {
          |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
          |      FROM s)
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, round(cos, 4) AS cos
-         |FROM r WHERE rnk <= $K""".stripMargin)
+         |FROM r WHERE rnk <= $K""".stripMargin,
+    // the hyperplanes are just 96 fixed ±1 vectors — embed them as SQL
+    // literals (exactly representable doubles) and DuckDB replays the
+    // ENTIRE LSH operator: sign-bit keys per table, bucket-candidate
+    // join, exact scoring, per-query top-k. The last rows-only ANN row
+    // becomes hash-gated; sign flips would need a dot within ~1 ulp of
+    // zero (never occurs on the fixture, and both engines accumulate
+    // the same doubles).
+    "ann_lsh" -> {
+      val planeRows = planes.zipWithIndex.map { case (p, i) =>
+        s"(${i / BitsPerTable},${i % BitsPerTable},[${p.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}])"
+      }.mkString(",")
+      s"""WITH planes(t, j, p) AS (VALUES $planeRows),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |      FROM embeddings),
+         |bits AS (
+         |  SELECT e.vec_id, pl.t, pl.j,
+         |    CASE WHEN list_inner_product(e.emb, pl.p) >= 0 THEN 1 << pl.j ELSE 0 END AS bit
+         |  FROM e CROSS JOIN planes pl),
+         |keys AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS key FROM bits GROUP BY 1, 2),
+         |cands AS (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+         |  FROM keys q JOIN keys c ON q.t = c.t AND q.key = c.key AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NQueries),
+         |s AS (
+         |  SELECT qid, nid, list_cosine_similarity(qe.emb, ne.emb) AS cos
+         |  FROM cands JOIN e qe ON qe.vec_id = qid JOIN e ne ON ne.vec_id = nid),
+         |r AS (SELECT qid, nid, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+         |      FROM s)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, round(cos, 4) AS cos
+         |FROM r WHERE rnk <= $K""".stripMargin
+    })
 }

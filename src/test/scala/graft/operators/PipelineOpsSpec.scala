@@ -3,8 +3,10 @@ package graft.operators
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Specs for the ops the DuckDB oracle can't express (fixed-seed
-  * XxHash64 / hyperplanes): simhash, LSH recall, multimodal features.
+/** Quality/equivalence specs that complement the DuckDB oracle gate:
+  * recall floors vs exact ground truth (simhash, LSH, IVF), bit-
+  * identity of imperative aggregates vs their declarative forms,
+  * partition stability, stub-decoder plumbing, estimate envelopes.
   * All inputs are the deterministic fixtures, so assertions are exact.
   */
 class PipelineOpsSpec extends AnyFunSuite {
