@@ -333,6 +333,23 @@ object Relational {
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
 
+  /** KMV distinct-count sketch (k=64) — the oracle-checkable sketch:
+    * the hash is the first 15 md5 hex chars of the key rendered as a
+    * string (60 bits, positive), which DuckDB computes byte-identically,
+    * and the estimator is plain integer-to-double arithmetic — so the
+    * whole sketch (bounded k-heap, merges, estimator) is hash-gated by
+    * the SQL replay, unlike HLL whose register layout is
+    * implementation-specific. See KmvSketchAgg for the scale notes. */
+  def aggKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    def h60(c: Column): Column =
+      conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        graft.functions.KmvSketchAgg.kmv_distinct(h60(col("l_partkey")), 64).as("est_parts"),
+        graft.functions.KmvSketchAgg.kmv_distinct(h60(col("l_orderkey")), 64).as("est_orders"))
+  }
+
   /** Exact interpolated percentiles — Spark's `percentile` and
     * DuckDB's `quantile_cont` share the (n-1)·q linear-interpolation
     * definition, so values compare exactly. */
@@ -366,6 +383,7 @@ object Relational {
     "agg_stats"        -> aggStats,
     "agg_median"       -> aggMedian,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_kmv_distinct" -> aggKmvDistinct,
     "agg_rollup"       -> aggRollup,
     "agg_cube"         -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -449,6 +467,27 @@ object Relational {
          |GROUP BY 1, 2, 3
          |ORDER BY revenue DESC, c_custkey ASC
          |LIMIT 20""".stripMargin,
+    // full replay of the KMV sketch: distinct 60-bit md5 hashes, the
+    // k smallest per group via row_number, and the (k-1)·2⁶⁰/hₖ
+    // estimator — every intermediate integral or exactly-rounded, so
+    // the sketch itself is hash-gated
+    "agg_kmv_distinct" ->
+      """WITH hp AS (SELECT DISTINCT l_returnflag AS flag,
+        |              CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |            FROM lineitem),
+        |rp AS (SELECT flag, h, row_number() OVER (PARTITION BY flag ORDER BY h) AS rn FROM hp),
+        |ap AS (SELECT flag, count(*) AS nk, max(h) AS hk FROM rp WHERE rn <= 64 GROUP BY flag),
+        |ho AS (SELECT DISTINCT l_returnflag AS flag,
+        |              CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |            FROM lineitem),
+        |ro AS (SELECT flag, h, row_number() OVER (PARTITION BY flag ORDER BY h) AS rn FROM ho),
+        |ao AS (SELECT flag, count(*) AS nk, max(h) AS hk FROM ro WHERE rn <= 64 GROUP BY flag)
+        |SELECT ap.flag AS l_returnflag,
+        |  CASE WHEN ap.nk < 64 THEN CAST(ap.nk AS DOUBLE)
+        |       ELSE 63.0 * POWER(2.0, 60) / CAST(ap.hk AS DOUBLE) END AS est_parts,
+        |  CASE WHEN ao.nk < 64 THEN CAST(ao.nk AS DOUBLE)
+        |       ELSE 63.0 * POWER(2.0, 60) / CAST(ao.hk AS DOUBLE) END AS est_orders
+        |FROM ap JOIN ao ON ap.flag = ao.flag""".stripMargin,
     "filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice*(1-l_discount) AS net_price
         |FROM lineitem

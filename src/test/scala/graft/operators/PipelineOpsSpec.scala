@@ -155,6 +155,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(n === 500L * 8) // every doc contributes 8 feature positions
   }
 
+  test("KMV sketch estimates distinct counts within its k=64 error envelope") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val est = Relational.aggKmvDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = graft.sources.Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")), countDistinct(col("l_orderkey")))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (flag, (parts, orders)) =>
+      // KMV std error ~ 1/sqrt(k-2) ~ 12.7%; gate at 4 sigma
+      assert(math.abs(est(flag)._1 - parts) / parts <= 0.5,
+        s"$flag parts: est ${est(flag)._1} vs exact $parts")
+      assert(math.abs(est(flag)._2 - orders) / orders <= 0.5,
+        s"$flag orders: est ${est(flag)._2} vs exact $orders")
+    }
+  }
+
   test("approx_count_distinct lands within its 1% design error vs exact") {
     val approx = Relational.aggApproxDistinct(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
