@@ -138,6 +138,22 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(col("text"), lit(LongNumPat), lit(0))).cast("long").as("n_longnums"))
 
+  /** Corpus vocabulary head: the 100 most frequent tokens with term
+    * and document frequencies — the first step of tokenizer/BPE
+    * training and OOV analysis. One explode + one partial+final agg +
+    * rank-limit pushdown (TakeOrderedAndProject); the shuffle carries
+    * (token, partial tf, partial df) — never positions or text. */
+  def vocabTopk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", " ")), " "),
+      t => length(t) > 0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok").asc)
+      .limit(100)
+  }
+
   /** Corpus rollup by lang × source — the partition-profile query a
     * pipeline runs before sampling. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
@@ -157,7 +173,8 @@ object TextAnalysis {
     "text_stats"      -> textStats,
     "doc_split"       -> docSplit,
     "text_repetition" -> textRepetition,
-    "text_redact"     -> textRedact)
+    "text_redact"     -> textRedact,
+    "vocab_topk"      -> vocabTopk)
 
   private val ToksSql =
     "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')"
@@ -232,6 +249,12 @@ object TextAnalysis {
          |  CAST(max(c) AS BIGINT)*1.0 / CAST(sum(c) AS BIGINT) AS top_ratio,
          |  count(*)*1.0 / CAST(sum(c) AS BIGINT) AS type_token_ratio
          |FROM tc GROUP BY doc_id""".stripMargin,
+    "vocab_topk" ->
+      s"""SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM (SELECT doc_id, unnest($ToksSql) AS tok FROM documents) t
+         |GROUP BY tok
+         |ORDER BY tf DESC, tok ASC
+         |LIMIT 100""".stripMargin,
     "text_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
