@@ -29,10 +29,15 @@ object StreamOps {
     EventStream.slidingUserActivity(
       graft.sources.Tables.events(spark, dir))
 
+  def streamAttribution(spark: SparkSession, dir: String): DataFrame =
+    EventStream.viewClickAttribution(
+      graft.sources.Tables.events(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize"              -> sessionize,
     "stream_window_counts"    -> streamWindowCounts,
-    "stream_sliding_activity" -> streamSlidingActivity)
+    "stream_sliding_activity" -> streamSlidingActivity,
+    "stream_attribution"      -> streamAttribution)
 
   val oracles: Map[String, String] = Map(
     // 1-hour tumbling windows on the epoch grid == date_trunc('hour')
@@ -41,6 +46,15 @@ object StreamOps {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // interval join: integral epoch arithmetic only (epoch_ns // 1000);
+    // minute intervals are fixed-duration, so cross-engine safe
+    "stream_attribution" ->
+      """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+        |  (epoch_ns(c.ts) - epoch_ns(v.ts)) // 1000 AS gap_us
+        |FROM events c JOIN events v
+        |  ON c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.user_id = c.user_id
+        | AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 10 MINUTE""".stripMargin,
     // 5-min window / 1-min slide: every event lands in exactly the 5
     // windows starting at trunc_minute(ts) - k minutes, k = 0..4
     "stream_sliding_activity" ->

@@ -163,6 +163,32 @@ object EventStream {
       events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** View→click attribution: every (click, view) pair by the same
+    * user where the view happened in the 10 minutes before the click —
+    * the stream-stream interval join, the hardest streaming shape
+    * Spark supports. In streaming both sides carry watermarks and the
+    * time-bound condition lets the engine EXPIRE view state 10
+    * minutes past the watermark — bounded state at any volume. In
+    * batch the same plan is an equi-join on user_id with a range
+    * residual: no row explosion beyond each user's in-window
+    * view×click pairs. `gap_us` stays integral (epoch micros), never
+    * float. */
+  def viewClickAttribution(events: DataFrame, attributionWindow: String = "10 minutes"): DataFrame = {
+    def side(t: String, idAs: String, tsAs: String, userAs: String): DataFrame = {
+      val s = events.filter(col("event_type") === t)
+        .select(col("event_id").as(idAs), col("ts").as(tsAs), col("user_id").as(userAs))
+      if (s.isStreaming) s.withWatermark(tsAs, attributionWindow) else s
+    }
+    val clicks = side("click", "click_id", "c_ts", "c_user")
+    val views = side("view", "view_id", "v_ts", "v_user")
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") > col("c_ts") - expr(s"INTERVAL $attributionWindow"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
   /** Sliding-window event rate per user (5-minute window, 1-minute
     * slide): the fan-out pattern for rolling activity metrics. */
   def slidingUserActivity(events: DataFrame): DataFrame =

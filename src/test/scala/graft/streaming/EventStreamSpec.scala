@@ -136,6 +136,37 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join (attribution) equals the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val want = EventStream.viewClickAttribution(
+      batch.withColumnRenamed("event_type", "event_type"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+
+    val rows = batch.as[(Long, Timestamp, Long, String)].collect().sortBy(_._2.getTime)
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = EventStream.viewClickAttribution(
+      input.toDF().toDF("event_id", "ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      rows.grouped(250).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      // advance watermarks past every real event so all pairs emit
+      input.addData(Seq((-1L, Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "view"),
+        (-2L, Timestamp.valueOf("2031-01-01 00:00:00"), -1L, "click")))
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .filter(col("click_id") >= 0 && col("view_id") >= 0)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sliding windows produce one row per window a user is active in") {
     val out = EventStream.slidingUserActivity(Tables.events(spark, dir)).collect()
     assert(out.nonEmpty)
