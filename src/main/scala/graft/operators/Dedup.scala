@@ -10,19 +10,22 @@ import graft.sources.Tables
   * north-star LLM-pipeline operators (the reference has none of these;
   * SURVEY.md §2.2 last row).
   *
-  * Five operators, in increasing scale-sophistication:
+  * The operators, in increasing scale-sophistication:
   *  - exact: content-hash groupBy — one shuffle of (hash, id).
-  *  - ngram-jaccard: exact all-pairs similarity via shingle self-join —
-  *    the oracle-checkable ground truth; quadratic in the worst case,
-  *    used at audit scale, not 100 TB scale.
-  *  - minhash LSH: 64-permutation signatures, 16 bands × 4 rows —
-  *    the 100 TB path: cost is O(docs × shingles) + a band-key shuffle;
-  *    only bucket-mates are verified exactly.
+  *  - ngram-jaccard: exact pairwise similarity via shingle self-join —
+  *    the oracle-checkable ground truth, hot-shingle-capped
+  *    ([[MaxShingleDf]]) so one boilerplate header can't go quadratic.
+  *  - minhash LSH: 64-permutation signatures (one imperative
+  *    aggregate), 16 bands × 4 rows — the 100 TB path: the only
+  *    persisted state is the 520 B/doc sketch; candidates verify
+  *    exactly against re-derived shingles of candidate docs only.
   *  - simhash: 64-bit weighted token fingerprint + 4×16-bit pigeonhole
-  *    banding for hamming ≤ 3.
-  *  - embedding-cosine: near-dup pairs in vector space (codegen'd
-  *    cosine expression); all-pairs here, the LSH-bucketed variant
-  *    lives in Similarity.annLsh.
+  *    banding for hamming ≤ 3; registered md5 variant is replayed
+  *    end-to-end by the DuckDB oracle, XxHash64 variant is the perf
+  *    path.
+  *  - embedding-cosine: sign-LSH bucketed candidates (32×4, measured
+  *    recall 1.0 on the fixture) + exact codegen'd cosine verify; the
+  *    all-pairs form survives as spec-side ground truth only.
   *
   * Determinism: every hash is a fixed-seed XxHash64 or md5, so all
   * outputs are bit-stable across runs and partitionings.

@@ -138,6 +138,52 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(col("text"), lit(LongNumPat), lit(0))).cast("long").as("n_longnums"))
 
+  private val ChunkLen = 64
+  private val ChunkStride = 48
+
+  /** Overlapping token-window chunking — the context-window prep step
+    * of RAG / pretraining pipelines: chunk i covers token positions
+    * [i·stride, i·stride+len), so consecutive chunks share
+    * len−stride = 16 tokens of overlap and every token lands in ≥1
+    * chunk. Typed flatMap per document (one doc's token array in
+    * memory — bounded by the row, not the corpus); emits the chunk
+    * text, its bounds, and an md5 chunk hash for downstream
+    * chunk-level dedup. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (toks.isEmpty) Iterator.empty
+        else {
+          val nChunks = math.max(1, (toks.length - ChunkLen + ChunkStride - 1) / ChunkStride + 1)
+          (0 until nChunks).iterator.map { i =>
+            val from = i * ChunkStride
+            val until = math.min(toks.length, from + ChunkLen)
+            (id, i.toLong, from.toLong, (until - from).toLong,
+              toks.slice(from, until).mkString(" "))
+          }
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "tok_start", "n_tokens", "chunk_text")
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"), col("n_tokens"),
+        md5(col("chunk_text").cast("binary")).as("chunk_hash"))
+  }
+
+  /** Deterministic stratified sampling: a fixed per-language rate via
+    * content-hash buckets — the data-mixing primitive (upsample rare
+    * languages, downsample the head) that must be reproducible across
+    * reruns and engines, which rules out random(). Pure narrow scan. */
+  def docSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("text").cast("binary")), 17, 4), 16, 10).cast("long"), lit(100L))
+    val rate = when(col("lang") === "en", 10L).otherwise(50L) // % kept
+    Tables.documents(spark, dir)
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+  }
+
   /** Corpus vocabulary head: the 100 most frequent tokens with term
     * and document frequencies — the first step of tokenizer/BPE
     * training and OOV analysis. One explode + one partial+final agg +
@@ -174,7 +220,9 @@ object TextAnalysis {
     "doc_split"       -> docSplit,
     "text_repetition" -> textRepetition,
     "text_redact"     -> textRedact,
-    "vocab_topk"      -> vocabTopk)
+    "vocab_topk"      -> vocabTopk,
+    "doc_chunks"      -> docChunks,
+    "doc_sample"      -> docSampleStratified)
 
   private val ToksSql =
     "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')"
@@ -255,6 +303,31 @@ object TextAnalysis {
          |GROUP BY tok
          |ORDER BY tf DESC, tok ASC
          |LIMIT 100""".stripMargin,
+    // chunk i covers token positions [i*48, i*48+64); greatest(..,0)
+    // guards DuckDB's floored // for docs under len-stride tokens
+    "doc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS w,
+        |         unnest(range(1, len(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '))+1)) AS pos
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS p
+        |         FROM toks WHERE w <> ''),
+        |n AS (SELECT doc_id, count(*) AS n_tok FROM tok2 GROUP BY 1),
+        |ch AS (SELECT doc_id, unnest(range(greatest((n_tok - 64 + 47) // 48, 0) + 1)) AS i FROM n)
+        |SELECT t.doc_id, CAST(c.i AS BIGINT) AS chunk_idx,
+        |  CAST(c.i * 48 AS BIGINT) AS tok_start,
+        |  count(*) AS n_tokens,
+        |  md5(string_agg(t.w, ' ' ORDER BY t.p)) AS chunk_hash
+        |FROM ch c JOIN tok2 t ON t.doc_id = c.doc_id
+        |  AND t.p >= c.i * 48 AND t.p < c.i * 48 + 64
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "doc_sample" ->
+      """SELECT doc_id, lang,
+        |  CAST(CAST('0x' || substring(md5(text), 17, 4) AS INTEGER) % 100 AS BIGINT) AS bucket
+        |FROM documents
+        |WHERE CAST('0x' || substring(md5(text), 17, 4) AS INTEGER) % 100
+        |      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin,
     "text_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
