@@ -46,11 +46,33 @@ object TextIO {
     import spark.implicits._
     spark.createDataset(spark.sparkContext
       .parallelize(urls, math.max(1, urls.size))
-      .flatMap { url =>
-        val src = scala.io.Source.fromURL(url, "UTF-8")
-        try src.getLines().toVector
+      .flatMap(url => fetchLines(url)))
+  }
+
+  /** One shard fetch: bounded timeouts (a hung server must fail the
+    * task, not stall it forever) + 3 attempts with linear backoff —
+    * transient network errors are the norm at 1000-shard scale, and
+    * Spark's task-level retry would otherwise re-run the WHOLE
+    * partition for one flaky connection. */
+  private def fetchLines(url: String, attempts: Int = 3): Vector[String] = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try {
+        val conn = new java.net.URI(url).toURL.openConnection()
+        conn.setConnectTimeout(10000)
+        conn.setReadTimeout(60000)
+        val src = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8")
+        try return src.getLines().toVector
         finally src.close()
-      })
+      } catch {
+        case e: java.io.IOException =>
+          last = e
+          i += 1
+          if (i < attempts) Thread.sleep(1000L * i)
+      }
+    }
+    throw new java.io.IOException(s"shard fetch failed after $attempts attempts: $url", last)
   }
 
   /** Write (key, value) pairs as `key\tvalue` lines, partitioned, with
