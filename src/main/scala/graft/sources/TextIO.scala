@@ -75,6 +75,25 @@ object TextIO {
     throw new java.io.IOException(s"shard fetch failed after $attempts attempts: $url", last)
   }
 
+  /** Line-safe sharded text write — the reference's
+    * `split_input_file` (tools/gridmr_submit.py:22-52: ~N MB shards,
+    * lines never split) as a sink property instead of a driver-side
+    * pre-pass: the text sink is line-oriented by construction, and
+    * `maxRecordsPerFile` (derived from a sampled mean line width)
+    * caps each shard near the byte target. One small sampling job,
+    * then a fully parallel write. */
+  def writeShards(lines: Dataset[String], path: String, shardMb: Int = 32): Unit = {
+    import org.apache.spark.sql.functions._
+    val mean = lines.limit(10000)
+      .select(avg(length(col("value")) + 1))
+      .collect()(0)
+    val bytesPerLine = if (mean.isNullAt(0)) 64.0 else math.max(1.0, mean.getDouble(0))
+    val maxRecords = math.max(1L, (shardMb.toLong * 1024 * 1024 / bytesPerLine).toLong)
+    lines.write
+      .option("maxRecordsPerFile", maxRecords)
+      .mode(SaveMode.Overwrite).text(path)
+  }
+
   /** Write (key, value) pairs as `key\tvalue` lines, partitioned, with
     * a `_SUCCESS` marker — the scale-correct final.txt. */
   def writeTabbed(pairs: Dataset[(String, String)], path: String): Unit = {

@@ -35,6 +35,20 @@ class TextIOSpec extends AnyFunSuite {
     assert(got === Map("a" -> "4", "b" -> "2", "c" -> "1"))
   }
 
+  test("writeShards lands line-safe shards near the byte target and round-trips") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_shards").toString
+    val lines = (1 to 20000).map(i => s"line-$i-" + ("x" * 90))
+    TextIO.writeShards(lines.toDS().repartition(2), s"$tmp/out", shardMb = 1)
+    val files = new java.io.File(s"$tmp/out").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+    assert(files.length >= 2, s"expected multiple ~1MB shards, got ${files.length}")
+    // each shard near (under) the target; lines intact on read-back
+    files.foreach(f => assert(f.length() <= 1200 * 1024, s"${f.getName}: ${f.length()}"))
+    val got = TextIO.readLines(spark, s"$tmp/out").collect().toSet
+    assert(got === lines.toSet)
+  }
+
   test("http shard urls read like the reference's curl-per-shard path") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
