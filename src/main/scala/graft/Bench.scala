@@ -36,8 +36,13 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
+          // replace EVERY JSON-hostile char (quote, backslash, any
+          // control char — binary fragments from corrupt-parquet
+          // errors included), or the driver's json.load of this line
+          // fails and zeroes the round's bench
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+            .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)
+            .take(200)
       }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()

@@ -87,8 +87,9 @@ object Dedup {
     * practice (they carry no near-dup signal: sharing a shingle that a
     * million docs share is not evidence of duplication). The cap
     * bounds the join fan-out at cap² per shingle. On the test fixture
-    * no shingle reaches 0.2×cap (DedupSpec proves the guard is a
-    * no-op there), so the oracle stays hash-exact. */
+    * no shingle reaches 0.2×cap (PipelineOpsSpec's headroom test
+    * proves the guard is a no-op there), so the oracle stays
+    * hash-exact. */
   private[operators] val MaxShingleDf = 1000L
 
   /** Exact pairwise n-gram Jaccard ≥ 0.8 via shingle self-join.
@@ -110,10 +111,15 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hot-shingle guard: the >cap list is tiny (it cannot exceed
-    // total_shingles/cap entries), so the anti-join broadcasts
+    // total_shingles/cap entries), so the anti-join broadcasts. The
+    // capped universe is persisted too — it feeds three consumers
+    // (cnt + both self-join sides), and without its own cache each
+    // would re-run the full-shuffle df aggregation + anti-join from
+    // shAll's cache.
     val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select("sh")
     val sh = shAll.join(hot, Seq("sh"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),

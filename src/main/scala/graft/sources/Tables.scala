@@ -32,9 +32,17 @@ object Tables {
     * no-op, so no gratuitous shuffle survives the scale-up. The
     * round-robin exchange moves the raw rows once; every downstream
     * result is partitioning-invariant (the oracle gate proves it). */
-  private def fanOut(df: DataFrame): DataFrame = {
+  private val scanParts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def fanOut(df: DataFrame, cacheKey: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+    // df.rdd builds a full QueryExecution just to read the planned
+    // partition count — cache it per (path, cores): operators call
+    // these accessors several times per query (dedupMinhash reads
+    // documents three times) and would otherwise pay analyzer+planner
+    // on the driver for each call
+    val n = scanParts.computeIfAbsent(s"$cacheKey#$target", _ => df.rdd.getNumPartitions)
+    if (n < math.max(2, target / 2)) df.repartition(target) else df
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "region")
@@ -56,6 +64,8 @@ object Tables {
     t(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = fanOut(t(spark, dir, "documents"))
-  def embeddings(spark: SparkSession, dir: String): DataFrame = fanOut(t(spark, dir, "embeddings"))
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    fanOut(t(spark, dir, "documents"), s"$dir/documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    fanOut(t(spark, dir, "embeddings"), s"$dir/embeddings")
 }

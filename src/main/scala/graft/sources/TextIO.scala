@@ -50,22 +50,37 @@ object TextIO {
   }
 
   /** One shard fetch: bounded timeouts (a hung server must fail the
-    * task, not stall it forever) + 3 attempts with linear backoff —
-    * transient network errors are the norm at 1000-shard scale, and
-    * Spark's task-level retry would otherwise re-run the WHOLE
-    * partition for one flaky connection. */
+    * task, not stall it forever) + 3 attempts with linear backoff for
+    * TRANSIENT failures only — at 1000-shard scale flaky connections
+    * are the norm and Spark's task-level retry would re-run the whole
+    * partition for one of them, but a deterministic 4xx (bad URL
+    * prefix) must fail immediately, not after 3 attempts of backoff.
+    * The status code is checked explicitly so a redirect chain that
+    * lands on an error/login page can never be ingested as data. */
   private def fetchLines(url: String, attempts: Int = 3): Vector[String] = {
     var last: Throwable = null
     var i = 0
     while (i < attempts) {
       try {
         val conn = new java.net.URI(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
         conn.setConnectTimeout(10000)
         conn.setReadTimeout(60000)
-        val src = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8")
-        try return src.getLines().toVector
-        finally src.close()
+        val code = conn.getResponseCode
+        if (code >= 200 && code < 300) {
+          val src = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8")
+          try return src.getLines().toVector
+          finally src.close()
+        } else if (code >= 400 && code < 500) {
+          throw new java.io.FileNotFoundException(s"shard fetch HTTP $code (permanent): $url")
+        } else {
+          // 3xx not auto-followed (cross-protocol) or 5xx: transient-ish
+          last = new java.io.IOException(s"shard fetch HTTP $code: $url")
+          i += 1
+          if (i < attempts) Thread.sleep(1000L * i)
+        }
       } catch {
+        case e: java.io.FileNotFoundException => throw e
         case e: java.io.IOException =>
           last = e
           i += 1
@@ -84,7 +99,11 @@ object TextIO {
     * then a fully parallel write. */
   def writeShards(lines: Dataset[String], path: String, shardMb: Int = 32): Unit = {
     import org.apache.spark.sql.functions._
-    val mean = lines.limit(10000)
+    // sample the HEAD OF EVERY PARTITION, not limit() (which reads
+    // only the first partition and mis-sizes shards whenever the
+    // dataset's head is unrepresentative); each task short-circuits
+    // after 200 rows, so the stats job stays cheap at any scale
+    val mean = lines.mapPartitions(_.take(200))(lines.encoder)
       .select(avg(length(col("value")) + 1))
       .collect()(0)
     val bytesPerLine = if (mean.isNullAt(0)) 64.0 else math.max(1.0, mean.getDouble(0))

@@ -48,15 +48,10 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("hot-shingle guard is a no-op on the fixture (headroom proved)") {
     import org.apache.spark.sql.functions._
-    val maxDf = graft.sources.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)](org.apache.spark.sql.Encoders.product[(Long, String)])
-      .flatMap { case (id, text) =>
-        val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
-        if (toks.length < 3) Iterator.empty
-        else toks.sliding(3).map(w => (id, w.mkString(" "))).toSet.iterator
-      }(org.apache.spark.sql.Encoders.product[(Long, String)])
-      .toDF("doc_id", "shingle")
+    // measured over the PRODUCTION shingle universe, so a tokenize or
+    // shingle-length change keeps this proof pointed at the guard
+    // dedupNgramJaccard actually applies
+    val maxDf = Dedup.docShingles(spark, dir)
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .agg(max("df")).collect()(0).getLong(0)
     assert(maxDf <= Dedup.MaxShingleDf / 5,

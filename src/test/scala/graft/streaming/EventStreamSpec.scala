@@ -141,8 +141,7 @@ class EventStreamSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val batch = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-    val want = EventStream.viewClickAttribution(
-      batch.withColumnRenamed("event_type", "event_type"))
+    val want = EventStream.viewClickAttribution(batch)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
 
     val rows = batch.as[(Long, Timestamp, Long, String)].collect().sortBy(_._2.getTime)
