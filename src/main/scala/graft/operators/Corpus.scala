@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Training-corpus assembly operators — the steps between "cleaned
+  * documents" and "tensors": context-window packing, train/test
+  * decontamination, per-key sampling, and deterministic shuffle-shard
+  * export. North-star ops absent from the reference (SURVEY.md §2.2);
+  * every one is reproducible across engines (md5-derived hashing only,
+  * no random()), so each is gated by a full DuckDB oracle.
+  *
+  * All four share one scale discipline: any global-order operation is
+  * re-expressed per-shard (hash-partitioned windows), because a single
+  * total order over 100 TB is a one-task sort. Sharded packing/shuffle
+  * is also what training jobs actually consume — one input stream per
+  * data-loader worker.
+  */
+object Corpus {
+
+  /** md5-derived bucket from hex chars [from, from+4) of the CONTENT
+    * hash, mod m — the same reproducible-bucket convention as
+    * [[TextAnalysis.docSplit]] (chars 1-4) and docSample (17-4); each
+    * op draws from a disjoint nibble range so buckets are independent. */
+  private def md5Bucket(from: Int, m: Int): Column = pmod(
+    conv(substring(md5(col("text").cast("binary")), from, 4), 16, 10).cast("long"),
+    lit(m.toLong))
+
+  private val SeqLen = 2048L // tokens per packed training sequence
+  private val PackShards = 8
+
+  /** Context-window packing: concatenate documents (in id order within
+    * a content-hash shard) into a token stream and cut it at
+    * [[SeqLen]]-token boundaries; each doc is assigned the sequence
+    * where it STARTS plus its offset inside it — document-boundary
+    * packing with deterministic layout. One narrow scan + one
+    * hash-partitioned running-sum window; integral cumsums, so the
+    * layout is bit-stable and engine-independent.
+    *
+    * Scale: the window partitions by shard, so parallelism = shard
+    * count (set ≫ executor count in production); no shard ever sees
+    * more than corpus/shards tokens, and the shuffle carries
+    * (doc_id, shard, n_tokens) — never text. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", " ")), " "),
+      t => length(t) > 0)
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5Bucket(21, PackShards).as("shard"),
+        size(toks).cast("long").as("n_tokens"))
+      .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integral DIV, not floor(double /): doubles lose µs-grade
+      // exactness above 2^53 and the layout must be bit-stable
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"CAST(cum DIV $SeqLen AS BIGINT)").as("seq_id"),
+        pmod(col("cum"), lit(SeqLen)).as("seq_offset"))
+  }
+
+  /** Train/test decontamination report: for every test-split document,
+    * how many of its distinct trigram shingles also occur anywhere in
+    * the train split — the overlap check run before any benchmark
+    * number is trusted. Uses the same content-hash split as
+    * [[TextAnalysis.docSplit]] (so exact copies always share a split)
+    * and the same shingle universe as the dedup suite.
+    *
+    * Scale shape: shingles are joined as 8-byte xxhash64 keys; the
+    * train side collapses to DISTINCT hashes (narrow shuffle), the
+    * semi-join and per-doc counts are partial+final aggregations.
+    * Nothing driver-side; text never shuffles. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = md5Bucket(1, 100)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"),
+      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
+    val sh = Dedup.docShinglesOf(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .join(docs.select(col("doc_id"), col("split")), "doc_id")
+    val trainSh = sh.filter(col("split") === "train").select("sh").distinct()
+    val testSh = sh.filter(col("split") === "test").select("doc_id", "sh")
+    val totals = testSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    testSh.join(trainSh, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(totals, "doc_id")
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared") / col("n_shingles")).as("shared_ratio"))
+  }
+
+  private val SamplePerKey = 20
+
+  /** Deterministic per-key sampling: the [[SamplePerKey]] documents
+    * with the smallest content-hash per language — "k uniform-ish docs
+    * per stratum" that every rerun and every engine reproduces (the
+    * inspection/eval-holdout primitive; random() would give a
+    * different sample per run AND per partitioning). Window per key
+    * with rank pushdown (WindowGroupLimit prunes to k rows per
+    * partition BEFORE the exchange), so the shuffle carries ≤ k·keys
+    * rows. */
+  def samplePerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("hkey").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), md5Bucket(29, 65536).as("hkey"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= SamplePerKey)
+  }
+
+  private val ExportShards = 64
+
+  /** Deterministic shuffle-shard export layout: shard = content-hash
+    * bucket, position = rank of the full md5 digest within the shard —
+    * a reproducible global shuffle (hash order ≈ uniform random, but
+    * bit-stable) cut into [[ExportShards]] independent streams. This is
+    * the write-side layout for training: `repartition(shard)` +
+    * `sortWithinPartitions(pos)` streams each shard in order with no
+    * global sort; the query form emits the assignment itself. */
+  def shuffleExport(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("h").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5Bucket(5, ExportShards).as("shard"),
+        md5(col("text").cast("binary")).as("h"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_sequences" -> packSequences,
+    "contamination"  -> contamination,
+    "sample_per_key" -> samplePerKey,
+    "shuffle_export" -> shuffleExport)
+
+  private val ToksSql =
+    "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')"
+
+  private def bucketSql(from: Int, m: Int): String =
+    s"CAST(CAST('0x' || substring(md5(text), $from, 4) AS INTEGER) % $m AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    // window sum(BIGINT) is HUGEINT in DuckDB — cast back before DIV
+    "pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${bucketSql(21, PackShards)} AS shard,
+         |    CAST(len($ToksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens,
+         |  cum // $SeqLen AS seq_id, cum % $SeqLen AS seq_offset
+         |FROM c""".stripMargin,
+    "contamination" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS w,
+         |         unnest(range(1, len(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '))+1)) AS pos
+         |  FROM documents),
+         |tok2 AS (SELECT * FROM toks WHERE w <> ''),
+         |tri AS (
+         |  SELECT doc_id, w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS shingle,
+         |         lead(w,2) OVER win AS w2
+         |  FROM tok2 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM tri WHERE w2 IS NOT NULL),
+         |lab AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${bucketSql(1, 100)} < 90 THEN 'train'
+         |         WHEN ${bucketSql(1, 100)} < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |tr AS (SELECT DISTINCT shingle FROM sh JOIN lab USING(doc_id) WHERE split = 'train'),
+         |te AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN lab USING(doc_id) WHERE split = 'test'),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM te GROUP BY 1),
+         |hit AS (SELECT doc_id, count(*) AS n_shared
+         |        FROM te JOIN tr USING(shingle) GROUP BY 1)
+         |SELECT hit.doc_id, tot.n_shingles, hit.n_shared,
+         |  hit.n_shared * 1.0 / tot.n_shingles AS shared_ratio
+         |FROM hit JOIN tot USING(doc_id)""".stripMargin,
+    "sample_per_key" ->
+      s"""SELECT doc_id, lang, hkey, rn FROM (
+         |  SELECT doc_id, lang,
+         |    CAST(CAST('0x' || substring(md5(text), 29, 4) AS INTEGER) % 65536 AS BIGINT) AS hkey,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY CAST(CAST('0x' || substring(md5(text), 29, 4) AS INTEGER) % 65536 AS BIGINT) ASC,
+         |               doc_id ASC) AS BIGINT) AS rn
+         |  FROM documents) t
+         |WHERE rn <= $SamplePerKey""".stripMargin,
+    "shuffle_export" ->
+      s"""SELECT doc_id, ${bucketSql(5, ExportShards)} AS shard,
+         |  CAST(row_number() OVER (PARTITION BY ${bucketSql(5, ExportShards)}
+         |    ORDER BY md5(text) ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+         |FROM documents""".stripMargin)
+}

@@ -370,6 +370,65 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Near-dup cluster assignment: connected components over the
+    * verified pair graph, labels = min doc_id per component — the step
+    * that turns pairwise near-dup hits into keep/drop decisions (keep
+    * the representative, drop the rest), and the one genuinely
+    * ITERATIVE operator in the pipeline.
+    *
+    * Algorithm: min-label propagation to fixpoint. Each round every
+    * node takes `min(own label, min over neighbours' labels)` — one
+    * join + one partial+final min-groupBy per round, converging in
+    * O(component diameter) rounds to the unique fixpoint (min id per
+    * component), so the result is deterministic regardless of
+    * partitioning or join order. Near-dup components are overwhelmingly
+    * tiny (pairs/triples — SURVEY's dedup regime), so 2-3 rounds
+    * suffice; the 32-round cap is a safety rail, and reaching it
+    * throws rather than silently emitting unconverged labels.
+    *
+    * Scale shape: state per round is (id, label) longs — 16 B/node over
+    * candidate docs only, NOT the corpus; the edge list is persisted
+    * once and reused every round; each round's labels are persisted and
+    * the previous round's evicted, so lineage never recomputes the
+    * pair derivation. The per-round `count()` on changed labels is
+    * driver-side control metadata (one long), not data movement. At
+    * web-dedup graph scale (giant components, long chains) the same
+    * loop takes the alternating large-star/small-star edge rewrites
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    * — label propagation is the right shape below that regime. */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = dedupNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+      .persist(MEMORY_AND_DISK)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 32) {
+      val nbrMin = edges.join(labels, edges("doc_b") === labels("id"))
+        .groupBy(edges("doc_a").as("nid"))
+        .agg(min(col("lab")).as("nbr_lab"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), col("lab"),
+          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("new_lab"))
+        .persist(MEMORY_AND_DISK)
+      converged = next.filter(col("new_lab") < col("lab")).isEmpty
+      val prev = labels
+      labels = next.select(col("id"), col("new_lab").as("lab"))
+      prev.unpersist()
+      rounds += 1
+    }
+    edges.unpersist()
+    require(converged, s"dedupCluster: no fixpoint after $rounds rounds")
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lab")
+      .select(col("id").as("doc_id"), col("lab").as("cluster_id"),
+        col("cluster_size"))
+  }
+
   /** All-pairs exact formulation — spec-side ground truth for
     * [[dedupEmbedding]] (PipelineOpsSpec asserts equality). Not
     * registered: the non-equi join is a BNLJ, audit scale only. */
@@ -388,7 +447,8 @@ object Dedup {
     "dedup_ngram"     -> dedupNgramJaccard,
     "dedup_minhash"   -> dedupMinhash,
     "dedup_simhash"   -> dedupSimhashMd5,
-    "dedup_embedding" -> dedupEmbedding)
+    "dedup_embedding" -> dedupEmbedding,
+    "dedup_cluster"   -> dedupCluster)
 
   /** Shared DuckDB shingle pipeline (window-based trigram build). */
   private val ShinglesCte =
@@ -415,7 +475,29 @@ object Dedup {
        |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
        |WHERE inter/(ca.n + cb.n - inter) >= 0.8""".stripMargin
 
+  /** Transitive closure of the exact near-dup pair graph: min label
+    * per component via a recursive CTE — small-component-safe because
+    * near-dup components are tiny, exactly the regime where the Spark
+    * side's label propagation also lives. */
+  private val ClusterSql =
+    s"""${ShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |jp AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+       |  WHERE inter/(ca.n + cb.n - inter) >= 0.8),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
+       |          UNION ALL SELECT doc_b, doc_a FROM jp),
+       |reach AS (
+       |  SELECT DISTINCT a AS id, a AS lab FROM edges
+       |  UNION
+       |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+       |cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+       |SELECT id AS doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM cc""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_cluster" -> ClusterSql,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,

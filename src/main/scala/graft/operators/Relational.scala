@@ -124,6 +124,50 @@ object Relational {
       .limit(20)
   }
 
+  /** Q4 shape: order-priority checking — date-sliced orders semi-joined
+    * to a filtered fact (EXISTS), counted per priority. The semi-join
+    * shuffles only (orderkey) from the fact side; at 100 TB the date
+    * slice prunes partitions before anything joins. */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-07-01") && col("o_orderdate") < ts("1996-10-01"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Q6 shape: forecasting revenue change — pure filter + single
+    * global aggregate. The whole query is one codegen'd scan stage:
+    * every predicate reaches PushedFilters, the projection is two
+    * columns, and the agg is partial+final with a 1-row final. */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"))
+
+  /** Q18 shape: large-volume customers — a HAVING-filtered fact
+    * aggregation joined back to its parents, deterministic top-100.
+    * The having filter runs on the aggregated (tiny) side, so the
+    * join-back is broadcast-able at any scale where "large volume" is
+    * selective. */
+  def q18Volume(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150.0)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
   // ---- core operator surface ---------------------------------------
 
   def filterProject(spark: SparkSession, dir: String): DataFrame =
@@ -324,14 +368,28 @@ object Relational {
 
   /** HLL++ approximate distinct counts — the sketch an exact
     * countDistinct can't afford at 100 TB (no per-key state, one pass,
-    * mergeable). No SQL oracle: DuckDB's approx sketch differs; the
-    * 2% envelope vs exact is asserted in PipelineOpsSpec. */
-  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    * mergeable). DuckDB's HLL register layout differs, so the sketch
+    * VALUE can't be replayed — instead the gated row carries the exact
+    * counts (oracle-checkable) plus a within-2%-envelope flag per
+    * sketch. HLL++ is deterministic for a given input (fixed hash,
+    * merge = register-wise max, order-insensitive), so the flag is
+    * stable across runs/partitionings, and the oracle asserting
+    * `1` means "the sketch landed inside its advertised rsd envelope"
+    * — a real gate on the operator, not just row counts. */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    def inEnvelope(approx: Column, exact: Column): Column =
+      (abs(approx.cast("double") - exact) <= exact * 0.02).cast("long")
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_orders"),
+        inEnvelope(col("ap"), col("n_parts")).as("parts_in_2pct"),
+        inEnvelope(col("ao"), col("n_orders")).as("orders_in_2pct"))
+  }
 
   /** KMV distinct-count sketch (k=64) — the oracle-checkable sketch:
     * the hash is the first 15 md5 hex chars of the key rendered as a
@@ -374,6 +432,9 @@ object Relational {
     "q5_local_supplier" -> q5LocalSupplier,
     "q7_volume"         -> q7Volume,
     "q10_returns"       -> q10Returns,
+    "q4_priority"      -> q4Priority,
+    "q6_forecast"      -> q6Forecast,
+    "q18_volume"       -> q18Volume,
     "filter_project"   -> filterProject,
     "join_broadcast"   -> joinBroadcastDims,
     "join_semi"        -> joinSemi,
@@ -488,6 +549,29 @@ object Relational {
         |  CASE WHEN ao.nk < 64 THEN CAST(ao.nk AS DOUBLE)
         |       ELSE 63.0 * POWER(2.0, 60) / CAST(ao.hk AS DOUBLE) END AS est_orders
         |FROM ap JOIN ao ON ap.flag = ao.flag""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q18_volume" ->
+      s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+         |FROM orders
+         |JOIN (SELECT l_orderkey, $DSUM_Q AS sum_qty
+         |      FROM lineitem GROUP BY l_orderkey
+         |      HAVING $DSUM_Q > 150.0) big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey ASC
+         |LIMIT 100""".stripMargin,
     "filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice*(1-l_discount) AS net_price
         |FROM lineitem
@@ -513,6 +597,17 @@ object Relational {
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // the oracle asserts the exact counts AND that the engine's HLL
+    // sketches landed inside their 2% envelope (flags forced to 1);
+    // DuckDB can't replay the register layout, but it can hold the
+    // operator to its accuracy contract
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  CAST(1 AS BIGINT) AS parts_in_2pct,
+        |  CAST(1 AS BIGINT) AS orders_in_2pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "agg_median" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,

@@ -33,13 +33,40 @@ object StreamOps {
     EventStream.viewClickAttribution(
       graft.sources.Tables.events(spark, dir))
 
+  /** Latest-record-wins compaction — the batch half of CDC/upsert
+    * ingestion (merge-on-read): one surviving row per (user_id,
+    * event_type), the one with the greatest (ts, event_id). The
+    * row_number ≤ 1 form plans WindowGroupLimit, so each map task
+    * forwards at most one row per key to the exchange — at 100 TB the
+    * shuffle carries ~|keys| rows, not the event history. The same
+    * keep-latest contract runs incrementally as a streaming
+    * aggregation (EventStream's stateful ops); this registered batch
+    * form is the compaction a table maintenance job runs. */
+  def compactLatest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    graft.sources.Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts", "value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize"              -> sessionize,
     "stream_window_counts"    -> streamWindowCounts,
     "stream_sliding_activity" -> streamSlidingActivity,
-    "stream_attribution"      -> streamAttribution)
+    "stream_attribution"      -> streamAttribution,
+    "compact_latest"          -> compactLatest)
 
   val oracles: Map[String, String] = Map(
+    "compact_latest" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1""".stripMargin,
     // 1-hour tumbling windows on the epoch grid == date_trunc('hour')
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

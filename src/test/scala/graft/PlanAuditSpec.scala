@@ -57,10 +57,27 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("top-k queries plan rank-limit pushdown before the exchange") {
     assert(plan("ann_topk").contains("WindowGroupLimit"))
+    assert(plan("compact_latest").contains("WindowGroupLimit"))
     // sort+limit form: Spark plans TakeOrderedAndProject — no global sort
     assert(plan("topk_orders").contains("TakeOrderedAndProject"))
     assert(plan("q3_shipping").contains("TakeOrderedAndProject"))
     assert(plan("q10_returns").contains("TakeOrderedAndProject"))
+    assert(plan("q18_volume").contains("TakeOrderedAndProject"))
+  }
+
+  test("q6_forecast: every predicate reaches the scan, two-column read schema") {
+    // default maxMetadataStringLength truncates PushedFilters at 100
+    // chars — raise it so the assertion sees the full pushdown list
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val p = plan("q6_forecast")
+      assert(p.contains("PushedFilters: ["), p.linesIterator.take(30).mkString("\n"))
+      Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+          "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+          "LessThan(l_quantity").foreach(f =>
+        assert(p.contains(f), s"q6 missing pushed filter $f"))
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
   }
 
   test("dimension joins broadcast in the TPC-H shapes") {
@@ -73,5 +90,30 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
+  test("sample_per_key plans rank-limit pushdown (WindowGroupLimit)") {
+    // k rows per key survive BEFORE the exchange — the property that
+    // keeps the shuffle at k·keys rows at any corpus size
+    assert(plan("sample_per_key").contains("WindowGroupLimit"))
+  }
+
+  test("corpus layout ops plan exactly one shard-partitioned exchange") {
+    Seq("pack_sequences", "shuffle_export").foreach { name =>
+      val p = plan(name)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1, s"$name: expected 1 exchange, got $exchanges:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name must never plan a global single-partition sort")
+    }
+  }
+
+  test("contamination aggregates with map-side combine and never shuffles text") {
+    val p = plan("contamination")
+    assert(p.contains("partial_"), "contamination lacks partial aggregation")
+    // the only wide ops carry (doc_id, sh) longs / distinct sh — the
+    // text column must be consumed below every exchange
+    val shuffleSections = p.split("Exchange").drop(1)
+    assert(shuffleSections.nonEmpty)
   }
 }

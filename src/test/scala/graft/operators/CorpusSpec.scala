@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant specs for the corpus-assembly operators (Corpus.scala)
+  * and the near-dup clustering step (Dedup.dedupCluster). The DuckDB
+  * oracle gate checks exact values; these assert the semantic
+  * contracts directly (union-find ground truth, packing invariants,
+  * split hygiene, sample/shard bounds) plus partition stability.
+  */
+class CorpusSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("dedup_cluster labels equal driver-side union-find on the exact pairs") {
+    val pairs = Dedup.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain planted near-dups")
+    // tiny reference union-find over the collected pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val got = Dedup.dedupCluster(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // sizes consistent with the labeling
+    val sizes = Dedup.dedupCluster(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bySize = expected.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    sizes.foreach { case (_, cid, sz) => assert(sz === bySize(cid)) }
+  }
+
+  test("dedup_cluster is stable across partitioning") {
+    val a = Dedup.dedupCluster(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val b = Dedup.dedupCluster(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(a === b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("pack_sequences lays out a gapless token stream per shard") {
+    val rows = Corpus.packSequences(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      val inOrder = docs.sortBy(_._1)
+      var cum = 0L
+      inOrder.foreach { case (id, _, n, seq, off) =>
+        assert(seq === cum / 2048, s"doc $id seq")
+        assert(off === cum % 2048, s"doc $id offset")
+        cum += n
+      }
+    }
+    // every document is packed exactly once
+    val nDocs = graft.sources.Tables.documents(spark, dir).count()
+    assert(rows.map(_._1).distinct.length.toLong === nDocs)
+  }
+
+  test("contamination reports only test-split docs with sane overlap counts") {
+    val split = TextAnalysis.docSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val rows = Corpus.contamination(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "synthetic corpus shares common trigrams across splits")
+    rows.foreach { case (id, nSh, nShared, ratio) =>
+      assert(split(id) === "test", s"doc $id is ${split(id)}")
+      assert(nShared >= 1L && nShared <= nSh)
+      assert(math.abs(ratio - nShared.toDouble / nSh) < 1e-12)
+    }
+  }
+
+  test("sample_per_key takes at most k docs per language, deterministically") {
+    val rows = Corpus.samplePerKey(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, docs) =>
+      assert(docs.length <= 20, s"$lang oversampled: ${docs.length}")
+      assert(docs.map(_._3).sorted === (1L to docs.length).toArray, s"$lang ranks")
+    }
+    val again = Corpus.samplePerKey(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(rows.sortBy(_._1) === again.sortBy(_._1))
+  }
+
+  test("shuffle_export assigns dense 0-based positions within every shard") {
+    val rows = Corpus.shuffleExport(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.sources.Tables.documents(spark, dir).count()
+    assert(rows.length.toLong === nDocs)
+    rows.groupBy(_._2).foreach { case (shard, docs) =>
+      assert(docs.map(_._3).sorted === (0L until docs.length).toArray,
+        s"shard $shard positions not dense")
+    }
+  }
+}
