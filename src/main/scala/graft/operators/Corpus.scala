@@ -124,11 +124,89 @@ object Corpus {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Data-mixing rates: given a token budget of half the corpus split
+    * equally across languages, the per-language keep-rate and expected
+    * token yield — the arithmetic a pipeline runs to turn "target
+    * mixture" into per-stratum sampling rates (upsample the tail,
+    * downsample the head). The global totals come from uncorrelated
+    * scalar subqueries — Spark executes them as one-value Subquery
+    * plans (driver metadata, like AQE stats), NOT a 1-row join, so no
+    * nested-loop shape appears. Every number derives from integral
+    * counts through exactly-rounded IEEE ops (one multiply, one
+    * divide), so both engines produce identical doubles. */
+  /** Shared arithmetic text for [[mixWeights]] — the SAME characters
+    * run on Spark and DuckDB: with explicit DOUBLE casts every step is
+    * an exactly-rounded IEEE op on integer-derived values, so the
+    * doubles are bit-identical (decimal literals would silently flip
+    * either engine into decimal arithmetic with different rounding).
+    * The corpus totals are INLINE scalar subqueries, not a 1-row CROSS
+    * JOIN: Spark plans each as a one-value Subquery stage (driver
+    * metadata), where the join form would plan a BroadcastNestedLoopJoin
+    * — the shape the plan audit bans. */
+  private val KeepRateSql =
+    "least(CAST(1.0 AS DOUBLE), " +
+      "CAST(CAST((SELECT sum(n_tokens) FROM t) AS BIGINT) AS DOUBLE) * CAST(0.5 AS DOUBLE) " +
+      "/ CAST(CAST((SELECT count(*) FROM t) AS BIGINT) AS DOUBLE) " +
+      "/ CAST(n_tokens AS DOUBLE))"
+
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toksLen = "size(filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ')), ' '), t -> length(t) > 0))"
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(
+      s"""WITH t AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    sum(CAST($toksLen AS BIGINT)) AS n_tokens
+         |  FROM documents GROUP BY lang)
+         |SELECT lang, n_docs, n_tokens,
+         |  $KeepRateSql AS keep_rate,
+         |  $KeepRateSql * CAST(n_tokens AS DOUBLE) AS exp_tokens
+         |FROM t""".stripMargin)
+  }
+
+  private val TfidfTopK = 5
+
+  /** Top-[[TfidfTopK]] characteristic terms per document by tf·idf —
+    * the keyword-extraction / relevance primitive. The idf is the
+    * RATIONAL form (N+1)/(df+1) rather than its logarithm: ln() is
+    * libm-dependent (last-bit differences across engines would break
+    * the hash gate), while integer-derived multiply/divide are
+    * exactly-rounded IEEE and therefore bit-identical — and the
+    * per-doc ranking is order-isomorphic to the log form. Shape: one
+    * explode → (doc,tok) partial+final count, a token-keyed df
+    * aggregate joined back (vocabulary-sized, broadcastable), and a
+    * per-doc WindowGroupLimit rank — the shuffle never carries text,
+    * and N rides a scalar subquery. */
+  def tfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(
+      s"""WITH toks AS (
+         |  SELECT doc_id, tok
+         |  FROM documents
+         |  LATERAL VIEW explode(filter(
+         |    split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ')), ' '),
+         |    t -> length(t) > 0)) AS tok),
+         |tc AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1),
+         |scored AS (
+         |  SELECT tc.doc_id, tc.tok, tc.tf, dfreq.df,
+         |    CAST(tc.tf AS DOUBLE)
+         |      * ((CAST((SELECT count(*) FROM documents) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+         |         / (CAST(dfreq.df AS DOUBLE) + CAST(1.0 AS DOUBLE))) AS score
+         |  FROM tc JOIN dfreq ON tc.tok = dfreq.tok)
+         |SELECT doc_id, tok, tf, df, score, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, tok ASC) AS BIGINT) AS rn
+         |  FROM scored) r
+         |WHERE rn <= $TfidfTopK""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pack_sequences" -> packSequences,
     "contamination"  -> contamination,
     "sample_per_key" -> samplePerKey,
-    "shuffle_export" -> shuffleExport)
+    "shuffle_export" -> shuffleExport,
+    "mix_weights"    -> mixWeights,
+    "tfidf_topk"     -> tfidfTopk)
 
   private val ToksSql =
     "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')"
@@ -189,5 +267,33 @@ object Corpus {
       s"""SELECT doc_id, ${bucketSql(5, ExportShards)} AS shard,
          |  CAST(row_number() OVER (PARTITION BY ${bucketSql(5, ExportShards)}
          |    ORDER BY md5(text) ASC, doc_id ASC) - 1 AS BIGINT) AS pos
-         |FROM documents""".stripMargin)
+         |FROM documents""".stripMargin,
+    // IDENTICAL arithmetic text to the Spark side (KeepRateSql):
+    // integer-derived values + explicit DOUBLE casts ⇒ every op is
+    // exactly-rounded IEEE ⇒ bit-identical doubles on both engines
+    "mix_weights" ->
+      s"""WITH t AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang)
+         |SELECT lang, n_docs, n_tokens,
+         |  $KeepRateSql AS keep_rate,
+         |  $KeepRateSql * CAST(n_tokens AS DOUBLE) AS exp_tokens
+         |FROM t""".stripMargin,
+    "tfidf_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+         |tc AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1),
+         |scored AS (
+         |  SELECT tc.doc_id, tc.tok, tc.tf, dfreq.df,
+         |    CAST(tc.tf AS DOUBLE)
+         |      * ((CAST((SELECT count(*) FROM documents) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+         |         / (CAST(dfreq.df AS DOUBLE) + CAST(1.0 AS DOUBLE))) AS score
+         |  FROM tc JOIN dfreq ON tc.tok = dfreq.tok)
+         |SELECT doc_id, tok, tf, df, score, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, tok ASC) AS BIGINT) AS rn
+         |  FROM scored) r
+         |WHERE rn <= $TfidfTopK""".stripMargin)
 }

@@ -103,6 +103,44 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.sortBy(_._1) === again.sortBy(_._1))
   }
 
+  test("mix_weights computes a consistent half-budget equal-share mixture") {
+    val rows = Corpus.mixWeights(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._3).sum
+    val budgetPerLang = total * 0.5 / rows.length
+    rows.foreach { case (lang, nDocs, nTok, rate, exp) =>
+      assert(nDocs > 0 && nTok > 0)
+      assert(rate > 0.0 && rate <= 1.0, s"$lang rate $rate")
+      assert(math.abs(exp - rate * nTok) < 1e-6)
+      // a stratum under its budget is kept whole; one over is scaled to it
+      if (nTok <= budgetPerLang) assert(rate === 1.0, s"$lang under budget but rate $rate")
+      else assert(math.abs(exp - budgetPerLang) < 1e-6, s"$lang exp $exp vs budget $budgetPerLang")
+    }
+  }
+
+  test("tfidf_topk ranks distinctive terms first with sane bounds") {
+    val rows = Corpus.tfidfTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, terms) =>
+      assert(terms.length <= 5, s"doc $doc has ${terms.length} terms")
+      val byRank = terms.sortBy(_._6)
+      assert(byRank.map(_._6) === (1L to terms.length).toArray)
+      // scores weakly decrease with rank (ties broken by token asc)
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 >= b._5, s"doc $doc rank order")
+        case _ =>
+      }
+    }
+    // every score is tf * (N+1)/(df+1)
+    val n = graft.sources.Tables.documents(spark, dir).count()
+    rows.foreach { case (_, _, tf, df, score, _) =>
+      assert(math.abs(score - tf * ((n + 1.0) / (df + 1.0))) < 1e-9)
+    }
+  }
+
   test("shuffle_export assigns dense 0-based positions within every shard") {
     val rows = Corpus.shuffleExport(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
