@@ -47,6 +47,45 @@ class CorpusSpec extends AnyFunSuite {
     sizes.foreach { case (_, cid, sz) => assert(sz === bySize(cid)) }
   }
 
+  test("propagateMinLabels converges in O(log n) rounds on a planted 64-chain") {
+    import spark.implicits._
+    // worst case for plain label propagation: a single path graph
+    // 1000—1001—…—1063 needs 63 propagation rounds without pointer
+    // doubling; with the hop shortcut the label's remaining travel
+    // distance halves per round, so ≤ log2(64)+2 rounds suffice
+    val chain = (1000L until 1063L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.propagateMinLabels(chain)
+    assert(rounds <= 8, s"pointer doubling should bound rounds at log2(n)+2, got $rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === (1000L to 1063L).toSet)
+    assert(got.values.forall(_ == 1000L), "every chain node must label to the min id")
+  }
+
+  test("propagateMinLabels matches union-find on random pair graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val pairs = Seq.fill(n)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val (labels, _) = Dedup.propagateMinLabels(pairs.toDF("doc_a", "doc_b"))
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("dedup_cluster is stable across partitioning") {
     val a = Dedup.dedupCluster(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
