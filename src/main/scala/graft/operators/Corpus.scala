@@ -51,11 +51,17 @@ object Corpus {
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(spark, dir)
       .select(col("doc_id"), md5Bucket(21, PackShards).as("shard"),
-        size(toks).cast("long").as("n_tokens"))
+        size(toks).cast("long").as("n_tokens"),
+        // second, tokenizer-shaped estimate: subword tokenizers land
+        // near bytes/4 on English text; integral ceil keeps it gated.
+        // The LAYOUT below still uses the regex word count — this
+        // column is the honesty check that the two proxies agree on
+        // order of magnitude, and the hook for a real tokenizer later
+        expr("CAST((octet_length(text) + 3) DIV 4 AS BIGINT)").as("n_tokens_b4"))
       .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       // integral DIV, not floor(double /): doubles lose µs-grade
       // exactness above 2^53 and the layout must be bit-stable
-      .select(col("doc_id"), col("shard"), col("n_tokens"),
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("n_tokens_b4"),
         expr(s"CAST(cum DIV $SeqLen AS BIGINT)").as("seq_id"),
         pmod(col("cum"), lit(SeqLen)).as("seq_offset"))
   }
@@ -124,6 +130,38 @@ object Corpus {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Materialized form of [[shuffleExport]]: actually writes the
+    * training shards — each shard a parquet file whose ROW ORDER is the
+    * shard's shuffle order, so a data-loader can stream it without
+    * sorting. `repartition(N, shard)` hash-partitions on the shard id
+    * (every shard lands whole in exactly one task ⇒ exactly one file
+    * per `shard=K` directory), `sortWithinPartitions(shard, pos)` makes
+    * each task's rows contiguous-and-ordered per shard, and
+    * `partitionBy` splits the task output into per-shard files. No
+    * global sort anywhere — the layout cost is one shuffle of
+    * (doc_id, shard, pos, text). The reference's equivalent is its
+    * final concat sink (O10, `ControlServiceImpl.java:397-427`) — a
+    * real file artifact, not just an assignment. */
+  def writeShuffleShards(spark: SparkSession, dir: String, outDir: String): Unit =
+    shuffleExport(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+      .repartition(ExportShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  /** Write-then-reread gate for [[writeShuffleShards]]: exports the
+    * shards to a fresh temp directory, reads them back, and returns the
+    * (doc_id, shard, pos) layout — hash-gated against the SAME oracle
+    * as `shuffle_export`, so the round-trip (shuffle write → parquet →
+    * scan) must reproduce the assignment bit-for-bit. Per-file row
+    * ordering is asserted separately in CorpusSpec. */
+  def shuffleExportWrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    writeShuffleShards(spark, dir, out)
+    spark.read.parquet(out)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))
+  }
+
   /** Data-mixing rates: given a token budget of half the corpus split
     * equally across languages, the per-language keep-rate and expected
     * token yield — the arithmetic a pipeline runs to turn "target
@@ -151,8 +189,7 @@ object Corpus {
 
   def mixWeights(spark: SparkSession, dir: String): DataFrame = {
     val toksLen = "size(filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ')), ' '), t -> length(t) > 0))"
-    Tables.documents(spark, dir).createOrReplaceTempView("documents")
-    spark.sql(
+    SqlViews.withViews(spark, "documents" -> Tables.documents(spark, dir))(
       s"""WITH t AS (
          |  SELECT lang, count(*) AS n_docs,
          |    sum(CAST($toksLen AS BIGINT)) AS n_tokens
@@ -177,8 +214,7 @@ object Corpus {
     * per-doc WindowGroupLimit rank — the shuffle never carries text,
     * and N rides a scalar subquery. */
   def tfidfTopk(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir).createOrReplaceTempView("documents")
-    spark.sql(
+    SqlViews.withViews(spark, "documents" -> Tables.documents(spark, dir))(
       s"""WITH toks AS (
          |  SELECT doc_id, tok
          |  FROM documents
@@ -205,6 +241,7 @@ object Corpus {
     "contamination"  -> contamination,
     "sample_per_key" -> samplePerKey,
     "shuffle_export" -> shuffleExport,
+    "shuffle_export_write" -> shuffleExportWrite,
     "mix_weights"    -> mixWeights,
     "tfidf_topk"     -> tfidfTopk)
 
@@ -219,14 +256,15 @@ object Corpus {
     "pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, ${bucketSql(21, PackShards)} AS shard,
-         |    CAST(len($ToksSql) AS BIGINT) AS n_tokens
+         |    CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+         |    CAST((strlen(text) + 3) // 4 AS BIGINT) AS n_tokens_b4
          |  FROM documents),
          |c AS (
-         |  SELECT doc_id, shard, n_tokens,
+         |  SELECT doc_id, shard, n_tokens, n_tokens_b4,
          |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
          |  FROM t)
-         |SELECT doc_id, shard, n_tokens,
+         |SELECT doc_id, shard, n_tokens, n_tokens_b4,
          |  cum // $SeqLen AS seq_id, cum % $SeqLen AS seq_offset
          |FROM c""".stripMargin,
     "contamination" ->
@@ -264,6 +302,12 @@ object Corpus {
          |  FROM documents) t
          |WHERE rn <= $SamplePerKey""".stripMargin,
     "shuffle_export" ->
+      s"""SELECT doc_id, ${bucketSql(5, ExportShards)} AS shard,
+         |  CAST(row_number() OVER (PARTITION BY ${bucketSql(5, ExportShards)}
+         |    ORDER BY md5(text) ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+         |FROM documents""".stripMargin,
+    // the round-trip must land on the identical assignment
+    "shuffle_export_write" ->
       s"""SELECT doc_id, ${bucketSql(5, ExportShards)} AS shard,
          |  CAST(row_number() OVER (PARTITION BY ${bucketSql(5, ExportShards)}
          |    ORDER BY md5(text) ASC, doc_id ASC) - 1 AS BIGINT) AS pos

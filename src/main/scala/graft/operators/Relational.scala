@@ -227,8 +227,7 @@ object Relational {
     * DataFrame API stops at rollup/cube); same SQL text runs on both
     * engines. */
   def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
-    spark.sql(
+    SqlViews.withViews(spark, "lineitem" -> Tables.lineitem(spark, dir))(
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
@@ -239,9 +238,9 @@ object Relational {
     * customer, 0 when none. Catalyst decorrelates this into an
     * aggregate + left join — same plan shape as joinLeftAgg. */
   def subqueryScalar(spark: SparkSession, dir: String): DataFrame = {
-    Tables.customer(spark, dir).createOrReplaceTempView("customer")
-    Tables.orders(spark, dir).createOrReplaceTempView("orders")
-    spark.sql(
+    SqlViews.withViews(spark,
+      "customer" -> Tables.customer(spark, dir),
+      "orders" -> Tables.orders(spark, dir))(
       """SELECT c_custkey,
         |  COALESCE((SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey), 0.0) AS max_order
         |FROM customer""".stripMargin)

@@ -99,7 +99,8 @@ class CorpusSpec extends AnyFunSuite {
   }
 
   test("pack_sequences lays out a gapless token stream per shard") {
-    val rows = Corpus.packSequences(spark, dir).collect()
+    val rows = Corpus.packSequences(spark, dir)
+      .select("doc_id", "shard", "n_tokens", "seq_id", "seq_offset").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.nonEmpty)
     rows.groupBy(_._2).foreach { case (_, docs) =>
@@ -189,5 +190,35 @@ class CorpusSpec extends AnyFunSuite {
       assert(docs.map(_._3).sorted === (0L until docs.length).toArray,
         s"shard $shard positions not dense")
     }
+  }
+
+  test("writeShuffleShards emits one pre-sorted parquet file per shard") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards_spec_").toString
+    Corpus.writeShuffleShards(spark, dir, out)
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    val expected = Corpus.shuffleExport(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._2)
+    assert(shardDirs.length === expected.size, "one directory per non-empty shard")
+    var seenDocs = 0L
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"${d.getName}: a shard must land whole in one task => one file, got ${files.length}")
+      val shardId = d.getName.stripPrefix("shard=").toLong
+      // read the single file WITHOUT any sort: physical row order is
+      // the contract — a data-loader streams the file as-is
+      val inFileOrder = spark.read.parquet(files.head.getPath)
+        .select("pos", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(inFileOrder.map(_._1).toSeq === (0L until inFileOrder.length).toSeq,
+        s"shard $shardId rows not in position order")
+      val want = expected(shardId).sortBy(_._3).map(r => (r._3, r._1)).toSeq
+      assert(inFileOrder.toSeq === want, s"shard $shardId doc order mismatch")
+      seenDocs += inFileOrder.length
+    }
+    assert(seenDocs === graft.sources.Tables.documents(spark, dir).count())
   }
 }
