@@ -151,45 +151,84 @@ object Similarity {
   private val NCells = 16
   private val NProbe = 2
 
-  /** Deterministic coarse centroids: a fixed slice of the corpus
-    * itself (vec_id ∈ [100, 100+NCells)) stands in for k-means
-    * centroids — sampled-point initialization without the
-    * float-order-sensitive Lloyd updates that would break bit-stable
-    * results. At 100 TB the centroid set is tiny driver-side metadata
-    * (cells × dim floats) broadcast into the assignment closure, while
-    * the vector table streams once to build the cell index. */
-  private def centroids(spark: SparkSession, dir: String): Array[(Int, Array[Float])] =
+  /** Deterministic SEED centroids: a fixed slice of the corpus itself
+    * (vec_id ∈ [100, 100+NCells)) — sampled-point initialization, the
+    * k-means analogue of a fixed seed. */
+  private def seedCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Double])] =
     Tables.embeddings(spark, dir)
       .filter(col("vec_id") >= 100 && col("vec_id") < (100 + NCells))
       .select(col("vec_id"), col("embedding"))
       .collect()
       .sortBy(_.getLong(0))
       .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray.map(_.toDouble)) }
 
-  private def cosTo(c: Array[Float], v: Array[Float]): Double = {
+  /** Quantization grid for the Lloyd mean update: components are
+    * floored onto a 2^-20 lattice BEFORE summing, so the per-cell mean
+    * is pure integer arithmetic — exact, order-insensitive, and
+    * replayable bit-for-bit by the DuckDB oracle (×2^20 is an exact
+    * double op; BIGINT sum is exact; both engines truncate integer
+    * division toward zero). */
+  private val QScale = 1048576L // 2^20
+
+  /** LEARNED centroids: one deterministic Lloyd round from the seed.
+    * Assignment runs distributed (one narrow pass over the vectors);
+    * the per-(cell, dim) integral sums — NCells×Dim rows of driver
+    * metadata, like the seed itself — are collected and turned into
+    * quantized means; an empty cell keeps its seed centroid. One fixed
+    * round (not to-convergence) keeps the operator deterministic-cost;
+    * at 100 TB you would raise rounds, not change shape — each round
+    * is the same single scan + tiny aggregate. */
+  private def learnedCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Double])] = {
+    import spark.implicits._
+    val seed = seedCentroids(spark, dir)
+    val sums = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { r =>
+        val cell = nearestCells(seed, r._2, 1).head
+        r._2.iterator.zipWithIndex.map { case (v, d) =>
+          (cell, d, math.floor(v.toDouble * QScale).toLong)
+        }
+      }
+      .toDF("cell", "d", "q")
+      .groupBy("cell", "d").agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    seed.map { case (cell, sc) =>
+      cell -> Array.tabulate(sc.length) { d =>
+        sums.get((cell, d)) match {
+          case Some((sq, n)) => (sq / n).toDouble / QScale.toDouble // Long div truncates toward zero, same as the oracle's //
+          case None          => sc(d)
+        }
+      }
+    }
+  }
+
+  private def cosTo(c: Array[Double], v: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < c.length && i < v.length) {
-      val u = c(i).toDouble; val w = v(i).toDouble
+      val u = c(i); val w = v(i).toDouble
       dot += u * w; na += u * u; nb += w * w; i += 1
     }
     if (na == 0.0 || nb == 0.0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Top-`n` nearest cells for a vector (ties → lower cell idx). */
-  private def nearestCells(cents: Array[(Int, Array[Float])], v: Array[Float], n: Int): Seq[Int] =
+  private def nearestCells(cents: Array[(Int, Array[Double])], v: Array[Float], n: Int): Seq[Int] =
     cents.map { case (i, c) => (i, cosTo(c, v)) }
       .sortBy { case (i, s) => (-s, i) }.take(n).map(_._1).toSeq
 
   /** IVF-flat ANN: vectors are assigned to their nearest centroid
     * cell; each query probes its NProbe nearest cells and scores only
     * those cells' members. Complements annLsh: IVF adapts to the data
-    * distribution (cells are data points) where hyperplane LSH is
-    * data-oblivious. Same output shape; recall vs brute force asserted
-    * in PipelineOpsSpec. */
+    * distribution (centroids are one Lloyd round of k-means from a
+    * fixed corpus-slice seed — [[learnedCentroids]]) where hyperplane
+    * LSH is data-oblivious. Same output shape; recall vs brute force
+    * asserted in PipelineOpsSpec. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cents = centroids(spark, dir)
+    val cents = learnedCentroids(spark, dir)
     val e = Tables.embeddings(spark, dir)
     val cells = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .map(r => (r._1, nearestCells(cents, r._2, 1).head))
@@ -230,17 +269,39 @@ object Similarity {
          |      FROM s)
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, round(cos, 4) AS cos
          |FROM r WHERE rnk <= $K""".stripMargin,
-    // IVF is fully SQL-expressible because the coarse quantizer is a
-    // deterministic corpus slice: DuckDB replays centroid selection,
-    // nearest-cell assignment (ties → lower cell), nprobe probing,
-    // in-cell scoring, and per-query top-k — the whole operator is
-    // hash-gated, not just row counts.
+    // IVF is fully SQL-expressible because every piece is
+    // deterministic: DuckDB replays seed-centroid selection, the
+    // quantized-integer Lloyd mean update (floor onto the 2^-20
+    // lattice → exact BIGINT sums → trunc-toward-zero division, all
+    // bit-identical across engines), nearest-cell assignment (ties →
+    // lower cell), nprobe probing, in-cell scoring, and per-query
+    // top-k — the whole LEARNED operator is hash-gated, not just row
+    // counts.
     "ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
          |           FROM embeddings),
-         |cents AS (
+         |cents0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS ce
          |  FROM e WHERE vec_id >= 100 AND vec_id < ${100 + NCells}),
+         |a0 AS (
+         |  SELECT e.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.emb, c.ce) DESC, c.cell ASC) AS rk
+         |  FROM e CROSS JOIN cents0 c),
+         |m0 AS (SELECT vec_id, cell FROM a0 WHERE rk = 1),
+         |dims AS (SELECT unnest(range($Dim)) AS d),
+         |sums AS (
+         |  SELECT m0.cell, dims.d,
+         |    CAST(sum(CAST(floor(e.emb[dims.d + 1] * $QScale.0) AS BIGINT)) AS BIGINT) AS sq,
+         |    count(*) AS n
+         |  FROM m0 JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+         |cents AS (
+         |  SELECT c0.cell,
+         |    list(COALESCE(CAST(s.sq // s.n AS DOUBLE) / $QScale.0,
+         |                  c0.ce[dims.d + 1]) ORDER BY dims.d) AS ce
+         |  FROM cents0 c0 CROSS JOIN dims
+         |  LEFT JOIN sums s ON s.cell = c0.cell AND s.d = dims.d
+         |  GROUP BY c0.cell),
          |assign AS (
          |  SELECT e.vec_id, c.cell,
          |    row_number() OVER (PARTITION BY e.vec_id
