@@ -53,13 +53,13 @@ object Bench {
     // measured from BENCH_r02.json) cut off its head → "parsed": null.
     // At 79 queries, 2 decimals keeps line + sbt's trailing [success]
     // comfortably inside the window (~1.8 kB).
-    def f3(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     if (errors.nonEmpty)
       System.err.println(s"BENCH ERRORS (${errors.size}): ${errors.keys.mkString(", ")}")
     spark.stop()

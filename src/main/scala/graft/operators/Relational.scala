@@ -373,11 +373,18 @@ object Relational {
     * sketch. HLL++ is deterministic for a given input (fixed hash,
     * merge = register-wise max, order-insensitive), so the flag is
     * stable across runs/partitionings, and the oracle asserting
-    * `1` means "the sketch landed inside its advertised rsd envelope"
-    * — a real gate on the operator, not just row counts. */
+    * `1` means "the sketch landed inside its error envelope"
+    * — a real gate on the operator, not just row counts.
+    *
+    * The envelope is 3σ of the configured rsd (0.01 → 3%): HLL++'s
+    * rsd is ONE standard error, so gating at 2σ (2%) would make the
+    * flag a coin-flip-adjacent bet at any new scale factor or fixture
+    * even when the sketch meets its design spec; 3σ holds with
+    * ~99.7%-per-key headroom while still catching a broken sketch
+    * (which is off by far more than 3%). */
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     def inEnvelope(approx: Column, exact: Column): Column =
-      (abs(approx.cast("double") - exact) <= exact * 0.02).cast("long")
+      (abs(approx.cast("double") - exact) <= exact * 0.03).cast("long")
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
@@ -386,8 +393,8 @@ object Relational {
         approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
       .select(col("l_returnflag"), col("n_parts"), col("n_orders"),
-        inEnvelope(col("ap"), col("n_parts")).as("parts_in_2pct"),
-        inEnvelope(col("ao"), col("n_orders")).as("orders_in_2pct"))
+        inEnvelope(col("ap"), col("n_parts")).as("parts_in_3sig"),
+        inEnvelope(col("ao"), col("n_orders")).as("orders_in_3sig"))
   }
 
   /** KMV distinct-count sketch (k=64) — the oracle-checkable sketch:
@@ -598,15 +605,15 @@ object Relational {
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // the oracle asserts the exact counts AND that the engine's HLL
-    // sketches landed inside their 2% envelope (flags forced to 1);
-    // DuckDB can't replay the register layout, but it can hold the
-    // operator to its accuracy contract
+    // sketches landed inside their 3-sigma envelope (flags forced to
+    // 1); DuckDB can't replay the register layout, but it can hold
+    // the operator to its accuracy contract
     "agg_approx_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_orderkey) AS n_orders,
-        |  CAST(1 AS BIGINT) AS parts_in_2pct,
-        |  CAST(1 AS BIGINT) AS orders_in_2pct
+        |  CAST(1 AS BIGINT) AS parts_in_3sig,
+        |  CAST(1 AS BIGINT) AS orders_in_3sig
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "agg_median" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,

@@ -112,8 +112,35 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("contamination")
     assert(p.contains("partial_"), "contamination lacks partial aggregation")
     // the only wide ops carry (doc_id, sh) longs / distinct sh — the
-    // text column must be consumed below every exchange
-    val shuffleSections = p.split("Exchange").drop(1)
-    assert(shuffleSections.nonEmpty)
+    // text column must be consumed below every hash exchange. The
+    // Exchange line holds the partitioning keys, and its immediate
+    // child line (tree-printing puts the direct child next) holds the
+    // operator whose output IS the shuffle payload: neither may
+    // reference a text attribute. RoundRobin exchanges are exempt:
+    // that's Tables' fixture-only scan fan-out (single-row-group
+    // parquet can't split), which disappears at real file sizes.
+    val lines = p.linesIterator.toArray
+    val wideIdxs = lines.indices.filter(i =>
+      lines(i).contains("Exchange hashpartitioning") ||
+        lines(i).contains("Exchange rangepartitioning"))
+    assert(wideIdxs.nonEmpty, "contamination must plan at least one wide exchange")
+    wideIdxs.foreach { i =>
+      assert(!lines(i).contains("text#"),
+        s"exchange partitions on text:\n${lines(i)}")
+      lines.drop(i + 1).find(_.trim.nonEmpty).foreach { child =>
+        assert(!child.contains("text#"),
+          s"shuffle payload carries text:\n$child")
+      }
+    }
+  }
+
+  test("tfidf_topk plans rank-limit pushdown and a broadcast df join") {
+    val p = plan("tfidf_topk")
+    // rn <= 5 must prune per-doc groups BEFORE the exchange, like
+    // sample_per_key — 4.3 s of the bench rides on this shape
+    assert(p.contains("WindowGroupLimit"), "tfidf_topk lost its rank-limit pushdown")
+    // the document-frequency side is vocabulary-sized — it must come
+    // in as a broadcast, not a shuffle of the full (doc, tok) stream
+    assert(p.contains("BroadcastHashJoin"), "tfidf_topk df join is not broadcast")
   }
 }

@@ -175,9 +175,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     val rows = Relational.aggApproxDistinct(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getLong(r.fieldIndex("parts_in_2pct")) === 1L,
+      assert(r.getLong(r.fieldIndex("parts_in_3sig")) === 1L,
         s"${r.getString(0)}: parts sketch out of envelope")
-      assert(r.getLong(r.fieldIndex("orders_in_2pct")) === 1L,
+      assert(r.getLong(r.fieldIndex("orders_in_3sig")) === 1L,
         s"${r.getString(0)}: orders sketch out of envelope")
     }
     // and the exact columns agree with the plain distinct query
