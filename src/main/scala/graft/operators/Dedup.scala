@@ -479,6 +479,68 @@ object Dedup {
     (labels, rounds)
   }
 
+  private val SpanK = 5
+
+  /** Cross-document repeated-span report — the span-level (exact
+    * substring) complement to the doc-level Jaccard suite: for every
+    * document, how many of its distinct [[SpanK]]-word spans also
+    * occur in at least one OTHER document. This is the primitive
+    * behind exact-substring training-data dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * memorized boilerplate/passages repeat verbatim across documents
+    * that are NOT near-duplicates as a whole, so doc-level Jaccard
+    * never sees them. The report ranks documents by how much of their
+    * content is corpus-repeated (dup_ratio → candidate for span
+    * removal or down-weighting).
+    *
+    * Scale shape: spans ride as 8-byte xxhash64 keys from the typed
+    * tokenizer flatMap (never the span text); per-span doc counts and
+    * per-doc totals are partial+final aggregations; the shared-span
+    * membership is a left-semi join on the hash. The span stream is
+    * persisted once and feeds all three consumers — at 100 TB this is
+    * one scan of the corpus plus shuffles of (id, hash) longs. */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { r =>
+        val toks = r._2.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (toks.length < SpanK) Iterator.empty[(Long, String)]
+        else toks.sliding(SpanK).map(w => (r._1, w.mkString(" "))).toSet.iterator
+      }
+      .toDF("doc_id", "span")
+      .select(col("doc_id"), xxhash64(col("span")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // spans are distinct per doc, so count(*) per hash = document count
+    val shared = spans.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val totals = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val dups = spans.join(shared, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    totals.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio", col("n_dup_spans").cast("double") / col("n_spans"))
+  }
+
+  /** The actionable end of the dedup pipeline: a keep/drop manifest
+    * over the WHOLE corpus. Members of a near-dup cluster
+    * ([[dedupCluster]]) keep only their representative (the min-id
+    * label); every non-candidate document is its own singleton cluster
+    * and is kept. Filtering `keep = 1` materializes the deduplicated
+    * corpus — pairs → clusters → decisions, closed under one oracle.
+    * Scale: one left join of (doc_id) against the (tiny) candidate
+    * cluster labels — broadcastable at any realistic near-dup rate. */
+  def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupCluster(spark, dir).select(col("doc_id"), col("cluster_id"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        (col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+          .cast("long").as("keep"))
+  }
+
   /** All-pairs exact formulation — spec-side ground truth for
     * [[dedupEmbedding]] (PipelineOpsSpec asserts equality). Not
     * registered: the non-equi join is a BNLJ, audit scale only. */
@@ -498,7 +560,9 @@ object Dedup {
     "dedup_minhash"   -> dedupMinhash,
     "dedup_simhash"   -> dedupSimhashMd5,
     "dedup_embedding" -> dedupEmbedding,
-    "dedup_cluster"   -> dedupCluster)
+    "dedup_cluster"   -> dedupCluster,
+    "dedup_substring" -> dedupSubstring,
+    "dedup_keep"      -> dedupKeep)
 
   /** Shared DuckDB shingle pipeline (window-based trigram build). */
   private val ShinglesCte =
@@ -528,8 +592,9 @@ object Dedup {
   /** Transitive closure of the exact near-dup pair graph: min label
     * per component via a recursive CTE — small-component-safe because
     * near-dup components are tiny, exactly the regime where the Spark
-    * side's label propagation also lives. */
-  private val ClusterSql =
+    * side's label propagation also lives. Shared by the cluster report
+    * and the keep/drop manifest. */
+  private val ClusterCtes =
     s"""${ShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |jp AS (
        |  SELECT doc_a, doc_b FROM pairs
@@ -541,13 +606,51 @@ object Dedup {
        |  SELECT DISTINCT a AS id, a AS lab FROM edges
        |  UNION
        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
-       |cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+       |cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  private val ClusterSql =
+    s"""$ClusterCtes
        |SELECT id AS doc_id, cluster_id,
        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM cc""".stripMargin
 
+  private val KeepSql =
+    s"""$ClusterCtes
+       |SELECT d.doc_id,
+       |  COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+       |  CAST(CASE WHEN cc.cluster_id IS NULL OR cc.cluster_id = d.doc_id
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id""".stripMargin
+
+  /** Full replay of [[dedupSubstring]]: 5-gram spans via lead windows,
+    * per-doc distinct spans, cross-doc shared set, per-doc counts. */
+  private val SubstringSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS w,
+      |         unnest(range(1, len(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '))+1)) AS pos
+      |  FROM documents),
+      |tok2 AS (SELECT * FROM toks WHERE w <> ''),
+      |g AS (
+      |  SELECT doc_id,
+      |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+      |      || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win AS span,
+      |    lead(w,4) OVER win AS w4
+      |  FROM tok2 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |sp AS (SELECT DISTINCT doc_id, span FROM g WHERE w4 IS NOT NULL),
+      |shared AS (SELECT span FROM sp GROUP BY span HAVING count(*) >= 2),
+      |tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
+      |dup AS (SELECT sp.doc_id, count(*) AS n_dup_spans
+      |        FROM sp JOIN shared USING(span) GROUP BY 1)
+      |SELECT tot.doc_id, tot.n_spans,
+      |  COALESCE(dup.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
+      |  CAST(COALESCE(dup.n_dup_spans, CAST(0 AS BIGINT)) AS DOUBLE) / tot.n_spans AS dup_ratio
+      |FROM tot LEFT JOIN dup USING(doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_cluster" -> ClusterSql,
+    "dedup_keep" -> KeepSql,
+    "dedup_substring" -> SubstringSql,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -67,6 +67,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(mh === exact)
   }
 
+  test("dedup_substring flags planted near-dup docs as span-duplicated") {
+    val nearDup = Dedup.dedupNgramJaccard(spark, dir).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(nearDup.nonEmpty)
+    val rows = Dedup.dedupSubstring(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.foreach { case (id, nSpans, nDup, ratio) =>
+      assert(nDup >= 0L && nDup <= nSpans, s"doc $id counts")
+      assert(math.abs(ratio - nDup.toDouble / nSpans) < 1e-12, s"doc $id ratio")
+    }
+    val byDoc = rows.map(r => r._1 -> r._4).toMap
+    // a doc that is a 0.8-Jaccard near-dup of another shares almost
+    // all its 5-word spans with it — span-level dup must see that
+    nearDup.foreach { id =>
+      assert(byDoc(id) > 0.5, s"near-dup doc $id has span dup_ratio ${byDoc(id)}")
+    }
+  }
+
+  test("dedup_keep keeps exactly one representative per cluster and all singletons") {
+    val keep = Dedup.dedupKeep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val clusters = Dedup.dedupCluster(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nDocs = graft.sources.Tables.documents(spark, dir).count()
+    assert(keep.length.toLong === nDocs, "manifest covers the whole corpus")
+    keep.foreach { case (id, cid, k) =>
+      clusters.get(id) match {
+        case Some(c) => assert(cid === c && k === (if (id == c) 1L else 0L), s"doc $id")
+        case None    => assert(cid === id && k === 1L, s"singleton $id")
+      }
+    }
+    val kept = keep.filter(_._3 == 1L).map(_._1).toSet
+    // exactly one kept member per near-dup cluster: its min-id label
+    clusters.values.toSet.foreach { (c: Long) => assert(kept.contains(c)) }
+    assert(kept.size.toLong === nDocs - clusters.size + clusters.values.toSet.size)
+  }
+
   test("LSH-bucketed embedding dedup equals all-pairs exact, no BNLJ") {
     val exact = Dedup.dedupEmbeddingExact(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), math.rint(r.getDouble(2) * 1e4))).toMap
