@@ -182,16 +182,31 @@ object Similarity {
   private def learnedCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Double])] = {
     import spark.implicits._
     val seed = seedCentroids(spark, dir)
+    val dim = seed.head._2.length
+    // partial sums accumulate INSIDE each partition (one dense
+    // cells×dim long array), so the shuffle carries
+    // partitions×cells×dim rows instead of vectors×dim — the map-side
+    // combine a groupBy over the exploded (cell, d, q) stream would
+    // only approximate. Exact long arithmetic ⇒ order-insensitive.
     val sums = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .flatMap { r =>
-        val cell = nearestCells(seed, r._2, 1).head
-        r._2.iterator.zipWithIndex.map { case (v, d) =>
-          (cell, d, math.floor(v.toDouble * QScale).toLong)
+      .mapPartitions { rows =>
+        val acc = Array.ofDim[Long](NCells, dim)
+        val cnt = new Array[Long](NCells)
+        rows.foreach { r =>
+          val cell = nearestCells(seed, r._2, 1).head
+          cnt(cell) += 1L
+          var d = 0
+          while (d < dim && d < r._2.length) {
+            acc(cell)(d) += math.floor(r._2(d).toDouble * QScale).toLong
+            d += 1
+          }
         }
+        for { c <- (0 until NCells).iterator if cnt(c) > 0; d <- (0 until dim).iterator }
+          yield (c, d, acc(c)(d), cnt(c))
       }
-      .toDF("cell", "d", "q")
-      .groupBy("cell", "d").agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .toDF("cell", "d", "pq", "pn")
+      .groupBy("cell", "d").agg(sum(col("pq")).as("sq"), sum(col("pn")).as("n"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
       .toMap
