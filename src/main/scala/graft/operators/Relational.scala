@@ -168,6 +168,86 @@ object Relational {
       .limit(100)
   }
 
+  /** Q12 shape: conditional aggregation after a fact-fact join —
+    * per line status, how many lines belong to high- vs low-priority
+    * orders in one shipping year. The CASE sums fold into one
+    * partial+final aggregate; the join shuffles on the order key
+    * (both sides fact-sized — the shape AQE skew-handles at scale). */
+  def q12Priority(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** Q14 shape: promo revenue share — a ratio of two conditional
+    * decimal-exact sums over one lineitem⋈part join (part broadcasts).
+    * Both sums ride one partial+final aggregate; the division of the
+    * two exact-decimal-derived doubles is a single exactly-rounded
+    * IEEE op, so the ratio hash-matches cross-engine. */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-07-01"))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)), 6).as("promo_revenue"),
+        dsum(rev, 6).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (col("promo_revenue") / col("total_revenue") * 100.0).as("promo_pct"))
+  }
+
+  /** Q19 shape: disjunctive multi-attribute predicate (OR of ANDs
+    * spanning both join sides). Catalyst extracts the common
+    * single-side conjuncts from the OR and pushes them below the join
+    * (p_size ≤ 15, l_quantity ≤ 30 reach the scans), keeping the
+    * cross-side residual on the join — the pushdown pattern naive
+    * planners miss entirely. */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+
+  /** Q22 shape: anti-join + scalar aggregate subquery — dormant
+    * valuable customers: above-average positive balance and no order
+    * since 1998, per market segment (every fixture customer has SOME
+    * order, so the classic "no orders at all" form would gate zero
+    * rows — the recency predicate keeps the identical plan shape with
+    * a non-vacuous result). The average arrives as a one-value scalar
+    * subquery (driver metadata, no join shape); the dormancy test is
+    * a left-anti join on the customer key against the filtered
+    * orders. Cross-engine determinism: the mean is compared as the
+    * exact DECIMAL sum cast to double divided by the exact count —
+    * both single exactly-rounded ops. */
+  def q22Balance(spark: SparkSession, dir: String): DataFrame = {
+    SqlViews.withViews(spark,
+      "customer" -> Tables.customer(spark, dir),
+      "orders" -> Tables.orders(spark, dir))(
+      """WITH avg_bal AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS a
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT a FROM avg_bal)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
   // ---- core operator surface ---------------------------------------
 
   def filterProject(spark: SparkSession, dir: String): DataFrame =
@@ -440,6 +520,10 @@ object Relational {
     "q10_returns"       -> q10Returns,
     "q4_priority"      -> q4Priority,
     "q6_forecast"      -> q6Forecast,
+    "q12_priority"     -> q12Priority,
+    "q14_promo"        -> q14Promo,
+    "q19_disjunctive"  -> q19Disjunctive,
+    "q22_balance"      -> q22Balance,
     "q18_volume"       -> q18Volume,
     "filter_project"   -> filterProject,
     "join_broadcast"   -> joinBroadcastDims,
@@ -578,6 +662,45 @@ object Relational {
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY o_totalprice DESC, o_orderkey ASC
          |LIMIT 100""".stripMargin,
+    "q12_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus""".stripMargin,
+    "q14_promo" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |         THEN l_extendedprice*(1-l_discount) ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE) AS promo_revenue,
+        |    CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00')
+        |SELECT promo_revenue, total_revenue,
+        |  promo_revenue / total_revenue * 100.0 AS promo_pct
+        |FROM s""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_balance" ->
+      """WITH avg_bal AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS a
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT a FROM avg_bal)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY c_mktsegment""".stripMargin,
     "filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice*(1-l_discount) AS net_price
         |FROM lineitem
