@@ -51,13 +51,15 @@ object Bench {
     // 10 ms precision is plenty; full double precision made the r2
     // line ~2.4 kB and the driver's stdout tail capture (2000 chars,
     // measured from BENCH_r02.json) cut off its head → "parsed": null.
-    // At 79 queries, 2 decimals keeps line + sbt's trailing [success]
-    // comfortably inside the window (~1.8 kB).
+    // At 87 queries even 2-decimal output flirts with the window, so
+    // trailing zeros/dots are stripped ("0.50"→"0.5", "1.00"→"1") —
+    // still valid JSON numbers, ~60-80 bytes back.
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      .replaceAll("0+$", "").replaceAll("\\.$", "")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
+      .mkString("{", ",", "}") // stays "{}" when clean — driver reads the key unconditionally
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     if (errors.nonEmpty)
