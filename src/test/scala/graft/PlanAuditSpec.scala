@@ -134,6 +134,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q19: the OR-of-ANDs predicate pushes its per-side projections to BOTH scans") {
+    // Catalyst must derive from the cross-side disjunction that
+    // lineitem only needs the union of the quantity ranges and part
+    // only the union of the brand/size conjuncts — at 100 TB this is
+    // the difference between scanning slices of both tables and
+    // filtering after the join
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try {
+      val p = plan("q19_disjunctive")
+      assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"),
+        "lineitem scan lost the derived quantity disjunction")
+      assert(p.contains("EqualTo(p_brand,Brand#12)"),
+        "part scan lost the derived brand/size disjunction")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+  }
+
   test("tfidf_topk plans rank-limit pushdown and a broadcast df join") {
     val p = plan("tfidf_topk")
     // rn <= 5 must prune per-doc groups BEFORE the exchange, like

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-case behavior of the tokenizing operators on inputs the
+  * fixture corpus never produces: empty text, docs shorter than the
+  * shingle/span width, and non-ASCII content. These pin the LIBRARY
+  * contract — ASCII-alphanumeric tokenization, identical to the
+  * oracle regex `[^a-z0-9]+` — so a future "fix" that silently
+  * changes tokenization on unicode fails here instead of surfacing as
+  * an oracle mismatch at a new fixture.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("shingling drops empty and below-width docs instead of emitting partial rows") {
+    val sh = Dedup.docShinglesOf(docs(
+      1L -> "",
+      2L -> "   \t  ",
+      3L -> "one two",            // 2 tokens < k=3
+      4L -> "one two three")).collect()
+    assert(sh.map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set(4L -> "one two three"))
+  }
+
+  test("tokenization is ASCII-alphanumeric: non-ASCII letters are separators") {
+    // 'é'/'ö' are NOT in [a-z0-9], so accented words split — the
+    // documented contract (matches the DuckDB oracle regex), not a bug
+    val sh = Dedup.docShinglesOf(docs(1L -> "héllo wörld naïve café x"))
+      .collect().map(_.getString(1))
+    val toks = "héllo wörld naïve café x".toLowerCase
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+    assert(toks === Array("h", "llo", "w", "rld", "na", "ve", "caf", "x"))
+    assert(sh.contains("h llo w"))
+    assert(sh.forall(s => s.matches("[a-z0-9]+( [a-z0-9]+){2}")))
+  }
+
+  test("punctuation-only and numeric docs tokenize to the expected stream") {
+    val sh = Dedup.docShinglesOf(docs(
+      1L -> "!!! ??? ...",        // no tokens at all
+      2L -> "42 7 foo42bar 0")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(!sh.exists(_._1 == 1L))
+    assert(sh.collect { case (2L, s) => s }.toSet ===
+      Set("42 7 foo42bar", "7 foo42bar 0"))
+  }
+
+  test("propagateMinLabels handles a single edge and self-loops") {
+    val (single, r1) = Dedup.propagateMinLabels(Seq((7L, 3L)).toDF("doc_a", "doc_b"))
+    assert(single.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(7L -> 3L, 3L -> 3L))
+    assert(r1 <= 2)
+    // a self-loop must not wedge the loop or split a component
+    val (looped, _) = Dedup.propagateMinLabels(
+      Seq((5L, 5L), (5L, 9L)).toDF("doc_a", "doc_b"))
+    assert(looped.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(5L -> 5L, 9L -> 5L))
+  }
+}
