@@ -541,6 +541,89 @@ object Dedup {
           .cast("long").as("keep"))
   }
 
+  /** Connected components by alternating large-star / small-star edge
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the WEB-GRAPH-SCALE alternative to
+    * [[propagateMinLabels]]. Where label propagation (even with
+    * pointer doubling) keeps the full edge set alive every round,
+    * star contraction REWRITES the edges toward star graphs centered
+    * at component minima, shrinking the working set as it converges —
+    * the right trade once edges ≫ nodes (web/link graphs). Crossover:
+    * for near-dup graphs (tiny components, edges ≈ nodes) the
+    * registered pointer-doubling loop wins on constant factors; both
+    * are O(log n) rounds.
+    *
+    *  - large-star: every node connects its LARGER neighbours to its
+    *    local minimum — one min-groupBy + one join per step;
+    *  - small-star: every node connects its smaller-or-self
+    *    neighbours to the minimum of its smaller neighbourhood;
+    *  - fixpoint: the edge set is a union of stars — leaf → min(id)
+    *    of its component; detected via an exact (count, Σxxhash64)
+    *    signature of the canonical edge set (decimal sum — exact,
+    *    order-insensitive; a signature collision would need two
+    *    DIFFERENT edge sets agreeing on count and 64-bit hash sum —
+    *    vanishing, and the spec cross-checks labels vs union-find).
+    *
+    * Returns (labels(id, lab), rounds). Not registered as a query: its
+    * output is by construction identical to [[propagateMinLabels]]'s
+    * (EdgeCaseSpec/CorpusSpec assert it), so a second registered row
+    * would gate nothing new. */
+  private[operators] def ccStarContraction(pairs: DataFrame): (DataFrame, Int) = {
+    import org.apache.spark.sql.functions.{xxhash64 => xh}
+    def symmetric(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      e.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.filter(col("v") < col("u"))
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      dir.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    var edges = symmetric(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .filter(col("u") =!= col("v")))
+      .repartition(ClusterParts)
+      .localCheckpoint()
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val dir = e.filter(col("v") < col("u"))
+      val r = dir.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(xh(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("s")).first()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var sig = signature(edges)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 48) {
+      val next = symmetric(smallStar(largeStar(edges)))
+        .repartition(ClusterParts)
+        .localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      rounds += 1
+    }
+    require(converged, s"ccStarContraction: no fixpoint after $rounds rounds")
+    // fixpoint edges are stars: every directed (big, small) pair is
+    // leaf → component-min; centers label themselves
+    val dir = edges.filter(col("v") < col("u"))
+    val leaves = dir.select(col("u").as("id"), col("v").as("lab"))
+    val centers = dir.select(col("v").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+    (leaves.union(centers).distinct(), rounds)
+  }
+
   /** All-pairs exact formulation — spec-side ground truth for
     * [[dedupEmbedding]] (PipelineOpsSpec asserts equality). Not
     * registered: the non-equi join is a BNLJ, audit scale only. */

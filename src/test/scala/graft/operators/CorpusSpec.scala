@@ -86,6 +86,26 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("ccStarContraction equals propagateMinLabels on chains, cliques, and random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val shapes: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "chain64" -> (2000L until 2063L).map(i => (i, i + 1)),
+      "clique8" -> (for { a <- 3000L until 3008L; b <- (a + 1) until 3008L } yield (a, b)),
+      "twoComps" -> Seq((1L, 2L), (2L, 3L), (10L, 11L)),
+      "random" -> Seq.fill(80)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }.distinct)
+    shapes.foreach { case (name, pairs) =>
+      val df = pairs.toDF("doc_a", "doc_b")
+      val (star, starRounds) = Dedup.ccStarContraction(df)
+      val (prop, _) = Dedup.propagateMinLabels(df)
+      val a = star.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = prop.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a === b, s"$name: star contraction disagrees with label propagation")
+      assert(starRounds <= 12, s"$name: $starRounds rounds is not O(log n)")
+    }
+  }
+
   test("dedup_cluster is stable across partitioning") {
     val a = Dedup.dedupCluster(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
