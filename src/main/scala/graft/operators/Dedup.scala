@@ -451,8 +451,13 @@ object Dedup {
       val nbrMsg = edges.join(labels, edges("doc_b") === labels("id"))
         .select(edges("doc_a").as("id"), col("lab"),
           lit(null).cast("long").as("own"))
-      // pointer doubling: each node also reads its label's label; in
-      // round 0 lab(lab) ≡ lab (labels seed to ids), so skip the join
+      // pointer doubling: each node also reads its label's label.
+      // Round 0 runs WITHOUT the hop join: the seed just applied one
+      // propagation step, and on near-dup graphs (tiny components)
+      // round 0 is usually the already-converged check — skipping the
+      // hop keeps it one join cheaper; on deep graphs the skip costs
+      // at most one extra round (correctness is unaffected: the hop
+      // only accelerates a monotone min-fixpoint)
       val msgs =
         if (rounds == 0) self.unionByName(nbrMsg)
         else {
