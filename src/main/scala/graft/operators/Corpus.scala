@@ -236,7 +236,38 @@ object Corpus {
          |WHERE rn <= $TfidfTopK""".stripMargin)
   }
 
+  /** The full C4-style cleaning decision, end to end: one row per
+    * document with the keep/drop verdict a corpus run would act on and
+    * the FIRST failing gate as the reason — `lang` (the heuristic
+    * language-ID must say English), then `quality` (minimum token
+    * count + nonzero stopword ratio), then `duplicate` (near-dup
+    * cluster non-representatives), else `ok`. Composes three gated
+    * operators ([[TextAnalysis.langId]], [[TextAnalysis.textQuality]],
+    * [[Dedup.dedupKeep]]) into the decision their pipelines exist for;
+    * the oracle replays the ENTIRE cascade — language heuristic,
+    * quality ratios, recursive-CTE clustering — in one SQL statement.
+    *
+    * Scale shape: three narrow per-doc derivations joined on doc_id
+    * (co-partitioned shuffles of id-keyed rows), plus the (tiny)
+    * cluster labels from the dedup path; no new wide state beyond what
+    * the composed operators already justify. */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val lang = TextAnalysis.langId(spark, dir).select(col("doc_id"), col("pred_lang"))
+    val quality = TextAnalysis.textQuality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
+    val keep = Dedup.dedupKeep(spark, dir)
+      .select(col("doc_id"), col("keep").as("dedup_keep"))
+    lang.join(quality, "doc_id").join(keep, "doc_id")
+      .select(col("doc_id"),
+        when(col("pred_lang") =!= "en", "lang")
+          .when(col("n_tokens") < 15 || col("stopword_ratio") <= 0.0, "quality")
+          .when(col("dedup_keep") === 0, "duplicate")
+          .otherwise("ok").as("reason"))
+      .withColumn("keep", (col("reason") === "ok").cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_clean"   -> corpusClean,
     "pack_sequences" -> packSequences,
     "contamination"  -> contamination,
     "sample_per_key" -> samplePerKey,
@@ -251,7 +282,39 @@ object Corpus {
   private def bucketSql(from: Int, m: Int): String =
     s"CAST(CAST('0x' || substring(md5(text), $from, 4) AS INTEGER) % $m AS BIGINT)"
 
+  /** Full-cascade replay of [[corpusClean]]: the language CASE, the
+    * quality ratios, and the recursive-CTE near-dup clustering all in
+    * one statement (the cluster CTEs come verbatim from the dedup
+    * oracle, so the two rows can never drift apart). */
+  private val CleanSql = {
+    val score = TextAnalysis.Markers
+      .map { case (l, ws) => s"${TextAnalysis.markerSql(ws)} AS s_$l" }.mkString(", ")
+    val best = s"greatest(${TextAnalysis.Markers.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+    val cascade = TextAnalysis.Markers
+      .map { case (l, _) => s"WHEN s_$l = $best AND $best > 0 THEN '$l'" }.mkString(" ")
+    val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(",")
+    s"""${Dedup.ClusterCtes},
+       |lm AS (
+       |  SELECT doc_id,
+       |    CASE $cascade ELSE 'und' END AS pred_lang,
+       |    CAST(len(${TextAnalysis.ToksSql}) AS BIGINT) AS n_tokens,
+       |    len(list_filter(${TextAnalysis.ToksSql}, t -> t IN ($stopList)))*1.0
+       |      / len(${TextAnalysis.ToksSql}) AS stop_ratio
+       |  FROM (SELECT doc_id, text, $score FROM documents) t),
+       |dec AS (
+       |  SELECT lm.doc_id,
+       |    CASE WHEN lm.pred_lang <> 'en' THEN 'lang'
+       |         WHEN lm.n_tokens < 15 OR lm.stop_ratio <= 0.0 THEN 'quality'
+       |         WHEN cc.cluster_id IS NOT NULL AND cc.cluster_id <> lm.doc_id THEN 'duplicate'
+       |         ELSE 'ok' END AS reason
+       |  FROM lm LEFT JOIN cc ON cc.id = lm.doc_id)
+       |SELECT doc_id, reason,
+       |  CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM dec""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "corpus_clean" -> CleanSql,
     // window sum(BIGINT) is HUGEINT in DuckDB — cast back before DIV
     "pack_sequences" ->
       s"""WITH t AS (

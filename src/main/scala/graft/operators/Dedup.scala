@@ -682,7 +682,7 @@ object Dedup {
     * near-dup components are tiny, exactly the regime where the Spark
     * side's label propagation also lives. Shared by the cluster report
     * and the keep/drop manifest. */
-  private val ClusterCtes =
+  private[operators] val ClusterCtes =
     s"""${ShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |jp AS (
        |  SELECT doc_a, doc_b FROM pairs

@@ -16,7 +16,7 @@ object TextAnalysis {
   private def charCount(text: Column, charClass: String): Column =
     length(text) - length(regexp_replace(text, charClass, ""))
 
-  private val Stopwords =
+  private[operators] val Stopwords =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with", "as", "at", "by", "from")
 
   /** Per-document quality features: the length/punctuation/stopword
@@ -41,7 +41,7 @@ object TextAnalysis {
     * pick the max with a fixed precedence order (en > es > de > fr).
     * The same CASE cascade is expressed in the oracle SQL, so the
     * heuristic itself is cross-checked, not just row counts. */
-  private val Markers: Seq[(String, Seq[String])] = Seq(
+  private[operators] val Markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is"),
     "es" -> Seq("el", "la", "los", "de", "que", "y"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
@@ -224,10 +224,10 @@ object TextAnalysis {
     "doc_chunks"      -> docChunks,
     "doc_sample"      -> docSampleStratified)
 
-  private val ToksSql =
+  private[operators] val ToksSql =
     "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')"
 
-  private def markerSql(ws: Seq[String]): String =
+  private[operators] def markerSql(ws: Seq[String]): String =
     s"len(list_filter($ToksSql, t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
 
   val oracles: Map[String, String] = Map(
