@@ -61,7 +61,17 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}") // stays "{}" when clean — driver reads the key unconditionally
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    def line(e: String) =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"errors":$e,"sf":"$sfDir"}"""
+    // the clean line is ~1.87 kB at 88 queries; ONE full error message
+    // would push past the 2000-char tail window and null the round's
+    // parse. Degrade gracefully: full messages if they fit, else
+    // failing-query names only (details are on stderr either way).
+    val full = line(errs)
+    val out =
+      if (full.length <= 1900) full
+      else line("{\"_failed\":\"" + errors.keys.mkString(",").take(120) + "\"}")
+    println(out)
     if (errors.nonEmpty)
       System.err.println(s"BENCH ERRORS (${errors.size}): ${errors.keys.mkString(", ")}")
     spark.stop()

@@ -99,7 +99,7 @@ object MapReduceJob {
     * `(word, "1")`. */
   val tokenizeMap: String => Iterator[(String, String)] =
     line =>
-      line.toLowerCase
+      line.toLowerCase(java.util.Locale.ROOT)
         .map(c => if (c.isLetterOrDigit && c < 128) c else ' ')
         .split("\\s+").iterator
         .filter(_.nonEmpty)

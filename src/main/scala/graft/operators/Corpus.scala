@@ -150,15 +150,26 @@ object Corpus {
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
   /** Write-then-reread gate for [[writeShuffleShards]]: exports the
-    * shards to a fresh temp directory, reads them back, and returns the
-    * (doc_id, shard, pos) layout — hash-gated against the SAME oracle
-    * as `shuffle_export`, so the round-trip (shuffle write → parquet →
-    * scan) must reproduce the assignment bit-for-bit. Per-file row
-    * ordering is asserted separately in CorpusSpec. */
+    * shards, reads them back, and returns the (doc_id, shard, pos)
+    * layout — hash-gated against the SAME oracle as `shuffle_export`,
+    * so the round-trip (shuffle write → parquet → scan) must reproduce
+    * the assignment bit-for-bit. Per-file row ordering is asserted
+    * separately in CorpusSpec.
+    *
+    * The export goes to a FIXED per-input temp path in overwrite mode:
+    * a fresh directory per call would leak a corpus copy into /tmp on
+    * every Bench/Verify/plan-audit invocation. The explicit read
+    * schema (partition column included) makes the empty-corpus case
+    * return an empty frame instead of failing parquet schema
+    * inference. NOTE this registered form eagerly writes at
+    * DataFrame-construction time — inherent to gating a SINK: the
+    * artifact must exist before the re-read plan can. */
   def shuffleExportWrite(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_shards_${Integer.toHexString(dir.hashCode)}").toString
     writeShuffleShards(spark, dir, out)
-    spark.read.parquet(out)
+    spark.read.schema("doc_id LONG, pos LONG, text STRING, shard INT").parquet(out)
       .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))
   }
 
@@ -276,8 +287,9 @@ object Corpus {
     "mix_weights"    -> mixWeights,
     "tfidf_topk"     -> tfidfTopk)
 
-  private val ToksSql =
-    "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')"
+  // single source of truth for the DuckDB tokenizer fragment — a
+  // local copy here once drifted risk onto pack_sequences/mix_weights
+  private val ToksSql = TextAnalysis.ToksSql
 
   private def bucketSql(from: Int, m: Int): String =
     s"CAST(CAST('0x' || substring(md5(text), $from, 4) AS INTEGER) % $m AS BIGINT)"

@@ -50,22 +50,33 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** (doc_id, shingle) rows — one per distinct trigram per document.
+  /** (doc_id, span) rows — one per distinct k-word window per
+    * document; documents with fewer than k tokens emit nothing.
     * Typed flatMap: tokenize rule identical to the oracle SQL (lower,
-    * then split on non-alnum runs, drop empties). */
-  private[operators] def docShinglesOf(docs: DataFrame): DataFrame = {
+    * then split on non-alnum runs, drop empties). `Locale.ROOT`
+    * lowercasing: the default-locale overload would tokenize
+    * differently on e.g. a Turkish-locale JVM ("I" → dotless ı, a
+    * separator under [^a-z0-9]) and diverge from the
+    * locale-independent DuckDB lower() — and heterogeneous executor
+    * locales could even disagree with each other. */
+  private[operators] def docSpansOf(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { r =>
         val id = r._1
-        val toks = r._2.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
-        if (toks.length < 3) Iterator.empty[(Long, String)]
-        else toks.sliding(3).map(w => (id, w.mkString(" "))).toSet.iterator
+        val toks = r._2.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (toks.length < k) Iterator.empty[(Long, String)]
+        else toks.sliding(k).map(w => (id, w.mkString(" "))).toSet.iterator
       }
       .toDF("doc_id", "shingle")
   }
+
+  /** (doc_id, shingle) rows — one per distinct trigram per document. */
+  private[operators] def docShinglesOf(docs: DataFrame): DataFrame =
+    docSpansOf(docs, 3)
 
   private[operators] def docShingles(spark: SparkSession, dir: String): DataFrame =
     docShinglesOf(Tables.documents(spark, dir))
@@ -505,16 +516,8 @@ object Dedup {
     * persisted once and feeds all three consumers — at 100 TB this is
     * one scan of the corpus plus shuffles of (id, hash) longs. */
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val spans = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { r =>
-        val toks = r._2.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
-        if (toks.length < SpanK) Iterator.empty[(Long, String)]
-        else toks.sliding(SpanK).map(w => (r._1, w.mkString(" "))).toSet.iterator
-      }
-      .toDF("doc_id", "span")
-      .select(col("doc_id"), xxhash64(col("span")).as("h"))
+    val spans = docSpansOf(Tables.documents(spark, dir), SpanK)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // spans are distinct per doc, so count(*) per hash = document count
     val shared = spans.groupBy("h").agg(count(lit(1)).as("nd"))

@@ -188,6 +188,9 @@ object Similarity {
     // partitions×cells×dim rows instead of vectors×dim — the map-side
     // combine a groupBy over the exploded (cell, d, q) stream would
     // only approximate. Exact long arithmetic ⇒ order-insensitive.
+    // Ragged-vector contract (matches the oracle's COALESCE(...,0)
+    // inside its sum): a dimension a member vector lacks contributes
+    // 0 to the sum while the member still counts in n.
     val sums = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .mapPartitions { rows =>
@@ -307,7 +310,7 @@ object Similarity {
          |dims AS (SELECT unnest(range($Dim)) AS d),
          |sums AS (
          |  SELECT m0.cell, dims.d,
-         |    CAST(sum(CAST(floor(e.emb[dims.d + 1] * $QScale.0) AS BIGINT)) AS BIGINT) AS sq,
+         |    CAST(sum(COALESCE(CAST(floor(e.emb[dims.d + 1] * $QScale.0) AS BIGINT), 0)) AS BIGINT) AS sq,
          |    count(*) AS n
          |  FROM m0 JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
          |cents AS (

@@ -20,7 +20,13 @@ private[operators] object SqlViews {
     val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
     val scoped = views.map { case (name, df) => (name, s"graft_${name}_$suffix", df) }
     scoped.foreach { case (_, viewName, df) => df.createOrReplaceTempView(viewName) }
-    try spark.sql(scoped.foldLeft(sql) { case (s, (name, viewName, _)) => s.replace(name, viewName) })
+    // word-boundary substitution: a bare replace() would also rewrite
+    // the table name inside string literals, aliases like
+    // `documents_total`, or a view name that is a substring of another
+    try spark.sql(scoped.foldLeft(sql) { case (s, (name, viewName, _)) =>
+      s.replaceAll("\\b" + java.util.regex.Pattern.quote(name) + "\\b",
+        java.util.regex.Matcher.quoteReplacement(viewName))
+    })
     finally scoped.foreach { case (_, viewName, _) => spark.catalog.dropTempView(viewName) }
   }
 }

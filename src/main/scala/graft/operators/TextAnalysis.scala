@@ -154,7 +154,7 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
         if (toks.isEmpty) Iterator.empty
         else {
           val nChunks = math.max(1, (toks.length - ChunkLen + ChunkStride - 1) / ChunkStride + 1)
