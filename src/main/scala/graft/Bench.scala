@@ -10,6 +10,48 @@ import org.apache.spark.sql.SparkSession
   * first; queries then run in name order for stable output.
   */
 object Bench {
+
+  /** 10 ms precision is plenty; full double precision made the r2
+    * line ~2.4 kB and the driver's stdout tail capture (2000 chars,
+    * measured from BENCH_r02.json) cut off its head → "parsed": null.
+    * At 88 queries even 2-decimal output flirts with the window, so
+    * trailing zeros/dots are stripped ("0.50"→"0.5", "1.00"→"1") —
+    * still valid JSON numbers, ~60-80 bytes back. */
+  private[graft] def f2(v: Double): String =
+    "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      .replaceAll("0+$", "").replaceAll("\\.$", "")
+
+  /** Sanitize an exception message for embedding in the JSON line:
+    * every JSON-hostile char (quote, backslash, any control char —
+    * binary fragments from corrupt-parquet errors included) becomes a
+    * space, or the driver's json.load of the line fails and zeroes
+    * the round's bench. */
+  private[graft] def sanitize(msg: String): String =
+    msg.map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c).take(200)
+
+  /** Render the driver-contract line. The clean line is ~1.87 kB at
+    * 88 queries; ONE full error message would push past the 2000-char
+    * tail window and null the round's parse, so when full messages
+    * don't fit the errors map degrades to failing-query names only
+    * (details go to stderr either way). */
+  private[graft] def renderLine(
+      results: Seq[(String, Double)],
+      errors: collection.Map[String, String],
+      sfDir: String,
+      budget: Int = 1900): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
+      .mkString("{", ",", "}")
+    // stays "{}" when clean — driver reads the key unconditionally
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    def line(e: String) =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"errors":$e,"sf":"$sfDir"}"""
+    val full = line(errs)
+    if (full.length <= budget) full
+    else line("{\"_failed\":\"" + errors.keys.mkString(",").take(120) + "\"}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,42 +78,13 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
-          // replace EVERY JSON-hostile char (quote, backslash, any
-          // control char — binary fragments from corrupt-parquet
-          // errors included), or the driver's json.load of this line
-          // fails and zeroes the round's bench
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c)
-            .take(200)
+          errors(name) = sanitize(Option(e.getMessage).getOrElse(e.getClass.getName))
       }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       name -> dt
     }
-    // 10 ms precision is plenty; full double precision made the r2
-    // line ~2.4 kB and the driver's stdout tail capture (2000 chars,
-    // measured from BENCH_r02.json) cut off its head → "parsed": null.
-    // At 87 queries even 2-decimal output flirts with the window, so
-    // trailing zeros/dots are stripped ("0.50"→"0.5", "1.00"→"1") —
-    // still valid JSON numbers, ~60-80 bytes back.
-    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      .replaceAll("0+$", "").replaceAll("\\.$", "")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}") // stays "{}" when clean — driver reads the key unconditionally
-    val total = results.map(_._2).sum
-    def line(e: String) =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"errors":$e,"sf":"$sfDir"}"""
-    // the clean line is ~1.87 kB at 88 queries; ONE full error message
-    // would push past the 2000-char tail window and null the round's
-    // parse. Degrade gracefully: full messages if they fit, else
-    // failing-query names only (details are on stderr either way).
-    val full = line(errs)
-    val out =
-      if (full.length <= 1900) full
-      else line("{\"_failed\":\"" + errors.keys.mkString(",").take(120) + "\"}")
-    println(out)
+    println(renderLine(results, errors, sfDir))
     if (errors.nonEmpty)
       System.err.println(s"BENCH ERRORS (${errors.size}): ${errors.keys.mkString(", ")}")
     spark.stop()
