@@ -105,6 +105,44 @@ object EventStream {
       }
   }
 
+  /** One live record per compaction key — the streaming state/output
+    * of [[latestByKey]]. */
+  case class Latest(
+      user_id: Long, event_type: String, event_id: Long, ts: Timestamp, value: Double)
+
+  /** Streaming half of CDC keep-latest compaction (the batch half is
+    * StreamOps.compactLatest): per (user_id, event_type) key, maintain
+    * the record with the greatest (ts, event_id) and emit the current
+    * winner whenever the key sees data — Update-mode output, so a
+    * downstream upsert sink always converges to exactly the batch
+    * compaction of everything ingested. State per key is ONE record
+    * (~48 bytes), independent of event volume; ties on ts break by
+    * event_id like the batch row_number ordering. The same code runs
+    * in batch (one group pass) — EventStreamSpec asserts both
+    * parities, including out-of-order and replayed delivery. */
+  def latestByKey(
+      events: Dataset[(Long, String, Long, Timestamp, Double)]): Dataset[Latest] = {
+    import events.sparkSession.implicits._
+    def toMicros(ts: Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    events
+      .groupByKey(r => (r._1, r._2))
+      .mapGroupsWithState[Latest, Latest](GroupStateTimeout.NoTimeout) {
+        case ((uid, etype), rows, state) =>
+          var best = state.getOption.orNull
+          var bestTs = if (best == null) Long.MinValue else toMicros(best.ts)
+          var bestId = if (best == null) Long.MinValue else best.event_id
+          rows.foreach { case (_, _, id, ts, v) =>
+            val t = toMicros(ts)
+            if (t > bestTs || (t == bestTs && id > bestId)) {
+              best = Latest(uid, etype, id, ts, v); bestTs = t; bestId = id
+            }
+          }
+          state.update(best)
+          best
+      }
+  }
+
   /** Far-future sentinel used to flush open tail sessions. */
   val FlushTs: Timestamp = Timestamp.valueOf("9999-01-01 00:00:00")
 

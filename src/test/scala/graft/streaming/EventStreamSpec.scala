@@ -136,6 +136,43 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful keep-latest: final streamed state equals batch compact_latest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val want = graft.operators.StreamOps.compactLatest(spark, dir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getTimestamp(3))))
+      .toMap
+    val rows = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
+      .as[(Long, String, Long, Timestamp, Double)].collect()
+    // batch parity: one pass over the whole dataset
+    val batchGot = EventStream.latestByKey(rows.toSeq.toDS())
+      .collect().map(l => ((l.user_id, l.event_type), (l.event_id, l.ts))).toMap
+    assert(batchGot === want)
+    // stream parity under adversarial delivery: reverse-time order in
+    // chunks, with the previous chunk's head replayed (at-least-once)
+    val disordered = rows.sortBy(r => -r._4.getTime)
+    val input = MemoryStream[(Long, String, Long, Timestamp, Double)]
+    val q = EventStream.latestByKey(input.toDS())
+      .writeStream.format("memory").queryName("latest_out")
+      .outputMode("update").start()
+    try {
+      val chunks = disordered.grouped(300).toSeq
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        val withReplay = if (i == 0) chunk else chunks(i - 1).take(40) ++ chunk
+        input.addData(withReplay.toSeq); q.processAllAvailable()
+      }
+      // update-mode memory sink appends every emitted update; the LAST
+      // row per key is the final state a real upsert sink would hold
+      val got = spark.table("latest_out").collect()
+        .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getTimestamp(3))))
+        .foldLeft(Map.empty[(Long, String), (Long, Timestamp)])(_ + _)
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join (attribution) equals the batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
