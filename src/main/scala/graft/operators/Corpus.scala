@@ -263,12 +263,19 @@ object Corpus {
     * cluster labels from the dedup path; no new wide state beyond what
     * the composed operators already justify. */
   def corpusClean(spark: SparkSession, dir: String): DataFrame = {
-    val lang = TextAnalysis.langId(spark, dir).select(col("doc_id"), col("pred_lang"))
-    val quality = TextAnalysis.textQuality(spark, dir)
-      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
+    // language + quality fuse into ONE scan (they tokenize the same
+    // way — the shared Column builders keep them in lockstep with
+    // langId/textQuality and the oracle); only the dedup manifest
+    // joins in, and its cluster-label side is tiny
+    val toks = TextAnalysis.toksOf(col("text"))
+    val lq = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.predLangOf(toks).as("pred_lang"),
+      size(toks).cast("long").as("n_tokens"),
+      TextAnalysis.stopRatioOf(toks).as("stopword_ratio"))
     val keep = Dedup.dedupKeep(spark, dir)
       .select(col("doc_id"), col("keep").as("dedup_keep"))
-    lang.join(quality, "doc_id").join(keep, "doc_id")
+    lq.join(keep, "doc_id")
       .select(col("doc_id"),
         when(col("pred_lang") =!= "en", "lang")
           .when(col("n_tokens") < 15 || col("stopword_ratio") <= 0.0, "quality")

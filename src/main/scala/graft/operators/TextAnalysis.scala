@@ -19,13 +19,22 @@ object TextAnalysis {
   private[operators] val Stopwords =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with", "as", "at", "by", "from")
 
+  /** Reference tokenization as a Column expression — shared by the
+    * quality/language operators AND corpus_clean's fused scan, so all
+    * consumers stay in lockstep with the oracle regex. */
+  private[operators] def toksOf(text: Column): Column =
+    filter(split(lower(regexp_replace(text, "[^a-zA-Z0-9]+", " ")), " "),
+      t => length(t) > 0)
+
+  /** Stopword-hit ratio over a tokenized column. */
+  private[operators] def stopRatioOf(toks: Column): Column =
+    size(filter(toks, t => t.isin(Stopwords: _*))) / size(toks)
+
   /** Per-document quality features: the length/punctuation/stopword
     * ratios a pretraining-data pipeline filters on. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", " ")), " "),
-      t => length(t) > 0)
+    val toks = toksOf(col("text"))
     val nTok = size(toks)
-    val stopHits = size(filter(toks, t => t.isin(Stopwords: _*)))
     Tables.documents(spark, dir).select(
       col("doc_id"),
       length(col("text")).cast("long").as("len"),
@@ -33,7 +42,7 @@ object TextAnalysis {
       (charCount(col("text"), "[^0-9]") / length(col("text"))).as("digit_ratio"),
       (charCount(col("text"), "[^ ]") / length(col("text"))).as("space_ratio"),
       (charCount(col("text"), "[a-zA-Z0-9 ]") / length(col("text"))).as("punct_ratio"),
-      (stopHits / nTok).as("stopword_ratio"),
+      stopRatioOf(toks).as("stopword_ratio"),
       (length(col("text")) / nTok).as("chars_per_token"))
   }
 
@@ -47,20 +56,21 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
     "fr" -> Seq("le", "les", "et", "est", "une", "dans"))
 
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", " ")), " "),
-      t => length(t) > 0)
+  /** The language CASE cascade over a tokenized column — en-first
+    * precedence on ties, 'und' when no marker hits. */
+  private[operators] def predLangOf(toks: Column): Column = {
     val scores = Markers.map { case (l, ws) =>
       l -> size(filter(toks, t => t.isin(ws: _*)))
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pred = scores.foldRight(lit("und")) { case ((l, s), other) =>
+    scores.foldRight(lit("und")) { case ((l, s), other) =>
       when(s === best && best > 0, lit(l)).otherwise(other)
     }
-    // foldRight gives en-first precedence: en wins ties, then es, …
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), pred.as("pred_lang"))
   }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), predLangOf(toksOf(col("text"))).as("pred_lang"))
 
   /** Tokenizer-style counts: whitespace tokens vs a BPE-ish
     * word-or-punctuation regex, plus distinct-token counts. */
