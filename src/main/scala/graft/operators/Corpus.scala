@@ -44,12 +44,17 @@ object Corpus {
     * count (set ≫ executor count in production); no shard ever sees
     * more than corpus/shards tokens, and the shuffle carries
     * (doc_id, shard, n_tokens) — never text. */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", " ")), " "),
-      t => length(t) > 0)
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesOf(Tables.documents(spark, dir))
+
+  /** Input-generic form of [[packSequences]] — CorpusPropsSpec drives
+    * it with synthetic corpora (unicode, empty docs, skewed sizes)
+    * that the fixture never produces. */
+  private[operators] def packSequencesOf(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.toksOf(col("text"))
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), md5Bucket(21, PackShards).as("shard"),
         size(toks).cast("long").as("n_tokens"),
         // second, tokenizer-shaped estimate: subword tokenizers land
