@@ -213,7 +213,10 @@ class CorpusSpec extends AnyFunSuite {
   }
 
   test("writeShuffleShards emits one pre-sorted parquet file per shard") {
-    val out = java.nio.file.Files.createTempDirectory("graft_shards_spec_").toString
+    // fixed path + overwrite mode: a fresh temp dir per run would
+    // accumulate a corpus copy in /tmp on every test invocation
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_shards_spec").toString
     Corpus.writeShuffleShards(spark, dir, out)
     val shardDirs = new java.io.File(out).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("shard="))
