@@ -108,30 +108,51 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("contamination aggregates with map-side combine and never shuffles text") {
-    val p = plan("contamination")
-    assert(p.contains("partial_"), "contamination lacks partial aggregation")
-    // the only wide ops carry (doc_id, sh) longs / distinct sh — the
-    // text column must be consumed below every hash exchange. The
-    // Exchange line holds the partitioning keys, and its immediate
-    // child line (tree-printing puts the direct child next) holds the
-    // operator whose output IS the shuffle payload: neither may
-    // reference a text attribute. RoundRobin exchanges are exempt:
-    // that's Tables' fixture-only scan fan-out (single-row-group
-    // parquet can't split), which disappears at real file sizes.
+  /** Text must be consumed below every hash/range exchange: the
+    * Exchange line holds the partitioning keys, and its immediate
+    * child line (tree-printing puts the direct child next) holds the
+    * operator whose output IS the shuffle payload — neither may
+    * reference a text attribute. RoundRobin exchanges are exempt:
+    * that's Tables' fixture-only scan fan-out (single-row-group
+    * parquet can't split), which disappears at real file sizes. */
+  private def assertNoTextInWideExchanges(name: String): Unit = {
+    val p = plan(name)
     val lines = p.linesIterator.toArray
     val wideIdxs = lines.indices.filter(i =>
       lines(i).contains("Exchange hashpartitioning") ||
         lines(i).contains("Exchange rangepartitioning"))
-    assert(wideIdxs.nonEmpty, "contamination must plan at least one wide exchange")
+    assert(wideIdxs.nonEmpty, s"$name must plan at least one wide exchange")
     wideIdxs.foreach { i =>
       assert(!lines(i).contains("text#"),
-        s"exchange partitions on text:\n${lines(i)}")
+        s"$name: exchange partitions on text:\n${lines(i)}")
       lines.drop(i + 1).find(_.trim.nonEmpty).foreach { child =>
         assert(!child.contains("text#"),
-          s"shuffle payload carries text:\n$child")
+          s"$name: shuffle payload carries text:\n$child")
       }
     }
+  }
+
+  test("contamination aggregates with map-side combine and never shuffles text") {
+    assert(plan("contamination").contains("partial_"),
+      "contamination lacks partial aggregation")
+    assertNoTextInWideExchanges("contamination")
+  }
+
+  test("dedup_substring shuffles only (id, hash) longs — never spans or text") {
+    val p = plan("dedup_substring")
+    assert(p.contains("partial_"), "dedup_substring lacks partial aggregation")
+    assertNoTextInWideExchanges("dedup_substring")
+    // the span string itself must also die before any exchange — only
+    // its 8-byte hash rides the shuffles
+    val lines = p.linesIterator.toArray
+    lines.indices
+      .filter(i => lines(i).contains("Exchange hashpartitioning"))
+      .foreach { i =>
+        lines.drop(i + 1).find(_.trim.nonEmpty).foreach { child =>
+          assert(!child.contains("shingle#"),
+            s"span string rides a shuffle:\n$child")
+        }
+      }
   }
 
   test("q19: the OR-of-ANDs predicate pushes its per-side projections to BOTH scans") {
