@@ -56,6 +56,40 @@ class EdgeCaseSpec extends AnyFunSuite {
       Set("42 7 foo42bar", "7 foo42bar 0"))
   }
 
+  test("dedupSubstring span counts match a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(11)
+    // small vocabulary forces genuine cross-doc span collisions
+    val corpus = (0L until 60L).map { id =>
+      id -> Seq.fill(8 + rnd.nextInt(30))(s"w${rnd.nextInt(6)}").mkString(" ")
+    }
+    def spansOf(text: String): Set[String] = {
+      val toks = text.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.length < 5) Set.empty
+      else toks.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val all = corpus.map { case (id, t) => id -> spansOf(t) }.toMap
+    val expected = all.map { case (id, spans) =>
+      val dup = spans.count(s => all.exists { case (o, os) => o != id && os(s) })
+      (id, spans.size.toLong, dup.toLong)
+    }.toSet
+    // library op over the same corpus, registered-query code path
+    import org.apache.spark.sql.functions.{col, xxhash64, count, lit, coalesce, sum, when}
+    val docs = corpus.toDF("doc_id", "text")
+    val sp = Dedup.docSpansOf(docs, 5)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val shared = sp.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val totals = sp.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val dups = sp.join(shared, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    val got = totals.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"), coalesce(col("n_dup"), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected.filter(_._2 > 0))
+    assert(expected.exists(_._3 > 0), "corpus should contain cross-doc spans")
+  }
+
   test("propagateMinLabels handles a single edge and self-loops") {
     val (single, r1) = Dedup.propagateMinLabels(Seq((7L, 3L)).toDF("doc_a", "doc_b"))
     assert(single.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
