@@ -31,25 +31,35 @@ object Bench {
 
   /** Render the driver-contract line. The clean line is ~1.87 kB at
     * 88 queries; ONE full error message would push past the 2000-char
-    * tail window and null the round's parse, so when full messages
-    * don't fit the errors map degrades to failing-query names only
-    * (details go to stderr either way). */
+    * tail window and null the round's parse. Two degradation steps
+    * when the full form doesn't fit: (1) errors shrink to
+    * failing-query names only (details go to stderr either way);
+    * (2) if the line is STILL over budget — possible only if the
+    * timings themselves grew, e.g. every query ≥ 10 s — the per-query
+    * precision drops to one decimal. */
   private[graft] def renderLine(
       results: Seq[(String, Double)],
       errors: collection.Map[String, String],
       sfDir: String,
       budget: Int = 1900): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
+    def qmap(fmt: Double => String) =
+      results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // stays "{}" when clean — driver reads the key unconditionally
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val namesOnly =
+      if (errors.isEmpty) "{}"
+      else "{\"_failed\":\"" + errors.keys.mkString(",").take(120) + "\"}"
     val total = results.map(_._2).sum
-    def line(e: String) =
+    def f1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+      .replaceAll("0+$", "").replaceAll("\\.$", "")
+    def line(qs: String, e: String) =
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"errors":$e,"sf":"$sfDir"}"""
-    val full = line(errs)
-    if (full.length <= budget) full
-    else line("{\"_failed\":\"" + errors.keys.mkString(",").take(120) + "\"}")
+    val candidates = Iterator(
+      line(qmap(f2), errs),
+      line(qmap(f2), namesOnly),
+      line(qmap(f1), namesOnly))
+    candidates.find(_.length <= budget).getOrElse(line(qmap(f1), namesOnly))
   }
 
   def main(args: Array[String]): Unit = {

@@ -43,4 +43,14 @@ class BenchLineSpec extends AnyFunSuite {
     assert(out.contains(""""_failed":"q_bench_001,q_bench_002""""))
     assert(!out.contains("xxx"), "full messages must be dropped in degraded mode")
   }
+
+  test("renderLine drops to one decimal when the timings themselves outgrow the budget") {
+    // 88 queries all over 100 s: the 2-decimal clean line exceeds the
+    // budget with an empty errors map — nothing to degrade except
+    // precision
+    val results = (1 to 88).map(i => f"q_bench_$i%03d" -> 123.45)
+    val out = Bench.renderLine(results, Map.empty[String, String], "/sf")
+    assert(out.length <= 1900, s"line still ${out.length} chars")
+    assert(out.contains(""""q_bench_001":123.5""" + ","), "one-decimal rendering expected")
+  }
 }
