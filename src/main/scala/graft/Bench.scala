@@ -29,14 +29,19 @@ object Bench {
   private[graft] def sanitize(msg: String): String =
     msg.map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c).take(200)
 
-  /** Render the driver-contract line. The clean line is ~1.87 kB at
-    * 88 queries; ONE full error message would push past the 2000-char
-    * tail window and null the round's parse. Two degradation steps
-    * when the full form doesn't fit: (1) errors shrink to
-    * failing-query names only (details go to stderr either way);
-    * (2) if the line is STILL over budget — possible only if the
-    * timings themselves grew, e.g. every query ≥ 10 s — the per-query
-    * precision drops to one decimal. */
+  /** Render the driver-contract line. At 100 registered queries the
+    * 2-decimal form no longer fits the driver's 2000-char stdout tail,
+    * so per-query timings print at ONE decimal (total keeps two) and
+    * `sf` prints as the directory basename — together ~110 bytes under
+    * budget at current counts. 100 ms per-query precision still ranks
+    * the expensive queries exactly (the ranking tail is multi-second)
+    * and the driver records sub-100 ms detail nowhere anyway.
+    * Degradation when the line STILL doesn't fit (only possible if
+    * errors carry full messages or the timings themselves grow):
+    * (1) errors shrink to failing-query names only (details go to
+    * stderr either way); (2) last resort, emit the names-only form
+    * regardless — an oversized line loses its head in the tail
+    * capture, so the fallback chain must never return the long one. */
   private[graft] def renderLine(
       results: Seq[(String, Double)],
       errors: collection.Map[String, String],
@@ -53,11 +58,11 @@ object Bench {
     val total = results.map(_._2).sum
     def f1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
       .replaceAll("0+$", "").replaceAll("\\.$", "")
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     def line(qs: String, e: String) =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"errors":$e,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"errors":$e,"sf":"$sfShort"}"""
     val candidates = Iterator(
-      line(qmap(f2), errs),
-      line(qmap(f2), namesOnly),
+      line(qmap(f1), errs),
       line(qmap(f1), namesOnly))
     candidates.find(_.length <= budget).getOrElse(line(qmap(f1), namesOnly))
   }

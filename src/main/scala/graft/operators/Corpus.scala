@@ -270,21 +270,26 @@ object Corpus {
   def corpusClean(spark: SparkSession, dir: String): DataFrame = {
     // language + quality fuse into ONE scan (they tokenize the same
     // way — the shared Column builders keep them in lockstep with
-    // langId/textQuality and the oracle); only the dedup manifest
-    // joins in, and its cluster-label side is tiny
+    // langId/textQuality and the oracle). The dedup verdict joins the
+    // RAW cluster labels, not the corpus-sized keep manifest: a member
+    // is a duplicate iff its label exists and isn't itself, so the
+    // join side stays bounded by the near-dup rate and broadcasts
+    // (dedupKeep's manifest would be corpus-sized — an avoidable
+    // whole-corpus shuffle at 100 TB).
     val toks = TextAnalysis.toksOf(col("text"))
     val lq = Tables.documents(spark, dir).select(
       col("doc_id"),
       TextAnalysis.predLangOf(toks).as("pred_lang"),
       size(toks).cast("long").as("n_tokens"),
       TextAnalysis.stopRatioOf(toks).as("stopword_ratio"))
-    val keep = Dedup.dedupKeep(spark, dir)
-      .select(col("doc_id"), col("keep").as("dedup_keep"))
-    lq.join(keep, "doc_id")
+    val labels = Dedup.clusterLabels(spark, dir)
+      .select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+    lq.join(broadcast(labels), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("pred_lang") =!= "en", "lang")
           .when(col("n_tokens") < 15 || col("stopword_ratio") <= 0.0, "quality")
-          .when(col("dedup_keep") === 0, "duplicate")
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+            "duplicate")
           .otherwise("ok").as("reason"))
       .withColumn("keep", (col("reason") === "ok").cast("long"))
   }

@@ -421,13 +421,22 @@ object Dedup {
     *    and swap `localCheckpoint` for `checkpoint(dir)` if executor
     *    loss must be survivable mid-loop. */
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-    val (labels, _) = propagateMinLabels(pairs)
     val byCluster = org.apache.spark.sql.expressions.Window.partitionBy(col("lab"))
-    labels
+    clusterLabels(spark, dir)
       .withColumn("cluster_size", count(lit(1)).over(byCluster))
       .select(col("id").as("doc_id"), col("lab").as("cluster_id"),
         col("cluster_size"))
+  }
+
+  /** The converged (id, lab) assignment over near-dup CANDIDATE docs
+    * only — the shared core of [[dedupCluster]] / [[dedupKeep]] /
+    * [[graft.operators.Corpus.corpusClean]]. Consumers that don't
+    * need per-cluster sizes join THIS (and skip [[dedupCluster]]'s
+    * window): the label set is bounded by the near-dup rate, never
+    * the corpus, so downstream joins against it are broadcastable. */
+  private[operators] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    propagateMinLabels(pairs)._1
   }
 
   /** Partition count for the (tiny) CC label state — candidate near-dup
@@ -538,11 +547,16 @@ object Dedup {
     * and is kept. Filtering `keep = 1` materializes the deduplicated
     * corpus — pairs → clusters → decisions, closed under one oracle.
     * Scale: one left join of (doc_id) against the (tiny) candidate
-    * cluster labels — broadcastable at any realistic near-dup rate. */
+    * cluster labels — broadcast EXPLICITLY: the labels come out of a
+    * `localCheckpoint` (LogicalRDD, no stats), so without the hint
+    * Catalyst assumes worst-case size and plans a sort-merge join
+    * that shuffles the whole corpus id set (measured: 3 exchanges →
+    * 1 broadcast at sf0.1). */
   def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = dedupCluster(spark, dir).select(col("doc_id"), col("cluster_id"))
+    val clusters = clusterLabels(spark, dir)
+      .select(col("id").as("doc_id"), col("lab").as("cluster_id"))
     Tables.documents(spark, dir).select(col("doc_id"))
-      .join(clusters, Seq("doc_id"), "left")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         (col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
@@ -632,6 +646,27 @@ object Dedup {
     (leaves.union(centers).distinct(), rounds)
   }
 
+  /** Near-dup clusters over the EMBEDDING pair graph via
+    * large-star/small-star contraction — the registered query for
+    * [[ccStarContraction]] (previously library-only): where
+    * `dedup_cluster` gates pointer-doubling label propagation on the
+    * ngram graph, this row gates the web-graph-scale alternative on a
+    * DIFFERENT pair graph (semantic near-dups from [[dedupEmbedding]]),
+    * so both iterative-CC implementations carry an oracle. Output and
+    * oracle mirror `dedup_cluster`: (vec_id, min-id cluster label,
+    * cluster size), replayed by a recursive-CTE transitive closure
+    * over the all-pairs cosine graph. */
+  def ccStarClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupEmbedding(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val (labels, _) = ccStarContraction(pairs)
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy(col("lab"))
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .select(col("id").as("vec_id"), col("lab").as("cluster_id"),
+        col("cluster_size"))
+  }
+
   /** All-pairs exact formulation — spec-side ground truth for
     * [[dedupEmbedding]] (PipelineOpsSpec asserts equality). Not
     * registered: the non-equi join is a BNLJ, audit scale only. */
@@ -653,7 +688,8 @@ object Dedup {
     "dedup_embedding" -> dedupEmbedding,
     "dedup_cluster"   -> dedupCluster,
     "dedup_substring" -> dedupSubstring,
-    "dedup_keep"      -> dedupKeep)
+    "dedup_keep"      -> dedupKeep,
+    "cc_star"         -> ccStarClusters)
 
   /** Shared DuckDB shingle pipeline (window-based trigram build). */
   private val ShinglesCte =
@@ -742,6 +778,23 @@ object Dedup {
     "dedup_cluster" -> ClusterSql,
     "dedup_keep" -> KeepSql,
     "dedup_substring" -> SubstringSql,
+    // transitive closure over the all-pairs cosine near-dup graph —
+    // the embedding-graph twin of ClusterSql
+    "cc_star" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |                               list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.45),
+        |edges AS (SELECT va AS a, vb AS b FROM p UNION ALL SELECT vb, va FROM p),
+        |reach AS (
+        |  SELECT DISTINCT a AS id, a AS lab FROM edges
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+        |cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id AS vec_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM cc""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -248,6 +248,147 @@ object Relational {
         |GROUP BY c_mktsegment""".stripMargin)
   }
 
+  /** Q2 shape (adapted — the fixture has no partsupp): cheapest part
+    * per type via a CORRELATED scalar-min subquery, TPC-H Q2's
+    * defining plan feature. Catalyst decorrelates it into an
+    * aggregate + self-join on p_type (no per-row re-execution); the
+    * min over stored doubles is exact, so the equality filter is
+    * cross-engine deterministic. */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame =
+    SqlViews.withViews(spark, "part" -> Tables.part(spark, dir))(
+      Q2Sql)
+
+  /** Q8 shape: national market share — one nation's fraction of a
+    * region's import volume per year. The ratio divides two
+    * decimal-exact conditional sums from ONE partial+final aggregate;
+    * both nation dims and the region-filtered customer-nation list
+    * broadcast. */
+  def q8MktShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val suppNation = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val asiaNations = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nkey"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= ts("1996-01-01") &&
+            col("o_orderdate") < ts("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("c_nkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((dsum(when(col("supp_nation") === "NATION_1", rev).otherwise(lit(0.0)), 6)
+        / dsum(rev, 6)).as("mkt_share"))
+  }
+
+  /** Q9 shape: product-type profit by supplier nation and year — the
+    * 5-way join through a name-pattern part filter (the filtered part
+    * dim broadcasts; profit omits supplycost the fixture lacks). */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_name").contains("red"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("profit"))
+
+  /** Q11 shape (adapted — no partsupp): per-part revenue for one
+    * nation's suppliers, kept only where it exceeds a FRACTION of the
+    * nation's total — the scalar-subquery threshold over the same
+    * aggregation tree that defines Q11. Share thresholds are
+    * scale-free (numerator and denominator both grow linearly), so
+    * the shape stays selective at any SF. */
+  def q11Important(spark: SparkSession, dir: String): DataFrame =
+    SqlViews.withViews(spark,
+      "lineitem" -> Tables.lineitem(spark, dir),
+      "supplier" -> Tables.supplier(spark, dir),
+      "nation"   -> Tables.nation(spark, dir))(
+      Q11Sql)
+
+  /** Q13 shape: customer order-count distribution — the left outer
+    * join with a predicate INSIDE the join (customers with zero
+    * qualifying orders must survive into the c_count = 0 bucket),
+    * then a second aggregation over the first. */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** Q15 shape: top supplier by revenue — the revenue view joined
+    * against its own maximum. The max arrives as a 1-row broadcast
+    * (never a second shuffle of the view); equality over
+    * decimal-exact-derived doubles is deterministic. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("total_revenue"))
+    Tables.supplier(spark, dir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(rev.agg(max(col("total_revenue")).as("mx"))),
+        col("total_revenue") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** Q16 shape: distinct supplier counts per part attribute triple —
+    * COUNT(DISTINCT) under a multi-attribute dimension filter (the
+    * expand+two-phase distinct aggregation path). */
+  def q16PartSupp(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_brand") =!= "Brand#1" &&
+            col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
+  /** Q17 shape: small-quantity revenue — the per-part CORRELATED
+    * average subquery (Catalyst decorrelates to an aggregate +
+    * join). The threshold `0.2 × avg` is one IEEE multiply of the
+    * exact decimal-sum-over-exact-count quotient, deterministic
+    * cross-engine. */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame =
+    SqlViews.withViews(spark,
+      "lineitem" -> Tables.lineitem(spark, dir),
+      "part"     -> Tables.part(spark, dir))(
+      Q17Sql)
+
+  /** Q20 shape (adapted): suppliers with above-average shipment
+    * quantity of a name-pattern part family in one year — the
+    * IN-subquery over a HAVING-filtered aggregation (plans as a
+    * left-semi join against the aggregated side). The per-supplier
+    * AVERAGE is scale-free, so the HAVING stays selective at any
+    * SF. */
+  def q20Promotion(spark: SparkSession, dir: String): DataFrame =
+    SqlViews.withViews(spark,
+      "supplier" -> Tables.supplier(spark, dir),
+      "lineitem" -> Tables.lineitem(spark, dir),
+      "part"     -> Tables.part(spark, dir))(
+      Q20Sql)
+
+  /** Q21 shape (adapted — lateness re-expressed against a fixed
+    * cutoff since the fixture has no commit/receipt dates): suppliers
+    * who shipped late on multi-supplier finished orders where NO
+    * other supplier shipped late — EXISTS + NOT EXISTS on the same
+    * fact (a left-semi and a left-anti join on l_orderkey),
+    * deterministic top-10. */
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame =
+    SqlViews.withViews(spark,
+      "supplier" -> Tables.supplier(spark, dir),
+      "lineitem" -> Tables.lineitem(spark, dir),
+      "orders"   -> Tables.orders(spark, dir))(
+      Q21Sql)
+
   // ---- core operator surface ---------------------------------------
 
   def filterProject(spark: SparkSession, dir: String): DataFrame =
@@ -512,19 +653,37 @@ object Relational {
 
   // ---- registry ----------------------------------------------------
 
+  // TPC-H-shaped rows use bare ids (q1…q22): the driver captures
+  // Bench's stdout in a 2000-char tail, and at 100 registered queries
+  // the descriptive suffixes (q1_pricing, …, used through round 4)
+  // no longer fit the line budget. CORRECTNESS_r04 names map 1:1
+  // (q1_pricing→q1, q3_shipping→q3, q5_local_supplier→q5,
+  // q7_volume→q7, q10_returns→q10, q4_priority→q4, q6_forecast→q6,
+  // q12_priority→q12, q14_promo→q14, q19_disjunctive→q19,
+  // q22_balance→q22, q18_volume→q18).
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing"       -> q1Pricing,
-    "q3_shipping"      -> q3Shipping,
-    "q5_local_supplier" -> q5LocalSupplier,
-    "q7_volume"         -> q7Volume,
-    "q10_returns"       -> q10Returns,
-    "q4_priority"      -> q4Priority,
-    "q6_forecast"      -> q6Forecast,
-    "q12_priority"     -> q12Priority,
-    "q14_promo"        -> q14Promo,
-    "q19_disjunctive"  -> q19Disjunctive,
-    "q22_balance"      -> q22Balance,
-    "q18_volume"       -> q18Volume,
+    "q1"  -> q1Pricing,
+    "q2"  -> q2MinCost,
+    "q3"  -> q3Shipping,
+    "q4"  -> q4Priority,
+    "q5"  -> q5LocalSupplier,
+    "q6"  -> q6Forecast,
+    "q7"  -> q7Volume,
+    "q8"  -> q8MktShare,
+    "q9"  -> q9Profit,
+    "q10" -> q10Returns,
+    "q11" -> q11Important,
+    "q12" -> q12Priority,
+    "q13" -> q13CustDist,
+    "q14" -> q14Promo,
+    "q15" -> q15TopSupplier,
+    "q16" -> q16PartSupp,
+    "q17" -> q17SmallQty,
+    "q18" -> q18Volume,
+    "q19" -> q19Disjunctive,
+    "q20" -> q20Promotion,
+    "q21" -> q21Waiting,
+    "q22" -> q22Balance,
     "filter_project"   -> filterProject,
     "join_broadcast"   -> joinBroadcastDims,
     "join_semi"        -> joinSemi,
@@ -558,8 +717,123 @@ object Relational {
   private val REV =
     "CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE)"
 
+  // SQL-surface TPC-H shapes: ONE text drives both the Spark query
+  // (via SqlViews) and the DuckDB oracle, so the two can never drift.
+  private[operators] val Q2Sql =
+    """SELECT p.p_type, p.p_partkey, p.p_name, p.p_retailprice
+      |FROM part p
+      |WHERE p.p_size <= 10 AND p.p_retailprice = (
+      |  SELECT min(p2.p_retailprice) FROM part p2
+      |  WHERE p2.p_type = p.p_type AND p2.p_size <= 10)""".stripMargin
+
+  private[operators] val Q11Sql =
+    s"""WITH val AS (
+       |  SELECT l_partkey, $REV AS value
+       |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = 'NATION_1'
+       |  GROUP BY l_partkey)
+       |SELECT l_partkey, value FROM val
+       |WHERE value > (
+       |  SELECT 0.001 * $REV
+       |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = 'NATION_1')""".stripMargin
+
+  private[operators] val Q17Sql =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)/7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#12'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(30,4))) AS DOUBLE)/count(*))
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  private[operators] val Q20Sql =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_name LIKE 'red%'
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY l_suppkey
+      |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)/count(*) > 26.0)""".stripMargin
+
+  private[operators] val Q21Sql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l1.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > TIMESTAMP '1997-06-01 00:00:00')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name ASC
+      |LIMIT 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q1_pricing" ->
+    "q2"  -> Q2Sql,
+    "q11" -> Q11Sql,
+    "q17" -> Q17Sql,
+    "q20" -> Q20Sql,
+    "q21" -> Q21Sql,
+    "q8" ->
+      s"""WITH vol AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    CAST(CASE WHEN n1.n_name = 'NATION_1'
+         |         THEN l_extendedprice*(1-l_discount) ELSE 0.0 END AS DECIMAL(30,6)) AS nvol,
+         |    CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6)) AS tvol
+         |  FROM lineitem
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  JOIN region ON n2.n_regionkey = r_regionkey
+         |  WHERE r_name = 'ASIA'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+         |SELECT o_year,
+         |  CAST(sum(nvol) AS DOUBLE) / CAST(sum(tvol) AS DOUBLE) AS mkt_share
+         |FROM vol GROUP BY o_year""".stripMargin,
+    "q9" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year, $REV AS profit
+         |FROM lineitem
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN part ON p_partkey = l_partkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2""".stripMargin,
+    "q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) cc
+        |GROUP BY c_count""".stripMargin,
+    "q15" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, $REV AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    "q16" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1,5,9,14,19,23,36,45)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  $DSUM_Q AS sum_qty,
          |  $DSUM_P AS sum_base_price,
@@ -571,7 +845,7 @@ object Relational {
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
-    "q3_shipping" ->
+    "q3" ->
       s"""SELECT o_orderkey, o_orderdate, $REV AS revenue
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
@@ -582,7 +856,7 @@ object Relational {
          |GROUP BY o_orderkey, o_orderdate
          |ORDER BY revenue DESC, o_orderkey ASC
          |LIMIT 10""".stripMargin,
-    "q5_local_supplier" ->
+    "q5" ->
       s"""SELECT n_name, $REV AS revenue
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
@@ -594,7 +868,7 @@ object Relational {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY n_name""".stripMargin,
-    "q7_volume" ->
+    "q7" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |  CAST(year(l_shipdate) AS BIGINT) AS l_year, $REV AS revenue
          |FROM supplier
@@ -606,7 +880,7 @@ object Relational {
          |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
          |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
          |GROUP BY 1, 2, 3""".stripMargin,
-    "q10_returns" ->
+    "q10" ->
       s"""SELECT c_custkey, c_name, n_name, $REV AS revenue
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
@@ -639,7 +913,7 @@ object Relational {
         |  CASE WHEN ao.nk < 64 THEN CAST(ao.nk AS DOUBLE)
         |       ELSE 63.0 * POWER(2.0, 60) / CAST(ao.hk AS DOUBLE) END AS est_orders
         |FROM ap JOIN ao ON ap.flag = ao.flag""".stripMargin,
-    "q4_priority" ->
+    "q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
@@ -647,13 +921,13 @@ object Relational {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY o_orderpriority""".stripMargin,
-    "q6_forecast" ->
+    "q6" ->
       """SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
-    "q18_volume" ->
+    "q18" ->
       s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
          |FROM orders
          |JOIN (SELECT l_orderkey, $DSUM_Q AS sum_qty
@@ -662,7 +936,7 @@ object Relational {
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY o_totalprice DESC, o_orderkey ASC
          |LIMIT 100""".stripMargin,
-    "q12_priority" ->
+    "q12" ->
       """SELECT l_linestatus,
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
@@ -670,7 +944,7 @@ object Relational {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY l_linestatus""".stripMargin,
-    "q14_promo" ->
+    "q14" ->
       """WITH s AS (
         |  SELECT
         |    CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
@@ -682,14 +956,14 @@ object Relational {
         |SELECT promo_revenue, total_revenue,
         |  promo_revenue / total_revenue * 100.0 AS promo_pct
         |FROM s""".stripMargin,
-    "q19_disjunctive" ->
+    "q19" ->
       """SELECT count(*) AS n_lines,
         |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
-    "q22_balance" ->
+    "q22" ->
       """WITH avg_bal AS (
         |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS a
         |  FROM customer WHERE c_acctbal > 0.0)

@@ -270,12 +270,40 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Int8 (linear symmetric) embedding quantization — the storage/
+    * bandwidth half of a vector-search pipeline: per-vector scale =
+    * max|x|/127, elements round-half-up onto [-127, 127] as
+    * `floor(x/scale + 0.5)` (floor, NOT round(): round() half-away vs
+    * half-even tie rules differ across engines; floor(+0.5) is one
+    * exactly-rounded IEEE add + an unambiguous floor in both).
+    * Produces (vec_id, scale, q); dequantization is `q * scale`.
+    * Scale shape: a narrow per-row map — no shuffle, rides any scan;
+    * 96 floats → 96 bytes + one double, a 4× payload cut for ANN
+    * candidate stores. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("scale",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))) / lit(127.0))
+      .select(col("vec_id"), col("scale"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") / col("scale") + lit(0.5)).cast("long")).as("q"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> annTopkBrute,
     "ann_lsh"  -> annLsh,
-    "ann_ivf"  -> annIvf)
+    "ann_ivf"  -> annIvf,
+    "embed_q8" -> embedQuantize)
 
   val oracles: Map[String, String] = Map(
+    "embed_q8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))/127.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)/scale + 0.5) AS BIGINT)) AS q
+        |FROM s""".stripMargin,
     "ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
          |           FROM embeddings WHERE vec_id < $NQueries),

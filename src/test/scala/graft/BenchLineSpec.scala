@@ -25,15 +25,17 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("renderLine emits parseable JSON with and without errors") {
     val results = Seq("q_a" -> 0.5, "q_b" -> 1.25)
-    val clean = Bench.renderLine(results, Map.empty[String, String], "/sf")
-    assert(clean === """{"metric":"total","value":1.75,"unit":"sec","queries":{"q_a":0.5,"q_b":1.25},"errors":{},"sf":"/sf"}""")
+    val clean = Bench.renderLine(results, Map.empty[String, String], "/data/sf")
+    // per-query at one decimal, total at two, sf as basename
+    assert(clean === """{"metric":"total","value":1.75,"unit":"sec","queries":{"q_a":0.5,"q_b":1.3},"errors":{},"sf":"sf"}""")
     val withErr = Bench.renderLine(results, Map("q_b" -> "It broke"), "/sf")
     assert(withErr.contains(""""errors":{"q_b":"It broke"}"""))
   }
 
   test("renderLine degrades to failing-query names when messages overflow the budget") {
-    // realistic shape: 88 queries × ~12-char names ⇒ clean line ~1.6 kB,
-    // so two full 200-char messages overflow but names-only fits
+    // 88 queries × 12-char names (larger than the real registry's
+    // name mass) ⇒ clean line ~1.6 kB, so two full 200-char messages
+    // overflow but names-only fits
     val results = (1 to 88).map(i => f"q_bench_$i%03d" -> 1.23)
     val bigErrors = scala.collection.immutable.ListMap(
       "q_bench_001" -> ("x" * 200),
@@ -42,15 +44,16 @@ class BenchLineSpec extends AnyFunSuite {
     assert(out.length <= 1900, s"degraded line still ${out.length} chars")
     assert(out.contains(""""_failed":"q_bench_001,q_bench_002""""))
     assert(!out.contains("xxx"), "full messages must be dropped in degraded mode")
+    assert(out.contains(""""sf":"sf0.1""""), "sf renders as the dir basename")
   }
 
-  test("renderLine drops to one decimal when the timings themselves outgrow the budget") {
-    // 88 queries all over 100 s: the 2-decimal clean line exceeds the
-    // budget with an empty errors map — nothing to degrade except
-    // precision
-    val results = (1 to 88).map(i => f"q_bench_$i%03d" -> 123.45)
-    val out = Bench.renderLine(results, Map.empty[String, String], "/sf")
-    assert(out.length <= 1900, s"line still ${out.length} chars")
-    assert(out.contains(""""q_bench_001":123.5""" + ","), "one-decimal rendering expected")
+  test("renderLine stays inside the budget at the current registry size") {
+    // the real guard: every registered name at a plausible timing must
+    // fit the tail window with bytes to spare for timing jitter
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(_ -> 1.27)
+    val out = Bench.renderLine(results, Map.empty[String, String], "/root/testdata/sf0.1")
+    assert(out.length <= 1800,
+      s"clean line ${out.length} chars at ${names.size} queries — too close to the 1900 budget")
   }
 }

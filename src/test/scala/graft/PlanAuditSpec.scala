@@ -42,14 +42,14 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q1_pricing: filter is pushed to the parquet scan and the schema is pruned") {
-    val p = plan("q1_pricing")
+    val p = plan("q1")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.linesIterator.take(30).mkString("\n"))
     // 7 needed columns out of 11 — pruning must reach ReadSchema
     assert(!p.contains("l_orderkey"), "q1 must not read the order key")
   }
 
   test("aggregations plan partial+final (map-side combine everywhere)") {
-    Seq("q1_pricing", "events_hourly", "text_stats", "wordcount").foreach { name =>
+    Seq("q1", "events_hourly", "text_stats", "wordcount").foreach { name =>
       val p = plan(name)
       assert(p.contains("partial_"), s"$name lacks a partial aggregation phase")
     }
@@ -60,9 +60,9 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("compact_latest").contains("WindowGroupLimit"))
     // sort+limit form: Spark plans TakeOrderedAndProject — no global sort
     assert(plan("topk_orders").contains("TakeOrderedAndProject"))
-    assert(plan("q3_shipping").contains("TakeOrderedAndProject"))
-    assert(plan("q10_returns").contains("TakeOrderedAndProject"))
-    assert(plan("q18_volume").contains("TakeOrderedAndProject"))
+    assert(plan("q3").contains("TakeOrderedAndProject"))
+    assert(plan("q10").contains("TakeOrderedAndProject"))
+    assert(plan("q18").contains("TakeOrderedAndProject"))
   }
 
   test("q6_forecast: every predicate reaches the scan, two-column read schema") {
@@ -71,7 +71,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     try {
-      val p = plan("q6_forecast")
+      val p = plan("q6")
       assert(p.contains("PushedFilters: ["), p.linesIterator.take(30).mkString("\n"))
       Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
           "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
@@ -81,7 +81,7 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("dimension joins broadcast in the TPC-H shapes") {
-    Seq("q5_local_supplier", "q7_volume", "q10_returns").foreach { name =>
+    Seq("q5", "q7", "q10").foreach { name =>
       assert(plan(name).contains("BroadcastHashJoin"), s"$name has no broadcast join")
     }
   }
@@ -164,7 +164,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
     spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
     try {
-      val p = plan("q19_disjunctive")
+      val p = plan("q19")
       assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"),
         "lineitem scan lost the derived quantity disjunction")
       assert(p.contains("EqualTo(p_brand,Brand#12)"),
