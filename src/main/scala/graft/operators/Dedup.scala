@@ -610,11 +610,17 @@ object Dedup {
         .union(mins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
     }
+    // every round is ONE job: the checkpoint is lazy and the signature
+    // aggregate is the action that materializes it (the same
+    // checkpoint-then-single-action shape as [[propagateMinLabels]] —
+    // eager checkpoints + a separate signature scan doubled the job
+    // count and benched cc_star at 6.2 s; this form runs ~3 s).
+    // No per-round repartition: the state is tiny either way, and the
+    // extra exchange per round cost more than the task-count it saved.
     var edges = symmetric(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .filter(col("u") =!= col("v")))
-      .repartition(ClusterParts)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
       val dir = e.filter(col("v") < col("u"))
       val r = dir.agg(
@@ -628,8 +634,7 @@ object Dedup {
     var rounds = 0
     while (!converged && rounds < 48) {
       val next = symmetric(smallStar(largeStar(edges)))
-        .repartition(ClusterParts)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nextSig = signature(next)
       converged = nextSig == sig
       edges = next

@@ -270,6 +270,42 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 4).as("cos"))
   }
 
+  private val KnnK = 3
+
+  /** All-vectors approximate k-NN JOIN: every vector finds its
+    * [[KnnK]] nearest LSH-candidate neighbors — the self-join
+    * counterpart of [[annLsh]]'s fixed query set, and the primitive
+    * behind neighbor-graph construction (embedding near-dup graphs,
+    * semantic clustering) at corpus scale. Candidates are bucket-mates
+    * in ≥1 of the 16 sign tables; only candidates are scored, so the
+    * shuffle carries (table, key, id) tuples and then (qid, nid)
+    * pairs — never all-pairs. Approximate BY CONSTRUCTION (neighbors
+    * outside every shared bucket are unseen — at the 16×6 operating
+    * point that loss concentrates on low-cos neighbors); the oracle
+    * replays the SAME bucketing, so the gate is exact for the operator
+    * as specified. Candidate volume scales with Σ bucket², the
+    * documented LSH trade (see [[annLsh]]). */
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val tagged = tableKeys(spark, dir)
+    val candPairs = tagged.as("a")
+      .join(tagged.as("b"),
+        col("a.table_idx") === col("b.table_idx") &&
+          col("a.table_key") === col("b.table_key") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+      .distinct()
+    val scored = candPairs
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), "nid")
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+      .withColumn("cos", cosine_sim(col("qe"), col("ne")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= KnnK)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Int8 (linear symmetric) embedding quantization — the storage/
     * bandwidth half of a vector-search pipeline: per-vector scale =
     * max|x|/127, elements round-half-up onto [-127, 127] as
@@ -292,7 +328,8 @@ object Similarity {
     "ann_topk" -> annTopkBrute,
     "ann_lsh"  -> annLsh,
     "ann_ivf"  -> annIvf,
-    "embed_q8" -> embedQuantize)
+    "embed_q8" -> embedQuantize,
+    "knn_join" -> knnJoin)
 
   val oracles: Map[String, String] = Map(
     "embed_q8" ->
@@ -371,29 +408,37 @@ object Similarity {
     // becomes hash-gated; sign flips would need a dot within ~1 ulp of
     // zero (never occurs on the fixture, and both engines accumulate
     // the same doubles).
-    "ann_lsh" -> {
-      val planeRows = planes.zipWithIndex.map { case (p, i) =>
-        s"(${i / BitsPerTable},${i % BitsPerTable},[${p.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}])"
-      }.mkString(",")
-      s"""WITH planes(t, j, p) AS (VALUES $planeRows),
-         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-         |      FROM embeddings),
-         |bits AS (
-         |  SELECT e.vec_id, pl.t, pl.j,
-         |    CASE WHEN list_inner_product(e.emb, pl.p) >= 0 THEN 1 << pl.j ELSE 0 END AS bit
-         |  FROM e CROSS JOIN planes pl),
-         |keys AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS key FROM bits GROUP BY 1, 2),
-         |cands AS (
-         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
-         |  FROM keys q JOIN keys c ON q.t = c.t AND q.key = c.key AND c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < $NQueries),
-         |s AS (
-         |  SELECT qid, nid, list_cosine_similarity(qe.emb, ne.emb) AS cos
-         |  FROM cands JOIN e qe ON qe.vec_id = qid JOIN e ne ON ne.vec_id = nid),
-         |r AS (SELECT qid, nid, cos,
-         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
-         |      FROM s)
-         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, round(cos, 4) AS cos
-         |FROM r WHERE rnk <= $K""".stripMargin
-    })
+    "ann_lsh" -> lshReplaySql(s"WHERE q.vec_id < $NQueries", K),
+    // same replay, no query filter: EVERY vector ranks its bucket-mates
+    "knn_join" -> lshReplaySql("", KnnK))
+
+  /** Full DuckDB replay of the 16×6 sign-LSH pipeline (hyperplanes as
+    * exact ±1.0 VALUES literals → sign-bit keys → bucket-mate
+    * candidates → exact cosine → per-query rank), shared by the
+    * `ann_lsh` and `knn_join` oracles so the two can't drift. */
+  private def lshReplaySql(qFilter: String, k: Int): String = {
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"(${i / BitsPerTable},${i % BitsPerTable},[${p.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}])"
+    }.mkString(",")
+    s"""WITH planes(t, j, p) AS (VALUES $planeRows),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |      FROM embeddings),
+       |bits AS (
+       |  SELECT e.vec_id, pl.t, pl.j,
+       |    CASE WHEN list_inner_product(e.emb, pl.p) >= 0 THEN 1 << pl.j ELSE 0 END AS bit
+       |  FROM e CROSS JOIN planes pl),
+       |keys AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS key FROM bits GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM keys q JOIN keys c ON q.t = c.t AND q.key = c.key AND c.vec_id <> q.vec_id
+       |  $qFilter),
+       |s AS (
+       |  SELECT qid, nid, list_cosine_similarity(qe.emb, ne.emb) AS cos
+       |  FROM cands JOIN e qe ON qe.vec_id = qid JOIN e ne ON ne.vec_id = nid),
+       |r AS (SELECT qid, nid, cos,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+       |      FROM s)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, round(cos, 4) AS cos
+       |FROM r WHERE rnk <= $k""".stripMargin
+  }
 }

@@ -172,6 +172,53 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
   }
 
+  test("correlated-subquery TPC-H shapes decorrelate into aggregate joins") {
+    // q2/q17's per-row scalar subqueries must plan as ONE aggregate
+    // joined back (decorrelation), never a re-executed subquery — the
+    // global sweep already bans BNLJ/cartesian forms; here we pin the
+    // aggregate+join shape itself
+    Seq("q2", "q17").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+        s"$name lost its decorrelated aggregate")
+      assert(p.contains("Join") || p.contains("BroadcastHashJoin"),
+        s"$name lost its decorrelated join-back")
+    }
+    // q21's EXISTS / NOT EXISTS must plan as semi + anti joins
+    val p21 = plan("q21")
+    assert(p21.contains("LeftSemi"), "q21 EXISTS did not plan a semi join")
+    assert(p21.contains("LeftAnti"), "q21 NOT EXISTS did not plan an anti join")
+  }
+
+  test("q15: the revenue-max arrives as a broadcast, not a second shuffle") {
+    assert(plan("q15").contains("BroadcastHashJoin"),
+      "q15's scalar-max join-back is not broadcast")
+  }
+
+  test("dedup keep/clean join the tiny cluster labels as a broadcast") {
+    // the label side comes out of localCheckpoint (no stats): without
+    // the explicit hint Catalyst planned corpus-wide sort-merge joins
+    // (only the label join is pinned: the shingle self-join upstream
+    // legitimately shuffles, and SHOULD at real scale)
+    Seq("dedup_keep", "corpus_clean").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name label join is not broadcast")
+    }
+  }
+
+  test("knn_join plans rank-limit pushdown; embed_q8 plans no wide shuffle at all") {
+    assert(plan("knn_join").contains("WindowGroupLimit"),
+      "knn_join lost its per-query rank-limit pushdown")
+    // round-robin is Tables' fixture-only scan fan-out (exempt, as in
+    // the text-shuffle checks); the quantization itself must add no
+    // hash/range exchange
+    val p = plan("embed_q8")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning") &&
+      !p.contains("Exchange SinglePartition"),
+      "embed_q8 must be a pure narrow map")
+  }
+
   test("tfidf_topk plans rank-limit pushdown and a broadcast df join") {
     val p = plan("tfidf_topk")
     // rn <= 5 must prune per-doc groups BEFORE the exchange, like
