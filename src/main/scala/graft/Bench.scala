@@ -89,16 +89,29 @@ object Bench {
     // persists intermediates is charged their build AND cannot donate
     // them to a later query).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors(name) = sanitize(Option(e.getMessage).getOrElse(e.getClass.getName))
+    // dev-side isolation runs: SPARK_GRAFT_ONLY="a,b" times a subset
+    // in the same harness (driver leaves it unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_(name)) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors(name) = sanitize(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // clearCache() drops Dataset.persist entries; localCheckpoint
+        // blocks live OUTSIDE the SQL cache (raw RDD storage) and
+        // otherwise linger until driver GC — sweep them too, so
+        // iterative ops (dedup_cluster, cc_star) can't donate memory
+        // pressure to later queries.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        name -> dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> dt
-    }
     println(renderLine(results, errors, sfDir))
     if (errors.nonEmpty)
       System.err.println(s"BENCH ERRORS (${errors.size}): ${errors.keys.mkString(", ")}")

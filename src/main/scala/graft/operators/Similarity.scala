@@ -315,14 +315,25 @@ object Similarity {
     * Produces (vec_id, scale, q); dequantization is `q * scale`.
     * Scale shape: a narrow per-row map — no shuffle, rides any scan;
     * 96 floats → 96 bytes + one double, a 4× payload cut for ANN
-    * candidate stores. */
-  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    * candidate stores.
+    *
+    * The registered row emits `q` as a comma-joined STRING (like
+    * `array_agg_years`): the driver's oracle compare sorts rows by
+    * every output column and raw list cells are unsortable there
+    * (r5: `embed_q8` errored with "unhashable type: numpy.ndarray").
+    * [[embedQuantizeArr]] keeps the typed array form for library use. */
+  def embedQuantizeArr(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .withColumn("scale",
         array_max(transform(col("embedding"), x => abs(x.cast("double")))) / lit(127.0))
       .select(col("vec_id"), col("scale"),
         transform(col("embedding"),
           x => floor(x.cast("double") / col("scale") + lit(0.5)).cast("long")).as("q"))
+
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    embedQuantizeArr(spark, dir)
+      .select(col("vec_id"), col("scale"),
+        array_join(transform(col("q"), x => x.cast("string")), ",").as("q"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> annTopkBrute,
@@ -338,8 +349,9 @@ object Similarity {
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))/127.0 AS scale
         |  FROM embeddings)
         |SELECT vec_id, scale,
-        |  list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE)/scale + 0.5) AS BIGINT)) AS q
+        |  list_aggregate(list_transform(embedding,
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE)/scale + 0.5) AS BIGINT) AS VARCHAR)),
+        |    'string_agg', ',') AS q
         |FROM s""".stripMargin,
     "ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe

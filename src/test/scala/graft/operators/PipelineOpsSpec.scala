@@ -252,4 +252,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(2) === None)
     assert(got(3) === None)
   }
+
+  test("int8 quantization: values bounded, round-trip error within half a step") {
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.embedQuantizeArr(spark, dir)
+      .join(graft.sources.Tables.embeddings(spark, dir), "vec_id")
+      .select(col("scale"), col("q"), col("embedding"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(0)
+      val q = r.getSeq[Long](1)
+      val e = r.getSeq[Float](2)
+      assert(q.forall(v => v >= -127L && v <= 127L), "codes within int8 range")
+      // |x - q*scale| <= scale/2: the defining bound of round-to-nearest
+      q.zip(e).foreach { case (c, x) =>
+        assert(math.abs(x.toDouble - c * scale) <= scale / 2 + 1e-12)
+      }
+    }
+    // registered (string) form agrees with the typed form cell-by-cell
+    val s = Similarity.embedQuantize(spark, dir)
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val arr = Similarity.embedQuantizeArr(spark, dir)
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).mkString(",")).toMap
+    assert(s === arr)
+  }
 }
