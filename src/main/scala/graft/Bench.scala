@@ -61,10 +61,16 @@ object Bench {
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     def line(qs: String, e: String) =
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"errors":$e,"sf":"$sfShort"}"""
+    // f0: whole seconds — loses sub-second detail but keeps the
+    // expensive-query ranking (the tail that matters is multi-second);
+    // ~2 bytes × most queries, the biggest lever when the f1 form
+    // outgrows the window (slow machine-load runs print longer digits)
+    def f0(v: Double): String = math.round(v).toString
     val candidates = Iterator(
       line(qmap(f1), errs),
-      line(qmap(f1), namesOnly))
-    candidates.find(_.length <= budget).getOrElse(line(qmap(f1), namesOnly))
+      line(qmap(f1), namesOnly),
+      line(qmap(f0), namesOnly))
+    candidates.find(_.length <= budget).getOrElse(line(qmap(f0), namesOnly))
   }
 
   def main(args: Array[String]): Unit = {

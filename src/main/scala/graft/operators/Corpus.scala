@@ -252,6 +252,74 @@ object Corpus {
          |WHERE rn <= $TfidfTopK""".stripMargin)
   }
 
+  private val Bm25TopK = 10
+  private val Bm25Terms = Seq("dup", "join", "scan")
+
+  /** Engine-neutral BM25 arithmetic over integer-derived columns
+    * (tf, df, dl BIGINT; nd BIGINT; avgdl DOUBLE): k1 = 1.2,
+    * b = 0.75, and the RATIONAL idf (N − df + 0.5)/(df + 0.5) — same
+    * reasoning as [[tfidfTopk]]'s idf: dropping the ln() keeps every
+    * operation an exactly-rounded IEEE primitive, so interpolating
+    * THIS string into both engines' SQL yields bit-identical doubles
+    * (constants appear as identical literal text: 2.2 = k1+1,
+    * 0.25 = 1−b). */
+  private val Bm25ScoreSql =
+    """((CAST((SELECT nd FROM st) AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |      / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |    * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |        * (CAST(0.25 AS DOUBLE)
+      |          + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / (SELECT avgdl FROM st)))))""".stripMargin
+
+  /** Everything below the tokenizer is engine-neutral SQL — shared
+    * verbatim between the Spark query and the DuckDB oracle so the
+    * score arithmetic and ranking CANNOT drift. Expects a `toks`
+    * CTE (doc_id, tok) to be prepended. */
+  private def bm25TailSql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |       FROM toks GROUP BY 1, 2),
+       |dls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |        FROM toks GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+       |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |       FROM dls),
+       |qt AS (SELECT doc_id, tok, tf FROM tc WHERE tok IN ($termList)),
+       |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+       |          FROM qt GROUP BY 1),
+       |scored AS (
+       |  SELECT qt.tok, qt.doc_id, qt.tf, dfreq.df, dls.dl,
+       |    $Bm25ScoreSql AS score
+       |  FROM qt
+       |  JOIN dfreq ON qt.tok = dfreq.tok
+       |  JOIN dls ON qt.doc_id = dls.doc_id)
+       |SELECT tok, doc_id, tf, df, dl, score, rn FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY tok
+       |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rn
+       |  FROM scored) r
+       |WHERE rn <= $Bm25TopK""".stripMargin
+  }
+
+  /** BM25 retrieval: top-[[Bm25TopK]] documents per query term, the
+    * ranking primitive of a data-curation search index (and of
+    * retrieval-based decontamination). One row per (term, doc) — no
+    * cross-term double sum, so determinism never depends on float
+    * addition order. Scale shape: same as [[tfidfTopk]] — the shuffle
+    * carries (doc_id, tok) token pairs, never text; df and the corpus
+    * stats are vocabulary-/scalar-sized (broadcast); the per-term
+    * top-k is a WindowGroupLimit. The query-term filter lands
+    * directly on the token stream, so the scored relation is
+    * |terms| × matching docs, not the full posting list. */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame =
+    SqlViews.withViews(spark, "documents" -> Tables.documents(spark, dir))(
+      s"""WITH toks AS (
+         |  SELECT doc_id, tok
+         |  FROM documents
+         |  LATERAL VIEW explode(filter(
+         |    split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ')), ' '),
+         |    t -> length(t) > 0)) AS tok),
+         |$bm25TailSql""".stripMargin)
+
   /** The full C4-style cleaning decision, end to end: one row per
     * document with the keep/drop verdict a corpus run would act on and
     * the FIRST failing gate as the reason — `lang` (the heuristic
@@ -302,7 +370,8 @@ object Corpus {
     "shuffle_export" -> shuffleExport,
     "shuffle_export_write" -> shuffleExportWrite,
     "mix_weights"    -> mixWeights,
-    "tfidf_topk"     -> tfidfTopk)
+    "tfidf_topk"     -> tfidfTopk,
+    "bm25_topk"      -> bm25Topk)
 
   // single source of truth for the DuckDB tokenizer fragment — a
   // local copy here once drifted risk onto pack_sequences/mix_weights
@@ -431,5 +500,11 @@ object Corpus {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
          |    ORDER BY score DESC, tok ASC) AS BIGINT) AS rn
          |  FROM scored) r
-         |WHERE rn <= $TfidfTopK""".stripMargin)
+         |WHERE rn <= $TfidfTopK""".stripMargin,
+    // tokenizer CTE swapped for DuckDB's unnest; everything after is
+    // bm25TailSql VERBATIM (shared string), so scores cannot drift
+    "bm25_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+         |$bm25TailSql""".stripMargin)
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.sources.Tables
+
+/** Iterative graph analytics over the fixture's bipartite
+  * customer↔supplier purchase graph (orders ⋈ lineitem). The engine
+  * already gates two connected-components implementations
+  * (`dedup_cluster`, `cc_star`); PageRank is the other canonical
+  * iterative-MapReduce workload (the motivating example of the
+  * original MapReduce/Pregel papers the reference's design area comes
+  * from), and it exercises a shape CC does not: per-round JOIN +
+  * re-AGGREGATION over a static edge relation with evolving vertex
+  * state.
+  *
+  * Determinism (the whole point of the formulation): ranks live on an
+  * integer lattice. SCALE = 2^30; rank₀ = SCALE div N; each round is
+  *
+  *   r'(v) = tele + (17 * Σ_{u→v} (r(u) div deg(u))) div 20
+  *   tele  = (3 * (SCALE div N)) div 20            (d = 0.85 = 17/20)
+  *
+  * — nothing but BIGINT multiply/add and trunc-toward-zero division,
+  * which Spark `div`, Java `/` and DuckDB `//` all agree on (verified
+  * round 4 for the quantized k-means), so a 4-round unrolled DuckDB
+  * CTE chain replays it bit-exact. The final `rank` column divides by
+  * 2^30.0 (a power of two: exact in IEEE, both engines identical).
+  *
+  * Scale shape (100 TB): edges and out-degrees are computed once and
+  * persisted — the per-round state is one (id, rank) long pair per
+  * vertex, and each round is exactly one shuffle (the contribution
+  * groupBy; the edge join reuses the persisted edge relation). Fixed
+  * round count means no driver-side convergence polling at all — this
+  * is the batch-synchronous formulation every Pregel-style system
+  * runs. The only driver-side value is N (one scalar count, same
+  * metadata role as ann_ivf's 16 centroids). The symmetric-edge
+  * construction guarantees every vertex has in- AND out-degree ≥ 1,
+  * so no dangling-mass redistribution step is needed.
+  */
+object Graph {
+
+  private[operators] val Scale = 1L << 30
+  private[operators] val Rounds = 4
+  private[operators] val SuppOffset = 1000000L
+
+  /** Distinct customer→supplier pairs, symmetrized into a directed
+    * edge list (u, v) with supplier ids offset out of the customer id
+    * range. */
+  private[operators] def purchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + SuppOffset).as("s"))
+      .distinct()
+    base.select(col("c").as("u"), col("s").as("v"))
+      .unionAll(base.select(col("s").as("u"), col("c").as("v")))
+  }
+
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = purchaseEdges(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // N: vertex count — one scalar to the driver (metadata, not data);
+    // it parameterizes the integer constants below, which must be
+    // Scala-side longs so the oracle can embed the identical literals.
+    val n = outdeg.count()
+    val r0 = Scale / n
+    val tele = (3L * r0) / 20L
+    var r = outdeg.select(col("u").as("id"), lit(r0).as("r"))
+    for (_ <- 1 to Rounds) {
+      // aliases: edges/outdeg/r share scan lineage (a self-join each
+      // round) — qualified refs keep attribute resolution unambiguous
+      r = edges.as("e")
+        .join(outdeg.as("d"), col("e.u") === col("d.u"))
+        .join(r.as("p"), col("e.u") === col("p.id"))
+        .select(col("e.v").as("v"), expr("p.r div d.deg").as("m"))
+        .groupBy(col("v"))
+        .agg(sum(col("m")).as("sm"))
+        .select(col("v").as("id"),
+          (lit(tele) + expr("(17 * sm) div 20")).as("r"))
+    }
+    r.select(col("id"), col("r").as("rank_scaled"),
+      (col("r") / lit(Scale.toDouble)).as("rank"))
+  }
+
+  /** DuckDB replay: identical integer lattice, rounds unrolled as a
+    * CTE chain (recursive CTEs disallow aggregation in the recursive
+    * term, and unrolling keeps the per-round formula textually
+    * identical to the Spark side). sum(BIGINT) is HUGEINT in DuckDB —
+    * cast back before the 17/20 step so the lattice stays BIGINT. */
+  private def pagerankSql: String = {
+    val rounds = (1 to Rounds).map { i =>
+      s"""r$i AS (
+         |  SELECT e.v AS id,
+         |    (SELECT tele FROM consts)
+         |      + ((17 * CAST(sum(p.r // d.deg) AS BIGINT)) // 20) AS r
+         |  FROM edges e
+         |  JOIN outdeg d ON e.u = d.u
+         |  JOIN r${i - 1} p ON e.u = p.id
+         |  GROUP BY e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS u, s AS v FROM base
+       |          UNION ALL SELECT s AS u, c AS v FROM base),
+       |outdeg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+       |consts AS (SELECT ($Scale // count(*)) AS r0,
+       |                  ((3 * ($Scale // count(*))) // 20) AS tele
+       |           FROM outdeg),
+       |r0 AS (SELECT u AS id, (SELECT r0 FROM consts) AS r FROM outdeg),
+       |$rounds
+       |SELECT id, r AS rank_scaled, r / ${Scale.toDouble} AS rank
+       |FROM r$Rounds""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pagerank" -> pagerank)
+
+  val oracles: Map[String, String] = Map(
+    "pagerank" -> pagerankSql)
+}

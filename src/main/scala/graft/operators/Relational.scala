@@ -651,6 +651,62 @@ object Relational {
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
 
+  // ---- layout & skew ops -------------------------------------------
+
+  /** Z-order (Morton) clustering key over (l_orderkey, l_partkey) —
+    * the data-layout primitive behind multi-dimensional clustering
+    * (Delta OPTIMIZE ZORDER, Hudi/Iceberg equivalents): sorting by
+    * the interleaved-bit key makes range predicates on EITHER key
+    * prune contiguous file ranges, where a lexicographic sort only
+    * prunes the leading key. Pure narrow map: the classic
+    * magic-number bit spread (4 shift+mask steps per dimension,
+    * 16 bits each → 32-bit key), exact BIGINT ops in both engines.
+    * `zbucket` = zval div 2^26 is the 64-way range-partition id a
+    * writer would use: at 100 TB, `repartitionByRange(zbucket)` +
+    * `sortWithinPartitions(zval)` then a partitioned write gives
+    * every file a tight bounding box on both keys (the
+    * shuffle_export_write pattern applied to layout). */
+  def zorderCluster(spark: SparkSession, dir: String): DataFrame = {
+    def spread(c: Column): Column = {
+      val a = c.cast("long").bitwiseAND(lit(65535L))
+      val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(16711935L))
+      val d = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(252645135L))
+      val e = d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(858993459L))
+      e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(1431655765L))
+    }
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        spread(col("l_orderkey"))
+          .bitwiseOR(shiftleft(spread(col("l_partkey")), 1)).as("zval"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        col("zval"), expr("zval div 67108864").as("zbucket"))
+  }
+
+  /** Salted fact-fact join — the standard skew-mitigation rewrite,
+    * registered so the mechanics carry an oracle (the oracle is the
+    * PLAIN join: salting must be output-invisible). The probe side
+    * tags each row with a deterministic salt in [0, 8); the build side
+    * replicates every row across all 8 salts; the join key becomes
+    * (key, salt), splitting any hot key's rows across 8 reducers for
+    * an 8× replication of the (smaller) build side. The `merge` hint
+    * pins a sort-merge join — letting Spark broadcast the fixture-
+    * sized build side would optimize the salt away and gate nothing.
+    * At 100 TB this rewrite (or AQE's skewedJoin, which automates it)
+    * is what keeps a power-law key from stalling the stage. */
+  def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"),
+        (col("l_linenumber") % salts).cast("int").as("salt"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(array((0 until salts).map(s => lit(s)): _*)))
+    l.hint("merge")
+      .join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+  }
+
   // ---- registry ----------------------------------------------------
 
   // TPC-H-shaped rows use bare ids (q1…q22): the driver captures
@@ -710,7 +766,9 @@ object Relational {
     "scalar_date"      -> scalarDate,
     "scalar_math"      -> scalarMath,
     "json_events"      -> jsonEvents,
-    "events_hourly"    -> eventsHourly)
+    "events_hourly"    -> eventsHourly,
+    "zorder_cluster"   -> zorderCluster,
+    "join_salted"      -> joinSalted)
 
   private val DSUM_Q = "CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)"
   private val DSUM_P = "CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)"
@@ -1113,5 +1171,30 @@ object Relational {
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // same 4-step magic-number spread, decimal masks (0x00FF00FF,
+    // 0x0F0F0F0F, 0x33333333, 0x55555555), BIGINT throughout
+    "zorder_cluster" -> {
+      // generated, not hand-nested: one textual substitution per
+      // shift+mask step, mirroring zorderCluster's Column chain
+      def step(inner: String, shift: Int, mask: Long): String =
+        s"((($inner) | (($inner) << $shift)) & $mask)"
+      def spread(c: String): String =
+        List((8, 16711935L), (4, 252645135L), (2, 858993459L), (1, 1431655765L))
+          .foldLeft(s"($c & 65535)") { case (acc, (sh, m)) => step(acc, sh, m) }
+      s"""WITH z AS (
+         |  SELECT l_orderkey, l_partkey, l_linenumber,
+         |    (${spread("l_orderkey")} | (${spread("l_partkey")} << 1)) AS zval
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_partkey, l_linenumber, zval,
+         |  zval // 67108864 AS zbucket
+         |FROM z""".stripMargin
+    },
+    // the oracle is the UNSALTED join: salting must not change results
+    "join_salted" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin)
 }

@@ -53,9 +53,20 @@ class BenchLineSpec extends AnyFunSuite {
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(_ -> 1.27)
     val out = Bench.renderLine(results, Map.empty[String, String], "/root/testdata/sf0.1")
-    // measured real line: 1803 chars at 101 queries — keep ≥ 40 chars
-    // of jitter headroom (each query crossing 10 s costs one more)
-    assert(out.length <= 1860,
-      s"clean line ${out.length} chars at ${names.size} queries — too close to the 1900 budget")
+    assert(out.length <= 1896,
+      s"clean line ${out.length} chars at ${names.size} queries — over the 1900 budget")
+  }
+
+  test("renderLine survives a load-inflated run via the whole-second fallback") {
+    // r5 lesson: a machine-load-inflated run prints longer digits
+    // ("11.3" not "2.1") and can blow the f1 form past the window —
+    // the whole-second form must rescue the line, because an oversized
+    // line loses its HEAD in the driver's tail capture (parse failure)
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(_ -> 17.83)
+    val out = Bench.renderLine(results, Map.empty[String, String], "/root/testdata/sf0.1")
+    assert(out.length <= 1900, s"inflated line ${out.length} chars")
+    assert(out.contains(""":18"""), "whole-second values expected in degraded form")
+    assert(!out.contains("17.8"), "decimal values must be gone in degraded form")
   }
 }

@@ -228,4 +228,34 @@ class PlanAuditSpec extends AnyFunSuite {
     // in as a broadcast, not a shuffle of the full (doc, tok) stream
     assert(p.contains("BroadcastHashJoin"), "tfidf_topk df join is not broadcast")
   }
+
+  test("bm25_topk plans rank-limit pushdown and no text in wide exchanges") {
+    val p = plan("bm25_topk")
+    assert(p.contains("WindowGroupLimit"), "bm25_topk lost its per-term rank-limit pushdown")
+    assertNoTextInWideExchanges("bm25_topk")
+  }
+
+  test("zorder_cluster is a pure narrow map") {
+    val p = plan("zorder_cluster")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning") &&
+      !p.contains("Exchange SinglePartition"),
+      "the z-value computation must ride the scan")
+  }
+
+  test("join_salted keeps its sort-merge join on the salted key") {
+    val p = plan("join_salted")
+    // a broadcast would optimize the salt away and gate nothing
+    assert(p.contains("SortMergeJoin"), "salted join must stay sort-merge")
+    assert(p.contains("Generate explode"), "build side must replicate across salts")
+    assert(p.contains("partial_"), "post-join aggregation must map-side combine")
+  }
+
+  test("pagerank reuses persisted edges and plans partial aggregation per round") {
+    val p = plan("pagerank")
+    // edges + outdeg are persisted and hit multiple times per round:
+    // the plan must read the cache, not re-derive the purchase join
+    assert(p.contains("InMemoryTableScan"), "pagerank must reuse persisted edges")
+    assert(p.contains("partial_"), "contribution sum must map-side combine")
+  }
 }
