@@ -20,6 +20,8 @@ object Timing {
     SparkEntry.queries("wordcount")(spark, dir).count()
     for (n <- args; i <- 1 to 3) {
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, dir).count()
       println(f"TIMING $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")

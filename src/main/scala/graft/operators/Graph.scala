@@ -71,16 +71,25 @@ object Graph {
     val tele = (3L * r0) / 20L
     var r = outdeg.select(col("u").as("id"), lit(r0).as("r"))
     for (_ <- 1 to Rounds) {
-      // aliases: edges/outdeg/r share scan lineage (a self-join each
-      // round) — qualified refs keep attribute resolution unambiguous
+      // per-vertex message m = r div deg computed on the TINY vertex
+      // state first (vertex ⋈ vertex), so the edge relation is touched
+      // by exactly one join per round — halves the per-round join work
+      // vs joining edges against outdeg and r separately. Aliases:
+      // everything shares scan lineage (a self-join each round).
+      val msg = r.as("p")
+        .join(outdeg.as("d"), col("p.id") === col("d.u"))
+        .select(col("p.id").as("mid"), expr("p.r div d.deg").as("m"))
       r = edges.as("e")
-        .join(outdeg.as("d"), col("e.u") === col("d.u"))
-        .join(r.as("p"), col("e.u") === col("p.id"))
-        .select(col("e.v").as("v"), expr("p.r div d.deg").as("m"))
-        .groupBy(col("v"))
+        .join(msg, col("e.u") === col("mid"))
+        .groupBy(col("e.v"))
         .agg(sum(col("m")).as("sm"))
         .select(col("v").as("id"),
           (lit(tele) + expr("(17 * sm) div 20")).as("r"))
+      // measured: per-round localCheckpoint (the dedup_cluster fix)
+      // LOSES here — 4 bounded rounds compile fine as one tree
+      // (run3 4.2 s vs 5.4 s checkpointed), because the checkpoint
+      // materialization tax outweighs the lineage saving when the
+      // round count is a small constant
     }
     r.select(col("id"), col("r").as("rank_scaled"),
       (col("r") / lit(Scale.toDouble)).as("rank"))
