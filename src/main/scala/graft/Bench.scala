@@ -61,14 +61,17 @@ object Bench {
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     def line(qs: String, e: String) =
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"errors":$e,"sf":"$sfShort"}"""
-    // f0: whole seconds — loses sub-second detail but keeps the
-    // expensive-query ranking (the tail that matters is multi-second);
-    // ~2 bytes × most queries, the biggest lever when the f1 form
-    // outgrows the window (slow machine-load runs print longer digits)
+    // degradation ladder, most → least informative. fMix keeps one
+    // decimal where it matters (multi-second queries, the ranking
+    // tail) and whole seconds below ~1 s (~2 bytes × the many fast
+    // queries); f0 is the last-resort whole-second form for
+    // machine-load-inflated runs that print longer digits everywhere
     def f0(v: Double): String = math.round(v).toString
+    def fMix(v: Double): String = if (v < 0.95) f0(v) else f1(v)
     val candidates = Iterator(
       line(qmap(f1), errs),
-      line(qmap(f1), namesOnly),
+      line(qmap(fMix), errs),
+      line(qmap(fMix), namesOnly),
       line(qmap(f0), namesOnly))
     candidates.find(_.length <= budget).getOrElse(line(qmap(f0), namesOnly))
   }

@@ -635,6 +635,51 @@ object Relational {
         graft.functions.KmvSketchAgg.kmv_distinct(h60(col("l_orderkey")), 64).as("est_orders"))
   }
 
+  /** Quantile sketch gated on its accuracy contract — completes the
+    * sketch trio (HLL `agg_approx_distinct`, KMV `agg_kmv_distinct`,
+    * and now quantiles). `approx_percentile` (Greenwald-Khanna) has
+    * merge-order-dependent outputs, so the estimate itself can't be
+    * hash-gated; what IS deterministic is the guarantee: with
+    * accuracy = 10000 the returned value's RANK must be within
+    * n/10000 of the target rank. The registered row emits the exact
+    * percentiles plus the sketch's rank error in UNITS of that bound
+    * (floored — 0 means "inside the guarantee"), checked per group.
+    * At 100 TB the sketch is the only viable path (bounded memory,
+    * partial+final merge); the exact percentile here is the
+    * test-scale referee, same role as countDistinct above. */
+  def aggApproxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    // accuracy=100 keeps the sketch in genuinely-compressed territory
+    // at every fixture SF (memory ~ accuracy < group sizes), with a
+    // rank-error guarantee of n/100; the +1 covers rank discreteness.
+    // The sketch VALUE is merge-order-dependent (can't hash-gate it);
+    // the guarantee holding is deterministic — that's what's gated,
+    // same structure as the HLL row's 3-sigma flags.
+    val acc = 100
+    def inEnvelope(approxRank: Column, q: Double, n: Column): Column =
+      (abs(approxRank.cast("double") - n.cast("double") * q) <=
+        n.cast("double") / acc + 1.0).cast("long")
+    val e = Tables.events(spark, dir)
+    val ap = e.groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(acc)).as("ap50"),
+        percentile_approx(col("value"), lit(0.9), lit(acc)).as("ap90"))
+    val exact = e.groupBy("event_type")
+      .agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.9)).as("p90"),
+        count(lit(1)).as("n"))
+    // referee pass: the approx value's true rank = count(value <= it)
+    val joined = e.join(broadcast(ap), "event_type")
+      .groupBy("event_type")
+      .agg(
+        sum((col("value") <= col("ap50")).cast("long")).as("r50"),
+        sum((col("value") <= col("ap90")).cast("long")).as("r90"))
+      .join(broadcast(exact), "event_type")
+    joined.select(col("event_type"), col("p50"), col("p90"), col("n"),
+      inEnvelope(col("r50"), 0.5, col("n")).as("p50_in_bound"),
+      inEnvelope(col("r90"), 0.9, col("n")).as("p90_in_bound"))
+  }
+
   /** Exact interpolated percentiles — Spark's `percentile` and
     * DuckDB's `quantile_cont` share the (n-1)·q linear-interpolation
     * definition, so values compare exactly. */
@@ -680,6 +725,40 @@ object Relational {
           .bitwiseOR(shiftleft(spread(col("l_partkey")), 1)).as("zval"))
       .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
         col("zval"), expr("zval div 67108864").as("zbucket"))
+  }
+
+  private[operators] val ZorderFiles = 16
+
+  /** The layout WRITE [[zorderCluster]] motivates: range-partition by
+    * the Morton key and sort within partitions, so each of the
+    * [[ZorderFiles]] output files covers a tight, non-overlapping
+    * zval range — i.e. a tight bounding box on BOTH l_orderkey and
+    * l_partkey, which is what lets a reader prune files on either
+    * predicate. The tiebreak keys make per-file row content
+    * deterministic. RangePartitioner boundaries come from sampling,
+    * but the gated ROW SET is partition-independent and the
+    * non-overlap invariant holds for any boundary choice (equal keys
+    * are never split); LayoutSpec asserts both. */
+  def writeZorderLayout(spark: SparkSession, dir: String, outDir: String): Unit =
+    zorderCluster(spark, dir)
+      .repartitionByRange(ZorderFiles, col("zval"))
+      .sortWithinPartitions(col("zval"), col("l_orderkey"), col("l_linenumber"))
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Write-then-reread gate for [[writeZorderLayout]] — same pattern
+    * (and same fixed-temp-path hygiene) as Corpus.shuffleExportWrite:
+    * the round trip (range shuffle → sorted parquet → scan) must
+    * reproduce exactly the rows `zorder_cluster` computes, so the
+    * oracle is shared. Eager write at construction time is inherent
+    * to gating a sink. */
+  def zorderWrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_zorder_${Integer.toHexString(dir.hashCode)}").toString
+    writeZorderLayout(spark, dir, out)
+    spark.read
+      .schema("l_orderkey LONG, l_partkey LONG, l_linenumber INT, zval LONG, zbucket LONG")
+      .parquet(out)
   }
 
   /** Salted fact-fact join — the standard skew-mitigation rewrite,
@@ -748,6 +827,7 @@ object Relational {
     "agg_distinct"     -> aggDistinct,
     "agg_stats"        -> aggStats,
     "agg_median"       -> aggMedian,
+    "agg_approx_quantile" -> aggApproxQuantile,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "agg_rollup"       -> aggRollup,
@@ -768,6 +848,7 @@ object Relational {
     "json_events"      -> jsonEvents,
     "events_hourly"    -> eventsHourly,
     "zorder_cluster"   -> zorderCluster,
+    "zorder_write"     -> zorderWrite,
     "join_salted"      -> joinSalted)
 
   private val DSUM_Q = "CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)"
@@ -834,6 +915,23 @@ object Relational {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name ASC
       |LIMIT 10""".stripMargin
+
+  // generated, not hand-nested: one textual substitution per
+  // shift+mask step, mirroring zorderCluster's Column chain
+  private val ZorderSql: String = {
+    def step(inner: String, shift: Int, mask: Long): String =
+      s"((($inner) | (($inner) << $shift)) & $mask)"
+    def spread(c: String): String =
+      List((8, 16711935L), (4, 252645135L), (2, 858993459L), (1, 1431655765L))
+        .foldLeft(s"($c & 65535)") { case (acc, (sh, m)) => step(acc, sh, m) }
+    s"""WITH z AS (
+       |  SELECT l_orderkey, l_partkey, l_linenumber,
+       |    (${spread("l_orderkey")} | (${spread("l_partkey")} << 1)) AS zval
+       |  FROM lineitem)
+       |SELECT l_orderkey, l_partkey, l_linenumber, zval,
+       |  zval // 67108864 AS zbucket
+       |FROM z""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q2"  -> Q2Sql,
@@ -1074,6 +1172,14 @@ object Relational {
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.9) AS p90, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    // exact percentiles asserted; GK sketch held to its rank-error
+    // guarantee (flags forced to 1), same convention as the HLL row
+    "agg_approx_quantile" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90, count(*) AS n,
+        |  CAST(1 AS BIGINT) AS p50_in_bound,
+        |  CAST(1 AS BIGINT) AS p90_in_bound
+        |FROM events GROUP BY event_type""".stripMargin,
     "agg_stats" ->
       """SELECT l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_qty,
@@ -1174,22 +1280,9 @@ object Relational {
         |FROM events GROUP BY 1, 2""".stripMargin,
     // same 4-step magic-number spread, decimal masks (0x00FF00FF,
     // 0x0F0F0F0F, 0x33333333, 0x55555555), BIGINT throughout
-    "zorder_cluster" -> {
-      // generated, not hand-nested: one textual substitution per
-      // shift+mask step, mirroring zorderCluster's Column chain
-      def step(inner: String, shift: Int, mask: Long): String =
-        s"((($inner) | (($inner) << $shift)) & $mask)"
-      def spread(c: String): String =
-        List((8, 16711935L), (4, 252645135L), (2, 858993459L), (1, 1431655765L))
-          .foldLeft(s"($c & 65535)") { case (acc, (sh, m)) => step(acc, sh, m) }
-      s"""WITH z AS (
-         |  SELECT l_orderkey, l_partkey, l_linenumber,
-         |    (${spread("l_orderkey")} | (${spread("l_partkey")} << 1)) AS zval
-         |  FROM lineitem)
-         |SELECT l_orderkey, l_partkey, l_linenumber, zval,
-         |  zval // 67108864 AS zbucket
-         |FROM z""".stripMargin
-    },
+    "zorder_cluster" -> ZorderSql,
+    // the sink round trip must reproduce the identical row set
+    "zorder_write" -> ZorderSql,
     // the oracle is the UNSALTED join: salting must not change results
     "join_salted" ->
       """SELECT o_orderpriority,

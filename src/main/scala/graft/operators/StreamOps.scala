@@ -53,7 +53,13 @@ object StreamOps {
       .select("user_id", "event_type", "event_id", "ts", "value")
   }
 
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame =
+    EventStream.enrichedSegmentActivity(
+      graft.sources.Tables.events(spark, dir),
+      graft.sources.Tables.customer(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_enrich"           -> streamEnrich,
     "sessionize"              -> sessionize,
     "stream_window_counts"    -> streamWindowCounts,
     "stream_sliding_activity" -> streamSlidingActivity,
@@ -61,6 +67,14 @@ object StreamOps {
     "compact_latest"          -> compactLatest)
 
   val oracles: Map[String, String] = Map(
+    // watermark is a no-op on batch; windows are epoch-grid-aligned,
+    // so 1-hour tumbling == date_trunc('hour')
+    "stream_enrich" ->
+      """SELECT date_trunc('hour', ts) AS window_start, c_mktsegment,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2, 3""".stripMargin,
     "compact_latest" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type

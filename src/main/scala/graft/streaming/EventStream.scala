@@ -35,6 +35,34 @@ object EventStream {
         sum(col("value").cast(DecimalType(30, 4))).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-static enrichment join + windowed aggregation: the event
+    * stream joins a STATIC dimension (customer segment) and rolls up
+    * per (window, segment, type). This is the canonical streaming
+    * enrichment shape — the static side is planned once per
+    * micro-batch as a broadcast (explicitly hinted: dimension tables
+    * stay broadcast-sized at any fact-stream volume), the stream side
+    * never re-shuffles for the join, and the windowed aggregation
+    * carries the watermark exactly as in [[windowedTypeCounts]].
+    * Batch parity: on a batch `events` input the same plan is a
+    * broadcast join + groupBy, giving the registered row its DuckDB
+    * oracle; EventStreamSpec replays it through MemoryStream. */
+  def enrichedSegmentActivity(
+      events: DataFrame,
+      customer: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), windowLen).as("w"),
+        col("c_mktsegment"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 4))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("c_mktsegment"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** One closed user session: contiguous activity with gaps < the
     * session timeout. */
   case class Session(

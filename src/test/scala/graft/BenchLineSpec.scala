@@ -48,13 +48,17 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("renderLine stays inside the budget at the current registry size") {
-    // the real guard: every registered name at a plausible timing must
-    // fit the tail window with bytes to spare for timing jitter
+    // the real guard: every registered name at a REALISTIC timing mix
+    // (most queries sub-second, a multi-second tail — the measured r6
+    // shape) must fit the tail window, keeping one decimal on the tail
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(_ -> 1.27)
+    val results = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i % 4 == 0) 2.37 else 0.43)
+    }
     val out = Bench.renderLine(results, Map.empty[String, String], "/root/testdata/sf0.1")
     assert(out.length <= 1896,
-      s"clean line ${out.length} chars at ${names.size} queries — over the 1900 budget")
+      s"line ${out.length} chars at ${names.size} queries — over the 1900 budget")
+    assert(out.contains(":2.4"), "multi-second queries must keep a decimal")
   }
 
   test("renderLine survives a load-inflated run via the whole-second fallback") {

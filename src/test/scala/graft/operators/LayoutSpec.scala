@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-layout invariants of the Z-order writer that the row-set
+  * oracle gate cannot see: per-file zval ranges must not interleave
+  * (the bounding-box property that makes file pruning work on either
+  * key) and rows must be zval-sorted inside each file. */
+class LayoutSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("zorder layout: files cover non-overlapping zval ranges, sorted within") {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_zorder_spec").toString
+    Relational.writeZorderLayout(spark, dir, out)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length > 1, "expected a multi-file layout")
+    // per-file (min, max, sortedness) read file-by-file, raw order
+    val ranges = files.flatMap { f =>
+      val rows = spark.read.parquet(f).select(col("zval"))
+        .collect().map(_.getLong(0))
+      assert(rows.sameElements(rows.sorted),
+        s"$f is not zval-sorted within the file")
+      // boundary sampling can leave a range partition empty — no
+      // bounding box to check there
+      if (rows.isEmpty) None else Some((rows.min, rows.max))
+    }
+    // equal keys are never split by a RangePartitioner, so ordering
+    // files by min-zval must give strictly non-interleaving ranges
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, prevMax), (nextMin, _)) =>
+        assert(prevMax <= nextMin,
+          s"file ranges interleave: max $prevMax > next min $nextMin")
+      case _ => ()
+    }
+    // every lineitem row survives the round trip exactly once
+    val n = spark.read.parquet(out).count()
+    assert(n === graft.sources.Tables.lineitem(spark, dir).count())
+  }
+}

@@ -63,6 +63,42 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch broadcast join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch = Tables.events(spark, dir)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+    val rows = batch.as[(Timestamp, Long, String, Double)].collect().sortBy(_._1.getTime)
+    val dim = Tables.customer(spark, dir)
+
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val streamed = EventStream.enrichedSegmentActivity(
+      input.toDF().toDF("ts", "user_id", "event_type", "value"), dim)
+    val q = streamed.writeStream
+      .format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(rest.toSeq)
+      q.processAllAvailable()
+      // watermark flush: user_id 0 exists in the dimension, so the
+      // row joins and its far-future ts closes every real window
+      input.addData(Seq((Timestamp.valueOf("2030-01-01 00:00:00"), 0L, "flush", 0.0)))
+      q.processAllAvailable()
+
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4))
+      val got = spark.table("enrich_out")
+        .filter(col("event_type") =!= "flush").collect().map(key).toSet
+      val want = EventStream.enrichedSegmentActivity(batch, dim)
+        .collect().map(key).toSet
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionization: incremental stream equals batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
