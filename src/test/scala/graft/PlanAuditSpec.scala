@@ -63,6 +63,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("q3").contains("TakeOrderedAndProject"))
     assert(plan("q10").contains("TakeOrderedAndProject"))
     assert(plan("q18").contains("TakeOrderedAndProject"))
+    assert(plan("copurchase_topk").contains("TakeOrderedAndProject"),
+      "copurchase top-k must never plan a global sort")
   }
 
   test("q6_forecast: every predicate reaches the scan, two-column read schema") {

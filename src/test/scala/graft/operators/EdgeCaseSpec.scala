@@ -101,4 +101,41 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(looped.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
       Map(5L -> 5L, 9L -> 5L))
   }
+
+  test("BPE tokenizer: full merges, byte fallback, and count bounds") {
+    // words the merge table fully collapses — each one exercises a
+    // chain where earlier merges enable later ones
+    Seq("the", "data", "scan", "join", "key", "hash", "big", "dup",
+      "fast", "row").foreach { w =>
+      assert(TextAnalysis.bpeTokens(w) === 1, s"'$w' should fully merge")
+    }
+    // byte fallback: any string tokenizes, unseen material stays
+    // character-level
+    assert(TextAnalysis.bpeTokens("zzz") === 3)
+    assert(TextAnalysis.bpeTokens("") === 0)
+    // bounds hold for arbitrary input: 1..len for nonempty words
+    val rng = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val w = (1 to (1 + rng.nextInt(12)))
+        .map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+      val n = TextAnalysis.bpeTokens(w)
+      assert(n >= 1 && n <= w.length, s"'$w' -> $n out of bounds")
+    }
+  }
+
+  test("pagerank: hub outranks leaves on a planted star-plus-chain graph") {
+    // star center 1 with leaves 2..6; a detached 2-chain (10, 11).
+    // The center receives 5 full contributions per round, leaves get
+    // 1/5 of the center's — the center must outrank every leaf, and
+    // symmetric positions must tie exactly (integer lattice).
+    val edges = (2L to 6L).flatMap(l => Seq((1L, l), (l, 1L))) ++
+      Seq((10L, 11L), (11L, 10L))
+    val ranks = Graph.rankEdges(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.size === 8)
+    val center = ranks(1L)
+    (2L to 6L).foreach(l => assert(ranks(l) < center, s"leaf $l outranks center"))
+    assert((2L to 6L).map(ranks).toSet.size === 1, "symmetric leaves must tie exactly")
+    assert(ranks(10L) === ranks(11L), "2-chain endpoints must tie exactly")
+  }
 }
