@@ -58,6 +58,9 @@ object Tables {
     * sub-microsecond components (verified), so the conversion is exact.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // intentionally session-sticky: the legacy flag only widens what a
+    // scan ACCEPTS (nanos as long), never changes an existing plan, so
+    // re-setting it per call is an idempotent no-op
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // integral `div`, NOT `/`: epoch-nanos exceed double's 53-bit
     // mantissa, so float division is off by up to ±1 µs
