@@ -148,13 +148,24 @@ object Graph {
     * self-join would. The top-k is a TakeOrderedAndProject (asserted
     * in PlanAuditSpec), never a global sort. */
   def copurchaseTopk(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.lineitem(spark, dir)
+    import spark.implicits._
+    // basket form, not a self-join: collect_set aggregates each
+    // order's distinct parts in ONE shuffle (with map-side partial
+    // collection), pairs are emitted narrowly from the sorted basket
+    // (typed flatMap — a nested-loop over a small array is closure
+    // territory), and one more shuffle counts pairs. The self-join
+    // formulation scanned and distinct-shuffled the base twice.
+    Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    base.as("a")
-      .join(base.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("parts"))
+      .select(col("parts")).as[Seq[Long]]
+      .flatMap { ps =>
+        for { i <- ps.indices.iterator; j <- (i + 1) until ps.size }
+          yield (ps(i), ps(j))
+      }
+      .toDF("part_a", "part_b")
+      .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
       .limit(CoK)

@@ -58,8 +58,32 @@ object StreamOps {
       graft.sources.Tables.events(spark, dir),
       graft.sources.Tables.customer(spark, dir))
 
+  /** SCD2 dimension versioning — the other half of CDC ingestion
+    * ([[compactLatest]] keeps the latest version; this keeps ALL
+    * versions with validity intervals): each record is current from
+    * its own timestamp until the next record of the same key, with
+    * a 2100-01-01 end-of-time sentinel (the classic 9999-12-31 overflows the driver-side nanosecond timestamp compare) instead of NULL
+    * (null-free outputs are a cross-engine comparator rule, and the
+    * sentinel is how warehouse BETWEEN lookups want it anyway).
+    * One keyed window sort — same single-exchange shape as
+    * `compact_latest`, spilling sorts at scale, no state beyond the
+    * sort. */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{coalesce, lead, lit, to_timestamp}
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val nxt = lead(col("ts"), 1).over(w)
+    graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"), col("ts").as("valid_from"),
+        coalesce(nxt, to_timestamp(lit("2100-01-01 00:00:00"))).as("valid_to"),
+        nxt.isNull.cast("long").as("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_enrich"           -> streamEnrich,
+    "scd2_intervals"          -> scd2Intervals,
     "sessionize"              -> sessionize,
     "stream_window_counts"    -> streamWindowCounts,
     "stream_sliding_activity" -> streamSlidingActivity,
@@ -75,6 +99,13 @@ object StreamOps {
         |  CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2, 3""".stripMargin,
+    "scd2_intervals" ->
+      """SELECT user_id, event_type, event_id, value, ts AS valid_from,
+        |  coalesce(lead(ts) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts ASC, event_id ASC), TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
+        |  CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts ASC, event_id ASC) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM events""".stripMargin,
     "compact_latest" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
