@@ -171,9 +171,35 @@ object Graph {
       .limit(CoK)
   }
 
+  /** Triangle enumeration over the ngram near-dup pair graph — the
+    * basis of clustering-coefficient / graph-density analysis (here:
+    * "how clique-like are near-dup clusters", which distinguishes
+    * true k-way duplicates from chains of pairwise-similar drafts).
+    * The pair relation is already canonically oriented (doc_a <
+    * doc_b), so the two-hop join (a,b)⋈(b,c) + closing check (a,c)
+    * emits each triangle EXACTLY once with a < b < c — the standard
+    * dedup-free enumeration. At web scale the orientation would be by
+    * degree (low→high), bounding per-vertex wedge work by the arboric
+    * degeneracy rather than the max degree; with near-dup graphs the
+    * canonical id orientation suffices (components are tiny by
+    * construction). Pairs are persisted once — the shingle pipeline
+    * must not run three times for a three-way self-join. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val p = Dedup.dedupNgramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    p.as("e1")
+      .join(p.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(p.as("e3"),
+        col("e3.doc_a") === col("e1.doc_a") && col("e3.doc_b") === col("e2.doc_b"))
+      .select(col("e1.doc_a").as("doc_a"), col("e1.doc_b").as("doc_b"),
+        col("e2.doc_b").as("doc_c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank"        -> pagerank,
-    "copurchase_topk" -> copurchaseTopk)
+    "copurchase_topk" -> copurchaseTopk,
+    "triangles"       -> triangles)
 
   val oracles: Map[String, String] = Map(
     "pagerank" -> pagerankSql,
@@ -184,5 +210,14 @@ object Graph {
          |FROM base a JOIN base b ON a.ok = b.ok AND a.pk < b.pk
          |GROUP BY 1, 2
          |ORDER BY n_orders DESC, part_a ASC, part_b ASC
-         |LIMIT $CoK""".stripMargin)
+         |LIMIT $CoK""".stripMargin,
+    // jp is Dedup.ClusterCtes' canonical (doc_a < doc_b) near-dup
+    // pair relation — the unreferenced clustering CTEs after it are
+    // never evaluated (CTEs are lazy unless MATERIALIZED)
+    "triangles" ->
+      s"""${Dedup.ClusterCtes}
+         |SELECT e1.doc_a AS doc_a, e1.doc_b AS doc_b, e2.doc_b AS doc_c
+         |FROM jp e1
+         |JOIN jp e2 ON e1.doc_b = e2.doc_a
+         |JOIN jp e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b""".stripMargin)
 }

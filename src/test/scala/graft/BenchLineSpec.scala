@@ -65,12 +65,27 @@ class BenchLineSpec extends AnyFunSuite {
     // r5 lesson: a machine-load-inflated run prints longer digits
     // ("11.3" not "2.1") and can blow the f1 form past the window —
     // the whole-second form must rescue the line, because an oversized
-    // line loses its HEAD in the driver's tail capture (parse failure)
+    // line loses its HEAD in the driver's tail capture (parse failure).
+    // Shape: the realistic mix at ~2.5x load (tail 10.7 s, rest 1.1 s).
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(_ -> 17.83)
+    val results = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i % 4 == 0) 10.71 else 1.13)
+    }
     val out = Bench.renderLine(results, Map.empty[String, String], "/root/testdata/sf0.1")
     assert(out.length <= 1900, s"inflated line ${out.length} chars")
-    assert(out.contains(""":18"""), "whole-second values expected in degraded form")
-    assert(!out.contains("17.8"), "decimal values must be gone in degraded form")
+    assert(out.contains(""":11"""), "whole-second values expected in degraded form")
+    assert(!out.contains("10.7"), "decimal values must be gone in degraded form")
+  }
+
+  test("renderLine's absolute floor always fits and stays parseable") {
+    // pathological: EVERY query multi-digit seconds — per-query detail
+    // is dropped entirely before the line can outgrow the window
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(_ -> 47.3)
+    val out = Bench.renderLine(results, Map("q_x" -> "boom"), "/root/testdata/sf0.1")
+    assert(out.length <= 1900, s"floor line ${out.length} chars")
+    assert(out.contains(""""queries":{}"""))
+    assert(out.contains(""""_failed":"q_x""""))
+    assert(out.contains(""""value":"""))
   }
 }
