@@ -182,6 +182,18 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     minhashSketch(spark, dir).select(col("doc_id"), col("sig"))
 
+  /** (doc_id, band_idx, band_key) LSH banding of a sketch — shared by
+    * the self-join ([[dedupMinhash]]) and two-sided
+    * ([[dedupIncremental]]) paths. Band keys are codegen'd multi-arg
+    * hashes of the 4 signature columns, not string concats. */
+  private def bandsOf(sketch: DataFrame): DataFrame = {
+    val bandKeys = (0 until Bands).map(b =>
+      xxhash64((0 until RowsPerBand).map(r =>
+        element_at(col("sig"), b * RowsPerBand + r + 1)): _*))
+    sketch.select(col("doc_id"), posexplode(array(bandKeys: _*)))
+      .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_key"))
+  }
+
   /** MinHash + LSH near-dup pairs, exact-verified.
     * Banding: 16 bands × 4 rows ⇒ P(candidate) = 1-(1-j⁴)¹⁶ — at
     * j=0.98 a miss is ~1e-18, so on this corpus the output equals the
@@ -208,12 +220,7 @@ object Dedup {
     // sort-merge shuffle. Opposite trade from the LSH planes/shingle
     // closures — closures win when expression COUNT explodes codegen,
     // lose when they sit where Catalyst needs stats.
-    val bandKeys = (0 until Bands).map(b =>
-      xxhash64((0 until RowsPerBand).map(r =>
-        element_at(col("sig"), b * RowsPerBand + r + 1)): _*))
-    val bands = sketch.select(col("doc_id"),
-      posexplode(array(bandKeys: _*)))
-      .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_key"))
+    val bands = bandsOf(sketch)
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -243,6 +250,51 @@ object Dedup {
       .join(sketch.select(col("doc_id"), col("n")).as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(sketch.select(col("doc_id"), col("n")).as("cb"), col("doc_b") === col("cb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** INGESTION-TIME near-dup screening — the production shape of
+    * minhash dedup: an incoming batch (here the deterministic slice
+    * doc_id % 10 = 0, ~10% of the corpus) is checked against the
+    * EXISTING corpus without re-deduplicating the corpus against
+    * itself. The band join is two-sided (new bands ⋈ corpus bands),
+    * so its cost is |batch| × bucket-mates, not corpus²; at 100 TB
+    * the corpus side of the join is the stored 520 B/doc sketch
+    * table — the whole point of persisting sketches is that
+    * ingestion never re-reads corpus text, and indeed only CANDIDATE
+    * corpus docs (bucket-mates of the batch) are re-shingled for
+    * exact verification. Output: (doc_new, doc_old, jaccard ≥ 0.8) —
+    * the evidence rows an ingestion gate would act on. Oracle: the
+    * exact-Jaccard pair relation restricted to cross-side pairs
+    * (recall 1.0 on this corpus, same argument as [[dedupMinhash]]). */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val sketch = minhashSketch(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = bandsOf(sketch)
+    val cands = bands.filter(col("doc_id") % 10 === 0).as("x")
+      .join(bands.filter(col("doc_id") % 10 =!= 0).as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_old"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candDocs = cands.select(col("doc_new").as("doc_id"))
+      .union(cands.select(col("doc_old").as("doc_id")))
+      .distinct()
+    val shc = docShinglesOf(
+        Tables.documents(spark, dir).join(candDocs, Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h0"))
+    val inter = cands
+      .join(shc.as("sa"), col("doc_new") === col("sa.doc_id"))
+      .join(shc.as("sb"),
+        col("doc_old") === col("sb.doc_id") && col("sa.h0") === col("sb.h0"))
+      .groupBy("doc_new", "doc_old")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sketch.select(col("doc_id"), col("n")).as("ca"), col("doc_new") === col("ca.doc_id"))
+      .join(sketch.select(col("doc_id"), col("n")).as("cb"), col("doc_old") === col("cb.doc_id"))
+      .select(col("doc_new"), col("doc_old"),
         (col("inter") / (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
   }
@@ -689,6 +741,7 @@ object Dedup {
     "dedup_exact"     -> dedupExact,
     "dedup_ngram"     -> dedupNgramJaccard,
     "dedup_minhash"   -> dedupMinhash,
+    "dedup_incr"      -> dedupIncremental,
     "dedup_simhash"   -> dedupSimhashMd5,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_cluster"   -> dedupCluster,
@@ -808,6 +861,16 @@ object Dedup {
     // corpus's j≈0.98 near-dup pairs, and exact verification removes
     // false positives ⇒ identical result to the exact ngram query.
     "dedup_minhash" -> ExactJaccardSql,
+    // same exact-Jaccard relation, restricted to cross-side pairs and
+    // reoriented so doc_new is the incoming-batch endpoint
+    "dedup_incr" ->
+      s"""$ShinglesCte
+         |SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_new,
+         |  CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS doc_old,
+         |  inter/(ca.n + cb.n - inter) AS jaccard
+         |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE inter/(ca.n + cb.n - inter) >= 0.8
+         |  AND ((doc_a % 10 = 0) <> (doc_b % 10 = 0))""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),

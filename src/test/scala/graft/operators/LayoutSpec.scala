@@ -48,4 +48,27 @@ class LayoutSpec extends AnyFunSuite {
     val n = spark.read.parquet(out).count()
     assert(n === graft.sources.Tables.lineitem(spark, dir).count())
   }
+
+  test("morton key is a true interleave: deinterleaving recovers both keys") {
+    import org.apache.spark.sql.functions.col
+    // reference inverse, built independently of the operator's
+    // magic-number spread: collect even/odd bits
+    def deinterleave(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L
+      (0 until 16).foreach { i =>
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    val rows = Relational.zorderCluster(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("zval"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (x, y) = deinterleave(r.getLong(2))
+      assert(x === (r.getLong(0) & 65535L), s"orderkey bits lost in ${r.getLong(2)}")
+      assert(y === (r.getLong(1) & 65535L), s"partkey bits lost in ${r.getLong(2)}")
+    }
+  }
 }
