@@ -282,9 +282,13 @@ object Dedup {
     val candDocs = cands.select(col("doc_new").as("doc_id"))
       .union(cands.select(col("doc_old").as("doc_id")))
       .distinct()
+    // persisted for the same reason as dedupMinhash's shc: it feeds
+    // BOTH sides of the intersection join, and without the cache the
+    // candidate re-shingling pipeline runs twice
     val shc = docShinglesOf(
         Tables.documents(spark, dir).join(candDocs, Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = cands
       .join(shc.as("sa"), col("doc_new") === col("sa.doc_id"))
       .join(shc.as("sb"),

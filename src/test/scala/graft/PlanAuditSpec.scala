@@ -138,6 +138,9 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("contamination").contains("partial_"),
       "contamination lacks partial aggregation")
     assertNoTextInWideExchanges("contamination")
+    // incremental dedup: the two-sided band join and verification
+    // shuffles carry band keys / shingle hashes (longs), never text
+    assertNoTextInWideExchanges("dedup_incr")
   }
 
   test("dedup_substring shuffles only (id, hash) longs — never spans or text") {
