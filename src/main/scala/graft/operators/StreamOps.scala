@@ -61,10 +61,12 @@ object StreamOps {
   /** SCD2 dimension versioning — the other half of CDC ingestion
     * ([[compactLatest]] keeps the latest version; this keeps ALL
     * versions with validity intervals): each record is current from
-    * its own timestamp until the next record of the same key, with
-    * a 2100-01-01 end-of-time sentinel (the classic 9999-12-31 overflows the driver-side nanosecond timestamp compare) instead of NULL
-    * (null-free outputs are a cross-engine comparator rule, and the
-    * sentinel is how warehouse BETWEEN lookups want it anyway).
+    * its own timestamp until the next record of the same key, with a
+    * 2100-01-01 end-of-time sentinel instead of NULL — null-free
+    * outputs are a cross-engine comparator rule, the sentinel is how
+    * warehouse BETWEEN lookups want it anyway, and the classic
+    * 9999-12-31 overflows the driver-side nanosecond timestamp
+    * compare (pandas ns range ends in 2262).
     * One keyed window sort — same single-exchange shape as
     * `compact_latest`, spilling sorts at scale, no state beyond the
     * sort. */
