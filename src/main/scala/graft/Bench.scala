@@ -91,6 +91,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The per-query sweep unpersists localCheckpoint blocks, and RDD
+    // logs a "cannot be recomputed after unpersisting" WARN each time;
+    // a late async warning landing after the final println could push
+    // the JSON line out of the driver's 2000-char stdout tail — mute
+    // that logger outright (the sweep is deliberate, the warning moot).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
 
     // untimed warmup: exercises scan + shuffle + codegen paths
     try SparkEntry.queries("wordcount")(spark, sfDir).count()
@@ -120,10 +127,15 @@ object Bench {
         // blocks live OUTSIDE the SQL cache (raw RDD storage) and
         // otherwise linger until driver GC — sweep them too, so
         // iterative ops (dedup_cluster, cc_star) can't donate memory
-        // pressure to later queries.
+        // pressure to later queries. BLOCKING: a non-blocking sweep
+        // just queues removal on the async cleaner, and over 100+
+        // queries the backlog's block-removal work bleeds into later
+        // timings (r6 showed q3→q9 escalating 5→39 s; all fast in
+        // isolation). The removal cost lands here, OUTSIDE any query's
+        // timed window, which is where it belongs.
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         name -> dt
       }
     println(renderLine(results, errors, sfDir))

@@ -161,18 +161,18 @@ object Corpus {
     * the assignment bit-for-bit. Per-file row ordering is asserted
     * separately in CorpusSpec.
     *
-    * The export goes to a FIXED per-input temp path in overwrite mode:
-    * a fresh directory per call would leak a corpus copy into /tmp on
-    * every Bench/Verify/plan-audit invocation. The explicit read
+    * The export goes to a per-(input, JVM) scratch path in overwrite
+    * mode ([[graft.sources.TempDirs]]): fixed within a JVM so repeated
+    * Bench/Verify/plan-audit calls don't accumulate corpus copies,
+    * pid-isolated so concurrent JVMs never race on one output dir,
+    * and removed at JVM exit. The explicit read
     * schema (partition column included) makes the empty-corpus case
     * return an empty frame instead of failing parquet schema
     * inference. NOTE this registered form eagerly writes at
     * DataFrame-construction time — inherent to gating a SINK: the
     * artifact must exist before the re-read plan can. */
   def shuffleExportWrite(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_shards_${Integer.toHexString(dir.hashCode)}").toString
+    val out = graft.sources.TempDirs.scratch("shards", dir)
     writeShuffleShards(spark, dir, out)
     spark.read.schema("doc_id LONG, pos LONG, text STRING, shard INT").parquet(out)
       .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))

@@ -640,8 +640,8 @@ object Relational {
     * and now quantiles). `approx_percentile` (Greenwald-Khanna) has
     * merge-order-dependent outputs, so the estimate itself can't be
     * hash-gated; what IS deterministic is the guarantee: with
-    * accuracy = 10000 the returned value's RANK must be within
-    * n/10000 of the target rank. The registered row emits the exact
+    * accuracy = 100 (the value used below) the returned value's RANK
+    * must be within n/100 of the target rank. The registered row emits the exact
     * percentiles plus the sketch's rank error in UNITS of that bound
     * (floored — 0 means "inside the guarantee"), checked per group.
     * At 100 TB the sketch is the only viable path (bounded memory,
@@ -746,15 +746,14 @@ object Relational {
       .write.mode("overwrite").parquet(outDir)
 
   /** Write-then-reread gate for [[writeZorderLayout]] — same pattern
-    * (and same fixed-temp-path hygiene) as Corpus.shuffleExportWrite:
+    * (and same per-JVM scratch-path hygiene, see
+    * [[graft.sources.TempDirs]]) as Corpus.shuffleExportWrite:
     * the round trip (range shuffle → sorted parquet → scan) must
     * reproduce exactly the rows `zorder_cluster` computes, so the
     * oracle is shared. Eager write at construction time is inherent
     * to gating a sink. */
   def zorderWrite(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_zorder_${Integer.toHexString(dir.hashCode)}").toString
+    val out = graft.sources.TempDirs.scratch("zorder", dir)
     writeZorderLayout(spark, dir, out)
     spark.read
       .schema("l_orderkey LONG, l_partkey LONG, l_linenumber INT, zval LONG, zbucket LONG")
@@ -774,9 +773,14 @@ object Relational {
     * is what keeps a power-law key from stalling the stage. */
   def joinSalted(spark: SparkSession, dir: String): DataFrame = {
     val salts = 8
+    // hash-based salt so every bucket in [0, salts) is populated —
+    // l_linenumber % 8 never yields 0 (TPC-H linenumbers are 1..7),
+    // which left one build-side replica dead and split hot keys
+    // across only 7 reducers
     val l = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_quantity"),
-        (col("l_linenumber") % salts).cast("int").as("salt"))
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts))
+          .cast("int").as("salt"))
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("salt", explode(array((0 until salts).map(s => lit(s)): _*)))
