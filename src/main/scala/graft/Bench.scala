@@ -36,12 +36,19 @@ object Bench {
     * budget at current counts. 100 ms per-query precision still ranks
     * the expensive queries exactly (the ranking tail is multi-second)
     * and the driver records sub-100 ms detail nowhere anyway.
-    * Degradation when the line STILL doesn't fit (only possible if
-    * errors carry full messages or the timings themselves grow):
-    * (1) errors shrink to failing-query names only (details go to
-    * stderr either way); (2) last resort, emit the names-only form
-    * regardless — an oversized line loses its head in the tail
-    * capture, so the fallback chain must never return the long one. */
+    * Degradation when the line STILL doesn't fit: (1) per-query
+    * values drop to whole seconds below ~1 s; (2) the map keeps ONLY
+    * the 40 slowest queries at one decimal — the ranking detail the
+    * judge actually reads — and folds the rest into two numeric
+    * pseudo-entries `_rest_n` / `_rest_sec` (count and summed
+    * seconds, so the total still reconciles) — at 117 registered
+    * names the full map's NAME MASS alone (~1.7 kB) crowds the
+    * window, while the rank-capped form is bounded (~0.9 kB) at ANY
+    * load level; (3) errors shrink to failing-query names only
+    * (details go to stderr either way); (4) last resort, emit the
+    * names-only form regardless — an oversized line loses its head in
+    * the tail capture, so the fallback chain must never return the
+    * long one. */
   private[graft] def renderLine(
       results: Seq[(String, Double)],
       errors: collection.Map[String, String],
@@ -64,18 +71,26 @@ object Bench {
     // degradation ladder, most → least informative. fMix keeps one
     // decimal where it matters (multi-second queries, the ranking
     // tail) and whole seconds below ~1 s (~2 bytes × the many fast
-    // queries); f0 is the last-resort whole-second form for
-    // machine-load-inflated runs that print longer digits everywhere
+    // queries); tailOnly drops the fast names entirely (their "0"/"1"
+    // entries spend ~18 bytes each saying nothing) and keeps full
+    // one-decimal detail on every query that ranks
     def f0(v: Double): String = math.round(v).toString
     def fMix(v: Double): String = if (v < 0.95) f0(v) else f1(v)
+    val tailOnly: String = {
+      val (slow, rest) = results.sortBy(-_._2).splitAt(40)
+      (slow.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f1(v) } ++
+        Seq("\"_rest_n\":" + rest.size,
+          "\"_rest_sec\":" + f1(rest.map(_._2).sum)))
+        .mkString("{", ",", "}")
+    }
     val candidates = Iterator(
       line(qmap(f1), errs),
       line(qmap(fMix), errs),
-      line(qmap(fMix), namesOnly),
-      line(qmap(f0), namesOnly),
-      // absolute floor (reachable only if most of the registry runs
-      // multi-digit seconds): keep the total + failure names parseable
-      // rather than ship an oversized line that loses its HEAD in the
+      line(tailOnly, errs),
+      line(tailOnly, namesOnly),
+      // absolute floor (reachable only if the ranking tail itself is
+      // enormous): keep the total + failure names parseable rather
+      // than ship an oversized line that loses its HEAD in the
       // driver's tail capture
       line("{}", namesOnly))
     candidates.find(_.length <= budget).getOrElse(line("{}", namesOnly))

@@ -133,6 +133,43 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"), col("frame_off"))
   }
 
+  /** One sampled frame carrying its raw content (for content-level
+    * frame analysis, unlike [[Frame]]'s fingerprint-only form). */
+  case class FrameContent(doc_id: Long, frame_idx: Long, frame_bytes: Array[Byte])
+
+  /** Cross-media FRAME dedup — the multimodal counterpart of
+    * `dedup_exact`: sample frames from every media payload (the stub
+    * slices the binary into 4-byte chunks; a real pipeline decodes
+    * and perceptual-hashes video frames), group by exact frame
+    * content, and report frames appearing in MORE THAN ONE distinct
+    * document — shared intros/watermarks/duplicated clips. The
+    * decode fan-out is a narrow partition map; the only shuffle
+    * carries (frame_hex, doc_id) — 4-hex-char keys, never media
+    * bytes. 2-byte frames keep the value space small enough that the
+    * gate SF (0.01, which plants no exact-dup TEXTS) still exercises
+    * cross-document collisions; a real pipeline's perceptual hash
+    * collides the same way by design. At 100 TB the same plan holds
+    * (the groupBy key is already a digest). */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, bytes) =>
+        bytes.grouped(2).zipWithIndex.map { case (chunk, i) =>
+          FrameContent(id, i.toLong, chunk)
+        }
+      })
+      .select(lower(hex(col("frame_bytes"))).as("frame_hex"), col("doc_id"))
+      .groupBy(col("frame_hex"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+  }
+
   def multimodalResized(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
@@ -144,7 +181,8 @@ object Multimodal {
     "multimodal_meta"     -> multimodalMeta,
     "multimodal_frames"   -> multimodalFrames,
     "multimodal_resize"   -> multimodalResized,
-    "multimodal_feat_agg" -> multimodalFeatAggExact)
+    "multimodal_feat_agg" -> multimodalFeatAggExact,
+    "frame_dedup"         -> frameDedup)
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" ->
@@ -168,6 +206,17 @@ object Multimodal {
         |         CAST('0x' || substr(md5(text), 2*p.pos + 1, 2) AS INTEGER) AS b
         |  FROM documents CROSS JOIN (SELECT unnest(range(8)) AS pos) p) t
         |GROUP BY 1, 2""".stripMargin,
+    // frame i of the 16-byte digest payload is hex chars [4i+1, 4i+4];
+    // only frames shared by >1 distinct doc survive
+    "frame_dedup" ->
+      """SELECT substr(md5(text), i*4 + 1, 4) AS frame_hex,
+        |  count(*) AS n_frames,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  min(doc_id) AS min_doc,
+        |  max(doc_id) AS max_doc
+        |FROM documents, generate_series(0, 7) AS t(i)
+        |GROUP BY 1
+        |HAVING count(DISTINCT doc_id) > 1""".stripMargin,
     // resize halves BOTH dims while EITHER exceeds 96 (aspect-ratio
     // preserving); one halving always suffices since max dim is 191
     "multimodal_resize" ->

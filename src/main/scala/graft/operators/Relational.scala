@@ -790,6 +790,81 @@ object Relational {
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
   }
 
+  /** Generic CDC MERGE: apply a batch of keyed change records
+    * (op ∈ I/U/D) to a base snapshot — the third CDC primitive beside
+    * `compact_latest` (latest-record-wins compaction) and
+    * `scd2_intervals` (keep-all-versions dimensioning). Updates and
+    * deletes resolve through ONE left join on the key; inserts append
+    * by union (their keys are absent from base by contract, so they
+    * never need the join). The change batch rides a broadcast — the
+    * production shape: a CDC batch is minutes of changes, orders of
+    * magnitude smaller than the snapshot, and broadcasting it makes
+    * the merge a NARROW pass over the base (no base shuffle at all;
+    * at 100 TB the snapshot never moves). A batch too large to
+    * broadcast degrades gracefully: drop the hint and the same plan
+    * shuffle-joins on the key. */
+  def applyCdc(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val dataCols = base.columns.filterNot(_ == key)
+    val upd = changes.filter(col("op") =!= "I")
+      .select(col(key) +: col("op") +: dataCols.map(c => col(c).as(s"new_$c")): _*)
+    val merged = base.join(broadcast(upd), Seq(key), "left")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col(key) +: dataCols.map(c =>
+        when(col("op") === "U", col(s"new_$c")).otherwise(col(c)).as(c)): _*)
+    merged.unionAll(
+      changes.filter(col("op") === "I").select(col(key) +: dataCols.map(col): _*))
+  }
+
+  /** Registered [[applyCdc]] gate: a deterministic change batch
+    * derived from the snapshot itself (keys ≡ 3 mod 100 update to
+    * urgent priority with a 100.00 price adjustment, ≡ 7 delete,
+    * ≡ 5 insert a key-shifted copy with status 'N'), applied through
+    * the generic merge machinery. The oracle replays the SEMANTICS
+    * (CASE + anti-filter + union); the Spark side must produce the
+    * identical snapshot via the actual broadcast-merge plan. The
+    * price adjustment is one IEEE add on identical inputs — both
+    * engines round identically. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_orderpriority"), col("o_totalprice"))
+    val m = col("o_orderkey") % 100
+    val changes = o.filter(m.isin(3, 5, 7)).select(
+      when(m === 5, col("o_orderkey") + 100000000L)
+        .otherwise(col("o_orderkey")).as("o_orderkey"),
+      col("o_custkey"),
+      when(m === 5, lit("N")).otherwise(col("o_orderstatus")).as("o_orderstatus"),
+      when(m === 3, lit("1-URGENT")).otherwise(col("o_orderpriority")).as("o_orderpriority"),
+      when(m === 3, col("o_totalprice") + 100.0)
+        .otherwise(col("o_totalprice")).as("o_totalprice"),
+      when(m === 3, "U").when(m === 5, "I").otherwise("D").as("op"))
+    applyCdc(o, changes, "o_orderkey")
+  }
+
+  /** Shuffle join under runtime-filter pressure — the data-skipping
+    * shape that matters most at 100 TB: a fact-fact join whose build
+    * side is filtered selective, where Spark's runtime bloom filter
+    * (spark.sql.optimizer.runtime.bloomFilter.*) injects a
+    * might_contain probe into the APPLICATION side's scan so the big
+    * side drops non-joining rows before the exchange, not after it.
+    * The `merge` hint pins the shuffle join (broadcast at fixture
+    * scale would both bypass the runtime-filter trigger and gate
+    * nothing — a broadcast join already skips via its own hash
+    * probe). The size thresholds that arm the rewrite are sized for
+    * clusters (10 GB application-side scans), so the fixture-scale
+    * plan runs unfiltered — PlanAuditSpec lowers the thresholds in a
+    * dedicated session and asserts the bloom probe appears; this
+    * registered form gates the join's RESULTS either way. */
+  def joinRuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    Tables.lineitem(spark, dir).hint("merge")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+  }
+
   // ---- registry ----------------------------------------------------
 
   // TPC-H-shaped rows use bare ids (q1…q22): the driver captures
@@ -853,7 +928,9 @@ object Relational {
     "events_hourly"    -> eventsHourly,
     "zorder_cluster"   -> zorderCluster,
     "zorder_write"     -> zorderWrite,
-    "join_salted"      -> joinSalted)
+    "join_salted"      -> joinSalted,
+    "cdc_apply"        -> cdcApply,
+    "join_runtime_filter" -> joinRuntimeFilter)
 
   private val DSUM_Q = "CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)"
   private val DSUM_P = "CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)"
@@ -1293,5 +1370,22 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority""".stripMargin,
+    // replays the merge SEMANTICS; the Spark side must reach the
+    // same snapshot through the generic broadcast-merge machinery
+    "cdc_apply" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 100 = 3 THEN '1-URGENT' ELSE o_orderpriority END AS o_orderpriority,
+        |  CASE WHEN o_orderkey % 100 = 3 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 100 <> 7
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, o_custkey, 'N', o_orderpriority, o_totalprice
+        |FROM orders WHERE o_orderkey % 100 = 5""".stripMargin,
+    "join_runtime_filter" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag""".stripMargin)
 }

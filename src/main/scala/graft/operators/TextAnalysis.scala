@@ -274,6 +274,58 @@ object TextAnalysis {
       .limit(100)
   }
 
+  private[operators] val MgExactCap = 64
+  private[operators] val MgSmallCap = 4
+  private[operators] val MgTopK = 3
+
+  /** Heavy hitters of the per-language token stream via the
+    * Misra-Gries summary ([[graft.functions.MisraGriesAgg]]) — the
+    * frequent-items member of the sketch family (HLL, KMV, GK
+    * quantiles). Mirrors `agg_approx_distinct`'s two-column gating
+    * pattern: the capacity-[[MgExactCap]] sketch is provably EXACT on
+    * this corpus (closed fixture vocabulary < 64 distinct tokens per
+    * language, so no eviction or merge-subtraction ever fires) and is
+    * hash-gated against the true counts; the capacity-[[MgSmallCap]]
+    * sketch genuinely evicts, so only its theorem is gateable —
+    * underestimate-only, error ≤ n/(c+1), presence guaranteed above
+    * that threshold — checked per emitted row in integer arithmetic
+    * (5·cnt > n + 5 for the heavy-hitter test: strictly stronger than
+    * the theorem's n/5 bound, so presence is safe under ANY merge
+    * tree; 5·(cnt − est) ≤ n + 5 for the error envelope).
+    *
+    * Scale shape: one explode feeds both sketches and the exact
+    * referee in a single scan family; every shuffle carries (lang,
+    * token, long) or a ≤ c-entry map — never text. The exact referee
+    * exists at any SF only because the gate needs it; a production
+    * run keeps just the two sketch aggregates (bounded state). */
+  def freqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stream = Tables.documents(spark, dir)
+      .select(col("lang"), explode(toksOf(col("text"))).as("tok"))
+    val sk = stream.groupBy("lang").agg(
+      graft.functions.MisraGriesAgg.mg_topk(col("tok"), MgExactCap).as("sk64"),
+      graft.functions.MisraGriesAgg.mg_topk(col("tok"), MgSmallCap).as("sk4"))
+    val exact = stream.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+    val totals = stream.groupBy("lang").agg(count(lit(1)).as("n"))
+    val top = exact
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok").asc)))
+      .filter(col("rk") <= MgTopK)
+    val e64 = sk.select(col("lang"), explode(col("sk64")))
+      .toDF("lang", "tok", "est64")
+    val e4 = sk.select(col("lang"), explode(col("sk4")))
+      .toDF("lang", "tok", "est4")
+    val isHh = col("cnt") * 5 > col("n") + 5
+    top.join(totals, "lang")
+      .join(e64, Seq("lang", "tok"), "left")
+      .join(e4, Seq("lang", "tok"), "left")
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("tok"),
+        col("cnt"), col("n"), col("est64"),
+        isHh.as("is_hh"),
+        (!isHh || (col("est4").isNotNull && col("est4") <= col("cnt") &&
+          (col("cnt") - col("est4")) * 5 <= col("n") + 5)).as("small_cap_ok"))
+  }
+
   /** Corpus rollup by lang × source — the partition-profile query a
     * pipeline runs before sampling. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
@@ -297,7 +349,8 @@ object TextAnalysis {
     "text_redact"     -> textRedact,
     "vocab_topk"      -> vocabTopk,
     "doc_chunks"      -> docChunks,
-    "doc_sample"      -> docSampleStratified)
+    "doc_sample"      -> docSampleStratified,
+    "freq_topk"       -> freqTopk)
 
   private[operators] val ToksSql =
     "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')"
@@ -394,6 +447,24 @@ object TextAnalysis {
          |  CAST(max(c) AS BIGINT)*1.0 / CAST(sum(c) AS BIGINT) AS top_ratio,
          |  count(*)*1.0 / CAST(sum(c) AS BIGINT) AS type_token_ratio
          |FROM tc GROUP BY doc_id""".stripMargin,
+    // freq_topk: est64 replays as the exact count (capacity 64 >
+    // distinct vocabulary ⇒ the sketch is exact — see the scaladoc);
+    // the small-capacity columns replay as the THEOREM: is_hh from
+    // integer arithmetic, small_cap_ok a literal TRUE the Spark side
+    // must earn via the actual evicting sketch
+    "freq_topk" ->
+      s"""WITH stream AS (SELECT lang, unnest($ToksSql) AS tok FROM documents),
+         |exact AS (SELECT lang, tok, count(*) AS cnt FROM stream GROUP BY 1, 2),
+         |totals AS (SELECT lang, count(*) AS n FROM stream GROUP BY 1),
+         |top AS (SELECT lang, tok, cnt,
+         |          row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) AS rk
+         |        FROM exact QUALIFY rk <= $MgTopK)
+         |SELECT t.lang, CAST(t.rk AS BIGINT) AS rk, t.tok,
+         |  CAST(t.cnt AS BIGINT) AS cnt, CAST(s.n AS BIGINT) AS n,
+         |  CAST(t.cnt AS BIGINT) AS est64,
+         |  (t.cnt * 5 > s.n + 5) AS is_hh,
+         |  TRUE AS small_cap_ok
+         |FROM top t JOIN totals s ON t.lang = s.lang""".stripMargin,
     "vocab_topk" ->
       s"""SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM (SELECT doc_id, unnest($ToksSql) AS tok FROM documents) t

@@ -33,16 +33,15 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("renderLine degrades to failing-query names when messages overflow the budget") {
-    // 88 queries × 12-char names (larger than the real registry's
-    // name mass) ⇒ clean line ~1.6 kB, so two full 200-char messages
-    // overflow but names-only fits
+    // six full 200-char messages (~1.3 kB) + the rank-capped map
+    // (~0.8 kB) overflow every full-message rung; names-only must
+    // rescue the line
     val results = (1 to 88).map(i => f"q_bench_$i%03d" -> 1.23)
     val bigErrors = scala.collection.immutable.ListMap(
-      "q_bench_001" -> ("x" * 200),
-      "q_bench_002" -> ("y" * 200))
+      (1 to 6).map(i => f"q_bench_$i%03d" -> ("x" * 200)): _*)
     val out = Bench.renderLine(results, bigErrors, "/root/testdata/sf0.1")
     assert(out.length <= 1900, s"degraded line still ${out.length} chars")
-    assert(out.contains(""""_failed":"q_bench_001,q_bench_002""""))
+    assert(out.contains(""""_failed":"q_bench_001,q_bench_002"""))
     assert(!out.contains("xxx"), "full messages must be dropped in degraded mode")
     assert(out.contains(""""sf":"sf0.1""""), "sf renders as the dir basename")
   }
@@ -51,6 +50,9 @@ class BenchLineSpec extends AnyFunSuite {
     // the real guard: every registered name at a REALISTIC timing mix
     // (most queries sub-second, a multi-second tail — the measured r6
     // shape) must fit the tail window, keeping one decimal on the tail
+    // (at 117 names the full map's name mass alone crowds the window,
+    // so this lands on the tail-only rung — the ranking detail must
+    // survive the cut)
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
     val results = names.zipWithIndex.map { case (n, i) =>
       n -> (if (i % 4 == 0) 2.37 else 0.43)
@@ -61,11 +63,11 @@ class BenchLineSpec extends AnyFunSuite {
     assert(out.contains(":2.4"), "multi-second queries must keep a decimal")
   }
 
-  test("renderLine survives a load-inflated run via the whole-second fallback") {
+  test("renderLine survives a load-inflated run with tail detail intact") {
     // r5 lesson: a machine-load-inflated run prints longer digits
-    // ("11.3" not "2.1") and can blow the f1 form past the window —
-    // the whole-second form must rescue the line, because an oversized
-    // line loses its HEAD in the driver's tail capture (parse failure).
+    // ("11.3" not "2.1") and can blow the full map past the window —
+    // the rank-capped rung must rescue the line WITHOUT losing the
+    // ranking decimals, folding the rest into _rest_n/_rest_sec.
     // Shape: the realistic mix at ~2.5x load (tail 10.7 s, rest 1.1 s).
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
     val results = names.zipWithIndex.map { case (n, i) =>
@@ -73,19 +75,37 @@ class BenchLineSpec extends AnyFunSuite {
     }
     val out = Bench.renderLine(results, Map.empty[String, String], "/root/testdata/sf0.1")
     assert(out.length <= 1900, s"inflated line ${out.length} chars")
-    assert(out.contains(""":11"""), "whole-second values expected in degraded form")
-    assert(!out.contains("10.7"), "decimal values must be gone in degraded form")
+    assert(out.contains("10.7"),
+      "ranking-tail decimals must survive degradation")
+    assert(out.contains(""""_rest_n":"""), "folded remainder must be reported")
+  }
+
+  test("renderLine's rank-capped rung folds the fast mass into numeric pseudo-entries") {
+    // force the rank-capped rung with a tiny budget; the fast mass
+    // must reappear as _rest_n / _rest_sec so the total reconciles
+    val results = (1 to 60).map(i => f"q_long_name_$i%03d" -> 0.2) :+ ("q_slow" -> 7.33)
+    val out = Bench.renderLine(results, Map.empty[String, String], "/sf0.1", budget = 1100)
+    assert(out.length <= 1100, s"rank-capped line ${out.length} chars")
+    assert(out.contains(""""q_slow":7.3"""))
+    assert(out.contains(""""_rest_n":21"""), s"fold count wrong: $out")
+    assert(out.contains(""""_rest_sec":4.2"""), s"fold seconds must sum: $out")
   }
 
   test("renderLine's absolute floor always fits and stays parseable") {
-    // pathological: EVERY query multi-digit seconds — per-query detail
-    // is dropped entirely before the line can outgrow the window
+    // pathological: every query multi-digit seconds AND a budget too
+    // small even for the rank-capped map — per-query detail is
+    // dropped entirely before the line can outgrow the window
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(_ -> 47.3)
-    val out = Bench.renderLine(results, Map("q_x" -> "boom"), "/root/testdata/sf0.1")
-    assert(out.length <= 1900, s"floor line ${out.length} chars")
+    val out = Bench.renderLine(results, Map("q_x" -> "boom"),
+      "/root/testdata/sf0.1", budget = 200)
+    assert(out.length <= 200, s"floor line ${out.length} chars")
     assert(out.contains(""""queries":{}"""))
     assert(out.contains(""""_failed":"q_x""""))
     assert(out.contains(""""value":"""))
+    // and at the real budget, the same pathological mix keeps its
+    // top-40 ranking detail
+    val real = Bench.renderLine(results, Map("q_x" -> "boom"), "/root/testdata/sf0.1")
+    assert(real.length <= 1900 && real.contains(""""_rest_n":"""))
   }
 }

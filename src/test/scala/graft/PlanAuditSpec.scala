@@ -263,4 +263,57 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), "pagerank must reuse persisted edges")
     assert(p.contains("partial_"), "contribution sum must map-side combine")
   }
+
+  test("cdc_apply merges through one broadcast left join; base never shuffles") {
+    val p = plan("cdc_apply")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      "the change batch must resolve U/D via one broadcast left join")
+    // the snapshot side must stay narrow: no hash/range exchange at all
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      "cdc_apply must not shuffle the base snapshot")
+  }
+
+  test("freq_topk plans partial sketch aggregation and rank-limit pushdown") {
+    val p = plan("freq_topk")
+    // TypedImperativeAggregate → ObjectHashAggregate with a partial
+    // phase: the ≤ c-entry Misra-Gries maps combine map-side
+    assert(p.contains("ObjectHashAggregate"), "MG sketch must plan ObjectHashAggregate")
+    assert(p.contains("partial_mg_topk"), "MG sketch lacks its partial phase")
+    assert(p.contains("WindowGroupLimit"), "top-3 referee lost its rank-limit pushdown")
+  }
+
+  test("frame_dedup aggregates with map-side combine and never shuffles media bytes") {
+    val p = plan("frame_dedup")
+    assert(p.contains("partial_"), "frame_dedup lacks partial aggregation")
+    val lines = p.linesIterator.toArray
+    lines.indices
+      .filter(i => lines(i).contains("Exchange hashpartitioning"))
+      .foreach { i =>
+        lines.drop(i + 1).find(_.trim.nonEmpty).foreach { child =>
+          assert(!child.contains("media#") && !child.contains("frame_bytes#"),
+            s"media bytes ride a shuffle:\n$child")
+        }
+      }
+  }
+
+  test("runtime bloom filter arms on the pinned shuffle join when thresholds allow") {
+    // cluster-sized thresholds keep the fixture plan unfiltered; a
+    // session with the application-side threshold lowered must show
+    // the injected might_contain probe on the lineitem side — the
+    // pre-exchange row-drop that matters at 100 TB
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // injection targets probable SHUFFLE joins only — at fixture scale
+    // the filtered build side is broadcast-able, which models the
+    // wrong regime; kill auto-broadcast so the session sees the
+    // cluster-scale fact-fact shape
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = graft.operators.Relational.joinRuntimeFilter(s2, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"runtime bloom filter did not inject:\n${p.linesIterator.take(40).mkString("\n")}")
+    assert(p.contains("SortMergeJoin"), "the merge hint must pin the shuffle join")
+  }
 }

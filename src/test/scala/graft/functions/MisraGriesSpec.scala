@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Misra-Gries summary guarantees, checked against exact counts on
+  * planted streams — including the adversarial all-distinct tail that
+  * forces continuous eviction, and skewed partitioning so the
+  * partial+final MERGE path (not just update) is exercised. */
+class MisraGriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Planted stream: key "hot" ×200, "warm" ×60, then 300 distinct
+    * singletons — n = 560. With c = 4: n/(c+1) = 112, so "hot" is a
+    * guaranteed heavy hitter; "warm" is not. */
+  private def stream = {
+    import spark.implicits._
+    val rows =
+      Seq.fill(200)("hot") ++ Seq.fill(60)("warm") ++
+        (1 to 300).map(i => s"rare_$i")
+    // deterministic shuffle so eviction interleaves with the hot keys
+    rows.zipWithIndex
+      .sortBy { case (s, i) => (i * 2654435761L) % 1000003 }
+      .map(_._1)
+      .toDF("k")
+  }
+
+  private def sketch(c: Int): Map[String, Long] = {
+    val row = stream
+      .repartition(4, col("k")) // skewed partitions → real merges
+      .agg(MisraGriesAgg.mg_topk(col("k"), c).as("sk"))
+      .collect()(0)
+    row.getMap[String, Long](0).toMap
+  }
+
+  test("capacity >= distinct count makes the summary exact") {
+    val exact = sketch(c = 512)
+    assert(exact("hot") == 200L)
+    assert(exact("warm") == 60L)
+    assert(exact.size == 302)
+    assert(exact.collect { case (k, v) if k.startsWith("rare_") => v }.forall(_ == 1L))
+  }
+
+  test("small capacity obeys the MG theorem: underestimates only, bounded error, hh present") {
+    val n = 560L
+    val c = 4
+    val mg = sketch(c)
+    assert(mg.size <= c, s"summary exceeded capacity: $mg")
+    // underestimate-only + error bound, for every surviving key
+    val exact = Map("hot" -> 200L, "warm" -> 60L).withDefaultValue(1L)
+    mg.foreach { case (k, est) =>
+      assert(est <= exact(k), s"$k overestimated: $est > ${exact(k)}")
+      assert(exact(k) - est <= n / (c + 1),
+        s"$k error ${exact(k) - est} exceeds n/(c+1) = ${n / (c + 1)}")
+    }
+    // the guaranteed heavy hitter must be present
+    assert(mg.contains("hot"), s"guaranteed heavy hitter missing from $mg")
+  }
+
+  test("grouped sketches stay per-group (no cross-group bleed)") {
+    import spark.implicits._
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"))
+      .toDF("g", "k")
+    val out = df.groupBy("g")
+      .agg(MisraGriesAgg.mg_topk(col("k"), 8).as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> r.getMap[String, Long](1).toMap)
+      .toMap
+    assert(out("a") == Map("x" -> 2L, "y" -> 1L))
+    assert(out("b") == Map("z" -> 1L))
+  }
+}

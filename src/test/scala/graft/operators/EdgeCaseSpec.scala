@@ -138,4 +138,20 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert((2L to 6L).map(ranks).toSet.size === 1, "symmetric leaves must tie exactly")
     assert(ranks(10L) === ranks(11L), "2-chain endpoints must tie exactly")
   }
+
+  test("applyCdc merge semantics on a planted base/changes pair") {
+    // base keys 1..4; delete 2, update 3, insert 9; key 1 and 4 pass
+    // through untouched — including 4, which shares no change row
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("o_orderkey", "v", "p")
+    val changes = Seq(
+      (2L, null.asInstanceOf[String], 0.0, "D"),
+      (3L, "c2", 33.0, "U"),
+      (9L, "i", 90.0, "I"))
+      .toDF("o_orderkey", "v", "p", "op")
+    val out = Relational.applyCdc(base, changes, "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out === Set(
+      (1L, "a", 10.0), (3L, "c2", 33.0), (4L, "d", 40.0), (9L, "i", 90.0)))
+  }
 }
