@@ -60,31 +60,43 @@ object Graph {
 
   /** Integer-lattice PageRank core over an arbitrary SYMMETRIC edge
     * list (u, v) — extracted so specs can rank planted graphs.
-    * Returns (id, r) with r on the [[Scale]] lattice. */
+    * Returns (id, r) with r on the [[Scale]] lattice.
+    *
+    * Round shape (round-7 rewrite, measured 4.9 → 4.4 s run3 /
+    * 6.0 → 5.5 s run2 — the one-time edge build dominates what's
+    * left): the
+    * static relation is persisted ONCE as (u, v, deg) — out-degree
+    * denormalized onto the edges — hash-partitioned on the join key
+    * BEFORE the persist, so the cached InMemoryRelation advertises
+    * that partitioning and every round's join reuses it: per round
+    * only the TINY (id, rank) vertex state shuffles to meet the
+    * cache, plus the one partial+final contribution sum. The previous
+    * form (vertex ⋈ outdeg message join, then edges ⋈ messages)
+    * planned a third exchange per round for the vertex-message join;
+    * denormalizing deg trades 8 bytes per cached edge for that
+    * exchange — at any scale the static side is sorted/partitioned
+    * once and read R times, the Pregel invariant. r div deg is
+    * computed per EDGE here but is identical per source vertex, so
+    * the lattice arithmetic (and the oracle) is unchanged. */
   private[operators] def rankEdges(edgesIn: DataFrame): DataFrame = {
     val edges = edgesIn.persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // N: vertex count — one scalar to the driver (metadata, not data);
     // it parameterizes the integer constants below, which must be
     // Scala-side longs so the oracle can embed the identical literals.
     val n = outdeg.count()
     val r0 = Scale / n
     val tele = (3L * r0) / 20L
+    val edgeDeg = edges.join(outdeg, "u")
+      .select(col("u"), col("v"), col("deg"))
+      .repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var r = outdeg.select(col("u").as("id"), lit(r0).as("r"))
     for (_ <- 1 to Rounds) {
-      // per-vertex message m = r div deg computed on the TINY vertex
-      // state first (vertex ⋈ vertex), so the edge relation is touched
-      // by exactly one join per round — halves the per-round join work
-      // vs joining edges against outdeg and r separately. Aliases:
-      // everything shares scan lineage (a self-join each round).
-      val msg = r.as("p")
-        .join(outdeg.as("d"), col("p.id") === col("d.u"))
-        .select(col("p.id").as("mid"), expr("p.r div d.deg").as("m"))
-      r = edges.as("e")
-        .join(msg, col("e.u") === col("mid"))
+      r = edgeDeg.as("e")
+        .join(r.as("p"), col("e.u") === col("p.id"))
         .groupBy(col("e.v"))
-        .agg(sum(col("m")).as("sm"))
+        .agg(sum(expr("p.r div e.deg")).as("sm"))
         .select(col("v").as("id"),
           (lit(tele) + expr("(17 * sm) div 20")).as("r"))
       // measured: per-round localCheckpoint (the dedup_cluster fix)
