@@ -696,6 +696,64 @@ object Relational {
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
 
+  /** Incremental rollup maintenance — the pattern that keeps a 100 TB
+    * aggregate table fresh WITHOUT rescanning history: partial
+    * aggregates (count / decimal sum / min / max — each a commutative
+    * monoid) are computed for the stored base (here: the pre-cutoff
+    * slice, standing in for yesterday's persisted rollup) and the
+    * incoming delta separately, then MERGED by the combine step of
+    * the same monoid (counts add, sums add, min/max fold). The oracle
+    * is the full recompute over all rows — gating that the partial-
+    * merge algebra is exactly lossless, which is the property that
+    * makes incremental maintenance sound. avg is derived from the
+    * merged partials (never averaged averages). Delta and base are
+    * each one partial+final aggregation; the merge is a union of
+    * |event_type|-sized partials — the heavy scan is the delta only
+    * in production. */
+  def aggIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
+    val e = Tables.events(spark, dir)
+    def partials(df: DataFrame): DataFrame = df.groupBy("event_type").agg(
+      count(lit(1)).as("pn"),
+      sum(col("value").cast("decimal(30,4)")).as("ps"),
+      min(col("value")).as("pmn"),
+      max(col("value")).as("pmx"))
+    val base = partials(e.filter(col("ts") < cutoff))
+    val delta = partials(e.filter(col("ts") >= cutoff))
+    base.unionAll(delta)
+      .groupBy("event_type")
+      .agg(sum(col("pn")).as("n"), sum(col("ps")).as("s"),
+        min(col("pmn")).as("min_value"), max(col("pmx")).as("max_value"))
+      .select(col("event_type"), col("n"),
+        col("s").cast("double").as("sum_value"),
+        (col("s").cast("double") / col("n")).as("avg_value"),
+        col("min_value"), col("max_value"))
+  }
+
+  /** Time-series gap filling (resample): the dense per-hour grid a
+    * feature pipeline feeds to models — every hour between each
+    * event type's first and last activity appears exactly once, empty
+    * hours as explicit zeros. The grid GENERATES from the per-type
+    * span aggregate (explode over `sequence`) — no cross join, no
+    * driver-side range loop — and the left join back to the hourly
+    * counts is grid-sized (broadcastable; both sides are |types|×|hours|,
+    * data-volume-free). Null-free outputs by construction (the
+    * comparator rule). */
+  def resampleHourly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val hour = date_trunc("hour", col("ts"))
+    val counts = e.groupBy(col("event_type"), hour.as("hour"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    val grid = e.groupBy("event_type")
+      .agg(min(hour).as("lo"), max(hour).as("hi"))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+    grid.join(counts, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+  }
+
   // ---- layout & skew ops -------------------------------------------
 
   /** Z-order (Morton) clustering key over (l_orderkey, l_partkey) —
@@ -930,7 +988,9 @@ object Relational {
     "zorder_write"     -> zorderWrite,
     "join_salted"      -> joinSalted,
     "cdc_apply"        -> cdcApply,
-    "join_runtime_filter" -> joinRuntimeFilter)
+    "join_runtime_filter" -> joinRuntimeFilter,
+    "agg_incremental"  -> aggIncremental,
+    "resample_hourly"  -> resampleHourly)
 
   private val DSUM_Q = "CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)"
   private val DSUM_P = "CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)"
@@ -1387,5 +1447,27 @@ object Relational {
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY l_returnflag""".stripMargin)
+        |GROUP BY l_returnflag""".stripMargin,
+    // the oracle is the FULL recompute: base/delta partial-merge must
+    // be exactly lossless
+    "agg_incremental" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS avg_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "resample_hourly" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(date_trunc('hour', ts)) AS lo,
+        |             max(date_trunc('hour', ts)) AS hi
+        |      FROM events GROUP BY 1),
+        |g AS (SELECT event_type,
+        |        unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |      FROM s)
+        |SELECT g.event_type, g.hour,
+        |  coalesce(c.n, 0) AS n, coalesce(c.sum_value, 0.0) AS sum_value
+        |FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hour = c.hour""".stripMargin)
 }

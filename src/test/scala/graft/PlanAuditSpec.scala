@@ -297,6 +297,23 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
+  test("agg_incremental pushes the cutoff to both scans and plans partial everywhere") {
+    val p = plan("agg_incremental")
+    // both slices must prune at the parquet scan — in production the
+    // base slice is a stored rollup and only the delta scans at all
+    assert(p.contains("PushedFilters: [IsNotNull(ts)"),
+      "cutoff predicate did not reach the scans")
+    assert(p.contains("partial_"), "partial aggregation missing")
+  }
+
+  test("resample_hourly generates its grid (no cross join) and broadcasts the join-back") {
+    val p = plan("resample_hourly")
+    assert(p.contains("Generate explode"),
+      "the hour grid must GENERATE from the span aggregate, not cross join")
+    assert(p.contains("BroadcastHashJoin"),
+      "grid-to-counts join-back should broadcast (both sides are grid-sized)")
+  }
+
   test("runtime bloom filter arms on the pinned shuffle join when thresholds allow") {
     // cluster-sized thresholds keep the fixture plan unfiltered; a
     // session with the application-side threshold lowered must show
