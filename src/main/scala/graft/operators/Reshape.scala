@@ -61,6 +61,25 @@ object Reshape {
         (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("deadline"),
         (col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("followup"))
 
+  /** Unpivot/melt — [[pivotStatus]]'s inverse and the wide→long
+    * reshape a feature pipeline runs before per-metric aggregation:
+    * each lineitem row fans out to one (metric, value) row per
+    * measure column. Pure narrow map (Spark plans `Expand`: k output
+    * rows per input row, no shuffle, no driver involvement); the
+    * measure list is pinned so the schema is static, mirroring the
+    * pinned pivot. At 100 TB melt multiplies rows ×k but each output
+    * row is narrow — the Expand sits below any later aggregation's
+    * partial phase, so the fan-out never crosses a shuffle
+    * unaggregated. */
+  def meltLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+
   /** Two-phase salted aggregation — the explicit skew-mitigation
     * pattern: when one group key dominates (a hot word, a bot user),
     * a single hash-partitioned aggregation puts the whole hot group on
@@ -87,7 +106,8 @@ object Reshape {
     "array_agg_years" -> arrayAggYearsGated,
     "string_agg"      -> stringAggPriorities,
     "date_intervals"  -> dateIntervals,
-    "agg_salted"      -> aggSalted)
+    "agg_salted"      -> aggSalted,
+    "melt_metrics"    -> meltLineitem)
 
   val oracles: Map[String, String] = Map(
     "pivot_status" ->
@@ -116,5 +136,13 @@ object Reshape {
       """SELECT l_returnflag AS flag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_val,
         |  count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // UNION ALL replay keeps the metric labels textual and the values
+    // untouched doubles — bag semantics match the Expand exactly
+    "melt_metrics" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""".stripMargin)
 }

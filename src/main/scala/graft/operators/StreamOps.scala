@@ -58,6 +58,10 @@ object StreamOps {
       graft.sources.Tables.events(spark, dir),
       graft.sources.Tables.customer(spark, dir))
 
+  def streamFreqTopk(spark: SparkSession, dir: String): DataFrame =
+    EventStream.windowedTopUsers(
+      graft.sources.Tables.events(spark, dir))
+
   /** SCD2 dimension versioning — the other half of CDC ingestion
     * ([[compactLatest]] keeps the latest version; this keeps ALL
     * versions with validity intervals): each record is current from
@@ -90,7 +94,8 @@ object StreamOps {
     "stream_window_counts"    -> streamWindowCounts,
     "stream_sliding_activity" -> streamSlidingActivity,
     "stream_attribution"      -> streamAttribution,
-    "compact_latest"          -> compactLatest)
+    "compact_latest"          -> compactLatest,
+    "stream_freq"             -> streamFreqTopk)
 
   val oracles: Map[String, String] = Map(
     // watermark is a no-op on batch; windows are epoch-grid-aligned,
@@ -108,6 +113,13 @@ object StreamOps {
         |  CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id, event_type
         |    ORDER BY ts ASC, event_id ASC) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM events""".stripMargin,
+    // the MG summary runs in its exact regime (capacity ≫ group
+    // distinct count — see EventStream.windowedTopUsers), so the
+    // sketch output IS the exact per-user count
+    "stream_freq" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  user_id, count(*) AS n
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "compact_latest" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type

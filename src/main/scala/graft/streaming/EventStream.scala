@@ -35,6 +35,34 @@ object EventStream {
         sum(col("value").cast(DecimalType(30, 4))).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Windowed heavy hitters: the Misra-Gries summary
+    * ([[graft.functions.MisraGriesAgg]]) as a WINDOWED streaming
+    * aggregation — per (window, event_type), the per-user event
+    * summary. TypedImperativeAggregate state merges through the
+    * streaming state store exactly as it merges across batch
+    * partitions, so the same declarative plan runs both ways (the
+    * trending-users / hot-keys dashboard shape, with bounded ≤ c
+    * state per group at ANY event volume). Capacity 256 ≫ the
+    * fixture's max distinct users per group (51 at sf0.1) keeps the
+    * summary in its provably-exact regime, which is what makes
+    * stream/batch parity and the count-exact oracle possible —
+    * estimates in the EVICTING regime are merge-order-dependent by
+    * design (freq_topk gates that regime's theorem instead). */
+  def windowedTopUsers(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours",
+      capacity: Int = 256): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(graft.functions.MisraGriesAgg.mg_topk(
+        col("user_id").cast("string"), capacity).as("sk"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        explode(col("sk")))
+      .select(col("window_start"), col("event_type"),
+        col("key").cast("long").as("user_id"), col("value").as("n"))
+
   /** Stream-static enrichment join + windowed aggregation: the event
     * stream joins a STATIC dimension (customer segment) and rolls up
     * per (window, segment, type). This is the canonical streaming

@@ -314,6 +314,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "grid-to-counts join-back should broadcast (both sides are grid-sized)")
   }
 
+  test("melt_metrics plans a pure narrow Expand — no shuffle, no generate") {
+    val p = plan("melt_metrics")
+    assert(p.contains("Expand"), "unpivot must plan Expand")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning") &&
+      !p.contains("Exchange SinglePartition"),
+      "melt must not shuffle")
+  }
+
   test("runtime bloom filter arms on the pinned shuffle join when thresholds allow") {
     // cluster-sized thresholds keep the fixture plan unfiltered; a
     // session with the application-side threshold lowered must show

@@ -63,6 +63,42 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed Misra-Gries sketch: stream replay equals batch (exact regime)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch = Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("user_id"))
+    val rows = batch.as[(Timestamp, String, Long)].collect().sortBy(_._1.getTime)
+
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val streamed = EventStream.windowedTopUsers(
+      input.toDF().toDF("ts", "event_type", "user_id"))
+    val q = streamed.writeStream
+      .format("memory").queryName("mg_stream_out").outputMode("append").start()
+    try {
+      // two chunks exercise cross-micro-batch STATE merges of the
+      // typed-imperative buffer; the flush row closes every window
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(rest.toSeq)
+      q.processAllAvailable()
+      input.addData(Seq((Timestamp.valueOf("2030-01-01 00:00:00"), "flush", 0L)))
+      q.processAllAvailable()
+
+      def keyOf(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))
+      val got = spark.table("mg_stream_out")
+        .filter(col("event_type") =!= "flush")
+        .collect().map(keyOf).toSet
+      val want = EventStream.windowedTopUsers(batch)
+        .collect().map(keyOf).toSet
+      assert(want.nonEmpty)
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch broadcast join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
