@@ -426,6 +426,26 @@ object Relational {
         count(col("o_orderkey")).as("n_orders"),
         coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spend"))
 
+  /** FULL OUTER join — the one join type the registry lacked: two
+    * keyed daily aggregates whose key sets genuinely diverge (days
+    * with only urgent or only high-priority orders orphan on either
+    * side), coalesced to a null-free comparison table. The aggregate-
+    * then-join shape keeps both inputs |days|-sized regardless of
+    * order volume; at 100 TB the join is two tiny sides meeting after
+    * their partial+final rollups. */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    def daily(prio: String, out: String): DataFrame =
+      Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === prio)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as(out))
+    daily("1-URGENT", "n_urgent")
+      .join(daily("2-HIGH", "n_high"), Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+        coalesce(col("n_high"), lit(0L)).as("n_high"))
+  }
+
   def aggDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
@@ -961,6 +981,7 @@ object Relational {
     "join_semi"        -> joinSemi,
     "join_anti"        -> joinAnti,
     "join_left_agg"    -> joinLeftAgg,
+    "join_full"        -> joinFullOuter,
     "agg_distinct"     -> aggDistinct,
     "agg_stats"        -> aggStats,
     "agg_median"       -> aggMedian,
@@ -1294,6 +1315,15 @@ object Relational {
         |  COALESCE(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 0.0) AS total_spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey""".stripMargin,
+    "join_full" ->
+      """WITH u AS (SELECT o_orderdate AS day, count(*) AS n_urgent
+        |           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |h AS (SELECT o_orderdate AS day, count(*) AS n_high
+        |      FROM orders WHERE o_orderpriority = '2-HIGH' GROUP BY 1)
+        |SELECT coalesce(u.day, h.day) AS day,
+        |  coalesce(n_urgent, 0) AS n_urgent,
+        |  coalesce(n_high, 0) AS n_high
+        |FROM u FULL JOIN h ON u.day = h.day""".stripMargin,
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
