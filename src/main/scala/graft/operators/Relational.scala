@@ -774,6 +774,58 @@ object Relational {
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
   }
 
+  /** 3σ outlier detection — the data-quality screen a pipeline runs
+    * before training on a numeric column: flag events whose value
+    * deviates more than 3σ from their type's mean. Moments come from
+    * decimal-exact sums (Σv, Σv² — order-insensitive, the agg_stats
+    * pattern), then mean/σ/z are single IEEE ops on identical inputs
+    * in both engines, so even the DOUBLE z-scores hash-match. The
+    * per-type stats are a |types|-row broadcast against the event
+    * scan — one aggregation pass + one narrow filtered pass at any
+    * scale. v² is computed in double THEN cast to decimal: both
+    * engines round the square identically, and the decimal sum of
+    * those squares is exact. */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val stats = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(30,8)")).as("s"),
+      sum((col("value") * col("value")).cast("decimal(30,8)")).as("s2"))
+      .select(col("event_type"),
+        (col("s").cast("double") / col("n")).as("mean"),
+        sqrt((col("s2").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n")) / col("n"))
+          .as("sigma"))
+    e.join(broadcast(stats), "event_type")
+      .filter(abs(col("value") - col("mean")) > col("sigma") * 3)
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("value") - col("mean")) / col("sigma")).as("z"))
+  }
+
+  private[operators] val HistBuckets = 20
+
+  /** Equi-width histogram per event type — the profiling primitive
+    * behind range partitioning choices and feature binning: bucket
+    * `i` covers [min + i·w, min + (i+1)·w), w = (max−min)/20, max
+    * clamped into the last bucket. Two passes: a |types|-row bounds
+    * aggregate broadcast back over the scan, then one partial+final
+    * count — no sort, no driver histogram assembly. All bucket
+    * arithmetic is single IEEE ops on identical inputs. */
+  def histogramValues(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val bounds = e.groupBy("event_type").agg(
+      min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val w = (col("hi") - col("lo")) / HistBuckets
+    e.join(broadcast(bounds), "event_type")
+      .select(col("event_type"), col("lo"), col("hi"),
+        least(floor((col("value") - col("lo")) / w), lit(HistBuckets - 1L))
+          .cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+      .select(col("event_type"), col("bucket"), col("n"),
+        (col("lo") + col("bucket") * ((col("hi") - col("lo")) / HistBuckets)).as("bucket_lo"))
+  }
+
   // ---- layout & skew ops -------------------------------------------
 
   /** Z-order (Morton) clustering key over (l_orderkey, l_partkey) —
@@ -1011,7 +1063,9 @@ object Relational {
     "cdc_apply"        -> cdcApply,
     "join_runtime_filter" -> joinRuntimeFilter,
     "agg_incremental"  -> aggIncremental,
-    "resample_hourly"  -> resampleHourly)
+    "resample_hourly"  -> resampleHourly,
+    "anomaly_zscore"   -> anomalyZscore,
+    "histogram"        -> histogramValues)
 
   private val DSUM_Q = "CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)"
   private val DSUM_P = "CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)"
@@ -1486,6 +1540,30 @@ object Relational {
         |  CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS avg_value,
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1""".stripMargin,
+    // moments from decimal-exact sums; mean/sigma/z single IEEE ops →
+    // double outputs hash-match cross-engine
+    "anomaly_zscore" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT event_type, s / n AS mean,
+        |             sqrt((s2 - s * s / n) / n) AS sigma FROM st)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  (e.value - m.mean) / m.sigma AS z
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |WHERE abs(e.value - m.mean) > m.sigma * 3""".stripMargin,
+    "histogram" ->
+      """WITH b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+        |           FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  CAST(least(floor((e.value - b.lo) / ((b.hi - b.lo) / 20)), 19) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  any_value(b.lo) + CAST(least(floor((e.value - b.lo) / ((b.hi - b.lo) / 20)), 19) AS BIGINT)
+        |    * ((any_value(b.hi) - any_value(b.lo)) / 20) AS bucket_lo
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |GROUP BY 1, 2""".stripMargin,
     "resample_hourly" ->
       """WITH c AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
