@@ -63,6 +63,33 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(mg.contains("hot"), s"guaranteed heavy hitter missing from $mg")
   }
 
+  test("randomized streams obey the MG theorem at every capacity") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260812L)
+    for (trial <- 1 to 5) {
+      // Zipf-ish: key k drawn with weight ~ 1/k over 50 keys
+      val keys = (1 to 50).flatMap(k => Seq.fill(1 + 400 / k)(s"k$k"))
+      val stream = Seq.fill(2000)(keys(rng.nextInt(keys.size)))
+      val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val n = stream.size.toLong
+      val c = 2 + rng.nextInt(15)
+      val mg = stream.toDF("k")
+        .repartition(4, col("k"))
+        .agg(MisraGriesAgg.mg_topk(col("k"), c).as("sk"))
+        .collect()(0).getMap[String, Long](0).toMap
+      assert(mg.size <= c, s"trial $trial: capacity $c exceeded (${mg.size})")
+      mg.foreach { case (k, est) =>
+        assert(est <= exact(k), s"trial $trial c=$c: $k overestimated")
+        assert(exact(k) - est <= n / (c + 1),
+          s"trial $trial c=$c: $k error ${exact(k) - est} > ${n / (c + 1)}")
+      }
+      exact.foreach { case (k, cnt) =>
+        if (cnt > n / (c + 1))
+          assert(mg.contains(k), s"trial $trial c=$c: heavy hitter $k (count $cnt) missing")
+      }
+    }
+  }
+
   test("grouped sketches stay per-group (no cross-group bleed)") {
     import spark.implicits._
     val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"))

@@ -139,6 +139,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(ranks(10L) === ranks(11L), "2-chain endpoints must tie exactly")
   }
 
+  test("applyCdc equals a reference merge on randomized base/changes pairs") {
+    val rng = new scala.util.Random(7L)
+    for (_ <- 1 to 3) {
+      val baseRows = (1L to 60L).map(k => (k, s"v$k", rng.nextInt(1000).toDouble))
+      val ops = baseRows.map(_._1).filter(_ => rng.nextBoolean()).map { k =>
+        if (rng.nextBoolean()) (k, s"u$k", rng.nextInt(1000).toDouble, "U")
+        else (k, null.asInstanceOf[String], 0.0, "D")
+      }
+      val inserts = (1001L to 1000L + rng.nextInt(10)).map(k =>
+        (k, s"i$k", rng.nextInt(1000).toDouble, "I"))
+      val changes = ops ++ inserts
+      // reference: plain map semantics
+      val byKey = changes.map(c => c._1 -> c).toMap
+      val want = (baseRows.flatMap { case (k, v, p) =>
+        byKey.get(k) match {
+          case Some((_, _, _, "D"))  => None
+          case Some((_, nv, np, _))  => Some((k, nv, np))
+          case None                  => Some((k, v, p))
+        }
+      } ++ inserts.map(c => (c._1, c._2, c._3))).toSet
+      val got = Relational.applyCdc(
+        baseRows.toDF("o_orderkey", "v", "p"),
+        changes.toDF("o_orderkey", "v", "p", "op"),
+        "o_orderkey")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got === want)
+    }
+  }
+
   test("applyCdc merge semantics on a planted base/changes pair") {
     // base keys 1..4; delete 2, update 3, insert 9; key 1 and 4 pass
     // through untouched — including 4, which shares no change row
