@@ -934,7 +934,7 @@ object Relational {
     * broadcast degrades gracefully: drop the hint and the same plan
     * shuffle-joins on the key. */
   def applyCdc(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
-    val dataCols = base.columns.filterNot(_ == key)
+    val dataCols = base.columns.filterNot(_ == key).toSeq
     val upd = changes.filter(col("op") =!= "I")
       .select(col(key) +: col("op") +: dataCols.map(c => col(c).as(s"new_$c")): _*)
     val merged = base.join(broadcast(upd), Seq(key), "left")
