@@ -302,11 +302,19 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val stream = Tables.documents(spark, dir)
       .select(col("lang"), explode(toksOf(col("text"))).as("tok"))
+    // both sketches ride ONE aggregation; the |langs|-row result is
+    // persisted because it feeds two exploded branches (e64/e4) —
+    // without the cache each branch re-runs the tokenize + sketch
+    // pass (Spark has no cross-branch subplan reuse short of
+    // identical exchanges)
     val sk = stream.groupBy("lang").agg(
       graft.functions.MisraGriesAgg.mg_topk(col("tok"), MgExactCap).as("sk64"),
       graft.functions.MisraGriesAgg.mg_topk(col("tok"), MgSmallCap).as("sk4"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = stream.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
-    val totals = stream.groupBy("lang").agg(count(lit(1)).as("n"))
+    // stream totals derive from the exact counts (Σ cnt) — one fewer
+    // tokenize pass than re-aggregating the exploded stream
+    val totals = exact.groupBy("lang").agg(sum(col("cnt")).as("n"))
     val top = exact
       .withColumn("rk", row_number().over(
         Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok").asc)))
