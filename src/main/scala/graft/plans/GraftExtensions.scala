@@ -21,7 +21,11 @@ import graft.functions.{CosineSimilarity, DotProduct}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+    new ExpressionInfo(
+      classOf[CosineSimilarity].getName, null, name, usage,
+      /* arguments */ "", /* examples */ "", /* note */ "",
+      /* group */ "misc_funcs", /* since */ "1.0.0", /* deprecated */ "",
+      /* source */ "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
