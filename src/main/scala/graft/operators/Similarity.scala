@@ -335,14 +335,73 @@ object Similarity {
       .select(col("vec_id"), col("scale"),
         array_join(transform(col("q"), x => x.cast("string")), ",").as("q"))
 
+  /** Contrastive training-pair assembly — the step that turns a
+    * similarity index into a training set: POSITIVES are the verified
+    * near-dup pairs ([[graft.operators.Dedup.dedupEmbedding]] — its
+    * oracle proves the LSH+verify path equals all-pairs truth), HARD
+    * NEGATIVES are k=2 deterministic pseudo-random candidates per
+    * anchor (fixed multiplier/offset arithmetic mod N — replayable in
+    * SQL, unlike rand()), each scored through the same codegen cosine
+    * expression. A coincidentally-similar negative keeps label 0 —
+    * standard contrastive noise; the self-pair is excluded. N rides
+    * as one driver scalar (metadata, the pagerank/ann_ivf precedent).
+    * Scale shape: negatives are 2 rows per anchor joined to the
+    * vector table on ids — shuffle payload is (id, id) longs plus
+    * per-row vectors at fetch, never all-pairs. */
+  def contrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val pos = graft.operators.Dedup.dedupEmbedding(spark, dir)
+      .select(col("vec_a").as("anchor"), col("vec_b").as("cand"),
+        col("cos"), lit(1L).as("label"))
+    val neg = pos.select(col("anchor")).distinct()
+      .select(col("anchor"), explode(array(lit(1L), lit(2L))).as("j"))
+      .select(col("anchor"),
+        ((col("anchor") * 7919L + col("j") * 104729L) % n).as("cand"))
+      .filter(col("cand") =!= col("anchor"))
+      .distinct() // j=1/j=2 can collide mod N — one row per (anchor, cand)
+      .join(e.select(col("vec_id").as("anchor"), col("embedding").as("ea")), "anchor")
+      .join(e.select(col("vec_id").as("cand"), col("embedding").as("eb")), "cand")
+      .select(col("anchor"), col("cand"),
+        round(cosine_sim(col("ea"), col("eb")), 4).as("cos"), lit(0L).as("label"))
+    pos.unionByName(neg)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> annTopkBrute,
     "ann_lsh"  -> annLsh,
     "ann_ivf"  -> annIvf,
     "embed_q8" -> embedQuantize,
-    "knn_join" -> knnJoin)
+    "knn_join" -> knnJoin,
+    "contrastive_pairs" -> contrastivePairs)
 
   val oracles: Map[String, String] = Map(
+    // positives replay as the all-pairs truth (the dedup_embedding
+    // oracle's own equivalence); negatives replay the deterministic
+    // arithmetic and re-score with list_cosine_similarity
+    "contrastive_pairs" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |           FROM embeddings),
+        |n AS (SELECT count(*) AS n FROM embeddings),
+        |pos AS (
+        |  SELECT a.vec_id AS anchor, b.vec_id AS cand,
+        |    round(list_cosine_similarity(a.emb, b.emb), 4) AS cos,
+        |    CAST(1 AS BIGINT) AS label
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45),
+        |negid AS (
+        |  SELECT DISTINCT anchor,
+        |    (anchor * 7919 + j * 104729) % (SELECT n FROM n) AS cand
+        |  FROM pos, (SELECT unnest([1, 2]) AS j) js
+        |  WHERE (anchor * 7919 + j * 104729) % (SELECT n FROM n) <> anchor)
+        |SELECT anchor, cand, cos, label FROM pos
+        |UNION ALL
+        |SELECT g.anchor, g.cand,
+        |  round(list_cosine_similarity(ea.emb, eb.emb), 4) AS cos,
+        |  CAST(0 AS BIGINT) AS label
+        |FROM negid g JOIN e ea ON ea.vec_id = g.anchor
+        |             JOIN e eb ON eb.vec_id = g.cand""".stripMargin,
     "embed_q8" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,
