@@ -516,6 +516,27 @@ object Relational {
           .cast("double").as("running_spend"))
   }
 
+  /** Explicit window FRAMES — the frame-spec surface the other window
+    * rows don't exercise: first/last value over one-sided unbounded
+    * frames and a 3-row moving sum (ROWS BETWEEN 2 PRECEDING AND
+    * CURRENT ROW, the moving-average primitive). Decimal sum for the
+    * moving frame (exact, order-insensitive); unique-key tiebreak
+    * makes every frame deterministic. All four functions share one
+    * keyed sort — a single exchange, the compact_latest shape. */
+  def windowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wFirst = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLast = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wMov = ord.rowsBetween(-2, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(wFirst).as("first_price"),
+        last(col("o_totalprice")).over(wLast).as("last_price"),
+        sum(col("o_totalprice").cast(DecimalType(30, 4))).over(wMov)
+          .cast("double").as("moving3_sum"))
+  }
+
   def windowLag(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -1048,6 +1069,7 @@ object Relational {
     "window_rank"      -> windowRank,
     "window_running"   -> windowRunning,
     "window_lag"       -> windowLag,
+    "window_frames"    -> windowFrames,
     "topk_orders"      -> topkOrders,
     "set_union"        -> setUnion,
     "set_intersect"    -> setIntersect,
@@ -1455,6 +1477,16 @@ object Relational {
     "window_lag" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
+        |FROM orders""".stripMargin,
+    "window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+        |  last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,4)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving3_sum
         |FROM orders""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

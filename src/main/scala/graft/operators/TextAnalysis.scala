@@ -334,6 +334,30 @@ object TextAnalysis {
           (col("cnt") - col("est4")) * 5 <= col("n") + 5)).as("small_cap_ok"))
   }
 
+  /** Rare-token density — an integer-arithmetic perplexity proxy for
+    * quality filtering: per document, the mean inverse corpus
+    * frequency of its tokens, on the integer lattice (N div tf summed,
+    * then div n_tokens — trunc-division BIGINT ops both engines agree
+    * on; a real LM perplexity needs log(), whose libm rounding is NOT
+    * cross-engine stable). Boilerplate-heavy docs (common tokens
+    * everywhere) score low; rare-vocabulary docs score high — the
+    * signal a "too templated?" filter thresholds on. The corpus tf
+    * table is vocabulary-sized (broadcast); N is one driver scalar
+    * (the pagerank/ann_ivf metadata precedent). One explode + one
+    * broadcast join + one partial+final aggregate. */
+  def docRarity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksOf(col("text"))).as("tok"))
+    val n = toks.count()
+    val tf = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    toks.join(broadcast(tf), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(expr(s"$n div tf")).as("rarity_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("rarity_sum div n_tokens").as("rarity"))
+  }
+
   /** Corpus rollup by lang × source — the partition-profile query a
     * pipeline runs before sampling. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
@@ -358,7 +382,8 @@ object TextAnalysis {
     "vocab_topk"      -> vocabTopk,
     "doc_chunks"      -> docChunks,
     "doc_sample"      -> docSampleStratified,
-    "freq_topk"       -> freqTopk)
+    "freq_topk"       -> freqTopk,
+    "doc_rarity"      -> docRarity)
 
   private[operators] val ToksSql =
     "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')"
@@ -455,6 +480,16 @@ object TextAnalysis {
          |  CAST(max(c) AS BIGINT)*1.0 / CAST(sum(c) AS BIGINT) AS top_ratio,
          |  count(*)*1.0 / CAST(sum(c) AS BIGINT) AS type_token_ratio
          |FROM tc GROUP BY doc_id""".stripMargin,
+    // N // tf summed then // n_tokens: trunc-division BIGINT lattice,
+    // identical in both engines (the pagerank arithmetic rule)
+    "doc_rarity" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM toks)
+         |SELECT t.doc_id, count(*) AS n_tokens,
+         |  CAST(sum((SELECT n FROM n) // f.tf) // count(*) AS BIGINT) AS rarity
+         |FROM toks t JOIN tf f ON t.tok = f.tok
+         |GROUP BY t.doc_id""".stripMargin,
     // freq_topk: est64 replays as the exact count (capacity 64 >
     // distinct vocabulary ⇒ the sketch is exact — see the scaladoc);
     // the small-capacity columns replay as the THEOREM: is_hh from
