@@ -992,6 +992,35 @@ object Relational {
     applyCdc(o, changes, "o_orderkey")
   }
 
+  /** Bucketed co-located join — the pay-the-shuffle-ONCE layout
+    * technique that matters most for repeated fact-fact joins at
+    * 100 TB: both tables are written bucketed (+ sorted) on the join
+    * key, so every later join on that key reads co-located buckets
+    * and plans NO join-side exchange (PlanAuditSpec asserts ≤ 1
+    * exchange — the final small-group aggregation only — under
+    * broadcast-disabled cluster conditions). Eager write at
+    * construction is the sink-gate precedent (zorder_write); data
+    * lands under the pid-scoped scratch dir, catalog entries are
+    * session-local (InMemoryCatalog), and the oracle gates the join
+    * results against the plain unbucketed join. */
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.sources.TempDirs.scratch("buckets", dir)
+    def writeBucketed(df: DataFrame, key: String, table: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      df.write.bucketBy(8, key).sortBy(key)
+        .option("path", s"$scratch/$table")
+        .mode("overwrite").saveAsTable(table)
+    }
+    writeBucketed(Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus"),
+      "o_orderkey", "graft_orders_b")
+    writeBucketed(Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
+      "l_orderkey", "graft_lineitem_b")
+    spark.table("graft_lineitem_b")
+      .join(spark.table("graft_orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+  }
+
   /** Shuffle join under runtime-filter pressure — the data-skipping
     * shape that matters most at 100 TB: a fact-fact join whose build
     * side is filtered selective, where Spark's runtime bloom filter
@@ -1087,7 +1116,8 @@ object Relational {
     "agg_incremental"  -> aggIncremental,
     "resample_hourly"  -> resampleHourly,
     "anomaly_zscore"   -> anomalyZscore,
-    "histogram"        -> histogramValues)
+    "histogram"        -> histogramValues,
+    "join_bucketed"    -> joinBucketed)
 
   private val DSUM_Q = "CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)"
   private val DSUM_P = "CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)"
@@ -1572,6 +1602,13 @@ object Relational {
         |  CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS avg_value,
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1""".stripMargin,
+    // the bucketed round trip must reproduce the plain join exactly
+    "join_bucketed" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     // moments from decimal-exact sums; mean/sigma/z single IEEE ops →
     // double outputs hash-match cross-engine
     "anomaly_zscore" ->

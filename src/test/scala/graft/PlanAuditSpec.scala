@@ -323,6 +323,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "melt must not shuffle")
   }
 
+  test("join_bucketed joins co-located buckets with no join-side exchange") {
+    // broadcast-disabled session models the cluster regime where both
+    // sides are too big to broadcast — exactly where bucketing pays
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = graft.operators.Relational.joinBucketed(s2, dir)
+      .queryExecution.executedPlan.toString
+    val joinExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(joinExchanges <= 1,
+      s"bucketed join must not shuffle either side (only the final agg may):\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "bucketed join should plan a co-located sort-merge/hash join")
+  }
+
   test("runtime bloom filter arms on the pinned shuffle join when thresholds allow") {
     // cluster-sized thresholds keep the fixture plan unfiltered; a
     // session with the application-side threshold lowered must show
