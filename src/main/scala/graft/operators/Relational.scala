@@ -992,6 +992,62 @@ object Relational {
     applyCdc(o, changes, "o_orderkey")
   }
 
+  /** ANALYZE-style table profiling — the stats-collection pass a
+    * cost-based optimizer (and any data-quality dashboard) runs:
+    * per column, null count, distinct count, and canonical-string
+    * min/max, emitted as one row per column from a SINGLE scan (all
+    * aggregates in one partial+final pass, then a narrow
+    * stack/unpivot of the 1-row result — no per-column re-scans).
+    * Canonical strings keep the mixed-type output one schema:
+    * integers render identically everywhere; the decimal price
+    * renders at fixed scale 2; the timestamp renders through an
+    * explicit yyyy-MM-dd HH:mm:ss format — each a representation
+    * both engines produce byte-identically (raw double/timestamp
+    * toString would not be). */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def ns(c: Column): Column = c.cast("string")
+    val agg = o.agg(
+      count(lit(1)).as("n_rows"),
+      // o_orderkey
+      sum(col("o_orderkey").isNull.cast("long")).as("nul_ok"),
+      countDistinct(col("o_orderkey")).as("dis_ok"),
+      ns(min(col("o_orderkey"))).as("min_ok"), ns(max(col("o_orderkey"))).as("max_ok"),
+      // o_custkey
+      sum(col("o_custkey").isNull.cast("long")).as("nul_ck"),
+      countDistinct(col("o_custkey")).as("dis_ck"),
+      ns(min(col("o_custkey"))).as("min_ck"), ns(max(col("o_custkey"))).as("max_ck"),
+      // o_orderstatus
+      sum(col("o_orderstatus").isNull.cast("long")).as("nul_st"),
+      countDistinct(col("o_orderstatus")).as("dis_st"),
+      min(col("o_orderstatus")).as("min_st"), max(col("o_orderstatus")).as("max_st"),
+      // o_totalprice (decimal scale 2 — canonical cross-engine string)
+      sum(col("o_totalprice").isNull.cast("long")).as("nul_tp"),
+      countDistinct(col("o_totalprice")).as("dis_tp"),
+      ns(min(col("o_totalprice")).cast("decimal(30,2)")).as("min_tp"),
+      ns(max(col("o_totalprice")).cast("decimal(30,2)")).as("max_tp"),
+      // o_orderdate (explicit format)
+      sum(col("o_orderdate").isNull.cast("long")).as("nul_od"),
+      countDistinct(col("o_orderdate")).as("dis_od"),
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("min_od"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("max_od"),
+      // o_orderpriority
+      sum(col("o_orderpriority").isNull.cast("long")).as("nul_op"),
+      countDistinct(col("o_orderpriority")).as("dis_op"),
+      min(col("o_orderpriority")).as("min_op"), max(col("o_orderpriority")).as("max_op"))
+    agg.select(col("n_rows"), expr(
+      """stack(6,
+        |  'o_orderkey', nul_ok, dis_ok, min_ok, max_ok,
+        |  'o_custkey', nul_ck, dis_ck, min_ck, max_ck,
+        |  'o_orderstatus', nul_st, dis_st, min_st, max_st,
+        |  'o_totalprice', nul_tp, dis_tp, min_tp, max_tp,
+        |  'o_orderdate', nul_od, dis_od, min_od, max_od,
+        |  'o_orderpriority', nul_op, dis_op, min_op, max_op
+        |) AS (col_name, n_nulls, n_distinct, min_val, max_val)""".stripMargin))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
+
   /** Bucketed co-located join — the pay-the-shuffle-ONCE layout
     * technique that matters most for repeated fact-fact joins at
     * 100 TB: both tables are written bucketed (+ sorted) on the join
@@ -1117,7 +1173,8 @@ object Relational {
     "resample_hourly"  -> resampleHourly,
     "anomaly_zscore"   -> anomalyZscore,
     "histogram"        -> histogramValues,
-    "join_bucketed"    -> joinBucketed)
+    "join_bucketed"    -> joinBucketed,
+    "profile_table"    -> profileTable)
 
   private val DSUM_Q = "CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)"
   private val DSUM_P = "CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)"
@@ -1602,6 +1659,38 @@ object Relational {
         |  CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS avg_value,
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1""".stripMargin,
+    // one aggregate row per column via UNION ALL; canonical strings
+    // (BIGINT, DECIMAL(30,2), strftime) render identically cross-engine
+    "profile_table" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_ok,
+        |    count(DISTINCT o_orderkey) AS dis_ok,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_ok, CAST(max(o_orderkey) AS VARCHAR) AS max_ok,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_ck,
+        |    count(DISTINCT o_custkey) AS dis_ck,
+        |    CAST(min(o_custkey) AS VARCHAR) AS min_ck, CAST(max(o_custkey) AS VARCHAR) AS max_ck,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_st,
+        |    count(DISTINCT o_orderstatus) AS dis_st,
+        |    min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st,
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_tp,
+        |    count(DISTINCT o_totalprice) AS dis_tp,
+        |    CAST(CAST(min(o_totalprice) AS DECIMAL(30,2)) AS VARCHAR) AS min_tp,
+        |    CAST(CAST(max(o_totalprice) AS DECIMAL(30,2)) AS VARCHAR) AS max_tp,
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_od,
+        |    count(DISTINCT o_orderdate) AS dis_od,
+        |    strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_od,
+        |    strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_od,
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_op,
+        |    count(DISTINCT o_orderpriority) AS dis_op,
+        |    min(o_orderpriority) AS min_op, max(o_orderpriority) AS max_op
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS col_name, n_rows, nul_ok AS n_nulls, dis_ok AS n_distinct, min_ok AS min_val, max_ok AS max_val FROM a
+        |UNION ALL SELECT 'o_custkey', n_rows, nul_ck, dis_ck, min_ck, max_ck FROM a
+        |UNION ALL SELECT 'o_orderstatus', n_rows, nul_st, dis_st, min_st, max_st FROM a
+        |UNION ALL SELECT 'o_totalprice', n_rows, nul_tp, dis_tp, min_tp, max_tp FROM a
+        |UNION ALL SELECT 'o_orderdate', n_rows, nul_od, dis_od, min_od, max_od FROM a
+        |UNION ALL SELECT 'o_orderpriority', n_rows, nul_op, dis_op, min_op, max_op FROM a""".stripMargin,
     // the bucketed round trip must reproduce the plain join exactly
     "join_bucketed" ->
       """SELECT o_orderstatus,
