@@ -1003,7 +1003,13 @@ object Relational {
     * renders at fixed scale 2; the timestamp renders through an
     * explicit yyyy-MM-dd HH:mm:ss format — each a representation
     * both engines produce byte-identically (raw double/timestamp
-    * toString would not be). */
+    * toString would not be).
+    *
+    * Scale note: six exact countDistincts in one aggregate plan an
+    * Expand (×6 rows through the partial phase) — the exact-stats
+    * shape. A 100 TB profile swaps them for approx_count_distinct
+    * (no Expand, one HLL register set per column); exact is kept
+    * here because the oracle can replay it. */
   def profileTable(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     def ns(c: Column): Column = c.cast("string")
