@@ -832,14 +832,22 @@ object Relational {
     * aggregate broadcast back over the scan, then one partial+final
     * count — no sort, no driver histogram assembly. All bucket
     * arithmetic is single IEEE ops on identical inputs. */
-  def histogramValues(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+  def histogramValues(spark: SparkSession, dir: String): DataFrame =
+    histogramOf(Tables.events(spark, dir))
+
+  /** Core of [[histogramValues]] over any (event_type, value) frame —
+    * exposed for edge-case specs. Constant-valued groups (hi == lo)
+    * would make the bucket arithmetic divide by zero (NaN, whose
+    * least()/cast semantics DIVERGE across engines) — they pin to
+    * bucket 0 explicitly instead. */
+  private[operators] def histogramOf(e: DataFrame): DataFrame = {
     val bounds = e.groupBy("event_type").agg(
       min(col("value")).as("lo"), max(col("value")).as("hi"))
     val w = (col("hi") - col("lo")) / HistBuckets
     e.join(broadcast(bounds), "event_type")
       .select(col("event_type"), col("lo"), col("hi"),
-        least(floor((col("value") - col("lo")) / w), lit(HistBuckets - 1L))
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("value") - col("lo")) / w), lit(HistBuckets - 1L)))
           .cast("long").as("bucket"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n"), first(col("lo")).as("lo"), first(col("hi")).as("hi"))
@@ -1718,16 +1726,20 @@ object Relational {
         |  (e.value - m.mean) / m.sigma AS z
         |FROM events e JOIN m ON e.event_type = m.event_type
         |WHERE abs(e.value - m.mean) > m.sigma * 3""".stripMargin,
+    // constant-valued groups pin to bucket 0 (the hi = lo guard) —
+    // same CASE both engines, avoiding divide-by-zero NaN divergence
     "histogram" ->
       """WITH b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
-        |           FROM events GROUP BY 1)
-        |SELECT e.event_type,
-        |  CAST(least(floor((e.value - b.lo) / ((b.hi - b.lo) / 20)), 19) AS BIGINT) AS bucket,
-        |  count(*) AS n,
-        |  any_value(b.lo) + CAST(least(floor((e.value - b.lo) / ((b.hi - b.lo) / 20)), 19) AS BIGINT)
-        |    * ((any_value(b.hi) - any_value(b.lo)) / 20) AS bucket_lo
-        |FROM events e JOIN b ON e.event_type = b.event_type
-        |GROUP BY 1, 2""".stripMargin,
+        |           FROM events GROUP BY 1),
+        |k AS (
+        |  SELECT e.event_type, b.lo, b.hi,
+        |    CASE WHEN b.hi = b.lo THEN 0
+        |         ELSE CAST(least(floor((e.value - b.lo) / ((b.hi - b.lo) / 20)), 19) AS BIGINT)
+        |    END AS bucket
+        |  FROM events e JOIN b ON e.event_type = b.event_type)
+        |SELECT event_type, bucket, count(*) AS n,
+        |  any_value(lo) + bucket * ((any_value(hi) - any_value(lo)) / 20) AS bucket_lo
+        |FROM k GROUP BY 1, 2""".stripMargin,
     "resample_hourly" ->
       """WITH c AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,

@@ -139,6 +139,15 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(ranks(10L) === ranks(11L), "2-chain endpoints must tie exactly")
   }
 
+  test("histogram pins constant-valued groups to bucket 0 instead of NaN buckets") {
+    val df = Seq(("flat", 5.0), ("flat", 5.0), ("flat", 5.0),
+      ("vary", 0.0), ("vary", 10.0)).toDF("event_type", "value")
+    val rows = Relational.histogramOf(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.contains(("flat", 0L, 3L)), s"constant group must pin to bucket 0: ${rows.mkString(",")}")
+    assert(rows.contains(("vary", 0L, 1L)) && rows.contains(("vary", 19L, 1L)))
+  }
+
   test("applyCdc equals a reference merge on randomized base/changes pairs") {
     val rng = new scala.util.Random(7L)
     for (_ <- 1 to 3) {
