@@ -1000,6 +1000,34 @@ object Relational {
     applyCdc(o, changes, "o_orderkey")
   }
 
+  /** Multi-step funnel analysis (view → click → purchase, each step
+    * strictly after the previous) — the product-analytics primitive
+    * beyond the 2-step interval join (`stream_attribution`): per
+    * user, the first view, the first click AFTER that view, and the
+    * first purchase AFTER that click, then global step counts. All
+    * three step timestamps come from CHAINED unordered window minima
+    * over ONE user partitioning — a single exchange, three Window
+    * passes reusing the same sort, no self-joins and no per-step
+    * event-table re-scans (the join formulation explodes on users
+    * with many events; this one is linear). */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val e = Tables.events(spark, dir).select(col("user_id"), col("ts"), col("event_type"))
+    val staged = e
+      .withColumn("tv", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("tc", min(when(col("event_type") === "click" && col("ts") > col("tv"),
+        col("ts"))).over(w))
+      .withColumn("tp", min(when(col("event_type") === "purchase" && col("ts") > col("tc"),
+        col("ts"))).over(w))
+      .select(col("user_id"), col("tv"), col("tc"), col("tp"))
+      .distinct()
+    staged.agg(
+      count(lit(1)).as("n_users"),
+      count(col("tv")).as("n_view"),
+      count(col("tc")).as("n_click"),
+      count(col("tp")).as("n_purchase"))
+  }
+
   /** ANALYZE-style table profiling — the stats-collection pass a
     * cost-based optimizer (and any data-quality dashboard) runs:
     * per column, null count, distinct count, and canonical-string
@@ -1188,7 +1216,8 @@ object Relational {
     "anomaly_zscore"   -> anomalyZscore,
     "histogram"        -> histogramValues,
     "join_bucketed"    -> joinBucketed,
-    "profile_table"    -> profileTable)
+    "profile_table"    -> profileTable,
+    "funnel_steps"     -> funnelSteps)
 
   private val DSUM_Q = "CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)"
   private val DSUM_P = "CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)"
@@ -1673,6 +1702,26 @@ object Relational {
         |  CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS avg_value,
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1""".stripMargin,
+    // chained window minima: each step's CASE references the previous
+    // step's window result — identical nesting both engines
+    "funnel_steps" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS tv
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+        |    OVER (PARTITION BY user_id) AS tc
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+        |    OVER (PARTITION BY user_id) AS tp
+        |  FROM s2),
+        |u AS (SELECT DISTINCT user_id, tv, tc, tp FROM s3)
+        |SELECT count(*) AS n_users, count(tv) AS n_view,
+        |  count(tc) AS n_click, count(tp) AS n_purchase
+        |FROM u""".stripMargin,
     // one aggregate row per column via UNION ALL; canonical strings
     // (BIGINT, DECIMAL(30,2), strftime) render identically cross-engine
     "profile_table" ->

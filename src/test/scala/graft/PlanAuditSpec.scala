@@ -323,6 +323,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "melt must not shuffle")
   }
 
+  test("funnel_steps chains three windows over one user exchange") {
+    val p = plan("funnel_steps")
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows >= 3, s"expected 3 chained Window passes, got $windows")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // one user-partition exchange feeds all three windows AND the
+    // per-user distinct (already co-partitioned); only the final
+    // global count may add its single-partition exchange
+    assert(exchanges <= 1, s"funnel must reuse one user exchange:\n$p")
+    assert(p.contains("Sort"), "windows must share the partition sort")
+  }
+
   test("join_bucketed joins co-located buckets with no join-side exchange") {
     // broadcast-disabled session models the cluster regime where both
     // sides are too big to broadcast — exactly where bucketing pays
