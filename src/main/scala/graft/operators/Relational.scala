@@ -1000,6 +1000,22 @@ object Relational {
     applyCdc(o, changes, "o_orderkey")
   }
 
+  /** Semi-structured access through Spark 4's VARIANT type — the
+    * schema-drift-tolerant path beyond `from_json` (`json_events`):
+    * `parse_json` builds the binary variant once, `variant_get`
+    * extracts typed fields lazily. At 100 TB this is the shredding
+    * story — variant columns store field-wise, so `$.k` access reads
+    * one shredded column instead of re-parsing text per row per
+    * field. Aggregates gate the extraction end to end against
+    * DuckDB's JSON functions. */
+  def variantEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
   /** Multi-step funnel analysis (view → click → purchase, each step
     * strictly after the previous) — the product-analytics primitive
     * beyond the 2-step interval join (`stream_attribution`): per
@@ -1217,7 +1233,8 @@ object Relational {
     "histogram"        -> histogramValues,
     "join_bucketed"    -> joinBucketed,
     "profile_table"    -> profileTable,
-    "funnel_steps"     -> funnelSteps)
+    "funnel_steps"     -> funnelSteps,
+    "variant_events"   -> variantEvents)
 
   private val DSUM_Q = "CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)"
   private val DSUM_P = "CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)"
@@ -1701,6 +1718,14 @@ object Relational {
         |  CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value,
         |  CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS avg_value,
         |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1""".stripMargin,
+    // DuckDB's sum(BIGINT) widens to HUGEINT — cast back
+    "variant_events" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(CAST(json_extract_string(props, 'k') AS BIGINT)) AS n_k,
+        |  CAST(sum(CAST(json_extract_string(props, 'k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, 'k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, 'k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin,
     // chained window minima: each step's CASE references the previous
     // step's window result — identical nesting both engines
