@@ -178,6 +178,35 @@ object Corpus {
       .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))
   }
 
+  private[operators] val CompactSmallFiles = 64
+  private[operators] val CompactTargetFiles = 4
+
+  /** Small-file compaction — the OPTIMIZE/maintenance primitive that
+    * keeps a streamed-in or over-partitioned table readable: a
+    * many-tiny-files layout (here [[CompactSmallFiles]] files,
+    * deliberately written as the "before" state) is rewritten to
+    * [[CompactTargetFiles]] right-sized files, and the re-read is
+    * gated against the source rows — compaction must be free of row
+    * loss/duplication. At 100 TB the target count comes from bytes
+    * (total/size per file, or `maxRecordsPerFile` + AQE coalescing)
+    * rather than a constant, and the rewrite runs per partition of a
+    * date-partitioned table; the shape — read small, one round-robin
+    * repartition, write big, verify — is exactly this. Both writes go
+    * to the pid-scoped scratch ([[graft.sources.TempDirs]]); eager
+    * write at construction is the sink-gate precedent. LayoutSpec
+    * asserts the before/after file counts. */
+  def compactFiles(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.sources.TempDirs.scratch("compact", dir)
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartition(CompactSmallFiles)
+      .write.mode("overwrite").parquet(s"$scratch/small")
+    spark.read.parquet(s"$scratch/small")
+      .repartition(CompactTargetFiles)
+      .write.mode("overwrite").parquet(s"$scratch/compacted")
+    spark.read.schema("doc_id LONG, lang STRING, n_chars LONG")
+      .parquet(s"$scratch/compacted")
+  }
+
   /** Data-mixing rates: given a token budget of half the corpus split
     * equally across languages, the per-language keep-rate and expected
     * token yield — the arithmetic a pipeline runs to turn "target
@@ -371,7 +400,8 @@ object Corpus {
     "shuffle_export_write" -> shuffleExportWrite,
     "mix_weights"    -> mixWeights,
     "tfidf_topk"     -> tfidfTopk,
-    "bm25_topk"      -> bm25Topk)
+    "bm25_topk"      -> bm25Topk,
+    "compact_files"  -> compactFiles)
 
   // single source of truth for the DuckDB tokenizer fragment — a
   // local copy here once drifted risk onto pack_sequences/mix_weights
@@ -412,6 +442,9 @@ object Corpus {
   }
 
   val oracles: Map[String, String] = Map(
+    // compaction must be row-lossless: the re-read equals the source
+    "compact_files" ->
+      "SELECT doc_id, lang, n_chars FROM documents",
     "corpus_clean" -> CleanSql,
     // window sum(BIGINT) is HUGEINT in DuckDB — cast back before DIV
     "pack_sequences" ->

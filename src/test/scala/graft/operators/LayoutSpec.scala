@@ -49,6 +49,18 @@ class LayoutSpec extends AnyFunSuite {
     assert(n === graft.sources.Tables.lineitem(spark, dir).count())
   }
 
+  test("compact_files collapses the small-file layout to the target count") {
+    Corpus.compactFiles(spark, dir).count() // materialize both writes
+    val scratch = graft.sources.TempDirs.scratch("compact", dir)
+    def partFiles(sub: String): Int =
+      new java.io.File(s"$scratch/$sub").listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(partFiles("small") == Corpus.CompactSmallFiles,
+      "the before-state must actually be the small-files mess")
+    assert(partFiles("compacted") == Corpus.CompactTargetFiles,
+      "compaction must hit the target file count")
+  }
+
   test("morton key is a true interleave: deinterleaving recovers both keys") {
     import org.apache.spark.sql.functions.col
     // reference inverse, built independently of the operator's
