@@ -23,6 +23,27 @@ class FormatsSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 
+  test("schema evolution: mergeSchema unions drifted parquet file schemas") {
+    // a long-lived table accretes columns over time; readers must see
+    // the union schema with nulls where old files lack the column
+    val out = Files.createTempDirectory("graft_evolve").toString
+    val docs = Tables.documents(spark, dir)
+    docs.filter(col("doc_id") < 25).select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$out/v=1")
+    docs.filter(col("doc_id") >= 25).select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/v=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$out/v=1", s"$out/v=2")
+    assert(merged.columns.sorted.toSeq == Seq("doc_id", "lang", "n_chars"),
+      s"union schema expected, got ${merged.columns.mkString(",")}")
+    val total = docs.count()
+    assert(merged.count() == total)
+    val oldRows = merged.filter(col("doc_id") < 25)
+    assert(oldRows.filter(col("n_chars").isNull).count() == oldRows.count(),
+      "pre-drift files must surface the new column as null")
+    val newNonNull = merged.filter(col("doc_id") >= 25 && col("n_chars").isNotNull).count()
+    assert(newNonNull == docs.filter(col("doc_id") >= 25).count())
+  }
+
   test("orders round-trips parquet -> csv -> DataFrame including timestamps") {
     val tmp = Files.createTempDirectory("graft_csv").toString
     val orders = Tables.orders(spark, dir)
