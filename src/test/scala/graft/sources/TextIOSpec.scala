@@ -35,6 +35,24 @@ class TextIOSpec extends AnyFunSuite {
     assert(got === Map("a" -> "4", "b" -> "2", "c" -> "1"))
   }
 
+  test("gzip-compressed text shards read transparently (codec by extension)") {
+    // real corpora arrive compressed; Hadoop's codec-by-extension path
+    // must feed the same wordcount dataflow byte-identically. Caveat
+    // pinned here: .gz is NOT splittable — each file is one partition,
+    // which is why shard SIZE discipline matters doubly at 100 TB.
+    val tmp = Files.createTempDirectory("graft_gz").toString
+    val raw = "a b a\nc a\nb a\n"
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$tmp/input-001.txt.gz"))
+    gz.write(raw.getBytes("UTF-8")); gz.close()
+    val lines = TextIO.readLines(spark, tmp).collect().sorted
+    assert(lines.toSeq == raw.split("\n").toSeq.sorted)
+    val counts = MapReduceJob(MapReduceJob.tokenizeMap, MapReduceJob.sumLongs)
+      .run(TextIO.readLines(spark, tmp))
+      .collect().toMap
+    assert(counts == Map("a" -> "4", "b" -> "2", "c" -> "1"))
+  }
+
   test("writeShards lands line-safe shards near the byte target and round-trips") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_shards").toString
