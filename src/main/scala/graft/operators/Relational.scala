@@ -780,8 +780,13 @@ object Relational {
     * counts is grid-sized (broadcastable; both sides are |types|×|hours|,
     * data-volume-free). Null-free outputs by construction (the
     * comparator rule). */
-  def resampleHourly(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+  def resampleHourly(spark: SparkSession, dir: String): DataFrame =
+    resampleOf(Tables.events(spark, dir))
+
+  /** Core of [[resampleHourly]] over any (event_type, ts, value)
+    * frame — exposed for edge-case specs (single-hour spans must
+    * yield exactly one grid row, `sequence(lo, lo)` = [lo]). */
+  private[operators] def resampleOf(e: DataFrame): DataFrame = {
     val hour = date_trunc("hour", col("ts"))
     val counts = e.groupBy(col("event_type"), hour.as("hour"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))

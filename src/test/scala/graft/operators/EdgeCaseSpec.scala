@@ -139,6 +139,21 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(ranks(10L) === ranks(11L), "2-chain endpoints must tie exactly")
   }
 
+  test("resample emits one grid row for single-hour spans and fills interior gaps") {
+    val df = Seq(
+      ("solo", java.sql.Timestamp.valueOf("2024-01-01 05:30:00"), 1.0),
+      ("gap", java.sql.Timestamp.valueOf("2024-01-01 01:10:00"), 2.0),
+      ("gap", java.sql.Timestamp.valueOf("2024-01-01 03:40:00"), 3.0))
+      .toDF("event_type", "ts", "value")
+    val rows = Relational.resampleOf(df).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+    assert(rows == Set(
+      ("solo", "2024-01-01 05:00:00.0", 1L),
+      ("gap", "2024-01-01 01:00:00.0", 1L),
+      ("gap", "2024-01-01 02:00:00.0", 0L), // the filled gap
+      ("gap", "2024-01-01 03:00:00.0", 1L)), rows.mkString(","))
+  }
+
   test("histogram pins constant-valued groups to bucket 0 instead of NaN buckets") {
     val df = Seq(("flat", 5.0), ("flat", 5.0), ("flat", 5.0),
       ("vary", 0.0), ("vary", 10.0)).toDF("event_type", "value")
