@@ -20,12 +20,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     TextOps.wordcount(spark, "/root/testdata/sf0.001")
 
-  private val modules: Seq[Map[String, (SparkSession, String) => DataFrame]] =
+  private[graft] val modules: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     Seq(TextOps.queries, MrOps.queries, Relational.queries, AsOfJoin.queries,
       Reshape.queries, Dedup.queries, Similarity.queries, TextAnalysis.queries,
       Multimodal.queries, StreamOps.queries, Corpus.queries, Graph.queries)
 
-  private val oracleModules: Seq[Map[String, String]] =
+  private[graft] val oracleModules: Seq[Map[String, String]] =
     Seq(TextOps.oracles, MrOps.oracles, Relational.oracles, AsOfJoin.oracles,
       Reshape.oracles, Dedup.oracles, Similarity.oracles, TextAnalysis.oracles,
       Multimodal.oracles, StreamOps.oracles, Corpus.oracles, Graph.oracles)

@@ -8,6 +8,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * SparkSession. */
 class BenchLineSpec extends AnyFunSuite {
 
+  test("registry contract: no cross-module name collisions, every query carries an oracle") {
+    // Map ++ silently overwrites on collision — a duplicated name
+    // would DROP a query from the driver contract without any error
+    val total = SparkEntry.modules.map(_.size).sum
+    assert(SparkEntry.queries.size == total,
+      s"cross-module name collision: ${total - SparkEntry.queries.size} query(ies) shadowed")
+    val oracleTotal = SparkEntry.oracleModules.map(_.size).sum
+    assert(SparkEntry.oracleSql.size == oracleTotal,
+      "cross-module oracle name collision")
+    // every registered query must gate through a full DuckDB oracle —
+    // a missing entry silently degrades to the weak rows-only check
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracles: ${missing.toSeq.sorted.mkString(",")}")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: ${orphans.toSeq.sorted.mkString(",")}")
+  }
+
   test("f2 renders valid minimal JSON numbers") {
     assert(Bench.f2(0.50)  === "0.5")
     assert(Bench.f2(1.00)  === "1")
