@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
@@ -50,6 +51,14 @@ case class MisraGriesAgg(
   extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]] {
 
   override def children: Seq[Expression] = Seq(key)
+  // Reject non-string keys at ANALYSIS time — update() casts the
+  // evaluated key to UTF8String, which would otherwise surface as an
+  // executor-side ClassCastException. (ExpectsInputTypes would be the
+  // idiomatic mixin, but its AbstractDataType is private[sql].)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (key.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mg_topk requires a STRING key, got ${key.dataType.catalogString}")
   override def nullable: Boolean = false
   override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
   override def prettyName: String = "mg_topk"

@@ -139,7 +139,8 @@ object Multimodal {
 
   /** Cross-media FRAME dedup — the multimodal counterpart of
     * `dedup_exact`: sample frames from every media payload (the stub
-    * slices the binary into 4-byte chunks; a real pipeline decodes
+    * slices the binary into 2-byte chunks / 4 hex chars; a real
+    * pipeline decodes
     * and perceptual-hashes video frames), group by exact frame
     * content, and report frames appearing in MORE THAN ONE distinct
     * document — shared intros/watermarks/duplicated clips. The

@@ -1119,11 +1119,18 @@ object Relational {
     * exchange — the final small-group aggregation only — under
     * broadcast-disabled cluster conditions). Eager write at
     * construction is the sink-gate precedent (zorder_write); data
-    * lands under the pid-scoped scratch dir, catalog entries are
-    * session-local (InMemoryCatalog), and the oracle gates the join
-    * results against the plain unbucketed join. */
+    * lands under the pid-scoped scratch dir, and the oracle gates
+    * the join results against the plain unbucketed join. Catalog
+    * entries live in InMemoryCatalog, which sits in SharedState and
+    * is therefore shared by EVERY session of the SparkContext — so
+    * the table names are scoped the same way as the scratch dir
+    * (input-dir md5 + pid), keeping two fixtures or two concurrent
+    * JVMs from racing on DROP TABLE/saveAsTable. */
   def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
     val scratch = graft.sources.TempDirs.scratch("buckets", dir)
+    val scope = s"${graft.sources.TempDirs.dirKey(dir)}_p${ProcessHandle.current().pid()}"
+    val ordersT = s"graft_orders_b_$scope"
+    val lineitemT = s"graft_lineitem_b_$scope"
     def writeBucketed(df: DataFrame, key: String, table: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       df.write.bucketBy(8, key).sortBy(key)
@@ -1131,11 +1138,11 @@ object Relational {
         .mode("overwrite").saveAsTable(table)
     }
     writeBucketed(Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus"),
-      "o_orderkey", "graft_orders_b")
+      "o_orderkey", ordersT)
     writeBucketed(Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
-      "l_orderkey", "graft_lineitem_b")
-    spark.table("graft_lineitem_b")
-      .join(spark.table("graft_orders_b"), col("l_orderkey") === col("o_orderkey"))
+      "l_orderkey", lineitemT)
+    spark.table(lineitemT)
+      .join(spark.table(ordersT), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus")
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
   }

@@ -102,4 +102,13 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(out("a") == Map("x" -> 2L, "y" -> 1L))
     assert(out("b") == Map("z" -> 1L))
   }
+
+  test("non-string key is rejected at analysis time, not execution") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 2L).toDF("k")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(MisraGriesAgg.mg_topk(col("k"), 8).as("sk")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"))
+  }
 }
