@@ -149,7 +149,8 @@ object Similarity {
   // -- IVF-flat: coarse quantizer + nprobe ---------------------------
 
   private val NCells = 16
-  private val NProbe = 2
+  private val NProbe = 6
+  private val LloydRounds = 1
 
   /** Deterministic SEED centroids: a fixed slice of the corpus itself
     * (vec_id ∈ [100, 100+NCells)) — sampled-point initialization, the
@@ -171,17 +172,22 @@ object Similarity {
     * division toward zero). */
   private val QScale = 1048576L // 2^20
 
-  /** LEARNED centroids: one deterministic Lloyd round from the seed.
-    * Assignment runs distributed (one narrow pass over the vectors);
-    * the per-(cell, dim) integral sums — NCells×Dim rows of driver
-    * metadata, like the seed itself — are collected and turned into
-    * quantized means; an empty cell keeps its seed centroid. One fixed
-    * round (not to-convergence) keeps the operator deterministic-cost;
-    * at 100 TB you would raise rounds, not change shape — each round
-    * is the same single scan + tiny aggregate. */
-  private def learnedCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Double])] = {
+  /** LEARNED centroids: [[LloydRounds]] deterministic Lloyd rounds
+    * from the seed. Fixed round count (not to-convergence) keeps the
+    * operator deterministic-cost and oracle-replayable; at 100 TB you
+    * would raise rounds, not change shape — each round is the same
+    * single scan + tiny aggregate. */
+  private def learnedCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Double])] =
+    (1 to LloydRounds).foldLeft(seedCentroids(spark, dir))((c, _) => lloydRound(spark, dir, c))
+
+  /** ONE deterministic Lloyd round: assignment runs distributed (one
+    * narrow pass over the vectors); the per-(cell, dim) integral
+    * sums — NCells×Dim rows of driver metadata, like the seed
+    * itself — are collected and turned into quantized means; an empty
+    * cell keeps its previous centroid. */
+  private def lloydRound(spark: SparkSession, dir: String,
+      seed: Array[(Int, Array[Double])]): Array[(Int, Array[Double])] = {
     import spark.implicits._
-    val seed = seedCentroids(spark, dir)
     val dim = seed.head._2.length
     // partial sums accumulate INSIDE each partition (one dense
     // cells×dim long array), so the shuffle carries
@@ -243,8 +249,24 @@ object Similarity {
     * distribution (centroids are one Lloyd round of k-means from a
     * fixed corpus-slice seed — [[learnedCentroids]]) where hyperplane
     * LSH is data-oblivious. Same output shape; recall vs brute force
-    * asserted in PipelineOpsSpec. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    * asserted in PipelineOpsSpec (≥ 0.6 at the shipped operating
+    * point — measured 0.80/0.70/0.64 at sf0.001/0.01/0.1).
+    *
+    * Operating point: nprobe = 6 of 16 cells. A 6/16 scan fraction is
+    * a fixture artifact of the tiny cell count, not the 100 TB shape:
+    * recall is governed by the probed FRACTION of a fixed-size probe
+    * LIST, so at scale you raise NCells with corpus size (4–16k cells
+    * per billion vectors is the IVF norm) and nprobe stays a small
+    * constant — same plan, same shuffle shape, scan fraction
+    * nprobe/NCells → sub-1%. Chosen over a 2nd Lloyd round, which
+    * measured WORSE at equal probe cost (0.72 vs 0.80 at sf0.001)
+    * and would double the oracle's replay chain. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfProbe(spark, dir, NProbe)
+
+  /** [[annIvf]] with an explicit probe count — the recall/cost dial
+    * (PipelineOpsSpec measures the recall curve across settings). */
+  private[graft] def annIvfProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import spark.implicits._
     val cents = learnedCentroids(spark, dir)
     val e = Tables.embeddings(spark, dir)
@@ -253,7 +275,7 @@ object Similarity {
       .toDF("nid", "cell")
     val qCells = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .flatMap(r => nearestCells(cents, r._2, NProbe).map(c => (r._1, c)))
+      .flatMap(r => nearestCells(cents, r._2, nprobe).map(c => (r._1, c)))
       .toDF("qid", "cell")
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
