@@ -373,9 +373,14 @@ object Similarity {
   def contrastivePairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val n = e.count()
+    // persisted: the LSH-bucket + exact-verify subtree feeds BOTH the
+    // final union and the negatives' anchor set — without this the
+    // most expensive subtree in the query plans and executes twice
+    // (the triangles precedent, [[graft.operators.Graph.triangles]])
     val pos = graft.operators.Dedup.dedupEmbedding(spark, dir)
       .select(col("vec_a").as("anchor"), col("vec_b").as("cand"),
         col("cos"), lit(1L).as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val neg = pos.select(col("anchor")).distinct()
       .select(col("anchor"), explode(array(lit(1L), lit(2L))).as("j"))
       .select(col("anchor"),

@@ -264,6 +264,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "contribution sum must map-side combine")
   }
 
+  test("contrastive_pairs reuses its persisted positives (LSH+verify runs once)") {
+    val p = plan("contrastive_pairs")
+    // the dedupEmbedding subtree feeds both the union and the
+    // negatives' anchor set: both consumers must read the cache
+    val hits = "InMemoryTableScan".r.findAllIn(p).size
+    assert(hits >= 2, s"expected both consumers on the cached positives, saw $hits cache scans")
+  }
+
   test("cdc_apply merges through one broadcast left join; base never shuffles") {
     val p = plan("cdc_apply")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
