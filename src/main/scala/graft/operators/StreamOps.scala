@@ -58,6 +58,49 @@ object StreamOps {
       graft.sources.Tables.events(spark, dir),
       graft.sources.Tables.customer(spark, dir))
 
+  /** Checkpointed streaming PARQUET-SINK gate — the streaming analog
+    * of `shuffle_export_write`'s write→re-read round trip and of the
+    * reference's final-concat sink (O10): the events fixture is
+    * consumed as a file-source STREAM, a stateless transform runs per
+    * micro-batch, and rows land through the exactly-once file sink
+    * (`_spark_metadata` commit log) under a checkpoint; the re-read
+    * goes through that manifest, so the oracle gates the sink's
+    * exactly-once contract, not just the transform. Within one JVM
+    * the scratch checkpoint persists, so repeated calls re-drain ZERO
+    * new files and re-serve the committed output — the incremental
+    * semantics a live pipeline relies on (kill/restart resume +
+    * uncommitted-file invisibility are asserted in FileStreamSpec).
+    * Scale shape: stateless append streaming — no state store, no
+    * watermark, partition-parallel writes; the transform is the same
+    * codegen'd filter+project the batch plan runs. */
+  def streamSinkParquet(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.streaming.Trigger
+    // same nanos contract as Tables.events (streaming needs the
+    // explicit schema + the legacy conf to accept TIMESTAMP(NANOS))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val scratch = graft.sources.TempDirs.scratch("streamsink", dir)
+    val q = spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .option("pathGlobFilter", "events.parquet") // single-file fixture; base path must be a dir
+      .parquet(dir)
+      .filter(col("user_id") % 4 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+      .writeStream.format("parquet")
+      .option("path", s"$scratch/out")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    require(!q.isActive, "stream sink did not drain within 180 s")
+    spark.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE")
+      .parquet(s"$scratch/out")
+      .select("event_id", "user_id", "event_type", "ts", "value")
+  }
+
   def streamFreqTopk(spark: SparkSession, dir: String): DataFrame =
     EventStream.windowedTopUsers(
       graft.sources.Tables.events(spark, dir))
@@ -95,7 +138,8 @@ object StreamOps {
     "stream_sliding_activity" -> streamSlidingActivity,
     "stream_attribution"      -> streamAttribution,
     "compact_latest"          -> compactLatest,
-    "stream_freq"             -> streamFreqTopk)
+    "stream_freq"             -> streamFreqTopk,
+    "stream_sink"             -> streamSinkParquet)
 
   val oracles: Map[String, String] = Map(
     // watermark is a no-op on batch; windows are epoch-grid-aligned,
@@ -163,5 +207,10 @@ object StreamOps {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
-        |FROM g GROUP BY user_id, sid""".stripMargin)
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    // the sink round trip must reproduce the stateless transform
+    // exactly — any replayed or lost micro-batch breaks the hash
+    "stream_sink" ->
+      """SELECT event_id, user_id, event_type, ts, value
+        |FROM events WHERE user_id % 4 = 0""".stripMargin)
 }

@@ -64,4 +64,60 @@ class FileStreamSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(want.subsetOf(got), s"missing ${(want -- got).take(3)}")
   }
+
+  test("checkpointed file sink: stop mid-stream, restart, exactly-once output") {
+    val tmp = Files.createTempDirectory("graft_fsink").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val ev = Tables.events(spark, dir)
+
+    // one run = drain whatever is CURRENTLY in the input dir, then
+    // stop — so run 1 ends with the stream down while unprocessed
+    // input still lies ahead (the deterministic form of a mid-stream
+    // kill: the checkpoint is mid-input, exactly as after a crash
+    // between micro-batch commits). maxFilesPerTrigger=1 forces one
+    // commit per shard, so the restart resumes a multi-batch log.
+    def run(): Long = {
+      val q = spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    ev.filter(col("user_id") % 4 === 0).write.parquet(s"$in/w0")
+    ev.filter(col("user_id") % 4 === 1).write.parquet(s"$in/w1")
+    run()
+    // wave 2 lands while the query is DOWN
+    ev.filter(col("user_id") % 4 === 2).write.parquet(s"$in/w2")
+    ev.filter(col("user_id") % 4 === 3).write.parquet(s"$in/w3")
+    val run2Rows = run()
+
+    // restart processed ONLY the new shards — no replay of committed batches
+    val wave2 = ev.filter(col("user_id") % 4 >= 2).count()
+    assert(run2Rows == wave2, s"restart replayed committed input: $run2Rows != $wave2")
+
+    // the sink output is exactly the batch answer: no loss, no dups
+    val got = spark.read.parquet(out).select("event_id").collect().map(_.getLong(0)).sorted
+    val want = ev.select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want), s"${got.length} sink rows vs ${want.length} batch rows")
+
+    // exactly-once is the MANIFEST's doing: a stray uncommitted file
+    // (a crashed task attempt's leftover) is invisible to readers
+    val committed = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    java.nio.file.Files.copy(committed.head.toPath,
+      new java.io.File(out, "part-stray-attempt.snappy.parquet").toPath)
+    val after = spark.read.parquet(out).count()
+    assert(after == want.length.toLong,
+      s"stray uncommitted file leaked into the manifest read: $after rows")
+  }
 }
