@@ -1111,6 +1111,62 @@ object Relational {
         col("n_distinct"), col("min_val"), col("max_val"))
   }
 
+  /** The 100 TB form of [[profileTable]], registered beside it so the
+    * scale story is executable, not narrated: the six exact
+    * countDistincts (which plan an Expand — ×6 rows through the
+    * partial phase) are replaced by six bounded KMV sketches
+    * ([[graft.functions.KmvSketchAgg]], k=64) in the SAME single
+    * scan — no Expand, one partial+final pass, ≤ 64 longs of state
+    * per column per partition (PlanAuditSpec asserts the shape).
+    * KMV over HLL because the estimate is EXACTLY replayable: the
+    * oracle recomputes each column's 64 smallest 60-bit md5 hashes
+    * and the (k−1)/h_k estimator in SQL, so the distinct column is
+    * hash-gated like every exact stat, not envelope-checked. Hash
+    * input is each column's canonical string (the same renderings
+    * [[profileTable]] proved cross-engine: fixed-scale decimal for
+    * the double price, explicit format for the timestamp). */
+  def profileTableApprox(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvSketchAgg.kmv_distinct
+    val o = Tables.orders(spark, dir)
+    def ns(c: Column): Column = c.cast("string")
+    def h60(c: Column): Column =
+      conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+    val canonPrice = col("o_totalprice").cast("decimal(30,2)")
+    val canonDate = date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+    val agg = o.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("o_orderkey").isNull.cast("long")).as("nul_ok"),
+      kmv_distinct(h60(col("o_orderkey")), 64).as("dis_ok"),
+      ns(min(col("o_orderkey"))).as("min_ok"), ns(max(col("o_orderkey"))).as("max_ok"),
+      sum(col("o_custkey").isNull.cast("long")).as("nul_ck"),
+      kmv_distinct(h60(col("o_custkey")), 64).as("dis_ck"),
+      ns(min(col("o_custkey"))).as("min_ck"), ns(max(col("o_custkey"))).as("max_ck"),
+      sum(col("o_orderstatus").isNull.cast("long")).as("nul_st"),
+      kmv_distinct(h60(col("o_orderstatus")), 64).as("dis_st"),
+      min(col("o_orderstatus")).as("min_st"), max(col("o_orderstatus")).as("max_st"),
+      sum(col("o_totalprice").isNull.cast("long")).as("nul_tp"),
+      kmv_distinct(h60(canonPrice), 64).as("dis_tp"),
+      ns(min(canonPrice)).as("min_tp"), ns(max(canonPrice)).as("max_tp"),
+      sum(col("o_orderdate").isNull.cast("long")).as("nul_od"),
+      kmv_distinct(h60(canonDate), 64).as("dis_od"),
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("min_od"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("max_od"),
+      sum(col("o_orderpriority").isNull.cast("long")).as("nul_op"),
+      kmv_distinct(h60(col("o_orderpriority")), 64).as("dis_op"),
+      min(col("o_orderpriority")).as("min_op"), max(col("o_orderpriority")).as("max_op"))
+    agg.select(col("n_rows"), expr(
+      """stack(6,
+        |  'o_orderkey', nul_ok, dis_ok, min_ok, max_ok,
+        |  'o_custkey', nul_ck, dis_ck, min_ck, max_ck,
+        |  'o_orderstatus', nul_st, dis_st, min_st, max_st,
+        |  'o_totalprice', nul_tp, dis_tp, min_tp, max_tp,
+        |  'o_orderdate', nul_od, dis_od, min_od, max_od,
+        |  'o_orderpriority', nul_op, dis_op, min_op, max_op
+        |) AS (col_name, n_nulls, n_distinct_est, min_val, max_val)""".stripMargin))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct_est"), col("min_val"), col("max_val"))
+  }
+
   /** Bucketed co-located join — the pay-the-shuffle-ONCE layout
     * technique that matters most for repeated fact-fact joins at
     * 100 TB: both tables are written bucketed (+ sorted) on the join
@@ -1245,6 +1301,7 @@ object Relational {
     "histogram"        -> histogramValues,
     "join_bucketed"    -> joinBucketed,
     "profile_table"    -> profileTable,
+    "profile_approx"   -> profileTableApprox,
     "funnel_steps"     -> funnelSteps,
     "variant_events"   -> variantEvents)
 
@@ -1791,6 +1848,48 @@ object Relational {
         |UNION ALL SELECT 'o_totalprice', n_rows, nul_tp, dis_tp, min_tp, max_tp FROM a
         |UNION ALL SELECT 'o_orderdate', n_rows, nul_od, dis_od, min_od, max_od FROM a
         |UNION ALL SELECT 'o_orderpriority', n_rows, nul_op, dis_op, min_op, max_op FROM a""".stripMargin,
+    // the KMV estimates replay exactly (agg_kmv_distinct precedent):
+    // per column, the 64 smallest distinct 60-bit md5 hashes of the
+    // canonical string and the (k-1)/h_k estimator — so n_distinct_est
+    // is hash-gated, not envelope-checked
+    "profile_approx" ->
+      """WITH tall AS (
+        |  SELECT 'o_orderkey' AS cname, CAST(o_orderkey AS VARCHAR) AS s FROM orders WHERE o_orderkey IS NOT NULL
+        |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders WHERE o_custkey IS NOT NULL
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders WHERE o_orderstatus IS NOT NULL
+        |  UNION ALL SELECT 'o_totalprice', CAST(CAST(o_totalprice AS DECIMAL(30,2)) AS VARCHAR) FROM orders WHERE o_totalprice IS NOT NULL
+        |  UNION ALL SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') FROM orders WHERE o_orderdate IS NOT NULL
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders WHERE o_orderpriority IS NOT NULL),
+        |hs AS (SELECT DISTINCT cname, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM tall),
+        |rk AS (SELECT cname, h, row_number() OVER (PARTITION BY cname ORDER BY h) AS rn FROM hs),
+        |kmv AS (SELECT cname, count(*) AS nk, max(h) AS hk FROM rk WHERE rn <= 64 GROUP BY cname),
+        |est AS (SELECT cname, CASE WHEN nk < 64 THEN CAST(nk AS DOUBLE)
+        |                           ELSE 63.0 * POWER(2.0, 60) / CAST(hk AS DOUBLE) END AS e FROM kmv),
+        |a AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_ok,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_ok, CAST(max(o_orderkey) AS VARCHAR) AS max_ok,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_ck,
+        |    CAST(min(o_custkey) AS VARCHAR) AS min_ck, CAST(max(o_custkey) AS VARCHAR) AS max_ck,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_st,
+        |    min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st,
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_tp,
+        |    CAST(CAST(min(o_totalprice) AS DECIMAL(30,2)) AS VARCHAR) AS min_tp,
+        |    CAST(CAST(max(o_totalprice) AS DECIMAL(30,2)) AS VARCHAR) AS max_tp,
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_od,
+        |    strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_od,
+        |    strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_od,
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_op,
+        |    min(o_orderpriority) AS min_op, max(o_orderpriority) AS max_op
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS col_name, n_rows, nul_ok AS n_nulls,
+        |  (SELECT e FROM est WHERE cname = 'o_orderkey') AS n_distinct_est,
+        |  min_ok AS min_val, max_ok AS max_val FROM a
+        |UNION ALL SELECT 'o_custkey', n_rows, nul_ck, (SELECT e FROM est WHERE cname = 'o_custkey'), min_ck, max_ck FROM a
+        |UNION ALL SELECT 'o_orderstatus', n_rows, nul_st, (SELECT e FROM est WHERE cname = 'o_orderstatus'), min_st, max_st FROM a
+        |UNION ALL SELECT 'o_totalprice', n_rows, nul_tp, (SELECT e FROM est WHERE cname = 'o_totalprice'), min_tp, max_tp FROM a
+        |UNION ALL SELECT 'o_orderdate', n_rows, nul_od, (SELECT e FROM est WHERE cname = 'o_orderdate'), min_od, max_od FROM a
+        |UNION ALL SELECT 'o_orderpriority', n_rows, nul_op, (SELECT e FROM est WHERE cname = 'o_orderpriority'), min_op, max_op FROM a""".stripMargin,
     // the bucketed round trip must reproduce the plain join exactly
     "join_bucketed" ->
       """SELECT o_orderstatus,

@@ -264,6 +264,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "contribution sum must map-side combine")
   }
 
+  test("profile_approx plans no Expand — the KMV profile is one partial+final pass") {
+    val p = plan("profile_approx")
+    assert(!p.contains("Expand"),
+      "approx profile must not multiply the row stream (that's profile_table's exact trade)")
+    assert(p.contains("partial_kmv_distinct"), "KMV sketches must map-side combine")
+    // the exact variant keeps its documented Expand — both shapes on the menu
+    assert(plan("profile_table").contains("Expand"))
+  }
+
   test("contrastive_pairs reuses its persisted positives (LSH+verify runs once)") {
     val p = plan("contrastive_pairs")
     // the dedupEmbedding subtree feeds both the union and the
