@@ -40,10 +40,17 @@ object Corpus {
     * hash-partitioned running-sum window; integral cumsums, so the
     * layout is bit-stable and engine-independent.
     *
+    * The layout currency is the REAL tokenizer count: the
+    * [[TextAnalysis.bpeTokens]] merge loop runs per word in the same
+    * narrow pass (the context window holds subword tokens, not regex
+    * words — packing on a proxy misallocates sequences whenever
+    * merge density varies across docs). The regex word count and the
+    * bytes/4 estimate ride along as gated sanity columns.
+    *
     * Scale: the window partitions by shard, so parallelism = shard
     * count (set ≫ executor count in production); no shard ever sees
     * more than corpus/shards tokens, and the shuffle carries
-    * (doc_id, shard, n_tokens) — never text. */
+    * (doc_id, shard, counts) — never text. */
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     packSequencesOf(Tables.documents(spark, dir))
 
@@ -51,22 +58,28 @@ object Corpus {
     * it with synthetic corpora (unicode, empty docs, skewed sizes)
     * that the fixture never produces. */
   private[operators] def packSequencesOf(docs: DataFrame): DataFrame = {
-    val toks = TextAnalysis.toksOf(col("text"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counted = docs
+      .select(col("doc_id"), md5Bucket(21, PackShards).as("shard"), col("text"))
+      .as[(Long, Long, String)]
+      .map { case (id, shard, text) =>
+        // same tokenization as tokenCountBpe (≡ ToksSql cross-engine)
+        val ws = text.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        (id, shard, ws.length.toLong,
+          ws.map(w => TextAnalysis.bpeTokens(w).toLong).sum,
+          (text.getBytes("UTF-8").length + 3L) / 4L)
+      }
+      .toDF("doc_id", "shard", "n_tokens", "n_bpe_tokens", "n_tokens_b4")
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .select(col("doc_id"), md5Bucket(21, PackShards).as("shard"),
-        size(toks).cast("long").as("n_tokens"),
-        // second, tokenizer-shaped estimate: subword tokenizers land
-        // near bytes/4 on English text; integral ceil keeps it gated.
-        // The LAYOUT below still uses the regex word count — this
-        // column is the honesty check that the two proxies agree on
-        // order of magnitude, and the hook for a real tokenizer later
-        expr("CAST((octet_length(text) + 3) DIV 4 AS BIGINT)").as("n_tokens_b4"))
-      .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    counted
+      .withColumn("cum", coalesce(sum(col("n_bpe_tokens")).over(w), lit(0L)))
       // integral DIV, not floor(double /): doubles lose µs-grade
       // exactness above 2^53 and the layout must be bit-stable
-      .select(col("doc_id"), col("shard"), col("n_tokens"), col("n_tokens_b4"),
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("n_bpe_tokens"), col("n_tokens_b4"),
         expr(s"CAST(cum DIV $SeqLen AS BIGINT)").as("seq_id"),
         pmod(col("cum"), lit(SeqLen)).as("seq_offset"))
   }
@@ -233,13 +246,25 @@ object Corpus {
       "/ CAST(n_tokens AS DOUBLE))"
 
   def mixWeights(spark: SparkSession, dir: String): DataFrame = {
-    val toksLen = "size(filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ')), ' '), t -> length(t) > 0))"
-    SqlViews.withViews(spark, "documents" -> Tables.documents(spark, dir))(
+    import spark.implicits._
+    // per-doc counts in one narrow typed pass: the BPE merge loop is
+    // the real context-window currency (packSequences precedent); the
+    // regex word count stays the keep-rate basis so the mixing
+    // arithmetic below remains pure SQL-replayable IEEE ops
+    val perDoc = Tables.documents(spark, dir).select(col("lang"), col("text"))
+      .as[(String, String)]
+      .map { case (lang, text) =>
+        val ws = text.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        (lang, ws.length.toLong, ws.map(w => TextAnalysis.bpeTokens(w).toLong).sum)
+      }
+      .toDF("lang", "n_toks", "n_bpe")
+    SqlViews.withViews(spark, "doc_counts" -> perDoc)(
       s"""WITH t AS (
          |  SELECT lang, count(*) AS n_docs,
-         |    sum(CAST($toksLen AS BIGINT)) AS n_tokens
-         |  FROM documents GROUP BY lang)
-         |SELECT lang, n_docs, n_tokens,
+         |    sum(n_toks) AS n_tokens, sum(n_bpe) AS n_bpe_tokens
+         |  FROM doc_counts GROUP BY lang)
+         |SELECT lang, n_docs, n_tokens, n_bpe_tokens,
          |  $KeepRateSql AS keep_rate,
          |  $KeepRateSql * CAST(n_tokens AS DOUBLE) AS exp_tokens
          |FROM t""".stripMargin)
@@ -447,18 +472,27 @@ object Corpus {
       "SELECT doc_id, lang, n_chars FROM documents",
     "corpus_clean" -> CleanSql,
     // window sum(BIGINT) is HUGEINT in DuckDB — cast back before DIV
+    // the BPE merge loop replays through the closed-vocabulary CASE
+    // lookup (token_count_bpe precedent); zero-word docs re-enter via
+    // the LEFT JOIN with 0 counts so they keep their layout slot
     "pack_sequences" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, ${bucketSql(21, PackShards)} AS shard,
-         |    CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+         |bc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+         |    CAST(sum(${TextAnalysis.BpeCaseSql}) AS BIGINT) AS nb
+         |  FROM toks GROUP BY doc_id),
+         |t AS (
+         |  SELECT d.doc_id, ${bucketSql(21, PackShards)} AS shard,
+         |    COALESCE(bc.nt, 0) AS n_tokens,
+         |    COALESCE(bc.nb, 0) AS n_bpe_tokens,
          |    CAST((strlen(text) + 3) // 4 AS BIGINT) AS n_tokens_b4
-         |  FROM documents),
+         |  FROM documents d LEFT JOIN bc ON d.doc_id = bc.doc_id),
          |c AS (
-         |  SELECT doc_id, shard, n_tokens, n_tokens_b4,
-         |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |  SELECT doc_id, shard, n_tokens, n_bpe_tokens, n_tokens_b4,
+         |    CAST(COALESCE(sum(n_bpe_tokens) OVER (PARTITION BY shard ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
          |  FROM t)
-         |SELECT doc_id, shard, n_tokens, n_tokens_b4,
+         |SELECT doc_id, shard, n_tokens, n_bpe_tokens, n_tokens_b4,
          |  cum // $SeqLen AS seq_id, cum % $SeqLen AS seq_offset
          |FROM c""".stripMargin,
     "contamination" ->
@@ -510,11 +544,18 @@ object Corpus {
     // integer-derived values + explicit DOUBLE casts ⇒ every op is
     // exactly-rounded IEEE ⇒ bit-identical doubles on both engines
     "mix_weights" ->
-      s"""WITH t AS (
+      s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+         |bc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+         |    CAST(sum(${TextAnalysis.BpeCaseSql}) AS BIGINT) AS nb
+         |  FROM toks GROUP BY doc_id),
+         |t AS (
          |  SELECT lang, count(*) AS n_docs,
-         |    CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens
-         |  FROM documents GROUP BY lang)
-         |SELECT lang, n_docs, n_tokens,
+         |    CAST(sum(COALESCE(bc.nt, 0)) AS BIGINT) AS n_tokens,
+         |    CAST(sum(COALESCE(bc.nb, 0)) AS BIGINT) AS n_bpe_tokens
+         |  FROM documents d LEFT JOIN bc ON d.doc_id = bc.doc_id
+         |  GROUP BY lang)
+         |SELECT lang, n_docs, n_tokens, n_bpe_tokens,
          |  $KeepRateSql AS keep_rate,
          |  $KeepRateSql * CAST(n_tokens AS DOUBLE) AS exp_tokens
          |FROM t""".stripMargin,

@@ -394,7 +394,7 @@ object TextAnalysis {
   /** CASE lookup word → subword count, generated from [[bpeTokens]]
     * over the closed fixture vocabulary — the oracle-side stand-in
     * for replaying the merge loop (see [[tokenCountBpe]]). */
-  private val BpeCaseSql: String = {
+  private[operators] val BpeCaseSql: String = {
     val vocab = Seq("a", "agg", "batch", "big", "column", "customer",
       "data", "dup", "fast", "filter", "group", "hash", "join", "key",
       "line", "merge", "order", "part", "query", "row", "scan", "slow",

@@ -32,9 +32,10 @@ class CorpusPropsSpec extends AnyFunSuite {
     }
   }
 
+  // the layout metric is the BPE count — that's what the cumsum runs on
   private def pack(docs: Seq[(Long, String)]): Array[(Long, Long, Long, Long, Long)] =
     Corpus.packSequencesOf(docs.toDF("doc_id", "text"))
-      .select("doc_id", "shard", "n_tokens", "seq_id", "seq_offset")
+      .select("doc_id", "shard", "n_bpe_tokens", "seq_id", "seq_offset")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
 
@@ -74,7 +75,7 @@ class CorpusPropsSpec extends AnyFunSuite {
     val a = pack(docs).sortBy(_._1)
     val b = Corpus.packSequencesOf(
       scala.util.Random.shuffle(docs).toDF("doc_id", "text").repartition(7))
-      .select("doc_id", "shard", "n_tokens", "seq_id", "seq_offset")
+      .select("doc_id", "shard", "n_bpe_tokens", "seq_id", "seq_offset")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .sortBy(_._1)

@@ -120,7 +120,7 @@ class CorpusSpec extends AnyFunSuite {
 
   test("pack_sequences lays out a gapless token stream per shard") {
     val rows = Corpus.packSequences(spark, dir)
-      .select("doc_id", "shard", "n_tokens", "seq_id", "seq_offset").collect()
+      .select("doc_id", "shard", "n_bpe_tokens", "seq_id", "seq_offset").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.nonEmpty)
     rows.groupBy(_._2).foreach { case (_, docs) =>
@@ -165,12 +165,15 @@ class CorpusSpec extends AnyFunSuite {
 
   test("mix_weights computes a consistent half-budget equal-share mixture") {
     val rows = Corpus.mixWeights(spark, dir).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
     assert(rows.nonEmpty)
     val total = rows.map(_._3).sum
     val budgetPerLang = total * 0.5 / rows.length
-    rows.foreach { case (lang, nDocs, nTok, rate, exp) =>
+    rows.foreach { case (lang, nDocs, nTok, nBpe, rate, exp) =>
       assert(nDocs > 0 && nTok > 0)
+      // every word is ≥ 1 subword, so the BPE total dominates words
+      assert(nBpe >= nTok, s"$lang bpe $nBpe < words $nTok")
       assert(rate > 0.0 && rate <= 1.0, s"$lang rate $rate")
       assert(math.abs(exp - rate * nTok) < 1e-6)
       // a stratum under its budget is kept whole; one over is scaled to it
