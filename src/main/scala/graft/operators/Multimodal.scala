@@ -15,9 +15,11 @@ import graft.sources.Tables
   * of rows per partition, so a real decoder would amortize its codec/
   * model initialization per partition, not per row. The Spark-side
   * plumbing (schema, batching, partitioning, output shape) is real
-  * and oracle-tested; only [[decodeStub]] — the byte-level "decoder" —
-  * is a deterministic stand-in for an image/audio library, which this
-  * container does not ship.
+  * and oracle-tested; [[decodeStub]] — the byte-level "decoder" — is
+  * a deterministic stand-in for the image/audio libraries this
+  * container does not ship, while [[multimodalPng]] runs the one
+  * codec the JDK itself provides: a REAL ImageIO PNG encode → decode
+  * round trip, oracle-gated at pixel level.
   *
   * 100 TB notes: binary payloads ride the scan (parquet binary
   * columns), are never shuffled (all derived columns are computed
@@ -91,6 +93,80 @@ object Multimodal {
       .select(col("width"), col("pos").cast("long").as("pos"),
         col("sum_byte"), col("n"),
         expr("(sum_byte * 1000000000) DIV (255 * n)").as("mean_feat_e9"))
+
+  /** One REAL-decoded PNG record ([[multimodalPng]]). */
+  case class PngMeta(doc_id: Long, png_len: Long, width: Long, height: Long, sum_rgb: Long)
+
+  /** REAL PNG bytes, deterministic per document: dimensions and a
+    * full per-pixel RGB gradient derive from the doc's md5 bytes, the
+    * raster is compressed by the JDK's ImageIO PNG writer. This is
+    * the encode half of the one decoder the container CAN ship — see
+    * [[multimodalPng]]. */
+  def encodePng(seed: Array[Byte]): Array[Byte] = {
+    def b(i: Int) = seed(i) & 0xFF
+    val w = 4 + b(0) % 16
+    val h = 4 + b(1) % 16
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 7 + y * 13 + b(2)) % 256
+        val g = (x * 11 + y * 3 + b(3)) % 256
+        val bl = (x * 5 + y * 17 + b(4)) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | bl)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL PNG DECODER — not a stub: ImageIO parses the compressed
+    * container, inflates the raster, and the features (dimensions +
+    * channel sum) come from the decoded pixels. Batch shape identical
+    * to [[decodeStub]]: one iterator per partition, so the codec is
+    * amortizable state. */
+  def decodePng(rows: Iterator[(Long, Array[Byte])]): Iterator[PngMeta] =
+    rows.map { case (id, png) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      PngMeta(id, png.length.toLong, img.getWidth.toLong, img.getHeight.toLong, sum)
+    }
+
+  /** End-to-end REAL image pipeline: fabricate genuine PNG binaries
+    * (deterministic gradient raster per doc), push them through the
+    * actual JDK codec, and emit decoded metadata + a whole-raster
+    * channel sum. PNG is lossless, so the oracle can replay the
+    * EXPECTED decode output — per-doc dimensions and the Σ(r+g+b)
+    * gradient sum — from the md5 bytes in SQL: a hash mismatch means
+    * the codec round trip corrupted at least one pixel. `png_len`
+    * (container size) stays ungated — compressed length is an
+    * encoder implementation detail, asserted > 0 in the spec.
+    * Scale shape: two chained narrow partition maps (encode, decode);
+    * binary never shuffles; the only wide op is Verify's write. */
+  def multimodalPng(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("seed"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, seed) => (id, encodePng(seed)) })
+      .mapPartitions(decodePng)
+      .select(col("doc_id"), col("width"), col("height"), col("sum_rgb"))
+  }
 
   /** One sampled "frame" of a media payload. */
   case class Frame(doc_id: Long, frame_idx: Long, frame_off: Long, frame_sig: Long)
@@ -183,9 +259,33 @@ object Multimodal {
     "multimodal_frames"   -> multimodalFrames,
     "multimodal_resize"   -> multimodalResized,
     "multimodal_feat_agg" -> multimodalFeatAggExact,
+    "multimodal_png"      -> multimodalPng,
     "frame_dedup"         -> frameDedup)
 
   val oracles: Map[String, String] = Map(
+    // the EXPECTED decode output of the lossless codec round trip:
+    // dimensions + the Σ(r+g+b) gradient sum, all from md5 bytes. A
+    // mismatch = ImageIO corrupted at least one pixel.
+    "multimodal_png" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) AS b0,
+        |    CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) AS b1,
+        |    CAST('0x' || substr(md5(text), 5, 2) AS INTEGER) AS b2,
+        |    CAST('0x' || substr(md5(text), 7, 2) AS INTEGER) AS b3,
+        |    CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) AS b4
+        |  FROM documents),
+        |d AS (SELECT doc_id, 4 + b0 % 16 AS w, 4 + b1 % 16 AS h, b2, b3, b4 FROM b),
+        |px AS (
+        |  SELECT doc_id, w, h, b2, b3, b4, xs.x, ys.y
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(20)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(range(20)) AS y) ys
+        |  WHERE xs.x < w AND ys.y < h)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum((x*7 + y*13 + b2) % 256 + (x*11 + y*3 + b3) % 256
+        |           + (x*5 + y*17 + b4) % 256) AS BIGINT) AS sum_rgb
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(16 AS BIGINT) AS media_len,

@@ -173,6 +173,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recallNarrow <= recall, s"nprobe=2 recall $recallNarrow beat nprobe=6 $recall")
   }
 
+  test("png codec round trip is pixel-exact (real ImageIO decode)") {
+    val seeds = Seq(
+      Array.tabulate(16)(i => (i * 17 + 3).toByte),
+      Array.tabulate(16)(i => (255 - i * 9).toByte))
+    seeds.foreach { seed =>
+      def b(i: Int) = seed(i) & 0xFF
+      val w = 4 + b(0) % 16; val h = 4 + b(1) % 16
+      val png = Multimodal.encodePng(seed)
+      assert(png.length > 0)
+      // PNG magic: a real container, not a raw buffer
+      assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xFF) == (x * 7 + y * 13 + b(2)) % 256, s"r at ($x,$y)")
+        assert(((rgb >> 8) & 0xFF) == (x * 11 + y * 3 + b(3)) % 256, s"g at ($x,$y)")
+        assert((rgb & 0xFF) == (x * 5 + y * 17 + b(4)) % 256, s"b at ($x,$y)")
+      }
+    }
+  }
+
   test("multimodal decode stub: batch plumbing yields per-doc metadata + features") {
     val rows = Multimodal.mediaTable(spark, dir).collect()
     assert(rows.length === 500)
