@@ -468,8 +468,15 @@ object Relational {
     * DataFrame API stops at rollup/cube); same SQL text runs on both
     * engines. */
   def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    // per-column grouping() flags, composed into an explicit bit
+    // vector — the unambiguous cross-engine form of grouping_id()
+    // (whose implicit bit order is engine-defined)
     SqlViews.withViews(spark, "lineitem" -> Tables.lineitem(spark, dir))(
-      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
@@ -564,6 +571,18 @@ object Relational {
 
   def setExcept(spark: SparkSession, dir: String): DataFrame =
     custkeysOfYear(spark, dir, 1995).except(custkeysOfYear(spark, dir, 1996))
+
+  /** Multiset (ALL) variants: [[custkeysOfYear]] is a BAG — one row
+    * per order — so multiplicities matter: a customer with 3 orders
+    * in 1995 and 1 in 1996 survives EXCEPT ALL twice and INTERSECT
+    * ALL once. Spark plans both as a count-per-row aggregate +
+    * Generate replay (no join explosion); the shuffle carries
+    * (key, count), same as the DISTINCT forms. */
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame =
+    custkeysOfYear(spark, dir, 1995).exceptAll(custkeysOfYear(spark, dir, 1996))
+
+  def setIntersectAll(spark: SparkSession, dir: String): DataFrame =
+    custkeysOfYear(spark, dir, 1995).intersectAll(custkeysOfYear(spark, dir, 1996))
 
   def scalarString(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
@@ -1285,6 +1304,8 @@ object Relational {
     "set_union"        -> setUnion,
     "set_intersect"    -> setIntersect,
     "set_except"       -> setExcept,
+    "set_except_a"     -> setExceptAll,
+    "set_intersect_a"  -> setIntersectAll,
     "scalar_string"    -> scalarString,
     "scalar_date"      -> scalarDate,
     "scalar_math"      -> scalarMath,
@@ -1663,7 +1684,11 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "agg_grouping_sets" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
@@ -1718,6 +1743,14 @@ object Relational {
     "set_except" ->
       """SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
         |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
+    "set_except_a" ->
+      """SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
+    "set_intersect_a" ->
+      """SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |INTERSECT ALL
         |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
     "scalar_string" ->
       """SELECT p_partkey, upper(p_name) AS uname, substring(p_name, 1, 5) AS prefix,
