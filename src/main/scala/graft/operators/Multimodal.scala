@@ -168,6 +168,71 @@ object Multimodal {
       .select(col("doc_id"), col("width"), col("height"), col("sum_rgb"))
   }
 
+  private val ThumbSide = 4
+
+  /** REAL raster resize: nearest-neighbor on the integer lattice —
+    * out (x,y) samples in (x·w div outW, y·h div outH). Integer
+    * arithmetic only, so the oracle can replay which source pixel
+    * every thumbnail pixel takes. */
+  def resizeRaster(img: java.awt.image.BufferedImage,
+      outW: Int, outH: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < outH) {
+      var x = 0
+      while (x < outW) {
+        out.setRGB(x, y, img.getRGB(x * img.getWidth / outW, y * img.getHeight / outH))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL thumbnailing pipeline — the resize analog of
+    * [[multimodalPng]], retiring the halve-the-metadata stub for the
+    * codec the JDK ships: encode a genuine PNG, DECODE it, resize the
+    * actual raster ([[ThumbSide]]² nearest-neighbor), RE-ENCODE the
+    * thumbnail, decode it again, and emit the thumbnail's channel
+    * sum. Two full codec round trips bracket the resize, so a
+    * wrong-pixel lookup, a lossy re-encode, or axis-swapped sampling
+    * all break the hash: the oracle recomputes every thumbnail pixel
+    * (source coords are integer div) from the gradient formula.
+    * Same scale shape: chained narrow partition maps, binary never
+    * shuffles. */
+  def multimodalThumb(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("seed"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, seed) =>
+        val png = encodePng(seed)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(resizeRaster(img, ThumbSide, ThumbSide), "png", bos)
+        (id, img.getWidth.toLong, img.getHeight.toLong, bos.toByteArray)
+      })
+      .toDF("doc_id", "width", "height", "thumb_png")
+      .as[(Long, Long, Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, w, h, png) =>
+        val t = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        var sum = 0L
+        var y = 0
+        while (y < t.getHeight) {
+          var x = 0
+          while (x < t.getWidth) {
+            val rgb = t.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        (id, w, h, t.getWidth.toLong, t.getHeight.toLong, sum)
+      })
+      .toDF("doc_id", "width", "height", "thumb_w", "thumb_h", "thumb_sum")
+  }
+
   /** One sampled "frame" of a media payload. */
   case class Frame(doc_id: Long, frame_idx: Long, frame_off: Long, frame_sig: Long)
 
@@ -260,6 +325,7 @@ object Multimodal {
     "multimodal_resize"   -> multimodalResized,
     "multimodal_feat_agg" -> multimodalFeatAggExact,
     "multimodal_png"      -> multimodalPng,
+    "multimodal_thumb"    -> multimodalThumb,
     "frame_dedup"         -> frameDedup)
 
   val oracles: Map[String, String] = Map(
@@ -285,6 +351,31 @@ object Multimodal {
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(sum((x*7 + y*13 + b2) % 256 + (x*11 + y*3 + b3) % 256
         |           + (x*5 + y*17 + b4) % 256) AS BIGINT) AS sum_rgb
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+    // the thumbnail replay: every 4×4 output pixel's SOURCE coords are
+    // integer division, so the gradient formula evaluates at exactly
+    // the pixels nearest-neighbor sampled — two lossless codec round
+    // trips in between must preserve them all
+    "multimodal_thumb" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) AS b0,
+        |    CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) AS b1,
+        |    CAST('0x' || substr(md5(text), 5, 2) AS INTEGER) AS b2,
+        |    CAST('0x' || substr(md5(text), 7, 2) AS INTEGER) AS b3,
+        |    CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) AS b4
+        |  FROM documents),
+        |d AS (SELECT doc_id, 4 + b0 % 16 AS w, 4 + b1 % 16 AS h, b2, b3, b4 FROM b),
+        |px AS (
+        |  SELECT doc_id, w, h, b2, b3, b4,
+        |    (xs.x * w) // 4 AS sx, (ys.y * h) // 4 AS sy
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(4)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(range(4)) AS y) ys)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(4 AS BIGINT) AS thumb_w, CAST(4 AS BIGINT) AS thumb_h,
+        |  CAST(sum((sx*7 + sy*13 + b2) % 256 + (sx*11 + sy*3 + b3) % 256
+        |           + (sx*5 + sy*17 + b4) % 256) AS BIGINT) AS thumb_sum
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
