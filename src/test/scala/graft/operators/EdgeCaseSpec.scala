@@ -207,4 +207,46 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(out === Set(
       (1L, "a", 10.0), (3L, "c2", 33.0), (4L, "d", 40.0), (9L, "i", 90.0)))
   }
+
+  test("profile_approx KMV estimates land within the k=64 error envelope") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = Relational.profileTable(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = Relational.profileTableApprox(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (cname, est) =>
+      val truth = exact(cname).toDouble
+      // KMV with k=64: rsd ≈ 1/√(k−2) ≈ 12.7%; 3σ ≈ 38%. Sub-k
+      // cardinalities are exact by construction.
+      val tol = if (truth < 64) 0.0 else 0.38 * truth
+      assert(math.abs(est - truth) <= tol,
+        s"$cname: est $est vs exact $truth (tol $tol)")
+    }
+  }
+
+  test("multiset set ops preserve bag identities on planted multiplicities") {
+    val a = Seq(1L, 1L, 1L, 2L, 2L, 3L, 7L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 2L, 4L).toDF("k")
+    val diff = a.exceptAll(b).collect().map(_.getLong(0)).sorted
+    val inter = a.intersectAll(b).collect().map(_.getLong(0)).sorted
+    assert(diff.toSeq === Seq(1L, 1L, 3L, 7L), "1×2 surplus + unmatched keys")
+    assert(inter.toSeq === Seq(1L, 2L, 2L), "min multiplicity per key")
+    // |A ∩ B|all + |A \ B|all == |A|
+    assert(inter.length + diff.length === 7)
+  }
+
+  test("nearest-neighbor resize at identical dimensions is the identity") {
+    val seed = Array.tabulate(16)(i => (i * 41 + 5).toByte)
+    val png = Multimodal.encodePng(seed)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val same = Multimodal.resizeRaster(img, img.getWidth, img.getHeight)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      assert(same.getRGB(x, y) === img.getRGB(x, y), s"pixel ($x,$y)")
+    // and the 4×4 thumbnail samples exactly the lattice-mapped pixels
+    val t = Multimodal.resizeRaster(img, 4, 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(t.getRGB(x, y) ===
+        img.getRGB(x * img.getWidth / 4, y * img.getHeight / 4), s"thumb ($x,$y)")
+  }
 }
