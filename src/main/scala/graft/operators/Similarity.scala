@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -394,15 +394,305 @@ object Similarity {
     pos.unionByName(neg)
   }
 
+  // -- PQ: sampled-point codebook + exact integer ADC ----------------
+
+  private val NSub = 8   // subspaces
+  private val SubDim = 8 // dims per subspace (NSub × SubDim = Dim)
+  private val NCodes = 16
+
+  /** Lattice-floored component i of a (possibly ragged) vector —
+    * the same 2^-20 grid as the IVF Lloyd update, so every distance
+    * below is exact integer arithmetic in BOTH engines. */
+  private def lat(v: Array[Float], i: Int): Long =
+    if (i < v.length) math.floor(v(i).toDouble * QScale).toLong else 0L
+
+  /** Sampled-point SEED codebook, as lattice integers:
+    * codebook(s)(c)(d) = component s·SubDim+d of seed vector c
+    * (vec_id ∈ [100, 100+NCodes) — the IVF seed-slice trick, one
+    * codebook entry per seed per subspace). Driver metadata:
+    * 16×64 longs. */
+  private def pqSeedCodebook(spark: SparkSession, dir: String): Array[Array[Array[Long]]] = {
+    val seeds = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= 100 && col("vec_id") < (100 + NCodes))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray)
+    Array.tabulate(NSub, NCodes, SubDim)((s, c, d) => lat(seeds(c), s * SubDim + d))
+  }
+
+  /** TRAINED PQ codebook: one deterministic Lloyd round per subspace
+    * from the seed — the same distributed shape as the IVF centroid
+    * update (one narrow pass accumulating dense per-partition
+    * (subspace, code, dim) integral sums; the shuffle carries
+    * partitions×8×16×8 rows, never vectors), with per-cell integer
+    * means on the lattice (truncating division both engines compute
+    * identically) and empty cells keeping their seed entry. Raw
+    * sampled points left the ADC ordering too loose (shortlist-50
+    * recall 0.5–0.6); the trained round tightens every subspace. */
+  private def pqCodebook(spark: SparkSession, dir: String): Array[Array[Array[Long]]] = {
+    import spark.implicits._
+    val seed = pqSeedCodebook(spark, dir)
+    val sums = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val acc = Array.ofDim[Long](NSub, NCodes, SubDim)
+        val cnt = Array.ofDim[Long](NSub, NCodes)
+        rows.foreach { case (_, v) =>
+          val cs = pqCodesOf(v, seed)
+          var s = 0
+          while (s < NSub) {
+            val c = cs(s)
+            cnt(s)(c) += 1
+            var d = 0
+            while (d < SubDim) { acc(s)(c)(d) += lat(v, s * SubDim + d); d += 1 }
+            s += 1
+          }
+        }
+        for {
+          s <- (0 until NSub).iterator
+          c <- (0 until NCodes).iterator if cnt(s)(c) > 0
+          d <- (0 until SubDim).iterator
+        } yield (s, c, d, acc(s)(c)(d), cnt(s)(c))
+      }
+      .toDF("s", "c", "d", "pq", "pn")
+      .groupBy("s", "c", "d").agg(sum(col("pq")).as("sq"), sum(col("pn")).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    Array.tabulate(NSub, NCodes, SubDim) { (s, c, d) =>
+      sums.get((s, c, d)) match {
+        case Some((sq, n)) => sq / n // trunc toward zero, same as the oracle's //
+        case None          => seed(s)(c)(d)
+      }
+    }
+  }
+
+  /** Per-subspace code assignment: argmin L2 on the lattice
+    * (tie → lower code). Exact: components ≤ 2^20, diff² ≤ 2^42,
+    * Σ over 8 dims ≤ 2^45 — well inside Long. */
+  private def pqCodesOf(v: Array[Float], cb: Array[Array[Array[Long]]]): Array[Int] =
+    Array.tabulate(NSub) { s =>
+      var best = 0; var bestDist = Long.MaxValue
+      var c = 0
+      while (c < NCodes) {
+        var dist = 0L
+        var d = 0
+        while (d < SubDim) {
+          val diff = lat(v, s * SubDim + d) - cb(s)(c)(d)
+          dist += diff * diff
+          d += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = c }
+        c += 1
+      }
+      best
+    }
+
+  /** Product-quantization codes — the storage half of large-scale
+    * vector search beyond scalar int8 ([[embedQuantize]]): each
+    * 64-dim vector compresses to 8 four-bit codes (4 BYTES — a 64×
+    * payload cut), each code the nearest of 16 sampled-point
+    * centroids in its 8-dim subspace. All assignment arithmetic is
+    * exact lattice-integer L2, so the oracle replays every code
+    * bit-for-bit. Scale shape: one narrow map over the scan; the
+    * codebook is driver metadata (16×64 longs). At 100 TB you'd
+    * train the codebook with k-means (same shape as the IVF Lloyd
+    * round) and raise NCodes to 256 — plan unchanged. */
+  def embedPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cb = pqCodebook(spark, dir)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cs = pqCodesOf(v, cb)
+        (id, cs(0).toLong, cs(1).toLong, cs(2).toLong, cs(3).toLong,
+          cs(4).toLong, cs(5).toLong, cs(6).toLong, cs(7).toLong)
+      }
+      .toDF("vec_id", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
+  }
+
+  private val PqShortlist = 100
+
+  /** PQ ANN: ADC scan → shortlist → exact rerank, the production
+    * IVF-PQ search shape. Stage 1 (ADC, asymmetric distance
+    * computation): each query precomputes its 8×16 subspace distance
+    * table ONCE (driver metadata, like the codebook), then every
+    * corpus vector's approximate distance is 8 table lookups on its
+    * codes — no per-pair float math, the trick that makes billion-
+    * scale scans memory-bandwidth-bound instead of FLOP-bound. Stage
+    * 2: the [[PqShortlist]] best ADC candidates per query are
+    * re-scored with EXACT (lattice-integer) L2 and re-ranked — 4-bit
+    * codes alone scramble the top-5 (measured recall 0.08–0.16
+    * code-only), while trained-codebook ADC + shortlist-100 + rerank
+    * recovers 0.82/0.84/0.62 at sf0.001/0.01/0.1 (floor 0.7 asserted
+    * at the spec SF); only shortlist×queries vectors are ever
+    * re-fetched. Every quantity in both stages is an exact BIGINT,
+    * so the WHOLE operator (seed codebook, Lloyd training, codes,
+    * tables, ADC sums, shortlist cut, rerank) hash-replays in
+    * DuckDB — not an envelope check. The recall knobs at 100 TB are
+    * NCodes 16 → 256 (8-bit codes), an OPQ-style rotation, and the
+    * shortlist size — none change the plan shape. Scale shape: one
+    * narrow map over the codes with a 10-query fanout, a rank-limit
+    * shortlist, then an id-keyed re-join of shortlist rows only;
+    * shuffles carry (qid, nid, dist) longs. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cb = pqCodebook(spark, dir)
+    // per-query distance tables: dt(s)(c) = L2²(query subvector s, codebook(s)(c))
+    val qTables: Array[(Long, Array[Array[Long]])] = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        r.getLong(0) -> Array.tabulate(NSub, NCodes) { (s, c) =>
+          var dist = 0L
+          var d = 0
+          while (d < SubDim) {
+            val diff = lat(v, s * SubDim + d) - cb(s)(c)(d)
+            dist += diff * diff
+            d += 1
+          }
+          dist
+        }
+      }
+    val scored = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (nid, v) =>
+        val cs = pqCodesOf(v, cb)
+        qTables.iterator.filter(_._1 != nid).map { case (qid, dt) =>
+          var adc = 0L
+          var s = 0
+          while (s < NSub) { adc += dt(s)(cs(s)); s += 1 }
+          (qid, nid, adc)
+        }
+      }
+      .toDF("qid", "nid", "adc")
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid").asc)
+    val short = scored
+      .withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= PqShortlist)
+      .select(col("qid"), col("nid"))
+    // exact lattice-L2 rerank of the shortlist (codegen'd higher-order
+    // fns, Long arithmetic throughout — bit-identical cross-engine)
+    def latArr(c: Column): Column =
+      transform(c, x => floor(x.cast("double") * lit(QScale.toDouble)).cast("long"))
+    val e = Tables.embeddings(spark, dir)
+    val exact = short
+      .join(e.select(col("vec_id").as("qid"), latArr(col("embedding")).as("ql")), "qid")
+      .join(e.select(col("vec_id").as("nid"), latArr(col("embedding")).as("nl")), "nid")
+      .withColumn("dist",
+        aggregate(zip_with(col("ql"), col("nl"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("nid").asc)
+    exact
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("qid"), col("rnk"), col("nid"), col("dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> annTopkBrute,
     "ann_lsh"  -> annLsh,
     "ann_ivf"  -> annIvf,
+    "ann_pq"   -> annPq,
     "embed_q8" -> embedQuantize,
+    "embed_pq" -> embedPq,
     "knn_join" -> knnJoin,
     "contrastive_pairs" -> contrastivePairs)
 
+  /** Shared PQ replay: lattice-floored vectors, the sampled-point
+    * SEED codebook, the per-subspace Lloyd mean update (integral
+    * sums, truncating division), then per-(vector, subspace, code)
+    * integer L2 against the TRAINED codebook and the argmin code
+    * assignment — every quantity an exact BIGINT, so `embed_pq` and
+    * `ann_pq` hash-gate the whole operator including training. */
+  private val pqReplayPrefix: String =
+    s"""e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, q AS cq
+       |        FROM e WHERE vec_id >= 100 AND vec_id < ${100 + NCodes}),
+       |sd AS (SELECT ss.s, dd.d FROM (SELECT unnest(range($NSub)) AS s) ss
+       |       CROSS JOIN (SELECT unnest(range($SubDim)) AS d) dd),
+       |nd0 AS (
+       |  SELECT e.vec_id, sd.s, cb0.code,
+       |    CAST(sum((COALESCE(e.q[sd.s*$SubDim + sd.d + 1], 0) - COALESCE(cb0.cq[sd.s*$SubDim + sd.d + 1], 0))
+       |           * (COALESCE(e.q[sd.s*$SubDim + sd.d + 1], 0) - COALESCE(cb0.cq[sd.s*$SubDim + sd.d + 1], 0))) AS BIGINT) AS dist
+       |  FROM e CROSS JOIN sd CROSS JOIN cb0
+       |  GROUP BY 1, 2, 3),
+       |codes0 AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rk
+       |    FROM nd0) t WHERE rk = 1),
+       |lsums AS (
+       |  SELECT c.s, c.code, dd.d,
+       |    CAST(sum(COALESCE(e.q[c.s*$SubDim + dd.d + 1], 0)) AS BIGINT) AS sq,
+       |    count(*) AS n
+       |  FROM codes0 c JOIN e USING (vec_id)
+       |  CROSS JOIN (SELECT unnest(range($SubDim)) AS d) dd
+       |  GROUP BY 1, 2, 3),
+       |cbt AS (
+       |  SELECT sd.s, c0.code, sd.d,
+       |    COALESCE(su.sq // su.n, COALESCE(c0.cq[sd.s*$SubDim + sd.d + 1], 0)) AS v
+       |  FROM cb0 c0 CROSS JOIN sd
+       |  LEFT JOIN lsums su ON su.s = sd.s AND su.code = c0.code AND su.d = sd.d),
+       |nd AS (
+       |  SELECT e.vec_id, cbt.s, cbt.code,
+       |    CAST(sum((COALESCE(e.q[cbt.s*$SubDim + cbt.d + 1], 0) - cbt.v)
+       |           * (COALESCE(e.q[cbt.s*$SubDim + cbt.d + 1], 0) - cbt.v)) AS BIGINT) AS dist
+       |  FROM e CROSS JOIN cbt
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rk
+       |    FROM nd) t WHERE rk = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "embed_pq" ->
+      s"""WITH $pqReplayPrefix
+         |SELECT vec_id,
+         |  CAST(max(CASE WHEN s = 0 THEN code END) AS BIGINT) AS c0,
+         |  CAST(max(CASE WHEN s = 1 THEN code END) AS BIGINT) AS c1,
+         |  CAST(max(CASE WHEN s = 2 THEN code END) AS BIGINT) AS c2,
+         |  CAST(max(CASE WHEN s = 3 THEN code END) AS BIGINT) AS c3,
+         |  CAST(max(CASE WHEN s = 4 THEN code END) AS BIGINT) AS c4,
+         |  CAST(max(CASE WHEN s = 5 THEN code END) AS BIGINT) AS c5,
+         |  CAST(max(CASE WHEN s = 6 THEN code END) AS BIGINT) AS c6,
+         |  CAST(max(CASE WHEN s = 7 THEN code END) AS BIGINT) AS c7
+         |FROM codes GROUP BY vec_id""".stripMargin,
+    // ADC = Σ_s querytable(s, code_s) — nd already holds every
+    // (query, subspace, code) distance, so the join IS the lookup;
+    // the shortlist cut and the exact-L2 rerank replay in the same
+    // integer arithmetic
+    "ann_pq" ->
+      s"""WITH $pqReplayPrefix,
+         |adc AS (
+         |  SELECT qt.vec_id AS qid, c.vec_id AS nid, CAST(sum(qt.dist) AS BIGINT) AS adc
+         |  FROM codes c JOIN nd qt ON qt.s = c.s AND qt.code = c.code
+         |  WHERE qt.vec_id < $NQueries AND c.vec_id <> qt.vec_id
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) AS srk
+         |    FROM adc) t WHERE srk <= $PqShortlist),
+         |dd AS (SELECT unnest(range($Dim)) AS i),
+         |ex AS (
+         |  SELECT s.qid, s.nid,
+         |    CAST(sum((COALESCE(eq.q[dd.i + 1], 0) - COALESCE(en.q[dd.i + 1], 0))
+         |           * (COALESCE(eq.q[dd.i + 1], 0) - COALESCE(en.q[dd.i + 1], 0))) AS BIGINT) AS dist
+         |  FROM short s JOIN e eq ON eq.vec_id = s.qid
+         |  JOIN e en ON en.vec_id = s.nid CROSS JOIN dd
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, dist,
+         |        row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rnk
+         |      FROM ex)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, dist
+         |FROM r WHERE rnk <= $K""".stripMargin,
     // positives replay as the all-pairs truth (the dedup_embedding
     // oracle's own equivalence); negatives replay the deterministic
     // arithmetic and re-score with list_cosine_similarity

@@ -173,6 +173,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recallNarrow <= recall, s"nprobe=2 recall $recallNarrow beat nprobe=6 $recall")
   }
 
+  test("ann_pq: trained ADC + shortlist + exact rerank is deterministic with real recall") {
+    val brute = Similarity.annTopkBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq1 = Similarity.annPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pq2 = Similarity.annPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pq1.sorted.sameElements(pq2.sorted), "PQ must be deterministic")
+    // unit-norm fixture ⇒ L2 and cosine rank identically, so the
+    // cosine brute force IS the PQ ground truth
+    val recall = brute.intersect(pq1.map(t => (t._1, t._3)).toSet).size.toDouble / brute.size
+    assert(recall >= 0.7, s"PQ recall $recall")
+    info(s"ann_pq recall@5 vs brute force: $recall")
+  }
+
   test("png codec round trip is pixel-exact (real ImageIO decode)") {
     val seeds = Seq(
       Array.tabulate(16)(i => (i * 17 + 3).toByte),
