@@ -385,4 +385,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"runtime bloom filter did not inject:\n${p.linesIterator.take(40).mkString("\n")}")
     assert(p.contains("SortMergeJoin"), "the merge hint must pin the shuffle join")
   }
+
+  test("AQE splits a planted skewed join partition at runtime") {
+    // the skew story the engine leans on at 100 TB (beyond manual
+    // salting, join_salted): AQE detects the oversized post-shuffle
+    // partition and splits it across tasks. Cluster thresholds never
+    // fire at fixture scale, so a dedicated session lowers them and
+    // asserts the split actually happens on a planted 50k-row hot key.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    val big = (0 until 60000)
+      .map(i => (if (i < 50000) 0L else i.toLong, s"payload_padding_$i"))
+      .toDF("k", "v")
+    val dim = (0L until 60000L).map(k => (k, k * 2)).toDF("k", "w")
+    val joined = big.join(dim, "k")
+    // drive THIS DataFrame's execution (count() would plan its own
+    // query and leave joined's adaptive plan unfinalized)
+    assert(joined.collect().length == 60000)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin(skew=true)") && p.contains("AQEShuffleRead skewed"),
+      s"AQE did not mark the skew split:\n${p.linesIterator.take(40).mkString("\n")}")
+  }
 }
