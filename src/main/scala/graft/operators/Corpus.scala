@@ -270,6 +270,31 @@ object Corpus {
          |FROM t""".stripMargin)
   }
 
+  /** Curriculum phase assignment — the quality-staged data-ordering
+    * step of a pretraining pipeline (cleanest data in early phases):
+    * per language, documents rank by an INTEGER quality key
+    * (stopword-hits-per-million-tokens — the integral form of the
+    * stopword ratio, exact in both engines) and split into 3 ntile
+    * phases, ties broken by doc_id so the layout is bit-stable.
+    * Scale shape: one narrow scan computing the key, one exchange on
+    * lang, a spilling window sort per language (the sessionize
+    * shape — languages process in parallel); at extreme per-key
+    * cardinality you'd swap ntile for sampled phase BOUNDARIES
+    * (tiny agg + broadcast + narrow map), same output contract. */
+  def corpusCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.toksOf(col("text"))
+    val nStop = size(filter(toks, t => t.isin(TextAnalysis.Stopwords: _*)))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("quality_key").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        nStop.cast("long").as("n_stop"), size(toks).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("lang"),
+        expr("CAST((n_stop * 1000000) DIV greatest(n_tok, 1) AS BIGINT)")
+          .as("quality_key"))
+      .withColumn("phase", ntile(3).over(w).cast("long"))
+  }
+
   private val TfidfTopK = 5
 
   /** Top-[[TfidfTopK]] characteristic terms per document by tf·idf —
@@ -424,6 +449,7 @@ object Corpus {
     "shuffle_export" -> shuffleExport,
     "shuffle_export_write" -> shuffleExportWrite,
     "mix_weights"    -> mixWeights,
+    "curriculum"     -> corpusCurriculum,
     "tfidf_topk"     -> tfidfTopk,
     "bm25_topk"      -> bm25Topk,
     "compact_files"  -> compactFiles)
@@ -471,6 +497,18 @@ object Corpus {
     "compact_files" ->
       "SELECT doc_id, lang, n_chars FROM documents",
     "corpus_clean" -> CleanSql,
+    // integral quality key (stopword hits per million tokens) + ntile
+    // — both exactly reproducible, so phases hash-gate
+    "curriculum" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter($ToksSql, t -> t IN (${TextAnalysis.Stopwords.map(w => s"'$w'").mkString(",")})))
+         |         * 1000000 // greatest(len($ToksSql), 1) AS BIGINT) AS quality_key
+         |  FROM documents)
+         |SELECT doc_id, lang, quality_key,
+         |  CAST(ntile(3) OVER (PARTITION BY lang
+         |    ORDER BY quality_key DESC, doc_id ASC) AS BIGINT) AS phase
+         |FROM t""".stripMargin,
     // window sum(BIGINT) is HUGEINT in DuckDB — cast back before DIV
     // the BPE merge loop replays through the closed-vocabulary CASE
     // lookup (token_count_bpe precedent); zero-word docs re-enter via

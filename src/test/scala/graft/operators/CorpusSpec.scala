@@ -182,6 +182,22 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculum phases are balanced per language and quality-ordered") {
+    val rows = Corpus.corpusCurriculum(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, docs) =>
+      val byPhase = docs.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(byPhase.keySet.subsetOf(Set(1L, 2L, 3L)), s"$lang phases $byPhase")
+      // ntile balance: sizes differ by at most 1
+      assert(byPhase.values.max - byPhase.values.min <= 1, s"$lang sizes $byPhase")
+      // quality ordering: every phase-1 key >= every phase-3 key
+      val p1min = docs.filter(_._4 == 1L).map(_._3).min
+      val p3max = docs.filter(_._4 == 3L).map(_._3).max
+      assert(p1min >= p3max, s"$lang: phase-1 min $p1min < phase-3 max $p3max")
+    }
+  }
+
   test("tfidf_topk ranks distinctive terms first with sane bounds") {
     val rows = Corpus.tfidfTopk(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
