@@ -10,7 +10,7 @@ import graft.sources.Tables
 /** Similarity search over the `embeddings` fixture (north-star op;
   * the reference has no vector surface — SURVEY.md §2.2).
   *
-  * Two paths:
+  * Four search paths plus two storage forms:
   *  - `annTopkBrute`: exact top-k by cosine. The (small) query set is
   *    broadcast against the full vector table, so the big side streams
   *    once with no shuffle of the vectors themselves; per-query top-k
@@ -21,6 +21,13 @@ import graft.sources.Tables
   *    generation at the cost of recall — the scale path when the
   *    query set is itself huge. Hyperplanes are derived from a
   *    fixed-seed SplitMix64 so results are bit-stable.
+  *  - `annIvf`: IVF-flat — data-adaptive coarse quantizer (Lloyd-
+  *    trained cells), multi-probe candidate generation.
+  *  - `annPq`: product quantization — trained per-subspace codebook,
+  *    integer ADC tables, shortlist + exact rerank (the FAISS-style
+  *    billion-scale shape).
+  *  - `embedQuantize` (int8 scalar) and `embedPq` (4-bit PQ codes):
+  *    the storage/bandwidth halves, 4× and 64× payload cuts.
   */
 object Similarity {
 
