@@ -273,6 +273,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("profile_table").contains("Expand"))
   }
 
+  test("ann_pq pushes the shortlist rank limit and keeps all distance math in longs") {
+    val p = plan("ann_pq")
+    // the top-100 ADC cut must prune per map task, not post-exchange
+    assert(p.contains("WindowGroupLimit"), "shortlist cut must push down")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("contrastive_pairs reuses its persisted positives (LSH+verify runs once)") {
     val p = plan("contrastive_pairs")
     // the dedupEmbedding subtree feeds both the union and the
