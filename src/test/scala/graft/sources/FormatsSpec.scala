@@ -84,4 +84,42 @@ class FormatsSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(agg(back) === agg(events))
   }
+
+  test("malformed CSV records: PERMISSIVE captures, DROPMALFORMED excises, count agrees") {
+    // at 100 TB some records are ALWAYS malformed — ingestion must
+    // quarantine them deterministically, not fail the job or silently
+    // corrupt rows
+    val tmp = Files.createTempDirectory("graft_badcsv").toString
+    val lines = Seq(
+      "1,alpha,10.5",
+      "2,beta,not_a_number", // unparseable double
+      "3,gamma,30.25",
+      "4,delta",             // missing column
+      "5,epsilon,50.0")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "rows.csv"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val schema = "id LONG, name STRING, v DOUBLE, _bad STRING"
+    val permissive = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(tmp)
+      .cache() // PERMISSIVE corrupt-column semantics require a materialized read
+    val good = permissive.filter(col("_bad").isNull)
+      .select("id", "name", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(good === Set((1L, "alpha", 10.5), (3L, "gamma", 30.25), (5L, "epsilon", 50.0)))
+    val quarantined = permissive.filter(col("_bad").isNotNull)
+      .select("_bad").collect().map(_.getString(0)).toSet
+    assert(quarantined === Set("2,beta,not_a_number", "4,delta"),
+      "the raw malformed lines must be preserved for repair")
+    // count() prunes every column, so the parser never sees the bad
+    // fields and drops nothing — materialize the columns to count
+    // what DROPMALFORMED actually keeps
+    val dropped = spark.read.schema("id LONG, name STRING, v DOUBLE")
+      .option("mode", "DROPMALFORMED").csv(tmp)
+      .select("id", "name", "v").collect()
+    assert(dropped.map(_.getLong(0)).toSet === Set(1L, 3L, 5L))
+  }
 }
