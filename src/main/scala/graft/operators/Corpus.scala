@@ -295,6 +295,36 @@ object Corpus {
       .withColumn("phase", ntile(3).over(w).cast("long"))
   }
 
+  /** Span-corruption planning (T5/UL2-style denoising pretraining):
+    * for every document, select the token spans to mask. Spans are
+    * chosen per fixed 8-token window — one span per window, start
+    * offset and length drawn from md5 arithmetic on (doc_id, window)
+    * — so they are non-overlapping BY CONSTRUCTION, ~25% noise
+    * density, and deterministic: every rerun and every engine plans
+    * the same masks (rand() would give a different corpus per run).
+    * Emits (doc_id, span_id, span_start, span_len) clipped to the
+    * document; the actual sentinel substitution is a narrow map a
+    * tokenizer stage applies downstream. Scale shape: one narrow
+    * scan computing n_tokens, a sequence() explode of window ids
+    * (bounded fan-out, no shuffle), pure hash arithmetic per row. */
+  def spanCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(TextAnalysis.toksOf(col("text"))).cast("long")
+    def h(from: Int): Column = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit("-"),
+        col("win").cast("string")).cast("binary")), from, 4), 16, 10).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nTok.as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), expr("(n_tok - 1) DIV 8"))).as("win"))
+      .select(col("doc_id"), col("n_tok"), col("win"),
+        (col("win") * 8L + pmod(h(1), lit(6L))).as("span_start"),
+        (lit(1L) + pmod(h(5), lit(3L))).as("raw_len"))
+      .select(col("doc_id"), col("win").as("span_id"), col("span_start"),
+        least(col("raw_len"), col("n_tok") - col("span_start")).as("span_len"))
+      .filter(col("span_len") > 0)
+  }
+
   private val TfidfTopK = 5
 
   /** Top-[[TfidfTopK]] characteristic terms per document by tf·idf —
@@ -450,6 +480,7 @@ object Corpus {
     "shuffle_export_write" -> shuffleExportWrite,
     "mix_weights"    -> mixWeights,
     "curriculum"     -> corpusCurriculum,
+    "span_corrupt"   -> spanCorrupt,
     "tfidf_topk"     -> tfidfTopk,
     "bm25_topk"      -> bm25Topk,
     "compact_files"  -> compactFiles)
@@ -497,6 +528,24 @@ object Corpus {
     "compact_files" ->
       "SELECT doc_id, lang, n_chars FROM documents",
     "corpus_clean" -> CleanSql,
+    // windows via generate_series per doc; the same md5 arithmetic
+    // plans identical spans, so the mask layout hash-gates
+    "span_corrupt" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, n_tok, unnest(range((n_tok - 1) // 8 + 1)) AS win
+         |  FROM t WHERE n_tok > 0),
+         |s AS (
+         |  SELECT doc_id, n_tok, win,
+         |    win * 8 + CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(win AS VARCHAR)), 1, 4) AS BIGINT) % 6 AS span_start,
+         |    1 + CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || CAST(win AS VARCHAR)), 5, 4) AS BIGINT) % 3 AS raw_len
+         |  FROM w)
+         |SELECT doc_id, CAST(win AS BIGINT) AS span_id,
+         |  CAST(span_start AS BIGINT) AS span_start,
+         |  CAST(least(raw_len, n_tok - span_start) AS BIGINT) AS span_len
+         |FROM s WHERE least(raw_len, n_tok - span_start) > 0""".stripMargin,
     // integral quality key (stopword hits per million tokens) + ntile
     // — both exactly reproducible, so phases hash-gate
     "curriculum" ->

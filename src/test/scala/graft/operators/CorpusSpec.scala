@@ -198,6 +198,31 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("span_corrupt plans non-overlapping in-bounds spans at sane density") {
+    val nTok = TextAnalysis.textQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // n_tokens = toksOf, same tokenizer
+    val spans = Corpus.spanCorrupt(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty)
+    spans.groupBy(_._1).foreach { case (doc, ss) =>
+      val n = nTok(doc)
+      val sorted = ss.sortBy(_._3)
+      sorted.foreach { case (_, _, start, len) =>
+        assert(len >= 1 && start >= 0 && start + len <= n, s"doc $doc span out of bounds")
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, _)) =>
+          assert(s1 + l1 <= s2, s"doc $doc spans overlap: $s1+$l1 > $s2")
+        case _ => ()
+      }
+      // one window per 8 tokens, span ≤ 3 ⇒ density → 3/8
+      // asymptotically; a clipped final partial window can push a
+      // short doc higher (n=9 worst case: 4/9 ≈ 0.44) — bound at 1/2
+      val masked = ss.map(_._4).sum.toDouble / n
+      assert(masked > 0.0 && masked <= 0.5, s"doc $doc density $masked")
+    }
+  }
+
   test("tfidf_topk ranks distinctive terms first with sane bounds") {
     val rows = Corpus.tfidfTopk(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
