@@ -83,4 +83,22 @@ class LayoutSpec extends AnyFunSuite {
       assert(y === (r.getLong(1) & 65535L), s"partkey bits lost in ${r.getLong(2)}")
     }
   }
+
+  test("sink-gated queries are idempotent within one session") {
+    // every sink gate reuses a fixed per-(input, JVM) scratch path in
+    // overwrite mode (TempDirs) — a second invocation must reproduce
+    // the identical result set, not append, clobber mid-read, or
+    // double-drain. stream_sink additionally exercises its
+    // checkpoint's zero-new-files path.
+    Seq("zorder_write", "shuffle_export_write", "compact_files", "stream_sink")
+      .foreach { name =>
+        def run(): Set[String] =
+          graft.SparkEntry.queries(name)(spark, dir)
+            .collect().map(_.toString).toSet
+        val first = run()
+        val second = run()
+        assert(first === second, s"$name not idempotent across invocations")
+        assert(first.nonEmpty, s"$name returned nothing")
+      }
+  }
 }
