@@ -53,6 +53,28 @@ object StreamOps {
       .select("user_id", "event_type", "event_id", "ts", "value")
   }
 
+  /** Spark's NATIVE session_window() operator — the third sessionize
+    * engine path beside the gaps-and-islands windows (`sessionize`)
+    * and the stateful flatMapGroupsWithState form (EventStreamSpec):
+    * the same 30-minute-gap semantics, planned as Spark's dedicated
+    * SessionWindow aggregation (merging session state in the
+    * aggregate, one exchange on user — no per-user sort window
+    * chain), and the operator that runs UNCHANGED under readStream
+    * with a watermark. Contract note the oracle encodes: the native
+    * window's end = last event + gap, so `session_end` here is the
+    * gap-extended bound, not the last event ts. */
+  def sessionNative(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, session_window, sum}
+    graft.sources.Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,4)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+  }
+
   def streamEnrich(spark: SparkSession, dir: String): DataFrame =
     EventStream.enrichedSegmentActivity(
       graft.sources.Tables.events(spark, dir),
@@ -139,6 +161,7 @@ object StreamOps {
     "stream_attribution"      -> streamAttribution,
     "compact_latest"          -> compactLatest,
     "stream_freq"             -> streamFreqTopk,
+    "session_native"          -> sessionNative,
     "stream_sink"             -> streamSinkParquet)
 
   val oracles: Map[String, String] = Map(
@@ -205,6 +228,26 @@ object StreamOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM m)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    // native session_window: merge iff gap < 30 min (half-open
+    // [ts, ts+gap) windows ⇒ an EXACT 1800 s gap starts a new
+    // session, hence >= not > here), end = last event + gap
+    "session_native" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER win IS NULL
+        |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER win) >= 1800 * 1000000000::BIGINT
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, sid""".stripMargin,

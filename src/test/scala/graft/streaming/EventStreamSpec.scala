@@ -180,6 +180,25 @@ class EventStreamSpec extends AnyFunSuite {
     assert(windowed.nonEmpty)
   }
 
+  test("native session_window equals the custom sessionize modulo the gap-extended end") {
+    // third engine path, same 30-min semantics: identical sessions,
+    // native end = last event + gap. (Contract edge: an EXACT 1800 s
+    // gap merges in the custom form (> cut) but splits in the native
+    // half-open window — the fixture plants none, and the DuckDB
+    // oracle for session_native encodes the native >= rule.)
+    val native = graft.operators.StreamOps.sessionNative(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2).getTime, r.getLong(3),
+        math.rint(r.getDouble(4) * 1e4))).toSet
+    val custom = graft.operators.StreamOps.sessionize(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2).getTime + 30L * 60L * 1000L, r.getLong(3),
+        math.rint(r.getDouble(4) * 1e4))).toSet
+    assert(native === custom)
+    assert(native.nonEmpty)
+  }
+
   test("streaming dedup drops replayed event_ids; batch parity holds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
