@@ -63,9 +63,17 @@ object StreamOps {
     * with a watermark. Contract note the oracle encodes: the native
     * window's end = last event + gap, so `session_end` here is the
     * gap-extended bound, not the last event ts. */
-  def sessionNative(spark: SparkSession, dir: String): DataFrame = {
+  def sessionNative(spark: SparkSession, dir: String): DataFrame =
+    sessionNativeOf(graft.sources.Tables.events(spark, dir))
+
+  /** Input-generic form: the SAME plan aggregates a batch DataFrame
+    * or a watermarked stream (EventStreamSpec proves replay parity —
+    * the watermark is a no-op on batch, required for append on
+    * streams). */
+  def sessionNativeOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit, session_window, sum}
-    graft.sources.Tables.events(spark, dir)
+    events
+      .withWatermark("ts", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(30,4)")).cast("double").as("sum_value"))

@@ -199,6 +199,40 @@ class EventStreamSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
+  test("native session_window: incremental stream replay equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Tables.events(spark, dir).select(col("user_id"), col("ts"), col("value"))
+    val rows = batch.as[(Long, Timestamp, Double)].collect().sortBy(_._2.getTime)
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val streamed = graft.operators.StreamOps.sessionNativeOf(
+      input.toDF().toDF("user_id", "ts", "value"))
+    val q = streamed.writeStream
+      .format("memory").queryName("session_native_out")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(rest.toSeq)
+      q.processAllAvailable()
+      // far-future row closes every real session past the watermark
+      input.addData(Seq((-1L, Timestamp.valueOf("2030-01-01 00:00:00"), 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("session_native_out")
+        .filter(col("user_id") =!= -1L)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3),
+          math.rint(r.getDouble(4) * 1e4))).toSet
+      val want = graft.operators.StreamOps.sessionNativeOf(batch)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3),
+          math.rint(r.getDouble(4) * 1e4))).toSet
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event_ids; batch parity holds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
