@@ -233,6 +233,48 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch incremental CDC merge converges to the single-batch merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the Delta-style streaming upsert sink on plain files: each
+    // micro-batch of change rows MERGEs (applyCdc) into a versioned
+    // parquet state dir; the final state must equal applying every
+    // change in one batch. Keys are disjoint across chunks, so
+    // incremental == single-shot by merge semantics.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fbmerge").toString
+    val base = (0L until 200L).map(k => (k, s"v$k", 1.0)).toDF("id", "name", "v")
+    base.write.parquet(s"$tmp/state_v0")
+    def chunk(c: Int): Seq[(Long, String, Double, String)] = {
+      val u = (0 until 5).map(i => (c * 10L + i, s"u${c * 10 + i}", 2.0, "U"))
+      val d = (0 until 5).map(i => (100L + c * 10 + i, "", 0.0, "D"))
+      val ins = (0 until 5).map(i => (1000L + c * 10 + i, s"n${c * 10 + i}", 3.0, "I"))
+      u ++ d ++ ins
+    }
+    val input = MemoryStream[(Long, String, Double, String)]
+    @volatile var cur = 0L
+    val q = input.toDF().toDF("id", "name", "v", "op")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val state = spark.read.parquet(s"$tmp/state_v$cur")
+        graft.operators.Relational.applyCdc(state, batch, "id")
+          .write.parquet(s"$tmp/state_v${id + 1}")
+        cur = id + 1
+      }
+      .start()
+    try {
+      (0 until 3).foreach { c => input.addData(chunk(c)); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.read.parquet(s"$tmp/state_v$cur").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val all = (0 until 3).flatMap(chunk).toDF("id", "name", "v", "op")
+    val want = graft.operators.Relational.applyCdc(base, all, "id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(got.exists(_._2.startsWith("u")) && got.exists(_._2.startsWith("n")))
+    val deleted = (0 until 3).flatMap(c => (0 until 5).map(i => 100L + c * 10 + i)).toSet
+    assert(!got.exists(t => deleted(t._1)), "deleted keys must be gone")
+  }
+
   test("streaming dedup drops replayed event_ids; batch parity holds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
