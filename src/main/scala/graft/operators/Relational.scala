@@ -615,6 +615,24 @@ object Relational {
         sqrt(col("l_quantity")).as("qty_sqrt"),
         (col("l_quantity") * col("l_quantity")).as("qty_sq"))
 
+  /** ANSI-safe scalar family: `try_divide` / `try_cast` return NULL
+    * on failure instead of erroring the job — at 100 TB a single
+    * malformed cell must not kill a 1000-executor stage (the scalar
+    * counterpart of the PERMISSIVE-ingest contract in FormatsSpec).
+    * Planted failure cases: division by a zero derived from data,
+    * non-numeric and overflowing casts. */
+  def scalarTry(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        // zero for every third line ⇒ NULL there, real ratio elsewhere
+        expr("try_divide(l_extendedprice, l_linenumber % 3)").as("per_mod"),
+        expr("try_cast(l_linestatus AS DOUBLE)").as("instr_num"), // never numeric ⇒ NULL
+        // integral-valued quantities ⇒ no trunc-vs-round ambiguity
+        expr("try_cast(l_quantity AS TINYINT)").as("qty_i8"),
+        // digits + trailing junk fails the parse in BOTH engines
+        expr("try_cast(concat(CAST(l_linenumber AS STRING), 'x') AS BIGINT)").as("junk_num"))
+
   /** Moment statistics with exact decimal accumulation: plain
     * stddev/var aggregates accumulate doubles in partition order and
     * are not reproducible across engines; sum and sum-of-squares in
@@ -1309,6 +1327,7 @@ object Relational {
     "scalar_string"    -> scalarString,
     "scalar_date"      -> scalarDate,
     "scalar_math"      -> scalarMath,
+    "scalar_try"       -> scalarTry,
     "json_events"      -> jsonEvents,
     "events_hourly"    -> eventsHourly,
     "zorder_cluster"   -> zorderCluster,
@@ -1773,6 +1792,17 @@ object Relational {
         |  abs(l_discount - 0.05) AS disc_dev,
         |  sqrt(l_quantity) AS qty_sqrt,
         |  l_quantity * l_quantity AS qty_sq
+        |FROM lineitem""".stripMargin,
+    // try_divide's NULL-on-zero replays as an explicit CASE (DuckDB
+    // double division yields inf, not NULL); the failed casts are
+    // NULL in both engines' TRY_CAST
+    "scalar_try" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_linenumber % 3 = 0 THEN NULL
+        |       ELSE l_extendedprice / (l_linenumber % 3) END AS per_mod,
+        |  TRY_CAST(l_linestatus AS DOUBLE) AS instr_num,
+        |  TRY_CAST(l_quantity AS TINYINT) AS qty_i8,
+        |  TRY_CAST(CAST(l_linenumber AS VARCHAR) || 'x' AS BIGINT) AS junk_num
         |FROM lineitem""".stripMargin,
     "json_events" ->
       """SELECT event_type, count(*) AS n,
