@@ -615,6 +615,27 @@ object Relational {
         sqrt(col("l_quantity")).as("qty_sqrt"),
         (col("l_quantity") * col("l_quantity")).as("qty_sq"))
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): plain
+    * `=` drops NULL keys from BOTH sides silently — the classic
+    * silent-data-loss bug when a nullable dimension key joins. Keys
+    * with residue 3 are nulled on each side via nullif, sides are
+    * pre-aggregated (so the join is 8×8 keys, not row-level
+    * fan-out), and the NULL buckets must MATCH under `<=>`. Plan
+    * note: null-safe equi-keys still hash-partition (Spark wraps the
+    * key in a null-safe struct), so this stays a real equi-join, not
+    * a BNLJ. */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    def keyed(df: DataFrame, c: String) =
+      df.select(nullif(col(c) % 7, lit(3)).as("key"))
+        .groupBy("key").agg(count(lit(1)).as("n"))
+    val o = keyed(Tables.orders(spark, dir), "o_custkey")
+      .withColumnRenamed("n", "n_orders")
+    val cu = keyed(Tables.customer(spark, dir), "c_custkey")
+      .withColumnRenamed("n", "n_customers")
+    o.join(cu, o("key") <=> cu("key"))
+      .select(o("key").as("key"), col("n_orders"), col("n_customers"))
+  }
+
   /** ANSI-safe scalar family: `try_divide` / `try_cast` return NULL
     * on failure instead of erroring the job — at 100 TB a single
     * malformed cell must not kill a 1000-executor stage (the scalar
@@ -1328,6 +1349,7 @@ object Relational {
     "scalar_date"      -> scalarDate,
     "scalar_math"      -> scalarMath,
     "scalar_try"       -> scalarTry,
+    "join_nullsafe"    -> joinNullSafe,
     "json_events"      -> jsonEvents,
     "events_hourly"    -> eventsHourly,
     "zorder_cluster"   -> zorderCluster,
@@ -1793,6 +1815,15 @@ object Relational {
         |  sqrt(l_quantity) AS qty_sqrt,
         |  l_quantity * l_quantity AS qty_sq
         |FROM lineitem""".stripMargin,
+    "join_nullsafe" ->
+      """WITH o AS (
+        |  SELECT nullif(o_custkey % 7, 3) AS key, count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT nullif(c_custkey % 7, 3) AS key, count(*) AS n_customers
+        |  FROM customer GROUP BY 1)
+        |SELECT o.key, o.n_orders, c.n_customers
+        |FROM o JOIN c ON o.key IS NOT DISTINCT FROM c.key""".stripMargin,
     // try_divide's NULL-on-zero replays as an explicit CASE (DuckDB
     // double division yields inf, not NULL); the failed casts are
     // NULL in both engines' TRY_CAST
