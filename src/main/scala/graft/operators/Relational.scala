@@ -615,6 +615,39 @@ object Relational {
         sqrt(col("l_quantity")).as("qty_sqrt"),
         (col("l_quantity") * col("l_quantity")).as("qty_sq"))
 
+  /** Schema-drift union: two generations of the same table (an old
+    * extract missing a column, a new one carrying it) combined with
+    * `unionByName(allowMissingColumns)` — the ingestion-side sibling
+    * of FormatsSpec's read-side mergeSchema. Position-based union
+    * would silently misalign columns; by-name union fills the
+    * missing column with NULL. Disjoint halves by key parity keep
+    * the result reconciliation-friendly. */
+  def unionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val oldGen = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val newGen = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    oldGen.unionByName(newGen, allowMissingColumns = true)
+  }
+
+  /** Forward-fill (`last(..., ignoreNulls)` over an ordered window) —
+    * the timeseries repair primitive: 'view' events have their value
+    * masked to NULL, then each row takes the most recent non-null
+    * value for its user. Scale shape: one exchange on user + a
+    * spilling ordered window — the sessionize shape; the frame is
+    * unbounded-preceding..current, which Spark evaluates in one
+    * running pass, not O(n²). */
+  def forwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") =!= "view", col("value")).as("v_sparse"))
+      .withColumn("v_filled", last(col("v_sparse"), ignoreNulls = true).over(w))
+  }
+
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): plain
     * `=` drops NULL keys from BOTH sides silently — the classic
     * silent-data-loss bug when a nullable dimension key joins. Keys
@@ -1350,6 +1383,8 @@ object Relational {
     "scalar_math"      -> scalarMath,
     "scalar_try"       -> scalarTry,
     "join_nullsafe"    -> joinNullSafe,
+    "union_drift"      -> unionDrift,
+    "forward_fill"     -> forwardFill,
     "json_events"      -> jsonEvents,
     "events_hourly"    -> eventsHourly,
     "zorder_cluster"   -> zorderCluster,
@@ -1815,6 +1850,19 @@ object Relational {
         |  sqrt(l_quantity) AS qty_sqrt,
         |  l_quantity * l_quantity AS qty_sq
         |FROM lineitem""".stripMargin,
+    "union_drift" ->
+      """SELECT o_orderkey, o_custkey, NULL AS o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+    "forward_fill" ->
+      """SELECT user_id, event_id, ts,
+        |  CASE WHEN event_type <> 'view' THEN value END AS v_sparse,
+        |  last_value(CASE WHEN event_type <> 'view' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM events""".stripMargin,
     "join_nullsafe" ->
       """WITH o AS (
         |  SELECT nullif(o_custkey % 7, 3) AS key, count(*) AS n_orders
