@@ -615,6 +615,27 @@ object Relational {
         sqrt(col("l_quantity")).as("qty_sqrt"),
         (col("l_quantity") * col("l_quantity")).as("qty_sq"))
 
+  /** argmax/argmin aggregates (`max_by`/`min_by`): WHICH row holds
+    * the extreme, not the extreme itself — the lookup that otherwise
+    * costs a self-join or a window. Ordering key is a struct
+    * (price, orderkey, linenumber): lexicographic, and the id tail
+    * makes it strictly unique, so ties cannot make the answer
+    * engine-dependent (bare max_by on a non-unique key is
+    * nondeterministic by contract). Oracle replays via a rank-1
+    * window on the same composite order. */
+  def aggArgmax(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        max_by(col("l_orderkey"),
+          struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+          .as("priciest_order"),
+        min_by(col("l_orderkey"),
+          struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+          .as("cheapest_order"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_extendedprice")).as("min_price"))
+
   /** Schema-drift union: two generations of the same table (an old
     * extract missing a column, a new one carrying it) combined with
     * `unionByName(allowMissingColumns)` — the ingestion-side sibling
@@ -1384,6 +1405,7 @@ object Relational {
     "scalar_try"       -> scalarTry,
     "join_nullsafe"    -> joinNullSafe,
     "union_drift"      -> unionDrift,
+    "agg_argmax"       -> aggArgmax,
     "forward_fill"     -> forwardFill,
     "json_events"      -> jsonEvents,
     "events_hourly"    -> eventsHourly,
@@ -1850,6 +1872,22 @@ object Relational {
         |  sqrt(l_quantity) AS qty_sqrt,
         |  l_quantity * l_quantity AS qty_sq
         |FROM lineitem""".stripMargin,
+    // rank-1 windows on the same strictly-unique composite order
+    // replay max_by/min_by deterministically
+    "agg_argmax" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_orderkey, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) AS rmin
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN rmax = 1 THEN l_orderkey END) AS priciest_order,
+        |  max(CASE WHEN rmin = 1 THEN l_orderkey END) AS cheapest_order,
+        |  max(l_extendedprice) AS max_price,
+        |  min(l_extendedprice) AS min_price
+        |FROM r GROUP BY l_returnflag""".stripMargin,
     "union_drift" ->
       """SELECT o_orderkey, o_custkey, NULL AS o_totalprice
         |FROM orders WHERE o_orderkey % 2 = 0
