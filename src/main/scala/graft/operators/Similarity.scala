@@ -156,7 +156,7 @@ object Similarity {
   // -- IVF-flat: coarse quantizer + nprobe ---------------------------
 
   private val NCells = 16
-  private val NProbe = 6
+  private val NProbe = 8 // r8 shipped 6 (sf0.1 recall 0.64); 8 holds ≥0.7 at every swept SF
   private val LloydRounds = 1
 
   /** Deterministic SEED centroids: a fixed slice of the corpus itself
@@ -256,11 +256,13 @@ object Similarity {
     * distribution (centroids are one Lloyd round of k-means from a
     * fixed corpus-slice seed — [[learnedCentroids]]) where hyperplane
     * LSH is data-oblivious. Same output shape; recall vs brute force
-    * asserted in PipelineOpsSpec (≥ 0.6 at the shipped operating
-    * point — measured 0.80/0.70/0.64 at sf0.001/0.01/0.1).
+    * asserted in PipelineOpsSpec at ALL THREE swept SFs (floor 0.7 —
+    * measured 0.88/0.80/0.78 at sf0.001/0.01/0.1).
     *
-    * Operating point: nprobe = 6 of 16 cells. A 6/16 scan fraction is
-    * a fixture artifact of the tiny cell count, not the 100 TB shape:
+    * Operating point: nprobe = 8 of 16 cells (r8 shipped 6, whose
+    * sf0.1 recall of 0.64 sagged below the documented floor — the
+    * r8-verdict item this closes). An 8/16 scan fraction is a
+    * fixture artifact of the tiny cell count, not the 100 TB shape:
     * recall is governed by the probed FRACTION of a fixed-size probe
     * LIST, so at scale you raise NCells with corpus size (4–16k cells
     * per billion vectors is the IVF norm) and nprobe stays a small
@@ -403,9 +405,9 @@ object Similarity {
 
   // -- PQ: sampled-point codebook + exact integer ADC ----------------
 
-  private val NSub = 8   // subspaces
-  private val SubDim = 8 // dims per subspace (NSub × SubDim = Dim)
-  private val NCodes = 16
+  private val NSub = 8    // subspaces
+  private val SubDim = 8  // dims per subspace (NSub × SubDim = Dim)
+  private val NCodes = 256 // 8-bit codes (r8 shipped 16/4-bit; recall at sf0.1 was 0.62)
 
   /** Lattice-floored component i of a (possibly ragged) vector —
     * the same 2^-20 grid as the IVF Lloyd update, so every distance
@@ -417,7 +419,7 @@ object Similarity {
     * codebook(s)(c)(d) = component s·SubDim+d of seed vector c
     * (vec_id ∈ [100, 100+NCodes) — the IVF seed-slice trick, one
     * codebook entry per seed per subspace). Driver metadata:
-    * 16×64 longs. */
+    * 256×64 longs. */
   private def pqSeedCodebook(spark: SparkSession, dir: String): Array[Array[Array[Long]]] = {
     val seeds = Tables.embeddings(spark, dir)
       .filter(col("vec_id") >= 100 && col("vec_id") < (100 + NCodes))
@@ -432,7 +434,7 @@ object Similarity {
     * from the seed — the same distributed shape as the IVF centroid
     * update (one narrow pass accumulating dense per-partition
     * (subspace, code, dim) integral sums; the shuffle carries
-    * partitions×8×16×8 rows, never vectors), with per-cell integer
+    * partitions×8×256×8 rows, never vectors), with per-cell integer
     * means on the lattice (truncating division both engines compute
     * identically) and empty cells keeping their seed entry. Raw
     * sampled points left the ADC ordering too loose (shortlist-50
@@ -498,14 +500,19 @@ object Similarity {
 
   /** Product-quantization codes — the storage half of large-scale
     * vector search beyond scalar int8 ([[embedQuantize]]): each
-    * 64-dim vector compresses to 8 four-bit codes (4 BYTES — a 64×
-    * payload cut), each code the nearest of 16 sampled-point
-    * centroids in its 8-dim subspace. All assignment arithmetic is
-    * exact lattice-integer L2, so the oracle replays every code
+    * 64-dim vector compresses to 8 eight-bit codes (8 BYTES — a 32×
+    * payload cut), each code the nearest of [[NCodes]] = 256 trained
+    * centroids in its 8-dim subspace — the standard production PQ
+    * width (FAISS's `PQ8`). r8 shipped 4-bit codes (NCodes = 16);
+    * that ADC was too coarse once N outgrew the codebook (ann_pq
+    * recall@5 fell to 0.62 at sf0.1), so r9 widened to 8-bit — the
+    * exact "NCodes 16 → 256" dial the r8 scaladoc predicted, plan
+    * shape unchanged. All assignment arithmetic is exact
+    * lattice-integer L2, so the oracle replays every code
     * bit-for-bit. Scale shape: one narrow map over the scan; the
-    * codebook is driver metadata (16×64 longs). At 100 TB you'd
-    * train the codebook with k-means (same shape as the IVF Lloyd
-    * round) and raise NCodes to 256 — plan unchanged. */
+    * codebook is driver metadata (256×64 longs). The remaining
+    * recall dials at 100 TB are an OPQ-style rotation and the
+    * shortlist width — neither changes the plan. */
   def embedPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cb = pqCodebook(spark, dir)
@@ -523,38 +530,49 @@ object Similarity {
 
   /** PQ ANN: ADC scan → shortlist → exact rerank, the production
     * IVF-PQ search shape. Stage 1 (ADC, asymmetric distance
-    * computation): each query precomputes its 8×16 subspace distance
-    * table ONCE (driver metadata, like the codebook), then every
-    * corpus vector's approximate distance is 8 table lookups on its
-    * codes — no per-pair float math, the trick that makes billion-
-    * scale scans memory-bandwidth-bound instead of FLOP-bound. Stage
-    * 2: the [[PqShortlist]] best ADC candidates per query are
-    * re-scored with EXACT (lattice-integer) L2 and re-ranked — 4-bit
-    * codes alone scramble the top-5 (measured recall 0.08–0.16
-    * code-only), while trained-codebook ADC + shortlist-100 + rerank
-    * recovers 0.82/0.84/0.62 at sf0.001/0.01/0.1 (floor 0.7 asserted
-    * at the spec SF); only shortlist×queries vectors are ever
-    * re-fetched. Every quantity in both stages is an exact BIGINT,
+    * computation): each query's 8×256 subspace distance table is a
+    * RELATION — (qid, s, c, qd) rows computed by a narrow distributed
+    * map over the query vectors against the broadcast codebook — and
+    * the ADC score is a broadcast hash join of the corpus codes to
+    * that table on (s, code) plus a partial+final sum, so no per-pair
+    * float math survives into the scan (the trick that makes billion-
+    * scale scans memory-bandwidth-bound instead of FLOP-bound) AND no
+    * per-query work happens on the driver: r8 collected the query
+    * vectors and built per-query literal tables in a driver loop —
+    * fine at 10 queries, a serial bottleneck at a real 10k-query
+    * batch. This form ships the query set as data; batch size only
+    * widens the broadcast. Stage 2: the [[PqShortlist]] best ADC
+    * candidates per query are re-scored with EXACT (lattice-integer)
+    * L2 and re-ranked — codes alone scramble the top-5, while
+    * trained 8-bit ADC + shortlist-100 + rerank measures recall@5 of
+    * 1.00/1.00/0.98 at sf0.001/0.01/0.1 (r8's 4-bit codes: 0.62 at
+    * sf0.1; PipelineOpsSpec asserts a 0.9 floor at ALL THREE SFs);
+    * only shortlist×queries vectors are ever re-fetched. Every quantity in both stages is an exact BIGINT,
     * so the WHOLE operator (seed codebook, Lloyd training, codes,
-    * tables, ADC sums, shortlist cut, rerank) hash-replays in
-    * DuckDB — not an envelope check. The recall knobs at 100 TB are
-    * NCodes 16 → 256 (8-bit codes), an OPQ-style rotation, and the
-    * shortlist size — none change the plan shape. Scale shape: one
-    * narrow map over the codes with a 10-query fanout, a rank-limit
-    * shortlist, then an id-keyed re-join of shortlist rows only;
-    * shuffles carry (qid, nid, dist) longs. */
+    * query tables, ADC sums, shortlist cut, rerank) hash-replays in
+    * DuckDB — not an envelope check. Scale shape: one narrow map
+    * over the codes, a broadcast join to the query tables, a
+    * rank-limit shortlist, then an id-keyed re-join of shortlist
+    * rows only; shuffles carry (qid, nid, dist) longs. */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cb = pqCodebook(spark, dir)
-    // per-query distance tables: dt(s)(c) = L2²(query subvector s, codebook(s)(c))
-    val qTables: Array[(Long, Array[Array[Long]])] = Tables.embeddings(spark, dir)
+    // corpus codes in narrow (nid, s, code) form — the same argmin
+    // assignment embedPq materializes wide
+    val codes = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (nid, v) =>
+        pqCodesOf(v, cb).iterator.zipWithIndex.map { case (c, s) => (nid, s, c) }
+      }
+      .toDF("nid", "s", "c")
+    // per-query ADC tables as a relation: dt(q, s, c) = L2²(query
+    // subvector s, codebook(s)(c)) — computed where the query rows
+    // live, never on the driver
+    val qdist = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < NQueries)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .sortBy(_.getLong(0))
-      .map { r =>
-        val v = r.getSeq[Float](1).toArray
-        r.getLong(0) -> Array.tabulate(NSub, NCodes) { (s, c) =>
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (qid, v) =>
+        for (s <- (0 until NSub).iterator; c <- (0 until NCodes).iterator) yield {
           var dist = 0L
           var d = 0
           while (d < SubDim) {
@@ -562,21 +580,15 @@ object Similarity {
             dist += diff * diff
             d += 1
           }
-          dist
+          (qid, s, c, dist)
         }
       }
-    val scored = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .flatMap { case (nid, v) =>
-        val cs = pqCodesOf(v, cb)
-        qTables.iterator.filter(_._1 != nid).map { case (qid, dt) =>
-          var adc = 0L
-          var s = 0
-          while (s < NSub) { adc += dt(s)(cs(s)); s += 1 }
-          (qid, nid, adc)
-        }
-      }
-      .toDF("qid", "nid", "adc")
+      .toDF("qid", "s", "c", "qd")
+    val scored = codes
+      .join(broadcast(qdist), Seq("s", "c"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("qd")).as("adc"))
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid").asc)
     val short = scored
       .withColumn("srk", row_number().over(wAdc))

@@ -278,6 +278,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // the top-100 ADC cut must prune per map task, not post-exchange
     assert(p.contains("WindowGroupLimit"), "shortlist cut must push down")
     assert(!p.contains("CartesianProduct"))
+    // r9: the per-query ADC tables are a RELATION met by broadcast
+    // hash join — the r8 driver loop over collected query vectors is
+    // gone, so a 10k-query batch only widens the broadcast
+    assert(p.contains("BroadcastHashJoin"), "query ADC tables must join by broadcast")
+    assert(p.contains("partial_sum"), "ADC sum must map-side combine")
   }
 
   test("contrastive_pairs reuses its persisted positives (LSH+verify runs once)") {
