@@ -393,8 +393,6 @@ object Dedup {
     * 16×6 — the ann_topk operating point — misses ~40%. */
   private val EmbTables = 32
   private val EmbBits = 4
-  private lazy val embPlanes: Array[Array[Float]] =
-    Similarity.makePlanes(EmbTables * EmbBits)
 
   /** Embedding-cosine near-dup pairs (≥ 0.45), LSH-bucketed + exact-
     * verified: candidates are pairs sharing ≥1 of 32 sign-bucket keys,
@@ -413,22 +411,39 @@ object Dedup {
     * pairs concentrate in far fewer buckets) and on clustered
     * corpora; what the formulation removes at ANY τ is the
     * broadcast-the-whole-table memory hazard of the BNLJ. */
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-    val tagged = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+  /** Sign-LSH candidate pairs (vec_a < vec_b, distinct) over an
+    * arbitrary (vec_id, embedding) relation and banding scheme — the
+    * candidate generation inside [[dedupEmbedding]], parameterized so
+    * the τ ≥ 0.8 regime is an exercised library path, not a scaladoc
+    * promise: at real near-dup thresholds the right operating point
+    * is FEW tables × LONG keys (e.g. 8×16 — random pairs collide at
+    * ~2⁻¹⁶/table while cos ≥ 0.99 pairs still share a table w.h.p.),
+    * and DedupScaleSpec plants a clustered corpus to assert the
+    * resulting candidate volume is ≪ n²/2 with zero lost pairs. The
+    * shuffle carries only (table, key, id) tuples either way. */
+  private[graft] def embeddingCandidatesOf(
+      emb: DataFrame, nTables: Int, bits: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val planes = Similarity.makePlanes(nTables * bits)
+    val tagged = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .flatMap { r =>
-        Similarity.signKeys(r._2, embPlanes, EmbTables, EmbBits)
+        Similarity.signKeys(r._2, planes, nTables, bits)
           .iterator.zipWithIndex.map { case (k, t) => (r._1, t, k) }
       }
       .toDF("vec_id", "table_idx", "table_key")
-    val cands = tagged.as("x")
+    tagged.as("x")
       .join(tagged.as("y"),
         col("x.table_idx") === col("y.table_idx") &&
           col("x.table_key") === col("y.table_key") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
+  }
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cands = embeddingCandidatesOf(
+      e.select(col("vec_id"), col("embedding")), EmbTables, EmbBits)
     cands
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
