@@ -24,9 +24,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // same per-query sweep as Bench: persisted frames (dedup caches,
-      // sketch frames) and localCheckpoint blocks must not accumulate
-      // across a 127-query dump in one JVM
+      // library-surface cache scope: each query's tracked caches are
+      // released once its dump lands (CacheScope contract), and the
+      // Bench-style sweep stays as the backstop so persisted frames /
+      // localCheckpoint blocks can't accumulate across a 148-query
+      // dump in one JVM
+      CacheScope.release()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.CacheScope.ScopedDataset
 import graft.functions.VectorFunctions.{cosine_sim, xxhash64Seeded}
 import graft.sources.Tables
 
@@ -120,7 +121,7 @@ object Dedup {
     // drivers can spark.catalog.clearCache() between workloads.
     val shAll = docShingles(spark, dir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     // hot-shingle guard: the >cap list is tiny (it cannot exceed
     // total_shingles/cap entries), so the anti-join broadcasts. The
     // capped universe is persisted too — it feeds three consumers
@@ -130,7 +131,7 @@ object Dedup {
     val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select("sh")
     val sh = shAll.join(hot, Seq("sh"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -212,7 +213,7 @@ object Dedup {
     * (`n`), so no second full aggregation is needed. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sketch = minhashSketch(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     // band keys as Column expressions over the cached sketch — a
     // typed-closure variant was MEASURED SLOWER here (8.1 s vs 5.8 s
     // first-run): SerializeFromObject hides size statistics, so the
@@ -228,7 +229,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     // exact verification: the candidate-id semi-join sits BELOW the
     // tokenizer, so the second pass re-shingles only candidate docs —
     // the scan streams all rows but the CPU-heavy flatMap touches the
@@ -239,7 +240,7 @@ object Dedup {
     val shc = docShinglesOf(
         Tables.documents(spark, dir).join(candDocs, Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h0"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     val inter = cands
       .join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shc.as("sb"),
@@ -270,7 +271,7 @@ object Dedup {
     * (recall 1.0 on this corpus, same argument as [[dedupMinhash]]). */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val sketch = minhashSketch(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     val bands = bandsOf(sketch)
     val cands = bands.filter(col("doc_id") % 10 === 0).as("x")
       .join(bands.filter(col("doc_id") % 10 =!= 0).as("y"),
@@ -278,7 +279,7 @@ object Dedup {
           col("x.band_key") === col("y.band_key"))
       .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_old"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     val candDocs = cands.select(col("doc_new").as("doc_id"))
       .union(cands.select(col("doc_old").as("doc_id")))
       .distinct()
@@ -288,7 +289,7 @@ object Dedup {
     val shc = docShinglesOf(
         Tables.documents(spark, dir).join(candDocs, Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h0"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     val inter = cands
       .join(shc.as("sa"), col("doc_new") === col("sa.doc_id"))
       .join(shc.as("sb"),
@@ -523,14 +524,14 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .repartition(ClusterParts)
-      .localCheckpoint()
+      .localCheckpointScoped()
     // seed: lab₀ = min(id, min incident neighbour) — one groupBy, the
     // same shuffle a plain distinct() would cost, but it bakes the
     // first propagation round into initialization for free
     var labels = edges.groupBy(col("doc_a").as("id"))
       .agg(min(col("doc_b")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("lab"))
-      .localCheckpoint()
+      .localCheckpointScoped()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 32) {
@@ -561,7 +562,7 @@ object Dedup {
         }
       val next = msgs.groupBy(col("id"))
         .agg(min(col("lab")).as("new_lab"), max(col("own")).as("lab"))
-        .localCheckpoint(eager = false)
+        .localCheckpointScoped(eager = false)
       // this agg is the action that materializes the lazy checkpoint:
       // one job per round computes next AND the convergence signal
       val changed = next
@@ -598,7 +599,7 @@ object Dedup {
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
     val spans = docSpansOf(Tables.documents(spark, dir), SpanK)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     // spans are distinct per doc, so count(*) per hash = document count
     val shared = spans.groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("h")
@@ -691,7 +692,7 @@ object Dedup {
     var edges = symmetric(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .filter(col("u") =!= col("v")))
-      .localCheckpoint(eager = false)
+      .localCheckpointScoped(eager = false)
     def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
       val dir = e.filter(col("v") < col("u"))
       val r = dir.agg(
@@ -705,7 +706,7 @@ object Dedup {
     var rounds = 0
     while (!converged && rounds < 48) {
       val next = symmetric(smallStar(largeStar(edges)))
-        .localCheckpoint(eager = false)
+        .localCheckpointScoped(eager = false)
       val nextSig = signature(next)
       converged = nextSig == sig
       edges = next

@@ -2,8 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
+import graft.CacheScope.ScopedDataset
 import graft.sources.Tables
 
 /** Iterative graph analytics over the fixture's bipartite
@@ -79,7 +79,7 @@ object Graph {
     * computed per EDGE here but is identical per source vertex, so
     * the lattice arithmetic (and the oracle) is unchanged. */
   private[operators] def rankEdges(edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = edgesIn.persistScoped()
     val outdeg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     // N: vertex count — one scalar to the driver (metadata, not data);
     // it parameterizes the integer constants below, which must be
@@ -90,7 +90,7 @@ object Graph {
     val edgeDeg = edges.join(outdeg, "u")
       .select(col("u"), col("v"), col("deg"))
       .repartition(col("u"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     var r = outdeg.select(col("u").as("id"), lit(r0).as("r"))
     for (_ <- 1 to Rounds) {
       r = edgeDeg.as("e")
@@ -199,7 +199,7 @@ object Graph {
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     val p = Dedup.dedupNgramJaccard(spark, dir)
       .select(col("doc_a"), col("doc_b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     p.as("e1")
       .join(p.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
       .join(p.as("e3"),

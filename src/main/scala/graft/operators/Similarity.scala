@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.CacheScope.ScopedDataset
 import graft.functions.VectorFunctions.cosine_sim
 import graft.sources.Tables
 
@@ -389,7 +390,7 @@ object Similarity {
     val pos = graft.operators.Dedup.dedupEmbedding(spark, dir)
       .select(col("vec_a").as("anchor"), col("vec_b").as("cand"),
         col("cos"), lit(1L).as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     val neg = pos.select(col("anchor")).distinct()
       .select(col("anchor"), explode(array(lit(1L), lit(2L))).as("j"))
       .select(col("anchor"),

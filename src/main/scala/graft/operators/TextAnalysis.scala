@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.CacheScope.ScopedDataset
 import graft.sources.Tables
 
 /** Text-analysis operators over `documents` (north-star ops; absent
@@ -310,7 +311,7 @@ object TextAnalysis {
     val sk = stream.groupBy("lang").agg(
       graft.functions.MisraGriesAgg.mg_topk(col("tok"), MgExactCap).as("sk64"),
       graft.functions.MisraGriesAgg.mg_topk(col("tok"), MgSmallCap).as("sk4"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped()
     val exact = stream.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
     // stream totals derive from the exact counts (Σ cnt) — one fewer
     // tokenize pass than re-aggregating the exploded stream
