@@ -1036,6 +1036,24 @@ object Relational {
       .parquet(out)
   }
 
+  private[operators] val SkipOrd = 400L
+  private[operators] val SkipPart = 120L
+
+  /** The read-side PAYOFF of [[writeZorderLayout]]: a box predicate
+    * on BOTH clustered keys over the z-ordered files. Because every
+    * file covers a contiguous zval range — i.e. a tight bounding box
+    * on l_orderkey AND l_partkey — the parquet min/max footer stats
+    * let the scan skip every row group outside the box: the pushed
+    * predicate prunes at the reader, nothing but the matching corner
+    * of the table is ever decoded. LayoutSpec counts it both ways
+    * (footer boxes intersecting the predicate ≪ files present, and
+    * the executed scan's numOutputRows ≪ table rows); the oracle
+    * gates the row set itself. At 100 TB this is the entire point of
+    * the layout: a needle query reads a few files, not the table. */
+  def zorderSkip(spark: SparkSession, dir: String): DataFrame =
+    zorderWrite(spark, dir)
+      .filter(col("l_orderkey") < SkipOrd && col("l_partkey") < SkipPart)
+
   /** Salted fact-fact join — the standard skew-mitigation rewrite,
     * registered so the mechanics carry an oracle (the oracle is the
     * PLAIN join: salting must be output-invisible). The probe side
@@ -1100,12 +1118,19 @@ object Relational {
     * identical snapshot via the actual broadcast-merge plan. The
     * price adjustment is one IEEE add on identical inputs — both
     * engines round identically. */
-  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir).select(
+  /** Base snapshot + derived change batch for the CDC merge queries —
+    * shared by [[cdcApply]] (single-shot) and StreamOps.streamMerge
+    * (the same change set fed through foreachBatch micro-batches), so
+    * the two gates can never drift. Keys %100==3 update, ==7 delete,
+    * ==5 insert under an offset key — each key touched exactly once. */
+  private[operators] def cdcBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_orderpriority"), col("o_totalprice"))
+
+  private[operators] def cdcChanges(o: DataFrame): DataFrame = {
     val m = col("o_orderkey") % 100
-    val changes = o.filter(m.isin(3, 5, 7)).select(
+    o.filter(m.isin(3, 5, 7)).select(
       when(m === 5, col("o_orderkey") + 100000000L)
         .otherwise(col("o_orderkey")).as("o_orderkey"),
       col("o_custkey"),
@@ -1114,7 +1139,11 @@ object Relational {
       when(m === 3, col("o_totalprice") + 100.0)
         .otherwise(col("o_totalprice")).as("o_totalprice"),
       when(m === 3, "U").when(m === 5, "I").otherwise("D").as("op"))
-    applyCdc(o, changes, "o_orderkey")
+  }
+
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val o = cdcBase(spark, dir)
+    applyCdc(o, cdcChanges(o), "o_orderkey")
   }
 
   /** Semi-structured access through Spark 4's VARIANT type — the
@@ -1411,6 +1440,7 @@ object Relational {
     "events_hourly"    -> eventsHourly,
     "zorder_cluster"   -> zorderCluster,
     "zorder_write"     -> zorderWrite,
+    "zorder_skip"      -> zorderSkip,
     "join_salted"      -> joinSalted,
     "cdc_apply"        -> cdcApply,
     "join_runtime_filter" -> joinRuntimeFilter,
@@ -1936,6 +1966,10 @@ object Relational {
     "zorder_cluster" -> ZorderSql,
     // the sink round trip must reproduce the identical row set
     "zorder_write" -> ZorderSql,
+    // the data-skipping read: same replay, box predicate applied
+    "zorder_skip" ->
+      s"""$ZorderSql
+         |WHERE l_orderkey < $SkipOrd AND l_partkey < $SkipPart""".stripMargin,
     // the oracle is the UNSALTED join: salting must not change results
     "join_salted" ->
       """SELECT o_orderpriority,

@@ -131,6 +131,61 @@ object StreamOps {
       .select("event_id", "user_id", "event_type", "ts", "value")
   }
 
+  private val mergeRun = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Streaming MERGE (foreachBatch upsert) — the Delta-style CDC sink
+    * EventStreamSpec proves convergent on MemoryStream chunks, now
+    * registered against the fixture: the SAME change batch as
+    * `cdc_apply` (shared derivation, [[Relational.cdcChanges]]) is
+    * written as four disjoint-key parquet files, consumed as a file
+    * STREAM one file per micro-batch, and each batch MERGEs into a
+    * versioned parquet state chain via the same broadcast
+    * `applyCdc`; the returned snapshot is the final version. Because
+    * the files partition the keys (pmod 4) and each key carries
+    * exactly one change, incremental application commutes and the
+    * final state equals the single-shot merge — which is exactly
+    * what the oracle replays (it is `cdc_apply`'s oracle). A fresh
+    * run-scoped scratch per invocation keeps the checkpoint, feed
+    * and state chain self-contained, so repeated calls are
+    * idempotent (LayoutSpec's sink-idempotence gate covers it).
+    * Scale shape: per batch, one broadcast of the micro-batch's
+    * changes against a narrow scan of the snapshot — the base never
+    * shuffles; state versions are the parquet the next batch reads. */
+  def streamMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    import org.apache.spark.sql.streaming.Trigger
+    val scratch = graft.sources.TempDirs.scratch(
+      s"streammerge${mergeRun.incrementAndGet()}", dir)
+    val base = Relational.cdcBase(spark, dir)
+    val changes = Relational.cdcChanges(base)
+    val chDir = s"$scratch/changes"
+    (0 until 4).foreach { b =>
+      changes.filter(pmod(col("o_orderkey"), lit(4)) === b).coalesce(1)
+        .write.mode("append").parquet(chDir)
+    }
+    base.write.mode("overwrite").parquet(s"$scratch/state_v0")
+    @volatile var cur = 0L
+    val q = spark.readStream
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+        "o_orderpriority STRING, o_totalprice DOUBLE, op STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(chDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val state = spark.read.parquet(s"$scratch/state_v$cur")
+        Relational.applyCdc(state, batch, "o_orderkey")
+          .write.mode("overwrite").parquet(s"$scratch/state_v${id + 1}")
+        cur = id + 1
+      }
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    require(!q.isActive, "merge stream did not drain within 180 s")
+    require(cur >= 4, s"expected 4 micro-batches, saw $cur")
+    spark.read.parquet(s"$scratch/state_v$cur")
+  }
+
   def streamFreqTopk(spark: SparkSession, dir: String): DataFrame =
     EventStream.windowedTopUsers(
       graft.sources.Tables.events(spark, dir))
@@ -170,7 +225,8 @@ object StreamOps {
     "compact_latest"          -> compactLatest,
     "stream_freq"             -> streamFreqTopk,
     "session_native"          -> sessionNative,
-    "stream_sink"             -> streamSinkParquet)
+    "stream_sink"             -> streamSinkParquet,
+    "stream_merge"            -> streamMerge)
 
   val oracles: Map[String, String] = Map(
     // watermark is a no-op on batch; windows are epoch-grid-aligned,
@@ -263,5 +319,8 @@ object StreamOps {
     // exactly — any replayed or lost micro-batch breaks the hash
     "stream_sink" ->
       """SELECT event_id, user_id, event_type, ts, value
-        |FROM events WHERE user_id % 4 = 0""".stripMargin)
+        |FROM events WHERE user_id % 4 = 0""".stripMargin,
+    // the micro-batched merge must land on the single-shot snapshot:
+    // the oracle IS cdc_apply's (same base, same change derivation)
+    "stream_merge" -> Relational.oracles("cdc_apply"))
 }

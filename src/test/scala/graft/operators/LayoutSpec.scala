@@ -49,6 +49,50 @@ class LayoutSpec extends AnyFunSuite {
     assert(n === graft.sources.Tables.lineitem(spark, dir).count())
   }
 
+  test("zorder layout actually SKIPS: a box predicate reads a corner, not the table") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // sf0.01: the box predicate keeps 90 of 60 000 rows (0.15%)
+    val sfDir = "/root/testdata/sf0.01"
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_zorder_skip_spec").toString
+    Relational.writeZorderLayout(spark, sfDir, out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length >= 8, "expected a multi-file layout")
+    // footer-level proof: per-file key bounding boxes (what the
+    // parquet min/max stats advertise) — only the low-corner files
+    // may intersect the box predicate
+    val hit = files.count { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("l_orderkey")), min(col("l_partkey"))).collect()(0)
+      r.getLong(0) < Relational.SkipOrd && r.getLong(1) < Relational.SkipPart
+    }
+    assert(hit >= 1, "predicate must land somewhere")
+    assert(hit <= files.length / 4,
+      s"$hit of ${files.length} file boxes intersect the predicate — layout not clustering")
+    // engine-level proof: the executed scan's output rows are the
+    // surviving row groups only, a small fraction of the table
+    val df = spark.read
+      .schema("l_orderkey LONG, l_partkey LONG, l_linenumber INT, zval LONG, zbucket LONG")
+      .parquet(out)
+      .filter(col("l_orderkey") < Relational.SkipOrd &&
+        col("l_partkey") < Relational.SkipPart)
+    assert(df.count() === 90L)
+    df.collect()
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other                    => other
+    }
+    val scan = unwrap(df.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }.head
+    val scanned = scan.metrics("numOutputRows").value
+    val total = 60000L
+    assert(scanned <= total / 4,
+      s"scan decoded $scanned of $total rows — row-group skipping not engaged")
+    info(s"scan decoded $scanned of $total rows; $hit of ${files.length} file boxes hit")
+  }
+
   test("compact_files collapses the small-file layout to the target count") {
     Corpus.compactFiles(spark, dir).count() // materialize both writes
     val scratch = graft.sources.TempDirs.scratch("compact", dir)
@@ -90,7 +134,8 @@ class LayoutSpec extends AnyFunSuite {
     // the identical result set, not append, clobber mid-read, or
     // double-drain. stream_sink additionally exercises its
     // checkpoint's zero-new-files path.
-    Seq("zorder_write", "shuffle_export_write", "compact_files", "stream_sink")
+    Seq("zorder_write", "shuffle_export_write", "compact_files", "stream_sink",
+      "stream_merge")
       .foreach { name =>
         def run(): Set[String] =
           graft.SparkEntry.queries(name)(spark, dir)
