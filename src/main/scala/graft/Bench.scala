@@ -55,7 +55,8 @@ object Bench {
       results: Seq[(String, Double)],
       errors: collection.Map[String, String],
       sfDir: String,
-      budget: Int = 1900): String = {
+      budget: Int = 1900,
+      damped: Seq[String] = Nil): String = {
     def qmap(fmt: Double => String) =
       results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // stays "{}" when clean — driver reads the key unconditionally
@@ -68,8 +69,15 @@ object Bench {
     def f1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
       .replaceAll("0+$", "").replaceAll("\\.$", "")
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    def line(qs: String, e: String) =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"errors":$e,"sf":"$sfShort"}"""
+    // ADVICE r8: min-of-two damping is a methodology change — the line
+    // itself names the entries it re-timed (extra top-level key; the
+    // driver's json.load ignores keys it doesn't read), so a
+    // cross-round delta on a flagged query is attributable to the
+    // damping rather than to code. Dropped under budget pressure
+    // before any per-query detail is.
+    val dam = if (damped.isEmpty) "" else ",\"damped\":\"" + damped.mkString(" ") + "\""
+    def line(qs: String, e: String, d: String = "") =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"errors":$e$d,"sf":"$sfShort"}"""
     // degradation ladder, most → least informative. fMix keeps one
     // decimal where it matters (multi-second queries, the ranking
     // tail) and whole seconds below ~1 s (~2 bytes × the many fast
@@ -86,8 +94,9 @@ object Bench {
         .mkString("{", ",", "}")
     }
     val candidates = Iterator(
-      line(qmap(f1), errs),
-      line(qmap(fMix), errs),
+      line(qmap(f1), errs, dam),
+      line(qmap(fMix), errs, dam),
+      line(tailOnly, errs, dam),
       line(tailOnly, errs),
       line(tailOnly, namesOnly),
       // absolute floor (reachable only if the ranking tail itself is
@@ -171,16 +180,24 @@ object Bench {
       if (!rerun(name)) name -> dt
       else {
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => () }
+        // ADVICE r8: a rerun that fails fast must NOT record its
+        // time-to-failure as the min — only a successful count() may
+        // replace the first (successful) timing
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH rerun of $name failed: " +
+              sanitize(Option(e.getMessage).getOrElse(e.getClass.getName)))
+            false
+        }
         val dt2 = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
-        name -> math.min(dt, dt2)
+        name -> (if (ok) math.min(dt, dt2) else dt)
       }
     }
-    println(renderLine(damped, errors, sfDir))
+    println(renderLine(damped, errors, sfDir, damped = rerun.toSeq.sorted))
     if (errors.nonEmpty)
       System.err.println(s"BENCH ERRORS (${errors.size}): ${errors.keys.mkString(", ")}")
     spark.stop()

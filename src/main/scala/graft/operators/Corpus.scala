@@ -65,8 +65,7 @@ object Corpus {
       .as[(Long, Long, String)]
       .map { case (id, shard, text) =>
         // same tokenization as tokenCountBpe (≡ ToksSql cross-engine)
-        val ws = text.toLowerCase(java.util.Locale.ROOT)
-          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        val ws = TextAnalysis.tokenize(text)
         (id, shard, ws.length.toLong,
           ws.map(w => TextAnalysis.bpeTokens(w).toLong).sum,
           (text.getBytes("UTF-8").length + 3L) / 4L)
@@ -254,8 +253,7 @@ object Corpus {
     val perDoc = Tables.documents(spark, dir).select(col("lang"), col("text"))
       .as[(String, String)]
       .map { case (lang, text) =>
-        val ws = text.toLowerCase(java.util.Locale.ROOT)
-          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        val ws = TextAnalysis.tokenize(text)
         (lang, ws.length.toLong, ws.map(w => TextAnalysis.bpeTokens(w).toLong).sum)
       }
       .toDF("lang", "n_toks", "n_bpe")

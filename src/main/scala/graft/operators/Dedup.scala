@@ -67,8 +67,7 @@ object Dedup {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { r =>
         val id = r._1
-        val toks = r._2.toLowerCase(java.util.Locale.ROOT)
-          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        val toks = TextAnalysis.tokenize(r._2)
         if (toks.length < k) Iterator.empty[(Long, String)]
         else toks.sliding(k).map(w => (id, w.mkString(" "))).toSet.iterator
       }

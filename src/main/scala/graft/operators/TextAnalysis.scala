@@ -20,9 +20,30 @@ object TextAnalysis {
   private[operators] val Stopwords =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with", "as", "at", "by", "from")
 
+  /** THE Scala-side tokenizer: lowercase (Locale.ROOT), split on
+    * non-[a-z0-9] runs, drop empties — ONE definition for every typed
+    * call site (ADVICE r8: this loop was inlined six times across
+    * TextAnalysis/Corpus/Dedup, and call-site drift would silently
+    * disagree on n_tokens). Locale.ROOT keeps executors with
+    * heterogeneous default locales bit-identical (the docSpansOf
+    * Turkish-İ lesson). */
+  private[graft] def tokenize(text: String): Array[String] =
+    text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
+
   /** Reference tokenization as a Column expression — shared by the
     * quality/language operators AND corpus_clean's fused scan, so all
-    * consumers stay in lockstep with the oracle regex. */
+    * consumers stay in lockstep with the oracle regex.
+    *
+    * Edge-case note vs [[tokenize]] (documented per ADVICE r8): this
+    * form strips non-alnum BEFORE lowercasing, the typed form
+    * lowercases first — the two differ only on codepoints whose
+    * LOWERCASE is ASCII alnum while the original is not (U+212A
+    * KELVIN SIGN → k, U+0130 İ → i): there `tokenize` keeps the
+    * lowered char inside a token, `toksOf` treats the original as a
+    * separator. No such codepoint appears in any fixture (the
+    * oracles' regexes replay each operator's own rule, so both gates
+    * stay hash-exact); a unicode-heavy corpus should pick one rule
+    * and use its matching oracle regex. */
   private[operators] def toksOf(text: Column): Column =
     filter(split(lower(regexp_replace(text, "[^a-zA-Z0-9]+", " ")), " "),
       t => length(t) > 0)
@@ -130,8 +151,7 @@ object TextAnalysis {
     Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val ws = text.toLowerCase(java.util.Locale.ROOT)
-          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        val ws = tokenize(text)
         (id, ws.length.toLong, ws.map(w => bpeTokens(w).toLong).sum)
       }
       .toDF("doc_id", "n_words", "n_bpe_tokens")
@@ -229,7 +249,7 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
+        val toks = tokenize(text)
         if (toks.isEmpty) Iterator.empty
         else {
           val nChunks = math.max(1, (toks.length - ChunkLen + ChunkStride - 1) / ChunkStride + 1)

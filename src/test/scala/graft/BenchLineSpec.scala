@@ -69,15 +69,36 @@ class BenchLineSpec extends AnyFunSuite {
     // shape) must fit the tail window, keeping one decimal on the tail
     // (at 117 names the full map's name mass alone crowds the window,
     // so this lands on the tail-only rung — the ranking detail must
-    // survive the cut)
+    // survive the cut). The damped flag rides along exactly as main
+    // emits it: the 12 slowest names.
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
     val results = names.zipWithIndex.map { case (n, i) =>
       n -> (if (i % 4 == 0) 2.37 else 0.43)
     }
-    val out = Bench.renderLine(results, Map.empty[String, String], "/root/testdata/sf0.1")
+    val dampedNames = results.sortBy(-_._2).take(12).map(_._1).sorted
+    val out = Bench.renderLine(results, Map.empty[String, String],
+      "/root/testdata/sf0.1", damped = dampedNames)
     assert(out.length <= 1896,
       s"line ${out.length} chars at ${names.size} queries — over the 1900 budget")
     assert(out.contains(":2.4"), "multi-second queries must keep a decimal")
+    assert(out.contains(""""damped":""""),
+      "re-timed entries must be flagged for cross-round attribution")
+  }
+
+  test("under budget pressure the damped flag yields before ranking detail does") {
+    val results = (1 to 60).map(i => f"q_long_name_$i%03d" -> 0.2) :+ ("q_slow" -> 7.33)
+    val damped = (1 to 11).map(i => f"q_long_name_$i%03d") :+ "q_slow"
+    // a budget the rank-capped rung fits WITHOUT the ~230-char flag
+    // but not with it: the ladder must drop the flag, keep the ranks
+    val out = Bench.renderLine(results, Map.empty[String, String], "/sf0.1",
+      budget = 1150, damped = damped)
+    assert(out.length <= 1150)
+    assert(out.contains(""""q_slow":7.3"""), "ranking detail must survive")
+    assert(!out.contains(""""damped":"""), "flag must yield before detail")
+    // with headroom the same line keeps the flag
+    val roomy = Bench.renderLine(results, Map.empty[String, String], "/sf0.1",
+      budget = 1900, damped = damped)
+    assert(roomy.contains(""""damped":""""))
   }
 
   test("renderLine survives a load-inflated run with tail detail intact") {
