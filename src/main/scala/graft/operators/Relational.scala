@@ -708,6 +708,59 @@ object Relational {
         // digits + trailing junk fails the parse in BOTH engines
         expr("try_cast(concat(CAST(l_linenumber AS STRING), 'x') AS BIGINT)").as("junk_num"))
 
+  /** ANSI-safe AGGREGATION beside [[scalarTry]]'s scalars: `try_sum`
+    * keeps a group's aggregate NULL-tolerant the way `try_divide`
+    * keeps a row's expression — malformed cells become NULLs, NULLs
+    * fall out of the sum, the job survives. The summed column rides
+    * an integral try_cast, so the accumulation is exact BIGINT in
+    * both engines (the order-sensitive-double trap aggStats
+    * documents); the mean is derived as ONE double division on
+    * identical operands rather than avg()'s engine-specific
+    * accumulator. */
+  def scalarTryAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        // rows whose try_divide survived (every third line nulls out)
+        count(expr("try_divide(l_extendedprice, l_linenumber % 3)")).as("n_ok"),
+        expr("try_sum(try_cast(l_quantity AS TINYINT))").cast("long").as("sum_qty"))
+      .select(col("l_returnflag"), col("n"), col("n_ok"), col("sum_qty"),
+        (col("sum_qty") / col("n")).as("mean_qty"))
+
+  /** Deterministic MODE per group — most frequent event_type per
+    * user, ties to the lexicographically smallest value (a mode
+    * without a stated tie rule is nondeterministic under
+    * partitioning, which is why Spark's own `mode` aggregate is
+    * unsuitable for a gated row). One partial+final count shuffle,
+    * then a WindowGroupLimit rank cut: the per-user event history
+    * never concentrates in one task. */
+  def aggMode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("c").desc, col("event_type").asc)
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("mode_event"), col("c").as("n"))
+  }
+
+  /** Relative-position window functions: percent_rank + cume_dist
+    * over a unique total order (price, then key — an explicit
+    * tiebreak, or both functions are partition-order-dependent).
+    * Each emits one double from identical integral operands
+    * ((rank-1)/(n-1), rows≤cur/n), so the gate is hash-exact. */
+  def windowPercent(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+  }
+
   /** Moment statistics with exact decimal accumulation: plain
     * stddev/var aggregates accumulate doubles in partition order and
     * are not reproducible across engines; sum and sum-of-squares in
@@ -1432,6 +1485,9 @@ object Relational {
     "scalar_date"      -> scalarDate,
     "scalar_math"      -> scalarMath,
     "scalar_try"       -> scalarTry,
+    "scalar_try_agg"   -> scalarTryAgg,
+    "agg_mode"         -> aggMode,
+    "window_percent"   -> windowPercent,
     "join_nullsafe"    -> joinNullSafe,
     "union_drift"      -> unionDrift,
     "agg_argmax"       -> aggArgmax,
@@ -1951,6 +2007,29 @@ object Relational {
         |  TRY_CAST(l_quantity AS TINYINT) AS qty_i8,
         |  TRY_CAST(CAST(l_linenumber AS VARCHAR) || 'x' AS BIGINT) AS junk_num
         |FROM lineitem""".stripMargin,
+    // NULLs from the planted failures fall out of count/sum in both
+    // engines; the sum is exact BIGINT, the mean one double division
+    "scalar_try_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  count(CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE 1 END) AS n_ok,
+        |  CAST(sum(TRY_CAST(l_quantity AS TINYINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(TRY_CAST(l_quantity AS TINYINT)) AS BIGINT) / CAST(count(*) AS DOUBLE) AS mean_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // mode with an explicit tie rule: max count, then smallest value
+    "agg_mode" ->
+      """SELECT user_id, event_type AS mode_event, c AS n FROM (
+        |  SELECT user_id, event_type, count(*) AS c,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY count(*) DESC, event_type ASC) AS rk
+        |  FROM events GROUP BY user_id, event_type) t
+        |WHERE rk = 1""".stripMargin,
+    "window_percent" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
     "json_events" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

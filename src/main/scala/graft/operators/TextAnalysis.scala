@@ -404,7 +404,8 @@ object TextAnalysis {
     "doc_chunks"      -> docChunks,
     "doc_sample"      -> docSampleStratified,
     "freq_topk"       -> freqTopk,
-    "doc_rarity"      -> docRarity)
+    "doc_rarity"      -> docRarity,
+    "tokens_pos"      -> tokensPos)
 
   private[operators] val ToksSql =
     "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')"
@@ -425,7 +426,24 @@ object TextAnalysis {
     s"CASE tok $arms ELSE length(tok) END"
   }
 
+  /** (doc_id, pos, tok) — every token with its 0-based ordinal, the
+    * LATERAL/UNNEST-style reshape a token-level pipeline starts from
+    * (position-aware n-gramming, span labeling, windowed attention
+    * masks). `posexplode` is the generator form: one narrow pass,
+    * output partitioned exactly like the scan, no shuffle at any
+    * scale. The oracle zips DuckDB's aligned unnests. */
+  def tokensPos(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toksOf(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+
   val oracles: Map[String, String] = Map(
+    "tokens_pos" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents)
+         |SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS pos,
+         |  unnest(toks) AS tok
+         |FROM t""".stripMargin,
     "token_count_bpe" ->
       s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
          |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,

@@ -236,6 +236,36 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(inter.length + diff.length === 7)
   }
 
+  test("argmax composite key resolves planted price ties deterministically") {
+    import org.apache.spark.sql.functions.{col, max_by, min_by, struct}
+    // three rows tie on the price 10.0 — the struct's (orderkey,
+    // linenumber) tail must decide both extremes, regardless of
+    // partitioning (bare max_by(key=price) would be free to return
+    // any of the tied orderkeys)
+    val rows = Seq(
+      ("A", 7L, 1, 10.0), ("A", 3L, 2, 10.0), ("A", 3L, 1, 10.0),
+      ("A", 5L, 1, 4.0)).toDF("g", "ok", "ln", "price")
+    Seq(1, 7).foreach { parts =>
+      val r = rows.repartition(parts)
+        .groupBy("g")
+        .agg(
+          max_by(col("ok"), struct(col("price"), col("ok"), col("ln"))).as("argmax"),
+          min_by(col("ok"), struct(col("price"), col("ok"), col("ln"))).as("argmin"))
+        .collect()(0)
+      // max: price 10.0 tie → highest ok (7); min: price 4.0 unique
+      assert(r.getLong(1) === 7L, s"argmax tie-break broken at $parts partitions")
+      assert(r.getLong(2) === 5L, s"argmin wrong at $parts partitions")
+    }
+    // all-tied group: the id tail alone decides (max ok=3,ln=2 → 3)
+    val tied = Seq(("B", 2L, 1, 1.0), ("B", 9L, 1, 1.0), ("B", 4L, 2, 1.0))
+      .toDF("g", "ok", "ln", "price")
+      .groupBy("g")
+      .agg(max_by(col("ok"), struct(col("price"), col("ok"), col("ln"))).as("argmax"),
+        min_by(col("ok"), struct(col("price"), col("ok"), col("ln"))).as("argmin"))
+      .collect()(0)
+    assert(tied.getLong(1) === 9L && tied.getLong(2) === 2L)
+  }
+
   test("nearest-neighbor resize at identical dimensions is the identity") {
     val seed = Array.tabulate(16)(i => (i * 41 + 5).toByte)
     val png = Multimodal.encodePng(seed)
