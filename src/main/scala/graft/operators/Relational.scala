@@ -728,6 +728,42 @@ object Relational {
       .select(col("l_returnflag"), col("n"), col("n_ok"), col("sum_qty"),
         (col("sum_qty") / col("n")).as("mean_qty"))
 
+  /** Bivariate statistics — corr / covar_samp / regr_slope — via
+    * exact decimal moment sums, the [[aggStats]] discipline extended
+    * to cross-moments: Spark's native `corr` (and DuckDB's)
+    * accumulates doubles in partition order and is not reproducible
+    * across engines; Σx, Σy, Σx², Σy², Σxy in DECIMAL are, and the
+    * closing formulas are the same handful of IEEE ops on identical
+    * operands in both engines. One partial+final aggregation. */
+  def aggCorr(spark: SparkSession, dir: String): DataFrame = {
+    // DECIMAL(12,4): wide enough for both columns (qty ≤ 51, price
+    // < 1e8), narrow enough that the cross-product stays inside
+    // DuckDB's 38-digit multiply (18,4 squared overflowed its int64
+    // physical type there)
+    val x = col("l_quantity").cast(DecimalType(12, 4))
+    val y = col("l_extendedprice").cast(DecimalType(12, 4))
+    val n = count(lit(1))
+    // each moment sum is FLOORED to a whole number before the double
+    // cast: a 23-significant-digit decimal rounds to double
+    // differently across engines (measured: ULP diffs in syy), while
+    // an integer < 2^53 casts losslessly in both. floor, not a
+    // decimal→decimal cast — Spark's cast rounds half-up where
+    // DuckDB's truncates (measured: 2.7 → 3 vs 2); floor is
+    // identical on the all-positive moments
+    def mom(c: Column): Column = floor(c).cast("double")
+    val sx = mom(sum(x)); val sy = mom(sum(y))
+    val sxx = mom(sum(x * x)); val syy = mom(sum(y * y))
+    val sxy = mom(sum(x * y))
+    val covN = n * sxy - sx * sy // n²·covar — shared numerator
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        n.as("n"),
+        (covN / (n * (n - lit(1)))).as("covar"),
+        (covN / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr"),
+        (covN / (n * sxx - sx * sx)).as("slope"))
+  }
+
   /** Deterministic MODE per group — most frequent event_type per
     * user, ties to the lexicographically smallest value (a mode
     * without a stated tie rule is nondeterministic under
@@ -1487,6 +1523,7 @@ object Relational {
     "scalar_try"       -> scalarTry,
     "scalar_try_agg"   -> scalarTryAgg,
     "agg_mode"         -> aggMode,
+    "agg_corr"         -> aggCorr,
     "window_percent"   -> windowPercent,
     "join_nullsafe"    -> joinNullSafe,
     "union_drift"      -> unionDrift,
@@ -2015,6 +2052,22 @@ object Relational {
         |  CAST(sum(TRY_CAST(l_quantity AS TINYINT)) AS BIGINT) AS sum_qty,
         |  CAST(sum(TRY_CAST(l_quantity AS TINYINT)) AS BIGINT) / CAST(count(*) AS DOUBLE) AS mean_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // identical moment sums (exact DECIMAL), identical closing IEEE
+    // ops — corr/covar/slope replay bit-exactly, unlike native corr()
+    "agg_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(floor(sum(CAST(l_quantity AS DECIMAL(12,4)))) AS DOUBLE) AS sx,
+        |    CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,4)))) AS DOUBLE) AS sy,
+        |    CAST(floor(sum(CAST(l_quantity AS DECIMAL(24,4)) * CAST(l_quantity AS DECIMAL(12,4)))) AS DOUBLE) AS sxx,
+        |    CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(12,4)))) AS DOUBLE) AS syy,
+        |    CAST(floor(sum(CAST(l_quantity AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(12,4)))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) / (n * (n - 1)) AS covar,
+        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        |FROM m""".stripMargin,
     // mode with an explicit tie rule: max count, then smallest value
     "agg_mode" ->
       """SELECT user_id, event_type AS mode_event, c AS n FROM (
