@@ -53,6 +53,33 @@ object AsOfJoin {
   def purchasesWithLastClickStrict(spark: SparkSession, dir: String): DataFrame =
     purchasesWithLastClick(spark, dir).filter(col("click_id").isNotNull)
 
+  /** FORWARD as-of — the mirror direction: attach the NEXT right row
+    * at or after each left row (lead-time joins: next maintenance
+    * event, next price revision, time-to-conversion). Same one-
+    * exchange union+window shape, traversed in DESCENDING time, with
+    * clicks still sorting first at equal timestamps so the `c.ts >=
+    * p.ts` match stays inclusive — the direction DuckDB's native
+    * ASOF JOIN expresses with `>=`, which is exactly the oracle. */
+  def purchasesWithNextClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("click_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("click_id"), col("click_ts"))
+      .filter(col("click_id").isNotNull) // null-free gate, like asof_join
+  }
+
   /** Range join: same-user event pairs within 60 seconds — the
     * non-equi time-window join. Naively this is a per-user cross join
     * with an inequality filter; the scalable form buckets time into
@@ -84,8 +111,9 @@ object AsOfJoin {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "asof_join"  -> purchasesWithLastClickStrict,
-    "range_join" -> eventPairsWithin60s)
+    "asof_join"    -> purchasesWithLastClickStrict,
+    "asof_forward" -> purchasesWithNextClick,
+    "range_join"   -> eventPairsWithin60s)
 
   val oracles: Map[String, String] = Map(
     "asof_join" ->
@@ -94,6 +122,12 @@ object AsOfJoin {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+    "asof_forward" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |       c.event_id AS click_id, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts >= p.ts""".stripMargin,
     "range_join" ->
       """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
         |  (epoch_ns(b.ts) - epoch_ns(a.ts)) / 1e9 AS dt_sec
