@@ -103,6 +103,31 @@ object Dedup {
     * hash-exact. */
   private[operators] val MaxShingleDf = 1000L
 
+  /** The hot-capped (doc_id, sh) shingle-hash universe shared by the
+    * exact Jaccard join and the prefix-filtered similarity join.
+    * Joins ride the 8-byte shingle hash, not the string: same pair
+    * counts (64-bit collision odds are negligible) at a fraction of
+    * the shuffle bytes and comparison cost. Persisted because each
+    * consumer reads it 3–4 times (df guard, join sides, per-doc
+    * counts); Spark's cache manager dedups by plan equality so
+    * repeated calls share one entry (~8 bytes+id per shingle). Batch
+    * drivers can spark.catalog.clearCache() between workloads.
+    * Hot-shingle guard: the >cap list is tiny (it cannot exceed
+    * total_shingles/cap entries), so the anti-join broadcasts. The
+    * capped universe is persisted too — without its own cache each
+    * consumer would re-run the full-shuffle df aggregation +
+    * anti-join from shAll's cache. */
+  private[operators] def cappedShingleUniverse(
+      spark: SparkSession, dir: String): DataFrame = {
+    val shAll = docShingles(spark, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .persistScoped()
+    val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("sh")
+    shAll.join(hot, Seq("sh"), "left_anti")
+      .persistScoped()
+  }
+
   /** Exact pairwise n-gram Jaccard ≥ 0.8 via shingle self-join.
     * Ground truth for the approximate variants. The shingle self-join
     * is the scan→shuffle pattern that explodes on hot shingles at
@@ -111,26 +136,7 @@ object Dedup {
     * the capped universe, so the Jaccard stays internally consistent)
     * bounds that blowup. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // join on the 8-byte shingle hash, not the string: same pair counts
-    // (64-bit collision odds are negligible) at a fraction of the
-    // shuffle bytes and comparison cost. Persisted because the plan
-    // consumes it four times (df guard, both join sides, per-doc
-    // counts); Spark's cache manager dedups by plan equality so
-    // repeated calls share one entry (~8 bytes+id per shingle). Batch
-    // drivers can spark.catalog.clearCache() between workloads.
-    val shAll = docShingles(spark, dir)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-      .persistScoped()
-    // hot-shingle guard: the >cap list is tiny (it cannot exceed
-    // total_shingles/cap entries), so the anti-join broadcasts. The
-    // capped universe is persisted too — it feeds three consumers
-    // (cnt + both self-join sides), and without its own cache each
-    // would re-run the full-shuffle df aggregation + anti-join from
-    // shAll's cache.
-    val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxShingleDf).select("sh")
-    val sh = shAll.join(hot, Seq("sh"), "left_anti")
-      .persistScoped()
+    val sh = cappedShingleUniverse(spark, dir)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -143,6 +149,70 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("inter") / (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
+  }
+
+  /** Prefix-filtered set-similarity join at Jaccard ≥ 4/5 — the
+    * classic sub-quadratic EXACT alternative to both the all-pairs
+    * shingle join and approximate banding (parallel set-similarity
+    * joins in MapReduce; cf. the reference's all-pairs text shuffle
+    * it replaces). Every token set is ordered by GLOBAL document
+    * frequency ascending (rarest first, hash tie-break) and only the
+    * first `n - ceil(τ·n) + 1` tokens of each set index candidates:
+    * the prefix lemma guarantees two sets with Jaccard ≥ τ (after the
+    * τ·max(na,nb) ≤ min(na,nb) length filter) share a prefix token,
+    * so candidate generation is LOSSLESS — this query returns
+    * bit-identically `dedup_ngram`'s output, which is exactly what
+    * the shared oracle checks. Scale shape: prefix tokens are by
+    * construction the globally RAREST, so per-token join fan-out is
+    * minimal where the plain self-join explodes on hot shingles; the
+    * candidate self-join shuffles (sh, doc_id, n) longs only, and
+    * exact verification touches only candidate docs. τ is kept as
+    * the rational 4/5 in LONG arithmetic (5·na ≥ 4·nb length filter,
+    * prefix length n - (4n+4) div 5 + 1): a double 0.8 multiply
+    * mis-rounds exact boundary sizes (0.8×5 > 4 in IEEE), which
+    * would silently drop true boundary pairs. */
+  def simjoinPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingleUniverse(spark, dir)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cand = simjoinPrefixCandidates(spark, dir)
+    // exact verify over candidate docs only: intersect the full sets
+    val inter = cand
+      .join(sh.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(sh.as("tb"),
+        col("doc_b") === col("tb.doc_id") && col("ta.sh") === col("tb.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** Candidate pairs the prefix filter generates — [[simjoinPrefix]]'s
+    * generation stage, exposed for the sub-quadratic assertion in
+    * PipelineOpsSpec (candidates ≪ n²/2). The two calls share the
+    * persisted universe via plan-equality cache dedup. */
+  private[graft] def simjoinPrefixCandidates(
+      spark: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingleUniverse(spark, dir)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // per-doc rarest-first order; the vocabulary join shuffles once on
+    // sh, then ordering + prefix slice are per-doc local work
+    val prefix = sh.join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ordered"),
+        count(lit(1)).as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("ordered"), lit(1),
+          (col("n") - expr("(n*4 + 4) div 5") + 1).cast("int"))).as("p"))
+      .select(col("doc_id"), col("n"), col("p.sh").as("sh"))
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   private val NumPerms = 64
@@ -759,6 +829,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"     -> dedupExact,
     "dedup_ngram"     -> dedupNgramJaccard,
+    "simjoin_prefix"  -> simjoinPrefix,
     "dedup_minhash"   -> dedupMinhash,
     "dedup_incr"      -> dedupIncremental,
     "dedup_simhash"   -> dedupSimhashMd5,
@@ -876,6 +947,8 @@ object Dedup {
       """SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_ngram" -> ExactJaccardSql,
+    // the prefix filter is lossless: its oracle IS the exact join's
+    "simjoin_prefix" -> ExactJaccardSql,
     // minhash banding at (16,4) has ~1e-18 miss probability at the
     // corpus's j≈0.98 near-dup pairs, and exact verification removes
     // false positives ⇒ identical result to the exact ngram query.

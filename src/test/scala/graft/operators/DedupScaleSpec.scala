@@ -124,6 +124,26 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(verified === truePairs)
   }
 
+  test("prefix-filtered set-similarity join is lossless and sub-quadratic on the fixture") {
+    val dir = "/root/testdata/sf0.001"
+    // lossless: bit-identical output to the exact all-pairs join —
+    // the prefix lemma at τ=4/5 plus the integer length filter
+    val exact = Dedup.dedupNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pf = Dedup.simjoinPrefix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty && pf === exact)
+    // sub-quadratic: rarest-first prefixes index far fewer candidate
+    // pairs than the n²/2 a naive all-pairs pass would score
+    val nDocs = graft.sources.Tables.documents(spark, dir).count()
+    val cands = Dedup.simjoinPrefixCandidates(spark, dir).count()
+    val allPairs = nDocs * (nDocs - 1) / 2
+    assert(cands <= allPairs / 50,
+      s"prefix candidates $cands not ≪ n²/2 = $allPairs")
+    info(s"prefix candidates $cands of $allPairs pairs (${cands * 100.0 / allPairs}%)")
+    graft.CacheScope.release()
+  }
+
   test("the fixture operating point (32×4) still finds every fixture pair after the refactor") {
     // the candidate generator was factored out of dedupEmbedding; its
     // equality against the all-pairs exact truth is re-asserted in
