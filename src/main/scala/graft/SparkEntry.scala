@@ -23,12 +23,14 @@ object SparkEntry {
   private[graft] val modules: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     Seq(TextOps.queries, MrOps.queries, Relational.queries, AsOfJoin.queries,
       Reshape.queries, Dedup.queries, Similarity.queries, TextAnalysis.queries,
-      Multimodal.queries, StreamOps.queries, Corpus.queries, Graph.queries)
+      Multimodal.queries, StreamOps.queries, Corpus.queries, Graph.queries,
+      DataQuality.queries)
 
   private[graft] val oracleModules: Seq[Map[String, String]] =
     Seq(TextOps.oracles, MrOps.oracles, Relational.oracles, AsOfJoin.oracles,
       Reshape.oracles, Dedup.oracles, Similarity.oracles, TextAnalysis.oracles,
-      Multimodal.oracles, StreamOps.oracles, Corpus.oracles, Graph.oracles)
+      Multimodal.oracles, StreamOps.oracles, Corpus.oracles, Graph.oracles,
+      DataQuality.oracles)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

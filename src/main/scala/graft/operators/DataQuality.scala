@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Data-quality audit — the validation pass a pipeline runs before
+  * promoting a snapshot (rule → violation count), covering the four
+  * rule shapes that matter at scale: intra-row predicates, referential
+  * integrity, key uniqueness, and domain/NaN checks.
+  *
+  * Scale shape: every intra-row rule family over one table is ONE
+  * conditional-aggregate scan (sum(CASE…) partials combine map-side,
+  * so the audit costs one pass per table regardless of rule count,
+  * then a Generate unpivots the 1-row aggregate into rule rows — no
+  * extra scan per rule). Referential checks anti-join KEYS only (the
+  * dim side broadcasts when small; at 100 TB the same plan degrades
+  * to a shuffled key join — never a row-payload shuffle). Uniqueness
+  * rides one key-only groupBy whose second-level aggregate also
+  * yields the checked total for free. The final union is a union of
+  * 1-row frames — no driver-side collection anywhere.
+  */
+object DataQuality {
+
+  private def viol(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+
+  /** One scan over `df`: each (rule, predicate) becomes a violation
+    * count column, then stack() unpivots to (rule, violations, checked)
+    * rows. */
+  private[operators] def intraRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val aggs = rules.map { case (n, c) => viol(c).as(n) } :+ count(lit(1)).as("_checked")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${rules.size}, ${rules.map(r => s"'${r._1}', ${r._1}").mkString(", ")}) AS (rule, violations)",
+        "_checked AS checked")
+  }
+
+  /** Orphaned foreign keys: rows of `fact` whose `fkCol` has no match
+    * in `dim.pkCol`. Key-only anti-join; checked = fact row count. */
+  private[operators] def fkRule(
+      name: String, fact: DataFrame, fkCol: String,
+      dim: DataFrame, pkCol: String): DataFrame = {
+    val orphans = fact.select(col(fkCol))
+      .join(dim.select(col(pkCol)), col(fkCol) === col(pkCol), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    val total = fact.agg(count(lit(1)).as("checked"))
+    orphans.crossJoin(total).select(lit(name).as("rule"), col("violations"), col("checked"))
+  }
+
+  /** Duplicate primary keys: every row of a key that appears more than
+    * once counts as a violation; Σcount over the key groups doubles as
+    * the checked total, so uniqueness costs one key-only aggregation. */
+  private[operators] def uniqueRule(name: String, df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("k"))
+      .agg(sum(when(col("k") > 1, col("k")).otherwise(0L)).as("violations"),
+        sum(col("k")).as("checked"))
+      .select(lit(name).as("rule"), col("violations"), col("checked"))
+
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val e = Tables.events(spark, dir)
+    val d = Tables.documents(spark, dir)
+    val parts = Seq(
+      intraRules(o, Seq(
+        "orders_date_bounds" ->
+          (col("o_orderdate") < to_timestamp(lit("1992-01-01")) ||
+            col("o_orderdate") > to_timestamp(lit("2005-12-31"))))),
+      intraRules(c, Seq(
+        "customer_acctbal_range" ->
+          !col("c_acctbal").between(-1000.0, 10000.0))),
+      intraRules(l, Seq(
+        "lineitem_qty_positive" -> (col("l_quantity") <= 0.0),
+        "lineitem_discount_range" -> !col("l_discount").between(0.0, 1.0))),
+      intraRules(e, Seq(
+        "events_value_finite" -> (col("value").isNull || isnan(col("value"))))),
+      intraRules(d, Seq(
+        "documents_text_nonempty" ->
+          (col("text").isNull || length(col("text")) === 0))),
+      fkRule("orders_custkey_fk", o, "o_custkey", c, "c_custkey"),
+      fkRule("lineitem_orderkey_fk", l, "l_orderkey", o, "o_orderkey"),
+      uniqueRule("orders_orderkey_unique", o, "o_orderkey"))
+    parts.reduce(_ unionAll _)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_checks" -> dqChecks)
+
+  val oracles: Map[String, String] = Map(
+    "dq_checks" ->
+      """SELECT 'orders_date_bounds' AS rule,
+        |  CAST(count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01'
+        |        OR o_orderdate > TIMESTAMP '2005-12-31') AS BIGINT) AS violations,
+        |  CAST(count(*) AS BIGINT) AS checked FROM orders
+        |UNION ALL
+        |SELECT 'customer_acctbal_range',
+        |  CAST(count(*) FILTER (WHERE c_acctbal NOT BETWEEN -1000.0 AND 10000.0) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM customer
+        |UNION ALL
+        |SELECT 'lineitem_qty_positive',
+        |  CAST(count(*) FILTER (WHERE l_quantity <= 0.0) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_discount_range',
+        |  CAST(count(*) FILTER (WHERE l_discount NOT BETWEEN 0.0 AND 1.0) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'events_value_finite',
+        |  CAST(count(*) FILTER (WHERE value IS NULL OR isnan(value)) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM events
+        |UNION ALL
+        |SELECT 'documents_text_nonempty',
+        |  CAST(count(*) FILTER (WHERE text IS NULL OR length(text) = 0) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'orders_custkey_fk',
+        |  CAST(count(*) FILTER (WHERE NOT EXISTS
+        |        (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_orderkey_fk',
+        |  CAST(count(*) FILTER (WHERE NOT EXISTS
+        |        (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_orderkey_unique',
+        |  CAST(coalesce(sum(k) FILTER (WHERE k > 1), 0) AS BIGINT),
+        |  CAST(sum(k) AS BIGINT)
+        |FROM (SELECT count(*) AS k FROM orders GROUP BY o_orderkey)""".stripMargin)
+}
