@@ -523,6 +523,27 @@ object Relational {
           .cast("double").as("running_spend"))
   }
 
+  /** Time-RANGE window frame — the interval-bounded sliding aggregate
+    * (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) the
+    * ROWS-frame queries can't express: each event's trailing-hour
+    * activity per user, frame edges defined by TIME distance, not row
+    * count. RANGE frames are deterministic under tied timestamps by
+    * construction (all peers share one frame), so no tiebreak column
+    * is needed. One exchange on user_id + one in-partition sort; the
+    * frame evaluation is a per-partition two-pointer pass, so a bot
+    * user with 10⁹ events streams through the sort spill path rather
+    * than materializing. Decimal sum: exact and order-insensitive,
+    * identical across engines (values are 2-decimal currency). */
+  def windowRange(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("CAST(sum(CAST(value AS DECIMAL(30,4))) OVER " +
+          "(PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) " +
+          "AS DOUBLE)").as("trail_sum"),
+        expr("count(*) OVER " +
+          "(PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)")
+          .as("trail_n"))
+
   /** Explicit window FRAMES — the frame-spec surface the other window
     * rows don't exercise: first/last value over one-sided unbounded
     * frames and a 3-row moving sum (ROWS BETWEEN 2 PRECEDING AND
@@ -1525,6 +1546,7 @@ object Relational {
     "agg_mode"         -> aggMode,
     "agg_corr"         -> aggCorr,
     "window_percent"   -> windowPercent,
+    "window_range"     -> windowRange,
     "join_nullsafe"    -> joinNullSafe,
     "union_drift"      -> unionDrift,
     "agg_argmax"       -> aggArgmax,
@@ -2083,6 +2105,13 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
+    "window_range" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(sum(CAST(value AS DECIMAL(30,4))) OVER w AS DOUBLE) AS trail_sum,
+        |  CAST(count(*) OVER w AS BIGINT) AS trail_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin,
     "json_events" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
