@@ -295,6 +295,43 @@ object TextAnalysis {
       .limit(100)
   }
 
+  /** Token co-occurrence lift over the top-40 document-frequency
+    * vocabulary — the word-association statistic (lift = the monotone
+    * exp(PMI) without the log): how much more often two tokens share a
+    * document than independence predicts. The score is kept EXACT:
+    * `lift_q = (2²⁰·n_docs·co_df) div (df_a·df_b)` in pure BIGINT
+    * arithmetic — a lattice quantization of n·c_xy/(c_x·c_y) that
+    * both engines compute bit-identically, where a float ln()-based
+    * PMI would drift by ULPs across engines. Scale shape: the vocab
+    * is a TakeOrdered top-k (deterministic df-desc/token-asc order)
+    * that BROADCASTS; per-doc pair expansion is bounded by V²/2 pairs
+    * (V=40 → ≤780/doc). Two key-only shuffles: (doc_id, tok) longs to
+    * co-locate each doc's vocab tokens, then (tok_a, tok_b) partial
+    * counts that combine map-side — documents never move.
+    * Document-frequency semantics: tokens count once per doc
+    * (array_distinct before the explode). */
+  def cooccurLift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(
+      split(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", " ")), " "),
+      t => length(t) > 0)
+    val docTok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+    val vocab = docTok.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc).limit(40)
+    val vt = docTok.join(broadcast(vocab), "tok")
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    vt.as("a")
+      .join(vt.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"),
+        col("a.df").as("df_a"), col("b.df").as("df_b"))
+      .agg(count(lit(1)).as("co_df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("co_df"),
+        expr("(cast(1048576 as bigint) * n_docs * co_df) div (df_a * df_b)")
+          .as("lift_q"))
+  }
+
   private[operators] val MgExactCap = 64
   private[operators] val MgSmallCap = 4
   private[operators] val MgTopK = 3
@@ -405,7 +442,8 @@ object TextAnalysis {
     "doc_sample"      -> docSampleStratified,
     "freq_topk"       -> freqTopk,
     "doc_rarity"      -> docRarity,
-    "tokens_pos"      -> tokensPos)
+    "tokens_pos"      -> tokensPos,
+    "cooccur_lift"    -> cooccurLift)
 
   private[operators] val ToksSql =
     "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')"
@@ -553,6 +591,20 @@ object TextAnalysis {
          |GROUP BY tok
          |ORDER BY tf DESC, tok ASC
          |LIMIT 100""".stripMargin,
+    "cooccur_lift" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, tok
+         |  FROM (SELECT doc_id, unnest($ToksSql) AS tok FROM documents) x),
+         |v AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok
+         |      ORDER BY df DESC, tok ASC LIMIT 40),
+         |vt AS (SELECT dt.doc_id, dt.tok, v.df FROM dt JOIN v USING (tok)),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS df_a,
+         |             b.df AS df_b, count(*) AS co_df
+         |      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT tok_a, tok_b, CAST(co_df AS BIGINT) AS co_df,
+         |  CAST((1048576 * n_docs * co_df) // (df_a * df_b) AS BIGINT) AS lift_q
+         |FROM p, n""".stripMargin,
     // chunk i covers token positions [i*48, i*48+64); greatest(..,0)
     // guards DuckDB's floored // for docs under len-stride tokens
     "doc_chunks" ->
