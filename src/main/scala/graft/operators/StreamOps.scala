@@ -131,6 +131,61 @@ object StreamOps {
       .select("event_id", "user_id", "event_type", "ts", "value")
   }
 
+  /** Stream-STREAM interval join through the real streaming engine —
+    * the two-moving-sides operator the other streaming gates don't
+    * exercise (`stream_enrich` is stream-static, `stream_attribution`
+    * runs the interval-join SHAPE on batch): clicks and views arrive
+    * as two watermarked file-source streams, join in Spark's
+    * symmetric stateful hash join under the v_ts ∈ (c_ts − 10 min,
+    * c_ts] band, and land through the exactly-once parquet sink under
+    * a checkpoint; the registered result is the sink re-read, so the
+    * oracle (the batch interval join — stream ≡ batch for an inner
+    * join drained to completion) gates the whole streaming path:
+    * join state, watermark plumbing, commit log. Scale shape: state
+    * retention is bounded by watermark + band (each side keeps ≤ 1 h
+    * + 10 min of keyed rows); the join shuffles both streams on
+    * user_id once; event-time condition prunes state per micro-batch.
+    * Same one-JVM idempotence contract as `stream_sink`: the scratch
+    * checkpoint persists, so repeated calls re-drain zero files and
+    * re-serve the committed result. */
+  def streamJoinAttrib(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val scratch = graft.sources.TempDirs.scratch("streamjoin", dir)
+    def src = spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("timestamp_micros(ts div 1000)").as("ts"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val views = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = clicks.join(views,
+      col("v_user") === col("c_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") > col("c_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        (expr("unix_micros(c_ts)") - expr("unix_micros(v_ts)")).as("gap_us"))
+    val q = joined.writeStream.format("parquet")
+      .option("path", s"$scratch/out")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    require(!q.isActive, "stream-stream join did not drain within 180 s")
+    spark.read
+      .schema("user_id BIGINT, click_id BIGINT, view_id BIGINT, gap_us BIGINT")
+      .parquet(s"$scratch/out")
+  }
+
   private val mergeRun = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Streaming MERGE (foreachBatch upsert) — the Delta-style CDC sink
@@ -226,6 +281,7 @@ object StreamOps {
     "stream_freq"             -> streamFreqTopk,
     "session_native"          -> sessionNative,
     "stream_sink"             -> streamSinkParquet,
+    "stream_join"             -> streamJoinAttrib,
     "stream_merge"            -> streamMerge)
 
   val oracles: Map[String, String] = Map(
@@ -320,6 +376,15 @@ object StreamOps {
     "stream_sink" ->
       """SELECT event_id, user_id, event_type, ts, value
         |FROM events WHERE user_id % 4 = 0""".stripMargin,
+    // a drained inner stream-stream join equals the batch interval
+    // join: the oracle IS stream_attribution's contract
+    "stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+        |  (epoch_ns(c.ts) - epoch_ns(v.ts)) // 1000 AS gap_us
+        |FROM events c JOIN events v
+        |  ON c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.user_id = c.user_id
+        | AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 10 MINUTE""".stripMargin,
     // the micro-batched merge must land on the single-shot snapshot:
     // the oracle IS cdc_apply's (same base, same change derivation)
     "stream_merge" -> Relational.oracles("cdc_apply"))
