@@ -45,7 +45,8 @@ object DataQuality {
       .join(dim.select(col(pkCol)), col(fkCol) === col(pkCol), "left_anti")
       .agg(count(lit(1)).as("violations"))
     val total = fact.agg(count(lit(1)).as("checked"))
-    orphans.crossJoin(total).select(lit(name).as("rule"), col("violations"), col("checked"))
+    ScalarJoin.attachScalar(orphans, col("violations"), total, col("checked"))
+      .select(lit(name).as("rule"), col("violations"), col("checked"))
   }
 
   /** Duplicate primary keys: every row of a key that appears more than

@@ -307,7 +307,9 @@ object TextAnalysis {
     * that BROADCASTS; per-doc pair expansion is bounded by V²/2 pairs
     * (V=40 → ≤780/doc). Two key-only shuffles: (doc_id, tok) longs to
     * co-locate each doc's vocab tokens, then (tok_a, tok_b) partial
-    * counts that combine map-side — documents never move.
+    * counts that combine map-side — documents never move. The 1-row
+    * corpus total attaches via [[ScalarJoin.attachScalar]] (broadcast
+    * HASH join on a non-foldable constant key, not a cross join).
     * Document-frequency semantics: tokens count once per doc
     * (array_distinct before the explode). */
   def cooccurLift(spark: SparkSession, dir: String): DataFrame = {
@@ -326,7 +328,8 @@ object TextAnalysis {
       .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"),
         col("a.df").as("df_a"), col("b.df").as("df_b"))
       .agg(count(lit(1)).as("co_df"))
-      .crossJoin(broadcast(nDocs))
+      .transform(pairs => ScalarJoin.attachScalar(
+        pairs, col("co_df"), nDocs, col("n_docs")))
       .select(col("tok_a"), col("tok_b"), col("co_df"),
         expr("(cast(1048576 as bigint) * n_docs * co_df) div (df_a * df_b)")
           .as("lift_q"))
