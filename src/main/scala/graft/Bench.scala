@@ -93,9 +93,14 @@ object Bench {
           "\"_rest_sec\":" + f1(rest.map(_._2).sum)))
         .mkString("{", ",", "}")
     }
+    // ADVICE r9: each damped rung is followed by its undamped twin,
+    // so budget pressure drops the damped flag BEFORE any per-query
+    // decimal precision (as the comment above promises)
     val candidates = Iterator(
       line(qmap(f1), errs, dam),
+      line(qmap(f1), errs),
       line(qmap(fMix), errs, dam),
+      line(qmap(fMix), errs),
       line(tailOnly, errs, dam),
       line(tailOnly, errs),
       line(tailOnly, namesOnly),
@@ -169,11 +174,14 @@ object Bench {
     // recorded 270 s, reproduced 96 s). Damping: re-time the slowest
     // ranks once and keep the per-query MIN — a load spike must now
     // hit the same query in BOTH passes to survive into the line.
-    // Bounded cost (top ranks only, one extra pass). `stream_sink` is
-    // excluded: its checkpoint makes a second run incremental by
-    // design (drains zero new files), so its min would report the
-    // warm path, not the operator.
-    val noRerun = Set("stream_sink")
+    // Bounded cost (top ranks only, one extra pass). Excluded: any
+    // query whose scratch/checkpoint persists across calls in one JVM
+    // — their second run is incremental by design (drains zero new
+    // files / re-reads the committed sink), so its min would report
+    // the warm path, not the operator (ADVICE r9: stream_join shares
+    // stream_sink's persistent-scratch contract; stream_merge does
+    // NOT — its scratch is run-scoped, a rerun is a full drain).
+    val noRerun = Set("stream_sink", "stream_join")
     val rerun = results.filter(r => !noRerun(r._1) && !errors.contains(r._1))
       .sortBy(-_._2).take(12).map(_._1).toSet
     val damped = results.map { case (name, dt) =>

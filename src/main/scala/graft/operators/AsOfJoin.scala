@@ -33,8 +33,14 @@ object AsOfJoin {
       .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id"))
+    // event_id as the final tiebreak (ADVICE r9): two clicks sharing
+    // (user_id, ts) would otherwise leave the pick order-dependent.
+    // Traversal is ts asc / event_id asc, and `last` takes the
+    // nearest preceding row — so the deterministic rule is: max ts,
+    // then MAX event_id among that ts's clicks (the oracle encodes
+    // the same rule explicitly).
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("side").asc)
+      .orderBy(col("ts").asc, col("side").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(purchases)
       .withColumn("click_id",
@@ -58,16 +64,21 @@ object AsOfJoin {
     * event, next price revision, time-to-conversion). Same one-
     * exchange union+window shape, traversed in DESCENDING time, with
     * clicks still sorting first at equal timestamps so the `c.ts >=
-    * p.ts` match stays inclusive — the direction DuckDB's native
-    * ASOF JOIN expresses with `>=`, which is exactly the oracle. */
+    * p.ts` match stays inclusive. The oracle is an explicit argmin
+    * over the qualifying pairs (NOT DuckDB's native ASOF JOIN, whose
+    * equal-ts pick is arbitrary — ADVICE r9). */
   def purchasesWithNextClick(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id"))
+    // same deterministic tie rule as the backward form (ADVICE r9):
+    // traversal is ts desc / event_id asc, `last` takes the nearest
+    // preceding row — min ts among clicks at/after the purchase, then
+    // MAX event_id among that ts's clicks.
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("side").asc)
+      .orderBy(col("ts").desc, col("side").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(purchases)
       .withColumn("click_id",
@@ -116,18 +127,30 @@ object AsOfJoin {
     "range_join"   -> eventPairsWithin60s)
 
   val oracles: Map[String, String] = Map(
+    // explicit argmin formulations rather than DuckDB's native ASOF
+    // JOIN (ADVICE r9): ASOF's pick among equal-ts candidates is
+    // arbitrary, so the oracle spells out the implementation's
+    // deterministic tie rule — nearest ts, then max event_id
     "asof_join" ->
-      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
-        |       c.event_id AS click_id, c.ts AS click_ts
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+      """SELECT purchase_id, user_id, purchase_ts, click_id, click_ts FROM (
+        |  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |         c.event_id AS click_id, c.ts AS click_ts,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts) t
+        |WHERE rn = 1""".stripMargin,
     "asof_forward" ->
-      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
-        |       c.event_id AS click_id, c.ts AS click_ts
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND c.ts >= p.ts""".stripMargin,
+      """SELECT purchase_id, user_id, purchase_ts, click_id, click_ts FROM (
+        |  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |         c.event_id AS click_id, c.ts AS click_ts,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY c.ts ASC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts >= p.ts) t
+        |WHERE rn = 1""".stripMargin,
     "range_join" ->
       """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
         |  (epoch_ns(b.ts) - epoch_ns(a.ts)) / 1e9 AS dt_sec

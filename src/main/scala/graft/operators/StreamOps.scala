@@ -319,11 +319,15 @@ object StreamOps {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
-    // interval join: integral epoch arithmetic only (epoch_ns // 1000);
-    // minute intervals are fixed-duration, so cross-engine safe
+    // interval join: integral epoch arithmetic only; each timestamp
+    // truncates to micros SEPARATELY (epoch_ns(x) // 1000), mirroring
+    // the implementation's unix_micros(c_ts) - unix_micros(v_ts) —
+    // a floored difference-of-nanos would disagree on sub-µs inputs
+    // (ADVICE r9). Minute intervals are fixed-duration, cross-engine
+    // safe
     "stream_attribution" ->
       """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
-        |  (epoch_ns(c.ts) - epoch_ns(v.ts)) // 1000 AS gap_us
+        |  epoch_ns(c.ts) // 1000 - epoch_ns(v.ts) // 1000 AS gap_us
         |FROM events c JOIN events v
         |  ON c.event_type = 'click' AND v.event_type = 'view'
         | AND v.user_id = c.user_id
@@ -380,7 +384,7 @@ object StreamOps {
     // join: the oracle IS stream_attribution's contract
     "stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
-        |  (epoch_ns(c.ts) - epoch_ns(v.ts)) // 1000 AS gap_us
+        |  epoch_ns(c.ts) // 1000 - epoch_ns(v.ts) // 1000 AS gap_us
         |FROM events c JOIN events v
         |  ON c.event_type = 'click' AND v.event_type = 'view'
         | AND v.user_id = c.user_id

@@ -66,4 +66,31 @@ class CacheScopeSpec extends AnyFunSuite {
     mine.unpersist(blocking = true)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("per-invocation scopes isolate composed operators (ADVICE r9)") {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    CacheScope.release(blocking = true)
+
+    // two operators with localCheckpoint ancestry, each in its own
+    // scope: releasing the FIRST must not break the SECOND's
+    // still-unconsumed result (the exact failure mode the global
+    // scope documents as unsafe)
+    val s1 = CacheScope.open()
+    val s2 = CacheScope.open()
+    val a = CacheScope.in(s1)(SparkEntry.queries("dedup_cluster")(spark, dir))
+    val b = CacheScope.in(s2)(SparkEntry.queries("cc_star")(spark, dir))
+    assert(s1.trackedCount > 0 && s2.trackedCount > 0)
+    assert(CacheScope.trackedCount === 0,
+      "scoped construction must not leak registrations into the global scope")
+    s1.release(blocking = true)
+    assert(s1.trackedCount === 0 && s2.trackedCount > 0)
+    // b's checkpoint blocks survived s1's release — consuming works
+    assert(b.count() > 0)
+    s2.release(blocking = true)
+    assert(s2.trackedCount === 0)
+    assert(a.schema.nonEmpty) // a itself was consumed during build (eager checkpoint)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "scoped releases left orphaned RDD blocks")
+  }
 }
