@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Data-quality audit — the validation pass a pipeline runs before
-  * promoting a snapshot (rule → violation count), covering the four
+  * promoting a snapshot (rule → violation count), covering the five
   * rule shapes that matter at scale: intra-row predicates, referential
-  * integrity, key uniqueness, and domain/NaN checks.
+  * integrity, key uniqueness, domain/NaN checks, and cross-table
+  * aggregate reconciliation ([[reconRule]]).
   *
   * Scale shape: every intra-row rule family over one table is ONE
   * conditional-aggregate scan (sum(CASE…) partials combine map-side,
@@ -49,6 +50,38 @@ object DataQuality {
       .select(lit(name).as("rule"), col("violations"), col("checked"))
   }
 
+  /** Cross-table aggregate reconciliation (r9 item): the class of
+    * check that catches PIPELINE corruption (a lost partition, a
+    * double-applied batch) rather than row-level noise — a header
+    * total must equal the aggregate of its detail rows within a
+    * tolerance. Per order: `o_totalprice` vs
+    * Σ l_extendedprice·(1−l_discount)·(1+l_tax). Arithmetic contract:
+    * the per-ROW term is one IEEE double product (bit-identical
+    * cross-engine), summed as DECIMAL(30,6) (order-insensitive —
+    * the q1/dsum pattern), compared against a DECIMAL tolerance, so
+    * the violation count is exact. Orders with no lineitems
+    * reconcile against 0 (COALESCE both sides). Scale shape: one
+    * key-only partial+final aggregate over the detail table + one
+    * key join to the header — no row payloads move. On the synthetic
+    * fixture the header was generated independently of the details,
+    * so every order violates — the rule correctly reports the corpus
+    * as unreconciled (violations = checked). */
+  private[operators] def reconRule(
+      name: String, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val tol = lit(new java.math.BigDecimal("0.01"))
+    val zero = lit(0).cast("decimal(30,6)")
+    val recon = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * (lit(1.0) + col("l_tax"))).cast("decimal(30,6)")).as("recon"))
+    orders.select(col("o_orderkey"), col("o_totalprice"))
+      .join(recon, col("o_orderkey") === col("l_orderkey"), "left")
+      .agg(
+        viol(abs(col("o_totalprice").cast("decimal(30,6)")
+          - coalesce(col("recon"), zero)) > tol).as("violations"),
+        count(lit(1)).as("checked"))
+      .select(lit(name).as("rule"), col("violations"), col("checked"))
+  }
+
   /** Duplicate primary keys: every row of a key that appears more than
     * once counts as a violation; Σcount over the key groups doubles as
     * the checked total, so uniqueness costs one key-only aggregation. */
@@ -82,7 +115,8 @@ object DataQuality {
           (col("text").isNull || length(col("text")) === 0))),
       fkRule("orders_custkey_fk", o, "o_custkey", c, "c_custkey"),
       fkRule("lineitem_orderkey_fk", l, "l_orderkey", o, "o_orderkey"),
-      uniqueRule("orders_orderkey_unique", o, "o_orderkey"))
+      uniqueRule("orders_orderkey_unique", o, "o_orderkey"),
+      reconRule("orders_totalprice_recon", o, l))
     parts.reduce(_ unionAll _)
   }
 
@@ -129,5 +163,15 @@ object DataQuality {
         |SELECT 'orders_orderkey_unique',
         |  CAST(coalesce(sum(k) FILTER (WHERE k > 1), 0) AS BIGINT),
         |  CAST(sum(k) AS BIGINT)
-        |FROM (SELECT count(*) AS k FROM orders GROUP BY o_orderkey)""".stripMargin)
+        |FROM (SELECT count(*) AS k FROM orders GROUP BY o_orderkey)
+        |UNION ALL
+        |SELECT 'orders_totalprice_recon',
+        |  CAST(count(*) FILTER (WHERE
+        |    abs(CAST(o_totalprice AS DECIMAL(30,6))
+        |        - COALESCE(r.s, CAST(0 AS DECIMAL(30,6)))) > 0.01) AS BIGINT),
+        |  CAST(count(*) AS BIGINT)
+        |FROM orders o LEFT JOIN (
+        |  SELECT l_orderkey,
+        |    sum(CAST(l_extendedprice * (1-l_discount) * (1+l_tax) AS DECIMAL(30,6))) AS s
+        |  FROM lineitem GROUP BY 1) r ON r.l_orderkey = o.o_orderkey""".stripMargin)
 }

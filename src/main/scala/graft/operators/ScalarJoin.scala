@@ -31,7 +31,15 @@ object ScalarJoin {
     * respective frames, used only to build the non-foldable key. */
   def attachScalar(rows: DataFrame, rowNum: Column,
                    scalar: DataFrame, scalarNum: Column): DataFrame =
+    broadcastCross(rows, rowNum, scalar, scalarNum)
+
+  /** Cross product of `rows` with a BY-CONSTRUCTION-TINY relation
+    * (a centroid table, a parameter grid), planned as a broadcast
+    * HASH join on the same non-foldable constant key rather than a
+    * BNLJ. Fan-out = small.count per row — callers own the bound. */
+  def broadcastCross(rows: DataFrame, rowNum: Column,
+                     small: DataFrame, smallNum: Column): DataFrame =
     rows.withColumn("_jk", pmod(rowNum, lit(1L)).cast("int"))
-      .join(broadcast(scalar.withColumn("_jk", pmod(scalarNum, lit(1L)).cast("int"))), "_jk")
+      .join(broadcast(small.withColumn("_jk", pmod(smallNum, lit(1L)).cast("int"))), "_jk")
       .drop("_jk")
 }

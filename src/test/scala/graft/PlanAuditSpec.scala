@@ -285,6 +285,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "ADC sum must map-side combine")
   }
 
+  test("ann_index search path contains no training jobs and no object code (r9 item)") {
+    // queries("ann_index") builds the index eagerly (write side) and
+    // returns the SEARCH plan — which must only read the stored
+    // artifacts: no Lloyd/codebook stages (those are object-code
+    // mapPartitions in the build), no driver-materialized tables,
+    // every per-query structure a broadcast relation
+    val p = plan("ann_index")
+    assert(!p.contains("SerializeFromObject") && !p.contains("DeserializeToObject") &&
+      !p.contains("MapPartitions"),
+      "training/object-code stage leaked into the stored-index search plan")
+    assert(!p.contains("LocalTableScan"), "driver-materialized table in the search plan")
+    assert(p.contains("BroadcastHashJoin"), "probe/ADC joins must broadcast")
+    assert(p.contains("WindowGroupLimit"), "shortlist cut must push down")
+  }
+
   test("contrastive_pairs reuses its persisted positives (LSH+verify runs once)") {
     val p = plan("contrastive_pairs")
     // the dedupEmbedding subtree feeds both the union and the

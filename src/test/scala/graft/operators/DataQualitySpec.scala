@@ -45,11 +45,35 @@ class DataQualitySpec extends AnyFunSuite {
     assert(out.toSeq === Seq(("dups", 5L, 6L)))
   }
 
-  test("the fixture audit reports zero violations with full checked counts") {
+  test("reconRule: header totals reconcile within tolerance, corrupt ones counted") {
+    import spark.implicits._
+    // order 1 reconciles exactly; order 2 is off by far more than the
+    // 0.01 tolerance; order 3 has no detail rows and a nonzero header
+    val orders = Seq((1L, 220.0), (2L, 500.0), (3L, 10.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val lineitem = Seq(
+      (1L, 100.0, 0.0, 0.1),  // 110
+      (1L, 100.0, 0.0, 0.1),  // 110 → order 1 sums to 220
+      (2L, 100.0, 0.1, 0.0))  // 90  ≠ 500
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val out = DataQuality.reconRule("recon", orders, lineitem)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("recon", 2L, 3L)))
+  }
+
+  test("the fixture audit reports zero violations outside the recon rule") {
     val rows = DataQuality.dqChecks(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    assert(rows.length === 9)
-    assert(rows.forall(_._2 === 0L), s"unexpected violations: ${rows.filter(_._2 != 0).mkString(",")}")
+    assert(rows.length === 10)
+    val (recon, rest) = rows.partition(_._1 == "orders_totalprice_recon")
+    assert(rest.forall(_._2 === 0L),
+      s"unexpected violations: ${rest.filter(_._2 != 0).mkString(",")}")
     assert(rows.forall(_._3 > 0L))
+    // the synthetic header totals were generated independently of the
+    // detail rows, so the reconciliation rule correctly flags EVERY
+    // order — the check demonstrably bites (reconRule's planted-case
+    // test above pins the pass/fail boundary)
+    assert(recon.head._2 === recon.head._3,
+      "fixture is known-unreconciled; the rule must flag every order")
   }
 }

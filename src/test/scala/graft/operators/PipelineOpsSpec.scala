@@ -223,6 +223,56 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_index: stored-index search equals in-query ann_ivfpq bit-for-bit") {
+    val direct = Similarity.annIvfPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val viaIndex = Similarity.annIndex(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(viaIndex.nonEmpty)
+    assert(viaIndex.sameElements(direct),
+      "persisted round trip diverged from the in-query composition")
+  }
+
+  test("ann_index batch search: 1000 queries stay relational with recall ≥ 0.7 (r9 item)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.cosine_sim
+    val d01 = "/root/testdata/sf0.1" // 2000 vectors — the largest fixture
+    val nQ = 1000L
+    val root = Similarity.annIndexBuild(spark, d01)
+    val res = Similarity.annIndexSearchN(spark, d01, root, nQ)
+    // the search plan must hold at batch scale: every per-query
+    // structure (probe set, ADC tables) is a broadcast RELATION —
+    // no driver-materialized tables, no object-code stages, no
+    // nested-loop or cartesian fallbacks
+    val p = res.queryExecution.executedPlan.toString
+    assert(!p.contains("LocalTableScan"), "driver-materialized query tables leaked in")
+    assert(!p.contains("SerializeFromObject") && !p.contains("MapPartitions"),
+      "object-code stage in the batch search path")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "ADC/probe joins must broadcast")
+    val rows = res.collect()
+    assert(rows.length === nQ * 5,
+      s"expected ${nQ * 5} result rows (1000 queries × top-5), got ${rows.length}")
+    // recall over the FULL batch vs exact brute force (2M scored
+    // pairs — the brute side is itself a distributed broadcast join)
+    val e = graft.sources.Tables.embeddings(spark, d01)
+    val q = e.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    val brute = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos", cosine_sim(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    info(s"ann_index 1000-query batch at sf0.1: recall@5 = $recall")
+    assert(recall >= 0.7, s"full-batch recall $recall below floor")
+  }
+
   test("png codec round trip is pixel-exact (real ImageIO decode)") {
     val seeds = Seq(
       Array.tabulate(16)(i => (i * 17 + 3).toByte),
