@@ -186,6 +186,103 @@ object StreamOps {
       .parquet(s"$scratch/out")
   }
 
+  /** Stream-stream LEFT OUTER interval join — the harder half the r9
+    * verdict called out: unmatched left rows are emitted with null
+    * right columns only when the WATERMARK passes their eviction
+    * point, so this is the operator where the watermark proof
+    * actually bites (the inner `stream_join` never emits from state
+    * eviction). Clicks LEFT OUTER views under the same
+    * v_ts ∈ (c_ts − 10 min, c_ts] band.
+    *
+    * Drain determinism: a drained outer join does NOT trivially equal
+    * the batch left join — left rows younger than (max ts − delay)
+    * are still in state when the last data batch ends, and their
+    * null-emission depends on post-data watermark movement. The feed
+    * therefore stages each side as three mtime-ordered files: all
+    * real rows (one batch — nothing is ever late), then sentinel 1
+    * (+1 day, advances both sides' watermarks past every real row at
+    * batch end), then sentinel 2 (+2 days, RUNS under sentinel 1's
+    * watermark and therefore evicts + emits every unmatched real
+    * click) — so completeness does not depend on the engine
+    * scheduling no-data micro-batches. Sentinels carry negative
+    * user_ids and are filtered from the result; the sentinel click's
+    * own unmatched row is dropped by the same filter. The oracle is
+    * the batch LEFT join with the gate's null-free encoding
+    * (COALESCE → −1; the asof_join strict-variant precedent — the
+    * library emits real nulls, the hash gate runs the encoded form).
+    * Scale shape: state ≤ watermark + band per side as in
+    * `stream_join`; the sentinel trick is a drain-protocol detail,
+    * not a plan property. Same one-JVM idempotence contract as
+    * `stream_sink`/`stream_join` (scratch + checkpoint persist →
+    * reruns re-drain zero files), so Bench's noRerun excludes it. */
+  def streamJoinOuterAttrib(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val scratch = graft.sources.TempDirs.scratch("streamjoinouter", dir)
+    val done = new java.io.File(s"$scratch/feed/_done")
+    if (!done.exists) {
+      val ev = spark.read
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("timestamp_micros(ts div 1000)").as("ts"))
+      val maxTs = ev.agg(org.apache.spark.sql.functions.max(col("ts"))).head()
+        .getTimestamp(0).toInstant
+      def sentinel(idx: Int, days: Int): DataFrame =
+        spark.range(1).select(
+          lit(-1L - idx).as("event_id"), lit(-1L - idx).as("user_id"),
+          lit(java.sql.Timestamp.from(maxTs.plusSeconds(days * 86400L))).cast("timestamp").as("ts"))
+      Seq("click" -> "clicks", "view" -> "views").foreach { case (t, side) =>
+        ev.filter(col("event_type") === t)
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$scratch/feed/$side/b0")
+        sentinel(0, 1).coalesce(1).write.mode("overwrite").parquet(s"$scratch/feed/$side/s1")
+        sentinel(1, 2).coalesce(1).write.mode("overwrite").parquet(s"$scratch/feed/$side/s2")
+        // force the file-source processing order real → s1 → s2
+        val now = System.currentTimeMillis()
+        Seq("b0" -> 0L, "s1" -> 60000L, "s2" -> 120000L).foreach { case (sub, off) =>
+          new java.io.File(s"$scratch/feed/$side/$sub").listFiles()
+            .filter(_.getName.endsWith(".parquet"))
+            .foreach(f => f.setLastModified(now + off))
+        }
+      }
+      done.getParentFile.mkdirs(); done.createNewFile()
+    }
+    def src(side: String, idCol: String, uCol: String, tsCol: String) =
+      spark.readStream
+        .schema("event_id BIGINT, user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$scratch/feed/$side/*")
+        .select(col("event_id").as(idCol), col("user_id").as(uCol), col("ts").as(tsCol))
+        .withWatermark(tsCol, "1 hour")
+    val clicks = src("clicks", "click_id", "c_user", "c_ts")
+    val views = src("views", "view_id", "v_user", "v_ts")
+    val joined = clicks.join(views,
+      col("v_user") === col("c_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") > col("c_ts") - expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        (expr("unix_micros(c_ts)") - expr("unix_micros(v_ts)")).as("gap_us"))
+    val q = joined.writeStream.format("parquet")
+      .option("path", s"$scratch/out")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    require(!q.isActive, "outer stream-stream join did not drain within 180 s")
+    spark.read
+      .schema("user_id BIGINT, click_id BIGINT, view_id BIGINT, gap_us BIGINT")
+      .parquet(s"$scratch/out")
+      .filter(col("user_id") >= 0L)
+      .select(col("user_id"), col("click_id"),
+        org.apache.spark.sql.functions.coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        org.apache.spark.sql.functions.coalesce(col("gap_us"), lit(-1L)).as("gap_us"))
+  }
+
   private val mergeRun = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Streaming MERGE (foreachBatch upsert) — the Delta-style CDC sink
@@ -282,6 +379,7 @@ object StreamOps {
     "session_native"          -> sessionNative,
     "stream_sink"             -> streamSinkParquet,
     "stream_join"             -> streamJoinAttrib,
+    "stream_join_outer"       -> streamJoinOuterAttrib,
     "stream_merge"            -> streamMerge)
 
   val oracles: Map[String, String] = Map(
@@ -389,6 +487,20 @@ object StreamOps {
         |  ON c.event_type = 'click' AND v.event_type = 'view'
         | AND v.user_id = c.user_id
         | AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 10 MINUTE""".stripMargin,
+    // the drained LEFT OUTER join equals the batch LEFT join once the
+    // sentinel protocol has advanced the watermark past every real
+    // row; the gate runs the null-free −1 encoding on both sides
+    // (click-side predicates in WHERE, view-side in ON — the left-
+    // join decomposition that keeps unmatched clicks)
+    "stream_join_outer" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+        |  COALESCE(v.event_id, -1) AS view_id,
+        |  COALESCE(epoch_ns(c.ts) // 1000 - epoch_ns(v.ts) // 1000, -1) AS gap_us
+        |FROM events c LEFT JOIN events v
+        |  ON v.event_type = 'view'
+        | AND v.user_id = c.user_id
+        | AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 10 MINUTE
+        |WHERE c.event_type = 'click'""".stripMargin,
     // the micro-batched merge must land on the single-shot snapshot:
     // the oracle IS cdc_apply's (same base, same change derivation)
     "stream_merge" -> Relational.oracles("cdc_apply"))

@@ -283,6 +283,33 @@ object EventStream {
         (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
   }
 
+  /** LEFT OUTER [[viewClickAttribution]]: clicks with no view in the
+    * window emit with null view columns. In streaming these null
+    * rows are produced by STATE EVICTION — a click emits unmatched
+    * only once the watermark passes its join-window upper bound, so
+    * this is the variant where the watermark machinery is load-
+    * bearing (the inner join only ever emits on match). Callers
+    * draining a finite stream must advance the watermark past every
+    * real row and then run one further batch under that advanced
+    * watermark (two-stage sentinels — see `streamJoinOuterAttrib`
+    * and the EventStreamSpec parity case). */
+  def viewClickAttributionOuter(events: DataFrame, attributionWindow: String = "10 minutes"): DataFrame = {
+    def side(t: String, idAs: String, tsAs: String, userAs: String): DataFrame = {
+      val s = events.filter(col("event_type") === t)
+        .select(col("event_id").as(idAs), col("ts").as(tsAs), col("user_id").as(userAs))
+      if (s.isStreaming) s.withWatermark(tsAs, attributionWindow) else s
+    }
+    val clicks = side("click", "click_id", "c_ts", "c_user")
+    val views = side("view", "view_id", "v_ts", "v_user")
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") > col("c_ts") - expr(s"INTERVAL $attributionWindow"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
   /** Sliding-window event rate per user (5-minute window, 1-minute
     * slide): the fan-out pattern for rolling activity metrics. */
   def slidingUserActivity(events: DataFrame): DataFrame =

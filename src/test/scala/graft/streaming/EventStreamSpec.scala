@@ -370,6 +370,45 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join equals the batch left join (r9 item)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val want = EventStream.viewClickAttributionOuter(batch)
+      .collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(want.exists(_._2 == -1L),
+      "fixture must contain unmatched clicks or the outer semantics are untested")
+
+    val rows = batch.as[(Long, Timestamp, Long, String)].collect().sortBy(_._2.getTime)
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = EventStream.viewClickAttributionOuter(
+      input.toDF().toDF("event_id", "ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode("append").start()
+    try {
+      rows.grouped(250).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      // two-stage sentinel drain: stage 1 advances both watermarks
+      // past every real row AT BATCH END; stage 2 runs UNDER that
+      // watermark, evicting remaining click state and emitting the
+      // unmatched rows — completeness must not depend on the engine
+      // scheduling no-data batches
+      Seq("2031-01-01 00:00:00", "2031-01-02 00:00:00").foreach { ts =>
+        input.addData(Seq((-1L, Timestamp.valueOf(ts), -1L, "view"),
+          (-2L, Timestamp.valueOf(ts), -1L, "click")))
+        q.processAllAvailable()
+      }
+      val got = spark.table("attr_outer_out")
+        .filter(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("sliding windows produce one row per window a user is active in") {
     val out = EventStream.slidingUserActivity(Tables.events(spark, dir)).collect()
     assert(out.nonEmpty)
