@@ -78,7 +78,8 @@ object Graph {
     * once and read R times, the Pregel invariant. r div deg is
     * computed per EDGE here but is identical per source vertex, so
     * the lattice arithmetic (and the oracle) is unchanged. */
-  private[operators] def rankEdges(edgesIn: DataFrame): DataFrame = {
+  private[operators] def rankEdges(edgesIn: DataFrame,
+      broadcastState: Boolean = false): DataFrame = {
     val edges = edgesIn.persistScoped()
     val outdeg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     // N: vertex count — one scalar to the driver (metadata, not data);
@@ -94,7 +95,8 @@ object Graph {
     var r = outdeg.select(col("u").as("id"), lit(r0).as("r"))
     for (_ <- 1 to Rounds) {
       r = edgeDeg.as("e")
-        .join(r.as("p"), col("e.u") === col("p.id"))
+        .join(if (broadcastState) broadcast(r.as("p")) else r.as("p"),
+          col("e.u") === col("p.id"))
         .groupBy(col("e.v"))
         .agg(sum(expr("p.r div e.deg")).as("sm"))
         .select(col("v").as("id"),
