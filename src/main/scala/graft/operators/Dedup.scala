@@ -826,7 +826,87 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
 
+  // ─────────────── exact edit-distance near-dup join (fuzzy) ───────────────
+
+  private[operators] val FuzzyPrefixLen = 32
+  private[operators] val FuzzyK = 3        // max edit distance
+  private[operators] val FuzzyNSeg = 4     // K+1 segments (pigeonhole)
+  private[operators] val FuzzySegLen = 8   // FuzzyPrefixLen / FuzzyNSeg
+
+  /** Normalized fixed-width fuzzy key: tokenizer-style ASCII fold,
+    * first [[FuzzyPrefixLen]] chars, '#'-padded to exactly that
+    * width — fixed width makes the pigeonhole segment boundaries
+    * position-stable so the filter needs no per-length grouping. */
+  private[operators] def fuzzyKey(c: Column): Column =
+    rpad(substring(lower(regexp_replace(c, "[^a-zA-Z0-9]+", " ")), 1, FuzzyPrefixLen),
+      FuzzyPrefixLen, "#")
+
+  /** EXACT edit-distance near-dup join (fuzzy dedup): all document
+    * pairs whose normalized [[FuzzyPrefixLen]]-char keys are within
+    * levenshtein distance [[FuzzyK]] — the catalog/title-dedup
+    * operator the jaccard family can't express (token-order-
+    * sensitive, transposition-tolerant via its cost model).
+    *
+    * LOSSLESS sub-quadratic candidate generation by the pigeonhole
+    * segment filter (the PassJoin-style partition lemma): split each
+    * key into [[FuzzyNSeg]] = K+1 contiguous [[FuzzySegLen]]-char
+    * segments; any optimal alignment of a pair within K edits leaves
+    * at least one segment of `a` untouched, and that segment occurs
+    * VERBATIM in `b` at a start offset shifted by at most K (the
+    * indels before it). So: side `a` emits its 4 exact segments,
+    * side `b` emits its (segment, shift) windows (≤ 4×(2K+1) = 28
+    * eight-char keys), and an equi-join on (segment index, substring)
+    * yields every qualifying pair — no recall loss, proven by the
+    * lemma, verified by the exact levenshtein only on candidates.
+    * Scale shape: shuffles carry (doc_id, 8-char gram) keys — never
+    * documents; the verify re-join touches candidates only. A hot
+    * identical-prefix gram (boilerplate headers) would fan out like
+    * a hot shingle — the [[MaxShingleDf]]-style cap is the dial,
+    * unneeded on the fixture (hottest bucket = 3). Both engines
+    * compute classic unit-cost levenshtein — the verify threshold is
+    * exact integer arithmetic, hash-replayed end to end. */
+  def dedupFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(spark, dir)
+      .select(col("doc_id"), fuzzyKey(col("text")).as("t"))
+    dedupFuzzyCandidates(spark, dir)
+      .join(n.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("dist") <= FuzzyK)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
+  /** The pigeonhole candidate set before verification — exposed so
+    * DedupScaleSpec can count it (the simjoinPrefixCandidates
+    * precedent). */
+  private[operators] def dedupFuzzyCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(spark, dir)
+      .select(col("doc_id"), fuzzyKey(col("text")).as("t"))
+    val segIdx = (0 until FuzzyNSeg).map(lit(_))
+    val segs = n.select(col("doc_id"), col("t"),
+        explode(array(segIdx: _*)).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"substring(t, i * $FuzzySegLen + 1, $FuzzySegLen)").as("s"))
+    val shifts = (-FuzzyK to FuzzyK).map(lit(_))
+    val probes = n.select(col("doc_id"), col("t"),
+        explode(array(segIdx: _*)).as("i"))
+      .select(col("doc_id"), col("i"), col("t"),
+        explode(array(shifts: _*)).as("dlt"))
+      .withColumn("start", col("i") * FuzzySegLen + 1 + col("dlt"))
+      .filter(col("start") >= 1 &&
+        col("start") <= FuzzyPrefixLen - FuzzySegLen + 1)
+      .select(col("doc_id"), col("i"),
+        expr(s"substring(t, start, $FuzzySegLen)").as("s"))
+    segs.as("a")
+      .join(probes.as("b"), col("a.i") === col("b.i") && col("a.s") === col("b.s"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_fuzzy"     -> dedupFuzzy,
     "dedup_exact"     -> dedupExact,
     "dedup_ngram"     -> dedupNgramJaccard,
     "simjoin_prefix"  -> simjoinPrefix,
@@ -923,6 +1003,36 @@ object Dedup {
       |FROM tot LEFT JOIN dup USING(doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // full replay of the pigeonhole filter + levenshtein verify —
+    // same fixed-width normalized key, same 4×(2K+1) probe windows,
+    // same candidate normalization; DuckDB's levenshtein is the same
+    // classic unit-cost distance, so the gate is hash-exact
+    "dedup_fuzzy" ->
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |    rpad(substr(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')),
+         |         1, $FuzzyPrefixLen), $FuzzyPrefixLen, '#') AS t
+         |  FROM documents),
+         |ii AS (SELECT unnest(range($FuzzyNSeg)) AS i),
+         |dd AS (SELECT unnest(range(-$FuzzyK, ${FuzzyK + 1})) AS dlt),
+         |segs AS (
+         |  SELECT doc_id, i, substr(t, i * $FuzzySegLen + 1, $FuzzySegLen) AS s
+         |  FROM n CROSS JOIN ii),
+         |probes AS (
+         |  SELECT doc_id, i, substr(t, i * $FuzzySegLen + 1 + dlt, $FuzzySegLen) AS s
+         |  FROM n CROSS JOIN ii CROSS JOIN dd
+         |  WHERE i * $FuzzySegLen + 1 + dlt >= 1
+         |    AND i * $FuzzySegLen + 1 + dlt <= ${FuzzyPrefixLen - FuzzySegLen + 1}),
+         |cand AS (
+         |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+         |                  greatest(a.doc_id, b.doc_id) AS doc_b
+         |  FROM segs a JOIN probes b ON a.i = b.i AND a.s = b.s
+         |  WHERE a.doc_id <> b.doc_id)
+         |SELECT c.doc_a, c.doc_b, CAST(levenshtein(na.t, nb.t) AS BIGINT) AS dist
+         |FROM cand c
+         |JOIN n na ON na.doc_id = c.doc_a
+         |JOIN n nb ON nb.doc_id = c.doc_b
+         |WHERE levenshtein(na.t, nb.t) <= $FuzzyK""".stripMargin,
     "dedup_cluster" -> ClusterSql,
     "dedup_keep" -> KeepSql,
     "dedup_substring" -> SubstringSql,

@@ -210,13 +210,73 @@ object Graph {
         col("e2.doc_b").as("doc_c"))
   }
 
+  private[operators] val BfsRounds = 4
+  private[operators] val BfsMaxSeedSupp = 3L
+
+  /** Multi-source BFS hop distance over the purchase graph — the
+    * shortest-path primitive (blast-radius / influence-horizon
+    * queries: "every customer within N hops of these suppliers").
+    * Seeds are suppliers 1..[[BfsMaxSeedSupp]]; [[BfsRounds]] fixed
+    * BSP rounds of relax-and-minimize: each round joins the current
+    * (id, d) relation to the persisted symmetric edge list, unions
+    * the existing distances, and takes min(d) per vertex. Fixed
+    * round count (not to-convergence) keeps cost deterministic and
+    * the oracle an unrolled CTE chain — the pagerank precedent; all
+    * arithmetic is integer hops, so the gate is trivially hash-
+    * exact. Scale shape: per round one key-only join + one
+    * partial+final min aggregate; the edges persist pre-partitioned
+    * once and every round reuses them (the Pregel invariant). A
+    * frontier-delta variant (propagate only vertices whose d
+    * improved) is the constant-factor dial at scale — same joins,
+    * strictly smaller left side each round. */
+  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val edges = purchaseEdges(spark, dir)
+      .repartition(col("u")).persistScoped()
+    var dist = edges.select(col("u").as("id"))
+      .filter(col("id") >= SuppOffset && col("id") <= SuppOffset + BfsMaxSeedSupp)
+      .distinct()
+      .select(col("id"), lit(0L).as("d"))
+    for (_ <- 1 to BfsRounds) {
+      dist = dist.as("p")
+        .join(edges.as("e"), col("e.u") === col("p.id"))
+        .select(col("e.v").as("id"), (col("p.d") + lit(1L)).as("d"))
+        .unionAll(dist)
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+    }
+    dist.select(col("id"), col("d"))
+  }
+
+  /** BFS replay: rounds unrolled as a CTE chain (the pagerankSql
+    * pattern — aggregation in a recursive term is disallowed). */
+  private def graphBfsSql: String = {
+    val rounds = (1 to BfsRounds).map { i =>
+      s"""r$i AS (
+         |  SELECT id, min(d) AS d FROM (
+         |    SELECT e.v AS id, p.d + 1 AS d
+         |    FROM edges e JOIN r${i - 1} p ON e.u = p.id
+         |    UNION ALL SELECT id, d FROM r${i - 1})
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS u, s AS v FROM base
+       |          UNION ALL SELECT s AS u, c AS v FROM base),
+       |r0 AS (SELECT DISTINCT u AS id, CAST(0 AS BIGINT) AS d FROM edges
+       |       WHERE u BETWEEN $SuppOffset AND ${SuppOffset + BfsMaxSeedSupp}),
+       |$rounds
+       |SELECT id, CAST(d AS BIGINT) AS d FROM r$BfsRounds""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank"        -> pagerank,
+    "graph_bfs"       -> graphBfs,
     "copurchase_topk" -> copurchaseTopk,
     "triangles"       -> triangles)
 
   val oracles: Map[String, String] = Map(
     "pagerank" -> pagerankSql,
+    "graph_bfs" -> graphBfsSql,
     "copurchase_topk" ->
       s"""WITH base AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
          |              FROM lineitem)

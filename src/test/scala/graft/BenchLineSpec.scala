@@ -25,6 +25,23 @@ class BenchLineSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: ${orphans.toSeq.sorted.mkString(",")}")
   }
 
+  test("docs-count contract: README/SURVEY state the real registry size (r9 item)") {
+    // two rounds in a row the end-of-round docs shipped stale counts
+    // (SURVEY said 157 at a 162-query HEAD). The docs' CURRENT-state
+    // claims must carry the literal token "<N> registered" with
+    // N == the live registry size — any registry growth breaks this
+    // presence check until the docs are re-synced. (Historical
+    // per-round sections legitimately keep their old counts; only
+    // the current claim is asserted.)
+    val n = SparkEntry.queries.size
+    val token = s"$n registered"
+    Seq("README.md", "SURVEY.md").foreach { f =>
+      val text = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8")
+      assert(text.contains(token), s"$f does not state '$token' (stale count?)")
+    }
+  }
+
   test("f2 renders valid minimal JSON numbers") {
     assert(Bench.f2(0.50)  === "0.5")
     assert(Bench.f2(1.00)  === "1")

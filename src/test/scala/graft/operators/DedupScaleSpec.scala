@@ -144,6 +144,33 @@ class DedupScaleSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("pigeonhole edit-distance join is lossless and sub-quadratic on the fixture") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.fuzzyKey(col("text")).as("t"))
+    // lossless: identical to the naive quadratic join (the pigeonhole
+    // partition lemma, executed rather than cited)
+    val naive = docs.as("a")
+      .join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist", levenshtein(col("a.t"), col("b.t")).cast("long"))
+      .filter(col("dist") <= Dedup.FuzzyK)
+      .select(col("a.doc_id"), col("b.doc_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fuzzy = Dedup.dedupFuzzy(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(naive.nonEmpty && fuzzy === naive)
+    // sub-quadratic: the segment filter indexes far fewer candidate
+    // pairs than the n²/2 the naive join scores
+    val nDocs = docs.count()
+    val cands = Dedup.dedupFuzzyCandidates(spark, dir).count()
+    val allPairs = nDocs * (nDocs - 1) / 2
+    assert(cands <= allPairs / 50,
+      s"pigeonhole candidates $cands not ≪ n²/2 = $allPairs")
+    info(s"fuzzy candidates $cands of $allPairs pairs " +
+      f"(${cands * 100.0 / allPairs}%.2f%%), ${naive.size} true pairs")
+  }
+
   test("the fixture operating point (32×4) still finds every fixture pair after the refactor") {
     // the candidate generator was factored out of dedupEmbedding; its
     // equality against the all-pairs exact truth is re-asserted in

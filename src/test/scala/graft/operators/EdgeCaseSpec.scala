@@ -139,6 +139,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(ranks(10L) === ranks(11L), "2-chain endpoints must tie exactly")
   }
 
+  test("graph_bfs: seeds at zero, bipartite parity, bounded wavefront") {
+    val rows = Graph.graphBfs(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, d) => d >= 0L && d <= Graph.BfsRounds })
+    val seeds = rows.filter(_._2 == 0L).map(_._1)
+    assert(seeds.nonEmpty)
+    assert(seeds.forall(id =>
+      id >= Graph.SuppOffset && id <= Graph.SuppOffset + Graph.BfsMaxSeedSupp))
+    // the purchase graph is bipartite (customers ↔ suppliers) and the
+    // seeds are suppliers, so suppliers sit on even hops, customers
+    // on odd — any violation means an edge inside one side leaked in
+    rows.foreach { case (id, d) =>
+      if (id >= Graph.SuppOffset) assert(d % 2 == 0, s"supplier $id at odd hop $d")
+      else assert(d % 2 == 1, s"customer $id at even hop $d")
+    }
+    graft.CacheScope.release(blocking = true)
+  }
+
   test("resample emits one grid row for single-hour spans and fills interior gaps") {
     val df = Seq(
       ("solo", java.sql.Timestamp.valueOf("2024-01-01 05:30:00"), 1.0),
