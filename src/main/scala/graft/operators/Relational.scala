@@ -898,6 +898,42 @@ object Relational {
         graft.functions.KmvSketchAgg.kmv_distinct(h60(col("l_orderkey")), 64).as("est_orders"))
   }
 
+  /** KMV set algebra — the audience-overlap query (|A ∪ B|, |A ∩ B|
+    * of distinct-user sets) from MERGEABLE sketches, the capability
+    * that makes distinct-set analytics composable at 100 TB: each
+    * set's bottom-k sketch is built in one partial+final pass, a
+    * UNION sketch is just the bottom-k of the combined hash stream
+    * (here: one conditional aggregate over the same scan — no second
+    * pass), and the intersection estimate falls out by
+    * inclusion–exclusion. One scan computes all nine sketches (three
+    * singles + three pair-unions) as conditional aggregates —
+    * adding set expressions widens the aggregate row, never adds a
+    * pass. Same md5-60-bit hash domain as `agg_kmv_distinct`, so the
+    * WHOLE estimate chain (hash, bottom-64, (k−1)·2⁶⁰/h_k, the
+    * exact-regime n<k short-circuit, and the inclusion–exclusion
+    * arithmetic) replays bit-for-bit in DuckDB — the estimates are
+    * hash-gated, not envelope-gated. */
+  def kmvSetOps(spark: SparkSession, dir: String): DataFrame = {
+    def h60(c: Column): Column =
+      conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+    val h = h60(col("user_id"))
+    def est(cond: Column) =
+      graft.functions.KmvSketchAgg.kmv_distinct(when(cond, h), 64)
+    val t = col("event_type")
+    val pairs = Seq(("click", "view"), ("click", "purchase"), ("view", "purchase"))
+    val singles = Seq("click", "view", "purchase")
+    val aggs =
+      singles.map(a => est(t === a).as(s"e_$a")) ++
+        pairs.map { case (a, b) => est(t.isin(a, b)).as(s"u_${a}_$b") }
+    Tables.events(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${pairs.size}, " + pairs.map { case (a, b) =>
+          s"'$a', '$b', e_$a, e_$b, u_${a}_$b"
+        }.mkString(", ") + ") AS (type_a, type_b, est_a, est_b, est_union)")
+      .withColumn("est_intersect", (col("est_a") + col("est_b")) - col("est_union"))
+  }
+
   /** Quantile sketch gated on its accuracy contract — completes the
     * sketch trio (HLL `agg_approx_distinct`, KMV `agg_kmv_distinct`,
     * and now quantiles). `approx_percentile` (Greenwald-Khanna) has
@@ -1256,6 +1292,40 @@ object Relational {
     applyCdc(o, cdcChanges(o), "o_orderkey")
   }
 
+  /** Incremental view maintenance of a JOIN — the delta algebra that
+    * keeps a materialized join current without recomputing it:
+    * (A ∪ ΔA) ⋈ (B ∪ ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB. The base
+    * relations are pmod splits (disjoint and exhaustive by
+    * construction), so the four terms exactly partition the full
+    * join and the oracle is simply the plain join of the full
+    * inputs — the algebra is hash-proven, not asserted. Scale story:
+    * in production the first term is the STORED view (zero cost at
+    * update time) and every delta term joins a |Δ|-sized side — the
+    * plan broadcasts the deltas (PlanAuditSpec asserts it), so
+    * maintenance cost is proportional to the change volume, not the
+    * view size; deletes extend the algebra with anti-join terms
+    * (the `cdc_apply` machinery). Inserts-only here — the insert
+    * algebra is the part whose cost model matters. */
+  def ivmJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val oBase  = o.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+    val oDelta = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+    val cBase  = c.filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+    val cDelta = c.filter(pmod(col("c_custkey"), lit(7)) === 0)
+    val key = col("o_custkey") === col("c_custkey")
+    val out = Seq(
+      oBase.join(cBase, key),                       // the stored view
+      broadcast(oDelta).join(cBase, key),           // ΔA ⋈ B
+      oBase.join(broadcast(cDelta), key),           // A ⋈ ΔB
+      broadcast(oDelta).join(cDelta, key))          // ΔA ⋈ ΔB
+      .map(_.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("c_mktsegment")))
+    out.reduce(_ unionAll _)
+  }
+
   /** Semi-structured access through Spark 4's VARIANT type — the
     * schema-drift-tolerant path beyond `from_json` (`json_events`):
     * `parse_json` builds the binary variant once, `variant_get`
@@ -1523,6 +1593,8 @@ object Relational {
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
+    "kmv_set_ops"      -> kmvSetOps,
+    "ivm_join"         -> ivmJoin,
     "agg_rollup"       -> aggRollup,
     "agg_cube"         -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -1787,6 +1859,44 @@ object Relational {
         |  CASE WHEN ao.nk < 64 THEN CAST(ao.nk AS DOUBLE)
         |       ELSE 63.0 * POWER(2.0, 60) / CAST(ao.hk AS DOUBLE) END AS est_orders
         |FROM ap JOIN ao ON ap.flag = ao.flag""".stripMargin,
+    // full replay of the KMV set algebra: same hash domain, bottom-64
+    // per single type and per pair-union, same exact-regime
+    // short-circuit, inclusion–exclusion in the same operation order
+    "kmv_set_ops" ->
+      """WITH hu AS (SELECT DISTINCT event_type,
+        |              CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |            FROM events),
+        |r1 AS (SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hu),
+        |a1 AS (SELECT event_type, count(*) AS nk, max(h) AS hk
+        |       FROM r1 WHERE rn <= 64 GROUP BY 1),
+        |e1 AS (SELECT event_type,
+        |         CASE WHEN nk < 64 THEN CAST(nk AS DOUBLE)
+        |              ELSE 63.0 * POWER(2.0, 60) / CAST(hk AS DOUBLE) END AS est
+        |       FROM a1),
+        |pairs(type_a, type_b) AS (VALUES
+        |  ('click','view'), ('click','purchase'), ('view','purchase')),
+        |hu2 AS (SELECT DISTINCT p.type_a, p.type_b, u.h
+        |        FROM pairs p JOIN hu u ON u.event_type IN (p.type_a, p.type_b)),
+        |r2 AS (SELECT type_a, type_b, h,
+        |         row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn FROM hu2),
+        |a2 AS (SELECT type_a, type_b, count(*) AS nk, max(h) AS hk
+        |       FROM r2 WHERE rn <= 64 GROUP BY 1, 2),
+        |e2 AS (SELECT type_a, type_b,
+        |         CASE WHEN nk < 64 THEN CAST(nk AS DOUBLE)
+        |              ELSE 63.0 * POWER(2.0, 60) / CAST(hk AS DOUBLE) END AS est
+        |       FROM a2)
+        |SELECT p.type_a, p.type_b, ea.est AS est_a, eb.est AS est_b,
+        |  eu.est AS est_union,
+        |  (ea.est + eb.est) - eu.est AS est_intersect
+        |FROM pairs p
+        |JOIN e1 ea ON ea.event_type = p.type_a
+        |JOIN e1 eb ON eb.event_type = p.type_b
+        |JOIN e2 eu ON eu.type_a = p.type_a AND eu.type_b = p.type_b""".stripMargin,
+    // the IVM decomposition must exactly partition the plain join
+    "ivm_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

@@ -300,6 +300,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "shortlist cut must push down")
   }
 
+  test("ivm_join: every delta term joins by broadcast (maintenance cost ∝ |Δ|)") {
+    val p = plan("ivm_join")
+    // three delta terms, each broadcast-joined; the stored-view term
+    // may shuffle (it is not recomputed at update time in production)
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3,
+      "delta terms must broadcast")
+  }
+
+  test("kmv_set_ops: all nine sketches build in ONE pass with map-side partials") {
+    val p = plan("kmv_set_ops")
+    assert(p.contains("partial_kmv_distinct"), "KMV sketches must map-side combine")
+    // one aggregate over one scan — no join of separately-built
+    // sketch relations, no second events scan
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") == 1,
+      "set algebra must not rescan events per set expression")
+  }
+
   test("contrastive_pairs reuses its persisted positives (LSH+verify runs once)") {
     val p = plan("contrastive_pairs")
     // the dedupEmbedding subtree feeds both the union and the
