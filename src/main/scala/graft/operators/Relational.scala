@@ -990,6 +990,32 @@ object Relational {
         percentile(col("value"), lit(0.9)).as("p90"),
         count(lit(1)).as("n"))
 
+  /** Cohort retention matrix — the product-analytics staple the
+    * funnel/sessionize family doesn't cover: users are grouped into
+    * WEEKLY cohorts by their first-ever event, and each (cohort,
+    * week-offset) cell counts the distinct users still active that
+    * many weeks later. Weeks are epoch-grid buckets (epoch-micros
+    * div 7 days), NOT calendar weeks — date_trunc('week') start-of-
+    * week conventions differ across engines while integer grid
+    * arithmetic is bit-exact. Scale shape: first-event per user is
+    * one key-only partial+final min; the join back to events is on
+    * the same user key (co-partitioned — one shuffle feeds both);
+    * the cell count is a distinct aggregate over (cohort, offset) —
+    * at 100 TB the countDistinct becomes the KMV/HLL sketch from the
+    * same family ([[kmvSetOps]]) with no shape change. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400000000L
+    val e = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val first = e.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+    e.join(first, "user_id")
+      .select(col("user_id"),
+        expr(s"unix_micros(first_ts) div $weekUs").as("cohort_week"),
+        expr(s"(unix_micros(ts) div $weekUs) - (unix_micros(first_ts) div $weekUs)")
+          .as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
@@ -1595,6 +1621,7 @@ object Relational {
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
     "ivm_join"         -> ivmJoin,
+    "cohort_retention" -> cohortRetention,
     "agg_rollup"       -> aggRollup,
     "agg_cube"         -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -1897,6 +1924,16 @@ object Relational {
     "ivm_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // epoch-grid weeks (micros div 7d) — per-timestamp truncation,
+    // the gap_us alignment pattern; calendar weeks differ per engine
+    "cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1)
+        |SELECT epoch_ns(f.first_ts) // 1000 // 604800000000 AS cohort_week,
+        |  (epoch_ns(e.ts) // 1000 // 604800000000)
+        |    - (epoch_ns(f.first_ts) // 1000 // 604800000000) AS week_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
