@@ -185,8 +185,10 @@ object Similarity {
     * operator deterministic-cost and oracle-replayable; at 100 TB you
     * would raise rounds, not change shape — each round is the same
     * single scan + tiny aggregate. */
-  private def learnedCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Double])] =
-    (1 to LloydRounds).foldLeft(seedCentroids(spark, dir))((c, _) => lloydRound(spark, dir, c))
+  private def learnedCentroids(spark: SparkSession, dir: String,
+      trainFilter: Column = lit(true)): Array[(Int, Array[Double])] =
+    (1 to LloydRounds).foldLeft(seedCentroids(spark, dir))((c, _) =>
+      lloydRound(spark, dir, c, trainFilter))
 
   /** ONE deterministic Lloyd round: assignment runs distributed (one
     * narrow pass over the vectors); the per-(cell, dim) integral
@@ -194,7 +196,8 @@ object Similarity {
     * itself — are collected and turned into quantized means; an empty
     * cell keeps its previous centroid. */
   private def lloydRound(spark: SparkSession, dir: String,
-      seed: Array[(Int, Array[Double])]): Array[(Int, Array[Double])] = {
+      seed: Array[(Int, Array[Double])],
+      trainFilter: Column = lit(true)): Array[(Int, Array[Double])] = {
     import spark.implicits._
     val dim = seed.head._2.length
     // partial sums accumulate INSIDE each partition (one dense
@@ -206,6 +209,7 @@ object Similarity {
     // inside its sum): a dimension a member vector lacks contributes
     // 0 to the sum while the member still counts in n.
     val sums = Tables.embeddings(spark, dir)
+      .filter(trainFilter)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .mapPartitions { rows =>
         val acc = Array.ofDim[Long](NCells, dim)
@@ -440,10 +444,12 @@ object Similarity {
     * identically) and empty cells keeping their seed entry. Raw
     * sampled points left the ADC ordering too loose (shortlist-50
     * recall 0.5–0.6); the trained round tightens every subspace. */
-  private def pqCodebook(spark: SparkSession, dir: String): Array[Array[Array[Long]]] = {
+  private def pqCodebook(spark: SparkSession, dir: String,
+      trainFilter: Column = lit(true)): Array[Array[Array[Long]]] = {
     import spark.implicits._
     val seed = pqSeedCodebook(spark, dir)
     val sums = Tables.embeddings(spark, dir)
+      .filter(trainFilter)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .mapPartitions { rows =>
         val acc = Array.ofDim[Long](NSub, NCodes, SubDim)
@@ -691,11 +697,18 @@ object Similarity {
     * `ann_ivfpq` bit-for-bit — the oracle is shared. At 100 TB the
     * cells/codes writes would be partitioned by cell (the partition-
     * pruning layout); at fixture scale they are plain parquet. */
-  private[graft] def annIndexBuild(spark: SparkSession, dir: String): String = {
+  private[graft] def annIndexBuild(spark: SparkSession, dir: String): String =
+    annIndexBuildOn(spark, dir, "annindex", lit(true))
+
+  /** [[annIndexBuild]] generalized: train AND populate only from
+    * vectors matching `srcFilter` (the base corpus of an incremental
+    * add — [[annIndexAdd]]); `label` scopes the artifact scratch. */
+  private[graft] def annIndexBuildOn(spark: SparkSession, dir: String,
+      label: String, srcFilter: Column): String = {
     import spark.implicits._
-    val root = graft.sources.TempDirs.scratch("annindex", dir)
-    val cents = learnedCentroids(spark, dir)
-    val cb = pqCodebook(spark, dir)
+    val root = graft.sources.TempDirs.scratch(label, dir)
+    val cents = learnedCentroids(spark, dir, srcFilter)
+    val cb = pqCodebook(spark, dir, srcFilter)
     cents.toSeq.flatMap { case (cell, arr) =>
       arr.iterator.zipWithIndex.map { case (v, d) => (cell, d, v) } }
       .toDF("cell", "d", "cv")
@@ -704,7 +717,7 @@ object Similarity {
       yield (s, c, d, cb(s)(c)(d)))
       .toDF("s", "c", "d", "cbq")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/codebook")
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddings(spark, dir).filter(srcFilter)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
     e.map(r => (r._1, nearestCells(cents, r._2, 1).head))
       .toDF("nid", "cell")
@@ -739,48 +752,73 @@ object Similarity {
     * The search plan contains no Lloyd or codebook jobs by
     * construction — PlanAuditSpec asserts no object-serialization
     * nodes anywhere in it. */
+  private def latArrCol(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * lit(QScale.toDouble)).cast("long"))
+  private def sumArrCol(arr: Column): Column =
+    aggregate(arr, lit(0.0), (a, x) => a + x)
+
+  /** Stored centroids → (cell, ce: array<double>), d-ordered. */
+  private def centArrOf(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/centroids")
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("d"), col("cv")))).as("p"))
+      .select(col("cell"), transform(col("p"), s => s.getField("cv")).as("ce"))
+
+  /** Relational cell scores for arbitrary vectors vs the centroid
+    * relation: (id, cell, cos) — the cosine is built-in expression
+    * arithmetic accumulating in index order, bit-identical to the
+    * driver-side `cosTo` (same IEEE addition order, same −2.0
+    * zero-norm sentinel, ties → lower cell downstream). */
+  private def relCellScores(vecs: DataFrame, centArr: DataFrame): DataFrame =
+    ScalarJoin.broadcastCross(vecs, col("id"), centArr, col("cell"))
+      .withColumn("dot", sumArrCol(zip_with(col("ve"), col("ce"), (w, u) => u * w)))
+      .withColumn("na", sumArrCol(transform(col("ce"), u => u * u)))
+      .withColumn("nb", sumArrCol(transform(col("ve"), w => w * w)))
+      .withColumn("cos", when(col("na") === 0.0 || col("nb") === 0.0, lit(-2.0))
+        .otherwise(col("dot") / (sqrt(col("na")) * sqrt(col("nb")))))
+
+  /** Relational per-(id, s, c) lattice L2² vs the stored codebook —
+    * shared by the query ADC tables and the incremental-add code
+    * assignment. */
+  private def relCodeDists(spark: SparkSession, root: String, vecs: DataFrame): DataFrame =
+    ScalarJoin.broadcastCross(vecs, col("id"),
+        spark.read.parquet(s"$root/codebook"), col("cbq"))
+      .withColumn("qcomp", coalesce(
+        element_at(col("vl"), (col("s") * SubDim + col("d") + 1).cast("int")), lit(0L)))
+      .withColumn("diff", col("qcomp") - col("cbq"))
+      .groupBy(col("id"), col("s"), col("c"))
+      .agg(sum(col("diff") * col("diff")).as("qd"))
+
   private[graft] def annIndexSearchN(
-      spark: SparkSession, dir: String, root: String, nQueries: Long): DataFrame = {
-    def latArr(c: Column): Column =
-      transform(c, x => floor(x.cast("double") * lit(QScale.toDouble)).cast("long"))
-    def sumArr(arr: Column): Column =
-      aggregate(arr, lit(0.0), (a, x) => a + x)
+      spark: SparkSession, dir: String, root: String, nQueries: Long): DataFrame =
+    annIndexSearchOver(spark, dir, root, nQueries,
+      spark.read.parquet(s"$root/cells"), spark.read.parquet(s"$root/codes"))
+
+  /** The search tail over EXPLICIT cells/codes relations (stored, or
+    * stored ∪ incrementally-added — [[annIndexAdd]]). */
+  private def annIndexSearchOver(spark: SparkSession, dir: String, root: String,
+      nQueries: Long, cells: DataFrame, codes: DataFrame): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"),
         transform(col("embedding"), x => x.cast("double")).as("qe"),
-        latArr(col("embedding")).as("ql"))
-    // stored centroids → (cell, ce: array<double>), d-ordered
-    val centArr = spark.read.parquet(s"$root/centroids")
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("d"), col("cv")))).as("p"))
-      .select(col("cell"), transform(col("p"), s => s.getField("cv")).as("ce"))
-    val qcScored = ScalarJoin
-      .broadcastCross(q.select(col("qid"), col("qe")), col("qid"), centArr, col("cell"))
-      .withColumn("dot", sumArr(zip_with(col("qe"), col("ce"), (w, u) => u * w)))
-      .withColumn("na", sumArr(transform(col("ce"), u => u * u)))
-      .withColumn("nb", sumArr(transform(col("qe"), w => w * w)))
-      .withColumn("cos", when(col("na") === 0.0 || col("nb") === 0.0, lit(-2.0))
-        .otherwise(col("dot") / (sqrt(col("na")) * sqrt(col("nb")))))
-    val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cell").asc)
+        latArrCol(col("embedding")).as("ql"))
+    val qcScored = relCellScores(
+      q.select(col("qid").as("id"), col("qe").as("ve")), centArrOf(spark, root))
+    val wq = Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cell").asc)
     val qCells = qcScored
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= NProbe)
-      .select(col("qid"), col("cell"))
-    val cand = spark.read.parquet(s"$root/cells")
+      .select(col("id").as("qid"), col("cell"))
+    val cand = cells
       .join(broadcast(qCells), "cell")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
-    val qt = ScalarJoin
-      .broadcastCross(q.select(col("qid"), col("ql")), col("qid"),
-        spark.read.parquet(s"$root/codebook"), col("cbq"))
-      .withColumn("qcomp", coalesce(
-        element_at(col("ql"), (col("s") * SubDim + col("d") + 1).cast("int")), lit(0L)))
-      .withColumn("diff", col("qcomp") - col("cbq"))
-      .groupBy(col("qid"), col("s"), col("c"))
-      .agg(sum(col("diff") * col("diff")).as("qd"))
+    val qt = relCodeDists(spark, root,
+        q.select(col("qid").as("id"), col("ql").as("vl")))
+      .select(col("id").as("qid"), col("s"), col("c"), col("qd"))
     val scored = cand
-      .join(spark.read.parquet(s"$root/codes"), "nid")
+      .join(codes, "nid")
       .join(broadcast(qt), Seq("qid", "s", "c"))
       .groupBy(col("qid"), col("nid"))
       .agg(sum(col("qd")).as("adc"))
@@ -798,8 +836,51 @@ object Similarity {
     annIndexSearchN(spark, dir, root, NQueries)
   }
 
+  /** Incremental index ADD — FAISS's `add()` against a persisted
+    * index, the last operational ANN residue from r9: the index is
+    * trained and populated on the BASE corpus (the first 4/5 of the
+    * vectors — all fixed seed slices live inside it), then the
+    * remaining fifth is added by assigning against the STORED
+    * artifacts with NO retraining: delta cell assignment is the
+    * relational centroid cosine ([[relCellScores]], rank-1), delta
+    * PQ codes the relational per-subspace argmin
+    * ([[relCodeDists]], rank-1 per (vector, subspace)) — both
+    * broadcast joins over narrow scans, zero object code, zero
+    * driver collects in the add path. The registered result searches
+    * the MERGED (stored ∪ added) index; its oracle is the full
+    * IVF-PQ replay with the training CTEs filtered to the base —
+    * assignment-with-trained-artifacts is exactly what the replay's
+    * assign/codes CTEs compute for every vector, so the whole
+    * add-then-search contract is hash-gated. At 100 TB this is the
+    * ingest path: nightly builds train; intraday batches append
+    * cells/codes partitions; searches read the union. */
+  def annIndexAdd(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val t = e.count() * 4L / 5L
+    val root = annIndexBuildOn(spark, dir, "annindexadd", col("vec_id") < t)
+    val delta = e.filter(col("vec_id") >= t)
+    val dCells = relCellScores(
+        delta.select(col("vec_id").as("id"),
+          transform(col("embedding"), x => x.cast("double")).as("ve")),
+        centArrOf(spark, root))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cell").asc)))
+      .filter(col("rk") === 1)
+      .select(col("id").as("nid"), col("cell"))
+    val dCodes = relCodeDists(spark, root,
+        delta.select(col("vec_id").as("id"), latArrCol(col("embedding")).as("vl")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id"), col("s")).orderBy(col("qd").asc, col("c").asc)))
+      .filter(col("rk") === 1)
+      .select(col("id").as("nid"), col("s"), col("c"))
+    annIndexSearchOver(spark, dir, root, NQueries,
+      spark.read.parquet(s"$root/cells").unionByName(dCells),
+      spark.read.parquet(s"$root/codes").unionByName(dCodes))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_index" -> annIndex,
+    "ann_index_add" -> annIndexAdd,
     "ann_topk" -> annTopkBrute,
     "ann_lsh"  -> annLsh,
     "ann_ivf"  -> annIvf,
@@ -816,7 +897,7 @@ object Similarity {
     * integer L2 against the TRAINED codebook and the argmin code
     * assignment — every quantity an exact BIGINT, so `embed_pq` and
     * `ann_pq` hash-gate the whole operator including training. */
-  private val pqReplayPrefix: String =
+  private def pqReplayPrefix(trainWhere: String = "TRUE"): String =
     s"""e AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT)) AS q
        |  FROM embeddings),
@@ -829,6 +910,7 @@ object Similarity {
        |    CAST(sum((COALESCE(e.q[sd.s*$SubDim + sd.d + 1], 0) - COALESCE(cb0.cq[sd.s*$SubDim + sd.d + 1], 0))
        |           * (COALESCE(e.q[sd.s*$SubDim + sd.d + 1], 0) - COALESCE(cb0.cq[sd.s*$SubDim + sd.d + 1], 0))) AS BIGINT) AS dist
        |  FROM e CROSS JOIN sd CROSS JOIN cb0
+       |  WHERE $trainWhere
        |  GROUP BY 1, 2, 3),
        |codes0 AS (
        |  SELECT vec_id, s, code FROM (
@@ -859,55 +941,13 @@ object Similarity {
        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rk
        |    FROM nd) t WHERE rk = 1)""".stripMargin
 
-  private val oraclesBase: Map[String, String] = Map(
-    "embed_pq" ->
-      s"""WITH $pqReplayPrefix
-         |SELECT vec_id,
-         |  CAST(max(CASE WHEN s = 0 THEN code END) AS BIGINT) AS c0,
-         |  CAST(max(CASE WHEN s = 1 THEN code END) AS BIGINT) AS c1,
-         |  CAST(max(CASE WHEN s = 2 THEN code END) AS BIGINT) AS c2,
-         |  CAST(max(CASE WHEN s = 3 THEN code END) AS BIGINT) AS c3,
-         |  CAST(max(CASE WHEN s = 4 THEN code END) AS BIGINT) AS c4,
-         |  CAST(max(CASE WHEN s = 5 THEN code END) AS BIGINT) AS c5,
-         |  CAST(max(CASE WHEN s = 6 THEN code END) AS BIGINT) AS c6,
-         |  CAST(max(CASE WHEN s = 7 THEN code END) AS BIGINT) AS c7
-         |FROM codes GROUP BY vec_id""".stripMargin,
-    // ADC = Σ_s querytable(s, code_s) — nd already holds every
-    // (query, subspace, code) distance, so the join IS the lookup;
-    // the shortlist cut and the exact-L2 rerank replay in the same
-    // integer arithmetic
-    "ann_pq" ->
-      s"""WITH $pqReplayPrefix,
-         |adc AS (
-         |  SELECT qt.vec_id AS qid, c.vec_id AS nid, CAST(sum(qt.dist) AS BIGINT) AS adc
-         |  FROM codes c JOIN nd qt ON qt.s = c.s AND qt.code = c.code
-         |  WHERE qt.vec_id < $NQueries AND c.vec_id <> qt.vec_id
-         |  GROUP BY 1, 2),
-         |short AS (
-         |  SELECT qid, nid FROM (
-         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) AS srk
-         |    FROM adc) t WHERE srk <= $PqShortlist),
-         |dd AS (SELECT unnest(range($Dim)) AS i),
-         |ex AS (
-         |  SELECT s.qid, s.nid,
-         |    CAST(sum((COALESCE(eq.q[dd.i + 1], 0) - COALESCE(en.q[dd.i + 1], 0))
-         |           * (COALESCE(eq.q[dd.i + 1], 0) - COALESCE(en.q[dd.i + 1], 0))) AS BIGINT) AS dist
-         |  FROM short s JOIN e eq ON eq.vec_id = s.qid
-         |  JOIN e en ON en.vec_id = s.nid CROSS JOIN dd
-         |  GROUP BY 1, 2),
-         |r AS (SELECT qid, nid, dist,
-         |        row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rnk
-         |      FROM ex)
-         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, dist
-         |FROM r WHERE rnk <= $K""".stripMargin,
-    // IVF-PQ: the pq replay prefix (lattice e, trained codebook,
-    // codes, per-(vector, subspace, code) distances nd) composed with
-    // the IVF replay (double-typed `ed`, seed + Lloyd centroids,
-    // cell/probe assignment); the candidate set is probed-cell
-    // members, ADC joins codes to nd, and the shortlist + exact
-    // rerank tail is ann_pq's verbatim
-    "ann_ivfpq" ->
-      s"""WITH $pqReplayPrefix,
+  /** Full IVF-PQ replay, training CTEs restricted to `trainWhere`
+    * (TRUE = train on everything — `ann_ivfpq`/`ann_index`; a base
+    * filter = the incremental-add contract, where the assign/codes
+    * CTEs still cover EVERY vector using the base-trained artifacts —
+    * exactly what [[annIndexAdd]] computes). */
+  private def ivfPqReplaySql(trainWhere: String = "TRUE"): String =
+      s"""WITH ${pqReplayPrefix(trainWhere)},
          |ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
          |       FROM embeddings),
          |cents0 AS (
@@ -917,7 +957,7 @@ object Similarity {
          |  SELECT ed.vec_id, c.cell,
          |    row_number() OVER (PARTITION BY ed.vec_id
          |      ORDER BY list_cosine_similarity(ed.emb, c.ce) DESC, c.cell ASC) AS rk
-         |  FROM ed CROSS JOIN cents0 c),
+         |  FROM ed CROSS JOIN cents0 c WHERE $trainWhere),
          |m0 AS (SELECT vec_id, cell FROM a0 WHERE rk = 1),
          |dims AS (SELECT unnest(range($Dim)) AS d),
          |sums AS (
@@ -963,7 +1003,57 @@ object Similarity {
          |        row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rnk
          |      FROM ex)
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, dist
+         |FROM r WHERE rnk <= $K""".stripMargin
+
+  private val oraclesBase: Map[String, String] = Map(
+    "embed_pq" ->
+      s"""WITH ${pqReplayPrefix()}
+         |SELECT vec_id,
+         |  CAST(max(CASE WHEN s = 0 THEN code END) AS BIGINT) AS c0,
+         |  CAST(max(CASE WHEN s = 1 THEN code END) AS BIGINT) AS c1,
+         |  CAST(max(CASE WHEN s = 2 THEN code END) AS BIGINT) AS c2,
+         |  CAST(max(CASE WHEN s = 3 THEN code END) AS BIGINT) AS c3,
+         |  CAST(max(CASE WHEN s = 4 THEN code END) AS BIGINT) AS c4,
+         |  CAST(max(CASE WHEN s = 5 THEN code END) AS BIGINT) AS c5,
+         |  CAST(max(CASE WHEN s = 6 THEN code END) AS BIGINT) AS c6,
+         |  CAST(max(CASE WHEN s = 7 THEN code END) AS BIGINT) AS c7
+         |FROM codes GROUP BY vec_id""".stripMargin,
+    // ADC = Σ_s querytable(s, code_s) — nd already holds every
+    // (query, subspace, code) distance, so the join IS the lookup;
+    // the shortlist cut and the exact-L2 rerank replay in the same
+    // integer arithmetic
+    "ann_pq" ->
+      s"""WITH ${pqReplayPrefix()},
+         |adc AS (
+         |  SELECT qt.vec_id AS qid, c.vec_id AS nid, CAST(sum(qt.dist) AS BIGINT) AS adc
+         |  FROM codes c JOIN nd qt ON qt.s = c.s AND qt.code = c.code
+         |  WHERE qt.vec_id < $NQueries AND c.vec_id <> qt.vec_id
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) AS srk
+         |    FROM adc) t WHERE srk <= $PqShortlist),
+         |dd AS (SELECT unnest(range($Dim)) AS i),
+         |ex AS (
+         |  SELECT s.qid, s.nid,
+         |    CAST(sum((COALESCE(eq.q[dd.i + 1], 0) - COALESCE(en.q[dd.i + 1], 0))
+         |           * (COALESCE(eq.q[dd.i + 1], 0) - COALESCE(en.q[dd.i + 1], 0))) AS BIGINT) AS dist
+         |  FROM short s JOIN e eq ON eq.vec_id = s.qid
+         |  JOIN e en ON en.vec_id = s.nid CROSS JOIN dd
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, dist,
+         |        row_number() OVER (PARTITION BY qid ORDER BY dist ASC, nid ASC) AS rnk
+         |      FROM ex)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, dist
          |FROM r WHERE rnk <= $K""".stripMargin,
+    // IVF-PQ: the pq replay prefix (lattice e, trained codebook,
+    // codes, per-(vector, subspace, code) distances nd) composed with
+    // the IVF replay (double-typed `ed`, seed + Lloyd centroids,
+    // cell/probe assignment); the candidate set is probed-cell
+    // members, ADC joins codes to nd, and the shortlist + exact
+    // rerank tail is ann_pq's verbatim
+    "ann_ivfpq" -> ivfPqReplaySql(),
+
     // positives replay as the all-pairs truth (the dedup_embedding
     // oracle's own equivalence); negatives replay the deterministic
     // arithmetic and re-score with list_cosine_similarity
@@ -1077,7 +1167,13 @@ object Similarity {
     * gates both and they cannot drift apart (the simjoin_prefix ≡
     * dedup_ngram precedent). */
   val oracles: Map[String, String] =
-    oraclesBase + ("ann_index" -> oraclesBase("ann_ivfpq"))
+    oraclesBase +
+      ("ann_index" -> oraclesBase("ann_ivfpq")) +
+      // incremental add: training restricted to the base 4/5 of the
+      // corpus; assignment/search replayed over ALL vectors with the
+      // base-trained artifacts — the add contract, hash-gated
+      ("ann_index_add" ->
+        ivfPqReplaySql("vec_id < (SELECT (4 * count(*)) // 5 FROM embeddings)"))
 
   /** Full DuckDB replay of the 16×6 sign-LSH pipeline (hyperplanes as
     * exact ±1.0 VALUES literals → sign-bit keys → bucket-mate

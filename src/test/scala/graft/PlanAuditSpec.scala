@@ -300,6 +300,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "shortlist cut must push down")
   }
 
+  test("ann_index_add: the add+search path is relational — no retraining, no object code") {
+    // the build trains on the base eagerly; the RETURNED plan is the
+    // incremental add (relational assignment of the delta against the
+    // stored artifacts) + search over the merged index — it must
+    // contain no object-code stages and no driver-materialized tables
+    val p = plan("ann_index_add")
+    assert(!p.contains("SerializeFromObject") && !p.contains("DeserializeToObject") &&
+      !p.contains("MapPartitions"),
+      "object-code stage leaked into the incremental add/search plan")
+    assert(!p.contains("LocalTableScan"), "driver-materialized table in the add path")
+    assert(p.contains("BroadcastHashJoin"), "assignment/probe joins must broadcast")
+  }
+
   test("ivm_join: every delta term joins by broadcast (maintenance cost ∝ |Δ|)") {
     val p = plan("ivm_join")
     // three delta terms, each broadcast-joined; the stored-view term
