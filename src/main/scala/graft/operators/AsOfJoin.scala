@@ -91,6 +91,37 @@ object AsOfJoin {
       .filter(col("click_id").isNotNull) // null-free gate, like asof_join
   }
 
+  /** Rolling exact MEDIAN over a trailing-hour event-time window —
+    * the holistic-aggregate-over-RANGE-frame shape native window
+    * frames cannot express (median is not frame-decomposable; Spark
+    * has no median window function and `window_range`'s native RANGE
+    * frame only fits distributive/algebraic aggregates). The
+    * scalable form is the bucketed one-sided range self-join
+    * ([[eventPairsWithin60s]]'s cell trick, trailing-only): the
+    * right side registers in its own hour-cell and the NEXT one, the
+    * left probes its own cell, so the theta-band becomes an
+    * equi-join on (user, cell) + residual filter with ≤2× shuffle
+    * fan-out, then one exact interpolated `percentile` per left row.
+    * Interpolation is the measured-bit-equal (n−1)·q form both
+    * engines share (agg_median precedent); window population always
+    * includes the row itself, so the median is never null. */
+  def windowMedian(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        (unix_micros(col("ts")) / lit(hourUs)).cast("long").as("cell"))
+    val left = ev.select(col("user_id"), col("event_id"), col("ts"), col("cell"))
+    val r0 = ev.select(col("user_id"), col("ts").as("r_ts"),
+      col("value").as("r_value"), col("cell"))
+    val right = r0.unionByName(r0.withColumn("cell", col("cell") + 1))
+    left.join(right, Seq("user_id", "cell"))
+      .filter(col("r_ts") <= col("ts") &&
+        unix_micros(col("r_ts")) >= unix_micros(col("ts")) - hourUs)
+      .groupBy(col("user_id"), col("event_id"), col("ts"))
+      .agg(count(lit(1)).as("n_window"),
+        percentile(col("r_value"), lit(0.5)).as("med_value"))
+  }
+
   /** Range join: same-user event pairs within 60 seconds — the
     * non-equi time-window join. Naively this is a per-user cross join
     * with an inequality filter; the scalable form buckets time into
@@ -124,7 +155,8 @@ object AsOfJoin {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join"    -> purchasesWithLastClickStrict,
     "asof_forward" -> purchasesWithNextClick,
-    "range_join"   -> eventPairsWithin60s)
+    "range_join"   -> eventPairsWithin60s,
+    "window_median" -> windowMedian)
 
   val oracles: Map[String, String] = Map(
     // explicit argmin formulations rather than DuckDB's native ASOF
@@ -156,5 +188,16 @@ object AsOfJoin {
         |  (epoch_ns(b.ts) - epoch_ns(a.ts)) / 1e9 AS dt_sec
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
-        | AND abs(epoch_ns(b.ts) - epoch_ns(a.ts)) <= 60000000000""".stripMargin)
+        | AND abs(epoch_ns(b.ts) - epoch_ns(a.ts)) <= 60000000000""".stripMargin,
+    // trailing-hour window population via the same band predicate
+    // (per-timestamp micro truncation); quantile_cont shares Spark
+    // percentile's (n-1)·q interpolation — measured bit-equal
+    "window_median" ->
+      """SELECT e.user_id, e.event_id, e.ts,
+        |  CAST(count(*) AS BIGINT) AS n_window,
+        |  quantile_cont(r.value, 0.5) AS med_value
+        |FROM events e JOIN events r
+        |  ON r.user_id = e.user_id AND r.ts <= e.ts
+        | AND epoch_ns(r.ts) // 1000 >= epoch_ns(e.ts) // 1000 - 3600000000
+        |GROUP BY 1, 2, 3""".stripMargin)
 }
