@@ -29,7 +29,7 @@ class CacheScopeSpec extends AnyFunSuite {
   // TextAnalysis (MG sketch frame)
   private val persistingQueries = Seq(
     "dedup_ngram", "dedup_minhash", "dedup_cluster", "dedup_keep",
-    "dedup_substring", "cc_star", "pagerank", "triangles",
+    "dedup_substring", "cc_star", "pagerank", "graph_bfs", "triangles",
     "contrastive_pairs", "freq_topk")
 
   test("persisting operators leave zero orphaned blocks after release()") {
