@@ -865,10 +865,15 @@ object Dedup {
     * unneeded on the fixture (hottest bucket = 3). Both engines
     * compute classic unit-cost levenshtein — the verify threshold is
     * exact integer arithmetic, hash-replayed end to end. */
-  def dedupFuzzy(spark: SparkSession, dir: String): DataFrame = {
-    val n = Tables.documents(spark, dir)
-      .select(col("doc_id"), fuzzyKey(col("text")).as("t"))
-    dedupFuzzyCandidates(spark, dir)
+  def dedupFuzzy(spark: SparkSession, dir: String): DataFrame =
+    dedupFuzzyOn(Tables.documents(spark, dir))
+
+  /** [[dedupFuzzy]] over any (doc_id, text) frame — the library
+    * surface (and the randomized-property harness: EdgeCaseSpec
+    * proves losslessness on mutated corpora, not just the fixture). */
+  def dedupFuzzyOn(docs: DataFrame): DataFrame = {
+    val n = docs.select(col("doc_id"), fuzzyKey(col("text")).as("t"))
+    dedupFuzzyCandidatesOn(docs)
       .join(n.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
       .join(n.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
       .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
@@ -876,12 +881,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
+  private[operators] def dedupFuzzyCandidates(spark: SparkSession, dir: String): DataFrame =
+    dedupFuzzyCandidatesOn(Tables.documents(spark, dir))
+
   /** The pigeonhole candidate set before verification — exposed so
     * DedupScaleSpec can count it (the simjoinPrefixCandidates
     * precedent). */
-  private[operators] def dedupFuzzyCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val n = Tables.documents(spark, dir)
-      .select(col("doc_id"), fuzzyKey(col("text")).as("t"))
+  private[operators] def dedupFuzzyCandidatesOn(docs: DataFrame): DataFrame = {
+    val n = docs.select(col("doc_id"), fuzzyKey(col("text")).as("t"))
     val segIdx = (0 until FuzzyNSeg).map(lit(_))
     val segs = n.select(col("doc_id"), col("t"),
         explode(array(segIdx: _*)).as("i"))

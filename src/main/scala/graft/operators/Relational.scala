@@ -1318,6 +1318,41 @@ object Relational {
     applyCdc(o, cdcChanges(o), "o_orderkey")
   }
 
+  /** Snapshot DIFF between two table versions — the lakehouse audit
+    * op (Delta/Iceberg table_changes): given version v0 (the CDC
+    * base) and v1 = changes applied, emit one row per differing key
+    * classified added / removed / changed with old+new payloads.
+    * One FULL OUTER key join + a column-compare predicate; at scale
+    * both versions are partition-pruned scans and the join shuffles
+    * keys + compared columns only. Null sides are encoded to
+    * sentinels ('' / −1) on BOTH engines — the hash gate's null-free
+    * convention. The 'changed' predicate compares doubles produced
+    * by identical exact ops (+100.0) on both engines, so
+    * classification is deterministic. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v0 = cdcBase(spark, dir)
+    val v1 = applyCdc(v0, cdcChanges(v0), "o_orderkey")
+    def side(v: DataFrame, sfx: String) = v.select(
+      col("o_orderkey").as(s"k$sfx"), col("o_orderstatus").as(s"status$sfx"),
+      col("o_orderpriority").as(s"prio$sfx"), col("o_totalprice").as(s"price$sfx"))
+    side(v0, "0").join(side(v1, "1"), col("k0") === col("k1"), "full_outer")
+      .withColumn("change_type",
+        when(col("k0").isNull, lit("added"))
+          .when(col("k1").isNull, lit("removed"))
+          .when(col("status0") =!= col("status1") ||
+            col("prio0") =!= col("prio1") ||
+            col("price0") =!= col("price1"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_type") =!= "unchanged")
+      .select(coalesce(col("k0"), col("k1")).as("o_orderkey"), col("change_type"),
+        coalesce(col("status0"), lit("")).as("status_old"),
+        coalesce(col("status1"), lit("")).as("status_new"),
+        coalesce(col("prio0"), lit("")).as("prio_old"),
+        coalesce(col("prio1"), lit("")).as("prio_new"),
+        coalesce(col("price0"), lit(-1.0)).as("price_old"),
+        coalesce(col("price1"), lit(-1.0)).as("price_new"))
+  }
+
   /** Incremental view maintenance of a JOIN — the delta algebra that
     * keeps a materialized join current without recomputing it:
     * (A ∪ ΔA) ⋈ (B ∪ ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB. The base
@@ -1622,6 +1657,7 @@ object Relational {
     "kmv_set_ops"      -> kmvSetOps,
     "ivm_join"         -> ivmJoin,
     "cohort_retention" -> cohortRetention,
+    "snapshot_diff"    -> snapshotDiff,
     "agg_rollup"       -> aggRollup,
     "agg_cube"         -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -1749,6 +1785,16 @@ object Relational {
        |  zval // 67108864 AS zbucket
        |FROM z""".stripMargin
   }
+
+  /** v1 of the CDC pair — shared by cdc_apply and snapshot_diff. */
+  private val CdcApplySql: String =
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 100 = 3 THEN '1-URGENT' ELSE o_orderpriority END AS o_orderpriority,
+        |  CASE WHEN o_orderkey % 100 = 3 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 100 <> 7
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, o_custkey, 'N', o_orderpriority, o_totalprice
+        |FROM orders WHERE o_orderkey % 100 = 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q2"  -> Q2Sql,
@@ -2287,14 +2333,29 @@ object Relational {
         |GROUP BY o_orderpriority""".stripMargin,
     // replays the merge SEMANTICS; the Spark side must reach the
     // same snapshot through the generic broadcast-merge machinery
-    "cdc_apply" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus,
-        |  CASE WHEN o_orderkey % 100 = 3 THEN '1-URGENT' ELSE o_orderpriority END AS o_orderpriority,
-        |  CASE WHEN o_orderkey % 100 = 3 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice
-        |FROM orders WHERE o_orderkey % 100 <> 7
-        |UNION ALL
-        |SELECT o_orderkey + 100000000, o_custkey, 'N', o_orderpriority, o_totalprice
-        |FROM orders WHERE o_orderkey % 100 = 5""".stripMargin,
+    "cdc_apply" -> CdcApplySql,
+    // v0 = orders payload, v1 = CdcApplySql; FULL key join classifies
+    // added/removed/changed; null sides -> '' / -1 sentinels (the
+    // null-free gate convention); unchanged rows filtered
+    "snapshot_diff" ->
+      s"""WITH v1 AS (${CdcApplySql.replace("\n", "\n  ")}),
+         |v0 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         o_orderpriority, o_totalprice FROM orders)
+         |SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         |  CASE WHEN a.o_orderkey IS NULL THEN 'added'
+         |       WHEN b.o_orderkey IS NULL THEN 'removed'
+         |       ELSE 'changed' END AS change_type,
+         |  COALESCE(a.o_orderstatus, '') AS status_old,
+         |  COALESCE(b.o_orderstatus, '') AS status_new,
+         |  COALESCE(a.o_orderpriority, '') AS prio_old,
+         |  COALESCE(b.o_orderpriority, '') AS prio_new,
+         |  COALESCE(a.o_totalprice, -1.0) AS price_old,
+         |  COALESCE(b.o_totalprice, -1.0) AS price_new
+         |FROM v0 a FULL JOIN v1 b ON a.o_orderkey = b.o_orderkey
+         |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+         |   OR a.o_orderstatus <> b.o_orderstatus
+         |   OR a.o_orderpriority <> b.o_orderpriority
+         |   OR a.o_totalprice <> b.o_totalprice""".stripMargin,
     "join_runtime_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,

@@ -139,6 +139,49 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(ranks(10L) === ranks(11L), "2-chain endpoints must tie exactly")
   }
 
+  test("fuzzy pigeonhole filter is lossless on randomized mutated corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic LCG → reproducible corpus; small alphabet forces
+    // segment collisions (the regime where a buggy filter would
+    // over-prune); 1–5 edits straddle the K=3 threshold both ways
+    var state = 0x9E3779B97F4A7C15L
+    def next(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((((state >>> 33) % bound) + bound) % bound).toInt
+    }
+    val alpha = "abcdef 0"
+    def randStr(len: Int): String = (1 to len).map(_ => alpha(next(alpha.length))).mkString
+    val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var id = 0L
+    (1 to 40).foreach { _ =>
+      val base = randStr(20 + next(20))
+      docs += ((id, base)); id += 1
+      var m = base
+      (1 to (1 + next(5))).foreach { _ =>
+        val pos = if (m.isEmpty) 0 else next(m.length)
+        next(3) match {
+          case 0 => m = m.updated(pos, alpha(next(alpha.length)))
+          case 1 => m = m.substring(0, pos) + alpha(next(alpha.length)) + m.substring(pos)
+          case _ => if (m.length > 1) m = m.substring(0, pos) + m.substring(pos + 1)
+        }
+      }
+      docs += ((id, m)); id += 1
+    }
+    val df = docs.toSeq.toDF("doc_id", "text")
+    val keyed = df.select(col("doc_id"), Dedup.fuzzyKey(col("text")).as("t"))
+    val naive = keyed.as("a")
+      .join(keyed.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist", levenshtein(col("a.t"), col("b.t")).cast("long"))
+      .filter(col("dist") <= Dedup.FuzzyK)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    val fuzzy = Dedup.dedupFuzzyOn(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(naive.nonEmpty, "mutated corpus must contain within-threshold pairs")
+    assert(fuzzy === naive,
+      s"pigeonhole filter lost ${(naive -- fuzzy).size} / invented ${(fuzzy -- naive).size} pairs")
+  }
+
   test("graph_bfs: seeds at zero, bipartite parity, bounded wavefront") {
     val rows = Graph.graphBfs(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
