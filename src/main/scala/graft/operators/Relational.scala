@@ -1112,6 +1112,47 @@ object Relational {
         ((col("value") - col("mean")) / col("sigma")).as("z"))
   }
 
+  /** Mean-shift changepoint per series — the time-series structural-
+    * break detector beside [[anomalyZscore]]'s outlier flags: for
+    * each event_type (ordered by ts, event_id), find the split that
+    * maximizes |mean(before) − mean(after)|. O(n) per series via
+    * windowed prefix sums (no per-candidate rescan): the cumulative
+    * DECIMAL(30,4) sum gives every candidate's exact left/right
+    * moments in one pass, the means are the established
+    * exact-decimal-over-count double division (the `agg_incremental`
+    * avg precedent — deterministic cross-engine), and the argmax
+    * resolves ties to the earliest (ts, event_id). Scale shape: one
+    * sort-window pass + a |types|-row totals join; the argmax is a
+    * rank-1 WindowGroupLimit, never a driver scan. (CUSUM's
+    * max(0, ·) recurrence is deliberately NOT this operator — it is
+    * not prefix-decomposable and would force a sequential per-group
+    * fold; the two-sided mean-gap statistic gives the same split on
+    * level shifts and stays one relational pass.) */
+  def changepointMean(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("ts"),
+        col("value").cast("decimal(30,4)").as("v"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("s", sum(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sn"))
+    val scored = base.join(broadcast(tot), "event_type")
+      .filter(col("i") < col("n"))
+      .withColumn("mean_before", col("s").cast("double") / col("i"))
+      .withColumn("mean_after",
+        (col("sn") - col("s")).cast("double") / (col("n") - col("i")))
+      .withColumn("gap", abs(col("mean_before") - col("mean_after")))
+    val wr = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap").desc, col("ts").asc, col("event_id").asc)
+    scored.withColumn("rk", row_number().over(wr)).filter(col("rk") === 1)
+      .select(col("event_type"), col("ts").as("split_ts"),
+        col("i").as("n_before"), (col("n") - col("i")).as("n_after"),
+        col("mean_before"), col("mean_after"), col("gap"))
+  }
+
   private[operators] val HistBuckets = 20
 
   /** Equi-width histogram per event type — the profiling primitive
@@ -1658,6 +1699,7 @@ object Relational {
     "ivm_join"         -> ivmJoin,
     "cohort_retention" -> cohortRetention,
     "snapshot_diff"    -> snapshotDiff,
+    "changepoint_mean" -> changepointMean,
     "agg_rollup"       -> aggRollup,
     "agg_cube"         -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -1970,6 +2012,30 @@ object Relational {
     "ivm_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // prefix-sum mean-gap replay: same DECIMAL cumulative sums, same
+    // exact-decimal-over-count double division, same tie rule
+    "changepoint_mean" ->
+      """WITH b AS (
+        |  SELECT event_type, event_id, ts, CAST(value AS DECIMAL(30,4)) AS v,
+        |    row_number() OVER win AS i,
+        |    sum(CAST(value AS DECIMAL(30,4))) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |t AS (SELECT event_type, count(*) AS n, sum(v) AS sn FROM b GROUP BY 1),
+        |sc AS (
+        |  SELECT b.event_type, b.event_id, b.ts, b.i, t.n,
+        |    CAST(b.s AS DOUBLE) / b.i AS mean_before,
+        |    CAST(t.sn - b.s AS DOUBLE) / (t.n - b.i) AS mean_after
+        |  FROM b JOIN t USING (event_type) WHERE b.i < t.n),
+        |r AS (SELECT *, abs(mean_before - mean_after) AS gap,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY abs(mean_before - mean_after) DESC, ts ASC, event_id ASC) AS rk
+        |      FROM sc)
+        |SELECT event_type, ts AS split_ts, CAST(i AS BIGINT) AS n_before,
+        |  CAST(n - i AS BIGINT) AS n_after, mean_before, mean_after, gap
+        |FROM r WHERE rk = 1""".stripMargin,
     // epoch-grid weeks (micros div 7d) — per-timestamp truncation,
     // the gap_us alignment pattern; calendar weeks differ per engine
     "cohort_retention" ->
