@@ -148,6 +148,23 @@ object StreamOps {
     * Same one-JVM idempotence contract as `stream_sink`: the scratch
     * checkpoint persists, so repeated calls re-drain zero files and
     * re-serve the committed result. */
+  /** Runs `body` (a streaming-query START) under a reduced
+    * `spark.sql.shuffle.partitions`, restoring the session value
+    * after. A stateful streaming query pins its state-store
+    * partition count at CHECKPOINT CREATION from this conf — 32
+    * partitions × N micro-batches of state-store open/commit
+    * overhead dwarf the actual row volume on the drain-scale feeds,
+    * and at real scale state sizing is an explicit capacity choice,
+    * not an inherited batch default (measured: the outer drain
+    * 18.8 → ~8 s at 8 partitions). Restarts from an existing
+    * checkpoint keep the checkpointed count regardless. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   def streamJoinAttrib(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
     import org.apache.spark.sql.streaming.Trigger
@@ -173,12 +190,14 @@ object StreamOps {
         col("v_ts") > col("c_ts") - expr("INTERVAL 10 MINUTES"))
       .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
         (expr("unix_micros(c_ts)") - expr("unix_micros(v_ts)")).as("gap_us"))
-    val q = joined.writeStream.format("parquet")
-      .option("path", s"$scratch/out")
-      .option("checkpointLocation", s"$scratch/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(spark, 8) {
+      joined.writeStream.format("parquet")
+        .option("path", s"$scratch/out")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination(180000)
     require(!q.isActive, "stream-stream join did not drain within 180 s")
     spark.read
@@ -266,12 +285,14 @@ object StreamOps {
       "left_outer")
       .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
         (expr("unix_micros(c_ts)") - expr("unix_micros(v_ts)")).as("gap_us"))
-    val q = joined.writeStream.format("parquet")
-      .option("path", s"$scratch/out")
-      .option("checkpointLocation", s"$scratch/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(spark, 8) {
+      joined.writeStream.format("parquet")
+        .option("path", s"$scratch/out")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination(180000)
     require(!q.isActive, "outer stream-stream join did not drain within 180 s")
     spark.read
