@@ -1249,6 +1249,54 @@ object Relational {
       .parquet(out)
   }
 
+  /** Corrupt-file-tolerant scan — the ops-robustness half of the
+    * malformed-RECORD quarantine (`csv_quarantine` handles bad rows;
+    * this handles bad FILES): a landing directory holding valid
+    * parquet plus a truncated/garbage file is read with
+    * `ignoreCorruptFiles`, so one bad upload cannot fail a 100 TB
+    * scan. The valid content is a deterministic fixture subset
+    * (user_id % 3 = 0), so the oracle replays exactly what must
+    * survive — reading MORE than the valid files (garbage decoded as
+    * rows) or FEWER (over-eager skipping) both break the hash. The
+    * explicit read schema matters twice: it skips footer-based
+    * inference (which would touch the corrupt file outside the
+    * guarded path) and pins the column types. */
+  def readCorruptSkip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.TempDirs.scratch("corruptdir", dir)
+    val done = new java.io.File(s"$out/_staged")
+    if (!done.exists) {
+      Tables.events(spark, dir)
+        .filter(col("user_id") % 3 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value"))
+        .write.mode("overwrite").parquet(s"$out/data")
+      // a garbage member beside the valid part-files: parquet magic
+      // so listing accepts it, then junk — the footer read fails
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/data/part-junk-corrupt.parquet"),
+        ("PAR1" + "this is not a parquet file" * 40).getBytes("UTF-8"))
+      done.createNewFile()
+    }
+    spark.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE")
+      .option("ignoreCorruptFiles", "true")
+      .parquet(s"$out/data")
+  }
+
+  /** Globally sorted export order — the final-stage sort before a
+    * sorted-file handoff. The point at scale is the PLAN: Spark
+    * samples the sort key and plans a `rangepartitioning` exchange
+    * (every partition holds a disjoint key range, sorted within), so
+    * the global order costs one balanced shuffle — never a
+    * single-partition funnel. PlanAuditSpec asserts exactly that.
+    * The driver's compare is order-insensitive, so the oracle gates
+    * the row SET while the plan assertion gates the sort shape. */
+  def sortExport(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+
   private[operators] val SkipOrd = 400L
   private[operators] val SkipPart = 120L
 
@@ -1700,6 +1748,8 @@ object Relational {
     "cohort_retention" -> cohortRetention,
     "snapshot_diff"    -> snapshotDiff,
     "changepoint_mean" -> changepointMean,
+    "read_corrupt_skip" -> readCorruptSkip,
+    "sort_export"      -> sortExport,
     "agg_rollup"       -> aggRollup,
     "agg_cube"         -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -2012,6 +2062,15 @@ object Relational {
     "ivm_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // only the valid staged subset may survive the corrupt member
+    "read_corrupt_skip" ->
+      """SELECT event_id, user_id, event_type, ts, value
+        |FROM events WHERE user_id % 3 = 0""".stripMargin,
+    // order-insensitive compare gates the SET; PlanAuditSpec gates
+    // the rangepartitioning sort shape
+    "sort_export" ->
+      """SELECT event_id, user_id, event_type, ts, value
+        |FROM events""".stripMargin,
     // prefix-sum mean-gap replay: same DECIMAL cumulative sums, same
     // exact-decimal-over-count double division, same tie rule
     "changepoint_mean" ->

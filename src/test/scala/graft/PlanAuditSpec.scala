@@ -313,6 +313,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "assignment/probe joins must broadcast")
   }
 
+  test("sort_export: global sort plans a range-partitioned exchange, not a funnel") {
+    val p = plan("sort_export")
+    assert(p.contains("rangepartitioning"), "global sort must range-partition")
+    assert(!p.contains("SinglePartition"), "global sort funneled to one partition")
+  }
+
   test("ivm_join: every delta term joins by broadcast (maintenance cost ∝ |Δ|)") {
     val p = plan("ivm_join")
     // three delta terms, each broadcast-joined; the stored-view term
