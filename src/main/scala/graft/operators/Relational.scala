@@ -1476,6 +1476,70 @@ object Relational {
     out.reduce(_ unionAll _)
   }
 
+  /** Incremental view maintenance of a grouped AGGREGATE — the other
+    * half of the delta algebra ([[ivmJoin]] maintains a join): the
+    * stored view V = γ_custkey(count, Σ price) over the base orders,
+    * and a mixed changeset (keys %100==5 insert a copy, %100==7
+    * delete the row) is folded in WITHOUT rescanning the base. The
+    * delta alone is aggregated with SIGNED multiplicities (+1
+    * insert, −1 delete) — counts add the multiplicity, sums add
+    * mult × price — then merged into V by a BROADCAST left join:
+    * changed rows derive from base rows, so every delta group
+    * already exists in the view and left-join covers the merge (a
+    * brand-new group would need the full-outer variant, which can't
+    * broadcast). Maintenance cost ∝ |Δ|; the base is touched only
+    * through its stored aggregate. Sums stay DECIMAL through the
+    * merge — exact and order-insensitive, so the maintained view is
+    * bit-identical to the oracle's full recompute over base ∪ Δ —
+    * and groups whose count reaches zero vanish exactly as a
+    * recompute would drop them. PlanAuditSpec asserts the
+    * BroadcastHashJoin merge. */
+  def ivmAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val m = col("o_orderkey") % 100
+    val dec = col("o_totalprice").cast(DecimalType(30, 4))
+    val viewBase = o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n0"), sum(dec).as("s0"))
+    val viewDelta = o.filter(m.isin(5, 7))
+      .select(col("o_custkey"), dec.as("p"),
+        when(m === 5, lit(1L)).otherwise(lit(-1L)).as("mult"))
+      .groupBy("o_custkey")
+      .agg(sum(col("mult")).as("dn"), sum(col("p") * col("mult")).as("ds"))
+    viewBase.join(broadcast(viewDelta), Seq("o_custkey"), "left")
+      .select(col("o_custkey"),
+        (col("n0") + coalesce(col("dn"), lit(0L))).as("n"),
+        (col("s0") + coalesce(col("ds"), lit(0).cast(DecimalType(30, 4))))
+          .as("sdec"))
+      .filter(col("n") > 0)
+      .select(col("o_custkey"), col("n"),
+        col("sdec").cast("double").as("sum_price"))
+  }
+
+  /** First-order Markov transition model over per-user event
+    * sequences — the behavioral-analytics summary (and the n-gram
+    * LM counterpart for event streams): for each ordered pair of
+    * consecutive event types within a user's timeline, the
+    * transition count and the conditional probability
+    * P(next | current). One exchange on user_id feeds the lead()
+    * window ((ts, event_id) ordering — event_id breaks timestamp
+    * ties deterministically, the asof rule); the bigram groupBy then
+    * partial-aggregates to a |types|² result, and the normalizing
+    * row-sum is a window over that tiny aggregate, not the events.
+    * p is one BIGINT÷BIGINT IEEE division on identical operands in
+    * both engines, so even the DOUBLE column hash-matches. */
+  def markovTrans(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("cur")).cast("double"))
+  }
+
   /** Semi-structured access through Spark 4's VARIANT type — the
     * schema-drift-tolerant path beyond `from_json` (`json_events`):
     * `parse_json` builds the binary variant once, `variant_get`
@@ -1745,6 +1809,8 @@ object Relational {
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
     "ivm_join"         -> ivmJoin,
+    "ivm_agg"          -> ivmAgg,
+    "markov_trans"     -> markovTrans,
     "cohort_retention" -> cohortRetention,
     "snapshot_diff"    -> snapshotDiff,
     "changepoint_mean" -> changepointMean,
@@ -2062,6 +2128,28 @@ object Relational {
     "ivm_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // full recompute over base ∪ Δ — the IVM merge must be
+    // bit-identical to it (decimal sums end-to-end, final cast)
+    "ivm_agg" ->
+      """WITH eff AS (
+        |  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 100 <> 7
+        |  UNION ALL
+        |  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 100 = 5)
+        |SELECT o_custkey, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+        |FROM eff GROUP BY o_custkey""".stripMargin,
+    // lead() over (ts, event_id) — same deterministic tiebreak; the
+    // probability is one BIGINT/BIGINT division in both engines
+    "markov_trans" ->
+      """WITH seq AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |pairs AS (
+        |  SELECT cur, nxt, count(*) AS n FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur, nxt, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE) AS p
+        |FROM pairs""".stripMargin,
     // only the valid staged subset may survive the corrupt member
     "read_corrupt_skip" ->
       """SELECT event_id, user_id, event_type, ts, value

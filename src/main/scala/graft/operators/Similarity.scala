@@ -878,7 +878,40 @@ object Similarity {
       spark.read.parquet(s"$root/codes").unionByName(dCodes))
   }
 
+  /** Exact Gram (second-moment) matrix of the embedding corpus —
+    * Σ xᵢxⱼ over all vectors for every coordinate pair (i, j), the
+    * 64×64 input PCA / whitening / linear-probe prep reads off a
+    * corpus. Elements are floored onto the family's 2^-20 lattice
+    * first, so every product is an exact BIGINT and the sums
+    * accumulate as DECIMAL(38,0) — order-insensitive and
+    * overflow-proof far past any corpus size BIGINT could carry
+    * (|product| ≤ 2^40, so 64-bit sums die around 10^5 rows of
+    * full-magnitude mass; decimal dies around 10^26). Only the
+    * finished sum is cast to BIGINT for the gated row — DuckDB's
+    * HUGEINT sum lands on the same presentation type.
+    *
+    * Shape at 100 TB: the outer product is generated ROW-side —
+    * `flatten(transform²)` builds the 4096-element product array
+    * inside whole-stage codegen, `posexplode` streams it, and hash
+    * aggregation partial-combines per partition BEFORE the only
+    * shuffle. Per partition, exactly 4096 (i, j, Σ) rows cross the
+    * wire regardless of row count — the n×4096 expansion never
+    * materializes. PlanAuditSpec asserts the single-exchange plan. */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val q = latArrCol(col("embedding"))
+    val outer = flatten(transform(q, vi => transform(q, vj => vi * vj)))
+    Tables.embeddings(spark, dir)
+      .select(posexplode(outer).as(Seq("pos", "prod")))
+      .groupBy(floor(col("pos") / Dim).cast("long").as("i"),
+        (col("pos") % Dim).cast("long").as("j"))
+      .agg(sum(col("prod").cast(DecimalType38)).cast("long").as("g"))
+  }
+
+  private val DecimalType38 =
+    org.apache.spark.sql.types.DecimalType(38, 0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gram_matrix" -> gramMatrix,
     "ann_index" -> annIndex,
     "ann_index_add" -> annIndexAdd,
     "ann_topk" -> annTopkBrute,
@@ -1006,6 +1039,15 @@ object Similarity {
          |FROM r WHERE rnk <= $K""".stripMargin
 
   private val oraclesBase: Map[String, String] = Map(
+    // lattice products are exact BIGINTs; DuckDB's sum is HUGEINT →
+    // both sides land on DECIMAL(38,0). range() is 1..64 → i = idx-1.
+    "gram_matrix" ->
+      s"""SELECT t1.i - 1 AS i, t2.j - 1 AS j,
+         |  CAST(sum(CAST(floor(CAST(embedding[t1.i] AS DOUBLE) * $QScale.0) AS BIGINT)
+         |         * CAST(floor(CAST(embedding[t2.j] AS DOUBLE) * $QScale.0) AS BIGINT))
+         |       AS BIGINT) AS g
+         |FROM embeddings, range(1, ${Dim + 1}) t1(i), range(1, ${Dim + 1}) t2(j)
+         |GROUP BY 1, 2""".stripMargin,
     "embed_pq" ->
       s"""WITH ${pqReplayPrefix()}
          |SELECT vec_id,

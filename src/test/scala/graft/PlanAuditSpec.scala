@@ -313,6 +313,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "assignment/probe joins must broadcast")
   }
 
+  test("ivm_agg: the view merge is a broadcast hash join (maintenance cost ∝ |Δ|)") {
+    val p = plan("ivm_agg")
+    assert(p.contains("BroadcastHashJoin"), "IVM aggregate merge must broadcast the delta view")
+  }
+
+  test("gram_matrix: row-side outer product, one aggregation exchange, partial combine") {
+    val p = plan("gram_matrix")
+    // the n×4096 expansion is a Generate inside the scan stage, and
+    // only the 4096-row partial aggregates cross the single shuffle
+    assert(p.contains("Generate posexplode"), "outer product must be generated row-side")
+    assert(p.contains("partial_"), "gram sums must partial-combine before the exchange")
+    val exchanges = "Exchange [a-z]*partitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"gram_matrix should shuffle exactly once, found $exchanges")
+  }
+
   test("sort_export: global sort plans a range-partitioned exchange, not a funnel") {
     val p = plan("sort_export")
     assert(p.contains("rangepartitioning"), "global sort must range-partition")
