@@ -1153,6 +1153,167 @@ object Relational {
         col("mean_before"), col("mean_after"), col("gap"))
   }
 
+  /** Gaps-and-islands — per-user runs of CONSECUTIVE active days,
+    * the classic streak/tenure primitive (billing periods, engagement
+    * streaks, coverage audits). Days are epoch-grid buckets
+    * (micros div 86400e6 — the [[cohortRetention]] alignment rule;
+    * calendar days via date_trunc carry timezone conventions that
+    * differ per engine). The island id is the textbook
+    * `day − row_number()` constant-per-run trick: one distinct
+    * shuffle, one per-user sort window, one partial+final aggregate.
+    * Scale shape: all three stages key on user_id, so one exchange
+    * feeds the window AND the group-by; per-user state is a single
+    * running counter — a 10⁹-event user streams through the sort
+    * spill path, never materializing in memory. */
+  def gapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val d = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+    d.withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+        count(lit(1)).as("n_days"))
+      .select(col("user_id"), col("start_day"), col("end_day"), col("n_days"))
+  }
+
+  /** Interval coverage merge — collapse each user's overlapping
+    * activity intervals (event ts + a 30-minute span) into maximal
+    * disjoint covered intervals, the sessionize dual: sessionize cuts
+    * on gaps BETWEEN points, this merges EXTENTS, the primitive
+    * behind uptime/SLA coverage and span-level dedup of time ranges.
+    * Single-pass: a per-user sort window computes the running max of
+    * interval ends over STRICTLY preceding rows; a new island starts
+    * exactly where start > that max (no reachable overlap — correct
+    * even when a long interval swallows several later short ones,
+    * which the naive lag(end) formulation gets wrong). All arithmetic
+    * is exact epoch-micros integers. Scale shape: one exchange on
+    * user_id feeds the window and the aggregate; state per user is
+    * one running max — same spill-safe profile as [[gapsIslands]]. */
+  def intervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val spanUs = 1800000000L // 30 minutes
+    intervalMergeOf(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("start_us"))
+        .withColumn("end_us", col("start_us") + spanUs))
+  }
+
+  /** Core of [[intervalMerge]] over any (user_id, event_id, start_us,
+    * end_us) frame — VARIABLE-length intervals welcome; this is where
+    * the running-max form earns its keep over naive lag(end) (with
+    * the registered op's constant span the two coincide, so the
+    * swallowed-interval edge case lives in EdgeCaseSpec, not the
+    * fixture). */
+  private[operators] def intervalMergeOf(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_us").asc, col("event_id").asc)
+    e
+      .withColumn("prev_max_end",
+        max(col("end_us")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull ||
+          col("start_us") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("start_us")).as("start_us"), max(col("end_us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+  }
+
+  /** Skyline (Pareto frontier) per part type — parts not dominated on
+    * (price ↓, size ↑): keep p unless some q in the type has
+    * price ≤ AND size ≥ with at least one strict. The multi-objective
+    * shortlist primitive (cheapest-and-biggest candidates) that a
+    * naive engine writes as a quadratic self-join. Linearithmic
+    * instead: collapse to one row per (type, price) carrying the max
+    * size at that exact price, then a per-type sort window takes the
+    * running max size over STRICTLY cheaper prices (the per-price
+    * pre-aggregate is what makes the rows-frame strict — equal prices
+    * never leak into the preceding frame). p survives iff no strictly
+    * cheaper price reached its size AND nothing at its own price is
+    * strictly bigger; equal (price, size) twins don't dominate each
+    * other and are both kept. Scale shape: one partial+final
+    * aggregate, one window over the (small) distinct-price relation,
+    * one shuffle join back — the quadratic NOT EXISTS exists only in
+    * the DuckDB oracle, which is the point of the differential test. */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame =
+    skylineOf(Tables.part(spark, dir)
+      .select(col("p_type"), col("p_partkey"), col("p_retailprice"), col("p_size")))
+
+  /** Core of [[skylineParts]] over any (p_type, p_partkey,
+    * p_retailprice, p_size) frame — exposed for the randomized
+    * dominance property. */
+  private[operators] def skylineOf(p: DataFrame): DataFrame = {
+    val best = p.groupBy(col("p_type"), col("p_retailprice"))
+      .agg(max(col("p_size")).as("best_size"))
+    val w = Window.partitionBy(col("p_type")).orderBy(col("p_retailprice").asc)
+    val withPrev = best.withColumn("prev_max_size",
+      max(col("best_size")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    p.join(withPrev, Seq("p_type", "p_retailprice"))
+      .filter((col("prev_max_size").isNull ||
+        col("prev_max_size") < col("p_size")) &&
+        col("best_size") === col("p_size"))
+      .select(col("p_type"), col("p_partkey"), col("p_retailprice"), col("p_size"))
+  }
+
+  /** Trailing-7-day distinct active users per day — the rolling-
+    * distinct dashboard metric (WAU on a daily grid) that resists
+    * plain windows because COUNT(DISTINCT) doesn't decompose over
+    * sliding frames. The scalable shape is contribution fan-out, not
+    * a band join: each (day, user) activity row explodes to the ≤7
+    * grid days it contributes to, then one distinct aggregate per
+    * day. A range-predicate join against the day grid would plan a
+    * BroadcastNestedLoopJoin (the shape [[PlanAuditSpec]] bans);
+    * the explode keeps it a narrow projection + one exchange. The
+    * semi join restricts output to days that actually occur (the
+    * fan-out otherwise invents up-to-6 phantom trailing days past
+    * each activity day). At 100 TB the 7× fan-out carries only
+    * (day, user_id) pairs — 16 bytes a row — and the distinct
+    * aggregate is the same partial+final HashAggregate as any
+    * count-distinct; swap in the KMV sketch ([[kmvSetOps]]) when
+    * exactness can be traded for a 100× smaller shuffle. */
+  def rollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val au = Tables.events(spark, dir)
+      .select(expr(s"unix_micros(ts) div $dayUs").as("day"), col("user_id"))
+      .distinct()
+    val days = au.select(col("day").as("d")).distinct()
+    au.withColumn("d", explode(sequence(col("day"), col("day") + 6)))
+      .join(days, Seq("d"), "left_semi")
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("active_users_7d"))
+      .select(col("d").as("day"), col("active_users_7d"))
+  }
+
+  /** Robust outlier screen via MAD — flag events whose value sits
+    * more than 3 median-absolute-deviations from their type's median.
+    * The robust sibling of [[anomalyZscore]]: z-scores use moments
+    * that the outliers themselves inflate (a single 10⁶× corrupt
+    * value widens σ until nothing is anomalous); medians don't move,
+    * so MAD keeps flagging. Two exact grouped percentiles (the
+    * [[aggMedian]] cross-engine interpolation contract: identical
+    * sorted multisets → identical interpolated doubles), each a
+    * |types|-row broadcast back over the scan — two aggregation
+    * passes + one narrow filtered pass, no sort of the full data.
+    * The score division and 3×MAD comparison are single IEEE ops on
+    * identical inputs, so even the DOUBLE scores hash-match. */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val med = e.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("adev") > col("mad") * 3)
+      .select(col("event_id"), col("event_type"), col("value"),
+        (col("adev") / col("mad")).as("score"))
+  }
+
   private[operators] val HistBuckets = 20
 
   /** Equi-width histogram per event type — the profiling primitive
@@ -1816,6 +1977,11 @@ object Relational {
     "changepoint_mean" -> changepointMean,
     "read_corrupt_skip" -> readCorruptSkip,
     "sort_export"      -> sortExport,
+    "gaps_islands"     -> gapsIslands,
+    "interval_merge"   -> intervalMerge,
+    "skyline"          -> skylineParts,
+    "rolling_distinct" -> rollingDistinct,
+    "anomaly_mad"      -> anomalyMad,
     "agg_rollup"       -> aggRollup,
     "agg_cube"         -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -2183,6 +2349,64 @@ object Relational {
         |SELECT event_type, ts AS split_ts, CAST(i AS BIGINT) AS n_before,
         |  CAST(n - i AS BIGINT) AS n_after, mean_before, mean_after, gap
         |FROM r WHERE rk = 1""".stripMargin,
+    // same day-grid + row_number() island id, replayed verbatim
+    "gaps_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 1000 // 86400000000 AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM d)
+        |SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+        |  CAST(count(*) AS BIGINT) AS n_days
+        |FROM i GROUP BY user_id, island""".stripMargin,
+    // running-max-over-strict-predecessors island cut, exact micros
+    "interval_merge" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000 AS start_us,
+        |    epoch_ns(ts) // 1000 + 1800000000 AS end_us FROM events),
+        |f AS (SELECT *, max(end_us) OVER (PARTITION BY user_id
+        |    ORDER BY start_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM e),
+        |g AS (SELECT *, CASE WHEN pme IS NULL OR start_us > pme
+        |    THEN 1 ELSE 0 END AS ni FROM f),
+        |h AS (SELECT *, sum(ni) OVER (PARTITION BY user_id
+        |    ORDER BY start_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM g)
+        |SELECT user_id, min(start_us) AS start_us, max(end_us) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM h GROUP BY user_id, island""".stripMargin,
+    // the quadratic dominance definition the Spark side never runs —
+    // a genuinely different formulation gating the window rewrite
+    "skyline" ->
+      """SELECT p.p_type, p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_type = p.p_type
+        |    AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""".stripMargin,
+    // band join over the day grid — the formulation Spark AVOIDS
+    // (it would plan a BNLJ); the explode fan-out is its exact dual
+    "rolling_distinct" ->
+      """WITH au AS (SELECT DISTINCT
+        |    epoch_ns(ts) // 1000 // 86400000000 AS day, user_id FROM events),
+        |d AS (SELECT DISTINCT day FROM au)
+        |SELECT d.day AS day,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users_7d
+        |FROM d JOIN au a ON a.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1""".stripMargin,
+    // same two interpolated medians, same IEEE score arithmetic
+    "anomaly_mad" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_id, e.event_type, e.value,
+        |    abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value, d.adev / m.mad AS score
+        |FROM dev d JOIN mad m USING (event_type)
+        |WHERE d.adev > m.mad * 3""".stripMargin,
     // epoch-grid weeks (micros div 7d) — per-timestamp truncation,
     // the gap_us alignment pattern; calendar weeks differ per engine
     "cohort_retention" ->

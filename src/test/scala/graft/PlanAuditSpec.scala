@@ -334,6 +334,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), "global sort funneled to one partition")
   }
 
+  test("gaps_islands / interval_merge: one user_id exchange feeds window AND aggregate") {
+    // the (user_id, island) group-by must REUSE the window's user_id
+    // hash partitioning (subset-key satisfaction) — a second exchange
+    // after the window would double the shuffle volume at any scale
+    val gi = plan("gaps_islands")
+    val giEx = "Exchange [a-z]*partitioning".r.findAllIn(gi).size
+    assert(giEx == 2, s"gaps_islands: distinct + window = 2 exchanges, found $giEx")
+    val im = plan("interval_merge")
+    val imEx = "Exchange [a-z]*partitioning".r.findAllIn(im).size
+    assert(imEx == 1, s"interval_merge should shuffle exactly once, found $imEx")
+    // both window functions (running max, island sum) share one sort
+    assert("Sort ".r.findAllIn(im).size == 1,
+      "interval_merge's two window passes must share a single sort")
+  }
+
+  test("skyline: linearithmic frontier — pre-aggregate + window, never a quadratic join") {
+    val p = plan("skyline")
+    assert(p.contains("partial_"), "per-price pre-aggregate must partial-combine")
+    assert(p.contains("Window"), "frontier must come from the running-max window")
+    // the join back to part rows is an equi hash join on (type, price);
+    // the quadratic NOT-EXISTS formulation lives only in the oracle
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "skyline join-back must be an equi hash/sort-merge join")
+  }
+
+  test("rolling_distinct: contribution fan-out (Generate), never a range-predicate BNLJ") {
+    val p = plan("rolling_distinct")
+    assert(p.contains("Generate explode"), "7-day contribution must fan out row-side")
+    assert(p.contains("partial_"), "distinct count must partial-combine")
+    // global audit already bans BNLJ; assert the day-grid restriction
+    // is the cheap semi join, not a filter after a wide join
+    assert(p.contains("LeftSemi"), "day-grid restriction must be a semi join")
+  }
+
+  test("anomaly_mad: both percentile passes broadcast back over the scan") {
+    val p = plan("anomaly_mad")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
+      "median and MAD stats must broadcast-join against the event scan")
+  }
+
   test("ivm_join: every delta term joins by broadcast (maintenance cost ∝ |Δ|)") {
     val p = plan("ivm_join")
     // three delta terms, each broadcast-joined; the stored-view term

@@ -328,6 +328,59 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(tied.getLong(1) === 9L && tied.getLong(2) === 2L)
   }
 
+  test("interval merge handles a long interval swallowing later short ones") {
+    // the naive lag(end_us) formulation cuts an island at C because C
+    // doesn't overlap its immediate PREDECESSOR B ([10,20)) — but A's
+    // [0,100) still covers it; the running-max form keeps A,B,C merged
+    val e = Seq(
+      (1L, 1L, 0L, 100L),    // A: long
+      (1L, 2L, 10L, 20L),    // B: short, inside A
+      (1L, 3L, 50L, 60L),    // C: short, inside A, past B's end
+      (1L, 4L, 500L, 510L)   // D: disjoint
+    ).toDF("user_id", "event_id", "start_us", "end_us")
+    val out = Relational.intervalMergeOf(e)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq === Seq((0L, 100L, 3L), (500L, 510L, 1L)))
+  }
+
+  test("interval merge equals a brute-force sweep on random variable-length corpora") {
+    val rnd = new scala.util.Random(23)
+    val rows = for (u <- 1L to 8L; i <- 1L to 40L) yield {
+      val s = rnd.nextInt(2000).toLong
+      (u, u * 100 + i, s, s + 1 + rnd.nextInt(120))
+    }
+    val got = Relational.intervalMergeOf(
+      rows.toDF("user_id", "event_id", "start_us", "end_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = rows.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.map(r => (r._3, r._4)).sortBy(identity)
+      val islands = sorted.tail.foldLeft(
+        List((sorted.head._1, sorted.head._2, 1L))) {
+        case ((s, e, n) :: rest, (st, en)) =>
+          if (st > e) (st, en, 1L) :: (s, e, n) :: rest
+          else (s, math.max(e, en), n + 1) :: rest
+        case (Nil, _) => Nil
+      }
+      islands.map { case (s, e, n) => (u, s, e, n) }
+    }.toSet
+    assert(got === want)
+  }
+
+  test("skyline equals the quadratic dominance reference on random point sets") {
+    val rnd = new scala.util.Random(31)
+    val pts = for (t <- Seq("a", "b", "c"); k <- 1L to 60L)
+      yield (t, k, (rnd.nextInt(50) * 25).toDouble / 100, rnd.nextInt(30))
+    // coarse price grid forces equal-price and equal-(price,size) ties
+    val got = Relational.skylineOf(
+      pts.toDF("p_type", "p_partkey", "p_retailprice", "p_size"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = pts.filter { case (t, _, pr, sz) =>
+      !pts.exists { case (t2, _, pr2, sz2) =>
+        t2 == t && pr2 <= pr && sz2 >= sz && (pr2 < pr || sz2 > sz) }
+    }.map(p => (p._1, p._2)).toSet
+    assert(got === want)
+  }
+
   test("nearest-neighbor resize at identical dimensions is the identity") {
     val seed = Array.tabulate(16)(i => (i * 41 + 5).toByte)
     val png = Multimodal.encodePng(seed)
