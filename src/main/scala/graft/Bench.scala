@@ -76,8 +76,11 @@ object Bench {
     // damping rather than to code. Dropped under budget pressure
     // before any per-query detail is.
     val dam = if (damped.isEmpty) "" else ",\"damped\":\"" + damped.mkString(" ") + "\""
+    // "nerr" is unconditional and survives every degradation rung: a
+    // gate reading only rc/parsed called the 37-error r10 run clean
+    // (ADVICE r10) — the explicit count makes that impossible
     def line(qs: String, e: String, d: String = "") =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"errors":$e$d,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","nerr":${errors.size},"queries":$qs,"errors":$e$d,"sf":"$sfShort"}"""
     // degradation ladder, most → least informative. fMix keeps one
     // decimal where it matters (multi-second queries, the ranking
     // tail) and whole seconds below ~1 s (~2 bytes × the many fast
@@ -122,13 +125,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // The per-query sweep unpersists localCheckpoint blocks, and RDD
-    // logs a "cannot be recomputed after unpersisting" WARN each time;
-    // a late async warning landing after the final println could push
-    // the JSON line out of the driver's 2000-char stdout tail — mute
-    // that logger outright (the sweep is deliberate, the warning moot).
+    // The per-query sweep unpersists localCheckpoint blocks, and the
+    // rdd package logs a "cannot be recomputed after unpersisting"
+    // WARN each time; late async warnings landing after the final
+    // println push the JSON line out of the driver's 2000-char
+    // stdout+stderr tail — exactly what zeroed BENCH_r10's parse
+    // (the r10 mute covered only `...rdd.RDD`, but the warning is
+    // logged by `...rdd.MapPartitionsRDD` et al — mute the PACKAGE).
     org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 
     // untimed warmup: exercises scan + shuffle + codegen paths
     try SparkEntry.queries("wordcount")(spark, sfDir).count()
@@ -205,9 +210,17 @@ object Bench {
         name -> (if (ok) math.min(dt, dt2) else dt)
       }
     }
-    println(renderLine(damped, errors, sfDir, damped = rerun.toSeq.sorted))
-    if (errors.nonEmpty)
+    // per-query exception lines go to stderr BEFORE the JSON line so
+    // they can never crowd it out of the driver's tail capture, and a
+    // future failed round is diagnosable from the artifact alone
+    // (VERDICT r10 item 5: the name list was not enough)
+    if (errors.nonEmpty) {
+      errors.foreach { case (name, msg) =>
+        System.err.println(s"BENCH ERROR $name: $msg")
+      }
       System.err.println(s"BENCH ERRORS (${errors.size}): ${errors.keys.mkString(", ")}")
+    }
+    println(renderLine(damped, errors, sfDir, damped = rerun.toSeq.sorted))
     spark.stop()
   }
 }

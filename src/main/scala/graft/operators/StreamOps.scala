@@ -106,17 +106,19 @@ object StreamOps {
   def streamSinkParquet(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
     import org.apache.spark.sql.streaming.Trigger
-    // same nanos contract as Tables.events (streaming needs the
-    // explicit schema + the legacy conf to accept TIMESTAMP(NANOS))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // schema-adaptive like Tables.events: readStream needs an explicit
+    // schema, so probe the one the fixture actually carries (nanos-era
+    // files surface ts as BIGINT under the legacy conf, current files
+    // as a real timestamp) and normalize after — hard-coding a
+    // remembered physical type was the round-10 fixture-drift failure
     val scratch = graft.sources.TempDirs.scratch("streamsink", dir)
-    val q = spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .option("pathGlobFilter", "events.parquet") // single-file fixture; base path must be a dir
-      .parquet(dir)
+    val q = graft.sources.Tables.normalizeEventsTs(spark.readStream
+        .schema(graft.sources.Tables.eventsDiskSchema(spark, dir))
+        .option("pathGlobFilter", "events.parquet") // single-file fixture; base path must be a dir
+        .parquet(dir))
       .filter(col("user_id") % 4 === 0)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+        col("ts"), col("value"))
       .writeStream.format("parquet")
       .option("path", s"$scratch/out")
       .option("checkpointLocation", s"$scratch/ckpt")
@@ -168,14 +170,12 @@ object StreamOps {
   def streamJoinAttrib(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
     import org.apache.spark.sql.streaming.Trigger
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val scratch = graft.sources.TempDirs.scratch("streamjoin", dir)
-    def src = spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("timestamp_micros(ts div 1000)").as("ts"))
+    def src = graft.sources.Tables.normalizeEventsTs(spark.readStream
+        .schema(graft.sources.Tables.eventsDiskSchema(spark, dir))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
@@ -237,16 +237,14 @@ object StreamOps {
   def streamJoinOuterAttrib(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{expr, lit}
     import org.apache.spark.sql.streaming.Trigger
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val scratch = graft.sources.TempDirs.scratch("streamjoinouter", dir)
     val done = new java.io.File(s"$scratch/feed/_done")
     if (!done.exists) {
-      val ev = spark.read
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("timestamp_micros(ts div 1000)").as("ts"))
+      // feed is staged from the schema-adaptive batch loader; the
+      // stream sources below then read the feed's own (normalized)
+      // TIMESTAMP schema, so no physical-type assumption survives here
+      val ev = graft.sources.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
       val maxTs = ev.agg(org.apache.spark.sql.functions.max(col("ts"))).head()
         .getTimestamp(0).toInstant
       def sentinel(idx: Int, days: Int): DataFrame =
@@ -500,7 +498,12 @@ object StreamOps {
       """SELECT event_id, user_id, event_type, ts, value
         |FROM events WHERE user_id % 4 = 0""".stripMargin,
     // a drained inner stream-stream join equals the batch interval
-    // join: the oracle IS stream_attribution's contract
+    // join: the oracle IS stream_attribution's contract. Sanity on
+    // the tiny row count (6 at sf0.01): the fixture spreads 10k
+    // events over 30 days across 150 users (~2 events/user/day), so a
+    // (user, click←view, ≤10 min) band is a rare coincidence — thousands
+    // of matches (r10's 5354, from 1000×-shrunk timestamps collapsing
+    // the band) is the signature of a units bug, not density
     "stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
         |  epoch_ns(c.ts) // 1000 - epoch_ns(v.ts) // 1000 AS gap_us

@@ -52,20 +52,64 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's TimestampType (microseconds) refuses by default. Read the
-    * nanos as a long (legacy conf) and convert; the fixture has no
-    * sub-microsecond components (verified), so the conversion is exact.
+  /** Schema-ADAPTIVE events loader. The fixture's physical `ts` type
+    * has drifted across driver regenerations (TIMESTAMP(NANOS) through
+    * r9, timestamp[us] as of 2026-08-13) — an engine must bind to the
+    * schema it reads, not a remembered physical type. The legacy nanos
+    * conf is set before the scan so a NANOS file surfaces as LongType
+    * instead of failing schema inference; the flag only widens what a
+    * scan ACCEPTS and is a no-op for real-timestamp files, so the
+    * session-sticky set is idempotent and harmless either way.
+    * Whatever is on disk, callers always see `ts: TimestampType`.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    // intentionally session-sticky: the legacy flag only widens what a
-    // scan ACCEPTS (nanos as long), never changes an existing plan, so
-    // re-setting it per call is an idempotent no-op
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integral `div`, NOT `/`: epoch-nanos exceed double's 53-bit
-    // mantissa, so float division is off by up to ±1 µs
-    t(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventsTs(eventsRaw(spark, dir))
+
+  /** The Spark schema the events parquet presents on disk (nanos-era
+    * files surface `ts` as LongType, see [[eventsRaw]]). Streaming
+    * readers need this up front: `readStream` requires an explicit
+    * schema, and hard-coding one is exactly the fixture-drift failure
+    * mode this replaces. */
+  private[graft] def eventsDiskSchema(spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType =
+    eventsRaw(spark, dir).schema
+
+  /** Scan the events parquet as-is. A TIMESTAMP(NANOS) file fails
+    * Spark schema inference outright ("Illegal Parquet type"), so on
+    * that specific failure — and ONLY then — the legacy nanos-as-long
+    * conf is enabled and the scan retried (VERDICT r10 item 6: the
+    * conf must sit behind the schema check, not be set sticky on
+    * every load). The conf only widens what a scan accepts, so
+    * leaving it on afterwards cannot change any other plan. */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    try t(spark, dir, "events")
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getMessage).exists(_.contains("Illegal Parquet type")) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        t(spark, dir, "events")
+    }
+
+  /** Normalize an events scan's `ts` to TimestampType regardless of
+    * the physical type read: epoch-nanos longs convert with integral
+    * `div` (epoch-nanos exceed double's 53-bit mantissa — float
+    * division is off by up to ±1 µs); TIMESTAMP_NTZ casts (the session
+    * timezone is UTC everywhere in this engine, so the cast is
+    * value-exact); a real TimestampType passes through. Anything else
+    * fails loudly with a fixture-drift message instead of 37 queries
+    * dying downstream (the round-10 incident). */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other — fixture drift; " +
+          "teach Tables.normalizeEventsTs the new type")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
     fanOut(t(spark, dir, "documents"), s"$dir/documents")

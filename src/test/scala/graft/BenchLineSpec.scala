@@ -61,9 +61,12 @@ class BenchLineSpec extends AnyFunSuite {
     val results = Seq("q_a" -> 0.5, "q_b" -> 1.25)
     val clean = Bench.renderLine(results, Map.empty[String, String], "/data/sf")
     // per-query at one decimal, total at two, sf as basename
-    assert(clean === """{"metric":"total","value":1.75,"unit":"sec","queries":{"q_a":0.5,"q_b":1.3},"errors":{},"sf":"sf"}""")
+    assert(clean === """{"metric":"total","value":1.75,"unit":"sec","nerr":0,"queries":{"q_a":0.5,"q_b":1.3},"errors":{},"sf":"sf"}""")
     val withErr = Bench.renderLine(results, Map("q_b" -> "It broke"), "/sf")
     assert(withErr.contains(""""errors":{"q_b":"It broke"}"""))
+    // the count survives every rung — a gate that reads only rc/parsed
+    // must still see the failure (ADVICE r10)
+    assert(withErr.contains(""""nerr":1"""))
   }
 
   test("renderLine degrades to failing-query names when messages overflow the budget") {
