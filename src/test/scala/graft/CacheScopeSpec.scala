@@ -30,7 +30,7 @@ class CacheScopeSpec extends AnyFunSuite {
   private val persistingQueries = Seq(
     "dedup_ngram", "dedup_minhash", "dedup_cluster", "dedup_keep",
     "dedup_substring", "cc_star", "pagerank", "graph_bfs", "triangles",
-    "contrastive_pairs", "freq_topk")
+    "contrastive_pairs", "freq_topk", "ann_graph")
 
   test("persisting operators leave zero orphaned blocks after release()") {
     // start from a clean slate (earlier suites share this JVM/session)

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+import graft.CacheScope
+
+/** Dev-side phase breakdown for ann_graph — `sbt "Test/runMain
+  * graft.operators.GraphAnnLab"`. Times the NN-descent graph build
+  * (materialized via count) and the beam search given a warm graph,
+  * then the whole operator cold, alternating runs with cache sweeps.
+  * Not shipped; informs where the operator's budget actually goes. */
+object GraphAnnLab {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      CacheScope.release(blocking = true)
+    }
+    def t(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    // cold whole-operator
+    val cold = t { Similarity.annGraph(spark, dir).count() }
+    sweep()
+    // build vs search split (graph left warm for the search timing)
+    val build = t { Similarity.neighborGraph(spark, dir).count() }
+    val search = t { Similarity.annGraph(spark, dir).count() }
+    sweep()
+    val cold2 = t { Similarity.annGraph(spark, dir).count() }
+    sweep()
+    println(f"GRAPHANN cold=$cold%.1f build=$build%.1f searchWarmGraph=$search%.1f cold2=$cold2%.1f")
+    spark.stop()
+  }
+}

@@ -161,6 +161,26 @@ class PipelineOpsSpec extends AnyFunSuite {
   private val allSfDirs =
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
+  test("ann_graph beam search: recall ≥ 0.8 at EVERY swept SF; degree bounded") {
+    allSfDirs.foreach { d =>
+      val brute = Similarity.annTopkBrute(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val graph = Similarity.annGraph(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = brute.intersect(graph).size.toDouble / brute.size
+      // measured 1.0 / 1.0 / 0.92 across the three SFs at the
+      // M=16 B=48 hops=4 operating point; 0.8 leaves drift margin
+      assert(recall >= 0.8, s"graph-ANN recall $recall at $d")
+      info(s"ann_graph recall@5 vs brute force at $d: $recall")
+    }
+    // the NN-descent graph honors its degree bound (state linear in n)
+    val maxDeg = Similarity.neighborGraph(spark, dir)
+      .groupBy("src").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxDeg <= 16L, s"graph out-degree $maxDeg exceeds the bound")
+    graft.CacheScope.release(blocking = true)
+  }
+
   test("ann_ivf probes its cells deterministically; recall ≥ 0.7 at EVERY swept SF") {
     val ivf1 = Similarity.annIvf(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
