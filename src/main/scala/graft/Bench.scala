@@ -186,7 +186,7 @@ object Bench {
     // the warm path, not the operator (ADVICE r9: stream_join shares
     // stream_sink's persistent-scratch contract; stream_merge does
     // NOT — its scratch is run-scoped, a rerun is a full drain).
-    val noRerun = Set("stream_sink", "stream_join", "stream_join_outer")
+    val noRerun = Set("stream_sink", "stream_join", "stream_join_outer", "stream_dedup")
     val rerun = results.filter(r => !noRerun(r._1) && !errors.contains(r._1))
       .sortBy(-_._2).take(12).map(_._1).toSet
     val damped = results.map { case (name, dt) =>

@@ -129,6 +129,26 @@ object Corpus {
       .filter(col("rn") <= SamplePerKey)
   }
 
+  /** Deterministic train/val/test split (80/10/10) by Knuth
+    * multiplicative hash on doc_id — the assignment every training
+    * pipeline needs pinned BEFORE any processing: a document's split
+    * is a pure function of its id, so it never changes when the
+    * corpus grows, is re-filtered, or is re-partitioned (the property
+    * a random() split lacks), and train/val contamination checks can
+    * re-derive it anywhere. Integral hash + integral thresholds
+    * (2⁶³-safe: max doc_id × the Knuth constant ≪ 2⁶³) make the
+    * boundary exact in both engines. Scale shape: a narrow
+    * zero-shuffle per-row map that rides any scan. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(h < 3435973836L, "train")
+          .when(h < 3865470566L, "val")
+          .otherwise("test").as("split"),
+        col("n_chars"))
+  }
+
   private val ExportShards = 64
 
   /** Deterministic shuffle-shard export layout: shard = content-hash
@@ -474,6 +494,7 @@ object Corpus {
     "pack_sequences" -> packSequences,
     "contamination"  -> contamination,
     "sample_per_key" -> samplePerKey,
+    "dataset_split"  -> datasetSplit,
     "shuffle_export" -> shuffleExport,
     "shuffle_export_write" -> shuffleExportWrite,
     "mix_weights"    -> mixWeights,
@@ -614,6 +635,15 @@ object Corpus {
          |               doc_id ASC) AS BIGINT) AS rn
          |  FROM documents) t
          |WHERE rn <= $SamplePerKey""".stripMargin,
+    // split is a pure function of doc_id: identical Knuth-hash
+    // arithmetic, identical integral 80/90 boundary constants
+    "dataset_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 4294967296 < 3865470566 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  n_chars
+        |FROM documents""".stripMargin,
     "shuffle_export" ->
       s"""SELECT doc_id, ${bucketSql(5, ExportShards)} AS shard,
          |  CAST(row_number() OVER (PARTITION BY ${bucketSql(5, ExportShards)}

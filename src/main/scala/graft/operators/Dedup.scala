@@ -151,6 +151,37 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
   }
 
+  /** Asymmetric n-gram CONTAINMENT join — doc-IN-doc detection:
+    * C(a→b) = |S(a)∩S(b)| / |S(a)| ≥ 3/5. The metric symmetric
+    * Jaccard structurally misses: a short document quoted inside a
+    * long one has tiny Jaccard (the union is dominated by the long
+    * doc) but containment ≈ 1 — the quote/boilerplate/subset-dup
+    * case a training-corpus pipeline must catch separately from
+    * near-dup pairs. Both directions are emitted ((small→big) scores
+    * high, (big→small) low), candidates come from the same capped
+    * shared-shingle join as `dedup_ngram` (lossless: C ≥ τ > 0
+    * implies ≥1 shared shingle), and the threshold is the rational
+    * 3/5 in LONG arithmetic (5·inter ≥ 3·n — a double 0.6 multiply
+    * mis-rounds exact boundary sizes, the simjoin_prefix lesson).
+    * Scale shape: identical to `dedup_ngram` (shingle-hash shuffle,
+    * hot-shingle cap, never text) — only the denominator differs. */
+  def ngramContainment(spark: SparkSession, dir: String): DataFrame =
+    ngramContainmentOf(cappedShingleUniverse(spark, dir))
+
+  private[operators] def ngramContainmentOf(sh: DataFrame): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .filter(lit(5L) * col("inter") >= lit(3L) * col("ca.n"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / col("ca.n")).as("containment"))
+  }
+
   /** Prefix-filtered set-similarity join at Jaccard ≥ 4/5 — the
     * classic sub-quadratic EXACT alternative to both the all-pairs
     * shingle join and approximate banding (parallel set-similarity
@@ -916,6 +947,7 @@ object Dedup {
     "dedup_fuzzy"     -> dedupFuzzy,
     "dedup_exact"     -> dedupExact,
     "dedup_ngram"     -> dedupNgramJaccard,
+    "ngram_containment" -> ngramContainment,
     "simjoin_prefix"  -> simjoinPrefix,
     "dedup_minhash"   -> dedupMinhash,
     "dedup_incr"      -> dedupIncremental,
@@ -1064,6 +1096,15 @@ object Dedup {
       """SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_ngram" -> ExactJaccardSql,
+    // containment replays the same shingle pipeline with BOTH pair
+    // directions (the string surgery keeps the two CTEs in lockstep —
+    // a drifted copy would silently diverge from the Jaccard family)
+    // and the asymmetric |A∩B|/|A| denominator, integral threshold
+    "ngram_containment" ->
+      s"""${ShinglesCte.replace("AND a.doc_id < b.doc_id", "AND a.doc_id <> b.doc_id")}
+         |SELECT doc_a, doc_b, inter/ca.n AS containment
+         |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id
+         |WHERE 5*inter >= 3*ca.n""".stripMargin,
     // the prefix filter is lossless: its oracle IS the exact join's
     "simjoin_prefix" -> ExactJaccardSql,
     // minhash banding at (16,4) has ~1e-18 miss probability at the

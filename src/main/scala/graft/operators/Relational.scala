@@ -1410,6 +1410,45 @@ object Relational {
       .parquet(out)
   }
 
+  /** Dynamic-PARTITION-overwrite maintenance — the lakehouse
+    * "restatement" write: events land day-partitioned; a correction
+    * batch covering only the trailing 7 days is written with
+    * `partitionOverwriteMode=dynamic`, so ONLY the partitions the
+    * batch touches are replaced. Untouched days keep their files
+    * byte-identical (LayoutSpec asserts the old partition's file
+    * list and mtimes survive a re-run) — at 100 TB that is the
+    * difference between rewriting a 90-day table and rewriting 7/90
+    * of it, and it is why dynamic mode exists over the static
+    * truncate-all default. The registered result is the re-read
+    * final table state, so the oracle gates exactly the
+    * keep-old ∪ replace-new union semantics. The cutoff is one
+    * driver-side scalar (max day — metadata, not data; the Graph.n
+    * precedent); the conf flip is scoped and restored. */
+  def partitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.TempDirs.scratch("partoverwrite", dir)
+    val tbl = s"$out/t"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("day"))
+    val done = new java.io.File(s"$out/_staged")
+    if (!done.exists) {
+      ev.write.mode("overwrite").partitionBy("day").parquet(tbl)
+      done.createNewFile()
+    }
+    val cutoff = ev.agg(date_sub(max(col("day")), 6)).head().getDate(0)
+    val corrections = ev.filter(col("day") >= lit(cutoff))
+      .withColumn("value", col("value") * 2)
+      .withColumn("event_type", concat(col("event_type"), lit("_restated")))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try corrections.write.mode("overwrite").partitionBy("day").parquet(tbl)
+    finally spark.conf.set(key, prev)
+    spark.read.parquet(tbl)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("day").cast("string").as("day"))
+  }
+
   /** Corrupt-file-tolerant scan — the ops-robustness half of the
     * malformed-RECORD quarantine (`csv_quarantine` handles bad rows;
     * this handles bad FILES): a landing directory holding valid
@@ -1976,6 +2015,7 @@ object Relational {
     "snapshot_diff"    -> snapshotDiff,
     "changepoint_mean" -> changepointMean,
     "read_corrupt_skip" -> readCorruptSkip,
+    "partition_overwrite" -> partitionOverwrite,
     "sort_export"      -> sortExport,
     "gaps_islands"     -> gapsIslands,
     "interval_merge"   -> intervalMerge,
@@ -2320,6 +2360,19 @@ object Relational {
     "read_corrupt_skip" ->
       """SELECT event_id, user_id, event_type, ts, value
         |FROM events WHERE user_id % 3 = 0""".stripMargin,
+    // dynamic partition overwrite: untouched days keep their original
+    // rows, the trailing week is wholly replaced by the restatement
+    "partition_overwrite" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |    CAST(ts AS DATE) AS day FROM events),
+        |mx AS (SELECT max(day) - 6 AS cut FROM e)
+        |SELECT event_id, user_id, event_type, value,
+        |  CAST(day AS VARCHAR) AS day
+        |FROM e, mx WHERE day < cut
+        |UNION ALL
+        |SELECT event_id, user_id, event_type || '_restated', value * 2,
+        |  CAST(day AS VARCHAR)
+        |FROM e, mx WHERE day >= cut""".stripMargin,
     // order-insensitive compare gates the SET; PlanAuditSpec gates
     // the rangepartitioning sort shape
     "sort_export" ->

@@ -302,6 +302,52 @@ object StreamOps {
         org.apache.spark.sql.functions.coalesce(col("gap_us"), lit(-1L)).as("gap_us"))
   }
 
+  /** Streaming DEDUPLICATION through the real stateful operator —
+    * `dropDuplicatesWithinWatermark`: the feed stages the events
+    * fixture TWICE (every row an exact planted duplicate), the stream
+    * drops repeats keyed on event_id, and the drained sink must equal
+    * the fixture exactly — one surviving duplicate or one over-dropped
+    * row breaks the hash. WithinWatermark, not plain dropDuplicates,
+    * deliberately: plain streaming dedup keeps every key seen FOREVER
+    * (unbounded state — a non-starter on an endless 100 TB feed),
+    * while the watermark variant evicts keys once the watermark
+    * passes them, bounding state to the late-data horizon. That is
+    * the production trade; the drain feeds both copies in one
+    * AvailableNow batch so every duplicate is inside the horizon and
+    * the batch oracle is exact. Same one-JVM idempotence contract as
+    * `stream_sink` (persistent scratch + checkpoint → reruns drain
+    * zero files), so Bench's noRerun excludes it. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val scratch = graft.sources.TempDirs.scratch("streamdedup", dir)
+    val done = new java.io.File(s"$scratch/feed/_done")
+    if (!done.exists) {
+      val ev = graft.sources.Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$scratch/feed/c0")
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$scratch/feed/c1")
+      done.getParentFile.mkdirs(); done.createNewFile()
+    }
+    val q = withStatePartitions(spark, 8) {
+      spark.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+        .parquet(s"$scratch/feed/*")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("parquet")
+        .option("path", s"$scratch/out")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination(180000)
+    require(!q.isActive, "stream dedup did not drain within 180 s")
+    spark.read
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(s"$scratch/out")
+  }
+
   private val mergeRun = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Streaming MERGE (foreachBatch upsert) — the Delta-style CDC sink
@@ -399,6 +445,7 @@ object StreamOps {
     "stream_sink"             -> streamSinkParquet,
     "stream_join"             -> streamJoinAttrib,
     "stream_join_outer"       -> streamJoinOuterAttrib,
+    "stream_dedup"            -> streamDedup,
     "stream_merge"            -> streamMerge)
 
   val oracles: Map[String, String] = Map(
@@ -525,6 +572,11 @@ object StreamOps {
         | AND v.user_id = c.user_id
         | AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 10 MINUTE
         |WHERE c.event_type = 'click'""".stripMargin,
+    // the twice-fed stream must collapse back to the fixture exactly:
+    // a surviving duplicate or an over-dropped row both break the hash
+    "stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events""".stripMargin,
     // the micro-batched merge must land on the single-shot snapshot:
     // the oracle IS cdc_apply's (same base, same change derivation)
     "stream_merge" -> Relational.oracles("cdc_apply"))

@@ -394,4 +394,49 @@ class EdgeCaseSpec extends AnyFunSuite {
       assert(t.getRGB(x, y) ===
         img.getRGB(x * img.getWidth / 4, y * img.getHeight / 4), s"thumb ($x,$y)")
   }
+
+  test("ngram containment flags the quote direction only, at exactly the 3/5 boundary") {
+    import org.apache.spark.sql.functions.xxhash64
+    val words = (1 to 30).map(i => s"w$i")
+    val long = words.mkString(" ")                // 28 trigrams
+    val quote = words.slice(5, 15).mkString(" ")  // 8 trigrams, all inside long
+    val sh = Dedup.docShinglesOf(docs(1L -> long, 2L -> quote))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        xxhash64(org.apache.spark.sql.functions.col("shingle")).as("sh"))
+    val out = Dedup.ngramContainmentOf(sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // quote→long contains fully; long→quote is 8/28 < 0.6 and must NOT appear
+    assert(out === Set((2L, 1L, 1.0)))
+    // exact boundary on constructed shingle sets (the operator takes
+    // any (doc_id, sh) frame): doc 10 = {1..20}, doc 11 shares 3 of
+    // its 5 → exactly 3/5, must be KEPT (integral threshold — an IEEE
+    // 0.6×5 comparison drops it); doc 12 shares 2 of 5 → dropped
+    val shExact = (
+      (1L to 20L).map(s => (10L, s)) ++
+        Seq((11L, 1L), (11L, 2L), (11L, 3L), (11L, 101L), (11L, 102L)) ++
+        Seq((12L, 1L), (12L, 2L), (12L, 201L), (12L, 202L), (12L, 203L))
+      ).toDF("doc_id", "sh")
+    val bOut = Dedup.ngramContainmentOf(shExact).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bOut === Set((11L, 10L, 0.6)))
+  }
+
+  test("dataset_split is a pure per-doc function: stable under corpus filtering") {
+    val dir = "/root/testdata/sf0.001"
+    val full = Corpus.datasetSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // proportions near 80/10/10 (hash uniformity on 500 ids)
+    val n = full.size.toDouble
+    val frac = full.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08, s"train frac ${frac("train")}")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.06)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.06)
+    // stability: the same doc gets the same split in ANY subset — the
+    // property a random()/rand(seed)-based split lacks (row order and
+    // partitioning change assignments there)
+    val subset = Corpus.datasetSplit(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    subset.foreach { case (id, s) => assert(full(id) === s, s"doc $id split drifted") }
+  }
 }

@@ -135,7 +135,7 @@ class LayoutSpec extends AnyFunSuite {
     // double-drain. stream_sink additionally exercises its
     // checkpoint's zero-new-files path.
     Seq("zorder_write", "shuffle_export_write", "compact_files", "stream_sink",
-      "stream_merge")
+      "stream_merge", "partition_overwrite", "stream_dedup")
       .foreach { name =>
         def run(): Set[String] =
           graft.SparkEntry.queries(name)(spark, dir)
@@ -145,5 +145,32 @@ class LayoutSpec extends AnyFunSuite {
         assert(first === second, s"$name not idempotent across invocations")
         assert(first.nonEmpty, s"$name returned nothing")
       }
+  }
+
+  test("dynamic partition overwrite rewrites ONLY the touched partitions") {
+    // first call stages the day-partitioned base and applies the
+    // trailing-week restatement
+    graft.SparkEntry.queries("partition_overwrite")(spark, dir).count()
+    val tbl = new java.io.File(
+      graft.sources.TempDirs.scratch("partoverwrite", dir), "t")
+    val dayDirs = tbl.listFiles().filter(f => f.isDirectory && f.getName.startsWith("day="))
+    assert(dayDirs.length > 7, "fixture spans more than the restated week")
+    def fileState(d: java.io.File): Set[(String, Long, Long)] =
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val days = dayDirs.map(_.getName).sorted
+    val untouched = days.dropRight(7).map(n => n -> fileState(new java.io.File(tbl, n))).toMap
+    val touched = days.takeRight(7).map(n => n -> fileState(new java.io.File(tbl, n))).toMap
+    Thread.sleep(1100) // mtime resolution guard
+    // second call re-applies the restatement: trailing partitions are
+    // rewritten (new files), older days must be byte-for-byte untouched
+    graft.SparkEntry.queries("partition_overwrite")(spark, dir).count()
+    days.dropRight(7).foreach { n =>
+      assert(fileState(new java.io.File(tbl, n)) === untouched(n),
+        s"partition $n was rewritten despite no correction touching it")
+    }
+    assert(days.takeRight(7).exists { n =>
+      fileState(new java.io.File(tbl, n)) != touched(n)
+    }, "no restated partition was actually rewritten")
   }
 }

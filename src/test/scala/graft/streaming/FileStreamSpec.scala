@@ -120,4 +120,51 @@ class FileStreamSpec extends AnyFunSuite {
     assert(after == want.length.toLong,
       s"stray uncommitted file leaked into the manifest read: $after rows")
   }
+
+  test("dropDuplicatesWithinWatermark: dedups inside the horizon, evicts state past it") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_sdedup").toString
+    def write(sub: String, rows: Seq[(Long, java.sql.Timestamp)], mtimeOff: Long): Unit = {
+      rows.toDF("event_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/$sub")
+      val now = System.currentTimeMillis()
+      new java.io.File(s"$tmp/in/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(now + mtimeOff))
+    }
+    def ts(min: Long) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-06-01T00:00:00Z").plusSeconds(min * 60))
+    // batch 1: ids 1,2 at t0; a rider at t0+180min drags the watermark
+    // to t0+120min at batch end (delay 1h), evicting ids 1,2 from state
+    write("b0", Seq((1L, ts(0)), (2L, ts(0)), (99L, ts(180))), 0L)
+    // batch 2: a spacer — eviction runs at each batch's COMMIT with
+    // the watermark computed from the PREVIOUS batch, so ids 1,2
+    // (expiry t0+60 < t0+120) are physically removed at this batch's
+    // end, not batch 1's
+    write("b1", Seq((50L, ts(185))), 60000L)
+    // batch 3: id 1 re-arrives ABOVE the watermark (not late) but past
+    // its first instance's expiry → state evicted → re-emitted
+    // (bounded state, the documented trade); id 99's state (expiry
+    // t0+240) is still live → dropped
+    write("b2", Seq((1L, ts(190)), (99L, ts(190))), 120000L)
+    val q = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/in/*")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("sdedup_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("sdedup_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+    val ids = got.map(_._1).groupBy(identity).view.mapValues(_.size).toMap
+    assert(ids(2L) === 1 && ids(99L) === 1 && ids(50L) === 1,
+      s"unique ids must emit once: $got")
+    assert(ids(1L) === 2,
+      s"id 1 re-arrived past the watermark horizon — state was evicted, so it re-emits: $got")
+  }
 }
