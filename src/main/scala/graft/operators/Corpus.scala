@@ -288,6 +288,34 @@ object Corpus {
          |FROM t""".stripMargin)
   }
 
+  /** Data-driven balanced downsampling — the companion to the
+    * fixed-rate [[TextAnalysis.docSampleStratified]]: per-language
+    * keep thresholds are COMPUTED from the corpus in the same job
+    * (every language downsampled to the smallest one's document
+    * count) instead of hard-coded, i.e. the "rebalance the mix"
+    * step that must re-derive its rates whenever the corpus grows.
+    * The keep decision is integral end to end: a 32-bit md5 content
+    * hash (nibbles 9–16 — disjoint from docSplit/shuffleExport/
+    * docSample's ranges, so the draws are independent) quantized to
+    * 2⁻²⁰ granularity against `thr = (2²⁰·n_min) div n_lang`; the
+    * smallest language gets thr = 2²⁰ exactly and keeps every row.
+    * 2²⁰·n_min stays far inside BIGINT at any corpus size (n_min ≤
+    * 8.8·10¹² before overflow), where a 2³²-scaled threshold would
+    * not. Scale shape: the per-lang threshold table is |langs| rows
+    * — broadcast; the decision itself rides the scan as a narrow
+    * filter, so the op costs one tiny count aggregate plus a scan. */
+  def sampleBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val nmin = counts.agg(min(col("n_lang")).as("n_min"))
+    val thr = ScalarJoin.attachScalar(counts, col("n_lang"), nmin, col("n_min"))
+      .select(col("lang"), expr("(1048576 * n_min) div n_lang").as("thr"))
+    d.join(broadcast(thr), "lang")
+      .filter(expr("cast(conv(substring(md5(cast(text as binary)), 9, 8), 16, 10) as bigint) div 4096")
+        < col("thr"))
+      .select(col("doc_id"), col("lang"), col("thr"))
+  }
+
   /** Curriculum phase assignment — the quality-staged data-ordering
     * step of a pretraining pipeline (cleanest data in early phases):
     * per language, documents rank by an INTEGER quality key
@@ -495,6 +523,7 @@ object Corpus {
     "contamination"  -> contamination,
     "sample_per_key" -> samplePerKey,
     "dataset_split"  -> datasetSplit,
+    "sample_balanced" -> sampleBalanced,
     "shuffle_export" -> shuffleExport,
     "shuffle_export_write" -> shuffleExportWrite,
     "mix_weights"    -> mixWeights,
@@ -644,6 +673,17 @@ object Corpus {
         |       ELSE 'test' END AS split,
         |  n_chars
         |FROM documents""".stripMargin,
+    // thresholds re-derived from the data in both engines; the keep
+    // decision is the same BIGINT lattice on a 32-bit content hash
+    "sample_balanced" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_lang) AS n_min FROM c),
+        |t AS (SELECT lang,
+        |        CAST((1048576 * (SELECT n_min FROM m)) // n_lang AS BIGINT) AS thr
+        |      FROM c)
+        |SELECT d.doc_id, d.lang, t.thr
+        |FROM documents d JOIN t USING (lang)
+        |WHERE CAST('0x' || substring(md5(d.text), 9, 8) AS BIGINT) // 4096 < t.thr""".stripMargin,
     "shuffle_export" ->
       s"""SELECT doc_id, ${bucketSql(5, ExportShards)} AS shard,
          |  CAST(row_number() OVER (PARTITION BY ${bucketSql(5, ExportShards)}

@@ -419,6 +419,44 @@ object TextAnalysis {
         expr("rarity_sum div n_tokens").as("rarity"))
   }
 
+  /** Char-trigram language-model scoring — the CCNet-style corpus
+    * quality filter re-expressed with exactly-replayable arithmetic:
+    * train the model on the corpus itself (one groupBy over all
+    * character trigrams), then score each document by how COMMON its
+    * trigrams are globally. Natural prose is built from frequent
+    * trigrams; gibberish, base64 blobs and boilerplate score low on
+    * `avg_cnt` or hit `min_cnt` = 1 (a trigram seen nowhere else).
+    * The score stays in the BIGINT lattice (`sum(c) div n_tri`, the
+    * doc_rarity / pagerank rule) rather than float log-probs: a real
+    * perplexity's `ln()` drifts by ULPs across engines, and the
+    * monotone commonness ordering is what the filter thresholds on.
+    *
+    * Scale shape: the trigram universe is bounded (alphabet³-ish —
+    * ~100k distinct on real text, independent of corpus size), so the
+    * trained model BROADCASTS back over the trigram stream; the wide
+    * shuffles carry (trigram, partial count) pairs — never documents.
+    * The stream is persisted once and feeds both the training
+    * aggregate and the scoring join (the contrastive_pairs rule:
+    * a multiply-consumed expensive subtree must not re-derive). */
+  def trigramLm(spark: SparkSession, dir: String): DataFrame =
+    trigramLmOf(Tables.documents(spark, dir))
+
+  private[operators] def trigramLmOf(docs: DataFrame): DataFrame = {
+    val tri = docs
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3)))).as("t"))
+      .persistScoped()
+    val model = tri.groupBy("t").agg(count(lit(1)).as("c"))
+    tri.join(broadcast(model), "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum(col("c")).as("csum"),
+        min(col("c")).as("min_cnt"))
+      .select(col("doc_id"), col("n_tri"),
+        expr("csum div n_tri").as("avg_cnt"), col("min_cnt"))
+  }
+
   /** Corpus rollup by lang × source — the partition-profile query a
     * pipeline runs before sampling. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
@@ -445,6 +483,7 @@ object TextAnalysis {
     "doc_sample"      -> docSampleStratified,
     "freq_topk"       -> freqTopk,
     "doc_rarity"      -> docRarity,
+    "trigram_lm"      -> trigramLm,
     "tokens_pos"      -> tokensPos,
     "cooccur_lift"    -> cooccurLift)
 
@@ -570,6 +609,20 @@ object TextAnalysis {
          |  CAST(sum((SELECT n FROM n) // f.tf) // count(*) AS BIGINT) AS rarity
          |FROM toks t JOIN tf f ON t.tok = f.tok
          |GROUP BY t.doc_id""".stripMargin,
+    // trigram commonness in the BIGINT lattice — substr/len are
+    // character-based in both engines, so the trigram streams match
+    // byte-for-byte on any utf8 text
+    "trigram_lm" ->
+      """WITH tri AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS t
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 2)) AS i
+        |        FROM documents WHERE len(text) >= 3)),
+        |model AS (SELECT t, count(*) AS c FROM tri GROUP BY 1)
+        |SELECT tri.doc_id, count(*) AS n_tri,
+        |  CAST(sum(model.c) // count(*) AS BIGINT) AS avg_cnt,
+        |  CAST(min(model.c) AS BIGINT) AS min_cnt
+        |FROM tri JOIN model USING (t)
+        |GROUP BY tri.doc_id""".stripMargin,
     // freq_topk: est64 replays as the exact count (capacity 64 >
     // distinct vocabulary ⇒ the sketch is exact — see the scaladoc);
     // the small-capacity columns replay as the THEOREM: is_hh from

@@ -504,6 +504,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), "the merge hint must pin the shuffle join")
   }
 
+  test("ngram_containment shuffles shingle-hash longs, never text") {
+    val p = plan("ngram_containment")
+    assert(p.contains("partial_"), "ngram_containment lacks partial aggregation")
+    assertNoTextInWideExchanges("ngram_containment")
+  }
+
+  test("dataset_split plans no key-based shuffle — a narrow map over the scan") {
+    // the split assignment must ride the scan at any scale; the only
+    // exchange allowed is the fixture fan-out (round-robin, a scan
+    // property that disappears once the table has >= cores row groups)
+    val p = plan("dataset_split")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      "dataset_split must not shuffle on any key")
+    assert(!p.contains("Sort "), "dataset_split must not sort")
+  }
+
+  test("ann_graph: beam broadcasts against the graph; final top-k pushes its rank limit") {
+    // the hop expansion must ship the |Q|xB beam to the graph, never
+    // the graph to the beam — the shape that survives a graph too big
+    // to broadcast; the closing rank filter must plan WindowGroupLimit
+    // so per-partition candidates cut to K before the qid exchange
+    val p = plan("ann_graph")
+    assert(p.contains("BroadcastHashJoin"),
+      "beam-vs-graph expansion must be a broadcast hash join")
+    assert(p.contains("WindowGroupLimit"),
+      "final top-k must push its rank limit below the window exchange")
+    // hop beams are checkpointed (each hop is referenced twice; an
+    // inlined lineage re-derives 2^hops times) — the plan must read
+    // the materialized beam, not re-plan the previous hop's window
+    assert(p.contains("Scan ExistingRDD") || p.contains("InMemoryTableScan"),
+      "beam must come from a materialized checkpoint, not re-derived lineage")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

@@ -439,4 +439,44 @@ class EdgeCaseSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1))
     subset.foreach { case (id, s) => assert(full(id) === s, s"doc $id split drifted") }
   }
+
+  test("trigram_lm scores planted commonness exactly; below-width docs are dropped") {
+    // model counts over the planted corpus: aaa×3 (two from doc 1,
+    // one from doc 2), aab×1, xyz×1 — scores are pure BIGINT lattice
+    val out = TextAnalysis.trigramLmOf(docs(
+      1L -> "aaaa",  // trigrams: aaa, aaa
+      2L -> "aaab",  // trigrams: aaa, aab
+      3L -> "xyz",   // trigram : xyz (globally unique)
+      4L -> "ab"))   // < 3 chars: no row
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out === Set(
+      (1L, 2L, 3L, 3L),   // sum 6 div 2 = 3, min 3
+      (2L, 2L, 2L, 1L),   // sum 4 div 2 = 2, min 1 (aab unique)
+      (3L, 1L, 1L, 1L)))  // the gibberish signature: min_cnt = 1
+  }
+
+  test("sample_balanced keeps the smallest language whole and levels the rest") {
+    val dir = "/root/testdata/sf0.001"
+    val kept = Corpus.sampleBalanced(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perLang = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    val counts = graft.sources.Tables.documents(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    // the min language's threshold is exactly 2^20 → every row kept
+    val minLang = counts.minBy(_._2)._1
+    assert(perLang(minLang).toLong === nMin)
+    assert(kept.filter(_._2 == minLang).forall(_._3 == 1048576L))
+    // every other language downsamples to ~n_min (md5 uniformity;
+    // generous envelope — the contract is the threshold arithmetic,
+    // asserted exactly by the DuckDB oracle, not the sampling noise)
+    counts.keys.foreach { lang =>
+      val k = perLang.getOrElse(lang, 0).toDouble
+      assert(math.abs(k - nMin) / nMin < 0.5,
+        s"$lang kept $k vs target $nMin")
+    }
+  }
 }
