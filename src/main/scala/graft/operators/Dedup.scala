@@ -553,6 +553,49 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embeddings with the IVF coarse
+    * quantizer ([[Similarity.cellAssignments]] — the SAME learned
+    * centroids as `ann_ivf`, so the two operators share one trained
+    * artifact), then score cosine only WITHIN each cluster and mark
+    * every member that has a lower-id cluster-mate at cos ≥ 0.45 as
+    * the semantic duplicate (keep the lowest id per dup pair — the
+    * deterministic stand-in for the paper's keep-low-centroid-sim
+    * rule). Approximate BY CONSTRUCTION: cross-cluster near-dups are
+    * unseen — that is the trade that makes the op linear-ish where
+    * [[dedupEmbedding]]'s LSH tables pay Σ bucket² across 16 tables.
+    *
+    * Output is a per-vector verdict (vec_id, cell, is_dup) — the
+    * keep-manifest shape a pipeline filters by, not a pair list.
+    *
+    * Scale shape: one narrow assignment pass, one shuffle of
+    * (vec_id, cell, embedding) co-locating each cluster, intra-cell
+    * self-join bounded by Σ cell² with NCells scaling ∝ corpus size
+    * (the paper runs 50k clusters at web scale — cluster count is
+    * the knob, the shape is fixed); the dup-id set joins back LEFT
+    * so every vector appears exactly once. Hot cells are the same
+    * skew trade as LSH buckets — AQE skew-split territory. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    dedupSemanticOf(Similarity.cellAssignments(spark, dir)
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), "vec_id"))
+
+  /** Verdict over any (vec_id, cell, embedding) frame — the planted
+    * EdgeCaseSpec surface. */
+  private[operators] def dedupSemanticOf(tagged: DataFrame): DataFrame = {
+    val t = tagged.persistScoped()
+    val dupIds = t.as("a")
+      .join(t.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine_sim(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= 0.45)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    t.join(dupIds.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        coalesce(col("hit"), lit(0L)).as("is_dup"))
+  }
+
   /** Near-dup cluster assignment: connected components over the
     * verified pair graph, labels = min doc_id per component — the step
     * that turns pairwise near-dup hits into keep/drop decisions (keep
@@ -953,6 +996,7 @@ object Dedup {
     "dedup_incr"      -> dedupIncremental,
     "dedup_simhash"   -> dedupSimhashMd5,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_semantic"  -> dedupSemantic,
     "dedup_cluster"   -> dedupCluster,
     "dedup_substring" -> dedupSubstring,
     "dedup_keep"      -> dedupKeep,
@@ -1128,6 +1172,22 @@ object Dedup {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
         |                             list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.45""".stripMargin,
+    // cluster-scoped replay: the IDENTICAL quantizer chain as the
+    // ann_ivf oracle (shared fragment), then intra-cell pair scoring —
+    // the approximation (cross-cluster dups unseen) is part of the
+    // operator contract and therefore part of the oracle
+    "dedup_semantic" ->
+      s"""${Similarity.IvfCellsSqlPrefix},
+         |dups AS (
+         |  SELECT b.nid AS vec_id
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.nid < b.nid
+         |  JOIN e ea ON ea.vec_id = a.nid
+         |  JOIN e eb ON eb.vec_id = b.nid
+         |  WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.45
+         |  GROUP BY 1)
+         |SELECT c.nid AS vec_id, CAST(c.cell AS BIGINT) AS cell,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+         |FROM cells c LEFT JOIN dups d ON d.vec_id = c.nid""".stripMargin,
     // full replay of the simhash operator: tokenize → td weights →
     // md5-derived 64-bit hashes (as two 32-bit halves, no 64-bit
     // shifts) → per-bit weighted votes → 4×16-bit chunks → pigeonhole

@@ -283,13 +283,28 @@ object Similarity {
 
   /** [[annIvf]] with an explicit probe count — the recall/cost dial
     * (PipelineOpsSpec measures the recall curve across settings). */
+  /** Every vector's IVF cell (nearest learned centroid) — the coarse
+    * quantizer shared by [[annIvf]] and the cluster-scoped semantic
+    * dedup ([[graft.operators.Dedup.dedupSemantic]]). One narrow
+    * distributed pass; the centroid array is driver metadata (NCells
+    * seed rows), the ann_ivf precedent. */
+  private[operators] def cellAssignments(spark: SparkSession, dir: String): DataFrame =
+    cellAssignmentsWith(spark, dir, learnedCentroids(spark, dir))
+
+  private def cellAssignmentsWith(spark: SparkSession, dir: String,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map(r => (r._1, nearestCells(cents, r._2, 1).head))
+      .toDF("vec_id", "cell")
+  }
+
   private[graft] def annIvfProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import spark.implicits._
     val cents = learnedCentroids(spark, dir)
     val e = Tables.embeddings(spark, dir)
-    val cells = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map(r => (r._1, nearestCells(cents, r._2, 1).head))
-      .toDF("nid", "cell")
+    val cells = cellAssignmentsWith(spark, dir, cents).toDF("nid", "cell")
     val qCells = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .flatMap(r => nearestCells(cents, r._2, nprobe).map(c => (r._1, c)))
@@ -1101,6 +1116,43 @@ object Similarity {
     * filter = the incremental-add contract, where the assign/codes
     * CTEs still cover EVERY vector using the base-trained artifacts —
     * exactly what [[annIndexAdd]] computes). */
+  /** DuckDB replay of the IVF coarse quantizer — seed slice, one
+    * integral-lattice Lloyd round, final assignment — ending in a
+    * `cells(nid, cell)` CTE. Shared verbatim by the `ann_ivf` oracle
+    * and `dedup_semantic`'s ([[graft.operators.Dedup.dedupSemantic]]),
+    * so the two operators are gated against the IDENTICAL quantizer. */
+  private[operators] def IvfCellsSqlPrefix: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |           FROM embeddings),
+       |cents0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS ce
+       |  FROM e WHERE vec_id >= 100 AND vec_id < ${100 + NCells}),
+       |a0 AS (
+       |  SELECT e.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.emb, c.ce) DESC, c.cell ASC) AS rk
+       |  FROM e CROSS JOIN cents0 c),
+       |m0 AS (SELECT vec_id, cell FROM a0 WHERE rk = 1),
+       |dims AS (SELECT unnest(range($Dim)) AS d),
+       |sums AS (
+       |  SELECT m0.cell, dims.d,
+       |    CAST(sum(COALESCE(CAST(floor(e.emb[dims.d + 1] * $QScale.0) AS BIGINT), 0)) AS BIGINT) AS sq,
+       |    count(*) AS n
+       |  FROM m0 JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+       |cents AS (
+       |  SELECT c0.cell,
+       |    list(COALESCE(CAST(s.sq // s.n AS DOUBLE) / $QScale.0,
+       |                  c0.ce[dims.d + 1]) ORDER BY dims.d) AS ce
+       |  FROM cents0 c0 CROSS JOIN dims
+       |  LEFT JOIN sums s ON s.cell = c0.cell AND s.d = dims.d
+       |  GROUP BY c0.cell),
+       |assign AS (
+       |  SELECT e.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.emb, c.ce) DESC, c.cell ASC) AS rk
+       |  FROM e CROSS JOIN cents c),
+       |cells AS (SELECT vec_id AS nid, cell FROM assign WHERE rk = 1)""".stripMargin
+
   private def ivfPqReplaySql(trainWhere: String = "TRUE"): String =
       s"""WITH ${pqReplayPrefix(trainWhere)},
          |ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -1274,36 +1326,7 @@ object Similarity {
     // top-k — the whole LEARNED operator is hash-gated, not just row
     // counts.
     "ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-         |           FROM embeddings),
-         |cents0 AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS ce
-         |  FROM e WHERE vec_id >= 100 AND vec_id < ${100 + NCells}),
-         |a0 AS (
-         |  SELECT e.vec_id, c.cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_cosine_similarity(e.emb, c.ce) DESC, c.cell ASC) AS rk
-         |  FROM e CROSS JOIN cents0 c),
-         |m0 AS (SELECT vec_id, cell FROM a0 WHERE rk = 1),
-         |dims AS (SELECT unnest(range($Dim)) AS d),
-         |sums AS (
-         |  SELECT m0.cell, dims.d,
-         |    CAST(sum(COALESCE(CAST(floor(e.emb[dims.d + 1] * $QScale.0) AS BIGINT), 0)) AS BIGINT) AS sq,
-         |    count(*) AS n
-         |  FROM m0 JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
-         |cents AS (
-         |  SELECT c0.cell,
-         |    list(COALESCE(CAST(s.sq // s.n AS DOUBLE) / $QScale.0,
-         |                  c0.ce[dims.d + 1]) ORDER BY dims.d) AS ce
-         |  FROM cents0 c0 CROSS JOIN dims
-         |  LEFT JOIN sums s ON s.cell = c0.cell AND s.d = dims.d
-         |  GROUP BY c0.cell),
-         |assign AS (
-         |  SELECT e.vec_id, c.cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_cosine_similarity(e.emb, c.ce) DESC, c.cell ASC) AS rk
-         |  FROM e CROSS JOIN cents c),
-         |cells AS (SELECT vec_id AS nid, cell FROM assign WHERE rk = 1),
+      s"""$IvfCellsSqlPrefix,
          |qcells AS (SELECT vec_id AS qid, cell FROM assign WHERE vec_id < $NQueries AND rk <= $NProbe),
          |s AS (
          |  SELECT q.qid, c.nid, list_cosine_similarity(qe.emb, ne.emb) AS cos

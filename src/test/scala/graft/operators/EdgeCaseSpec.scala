@@ -457,6 +457,18 @@ class EdgeCaseSpec extends AnyFunSuite {
       (3L, 1L, 1L, 1L)))  // the gibberish signature: min_cnt = 1
   }
 
+  test("dedup_semantic marks higher-id cluster-mates only — cross-cluster dups are unseen by contract") {
+    val tagged = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),    // cell 0 representative
+      (2L, 0, Array(1.0f, 0.01f)),   // cos≈1 with v1, same cell  → dup
+      (3L, 0, Array(0.0f, 1.0f)),    // orthogonal                → kept
+      (4L, 1, Array(1.0f, 0.001f))   // near-identical to v1 but in ANOTHER cell → kept
+    ).toDF("vec_id", "cell", "embedding")
+    val out = Dedup.dedupSemanticOf(tagged).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 0L))
+  }
+
   test("sample_balanced keeps the smallest language whole and levels the rest") {
     val dir = "/root/testdata/sf0.001"
     val kept = Corpus.sampleBalanced(spark, dir).collect()
