@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.CacheScope.ScopedDataset
 import graft.sources.Tables
 
 /** Training-corpus assembly operators — the steps between "cleaned
@@ -306,7 +307,10 @@ object Corpus {
     * filter, so the op costs one tiny count aggregate plus a scan. */
   def sampleBalanced(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    // persisted: the |langs|-row count table feeds BOTH the n_min
+    // aggregate and the per-lang threshold join — unpersisted, each
+    // consumer re-derives its own full scan+aggregate of the corpus
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang")).persistScoped()
     val nmin = counts.agg(min(col("n_lang")).as("n_min"))
     val thr = ScalarJoin.attachScalar(counts, col("n_lang"), nmin, col("n_min"))
       .select(col("lang"), expr("(1048576 * n_min) div n_lang").as("thr"))

@@ -538,6 +538,49 @@ class PlanAuditSpec extends AnyFunSuite {
       "beam must come from a materialized checkpoint, not re-derived lineage")
   }
 
+  test("trigram_lm: model broadcasts back over the persisted trigram stream") {
+    val p = plan("trigram_lm")
+    assert(p.contains("partial_"), "trigram counts must map-side combine")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded trigram model must broadcast, not shuffle the stream")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "both consumers (training agg + scoring join) must read the cached stream")
+    assertNoTextInWideExchanges("trigram_lm")
+  }
+
+  test("sample_balanced: thresholds broadcast; the corpus never key-shuffles") {
+    val p = plan("sample_balanced")
+    // the decision rides the scan: the only exchanges touching full
+    // documents rows are the fixture fan-out; lang-count aggregation
+    // shuffles (lang, partial count) pairs only
+    assert(p.contains("BroadcastHashJoin"), "threshold table must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no wide join anywhere in the plan")
+    val lines = p.linesIterator.toArray
+    lines.indices.filter(i => lines(i).contains("Exchange hashpartitioning")).foreach { i =>
+      lines.drop(i + 1).find(_.trim.nonEmpty).foreach { child =>
+        assert(!child.contains("text#"), s"corpus text rides a key shuffle:\n$child")
+        assert(!child.contains("doc_id#"), s"corpus rows ride a key shuffle:\n$child")
+      }
+    }
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "both consumers (n_min + thresholds) must read the cached count table")
+  }
+
+  test("dedup_semantic: cosine verifies inside the cell join; cells derive once") {
+    val p = plan("dedup_semantic")
+    // the cos >= 0.45 predicate must be part of the intra-cell join
+    // (scored while cell-mates are co-located), not a post-join filter
+    // over a materialized pair blow-up
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("Join [cell") || (l.contains("Join") && l.contains("cell#")))
+    assert(joinLine.exists(_.contains("cosine_sim")),
+      s"cosine must sit in the cell-join condition:\n${joinLine.getOrElse("<none>")}")
+    assert(p.contains("partial_") || "HashAggregate".r.findAllIn(p).size >= 2,
+      "dup-id distinct must partial-combine")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "tagged (vec_id, cell, embedding) must derive once and feed both join sides")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle
