@@ -457,6 +457,72 @@ object TextAnalysis {
         expr("csum div n_tri").as("avg_cnt"), col("min_cnt"))
   }
 
+  private val BpeRounds = 8
+
+  /** BPE tokenizer TRAINING on corpus word frequencies (Sennrich et
+    * al. 2016, "Neural Machine Translation of Rare Words with Subword
+    * Units") — the step upstream of `token_count_bpe`'s fixed-vocab
+    * application: [[BpeRounds]] rounds of (count adjacent symbol
+    * pairs weighted by word frequency → merge the most frequent pair,
+    * ties by (lhs, rhs) ascending). Output is the learned merge table
+    * (rk, lhs, rhs, merged, cnt) — the artifact a tokenizer ships.
+    *
+    * Deterministic-by-construction so DuckDB replays training
+    * exactly: words are spelled as space-delimited symbol strings and
+    * a merge applies via single-pass left-to-right `replace` of
+    * ' lhs rhs ' → ' lhsrhs ' (BOTH space boundaries in the needle,
+    * so a needle can never match into a neighboring symbol). That
+    * one-pass semantics is the operator contract; it diverges from
+    * canonical BPE only on runs of 3+ identical symbols (the pass
+    * consumes the shared boundary space — ' a a a ' merges once, not
+    * greedily), identically in both engines. No end-of-word marker:
+    * merges are intra-word (documented simplification).
+    *
+    * Scale shape: the corpus-sized work is ONE tokenize+groupBy
+    * (map-side combined) building the word-frequency table; every
+    * round then scans the VOCABULARY (|V| rows — ~10⁷ at web scale,
+    * corpus-size independent), shuffles (symbol-pair, partial count)
+    * pairs, and collects exactly one argmax row of driver metadata
+    * (the pagerank/ann_ivf precedent). Rounds are the 100 TB knob
+    * (real tokenizers run 30k); the per-round shape is fixed. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainOf(spark, Tables.documents(spark, dir))
+
+  private[operators] def bpeTrainOf(spark: SparkSession, docs: DataFrame,
+      rounds: Int = BpeRounds): DataFrame = {
+    import spark.implicits._
+    var words = docs
+      .select(explode(toksOf(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+      .select(concat(lit(" "),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")).as("spelled"), col("wf"))
+      .persistScoped()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (rk <- 1 to rounds) {
+      val top = words
+        .select(split(trim(col("spelled")), " ").as("sy"), col("wf"))
+        // single-symbol words carry no pairs; Spark's sequence(1, 0)
+        // DESCENDS rather than emptying (DuckDB's range(1, 1) is
+        // empty), so the guard is also the cross-engine alignment
+        .filter(size(col("sy")) >= 2)
+        .select(col("wf"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), " +
+            "i -> struct(element_at(sy, i) AS l, element_at(sy, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wf")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"bpe_train: vocabulary exhausted merges before round $rk — corpus too small for $rounds rounds")
+      val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((rk.toLong, l, r, l + r, cnt))
+      // symbols are [a-z0-9]+ by tokenizer contract — safe to embed
+      words = words.withColumn("spelled",
+        expr(s"replace(spelled, ' $l $r ', ' $l$r ')")).persistScoped()
+    }
+    merges.result().toDF("rk", "lhs", "rhs", "merged", "cnt")
+  }
+
   /** Corpus rollup by lang × source — the partition-profile query a
     * pipeline runs before sampling. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
@@ -484,6 +550,7 @@ object TextAnalysis {
     "freq_topk"       -> freqTopk,
     "doc_rarity"      -> docRarity,
     "trigram_lm"      -> trigramLm,
+    "bpe_train"       -> bpeTrain,
     "tokens_pos"      -> tokensPos,
     "cooccur_lift"    -> cooccurLift)
 
@@ -492,6 +559,42 @@ object TextAnalysis {
 
   private[operators] def markerSql(ws: Seq[String]): String =
     s"len(list_filter($ToksSql, t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
+
+  /** Full DuckDB replay of [[bpeTrain]] — [[BpeRounds]] chained CTE
+    * stages, each recomputing pair counts over the vocabulary,
+    * selecting the same (cnt desc, lhs, rhs) argmax, and applying the
+    * same boundary-delimited single-pass replace. Every stage is AS
+    * MATERIALIZED: w_k is referenced by both p_{k+1} and w_{k+1}, and
+    * inlined the chain re-derives exponentially (the ann_graph
+    * oracle lesson). */
+  private def bpeTrainSql: String = {
+    val head =
+      s"""WITH toks AS (SELECT unnest($ToksSql) AS w FROM documents),
+         |w0 AS MATERIALIZED (
+         |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS spelled,
+         |         count(*) AS wf
+         |  FROM toks GROUP BY w)""".stripMargin
+    val rounds = (1 to BpeRounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT list_extract(sy, i) AS l, list_extract(sy, i + 1) AS r,
+         |         sum(wf) AS cnt
+         |  FROM (SELECT sy, wf, unnest(range(1, len(sy))) AS i
+         |        FROM (SELECT string_split(trim(spelled), ' ') AS sy, wf FROM w${k - 1}))
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT replace(spelled,
+         |           ' ' || (SELECT l FROM b$k) || ' ' || (SELECT r FROM b$k) || ' ',
+         |           ' ' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || ' ') AS spelled,
+         |         wf
+         |  FROM w${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val tail = (1 to BpeRounds).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS rk, l AS lhs, r AS rhs, l || r AS merged, CAST(cnt AS BIGINT) AS cnt FROM b$k"
+    }.mkString("\nUNION ALL ")
+    s"$head,\n$rounds\n$tail"
+  }
 
   /** CASE lookup word → subword count, generated from [[bpeTokens]]
     * over the closed fixture vocabulary — the oracle-side stand-in
@@ -623,6 +726,7 @@ object TextAnalysis {
         |  CAST(min(model.c) AS BIGINT) AS min_cnt
         |FROM tri JOIN model USING (t)
         |GROUP BY tri.doc_id""".stripMargin,
+    "bpe_train" -> bpeTrainSql,
     // freq_topk: est64 replays as the exact count (capacity 64 >
     // distinct vocabulary ⇒ the sketch is exact — see the scaladoc);
     // the small-capacity columns replay as the THEOREM: is_hh from

@@ -469,6 +469,33 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("bpe_train learns the hand-traced merge sequence, ties broken (cnt desc, lhs, rhs)") {
+    // vocab: low×2, lower×1, lowest×1. Round 1 ties (l,o) and (o,w)
+    // at 4 → lhs asc picks (l,o); round 4 ties three pairs at 1 →
+    // (lowe,r) wins on lhs then rhs; merges compose across rounds
+    val out = TextAnalysis.bpeTrainOf(spark,
+        docs(1L -> "low lower", 2L -> "lowest low"), rounds = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, "l", "o", "lo", 4L),
+      (2L, "lo", "w", "low", 4L),
+      (3L, "low", "e", "lowe", 2L),
+      (4L, "lowe", "r", "lower", 1L),
+      (5L, "lowe", "s", "lowes", 1L),
+      (6L, "lowes", "t", "lowest", 1L)))
+  }
+
+  test("bpe_train run contract: one replace pass per round — ' a a a ' merges once") {
+    // the documented divergence from canonical greedy BPE: the pass
+    // consumes the shared boundary space, so a 3-run yields (aa, a)
+    // and the NEXT round merges (aa, a) — identical in both engines
+    val out = TextAnalysis.bpeTrainOf(spark, docs(1L -> "aaa"), rounds = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)))
+  }
+
   test("sample_balanced keeps the smallest language whole and levels the rest") {
     val dir = "/root/testdata/sf0.001"
     val kept = Corpus.sampleBalanced(spark, dir).collect()
