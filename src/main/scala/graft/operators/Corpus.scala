@@ -136,19 +136,25 @@ object Corpus {
     * is a pure function of its id, so it never changes when the
     * corpus grows, is re-filtered, or is re-partitioned (the property
     * a random() split lacks), and train/val contamination checks can
-    * re-derive it anywhere. Integral hash + integral thresholds
-    * (2⁶³-safe: max doc_id × the Knuth constant ≪ 2⁶³) make the
-    * boundary exact in both engines. Scale shape: a narrow
-    * zero-shuffle per-row map that rides any scan. */
-  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
-    val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        when(h < 3435973836L, "train")
-          .when(h < 3865470566L, "val")
-          .otherwise("test").as("split"),
-        col("n_chars"))
+    * re-derive it anywhere. Integral hash + integral thresholds make
+    * the boundary exact in both engines — and the id folds mod 2³¹
+    * BEFORE the multiply, so the product stays ≤ (2³¹−1)·K ≈ 5.7·10¹⁸
+    * < 2⁶³−1 at ANY doc_id: the bare `doc_id × K` form overflows
+    * int64 past doc_id ≈ 3.5·10⁹ (a 100 TB corpus is 10¹¹ docs),
+    * where Spark wraps silently while DuckDB promotes to HUGEINT —
+    * a cross-engine divergence that would surface only at scale.
+    * Scale shape: a narrow zero-shuffle per-row map that rides any
+    * scan. */
+  private[operators] def splitOf(id: Column): Column = {
+    val h = ((id % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L)
+    when(h < 3435973836L, "train")
+      .when(h < 3865470566L, "val")
+      .otherwise("test")
   }
+
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"), col("n_chars"))
 
   private val ExportShards = 64
 
@@ -672,8 +678,8 @@ object Corpus {
     // arithmetic, identical integral 80/90 boundary constants
     "dataset_split" ->
       """SELECT doc_id,
-        |  CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 4294967296 < 3865470566 THEN 'val'
+        |  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < 3435973836 THEN 'train'
+        |       WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < 3865470566 THEN 'val'
         |       ELSE 'test' END AS split,
         |  n_chars
         |FROM documents""".stripMargin,

@@ -440,6 +440,23 @@ class EdgeCaseSpec extends AnyFunSuite {
     subset.foreach { case (id, s) => assert(full(id) === s, s"doc $id split drifted") }
   }
 
+  test("dataset_split hash never overflows int64 at web-scale doc ids") {
+    // the bare doc_id * K form wraps past doc_id ~ 3.5e9 in Spark
+    // while DuckDB promotes to HUGEINT — the mod-2^31 fold must make
+    // the engine result equal exact BigInt arithmetic at any id
+    val ids = Seq(100000000000L, 3500000000L, Long.MaxValue - 1, 2147483648L, 42L)
+    val got = ids.toDF("doc_id")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        Corpus.splitOf(org.apache.spark.sql.functions.col("doc_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    ids.foreach { id =>
+      val h = (BigInt(id) % BigInt(2147483648L)) * BigInt(2654435761L) % BigInt(4294967296L)
+      val want = if (h < BigInt(3435973836L)) "train"
+                 else if (h < BigInt(3865470566L)) "val" else "test"
+      assert(got(id) === want, s"doc_id $id: engine ${got(id)} vs exact $want")
+    }
+  }
+
   test("trigram_lm scores planted commonness exactly; below-width docs are dropped") {
     // model counts over the planted corpus: aaa×3 (two from doc 1,
     // one from doc 2), aab×1, xyz×1 — scores are pure BIGINT lattice
