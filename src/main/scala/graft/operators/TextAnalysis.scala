@@ -299,8 +299,9 @@ object TextAnalysis {
     * vocabulary — the word-association statistic (lift = the monotone
     * exp(PMI) without the log): how much more often two tokens share a
     * document than independence predicts. The score is kept EXACT:
-    * `lift_q = (2²⁰·n_docs·co_df) div (df_a·df_b)` in pure BIGINT
-    * arithmetic — a lattice quantization of n·c_xy/(c_x·c_y) that
+    * `lift_q = (2²⁰·n_docs·co_df) div (df_a·df_b)` in pure integral
+    * arithmetic (decimal(38) / HUGEINT intermediates — see the
+    * select) — a lattice quantization of n·c_xy/(c_x·c_y) that
     * both engines compute bit-identically, where a float ln()-based
     * PMI would drift by ULPs across engines. Scale shape: the vocab
     * is a TakeOrdered top-k (deterministic df-desc/token-asc order)
@@ -331,8 +332,13 @@ object TextAnalysis {
       .transform(pairs => ScalarJoin.attachScalar(
         pairs, col("co_df"), nDocs, col("n_docs")))
       .select(col("tok_a"), col("tok_b"), col("co_df"),
-        expr("(cast(1048576 as bigint) * n_docs * co_df) div (df_a * df_b)")
-          .as("lift_q"))
+        // wide intermediates (decimal(38) / HUGEINT in the oracle):
+        // at 10¹¹ docs the numerator reaches ~10²⁸ and df_a·df_b
+        // ~10²², both past int64 — the QUOTIENT is bounded by
+        // 2²⁰·n_docs div max(df) ≤ 2²⁰·n_docs, which fits BIGINT,
+        // so only the products need width. Same values at any SF.
+        expr("(cast(1048576 as decimal(38,0)) * n_docs * co_df) " +
+          "div (cast(df_a as decimal(38,0)) * df_b)").as("lift_q"))
   }
 
   private[operators] val MgExactCap = 64
@@ -763,7 +769,8 @@ object TextAnalysis {
          |      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
          |      GROUP BY 1, 2, 3, 4)
          |SELECT tok_a, tok_b, CAST(co_df AS BIGINT) AS co_df,
-         |  CAST((1048576 * n_docs * co_df) // (df_a * df_b) AS BIGINT) AS lift_q
+         |  CAST((CAST(1048576 AS HUGEINT) * n_docs * co_df)
+         |       // (CAST(df_a AS HUGEINT) * df_b) AS BIGINT) AS lift_q
          |FROM p, n""".stripMargin,
     // chunk i covers token positions [i*48, i*48+64); greatest(..,0)
     // guards DuckDB's floored // for docs under len-stride tokens
