@@ -503,6 +503,44 @@ class EdgeCaseSpec extends AnyFunSuite {
       (6L, "lowes", "t", "lowest", 1L)))
   }
 
+  test("bpe_train equals an in-memory reference trainer on randomized corpora") {
+    // reference implements the SAME contract (pair counts weighted by
+    // word freq, (cnt desc, lhs, rhs) argmax, one-pass boundary
+    // replace — Java String.replace is single-pass left-to-right like
+    // both engines') so any divergence is a distributed-plumbing bug
+    def refBpe(words: Seq[(String, Long)], rounds: Int): Seq[(Long, String, String, Long)] = {
+      var spelled = words.map { case (w, f) => (" " + w.toCharArray.mkString(" ") + " ", f) }
+      val out = Seq.newBuilder[(Long, String, String, Long)]
+      for (rk <- 1 to rounds) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((s, f) <- spelled) {
+          val sy = s.trim.split(" ")
+          for (i <- 0 until sy.length - 1)
+            counts((sy(i), sy(i + 1))) = counts.getOrElse((sy(i), sy(i + 1)), 0L) + f
+        }
+        val ((l, r), cnt) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((rk.toLong, l, r, cnt))
+        spelled = spelled.map { case (s, f) => (s.replace(s" $l $r ", s" $l$r "), f) }
+      }
+      out.result()
+    }
+    var lcg = 0x2545F4914F6CDD1DL
+    def next(n: Int): Int = { lcg = lcg * 6364136223846793005L + 1442695040888963407L; (((lcg >>> 33) % n) + n).toInt % n }
+    for (trial <- 1 to 4) {
+      val vocabWords = (1 to 25).map { _ =>
+        (1 to (2 + next(5))).map(_ => ('a' + next(3)).toChar).mkString
+      }
+      val corpus = (1 to 40).map(_ => vocabWords(next(vocabWords.length)))
+      val wordFreq = corpus.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val want = refBpe(wordFreq, 4)
+      val got = TextAnalysis.bpeTrainOf(spark,
+          docs(corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }: _*), rounds = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      assert(got === want, s"trial $trial: engine $got vs reference $want")
+    }
+  }
+
   test("bpe_train run contract: one replace pass per round — ' a a a ' merges once") {
     // the documented divergence from canonical greedy BPE: the pass
     // consumes the shared boundary space, so a 3-run yields (aa, a)
