@@ -494,6 +494,27 @@ object Relational {
         |FROM customer""".stripMargin)
   }
 
+  /** Correlated EXISTS / NOT EXISTS — the other half of the subquery
+    * surface next to [[subqueryScalar]]. Expressed as the joins
+    * Catalyst compiles EXISTS to (left-semi + left-anti on the
+    * correlation key), so the plan is exactly the distributed shape a
+    * 100 TB run wants: two hash joins keyed on `o_custkey`, never a
+    * per-row subquery re-execution. Both probes scan `orders` with
+    * the predicate pushed beneath the join (urgent-only / big-F-only),
+    * so each semi/anti build side is a filtered fraction of the fact
+    * table, and AQE is free to broadcast it when small. */
+  def subqueryExists(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val bigF = o.filter(col("o_orderstatus") === "F" && col("o_totalprice") > 300000.0)
+      .select(col("o_custkey"))
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .join(bigF, c("c_custkey") === bigF("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
   def windowNtile(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
@@ -2026,6 +2047,7 @@ object Relational {
     "agg_cube"         -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
     "subquery_scalar"  -> subqueryScalar,
+    "subquery_exists"  -> subqueryExists,
     "window_ntile"     -> windowNtile,
     "window_rank"      -> windowRank,
     "window_running"   -> windowRunning,
@@ -2622,6 +2644,14 @@ object Relational {
       """SELECT c_custkey,
         |  COALESCE((SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey), 0.0) AS max_order
         |FROM customer""".stripMargin,
+    "subquery_exists" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+        |                    AND o_totalprice > 300000)""".stripMargin,
     "window_ntile" ->
       """SELECT o_orderkey, o_orderpriority,
         |  CAST(ntile(4) OVER win AS BIGINT) AS quartile,
