@@ -529,6 +529,43 @@ object TextAnalysis {
     merges.result().toDF("rk", "lhs", "rhs", "merged", "cnt")
   }
 
+  /** Inverted index build — term → document-frequency, total term
+    * frequency, and the HEAD of the posting list (10 lowest doc_ids,
+    * comma-joined). The full index at 100 TB is the exploded `tf`
+    * relation itself, stored partitioned by term (that IS the posting
+    * file layout: all of a term's postings co-located by the
+    * term-keyed shuffle); this operator returns the bounded per-term
+    * summary so the result stays O(vocabulary) rows with O(1) bytes
+    * per row no matter the corpus size — a stopword's posting list
+    * never materializes whole anywhere.
+    *
+    * Shape: one tokenize scan → (term, doc_id) partial+final count
+    * (`tf`, persisted — both consumers read it once) → (a) stats agg
+    * by term, (b) head via rank-limit: `row_number ≤ 10` BEFORE the
+    * `collect_list`, so the per-group sort buffer is the windowed
+    * partition, and the collected array is ≤ 10 elements by
+    * construction (never an unbounded stopword list in one
+    * executor's aggregation buffer). Both (a) and (b) shuffle on
+    * `term`; the final join is term-keyed too, so AQE plans it
+    * shuffle-free on the co-partitioned sides. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksOf(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .persistScoped()
+    val stats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_sum"))
+    val head = tf
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("term")).orderBy(col("doc_id").asc)))
+      .filter(col("rn") <= 10)
+      .groupBy(col("term"))
+      .agg(concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings_head"))
+    stats.join(head, "term")
+  }
+
   /** Corpus rollup by lang × source — the partition-profile query a
     * pipeline runs before sampling. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
@@ -558,7 +595,8 @@ object TextAnalysis {
     "trigram_lm"      -> trigramLm,
     "bpe_train"       -> bpeTrain,
     "tokens_pos"      -> tokensPos,
-    "cooccur_lift"    -> cooccurLift)
+    "cooccur_lift"    -> cooccurLift,
+    "inverted_index"  -> invertedIndex)
 
   private[operators] val ToksSql =
     "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')"
@@ -628,6 +666,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
 
   val oracles: Map[String, String] = Map(
+    "inverted_index" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_sum,
+         |  array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 10), ',') AS postings_head
+         |FROM tf GROUP BY term""".stripMargin,
     "tokens_pos" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents)
          |SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS pos,
