@@ -341,6 +341,52 @@ object TextAnalysis {
           "div (cast(df_a as decimal(38,0)) * df_b)").as("lift_q"))
   }
 
+  /** Collocation mining — adjacency-bigram PMI (lift), the phrase
+    * detector next to [[cooccurLift]]'s doc-level co-occurrence: that
+    * one asks "do these words share documents", this one asks "do
+    * these words sit NEXT TO each other more than their margins
+    * predict" (Mikolov et al. 2013's phrase-join signal).
+    *
+    * Lattice: with N = Σ bigram count, cl(w1)/cr(w2) the first-/
+    * second-position margins (both derivable from the grouped bigram
+    * relation itself — no second tokenize pass),
+    *
+    *   lift_q = min( (2²⁰ · N · c12) div (cl · cr), 2⁴⁰ )
+    *
+    * Products widen to decimal(38)/HUGEINT exactly like cooccur_lift
+    * (at 10¹³ tokens the numerator reaches ~10³², cl·cr ~10²⁶). The
+    * un-capped quotient is bounded by 2²⁰·N div max(cl,cr), which for
+    * a singleton bigram of two hapax words is 2²⁰·N — past int64 at
+    * N ≥ 2⁴³ tokens. The 2⁴⁰ cap (PMI ≈ 2²⁰ lift beyond any
+    * linguistic signal) keeps the OUTPUT in BIGINT at any corpus
+    * size; both engines cap on the wide type before narrowing.
+    *
+    * Shape: bigram pairing is ARRAY-LOCAL (`transform` over the
+    * token array — zero shuffle, unlike a pos-join formulation that
+    * would shuffle the whole token stream); then one partial+final
+    * count by (w1,w2); margins are two window sums OVER THE GROUPED
+    * relation (O(distinct bigrams), not O(tokens)); N attaches via
+    * the non-foldable-key broadcast ([[ScalarJoin]]), never a BNLJ. */
+  def bigramPmi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(toksOf(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = d.select(explode(expr(
+        "transform(slice(toks, 1, size(toks)-1), (w, i) -> struct(w AS w1, toks[i+1] AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val c = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).persistScoped()
+    val n = c.agg(sum(col("c12")).as("n_bg"))
+    val margins = c
+      .withColumn("cl", sum(col("c12")).over(Window.partitionBy("w1")))
+      .withColumn("cr", sum(col("c12")).over(Window.partitionBy("w2")))
+    ScalarJoin.attachScalar(margins, col("c12"), n, col("n_bg"))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("cast(least((cast(1048576 as decimal(38,0)) * n_bg * c12) " +
+          "div (cast(cl as decimal(38,0)) * cr), 1099511627776) as bigint)").as("lift_q"))
+  }
+
   private[operators] val MgExactCap = 64
   private[operators] val MgSmallCap = 4
   private[operators] val MgTopK = 3
@@ -596,7 +642,8 @@ object TextAnalysis {
     "bpe_train"       -> bpeTrain,
     "tokens_pos"      -> tokensPos,
     "cooccur_lift"    -> cooccurLift,
-    "inverted_index"  -> invertedIndex)
+    "inverted_index"  -> invertedIndex,
+    "bigram_pmi"      -> bigramPmi)
 
   private[operators] val ToksSql =
     "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')"
@@ -666,6 +713,24 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
 
   val oracles: Map[String, String] = Map(
+    "bigram_pmi" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, unnest(toks) AS w,
+         |             CAST(unnest(range(len(toks))) AS BIGINT) AS pos
+         |      FROM t WHERE len(toks) >= 2),
+         |bg AS (SELECT a.w AS w1, b.w AS w2
+         |       FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |c AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |m AS (SELECT w1, w2, c12,
+         |             sum(c12) OVER (PARTITION BY w1) AS cl,
+         |             sum(c12) OVER (PARTITION BY w2) AS cr
+         |      FROM c),
+         |n AS (SELECT sum(c12) AS n_bg FROM c)
+         |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+         |  CAST(least((CAST(1048576 AS HUGEINT) * n_bg * c12)
+         |             // (CAST(cl AS HUGEINT) * cr),
+         |             CAST(1099511627776 AS HUGEINT)) AS BIGINT) AS lift_q
+         |FROM m, n""".stripMargin,
     "inverted_index" ->
       s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
          |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
