@@ -326,6 +326,29 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("thr"))
   }
 
+  /** Importance (weighted Bernoulli / PPS) sampling — each document
+    * kept with probability proportional to its weight, here the
+    * capped length `w = min(n_chars, 400)` (the
+    * proportional-to-size draw a pipeline uses when estimating
+    * token-level statistics from a document sample: long docs carry
+    * more tokens, so they must be over-drawn by exactly their
+    * length). Deterministic: the coin is 16 content-hash bits — hex
+    * chars [17,21) of md5(text), a nibble range DISJOINT from every
+    * other sampling op's (balanced 9–16, shuffle_export 5–8,
+    * doc_sample 1–4, pack 21–24, contamination 29–32), so decisions
+    * are independent across operators. Keep test is the
+    * cross-multiplied form `h·cap < 2¹⁶·w` — no truncating division,
+    * exact in both engines; products ≤ 2¹⁶·400 never leave int64.
+    * Scale shape: a pure per-row predicate riding the scan — zero
+    * shuffle, zero driver state, any corpus size. */
+  def importanceSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        least(col("n_chars"), lit(400L)).as("w"),
+        conv(substring(md5(col("text").cast("binary")), 17, 4), 16, 10)
+          .cast("long").as("h"))
+      .filter(col("h") * lit(400L) < lit(65536L) * col("w"))
+
   /** Curriculum phase assignment — the quality-staged data-ordering
     * step of a pretraining pipeline (cleanest data in early phases):
     * per language, documents rank by an INTEGER quality key
@@ -534,6 +557,7 @@ object Corpus {
     "sample_per_key" -> samplePerKey,
     "dataset_split"  -> datasetSplit,
     "sample_balanced" -> sampleBalanced,
+    "importance_sample" -> importanceSample,
     "shuffle_export" -> shuffleExport,
     "shuffle_export_write" -> shuffleExportWrite,
     "mix_weights"    -> mixWeights,
@@ -685,6 +709,12 @@ object Corpus {
         |FROM documents""".stripMargin,
     // thresholds re-derived from the data in both engines; the keep
     // decision is the same BIGINT lattice on a 32-bit content hash
+    "importance_sample" ->
+      """SELECT doc_id, lang, CAST(least(n_chars, 400) AS BIGINT) AS w,
+        |  CAST('0x' || substring(md5(text), 17, 4) AS BIGINT) AS h
+        |FROM documents
+        |WHERE CAST('0x' || substring(md5(text), 17, 4) AS BIGINT) * 400
+        |      < 65536 * least(n_chars, 400)""".stripMargin,
     "sample_balanced" ->
       """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
         |m AS (SELECT min(n_lang) AS n_min FROM c),
