@@ -268,15 +268,87 @@ object Graph {
        |SELECT id, CAST(d AS BIGINT) AS d FROM r$BfsRounds""".stripMargin
   }
 
+  private[operators] val LpRounds = 2
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002 /
+    * community LP family) over the purchase graph: every 10th
+    * customer is a SEED carrying its nation as the label; [[LpRounds]]
+    * synchronous rounds spread labels to suppliers (round 1) and then
+    * to unlabeled customers through them (round 2). Per round each
+    * unlabeled vertex takes the MAJORITY label of its labeled
+    * neighbors — ties broken (count desc, label asc) so every engine
+    * picks the same winner; seeds are clamped (the semi-supervised
+    * variant, not the self-reinforcing community one, so bounded
+    * rounds are the algorithm, not an approximation cutoff).
+    *
+    * Scale shape — the Pregel invariant shared with [[rankEdges]]:
+    * the symmetric edge list is persisted ONCE, hash-partitioned on
+    * the join key; per round only the (id, label) state (≤ |V| rows,
+    * 16 bytes) shuffles to meet it, votes aggregate partial+final on
+    * (v, lbl), and the majority pick is a rank-limit window over the
+    * GROUPED votes (O(distinct labels per vertex), never the raw
+    * edge stream). The clamp is a broadcast-able anti join against
+    * the seed set. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = purchaseEdges(spark, dir).repartition(col("u")).persistScoped()
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("id"), col("c_nationkey").cast("long").as("lbl"))
+      .persistScoped()
+    var labels = seeds
+    for (_ <- 1 to LpRounds) {
+      val votes = edges.as("e")
+        .join(labels.as("l"), col("e.u") === col("l.id"))
+        .groupBy(col("e.v"), col("l.lbl"))
+        .agg(count(lit(1)).as("n"))
+      val picked = votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("v")).orderBy(col("n").desc, col("lbl").asc)))
+        .filter(col("rn") === 1)
+        .select(col("v").as("id"), col("lbl"))
+      labels = seeds.unionAll(picked.join(seeds.select(col("id")), Seq("id"), "left_anti"))
+    }
+    labels
+  }
+
+  /** DuckDB replay of [[labelProp]]: rounds unrolled as CTE stages
+    * (same reason as [[pagerankSql]]), the majority pick expressed
+    * with the identical (n desc, lbl asc) row_number. */
+  private def labelPropSql: String = {
+    val rounds = (1 to LpRounds).map { i =>
+      s"""v$i AS (SELECT e.v, l.lbl, count(*) AS n
+         |  FROM edges e JOIN l${i - 1} l ON e.u = l.id GROUP BY 1, 2),
+         |p$i AS (SELECT v AS id, lbl FROM (
+         |    SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY n DESC, lbl ASC) AS rn
+         |    FROM v$i) t WHERE rn = 1),
+         |l$i AS (SELECT * FROM seeds
+         |  UNION ALL
+         |  SELECT * FROM p$i WHERE id NOT IN (SELECT id FROM seeds))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS u, s AS v FROM base
+       |          UNION ALL SELECT s AS u, c AS v FROM base),
+       |seeds AS (SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS lbl
+       |          FROM customer WHERE c_custkey % 10 = 0),
+       |l0 AS (SELECT * FROM seeds),
+       |$rounds
+       |SELECT id, lbl FROM l$LpRounds""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank"        -> pagerank,
     "graph_bfs"       -> graphBfs,
+    "label_prop"      -> labelProp,
     "copurchase_topk" -> copurchaseTopk,
     "triangles"       -> triangles)
 
   val oracles: Map[String, String] = Map(
     "pagerank" -> pagerankSql,
     "graph_bfs" -> graphBfsSql,
+    "label_prop" -> labelPropSql,
     "copurchase_topk" ->
       s"""WITH base AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
          |              FROM lineitem)
