@@ -543,6 +543,14 @@ object TextAnalysis {
   private[operators] def bpeTrainOf(spark: SparkSession, docs: DataFrame,
       rounds: Int = BpeRounds): DataFrame = {
     import spark.implicits._
+    bpeTrainRun(spark, docs, rounds)._1.toDF("rk", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** The training loop shared by [[bpeTrain]] (returns the merge
+    * table) and [[bpeEncode]] (needs the FINAL spelled vocabulary
+    * the merges leave behind): (merges, words-after-last-round). */
+  private[operators] def bpeTrainRun(spark: SparkSession, docs: DataFrame,
+      rounds: Int): (Seq[(Long, String, String, String, Long)], DataFrame) = {
     var words = docs
       .select(explode(toksOf(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wf"))
@@ -572,7 +580,40 @@ object TextAnalysis {
       words = words.withColumn("spelled",
         expr(s"replace(spelled, ' $l $r ', ' $l$r ')")).persistScoped()
     }
-    merges.result().toDF("rk", "lhs", "rhs", "merged", "cnt")
+    (merges.result(), words)
+  }
+
+  /** Tokenizer APPLICATION — encode the corpus with the merges
+    * [[bpeTrain]] just learned (the train→encode pair every LLM data
+    * pipeline runs: token budgets, per-doc sequence lengths, and
+    * pack planning are all computed under the PRODUCTION tokenizer,
+    * not a whitespace proxy). Per document: word count and subword
+    * count under the learned [[BpeRounds]]-merge vocabulary.
+    *
+    * Scale shape: encoding is a VOCABULARY join, not a per-token
+    * merge replay — the training loop already leaves each distinct
+    * word's final spelled form, so subword length per word is
+    * `size(split(spelled))`, the (word → n_sub) table is
+    * O(vocabulary) and BROADCASTS, and the corpus-sized work is one
+    * tokenize scan + broadcast join + partial+final sum per doc.
+    * Documents whose token list is empty keep a 0/0 row (left join),
+    * matching token_count_bpe's contract. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (_, words) = bpeTrainRun(spark, docs, BpeRounds)
+    val enc = words.select(
+      regexp_replace(trim(col("spelled")), " ", "").as("w"),
+      size(split(trim(col("spelled")), " ")).cast("long").as("n_sub"))
+    val per = docs
+      .select(col("doc_id"), explode(toksOf(col("text"))).as("w"))
+      .join(broadcast(enc), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"))
   }
 
   /** Inverted index build — term → document-frequency, total term
@@ -640,6 +681,7 @@ object TextAnalysis {
     "doc_rarity"      -> docRarity,
     "trigram_lm"      -> trigramLm,
     "bpe_train"       -> bpeTrain,
+    "bpe_encode"      -> bpeEncode,
     "tokens_pos"      -> tokensPos,
     "cooccur_lift"    -> cooccurLift,
     "inverted_index"  -> invertedIndex,
@@ -658,7 +700,32 @@ object TextAnalysis {
     * MATERIALIZED: w_k is referenced by both p_{k+1} and w_{k+1}, and
     * inlined the chain re-derives exponentially (the ann_graph
     * oracle lesson). */
-  private def bpeTrainSql: String = {
+  private def bpeTrainSql: String =
+    s"""${bpeCtesPrefix}
+       |${(1 to BpeRounds).map { k =>
+          s"SELECT CAST($k AS BIGINT) AS rk, l AS lhs, r AS rhs, l || r AS merged, CAST(cnt AS BIGINT) AS cnt FROM b$k"
+        }.mkString("\nUNION ALL ")}""".stripMargin
+
+  /** DuckDB replay of [[bpeEncode]]: the SAME training CTE chain as
+    * bpe_train's oracle (shared via [[bpeCtesPrefix]], so the two
+    * oracles can never drift), then the vocabulary decode + per-doc
+    * broadcast-join sum expressed relationally. */
+  private def bpeEncodeSql: String =
+    s"""${bpeCtesPrefix},
+       |enc AS (SELECT replace(trim(spelled), ' ', '') AS w,
+       |               CAST(len(string_split(trim(spelled), ' ')) AS BIGINT) AS n_sub
+       |        FROM w$BpeRounds),
+       |dtoks AS (SELECT doc_id, unnest($ToksSql) AS w FROM documents),
+       |per AS (SELECT doc_id, count(*) AS n_words, sum(n_sub) AS n_subwords
+       |        FROM dtoks JOIN enc USING (w) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(per.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(per.n_subwords, 0) AS BIGINT) AS n_subwords
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+
+  /** The shared training-replay CTE chain: toks, w0, then per round
+    * k the pair counts p_k, argmax b_k, and merged vocabulary w_k. */
+  private def bpeCtesPrefix: String = {
     val head =
       s"""WITH toks AS (SELECT unnest($ToksSql) AS w FROM documents),
          |w0 AS MATERIALIZED (
@@ -681,10 +748,7 @@ object TextAnalysis {
          |         wf
          |  FROM w${k - 1})""".stripMargin
     }.mkString(",\n")
-    val tail = (1 to BpeRounds).map { k =>
-      s"SELECT CAST($k AS BIGINT) AS rk, l AS lhs, r AS rhs, l || r AS merged, CAST(cnt AS BIGINT) AS cnt FROM b$k"
-    }.mkString("\nUNION ALL ")
-    s"$head,\n$rounds\n$tail"
+    s"$head,\n$rounds"
   }
 
   /** CASE lookup word → subword count, generated from [[bpeTokens]]
@@ -842,6 +906,7 @@ object TextAnalysis {
         |FROM tri JOIN model USING (t)
         |GROUP BY tri.doc_id""".stripMargin,
     "bpe_train" -> bpeTrainSql,
+    "bpe_encode" -> bpeEncodeSql,
     // freq_topk: est64 replays as the exact count (capacity 64 >
     // distinct vocabulary ⇒ the sketch is exact — see the scaladoc);
     // the small-capacity columns replay as the THEOREM: is_hh from
