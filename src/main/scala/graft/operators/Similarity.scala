@@ -300,7 +300,12 @@ object Similarity {
       .toDF("vec_id", "cell")
   }
 
-  private[graft] def annIvfProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  /** The IVF candidate-scoring core shared by [[annIvfProbe]] (top-k)
+    * and [[annRadius]] (threshold): fixed query set, nprobe nearest
+    * cells per query, exact cosine against the probed cells' members
+    * only. Returns (qid, nid, cos) — the consumer applies its own
+    * selection. */
+  private def ivfScored(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import spark.implicits._
     val cents = learnedCentroids(spark, dir)
     val e = Tables.embeddings(spark, dir)
@@ -311,18 +316,44 @@ object Similarity {
       .toDF("qid", "cell")
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val scored = cells
+    cells
       .join(broadcast(qCells), "cell")
       .filter(col("qid") =!= col("nid"))
       .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), "nid")
       .join(broadcast(q), "qid")
       .withColumn("cos", cosine_sim(col("qe"), col("ne")))
+  }
+
+  private[graft] def annIvfProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-    scored
+    ivfScored(spark, dir, nprobe)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= K)
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 4).as("cos"))
   }
+
+  private[operators] val RadiusTau = 0.25
+
+  /** Radius (range) similarity search — ALL neighbors with
+    * cos ≥ [[RadiusTau]], not a fixed k: the retrieval mode behind
+    * "give me every near-duplicate / every passage above the
+    * relevance bar", where result cardinality must follow the data
+    * (top-k truncates dense neighborhoods and pads sparse ones).
+    * Same IVF pruning as [[annIvf]] — candidates are the [[NProbe]]
+    * probed cells' members only, so the scan fraction and shuffle
+    * shape are identical to top-k search and the radius test rides
+    * the scored stream as a per-row filter (no window at all: unlike
+    * top-k, radius selection needs NO per-query sort, which drops
+    * the one rank shuffle — strictly cheaper than [[annIvf]] at any
+    * scale). Approximate by the same contract (matches outside every
+    * probed cell are unseen); τ sits at the fixture's ~99th
+    * candidate-cosine percentile so the answer set is the meaningful
+    * tail, and the oracle replays cells, probing, and threshold
+    * exactly. */
+  def annRadius(spark: SparkSession, dir: String): DataFrame =
+    ivfScored(spark, dir, NProbe)
+      .filter(col("cos") >= RadiusTau)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"))
 
   private val KnnK = 3
 
@@ -1053,6 +1084,7 @@ object Similarity {
     "ann_topk" -> annTopkBrute,
     "ann_lsh"  -> annLsh,
     "ann_ivf"  -> annIvf,
+    "ann_radius" -> annRadius,
     "ann_pq"   -> annPq,
     "ann_ivfpq" -> annIvfPq,
     "ann_graph" -> annGraph,
@@ -1337,6 +1369,16 @@ object Similarity {
          |      FROM s)
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, round(cos, 4) AS cos
          |FROM r WHERE rnk <= $K""".stripMargin,
+    // same cells/probe replay as ann_ivf, threshold instead of top-k
+    "ann_radius" ->
+      s"""$IvfCellsSqlPrefix,
+         |qcells AS (SELECT vec_id AS qid, cell FROM assign WHERE vec_id < $NQueries AND rk <= $NProbe),
+         |s AS (
+         |  SELECT q.qid, c.nid, list_cosine_similarity(qe.emb, ne.emb) AS cos
+         |  FROM qcells q JOIN cells c ON q.cell = c.cell AND c.nid <> q.qid
+         |  JOIN e qe ON qe.vec_id = q.qid JOIN e ne ON ne.vec_id = c.nid)
+         |SELECT qid, nid, round(cos, 4) AS cos
+         |FROM s WHERE cos >= $RadiusTau""".stripMargin,
     // the hyperplanes are just 96 fixed ±1 vectors — embed them as SQL
     // literals (exactly representable doubles) and DuckDB replays the
     // ENTIRE LSH operator: sign-bit keys per table, bucket-candidate
