@@ -91,6 +91,51 @@ object AsOfJoin {
       .filter(col("click_id").isNotNull) // null-free gate, like asof_join
   }
 
+  /** NEAREST as-of — attach the temporally closest click in EITHER
+    * direction (sensor alignment, nearest-quote joins: when the
+    * business question is "what was happening around this moment",
+    * not strictly before/after). Composition, not a new scan shape:
+    * ONE union frame, one exchange on the key, and the backward and
+    * forward candidates come from two window traversals (ts asc /
+    * ts desc) over the same partitioning — Spark reuses the exchange
+    * and pays one extra in-partition sort, still the sort-merge cost
+    * profile. The pick is then a per-row expression on integral
+    * micros: prev wins iff its |Δts| ≤ next's (backward-preferred on
+    * exact ties, then the family's max-event_id rule inside each
+    * side — the oracle spells out the identical (dist, side,
+    * click_id) ordering). */
+  def purchasesWithNearestClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id"))
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("side").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("side").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickCol = when(col("side") === 0, col("event_id"))
+    val clickTs = when(col("side") === 0, col("ts"))
+    clicks.unionByName(purchases)
+      .withColumn("prev_id", last(clickCol, ignoreNulls = true).over(wPrev))
+      .withColumn("prev_ts", last(clickTs, ignoreNulls = true).over(wPrev))
+      .withColumn("next_id", last(clickCol, ignoreNulls = true).over(wNext))
+      .withColumn("next_ts", last(clickTs, ignoreNulls = true).over(wNext))
+      .filter(col("side") === 1)
+      .withColumn("pick_prev",
+        col("next_id").isNull ||
+          (col("prev_id").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+              <= unix_micros(col("next_ts")) - unix_micros(col("ts"))))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        when(col("pick_prev"), col("prev_id")).otherwise(col("next_id")).as("click_id"),
+        when(col("pick_prev"), col("prev_ts")).otherwise(col("next_ts")).as("click_ts"))
+      .filter(col("click_id").isNotNull) // null-free gate, like asof_join
+  }
+
   /** Rolling exact MEDIAN over a trailing-hour event-time window —
     * the holistic-aggregate-over-RANGE-frame shape native window
     * frames cannot express (median is not frame-decomposable; Spark
@@ -155,6 +200,7 @@ object AsOfJoin {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join"    -> purchasesWithLastClickStrict,
     "asof_forward" -> purchasesWithNextClick,
+    "asof_nearest" -> purchasesWithNearestClick,
     "range_join"   -> eventPairsWithin60s,
     "window_median" -> windowMedian)
 
@@ -182,6 +228,21 @@ object AsOfJoin {
         |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts >= p.ts) t
+        |WHERE rn = 1""".stripMargin,
+    // nearest = argmin |Δts|, backward preferred on exact distance
+    // ties, then max event_id within the winning side — the same
+    // ordering the engine's pick expression implements
+    "asof_nearest" ->
+      """SELECT purchase_id, user_id, purchase_ts, click_id, click_ts FROM (
+        |  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |         c.event_id AS click_id, c.ts AS click_ts,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)) ASC,
+        |                    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END ASC,
+        |                    c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id) t
         |WHERE rn = 1""".stripMargin,
     "range_join" ->
       """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,

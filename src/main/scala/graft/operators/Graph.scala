@@ -290,14 +290,22 @@ object Graph {
     * edge stream). The clamp is a broadcast-able anti join against
     * the seed set. */
   def labelProp(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val edges = purchaseEdges(spark, dir).repartition(col("u")).persistScoped()
     val seeds = Tables.customer(spark, dir)
       .filter(col("c_custkey") % 10 === 0)
       .select(col("c_custkey").as("id"), col("c_nationkey").cast("long").as("lbl"))
-      .persistScoped()
+    labelPropOn(purchaseEdges(spark, dir), seeds)
+  }
+
+  /** The propagation core over an arbitrary symmetric edge list
+    * (u, v) and clamped (id, lbl) seed set — extracted so specs can
+    * propagate over planted graphs (tie-break and clamp pins). */
+  private[operators] def labelPropOn(edgesIn: DataFrame, seedsIn: DataFrame,
+      rounds: Int = LpRounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = edgesIn.repartition(col("u")).persistScoped()
+    val seeds = seedsIn.persistScoped()
     var labels = seeds
-    for (_ <- 1 to LpRounds) {
+    for (_ <- 1 to rounds) {
       val votes = edges.as("e")
         .join(labels.as("l"), col("e.u") === col("l.id"))
         .groupBy(col("e.v"), col("l.lbl"))

@@ -367,9 +367,12 @@ object TextAnalysis {
     * count by (w1,w2); margins are two window sums OVER THE GROUPED
     * relation (O(distinct bigrams), not O(tokens)); N attaches via
     * the non-foldable-key broadcast ([[ScalarJoin]]), never a BNLJ. */
-  def bigramPmi(spark: SparkSession, dir: String): DataFrame = {
+  def bigramPmi(spark: SparkSession, dir: String): DataFrame =
+    bigramPmiOf(Tables.documents(spark, dir))
+
+  private[operators] def bigramPmiOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = Tables.documents(spark, dir)
+    val d = docs
       .select(toksOf(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
     val bg = d.select(explode(expr(
@@ -598,9 +601,12 @@ object TextAnalysis {
     * tokenize scan + broadcast join + partial+final sum per doc.
     * Documents whose token list is empty keep a 0/0 row (left join),
     * matching token_count_bpe's contract. */
-  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val (_, words) = bpeTrainRun(spark, docs, BpeRounds)
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeOf(spark, Tables.documents(spark, dir))
+
+  private[operators] def bpeEncodeOf(spark: SparkSession, docs: DataFrame,
+      rounds: Int = BpeRounds): DataFrame = {
+    val (_, words) = bpeTrainRun(spark, docs, rounds)
     val enc = words.select(
       regexp_replace(trim(col("spelled")), " ", "").as("w"),
       size(split(trim(col("spelled")), " ")).cast("long").as("n_sub"))
@@ -635,9 +641,12 @@ object TextAnalysis {
     * executor's aggregation buffer). Both (a) and (b) shuffle on
     * `term`; the final join is term-keyed too, so AQE plans it
     * shuffle-free on the co-partitioned sides. */
-  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    invertedIndexOf(Tables.documents(spark, dir))
+
+  private[operators] def invertedIndexOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = Tables.documents(spark, dir)
+    val tf = docs
       .select(col("doc_id"), explode(toksOf(col("text"))).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))

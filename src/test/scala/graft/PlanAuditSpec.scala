@@ -581,6 +581,64 @@ class PlanAuditSpec extends AnyFunSuite {
       "tagged (vec_id, cell, embedding) must derive once and feed both join sides")
   }
 
+  test("subquery_exists decorrelates to one semi and one anti hash join") {
+    val p = plan("subquery_exists")
+    assert(p.contains("LeftSemi"), "EXISTS must plan a left-semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan a left-anti join")
+  }
+
+  test("importance_sample is a pure narrow map — no exchange, no aggregation") {
+    val p = plan("importance_sample")
+    // the loader's round-robin fan-out is the only exchange allowed
+    // (fixture-parallelism, not operator semantics — dataset_split's gate)
+    assert(!p.contains("hashpartitioning"), "the PPS keep-test must ride the scan")
+    assert(!p.contains("HashAggregate"), "no aggregation belongs in a per-row sampler")
+  }
+
+  test("inverted_index: posting heads rank-limit before collecting; tf derives once") {
+    val p = plan("inverted_index")
+    assert(p.contains("WindowGroupLimit"),
+      "the 10-posting head must push its rank limit below the window sort")
+    assert(p.contains("partial_"), "tf and df counts must partial-combine")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "the (term, doc_id, tf) relation must persist once and feed stats AND heads")
+  }
+
+  test("bigram_pmi: pairs form array-locally; margins ride the grouped relation") {
+    val p = plan("bigram_pmi")
+    // adjacency pairing is a Generate over the token array — the raw
+    // token stream must never shuffle (only grouped (w1,w2) rows do)
+    assert(p.contains("partial_"), "bigram counts must partial-combine")
+    assert(p.contains("BroadcastHashJoin"),
+      "the N scalar must attach as a broadcast hash join (never BNLJ)")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "grouped bigram counts must persist once and feed margins AND the total")
+  }
+
+  test("label_prop: persisted edges and seeds feed every round; votes partial-combine") {
+    val p = plan("label_prop")
+    assert(p.contains("partial_"), "majority votes must partial-combine")
+    // 2 rounds × edge scan + per-round seed clamp + final seed union:
+    // the edge/seed caches must be hit repeatedly, never rebuilt
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      "edges and seeds must persist once and be re-read per round")
+    assert(p.contains("WindowGroupLimit") || p.contains("row_number"),
+      "the majority pick is a rank-limit window over grouped votes")
+  }
+
+  test("bpe_encode: the learned vocabulary joins as a broadcast; doc sums partial-combine") {
+    val p = plan("bpe_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      "the O(vocabulary) word→n_sub table must broadcast against the token stream")
+    assert(p.contains("partial_"), "per-doc subword sums must partial-combine")
+  }
+
+  test("ann_radius: threshold retrieval plans NO window at all (cheaper than top-k)") {
+    val p = plan("ann_radius")
+    assert(!p.contains("Window"), "radius selection must be a filter, not a per-query sort")
+    assert(p.contains("BroadcastHashJoin"), "query set and probe cells must broadcast")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

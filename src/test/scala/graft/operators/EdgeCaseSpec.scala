@@ -573,4 +573,93 @@ class EdgeCaseSpec extends AnyFunSuite {
         s"$lang kept $k vs target $nMin")
     }
   }
+
+  test("label_prop: ties break to the smallest label, seeds clamp, rounds chain outward") {
+    import org.apache.spark.sql.functions.col
+    // 1(seed 7)—3—2(seed 5): vertex 3 ties 7 vs 5 → 5 wins.
+    // 3—4: vertex 4 is only reachable through 3, so it needs BOTH
+    // rounds (r1: 3 labels, r2: 4 inherits 3's r1 label).
+    // Seed 1 must stay 7 even though its only neighbor says 5.
+    // 9—10 is an unseeded component: absent from the output.
+    val edges = Seq((1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L),
+        (3L, 4L), (4L, 3L), (9L, 10L), (10L, 9L)).toDF("u", "v")
+    val seeds = Seq((1L, 7L), (2L, 5L)).toDF("id", "lbl")
+    val out = Graph.labelPropOn(edges, seeds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 7L, 2L -> 5L, 3L -> 5L, 4L -> 5L))
+    graft.CacheScope.release()
+  }
+
+  test("inverted_index: posting heads truncate at 10 lowest doc_ids; df/tf stay exact") {
+    val d = (0L until 12L).map(i => (i, if (i == 3) "z z q" else "z")) ++ Seq((99L, "q"))
+    val out = TextAnalysis.invertedIndexOf(docs(d: _*))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(out === Set(
+      ("z", 12L, 13L, "0,1,2,3,4,5,6,7,8,9"), // 12 postings, head keeps 10
+      ("q", 2L, 2L, "3,99")))
+    graft.CacheScope.release()
+  }
+
+  test("bigram_pmi: lattice equals BigInt and the 2^40 cap engages at planted web scale") {
+    // doc 2 contributes 1,099,999 bigrams, so N crosses 2^20 and the
+    // unique (x,y) pair's raw lift 2^20·N exceeds the cap — the
+    // pre-cap product also exceeds int64 without decimal widening
+    val filler = ("a b " * 550000).trim
+    val out = TextAnalysis.bigramPmiOf(docs(1L -> "x y", 2L -> filler))
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val n = BigInt(1099999 + 1)
+    def lift(c12: Long, cl: Long, cr: Long): Long =
+      ((BigInt(1048576) * n * c12) / (BigInt(cl) * cr)).min(BigInt(1099511627776L)).toLong
+    assert(out(("x", "y")) === ((1L, 1099511627776L)), "unique pair must hit the cap")
+    assert(out(("a", "b")) === ((550000L, lift(550000L, 550000L, 550000L))))
+    assert(out(("b", "a")) === ((549999L, lift(549999L, 549999L, 549999L))))
+    graft.CacheScope.release()
+  }
+
+  test("bpe_encode equals a reference train+encode replay on randomized corpora") {
+    // the reference replays the SAME contract end-to-end in memory:
+    // train via pair counts + (cnt desc, lhs, rhs) argmax + one-pass
+    // boundary replace, then a word's subword count is its final
+    // spelled form's symbol count
+    def refEncode(words: Seq[(String, Long)], rounds: Int): Map[String, Long] = {
+      var spelled = words.map { case (w, f) => (" " + w.toCharArray.mkString(" ") + " ", f) }
+      for (_ <- 1 to rounds) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((s, f) <- spelled) {
+          val sy = s.trim.split(" ")
+          for (i <- 0 until sy.length - 1)
+            counts((sy(i), sy(i + 1))) = counts.getOrElse((sy(i), sy(i + 1)), 0L) + f
+        }
+        val ((l, r), _) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        spelled = spelled.map { case (s, f) => (s.replace(s" $l $r ", s" $l$r "), f) }
+      }
+      spelled.map { case (s, _) =>
+        s.trim.replace(" ", "") -> s.trim.split(" ").length.toLong
+      }.toMap
+    }
+    var lcg = 0x9E3779B97F4A7C15L
+    def next(n: Int): Int = { lcg = lcg * 6364136223846793005L + 1442695040888963407L; (((lcg >>> 33) % n) + n).toInt % n }
+    for (trial <- 1 to 3) {
+      val vocabWords = (1 to 20).map { _ =>
+        (1 to (2 + next(5))).map(_ => ('a' + next(3)).toChar).mkString
+      }
+      // multi-word docs so per-doc sums exercise the broadcast join
+      val corpus = (0 until 15).map { i =>
+        (i.toLong, (1 to (1 + next(4))).map(_ => vocabWords(next(vocabWords.length))).mkString(" "))
+      }
+      val wordFreq = corpus.flatMap(_._2.split(" ")).groupBy(identity)
+        .view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val enc = refEncode(wordFreq, 4)
+      val want = corpus.map { case (id, text) =>
+        val ws = text.split(" ")
+        (id, ws.length.toLong, ws.map(enc).sum)
+      }.toSet
+      val got = TextAnalysis.bpeEncodeOf(spark, docs(corpus: _*), rounds = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, s"trial $trial")
+      graft.CacheScope.release()
+    }
+  }
 }
