@@ -1011,6 +1011,40 @@ object Relational {
         percentile(col("value"), lit(0.9)).as("p90"),
         count(lit(1)).as("n"))
 
+  /** Exact DISCRETE quantiles per group (p25/p50/p75/p95 of
+    * l_quantity by return flag) — the holistic counterpart to
+    * [[aggMedian]]'s interpolated percentile and
+    * `agg_approx_quantile`'s GK sketch: PERCENTILE_DISC returns an
+    * ACTUAL data value (the first at cumulative rank ≥ q), the form
+    * auditors want when the quantile must be a real observed
+    * measurement. Engine conventions for the boundary rank differ
+    * (Spark's percentile_disc vs DuckDB's quantile_disc), so both
+    * sides compute the SAME explicit rule: value at row
+    * ceil(q·n) = (q·n + 99) div 100 of the per-group ascending sort —
+    * integer arithmetic, no convention to disagree on. Ties in value
+    * can't perturb the answer (position k's value is order-invariant
+    * among equal values), so row_number needs no tiebreak contract.
+    * Scale shape: ONE exchange on the group key feeds the window sort
+    * AND the final per-group fold; the picked rows collapse via
+    * max(CASE) — a partial+final aggregate, no second sort. At
+    * extreme group cardinality the same output contract downgrades
+    * to the GK sketch (`agg_approx_quantile`) — this operator is the
+    * exact tier of that pair. */
+  def aggQuantileDisc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("v").asc)
+    val r = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("g"), col("l_quantity").as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+    r.groupBy(col("g"))
+      .agg(
+        max(when(col("rn") === expr("(n * 25 + 99) div 100"), col("v"))).as("p25"),
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("v"))).as("p50"),
+        max(when(col("rn") === expr("(n * 75 + 99) div 100"), col("v"))).as("p75"),
+        max(when(col("rn") === expr("(n * 95 + 99) div 100"), col("v"))).as("p95"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** Cohort retention matrix — the product-analytics staple the
     * funnel/sessionize family doesn't cover: users are grouped into
     * WEEKLY cohorts by their first-ever event, and each (cohort,
@@ -2026,6 +2060,7 @@ object Relational {
     "agg_stats"        -> aggStats,
     "agg_median"       -> aggMedian,
     "agg_approx_quantile" -> aggApproxQuantile,
+    "agg_quantile_disc" -> aggQuantileDisc,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
@@ -2606,6 +2641,19 @@ object Relational {
         |FROM events GROUP BY event_type""".stripMargin,
     // exact percentiles asserted; GK sketch held to its rank-error
     // guarantee (flags forced to 1), same convention as the HLL row
+    "agg_quantile_disc" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS g, l_quantity AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity ASC) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT g,
+        |  max(CASE WHEN rn = (n * 25 + 99) // 100 THEN v END) AS p25,
+        |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS p50,
+        |  max(CASE WHEN rn = (n * 75 + 99) // 100 THEN v END) AS p75,
+        |  max(CASE WHEN rn = (n * 95 + 99) // 100 THEN v END) AS p95,
+        |  count(*) AS n_rows
+        |FROM r GROUP BY g""".stripMargin,
     "agg_approx_quantile" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.9) AS p90, count(*) AS n,
