@@ -1011,6 +1011,46 @@ object Relational {
         percentile(col("value"), lit(0.9)).as("p90"),
         count(lit(1)).as("n"))
 
+  /** Poisson bootstrap — the single-pass resampling scheme for
+    * estimating the sampling uncertainty of an aggregate over data
+    * too large to resample classically (Chamandy et al., Google,
+    * 2012: a true bootstrap draw needs n with-replacement picks per
+    * replicate — impossible streaming — but each row's multiplicity
+    * in a replicate converges to Poisson(1), which CAN be drawn
+    * per-row, independently, in one scan). Each of the 8 replicates
+    * weights every order by w ~ Poisson(1), deterministically: 16
+    * md5 bits of (o_orderkey, replicate) against the fixed CDF
+    * lattice ⌊2¹⁶·P(≤k)⌋ = 24109/48218/60273/64291/65296 (tail
+    * capped at 5, P ≈ 4·10⁻⁴). The replicate spread of `sum_price`
+    * IS the standard-error estimate; replicate sums are emitted
+    * (not the final stddev) so the artifact is integral/decimal —
+    * exact cross-engine.
+    *
+    * Scale shape: the 8-row replicate grid attaches via the
+    * non-foldable broadcast ([[ScalarJoin.broadcastCross]] — a hash
+    * join, never BNLJ), weights ride the scan, and each replicate is
+    * one partial+final sum: 8× map-side fan-out, ONE shuffle of 8×
+    * shuffle.partitions tiny partial rows, zero extra passes over
+    * the fact table. Decimal accumulation keeps the sums
+    * order-insensitive (the agg_stats rule). */
+  def poissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val reps = spark.range(0, 8).select(col("id").as("b"))
+    val g = ScalarJoin.broadcastCross(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice")),
+      col("o_orderkey"), reps, col("b"))
+      .withColumn("h", conv(substring(md5(
+        concat(col("o_orderkey").cast("string"), lit("-"), col("b").cast("string"))),
+        1, 4), 16, 10).cast("long"))
+      .withColumn("w",
+        when(col("h") < 24109, 0L).when(col("h") < 48218, 1L)
+          .when(col("h") < 60273, 2L).when(col("h") < 64291, 3L)
+          .when(col("h") < 65296, 4L).otherwise(5L))
+    g.groupBy(col("b"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("o_totalprice").cast("decimal(30,4)"))
+          .cast("double").as("sum_price"))
+  }
+
   /** Exact DISCRETE quantiles per group (p25/p50/p75/p95 of
     * l_quantity by return flag) — the holistic counterpart to
     * [[aggMedian]]'s interpolated percentile and
@@ -2061,6 +2101,7 @@ object Relational {
     "agg_median"       -> aggMedian,
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_quantile_disc" -> aggQuantileDisc,
+    "poisson_bootstrap" -> poissonBootstrap,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
@@ -2641,6 +2682,20 @@ object Relational {
         |FROM events GROUP BY event_type""".stripMargin,
     // exact percentiles asserted; GK sketch held to its rank-error
     // guarantee (flags forced to 1), same convention as the HLL row
+    "poisson_bootstrap" ->
+      """WITH reps AS (SELECT unnest(range(8)) AS b),
+        |g AS (
+        |  SELECT r.b, o.o_totalprice,
+        |    CAST('0x' || substring(md5(CAST(o.o_orderkey AS VARCHAR) || '-' || CAST(r.b AS VARCHAR)), 1, 4) AS BIGINT) AS h
+        |  FROM orders o, reps r),
+        |w AS (
+        |  SELECT b, o_totalprice,
+        |    CASE WHEN h < 24109 THEN 0 WHEN h < 48218 THEN 1 WHEN h < 60273 THEN 2
+        |         WHEN h < 64291 THEN 3 WHEN h < 65296 THEN 4 ELSE 5 END AS w
+        |  FROM g)
+        |SELECT CAST(b AS BIGINT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
+        |  CAST(sum(w * CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+        |FROM w GROUP BY b""".stripMargin,
     "agg_quantile_disc" ->
       """WITH r AS (
         |  SELECT l_returnflag AS g, l_quantity AS v,

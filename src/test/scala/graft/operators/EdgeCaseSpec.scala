@@ -574,6 +574,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("poisson_bootstrap replicates land inside the Poisson(1) envelope") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Relational.poissonBootstrap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === 8)
+    val n = graft.sources.Tables.orders(spark, dir).count()
+    // each replicate's effective size is a sum of n iid Poisson(1)
+    // draws: mean n, sd √n — a 5σ envelope is deterministic-safe on
+    // the fixed md5 stream while still catching any weight-table bug
+    out.foreach { case (b, nEff, sum) =>
+      assert(math.abs(nEff - n) <= 5 * math.sqrt(n.toDouble),
+        s"replicate $b: n_eff $nEff vs n $n")
+      assert(sum > 0.0)
+    }
+    // replicates must actually differ (independent hash bits per b)
+    assert(out.map(_._2).distinct.length > 1)
+    graft.CacheScope.release()
+  }
+
   test("label_prop: ties break to the smallest label, seeds clamp, rounds chain outward") {
     import org.apache.spark.sql.functions.col
     // 1(seed 7)—3—2(seed 5): vertex 3 ties 7 vs 5 → 5 wins.
