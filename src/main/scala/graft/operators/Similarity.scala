@@ -355,6 +355,40 @@ object Similarity {
       .filter(col("cos") >= RadiusTau)
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"))
 
+  /** Index-quality profile of the IVF coarse quantizer — per cell:
+    * member count, tightest/loosest member cosine to the learned
+    * centroid, and how many members sit below 0.1 ("loose" vectors
+    * whose cell barely represents them). This is the monitoring
+    * query an ANN deployment runs after every (re)train/ADD cycle:
+    * skewed counts → imbalanced probe cost, a fat loose tail → the
+    * recall floor is about to sag and the quantizer wants more cells
+    * or a re-train. Spreads (min/max/threshold-count) are emitted
+    * instead of a mean because double summation is order-sensitive
+    * across engines while min/max/count are exactly reproducible.
+    *
+    * Scale shape: one narrow typed pass computes each vector's
+    * (cell, cos) against the broadcast centroid array (driver
+    * metadata, the ann_ivf precedent), then ONE partial+final
+    * aggregation on cell — O(cells) output at any corpus size. */
+  def clusterStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = learnedCentroids(spark, dir)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (_, v) =>
+        cents.map { case (i, c) => (i, cosTo(c, v)) }
+          .minBy { case (i, s) => (-s, i) }
+      }
+      .toDF("cell", "cos")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("cos")), 4).as("min_cos"),
+        round(max(col("cos")), 4).as("max_cos"),
+        sum(when(col("cos") < 0.1, 1L).otherwise(0L)).as("n_loose"))
+      .select(col("cell").cast("long").as("cell"), col("n"),
+        col("min_cos"), col("max_cos"), col("n_loose"))
+  }
+
   private val KnnK = 3
 
   /** All-vectors approximate k-NN JOIN: every vector finds its
@@ -1085,6 +1119,7 @@ object Similarity {
     "ann_lsh"  -> annLsh,
     "ann_ivf"  -> annIvf,
     "ann_radius" -> annRadius,
+    "cluster_stats" -> clusterStats,
     "ann_pq"   -> annPq,
     "ann_ivfpq" -> annIvfPq,
     "ann_graph" -> annGraph,
@@ -1379,6 +1414,18 @@ object Similarity {
          |  JOIN e qe ON qe.vec_id = q.qid JOIN e ne ON ne.vec_id = c.nid)
          |SELECT qid, nid, round(cos, 4) AS cos
          |FROM s WHERE cos >= $RadiusTau""".stripMargin,
+    // per-cell profile over the same cells/cents replay; spreads and
+    // threshold-counts only (double mean would be order-sensitive)
+    "cluster_stats" ->
+      s"""$IvfCellsSqlPrefix,
+         |s AS (
+         |  SELECT cl.cell, list_cosine_similarity(e.emb, c.ce) AS cos
+         |  FROM cells cl JOIN e ON e.vec_id = cl.nid
+         |  JOIN cents c ON c.cell = cl.cell)
+         |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n,
+         |  round(min(cos), 4) AS min_cos, round(max(cos), 4) AS max_cos,
+         |  CAST(sum(CASE WHEN cos < 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_loose
+         |FROM s GROUP BY cell""".stripMargin,
     // the hyperplanes are just 96 fixed ±1 vectors — embed them as SQL
     // literals (exactly representable doubles) and DuckDB replays the
     // ENTIRE LSH operator: sign-bit keys per table, bucket-candidate
