@@ -1011,6 +1011,49 @@ object Relational {
         percentile(col("value"), lit(0.9)).as("p90"),
         count(lit(1)).as("n"))
 
+  /** Time-weighted average (TWAP/TWA) of `value` per user — the
+    * metric that is CORRECT for irregularly-sampled series where the
+    * plain mean over-weights bursts (finance TWAP, metrics
+    * time-averaging, billing for sampled gauges): each reading holds
+    * until the next one, so it weighs by its holding interval,
+    * Σ vᵢ·(tᵢ₊₁−tᵢ) / (tₙ−t₀). Accumulation stays exact: intervals
+    * are integral micros, value widens to decimal so the weighted
+    * sum is order-insensitive (the agg_stats rule); only the final
+    * one-shot division is a double. Users with a single event have
+    * no holding interval and drop (null-free gate).
+    *
+    * Scale shape: the sessionize shape — ONE exchange on user_id
+    * whose in-partition sort feeds the lead() window, then the same
+    * partitioning feeds the partial+final aggregate, no second
+    * shuffle. */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"), col("value"))
+      .withColumn("t_next", lead(col("t"), 1).over(w))
+      .filter(col("t_next").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("t_next") - col("t")).as("span_us"),
+        // value quantizes by FLOOR onto the 2⁻²⁰-style 10⁻⁶ lattice
+        // (bit-exact on doubles in both engines — the QScale rule;
+        // a decimal CAST would round, and decimal rounding modes
+        // differ cross-engine); products widen to decimal(38) since
+        // v_q·Δt reaches ~10²² at decade-long spans
+        sum(expr("cast(floor(value * 1000000) as decimal(38,0))")
+          * (col("t_next") - col("t"))).as("num_q"))
+      // the ~10²⁰ weighted sum never becomes a double (its
+      // nearest-double rounding is engine-dependent past 2⁵³): the
+      // time-division happens IN the integer lattice, so twap_q is an
+      // exact micro-scaled BIGINT and the only double is the final
+      // exact-operand division by 10⁶
+      .select(col("user_id"), col("n_intervals"), col("span_us"),
+        expr("cast(num_q div span_us as bigint)").as("twap_q"))
+      .withColumn("twap", col("twap_q") / lit(1000000.0))
+  }
+
   /** Poisson bootstrap — the single-pass resampling scheme for
     * estimating the sampling uncertainty of an aggregate over data
     * too large to resample classically (Chamandy et al., Google,
@@ -2102,6 +2145,7 @@ object Relational {
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_quantile_disc" -> aggQuantileDisc,
     "poisson_bootstrap" -> poissonBootstrap,
+    "twap"             -> twap,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
@@ -2682,6 +2726,18 @@ object Relational {
         |FROM events GROUP BY event_type""".stripMargin,
     // exact percentiles asserted; GK sketch held to its rank-error
     // guarantee (flags forced to 1), same convention as the HLL row
+    "twap" ->
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+        |i AS (SELECT user_id, t, value,
+        |        lead(t) OVER (PARTITION BY user_id ORDER BY t ASC, event_id ASC) AS t_next
+        |      FROM t)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(t_next - t) AS BIGINT) AS span_us,
+        |  CAST(sum(CAST(floor(value * 1000000) AS HUGEINT) * (t_next - t))
+        |       // sum(t_next - t) AS BIGINT) AS twap_q,
+        |  CAST(sum(CAST(floor(value * 1000000) AS HUGEINT) * (t_next - t))
+        |       // sum(t_next - t) AS BIGINT) / 1000000.0 AS twap
+        |FROM i WHERE t_next IS NOT NULL GROUP BY user_id""".stripMargin,
     "poisson_bootstrap" ->
       """WITH reps AS (SELECT unnest(range(8)) AS b),
         |g AS (
