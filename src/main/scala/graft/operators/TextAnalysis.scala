@@ -586,6 +586,29 @@ object TextAnalysis {
     (merges.result(), words)
   }
 
+  /** Tokenizer FERTILITY by language — subwords-per-word under the
+    * learned BPE vocabulary, the standard metric for how well a
+    * tokenizer fits each language slice of a corpus (fertility ≫ 1
+    * on a language means its text costs disproportionate sequence
+    * length — the signal behind per-language vocab rebalancing).
+    * Emitted as exact integral sums (Σ subwords, Σ words per lang)
+    * plus the 10⁻³-lattice ratio, so the gate stays hash-exact.
+    * Same scan/broadcast shape as [[bpeEncode]] with the per-doc
+    * aggregation re-keyed to (lang): O(languages) output rows. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (_, words) = bpeTrainRun(spark, docs, BpeRounds)
+    val enc = words.select(
+      regexp_replace(trim(col("spelled")), " ", "").as("w"),
+      size(split(trim(col("spelled")), " ")).cast("long").as("n_sub"))
+    docs
+      .select(col("lang"), explode(toksOf(col("text"))).as("w"))
+      .join(broadcast(enc), "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+      .withColumn("fertility_q", expr("(n_subwords * 1000) div n_words"))
+  }
+
   /** Tokenizer APPLICATION — encode the corpus with the merges
     * [[bpeTrain]] just learned (the train→encode pair every LLM data
     * pipeline runs: token budgets, per-doc sequence lengths, and
@@ -691,6 +714,7 @@ object TextAnalysis {
     "trigram_lm"      -> trigramLm,
     "bpe_train"       -> bpeTrain,
     "bpe_encode"      -> bpeEncode,
+    "bpe_fertility"   -> bpeFertility,
     "tokens_pos"      -> tokensPos,
     "cooccur_lift"    -> cooccurLift,
     "inverted_index"  -> invertedIndex,
@@ -731,6 +755,17 @@ object TextAnalysis {
        |  CAST(coalesce(per.n_words, 0) AS BIGINT) AS n_words,
        |  CAST(coalesce(per.n_subwords, 0) AS BIGINT) AS n_subwords
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+
+  /** Same replay as [[bpeEncodeSql]], re-keyed to language. */
+  private def bpeFertilitySql: String =
+    s"""${bpeCtesPrefix},
+       |enc AS (SELECT replace(trim(spelled), ' ', '') AS w,
+       |               CAST(len(string_split(trim(spelled), ' ')) AS BIGINT) AS n_sub
+       |        FROM w$BpeRounds),
+       |dtoks AS (SELECT lang, unnest($ToksSql) AS w FROM documents)
+       |SELECT lang, count(*) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       |  CAST((sum(n_sub) * 1000) // count(*) AS BIGINT) AS fertility_q
+       |FROM dtoks JOIN enc USING (w) GROUP BY lang""".stripMargin
 
   /** The shared training-replay CTE chain: toks, w0, then per round
     * k the pair counts p_k, argmax b_k, and merged vocabulary w_k. */
@@ -916,6 +951,7 @@ object TextAnalysis {
         |GROUP BY tri.doc_id""".stripMargin,
     "bpe_train" -> bpeTrainSql,
     "bpe_encode" -> bpeEncodeSql,
+    "bpe_fertility" -> bpeFertilitySql,
     // freq_topk: est64 replays as the exact count (capacity 64 >
     // distinct vocabulary ⇒ the sketch is exact — see the scaladoc);
     // the small-capacity columns replay as the THEOREM: is_hh from
