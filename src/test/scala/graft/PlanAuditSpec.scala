@@ -639,6 +639,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "query set and probe cells must broadcast")
   }
 
+  test("asof_nearest / twap: one user_id exchange feeds the window machinery") {
+    Seq("asof_nearest", "twap").foreach { name =>
+      val p = plan(name)
+      assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size <= 2,
+        s"$name must not re-shuffle per window pass")
+      assert(p.contains("Window"), s"$name is window-based")
+    }
+    assert(plan("twap").contains("partial_"), "twap sums must partial-combine")
+  }
+
+  test("poisson_bootstrap: replicate grid broadcasts; one partial+final pass") {
+    val p = plan("poisson_bootstrap")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 8-row replicate grid must attach as a broadcast hash join")
+    assert(p.contains("partial_"), "replicate sums must partial-combine")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "orders must be scanned exactly once")
+  }
+
+  test("agg_quantile_disc: the group exchange feeds sort AND final fold; no second sort") {
+    val p = plan("agg_quantile_disc")
+    assert(p.contains("partial_"), "the max(CASE) fold must partial-combine")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "one group-key exchange must serve the window and the aggregate")
+  }
+
+  test("cluster_stats / bpe_fertility: vocab/centroid metadata rides broadcast, media stays narrow") {
+    val cs = plan("cluster_stats")
+    assert(cs.contains("partial_"), "per-cell stats must partial-combine")
+    assert(!cs.linesIterator.exists(l => l.contains("Exchange") && l.contains("embedding")),
+      "embeddings must never key-shuffle — only (cell, cos) pairs do")
+    val bf = plan("bpe_fertility")
+    assert(bf.contains("BroadcastHashJoin"),
+      "the learned vocabulary must broadcast against the token stream")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle
