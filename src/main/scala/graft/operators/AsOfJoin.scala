@@ -91,6 +91,22 @@ object AsOfJoin {
       .filter(col("click_id").isNotNull) // null-free gate, like asof_join
   }
 
+  /** TOLERANCE-bounded as-of (pandas `merge_asof(tolerance=…)`): the
+    * backward match is only valid while FRESH — a click older than
+    * one hour must not be attributed. Because the backward pick is
+    * the MAXIMUM click ts ≤ purchase ts, "last click, if within the
+    * band" is provably identical to "last click within the band"
+    * (any other candidate is older still), so the tolerance is a
+    * post-pick filter on the already-joined row — zero extra plan
+    * cost over [[purchasesWithLastClickStrict]] — while the oracle
+    * states the band INSIDE the join, pinning the equivalence.
+    * Emits the staleness for downstream attribution weighting. */
+  def purchasesWithFreshClick(spark: SparkSession, dir: String): DataFrame =
+    purchasesWithLastClickStrict(spark, dir)
+      .withColumn("staleness_us",
+        unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+      .filter(col("staleness_us") <= 3600000000L)
+
   /** NEAREST as-of — attach the temporally closest click in EITHER
     * direction (sensor alignment, nearest-quote joins: when the
     * business question is "what was happening around this moment",
@@ -201,6 +217,7 @@ object AsOfJoin {
     "asof_join"    -> purchasesWithLastClickStrict,
     "asof_forward" -> purchasesWithNextClick,
     "asof_nearest" -> purchasesWithNearestClick,
+    "asof_tolerance" -> purchasesWithFreshClick,
     "range_join"   -> eventPairsWithin60s,
     "window_median" -> windowMedian)
 
@@ -228,6 +245,21 @@ object AsOfJoin {
         |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts >= p.ts) t
+        |WHERE rn = 1""".stripMargin,
+    // band stated IN the join (the post-pick filter the engine runs
+    // is equivalent because the pick is the band's maximum)
+    "asof_tolerance" ->
+      """SELECT purchase_id, user_id, purchase_ts, click_id, click_ts,
+        |       epoch_us(purchase_ts) - epoch_us(click_ts) AS staleness_us
+        |FROM (
+        |  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |         c.event_id AS click_id, c.ts AS click_ts,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |   AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000) t
         |WHERE rn = 1""".stripMargin,
     // nearest = argmin |Δts|, backward preferred on exact distance
     // ties, then max event_id within the winning side — the same

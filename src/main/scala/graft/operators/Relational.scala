@@ -1054,6 +1054,40 @@ object Relational {
       .withColumn("twap", col("twap_q") / lit(1000000.0))
   }
 
+  /** Exponentially-weighted moving average (α = 1/4) of `value` per
+    * user timeline — the smoothing primitive behind rate dashboards
+    * and drift monitors. The true EWMA is a sequential recurrence
+    * (unvectorizable in one window pass), so this is the standard
+    * TRUNCATED form: 8 explicit lag terms, weights α(1−α)ᵏ = 3ᵏ/4ᵏ⁺¹,
+    * covering 1−(3/4)⁸ ≈ 90% of the mass — the tail is dropped, not
+    * renormalized (documented contract; rows without 8 predecessors
+    * drop). Everything is exact integer arithmetic: values floor
+    * onto the 10⁻⁶ lattice (the twap rule), the weighted sum is
+    * Σ v_q·3ᵏ·4⁷⁻ᵏ with decimal(38) headroom, and ONE truncating
+    * division by 4⁸ lands ewma_q back in BIGINT — both engines
+    * bit-equal including negatives (trunc-toward-zero verified).
+    * Scale shape: one user_id exchange, one in-partition sort, all
+    * eight lags read from the SAME window buffer — identical plan
+    * cost to a single lag. */
+  def windowEwma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val coef = Seq(16384L, 12288L, 9216L, 6912L, 5184L, 3888L, 2916L, 2187L)
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("cast(floor(value * 1000000) as decimal(38,0))").as("vq"))
+      .withColumn("rn", row_number().over(w))
+    val weighted = coef.zipWithIndex.map { case (c, k) =>
+      (if (k == 0) col("vq") else lag(col("vq"), k).over(w)) * lit(c)
+    }.reduce(_ + _)
+    base
+      .withColumn("ewma_q", weighted)
+      .filter(col("rn") >= 8)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("cast(ewma_q div 65536 as bigint)").as("ewma_q"))
+      .withColumn("ewma", col("ewma_q") / lit(1000000.0))
+  }
+
   /** Poisson bootstrap — the single-pass resampling scheme for
     * estimating the sampling uncertainty of an aggregate over data
     * too large to resample classically (Chamandy et al., Google,
@@ -2146,6 +2180,7 @@ object Relational {
     "agg_quantile_disc" -> aggQuantileDisc,
     "poisson_bootstrap" -> poissonBootstrap,
     "twap"             -> twap,
+    "window_ewma"      -> windowEwma,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
@@ -2726,6 +2761,26 @@ object Relational {
         |FROM events GROUP BY event_type""".stripMargin,
     // exact percentiles asserted; GK sketch held to its rank-error
     // guarantee (flags forced to 1), same convention as the HLL row
+    "window_ewma" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 1000000) AS HUGEINT) AS vq,
+        |    row_number() OVER win AS rn,
+        |    lag(CAST(floor(value * 1000000) AS HUGEINT), 1) OVER win AS v1,
+        |    lag(CAST(floor(value * 1000000) AS HUGEINT), 2) OVER win AS v2,
+        |    lag(CAST(floor(value * 1000000) AS HUGEINT), 3) OVER win AS v3,
+        |    lag(CAST(floor(value * 1000000) AS HUGEINT), 4) OVER win AS v4,
+        |    lag(CAST(floor(value * 1000000) AS HUGEINT), 5) OVER win AS v5,
+        |    lag(CAST(floor(value * 1000000) AS HUGEINT), 6) OVER win AS v6,
+        |    lag(CAST(floor(value * 1000000) AS HUGEINT), 7) OVER win AS v7
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |SELECT user_id, event_id, ts,
+        |  CAST((vq*16384 + v1*12288 + v2*9216 + v3*6912 + v4*5184
+        |        + v5*3888 + v6*2916 + v7*2187) // 65536 AS BIGINT) AS ewma_q,
+        |  CAST((vq*16384 + v1*12288 + v2*9216 + v3*6912 + v4*5184
+        |        + v5*3888 + v6*2916 + v7*2187) // 65536 AS BIGINT) / 1000000.0 AS ewma
+        |FROM b WHERE rn >= 8""".stripMargin,
     "twap" ->
       """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
         |i AS (SELECT user_id, t, value,
