@@ -1069,11 +1069,14 @@ object Relational {
     * Scale shape: one user_id exchange, one in-partition sort, all
     * eight lags read from the SAME window buffer — identical plan
     * cost to a single lag. */
-  def windowEwma(spark: SparkSession, dir: String): DataFrame = {
+  def windowEwma(spark: SparkSession, dir: String): DataFrame =
+    windowEwmaOf(Tables.events(spark, dir))
+
+  private[operators] def windowEwmaOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     val coef = Seq(16384L, 12288L, 9216L, 6912L, 5184L, 3888L, 2916L, 2187L)
-    val base = Tables.events(spark, dir)
+    val base = events
       .select(col("user_id"), col("event_id"), col("ts"),
         expr("cast(floor(value * 1000000) as decimal(38,0))").as("vq"))
       .withColumn("rn", row_number().over(w))

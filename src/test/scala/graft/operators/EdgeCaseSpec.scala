@@ -574,6 +574,26 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("window_ewma equals the BigInt reference, negatives and fractions included") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val vals = Seq(1.5, -2.25, 3.000001, -0.1, 7.0, 100.999999, -55.5, 0.0, 2.5, -1.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (1L, i.toLong, f"2024-01-01 00:00:${i}%02d", v)
+    }
+    val ev = rows.toDF("user_id", "event_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val got = Relational.windowEwmaOf(ev).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val coef = Seq(16384L, 12288L, 9216L, 6912L, 5184L, 3888L, 2916L, 2187L)
+    val vq = vals.map(v => BigInt(math.floor(v * 1000000).toLong))
+    val want = (7 until vals.length).map { i =>
+      val s = coef.zipWithIndex.map { case (c, k) => vq(i - k) * c }.sum
+      // trunc-toward-zero, matching Spark div / DuckDB //
+      i.toLong -> (s / 65536).toLong
+    }.toMap
+    assert(got === want)
+  }
+
   test("poisson_bootstrap replicates land inside the Poisson(1) envelope") {
     val dir = "/root/testdata/sf0.001"
     val out = Relational.poissonBootstrap(spark, dir).collect()
