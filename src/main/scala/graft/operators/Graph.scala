@@ -346,10 +346,72 @@ object Graph {
        |SELECT id, lbl FROM l$LpRounds""".stripMargin
   }
 
+  private[operators] val KcoreK = 3
+  private[operators] val KcoreRounds = 4
+
+  /** k-core peeling (k = [[KcoreK]], [[KcoreRounds]] synchronous
+    * rounds) — the density-decomposition primitive behind community
+    * cores and near-dup cluster triage: vertices with degree < k are
+    * peeled, degrees recompute over the survivors, repeat. Bounded
+    * rounds are the CONTRACT (the graph_bfs precedent): each round
+    * only ever removes vertices, so the result after R rounds is a
+    * deterministic superset of the true k-core that a production run
+    * extends by raising R (the fixture converges inside 4 — asserted
+    * by the spec's fixed-point check). Output: surviving vertices
+    * with their residual degree.
+    *
+    * Scale shape: the edge relation re-derives per round as two
+    * semi joins against the survivor set (both keyed on the vertex —
+    * co-partitioned with the degree aggregate); per round the only
+    * state is (id) survivors + (id, deg) counts, never more than one
+    * shuffle family wide, and the round count is a fixed constant —
+    * no driver-side convergence polling. */
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOn(purchaseEdges(spark, dir))
+
+  /** The peeling core over an arbitrary symmetric edge list —
+    * extracted so specs can peel planted graphs (chain-erosion and
+    * fixed-point pins). */
+  private[operators] def kcoreOn(edgesIn: DataFrame,
+      k: Int = KcoreK, rounds: Int = KcoreRounds): DataFrame = {
+    var edges = edgesIn.persistScoped()
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("u").as("id"))
+        .persistScoped()
+      edges = edges
+        .join(keep, edges("u") === keep("id"), "left_semi")
+        .join(keep, edges("v") === keep("id"), "left_semi")
+        .persistScoped()
+    }
+    edges.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** DuckDB replay: rounds unrolled, each stage a semi-join filter
+    * (IN) against the round's surviving-degree set. */
+  private def kcoreSql: String = {
+    val rounds = (1 to KcoreRounds).map { i =>
+      s"""k$i AS (SELECT u AS id FROM (
+         |    SELECT u, count(*) AS deg FROM e${i - 1} GROUP BY u) t
+         |  WHERE deg >= $KcoreK),
+         |e$i AS (SELECT u, v FROM e${i - 1}
+         |  WHERE u IN (SELECT id FROM k$i) AND v IN (SELECT id FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e0 AS (SELECT c AS u, s AS v FROM base
+       |       UNION ALL SELECT s AS u, c AS v FROM base),
+       |$rounds
+       |SELECT u AS id, count(*) AS deg FROM e$KcoreRounds GROUP BY u""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank"        -> pagerank,
     "graph_bfs"       -> graphBfs,
     "label_prop"      -> labelProp,
+    "kcore"           -> kcore,
     "copurchase_topk" -> copurchaseTopk,
     "triangles"       -> triangles)
 
@@ -357,6 +419,7 @@ object Graph {
     "pagerank" -> pagerankSql,
     "graph_bfs" -> graphBfsSql,
     "label_prop" -> labelPropSql,
+    "kcore" -> kcoreSql,
     "copurchase_topk" ->
       s"""WITH base AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
          |              FROM lineitem)

@@ -432,8 +432,52 @@ object StreamOps {
         nxt.isNull.cast("long").as("is_current"))
   }
 
+  /** Top-20 session PATHS — the clickstream-mining rollup above
+    * [[sessionize]] (which paths do users actually walk?) and the
+    * set-valued counterpart of `markov_trans`'s per-step transition
+    * model: sessions form by the same 30-minute gap rule (ordered by
+    * (ts, event_id) so equal-timestamp events have one canonical
+    * order), each session's path is its first 5 event types joined
+    * with '>', and paths rank by frequency (ties by path asc).
+    *
+    * Scale shape: ONE user_id exchange feeds the gap window, the
+    * session-local rank, and the per-session fold (rank-limit keeps
+    * ≤ 5 rows per session before any collect); the path count is a
+    * partial+final aggregate on a low-cardinality key and the top-20
+    * is a TakeOrderedAndProject — never a global sort. */
+  def pathTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{concat_ws, count, lag, lit, row_number,
+      struct, sum => fsum, transform => ftransform, unix_micros, when, sort_array,
+      collect_list}
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = 1800L * 1000000L
+    val s = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(wOrd).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wOrd)) > gapUs,
+          1L).otherwise(0L))
+      .withColumn("sid", fsum(col("new_s")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("sid"))
+          .orderBy(col("ts").asc, col("event_id").asc)))
+      .filter(col("rn") <= 5)
+    s.groupBy(col("user_id"), col("sid"))
+      .agg(concat_ws(">", ftransform(
+        sort_array(collect_list(struct(col("rn"), col("event_type")))),
+        e => e("event_type"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_enrich"           -> streamEnrich,
+    "path_topk"               -> pathTopk,
     "scd2_intervals"          -> scd2Intervals,
     "sessionize"              -> sessionize,
     "stream_window_counts"    -> streamWindowCounts,
@@ -503,6 +547,29 @@ object StreamOps {
         |  user_id, count(*) AS n_events
         |FROM events CROSS JOIN (SELECT unnest(range(5)) AS k) ks
         |GROUP BY 1, 2""".stripMargin,
+    "path_topk" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER win IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER win) > 1800 * 1000000::BIGINT
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |g AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m),
+        |r AS (
+        |  SELECT user_id, sid, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sid ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM g),
+        |p AS (
+        |  SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id, sid)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path ASC
+        |LIMIT 20""".stripMargin,
     "sessionize" ->
       """WITH m AS (
         |  SELECT user_id, ts, value,

@@ -94,6 +94,17 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), predLangOf(toksOf(col("text"))).as("pred_lang"))
 
+  /** Confusion matrix of [[langId]] against ground-truth labels —
+    * the evaluation rollup every classifier deployed inside a data
+    * pipeline needs next to its predictions (per-class precision/
+    * recall derive directly from these cells). One narrow scan + one
+    * partial+final count on (lang, pred_lang): O(|langs|²) output at
+    * any corpus size. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
   /** Fixed BPE merge table, priority order — a real (if small)
     * byte-pair-encoding vocabulary: tokenization starts from single
     * characters (byte fallback — ANY string tokenizes) and applies
@@ -699,6 +710,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality"    -> textQuality,
     "lang_id"         -> langId,
+    "lang_confusion"  -> langConfusion,
     "token_count"     -> tokenCount,
     "token_count_bpe" -> tokenCountBpe,
     "doc_fingerprint" -> docFingerprint,
@@ -755,6 +767,19 @@ object TextAnalysis {
        |  CAST(coalesce(per.n_words, 0) AS BIGINT) AS n_words,
        |  CAST(coalesce(per.n_subwords, 0) AS BIGINT) AS n_subwords
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+
+  /** The lang_id CASE-cascade replay, shared by the per-doc oracle
+    * and the confusion-matrix rollup. */
+  private def langIdSql: String = {
+    val score = Markers.map { case (l, ws) => s"${markerSql(ws)} AS s_$l" }.mkString(", ")
+    val best = s"greatest(${Markers.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+    val cascade = Markers.map { case (l, _) =>
+      s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang,
+       |  CASE $cascade ELSE 'und' END AS pred_lang
+       |FROM (SELECT doc_id, lang, $score FROM documents) t""".stripMargin
+  }
 
   /** Same replay as [[bpeEncodeSql]], re-keyed to language. */
   private def bpeFertilitySql: String =
@@ -870,16 +895,12 @@ object TextAnalysis {
          |    / len($ToksSql) AS stopword_ratio,
          |  length(text)*1.0 / len($ToksSql) AS chars_per_token
          |FROM documents""".stripMargin,
-    "lang_id" -> {
-      val score = Markers.map { case (l, ws) => s"${markerSql(ws)} AS s_$l" }.mkString(", ")
-      val best = s"greatest(${Markers.map { case (l, _) => s"s_$l" }.mkString(", ")})"
-      val cascade = Markers.map { case (l, _) =>
-        s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
-      }.mkString(" ")
-      s"""SELECT doc_id, lang,
-         |  CASE $cascade ELSE 'und' END AS pred_lang
-         |FROM (SELECT doc_id, lang, $score FROM documents) t""".stripMargin
-    },
+    "lang_id" -> langIdSql,
+    // the classifier-evaluation rollup of the same cascade
+    "lang_confusion" ->
+      s"""SELECT lang, pred_lang, count(*) AS n
+         |FROM ($langIdSql) t2
+         |GROUP BY lang, pred_lang""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,

@@ -675,6 +675,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "the learned vocabulary must broadcast against the token stream")
   }
 
+  test("path_topk: per-session rank-limit, partial path counts, top-20 without a global sort") {
+    val p = plan("path_topk")
+    assert(p.contains("WindowGroupLimit"),
+      "the first-5-events cut must push its rank limit below the session window")
+    assert(p.contains("partial_"), "path counts must partial-combine")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must never plan a global sort")
+  }
+
+  test("kcore / lang_confusion: peeling reuses persisted relations; the rollup partial-combines") {
+    val kc = plan("kcore")
+    assert("InMemoryTableScan".r.findAllIn(kc).size >= 4,
+      "per-round edges and survivor sets must persist, not re-derive the purchase join")
+    assert(plan("lang_confusion").contains("partial_"),
+      "confusion cells must partial-combine")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

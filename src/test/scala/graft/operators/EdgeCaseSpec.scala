@@ -594,6 +594,27 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("kcore: a pendant chain erodes one vertex per round; the triangle core is a fixed point") {
+    import org.apache.spark.sql.functions.col
+    // triangle {1,2,3} (each deg 2) + chain 3—4—5—6: with k=2 the
+    // chain's free end peels one vertex per round (6, then 5, then
+    // 4), and the triangle survives every round with deg 2 intact
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val r3 = Graph.kcoreOn(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // one round fewer still holds vertex 4 (erosion is per-round)
+    val r2 = Graph.kcoreOn(edges, k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2.keySet === Set(1L, 2L, 3L, 4L) && r2(4L) === 1L)
+    // fixed point: extra rounds change nothing once the core is pure
+    val r5 = Graph.kcoreOn(edges, k = 2, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r5 === r3)
+    graft.CacheScope.release()
+  }
+
   test("poisson_bootstrap replicates land inside the Poisson(1) envelope") {
     val dir = "/root/testdata/sf0.001"
     val out = Relational.poissonBootstrap(spark, dir).collect()
