@@ -355,6 +355,38 @@ object Similarity {
       .filter(col("cos") >= RadiusTau)
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"))
 
+  /** k-NN CLASSIFICATION over the embedding corpus — leave-one-out
+    * majority vote among each vector's [[KnnK]] approximate nearest
+    * neighbors ([[knnJoin]]'s LSH-candidate graph), judged against
+    * the fixture's ground-truth `label` column: the standard
+    * embedding-quality eval (kNN accuracy) a representation pipeline
+    * reports, and the first consumer of `label` as a LEARNING target
+    * rather than metadata. Vote ties break (count desc, label asc) —
+    * the label_prop rule — so every engine picks the same class.
+    * Output carries true label, predicted label, vote count, and the
+    * correctness flag; accuracy is one aggregation away.
+    *
+    * Scale shape: everything downstream of the neighbor graph is
+    * O(n·k) rows — a label join on the neighbor key, a partial+final
+    * vote count, a rank-limit pick, and a join back to the
+    * ground-truth labels on the SAME qid key. */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = knnJoin(spark, dir)
+      .join(labels.select(col("vec_id").as("nid"), col("label").as("nlabel")), "nid")
+      .groupBy(col("qid"), col("nlabel"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("n").desc, col("nlabel").asc)
+    votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("nlabel").as("pred_label"), col("n").as("n_votes"))
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("true_label")), "qid")
+      .select(col("qid"), col("true_label"), col("pred_label"), col("n_votes"),
+        (col("true_label") === col("pred_label")).cast("long").as("correct"))
+  }
+
   /** Index-quality profile of the IVF coarse quantizer — per cell:
     * member count, tightest/loosest member cosine to the learned
     * centroid, and how many members sit below 0.1 ("loose" vectors
@@ -1126,6 +1158,7 @@ object Similarity {
     "embed_q8" -> embedQuantize,
     "embed_pq" -> embedPq,
     "knn_join" -> knnJoin,
+    "knn_classify" -> knnClassify,
     "contrastive_pairs" -> contrastivePairs)
 
   /** Shared PQ replay: lattice-floored vectors, the sampled-point
@@ -1436,6 +1469,24 @@ object Similarity {
     "ann_lsh" -> lshReplaySql(s"WHERE q.vec_id < $NQueries", K),
     // same replay, no query filter: EVERY vector ranks its bucket-mates
     "knn_join" -> lshReplaySql("", KnnK),
+    // the knn_join replay (verbatim, as a derived table) wrapped in
+    // the vote / tie-break / judge pipeline
+    "knn_classify" ->
+      s"""WITH votes AS (
+         |  SELECT knn.qid, CAST(l.label AS BIGINT) AS nlabel, count(*) AS n
+         |  FROM (${lshReplaySql("", KnnK)}) knn
+         |  JOIN embeddings l ON l.vec_id = knn.nid
+         |  GROUP BY 1, 2),
+         |pick AS (
+         |  SELECT qid, nlabel AS pred_label, n AS n_votes FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY n DESC, nlabel ASC) AS rn
+         |    FROM votes) t WHERE rn = 1)
+         |SELECT p.qid, CAST(g.label AS BIGINT) AS true_label, p.pred_label,
+         |  p.n_votes,
+         |  CAST(CASE WHEN CAST(g.label AS BIGINT) = p.pred_label
+         |       THEN 1 ELSE 0 END AS BIGINT) AS correct
+         |FROM pick p JOIN embeddings g ON g.vec_id = p.qid""".stripMargin,
     "ann_graph" -> graphReplaySql)
 
   /** `ann_index` shares `ann_ivfpq`'s full replay VERBATIM: the

@@ -696,6 +696,37 @@ object TextAnalysis {
     stats.join(head, "term")
   }
 
+  private[operators] val OovVocabK = 10
+
+  /** Out-of-vocabulary rate per language against the top-[[OovVocabK]]
+    * corpus vocabulary — the coverage metric a tokenizer/vocab
+    * decision is judged by (a language whose token mass falls
+    * outside the shared vocabulary pays UNK-token information loss;
+    * at 2²⁰-lattice precision the rate is exact cross-engine).
+    *
+    * Shape: ONE tokenize scan into a (lang, tok) partial+final
+    * count — the persisted grouped relation (vocabulary-sized, NOT
+    * corpus-sized: the freq_topk rule) then feeds all three derived
+    * aggregates (global vocab top-k, per-lang totals, per-lang OOV
+    * mass via anti join against the broadcast-able 10-row vocab). */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .select(col("lang"), explode(toksOf(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .persistScoped()
+    val vocab = g.groupBy(col("tok")).agg(sum(col("c")).as("tf"))
+      .orderBy(col("tf").desc, col("tok").asc).limit(OovVocabK)
+      .select(col("tok"))
+    val tot = g.groupBy(col("lang")).agg(sum(col("c")).as("n_tokens"))
+    val oov = g.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy(col("lang")).agg(sum(col("c")).as("n_oov"))
+    tot.join(oov, Seq("lang"), "left")
+      .select(col("lang"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_q", expr("(1048576 * n_oov) div n_tokens"))
+  }
+
   /** Corpus rollup by lang × source — the partition-profile query a
     * pipeline runs before sampling. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
@@ -711,6 +742,7 @@ object TextAnalysis {
     "text_quality"    -> textQuality,
     "lang_id"         -> langId,
     "lang_confusion"  -> langConfusion,
+    "oov_rate"        -> oovRate,
     "token_count"     -> tokenCount,
     "token_count_bpe" -> tokenCountBpe,
     "doc_fingerprint" -> docFingerprint,
@@ -896,6 +928,19 @@ object TextAnalysis {
          |  length(text)*1.0 / len($ToksSql) AS chars_per_token
          |FROM documents""".stripMargin,
     "lang_id" -> langIdSql,
+    "oov_rate" ->
+      s"""WITH t AS (SELECT lang, unnest($ToksSql) AS tok FROM documents),
+         |g AS (SELECT lang, tok, count(*) AS c FROM t GROUP BY 1, 2),
+         |v AS (SELECT tok FROM (
+         |    SELECT tok, sum(c) AS tf FROM g GROUP BY tok
+         |    ORDER BY tf DESC, tok ASC LIMIT $OovVocabK)),
+         |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens FROM g GROUP BY lang),
+         |o AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_oov
+         |      FROM g WHERE tok NOT IN (SELECT tok FROM v) GROUP BY lang)
+         |SELECT tot.lang, tot.n_tokens,
+         |  coalesce(o.n_oov, 0) AS n_oov,
+         |  (1048576 * coalesce(o.n_oov, 0)) // tot.n_tokens AS oov_q
+         |FROM tot LEFT JOIN o ON tot.lang = o.lang""".stripMargin,
     // the classifier-evaluation rollup of the same cascade
     "lang_confusion" ->
       s"""SELECT lang, pred_lang, count(*) AS n
