@@ -364,7 +364,11 @@ object Similarity {
     * rather than metadata. Vote ties break (count desc, label asc) —
     * the label_prop rule — so every engine picks the same class.
     * Output carries true label, predicted label, vote count, and the
-    * correctness flag; accuracy is one aggregation away.
+    * correctness flag; accuracy is one aggregation away. (On this
+    * synthetic fixture the labels carry no embedding signal —
+    * measured accuracy 0.11 ≈ the 1/|classes| chance floor, which is
+    * itself the correct reading: the operator is the measurement,
+    * not the model.)
     *
     * Scale shape: everything downstream of the neighbor graph is
     * O(n·k) rows — a label join on the neighbor key, a partial+final

@@ -691,6 +691,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "confusion cells must partial-combine")
   }
 
+  test("oov_rate / knn_classify: grouped relations persist and feed every consumer") {
+    val p = plan("oov_rate")
+    assert(p.contains("partial_"), "(lang, tok) counts must partial-combine")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      "the grouped relation must persist once and feed vocab, totals, and OOV mass")
+    val kc = plan("knn_classify")
+    assert(kc.contains("WindowGroupLimit"),
+      "the kNN shortlist must push its rank limit (inherited from knn_join)")
+    assert(kc.contains("partial_"), "vote counts must partial-combine")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle
