@@ -1011,6 +1011,34 @@ object Relational {
         percentile(col("value"), lit(0.9)).as("p90"),
         count(lit(1)).as("n"))
 
+  /** Simpson concentration index of each user's event-type mix —
+    * the log-free diversity metric (probability two random events
+    * share a type, Σcᵢ²/n²): corpus/source-diversity reports use
+    * exactly this where Shannon entropy's ln() would drift by ULPs
+    * across engines — the integral lattice form is the engine's
+    * standing rule for score-like outputs. simpson_q = 2²⁰ at total
+    * concentration (one type), → 2²⁰/k for a uniform k-type mix.
+    * Products widen to decimal(38)/HUGEINT (2²⁰·Σc² passes int64
+    * once a user logs ~3M events of one type).
+    * Shape: two chained partial+final aggregations — (user, type)
+    * counts, then the per-user fold. The second exchange carries the
+    * ALREADY-GROUPED relation (≤ |users|·|types| rows), which is why
+    * two small shuffles beat pre-partitioning by user (that would
+    * shuffle raw events and forfeit the first map-side combine). */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("ss"))
+      // raw Σc² stays internal (it alone outgrows int64 at web
+      // scale); the emitted columns — n and the ≤2²⁰ quotient — are
+      // BIGINT-safe at ANY cardinality
+      .select(col("user_id"), col("n"),
+        expr("cast((cast(1048576 as decimal(38,0)) * ss) div (cast(n as decimal(38,0)) * n) as bigint)")
+          .as("simpson_q"))
+
   /** Time-weighted average (TWAP/TWA) of `value` per user — the
     * metric that is CORRECT for irregularly-sampled series where the
     * plain mean over-weights bursts (finance TWAP, metrics
@@ -2184,6 +2212,7 @@ object Relational {
     "poisson_bootstrap" -> poissonBootstrap,
     "twap"             -> twap,
     "window_ewma"      -> windowEwma,
+    "simpson_diversity" -> simpsonDiversity,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
@@ -2764,6 +2793,14 @@ object Relational {
         |FROM events GROUP BY event_type""".stripMargin,
     // exact percentiles asserted; GK sketch held to its rank-error
     // guarantee (flags forced to 1), same convention as the HLL row
+    "simpson_diversity" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST((CAST(1048576 AS HUGEINT) * sum(CAST(c AS HUGEINT) * c))
+        |       // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT) AS simpson_q
+        |FROM g GROUP BY user_id""".stripMargin,
     "window_ewma" ->
       """WITH b AS (
         |  SELECT user_id, event_id, ts,

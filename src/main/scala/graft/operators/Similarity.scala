@@ -391,6 +391,32 @@ object Similarity {
         (col("true_label") === col("pred_label")).cast("long").as("correct"))
   }
 
+  /** Class centroids (prototype vectors) — the per-label mean
+    * embedding on the 2⁻²⁰ lattice: the nearest-centroid companion
+    * to [[knnClassify]] (Rocchio / prototype classification), and
+    * the per-class drift reference an embedding pipeline monitors
+    * across model versions. Mean = integral per-dimension sums with
+    * ONE truncating division, so the 64-long centroid is bit-exact
+    * cross-engine (the Lloyd-round arithmetic, reused as an output).
+    *
+    * Scale shape: lattice-quantize on the scan, posexplode to
+    * (label, dim, qv) — 64× fan-out of LONGS, never raw vectors in
+    * the wide shuffle — one partial+final sum on (label, dim), then
+    * an O(|classes|·64) reassembly into ordered arrays. */
+  def classCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(latArrCol(col("embedding"))))
+      .toDF("label", "d", "qv")
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("qv")).as("sq"), count(lit(1)).as("n"))
+    g.groupBy(col("label"))
+      .agg(max(col("n")).as("n_members"),
+        transform(
+          sort_array(collect_list(struct(col("d"), expr("sq div n").as("cq")))),
+          e => e("cq")).as("centroid_q"))
+  }
+
   /** Index-quality profile of the IVF coarse quantizer — per cell:
     * member count, tightest/loosest member cosine to the learned
     * centroid, and how many members sit below 0.1 ("loose" vectors
@@ -1163,6 +1189,7 @@ object Similarity {
     "embed_pq" -> embedPq,
     "knn_join" -> knnJoin,
     "knn_classify" -> knnClassify,
+    "class_centroids" -> classCentroids,
     "contrastive_pairs" -> contrastivePairs)
 
   /** Shared PQ replay: lattice-floored vectors, the sampled-point
@@ -1473,6 +1500,16 @@ object Similarity {
     "ann_lsh" -> lshReplaySql(s"WHERE q.vec_id < $NQueries", K),
     // same replay, no query filter: EVERY vector ranks its bucket-mates
     "knn_join" -> lshReplaySql("", KnnK),
+    "class_centroids" ->
+      s"""WITH q AS (
+         |  SELECT CAST(label AS BIGINT) AS label, d.d,
+         |    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * $QScale.0) AS BIGINT) AS qv
+         |  FROM embeddings CROSS JOIN (SELECT CAST(unnest(range($Dim)) AS BIGINT) AS d) d),
+         |g AS (SELECT label, d, CAST(sum(qv) AS BIGINT) AS sq, count(*) AS n
+         |      FROM q GROUP BY 1, 2)
+         |SELECT label, CAST(max(n) AS BIGINT) AS n_members,
+         |  list(sq // n ORDER BY d) AS centroid_q
+         |FROM g GROUP BY label""".stripMargin,
     // the knn_join replay (verbatim, as a derived table) wrapped in
     // the vote / tie-break / judge pipeline
     "knn_classify" ->

@@ -702,6 +702,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(kc.contains("partial_"), "vote counts must partial-combine")
   }
 
+  test("class_centroids / simpson_diversity: wide shuffles carry longs, partial-combine everywhere") {
+    val cc = plan("class_centroids")
+    assert(cc.contains("partial_"), "per-(label,dim) sums must partial-combine")
+    assert(!cc.linesIterator.exists(l => l.contains("Exchange") && l.contains("embedding")),
+      "raw vectors must never shuffle — only (label, dim, qv) longs")
+    val sd = plan("simpson_diversity")
+    assert(sd.contains("partial_"), "both aggregation phases must partial-combine")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle
