@@ -30,7 +30,14 @@ class CacheScopeSpec extends AnyFunSuite {
   private val persistingQueries = Seq(
     "dedup_ngram", "dedup_minhash", "dedup_cluster", "dedup_keep",
     "dedup_substring", "cc_star", "pagerank", "graph_bfs", "triangles",
-    "contrastive_pairs", "freq_topk", "ann_graph")
+    "contrastive_pairs", "freq_topk", "ann_graph",
+    // r11 re-audit: the ops below also reach persistScoped sites
+    // (trainRun vocabularies, grouped token relations, per-round
+    // graph state) — the list had drifted behind the grep
+    "trigram_lm", "sample_balanced", "dedup_semantic", "dedup_incr",
+    "bpe_train", "bpe_encode", "bpe_fertility",
+    "inverted_index", "bigram_pmi", "oov_rate",
+    "label_prop", "kcore")
 
   test("persisting operators leave zero orphaned blocks after release()") {
     // start from a clean slate (earlier suites share this JVM/session)
