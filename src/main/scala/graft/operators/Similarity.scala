@@ -409,7 +409,9 @@ object Similarity {
         posexplode(latArrCol(col("embedding"))))
       .toDF("label", "d", "qv")
       .groupBy(col("label"), col("d"))
-      .agg(sum(col("qv")).as("sq"), count(lit(1)).as("n"))
+      // per-class lattice sums approach 2⁶³ at ~10¹³ members (qv ≤
+      // 2²⁰ per element) — decimal headroom, quotient back in BIGINT
+      .agg(sum(col("qv").cast("decimal(38,0)")).as("sq"), count(lit(1)).as("n"))
     g.groupBy(col("label"))
       .agg(max(col("n")).as("n_members"),
         transform(
@@ -1505,10 +1507,10 @@ object Similarity {
          |  SELECT CAST(label AS BIGINT) AS label, d.d,
          |    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * $QScale.0) AS BIGINT) AS qv
          |  FROM embeddings CROSS JOIN (SELECT CAST(unnest(range($Dim)) AS BIGINT) AS d) d),
-         |g AS (SELECT label, d, CAST(sum(qv) AS BIGINT) AS sq, count(*) AS n
+         |g AS (SELECT label, d, sum(CAST(qv AS HUGEINT)) AS sq, count(*) AS n
          |      FROM q GROUP BY 1, 2)
          |SELECT label, CAST(max(n) AS BIGINT) AS n_members,
-         |  list(sq // n ORDER BY d) AS centroid_q
+         |  list(CAST(sq // n AS BIGINT) ORDER BY d) AS centroid_q
          |FROM g GROUP BY label""".stripMargin,
     // the knn_join replay (verbatim, as a derived table) wrapped in
     // the vote / tie-break / judge pipeline

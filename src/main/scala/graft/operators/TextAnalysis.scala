@@ -724,7 +724,11 @@ object TextAnalysis {
     tot.join(oov, Seq("lang"), "left")
       .select(col("lang"), col("n_tokens"),
         coalesce(col("n_oov"), lit(0L)).as("n_oov"))
-      .withColumn("oov_q", expr("(1048576 * n_oov) div n_tokens"))
+      // 2²⁰·n_oov wraps int64 once a language carries ≥ 2⁴³ OOV
+      // tokens (the dataset_split overflow class) — widen the
+      // product; the quotient is ≤ 2²⁰, always BIGINT-safe
+      .withColumn("oov_q",
+        expr("cast((cast(1048576 as decimal(38,0)) * n_oov) div n_tokens as bigint)"))
   }
 
   /** Corpus rollup by lang × source — the partition-profile query a
@@ -939,7 +943,8 @@ object TextAnalysis {
          |      FROM g WHERE tok NOT IN (SELECT tok FROM v) GROUP BY lang)
          |SELECT tot.lang, tot.n_tokens,
          |  coalesce(o.n_oov, 0) AS n_oov,
-         |  (1048576 * coalesce(o.n_oov, 0)) // tot.n_tokens AS oov_q
+         |  CAST((CAST(1048576 AS HUGEINT) * coalesce(o.n_oov, 0))
+         |       // tot.n_tokens AS BIGINT) AS oov_q
          |FROM tot LEFT JOIN o ON tot.lang = o.lang""".stripMargin,
     // the classifier-evaluation rollup of the same cascade
     "lang_confusion" ->
