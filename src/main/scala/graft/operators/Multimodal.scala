@@ -168,6 +168,63 @@ object Multimodal {
       .select(col("doc_id"), col("width"), col("height"), col("sum_rgb"))
   }
 
+  /** Perceptual average-hash (aHash) of a decoded raster: 8×8
+    * nearest-neighbor grayscale samples, bit i set iff sample i is
+    * strictly above the integer mean. Every step is integer
+    * arithmetic on decoded pixels, so the oracle replays the hash
+    * bit-for-bit from the gradient formula. The 64 bits are emitted
+    * as two 32-bit BIGINT halves (a single 64-bit word would need
+    * the sign bit). */
+  def aHash(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    val g = new Array[Long](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val rgb = img.getRGB(x * img.getWidth / 8, y * img.getHeight / 8)
+        g(y * 8 + x) = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    val mean = g.sum / 64
+    var lo = 0L; var hi = 0L
+    var i = 0
+    while (i < 64) {
+      if (g(i) > mean) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (lo, hi, mean)
+  }
+
+  /** Perceptual near-dup hashing for media — the image analog of
+    * simhash: encode the genuine PNG, DECODE it through the real
+    * codec, and aHash the raster ([[aHash]]: 8×8 nearest-neighbor
+    * gray, above-mean bits). Two images within a few hamming bits
+    * are visual near-dups; the downstream near-dup join is exactly
+    * the dedup_simhash pigeonhole machinery over (phash_lo,
+    * phash_hi). The oracle recomputes every sampled gray value, the
+    * integer mean, and both bit-packed halves from the md5 gradient
+    * — a wrong sample coordinate, channel order, or tie rule flips
+    * a bit and breaks the hash. Scale shape: chained narrow
+    * partition maps (encode→decode→hash); media bytes never shuffle
+    * — only (doc_id, two longs) leave the scan. */
+  def multimodalPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("seed"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, seed) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(encodePng(seed)))
+        val (lo, hi, mean) = aHash(img)
+        (id, img.getWidth.toLong, img.getHeight.toLong, lo, hi, mean)
+      })
+      .toDF("doc_id", "width", "height", "phash_lo", "phash_hi", "mean_gray")
+  }
+
   private val ThumbSide = 4
 
   /** REAL raster resize: nearest-neighbor on the integer lattice —
@@ -325,10 +382,43 @@ object Multimodal {
     "multimodal_resize"   -> multimodalResized,
     "multimodal_feat_agg" -> multimodalFeatAggExact,
     "multimodal_png"      -> multimodalPng,
+    "multimodal_phash"    -> multimodalPhash,
     "multimodal_thumb"    -> multimodalThumb,
     "frame_dedup"         -> frameDedup)
 
   val oracles: Map[String, String] = Map(
+    // aHash replay: sampled source coords are integer div, gray is
+    // the (r+g+b)//3 of the gradient at those coords, mean is the
+    // truncating 64-sample mean, bits pack into two 32-bit halves
+    "multimodal_phash" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) AS b0,
+        |    CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) AS b1,
+        |    CAST('0x' || substr(md5(text), 5, 2) AS INTEGER) AS b2,
+        |    CAST('0x' || substr(md5(text), 7, 2) AS INTEGER) AS b3,
+        |    CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) AS b4
+        |  FROM documents),
+        |d AS (SELECT doc_id, 4 + b0 % 16 AS w, 4 + b1 % 16 AS h, b2, b3, b4 FROM b),
+        |px AS (
+        |  SELECT doc_id, w, h, xs.x, ys.y,
+        |    (xs.x * w) // 8 AS sx, (ys.y * h) // 8 AS sy, b2, b3, b4
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(8)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(range(8)) AS y) ys),
+        |g AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    ((sx*7 + sy*13 + b2) % 256 + (sx*11 + sy*3 + b3) % 256
+        |     + (sx*5 + sy*17 + b4) % 256) // 3 AS gray
+        |  FROM px),
+        |m AS (SELECT doc_id, CAST(sum(gray) // 64 AS BIGINT) AS mean FROM g GROUP BY doc_id)
+        |SELECT g.doc_id, CAST(max(g.w) AS BIGINT) AS width, CAST(max(g.h) AS BIGINT) AS height,
+        |  CAST(coalesce(sum(CASE WHEN gray > mean AND y*8 + x < 32
+        |        THEN CAST(1 AS BIGINT) << (y*8 + x) ELSE 0 END), 0) AS BIGINT) AS phash_lo,
+        |  CAST(coalesce(sum(CASE WHEN gray > mean AND y*8 + x >= 32
+        |        THEN CAST(1 AS BIGINT) << (y*8 + x - 32) ELSE 0 END), 0) AS BIGINT) AS phash_hi,
+        |  m.mean AS mean_gray
+        |FROM g JOIN m USING (doc_id) GROUP BY g.doc_id, m.mean""".stripMargin,
     // the EXPECTED decode output of the lossless codec round trip:
     // dimensions + the Σ(r+g+b) gradient sum, all from md5 bytes. A
     // mismatch = ImageIO corrupted at least one pixel.
