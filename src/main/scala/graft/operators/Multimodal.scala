@@ -225,6 +225,44 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "phash_lo", "phash_hi", "mean_gray")
   }
 
+  /** Visual near-duplicate JOIN over [[multimodalPhash]] — the image
+    * analog of dedup_simhash, completing hash → pairs: 64 hash bits
+    * band into 8×8-bit keys, bucket-mates become candidates, exact
+    * hamming ≤ 6 confirms. LOSSLESS by pigeonhole: ≤6 flipped bits
+    * touch at most 6 of the 8 bands, so every qualifying pair shares
+    * ≥2 untouched bands and is always a candidate. Candidate volume
+    * is the LSH Σ bucket² trade (band width is the 100 TB knob);
+    * hashes compute ONCE (persisted — encode/decode must not rerun
+    * for the self-join's two sides), and the wide joins carry only
+    * (doc_id, band, byte) / (doc_id, two longs) — never media. */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.CacheScope.ScopedDataset
+    val p = multimodalPhash(spark, dir)
+      .select(col("doc_id"), col("phash_lo"), col("phash_hi"))
+      .persistScoped()
+    val bands = p.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 7), k -> struct(k AS k, " +
+          "CASE WHEN k < 4 THEN shiftright(phash_lo, 8*k) & 255 " +
+          "ELSE shiftright(phash_hi, 8*(k-4)) & 255 END AS bv))")).as("b"))
+      .select(col("doc_id"), col("b.k").as("k"), col("b.bv").as("bv"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(p.select(col("doc_id").as("doc_a"),
+        col("phash_lo").as("lo_a"), col("phash_hi").as("hi_a")), "doc_a")
+      .join(p.select(col("doc_id").as("doc_b"),
+        col("phash_lo").as("lo_b"), col("phash_hi").as("hi_b")), "doc_b")
+      .withColumn("hamming",
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b")))
+          + bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long"))
+      .filter(col("hamming") <= 6)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   private val ThumbSide = 4
 
   /** REAL raster resize: nearest-neighbor on the integer lattice —
@@ -383,14 +421,15 @@ object Multimodal {
     "multimodal_feat_agg" -> multimodalFeatAggExact,
     "multimodal_png"      -> multimodalPng,
     "multimodal_phash"    -> multimodalPhash,
+    "phash_dedup"         -> phashDedup,
     "multimodal_thumb"    -> multimodalThumb,
     "frame_dedup"         -> frameDedup)
 
-  val oracles: Map[String, String] = Map(
-    // aHash replay: sampled source coords are integer div, gray is
-    // the (r+g+b)//3 of the gradient at those coords, mean is the
-    // truncating 64-sample mean, bits pack into two 32-bit halves
-    "multimodal_phash" ->
+  /** aHash replay: sampled source coords are integer div, gray is
+    * the (r+g+b)//3 of the gradient at those coords, mean is the
+    * truncating 64-sample mean, bits pack into two 32-bit halves.
+    * Shared verbatim by the phash oracle and the near-dup join's. */
+  private def phashReplaySql: String =
       """WITH b AS (
         |  SELECT doc_id,
         |    CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) AS b0,
@@ -418,7 +457,31 @@ object Multimodal {
         |  CAST(coalesce(sum(CASE WHEN gray > mean AND y*8 + x >= 32
         |        THEN CAST(1 AS BIGINT) << (y*8 + x - 32) ELSE 0 END), 0) AS BIGINT) AS phash_hi,
         |  m.mean AS mean_gray
-        |FROM g JOIN m USING (doc_id) GROUP BY g.doc_id, m.mean""".stripMargin,
+        |FROM g JOIN m USING (doc_id) GROUP BY g.doc_id, m.mean""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_phash" -> phashReplaySql,
+    // banding + exact hamming over the SAME phash replay (derived
+    // table) — band membership and the ≤6 threshold all integral
+    "phash_dedup" ->
+      s"""WITH p AS ($phashReplaySql),
+         |bands AS (
+         |  SELECT doc_id, phash_lo, phash_hi, k.k,
+         |    CASE WHEN k.k < 4 THEN (phash_lo >> (8*k.k)) & 255
+         |         ELSE (phash_hi >> (8*(k.k-4))) & 255 END AS bv
+         |  FROM p CROSS JOIN (SELECT unnest(range(8)) AS k) k),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(bit_count(xor(pa.phash_lo, pb.phash_lo))
+         |     + bit_count(xor(pa.phash_hi, pb.phash_hi)) AS BIGINT) AS hamming
+         |FROM cand c
+         |JOIN p pa ON pa.doc_id = c.doc_a
+         |JOIN p pb ON pb.doc_id = c.doc_b
+         |WHERE bit_count(xor(pa.phash_lo, pb.phash_lo))
+         |    + bit_count(xor(pa.phash_hi, pb.phash_hi)) <= 6""".stripMargin,
     // the EXPECTED decode output of the lossless codec round trip:
     // dimensions + the Σ(r+g+b) gradient sum, all from md5 bytes. A
     // mismatch = ImageIO corrupted at least one pixel.

@@ -711,6 +711,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(sd.contains("partial_"), "both aggregation phases must partial-combine")
   }
 
+  test("phash_dedup: hashes compute once; wide exchanges never carry media bytes") {
+    val p = plan("phash_dedup")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      "the persisted phash relation must feed the band self-join AND both confirm sides")
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") &&
+      (l.contains("seed") || l.contains("png"))),
+      "media/seed bytes must never shuffle — only (doc_id, band, longs)")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

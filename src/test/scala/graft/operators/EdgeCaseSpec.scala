@@ -615,6 +615,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("phash_dedup banding is lossless: banded pairs equal the brute-force hamming join") {
+    import org.apache.spark.sql.functions.{col, bit_count}
+    val dir = "/root/testdata/sf0.001"
+    val p = Multimodal.multimodalPhash(spark, dir)
+      .select(col("doc_id"), col("phash_lo"), col("phash_hi"))
+    val brute = p.as("a").join(p.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("h",
+        (bit_count(col("a.phash_lo").bitwiseXOR(col("b.phash_lo")))
+          + bit_count(col("a.phash_hi").bitwiseXOR(col("b.phash_hi")))).cast("long"))
+      .filter(col("h") <= 6)
+      .select(col("a.doc_id"), col("b.doc_id"), col("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Multimodal.phashDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === brute, "pigeonhole banding must lose no qualifying pair")
+    assert(banded.nonEmpty, "fixture should contain visual near-dups")
+    graft.CacheScope.release()
+  }
+
   test("poisson_bootstrap replicates land inside the Poisson(1) envelope") {
     val dir = "/root/testdata/sf0.001"
     val out = Relational.poissonBootstrap(spark, dir).collect()
