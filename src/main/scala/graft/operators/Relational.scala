@@ -1011,6 +1011,31 @@ object Relational {
         percentile(col("value"), lit(0.9)).as("p90"),
         count(lit(1)).as("n"))
 
+  /** Hashing-trick featurization (Weinberger et al. 2009 — the
+    * Vowpal-Wabbit encoding): categorical features hash into a FIXED
+    * 64-bucket index space with a ±1 sign bit, so a linear model's
+    * input width is constant no matter how many distinct categories
+    * appear — the standard way to featurize web-scale categoricals
+    * without a vocabulary build. Features here are (event_type ×
+    * hour-of-day); index = 16 md5 bits mod 64, sign = an independent
+    * md5 nibble's parity (the sign trick keeps collision noise
+    * zero-mean). Output is the sparse vector as (user_id, idx, val)
+    * rows. Deterministic md5 arithmetic replays exactly in SQL.
+    * Shape: per-row hashing rides the scan; one partial+final sum on
+    * (user, idx) — at any scale the output is ≤ 64 rows per user. */
+  def featureHash(spark: SparkSession, dir: String): DataFrame = {
+    val feat = concat(col("event_type"), lit("-"),
+      expr("cast((unix_micros(ts) div 3600000000) % 24 as string)"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), md5(feat.cast("binary")).as("fh"))
+      .select(col("user_id"),
+        (conv(substring(col("fh"), 1, 4), 16, 10).cast("long") % 64).as("idx"),
+        (lit(1L) - lit(2L) * (conv(substring(col("fh"), 5, 1), 16, 10).cast("long") % 2))
+          .as("sign"))
+      .groupBy(col("user_id"), col("idx"))
+      .agg(sum(col("sign")).as("val"))
+  }
+
   /** Simpson concentration index of each user's event-type mix —
     * the log-free diversity metric (probability two random events
     * share a type, Σcᵢ²/n²): corpus/source-diversity reports use
@@ -2213,6 +2238,7 @@ object Relational {
     "twap"             -> twap,
     "window_ewma"      -> windowEwma,
     "simpson_diversity" -> simpsonDiversity,
+    "feature_hash"     -> featureHash,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
@@ -2793,6 +2819,15 @@ object Relational {
         |FROM events GROUP BY event_type""".stripMargin,
     // exact percentiles asserted; GK sketch held to its rank-error
     // guarantee (flags forced to 1), same convention as the HLL row
+    "feature_hash" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    md5(event_type || '-' || CAST((epoch_us(ts) // 3600000000) % 24 AS VARCHAR)) AS fh
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST('0x' || substring(fh, 1, 4) AS BIGINT) % 64 AS idx,
+        |  CAST(sum(1 - 2 * (CAST('0x' || substring(fh, 5, 1) AS BIGINT) % 2)) AS BIGINT) AS val
+        |FROM f GROUP BY user_id, idx""".stripMargin,
     "simpson_diversity" ->
       """WITH g AS (
         |  SELECT user_id, event_type, count(*) AS c

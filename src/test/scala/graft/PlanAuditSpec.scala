@@ -709,6 +709,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "raw vectors must never shuffle — only (label, dim, qv) longs")
     val sd = plan("simpson_diversity")
     assert(sd.contains("partial_"), "both aggregation phases must partial-combine")
+    val fh = plan("feature_hash")
+    assert(fh.contains("partial_"), "hashed-feature sums must partial-combine")
+    assert("Exchange hashpartitioning".r.findAllIn(fh).size <= 1,
+      "one (user, idx) exchange — hashing rides the scan")
   }
 
   test("phash_dedup: hashes compute once; wide exchanges never carry media bytes") {
