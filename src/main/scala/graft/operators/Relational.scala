@@ -1011,6 +1011,33 @@ object Relational {
         percentile(col("value"), lit(0.9)).as("p90"),
         count(lit(1)).as("n"))
 
+  /** Leave-one-out target encoding — the supervised categorical
+    * encoder ([[featureHash]]'s counterpart when a label exists):
+    * each order's priority class is replaced by the mean total price
+    * of the OTHER orders in that class, (S_c − xᵢ)/(n_c − 1) — the
+    * leave-one-out form that avoids target leakage (a row never sees
+    * its own label). Arithmetic is exact: prices land on the integer
+    * cent lattice via the embed_q8 tie rule (floor(x·100 + 0.5) —
+    * the data is 2-decimal, the half-up nudge absorbs double
+    * representation error), class sums take decimal headroom, and
+    * the LOO division is integral; only the final /100 display cast
+    * is floating.
+    * Shape: one partial+final class aggregate (|classes| rows, 5
+    * here) broadcast back over the scan — two passes over orders,
+    * zero wide shuffles of fact rows. */
+  def targetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as decimal(38,0))").as("xq"))
+    val cls = o.groupBy(col("o_orderpriority"))
+      .agg(sum(col("xq")).as("sc"), count(lit(1)).as("nc"))
+    o.join(broadcast(cls), "o_orderpriority")
+      .filter(col("nc") > 1)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("cast((sc - xq) div (nc - 1) as bigint)").as("loo_cents"))
+      .withColumn("loo", col("loo_cents") / lit(100.0))
+  }
+
   /** Hashing-trick featurization (Weinberger et al. 2009 — the
     * Vowpal-Wabbit encoding): categorical features hash into a FIXED
     * 64-bucket index space with a ±1 sign bit, so a linear model's
@@ -2239,6 +2266,7 @@ object Relational {
     "window_ewma"      -> windowEwma,
     "simpson_diversity" -> simpsonDiversity,
     "feature_hash"     -> featureHash,
+    "target_encode"    -> targetEncode,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
@@ -2819,6 +2847,18 @@ object Relational {
         |FROM events GROUP BY event_type""".stripMargin,
     // exact percentiles asserted; GK sketch held to its rank-error
     // guarantee (flags forced to 1), same convention as the HLL row
+    "target_encode" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) AS xq
+        |  FROM orders),
+        |c AS (SELECT o_orderpriority, sum(xq) AS sc, count(*) AS nc
+        |      FROM o GROUP BY 1)
+        |SELECT o.o_orderkey, o.o_orderpriority,
+        |  CAST((c.sc - o.xq) // (c.nc - 1) AS BIGINT) AS loo_cents,
+        |  CAST((c.sc - o.xq) // (c.nc - 1) AS BIGINT) / 100.0 AS loo
+        |FROM o JOIN c USING (o_orderpriority)
+        |WHERE c.nc > 1""".stripMargin,
     "feature_hash" ->
       """WITH f AS (
         |  SELECT user_id,
