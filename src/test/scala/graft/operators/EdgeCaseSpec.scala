@@ -634,6 +634,34 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("target_encode equals the BigInt LOO reference on every fixture order") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val xq = rows.map { case (k, c, p) =>
+      (k, c, BigInt(math.floor(p * 100 + 0.5).toLong))
+    }
+    val sums = xq.groupBy(_._2).view.mapValues(g => (g.map(_._3).sum, g.size)).toMap
+    val want = xq.collect { case (k, c, x) if sums(c)._2 > 1 =>
+      k -> ((sums(c)._1 - x) / (sums(c)._2 - 1)).toLong
+    }.toMap
+    val got = Relational.targetEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === want)
+    // the leakage property itself: no row's encoding depends on its
+    // own target — encoding a class's max row must not exceed the
+    // class mean computed WITHOUT it (strict when the max is unique)
+    val byClass = xq.groupBy(_._2)
+    byClass.foreach { case (c, g) if g.size > 1 =>
+      val mx = g.maxBy(_._3)
+      assert(got(mx._1) <= (sums(c)._1 / sums(c)._2).toLong,
+        s"class $c: LOO of the max row must sit at or below the naive mean")
+    case _ => ()
+    }
+  }
+
   test("poisson_bootstrap replicates land inside the Poisson(1) envelope") {
     val dir = "/root/testdata/sf0.001"
     val out = Relational.poissonBootstrap(spark, dir).collect()
