@@ -401,6 +401,52 @@ object TextAnalysis {
           "div (cast(cl as decimal(38,0)) * cr), 1099511627776) as bigint)").as("lift_q"))
   }
 
+  private[operators] val CmsDepth = 4
+  private[operators] val CmsWidth = 16
+
+  /** Count-min point-query counts over the per-language token stream
+    * ([[graft.functions.CountMinAgg]]) — the sketch family's "how
+    * often did THIS key occur" member, gated like `agg_approx_
+    * distinct`: the output carries the EXACT counts (hash-gated
+    * cell-exact) plus contract flags for the sketch, so the oracle
+    * pins both the referee and the guarantees. `over_ok` asserts the
+    * HARD direction (CMS never underestimates — cells only add, under
+    * any merge tree); `env_ok` asserts the realized error envelope
+    * (est − true) · width ≤ 2n on this corpus — the Markov-bound
+    * regime the 16-cell width deliberately forces (the fixture
+    * vocabulary is ~31 tokens per language, so collisions are REAL:
+    * a width that never collides would gate nothing). The probe side
+    * is pure column algebra — `pmod(xxhash64(seed=i), width)` against
+    * the broadcast sketch array, the same Catalyst hash the UDAF's
+    * update applies, no UDF anywhere.
+    *
+    * Scale shape: one explode feeds the exact referee (partial+final
+    * counts — production keeps only the sketch) and the constant-size
+    * sketch aggregate; the |langs|-row sketch and totals broadcast
+    * back over the grouped relation. */
+  def cmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.xxhash64Seeded
+    val stream = Tables.documents(spark, dir)
+      .select(col("lang"), explode(toksOf(col("text"))).as("tok"))
+      .persistScoped()
+    val exact = stream.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val totals = stream.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val sk = stream.groupBy(col("lang"))
+      .agg(graft.functions.CountMinAgg.cms_sketch(col("tok"), CmsDepth, CmsWidth).as("sk"))
+    val est = (0 until CmsDepth).map { i =>
+      element_at(col("sk"),
+        (lit(i * CmsWidth) + pmod(xxhash64Seeded(i.toLong, col("tok")), lit(CmsWidth)))
+          .cast("int") + 1)
+    }.reduce(least(_, _))
+    exact
+      .join(broadcast(sk), "lang")
+      .join(broadcast(totals), "lang")
+      .withColumn("est", est)
+      .select(col("lang"), col("tok"), col("cnt"),
+        (col("est") >= col("cnt")).cast("long").as("over_ok"),
+        ((col("est") - col("cnt")) * CmsWidth <= lit(2L) * col("n")).cast("long").as("env_ok"))
+  }
+
   private[operators] val MgExactCap = 64
   private[operators] val MgSmallCap = 4
   private[operators] val MgTopK = 3
@@ -747,6 +793,7 @@ object TextAnalysis {
     "lang_id"         -> langId,
     "lang_confusion"  -> langConfusion,
     "oov_rate"        -> oovRate,
+    "cms_counts"      -> cmsCounts,
     "token_count"     -> tokenCount,
     "token_count_bpe" -> tokenCountBpe,
     "doc_fingerprint" -> docFingerprint,
@@ -932,6 +979,14 @@ object TextAnalysis {
          |  length(text)*1.0 / len($ToksSql) AS chars_per_token
          |FROM documents""".stripMargin,
     "lang_id" -> langIdSql,
+    // exact referee + contract flags (the agg_approx_distinct rule):
+    // both CMS guarantees must hold on every row
+    "cms_counts" ->
+      s"""WITH t AS (SELECT lang, unnest($ToksSql) AS tok FROM documents)
+         |SELECT lang, tok, count(*) AS cnt,
+         |  CAST(1 AS BIGINT) AS over_ok,
+         |  CAST(1 AS BIGINT) AS env_ok
+         |FROM t GROUP BY lang, tok""".stripMargin,
     "oov_rate" ->
       s"""WITH t AS (SELECT lang, unnest($ToksSql) AS tok FROM documents),
          |g AS (SELECT lang, tok, count(*) AS c FROM t GROUP BY 1, 2),

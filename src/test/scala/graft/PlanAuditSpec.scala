@@ -715,6 +715,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "one (user, idx) exchange — hashing rides the scan")
   }
 
+  test("cms_counts: sketch partial-aggregates; sketch and totals broadcast back") {
+    val p = plan("cms_counts")
+    assert(p.contains("partial_cms_sketch") || p.contains("partial_"),
+      "the CMS must build with map-side partial aggregation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "the |langs|-row sketch and totals must broadcast, not shuffle the grouped relation")
+  }
+
   test("phash_dedup: hashes compute once; wide exchanges never carry media bytes") {
     val p = plan("phash_dedup")
     assert("InMemoryTableScan".r.findAllIn(p).size >= 3,

@@ -662,6 +662,40 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min sketch: overestimate-only on random streams; estimates are partition-invariant") {
+    import org.apache.spark.sql.functions.{col, element_at, least, lit, pmod}
+    import graft.functions.VectorFunctions.xxhash64Seeded
+    val (d, w) = (4, 8)
+    var lcg = 0x6C078965L
+    def next(n: Int): Int = { lcg = lcg * 6364136223846793005L + 1442695040888963407L; (((lcg >>> 33) % n) + n).toInt % n }
+    for (trial <- 1 to 3; parts <- Seq(1, 7)) {
+      val stream = (1 to 300).map(_ => s"k${next(12)}")
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val df = spark.createDataset(stream)(org.apache.spark.sql.Encoders.STRING)
+        .toDF("k").repartition(parts)
+      val sk = df.agg(graft.functions.CountMinAgg.cms_sketch(col("k"), d, w).as("sk"))
+      val est = (0 until d).map { i =>
+        element_at(col("sk"),
+          (lit(i * w) + pmod(xxhash64Seeded(i.toLong, col("k")), lit(w))).cast("int") + 1)
+      }.reduce(least(_, _))
+      val got = df.distinct().crossJoin(sk).withColumn("est", est)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      truth.foreach { case (k, t) =>
+        assert(got(k) >= t, s"trial $trial parts $parts: CMS underestimated $k")
+      }
+      // merge-invariance: the 7-partition sketch must equal the same
+      // data's 1-partition sketch — a CMS is a pure function of the
+      // dataset, independent of the merge tree
+      if (parts == 7) {
+        val single = df.coalesce(1)
+          .agg(graft.functions.CountMinAgg.cms_sketch(col("k"), d, w).as("sk"))
+          .collect()(0).getSeq[Long](0)
+        val multi = sk.collect()(0).getSeq[Long](0)
+        assert(multi === single, s"trial $trial: sketch cells differ across merge trees")
+      }
+    }
+  }
+
   test("poisson_bootstrap replicates land inside the Poisson(1) envelope") {
     val dir = "/root/testdata/sf0.001"
     val out = Relational.poissonBootstrap(spark, dir).collect()
