@@ -268,6 +268,85 @@ object Graph {
        |SELECT id, CAST(d AS BIGINT) AS d FROM r$BfsRounds""".stripMargin
   }
 
+  private[operators] val SsspRounds = 4
+
+  /** Weighted single-source (multi-seed) shortest paths over the
+    * purchase graph — the cost-distance companion to [[graphBfs]]'s
+    * hop distance ("cheapest procurement path from these suppliers",
+    * routing/attribution-cost queries). Edge weight is the CHEAPEST
+    * lineitem ever shipped between the customer↔supplier pair, on
+    * the exact cent lattice (`floor(price·100 + 0.5)` — the
+    * target_encode rule: 2-decimal data, half-up nudge absorbs
+    * double representation error), so distances are pure BIGINT
+    * min-plus arithmetic and the oracle gate is hash-exact.
+    *
+    * Algorithm: [[SsspRounds]] Bellman-Ford BSP rounds of
+    * relax-and-minimize — the BFS loop with `d + w` in place of
+    * `d + 1`. Bounded rounds means distances are exact for paths of
+    * ≤ [[SsspRounds]] edges (the documented contract — the same
+    * horizon-bounded semantics as graph_bfs), cost is deterministic,
+    * and the oracle stays an unrolled CTE chain. Scale shape — the
+    * Pregel invariant: the weighted edge list aggregates ONCE
+    * (min-weight per pair, partial+final), persists hash-partitioned
+    * on the join key, and per round only the (id, d) state shuffles
+    * to meet it; delta-frontier (relax only improved vertices) is
+    * the constant-factor dial at scale. */
+  def ssspWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + SuppOffset).as("s"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("w"))
+      .groupBy(col("c"), col("s")).agg(min(col("w")).as("w"))
+    val edges = pair.select(col("c").as("u"), col("s").as("v"), col("w"))
+      .unionAll(pair.select(col("s").as("u"), col("c").as("v"), col("w")))
+    ssspOn(edges,
+      edges.filter(col("u") >= SuppOffset && col("u") <= SuppOffset + BfsMaxSeedSupp)
+        .select(col("u").as("id")).distinct())
+  }
+
+  /** The bounded Bellman-Ford core over an arbitrary weighted edge
+    * list (u, v, w) and seed set (id) — extracted so specs can relax
+    * planted graphs (the labelPropOn pattern). */
+  private[operators] def ssspOn(edgesIn: DataFrame, seeds: DataFrame): DataFrame = {
+    val edges = edgesIn.repartition(col("u")).persistScoped()
+    var dist = seeds.select(col("id"), lit(0L).as("d"))
+    for (_ <- 1 to SsspRounds) {
+      dist = dist.as("p")
+        .join(edges.as("e"), col("e.u") === col("p.id"))
+        .select(col("e.v").as("id"), (col("p.d") + col("e.w")).as("d"))
+        .unionAll(dist)
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+    }
+    dist.select(col("id"), col("d"))
+  }
+
+  /** SSSP replay: graphBfsSql's unrolled relax chain with the
+    * min-cent edge weight carried through `p.d + e.w`. */
+  private def ssspWeightedSql: String = {
+    val rounds = (1 to SsspRounds).map { i =>
+      s"""r$i AS (
+         |  SELECT id, min(d) AS d FROM (
+         |    SELECT e.v AS id, p.d + e.w AS d
+         |    FROM edges e JOIN r${i - 1} p ON e.u = p.id
+         |    UNION ALL SELECT id, d FROM r${i - 1})
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pair AS (
+       |  SELECT o_custkey AS c, l_suppkey + $SuppOffset AS s,
+       |    min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |edges AS (SELECT c AS u, s AS v, w FROM pair
+       |          UNION ALL SELECT s AS u, c AS v, w FROM pair),
+       |r0 AS (SELECT DISTINCT u AS id, CAST(0 AS BIGINT) AS d FROM edges
+       |       WHERE u BETWEEN $SuppOffset AND ${SuppOffset + BfsMaxSeedSupp}),
+       |$rounds
+       |SELECT id, CAST(d AS BIGINT) AS d FROM r$SsspRounds""".stripMargin
+  }
+
   private[operators] val LpRounds = 2
 
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002 /
@@ -414,6 +493,7 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank"        -> pagerank,
     "graph_bfs"       -> graphBfs,
+    "sssp_weighted"   -> ssspWeighted,
     "label_prop"      -> labelProp,
     "kcore"           -> kcore,
     "copurchase_topk" -> copurchaseTopk,
@@ -422,6 +502,7 @@ object Graph {
   val oracles: Map[String, String] = Map(
     "pagerank" -> pagerankSql,
     "graph_bfs" -> graphBfsSql,
+    "sssp_weighted" -> ssspWeightedSql,
     "label_prop" -> labelPropSql,
     "kcore" -> kcoreSql,
     "copurchase_topk" ->

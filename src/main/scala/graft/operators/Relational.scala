@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.CacheScope.ScopedDataset
 import graft.sources.Tables
 
 /** Relational operator surface over the star-schema fixtures
@@ -1061,6 +1062,126 @@ object Relational {
           .as("sign"))
       .groupBy(col("user_id"), col("idx"))
       .agg(sum(col("sign")).as("val"))
+  }
+
+  /** Exact global quantile-band assignment — (key, band 1..[[RfmBands]])
+    * for every row of `df` under the TOTAL order (metric asc, key asc).
+    * The band is `((rank−1)·k) div n + 1` over the exact global rank.
+    *
+    * Scale shape — the reason this is NOT `ntile() OVER ()`: an
+    * empty-partitionBy window collapses the whole relation into ONE
+    * task, the textbook global-window scale killer. Instead the
+    * relation gets a DISTRIBUTED range sort (Spark's orderBy: sampled
+    * range boundaries + per-partition sort — the same machinery as
+    * sort_export) and `zipWithIndex` stamps contiguous indices per
+    * partition with one lightweight count pass. The global index
+    * depends only on the total ORDER (the key tie-break makes it
+    * unique), never on where the sampled range boundaries land, so
+    * the result is deterministic under any partitioning — which is
+    * exactly what lets DuckDB replay it with a row_number() window.
+    * This is rank-lattice arithmetic: no floats anywhere. */
+  private[operators] val RfmBands = 5L
+
+  private def globalBand(df: DataFrame, metric: String, n: Long,
+      band: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("key"), col(metric).as("m"))
+      .orderBy(col("m").asc, col("key").asc)
+      .select(col("key")).as[Long]
+      .rdd.zipWithIndex()
+      .map { case (k, idx) => (k, idx * RfmBands / n + 1L) }
+      .toDF("key", band)
+  }
+
+  /** RFM (recency / frequency / monetary) customer segmentation —
+    * THE classic marketing/CRM base-table rollup: per customer, days
+    * since last order (vs the corpus's latest order date, so the
+    * result is reproducible — wall-clock anchors are banned by the
+    * determinism gate), order count, and lifetime spend on the cent
+    * lattice; then each metric maps to an exact global quintile band
+    * and the three digits concatenate into the familiar 111–555
+    * segment code (here band 1 = LOWEST metric value — days, count,
+    * cents all ascending — a fixed documented convention).
+    *
+    * Exactness: recency is whole calendar days (DATE arithmetic,
+    * both engines identical under the UTC session), money is
+    * `floor(·100 + 0.5)` cents (the target_encode rule), and bands
+    * come from [[globalBand]]'s rank lattice — no percentile
+    * interpolation, no floats, hash-exact oracle.
+    *
+    * Scale shape: one partial+final aggregate over orders (fact →
+    * |customers| rows), then three DIMENSION-scale distributed sorts
+    * (the globalBand note) and three key joins — all on the grouped
+    * relation, never the fact table. The date anchor and n are two
+    * scalar aggregates to the driver (metadata, the pagerank-N
+    * precedent). */
+  def rfmSegment(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("key"),
+        expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)").as("od"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("key"))
+      .agg(max(col("od")).as("last_od"), count(lit(1)).as("f"),
+        sum(col("cents")).as("m_cents"))
+      .persistScoped()
+    val anchor = per.agg(max(col("last_od"))).head.getLong(0)
+    val n = per.count()
+    val base = per.select(col("key"), (lit(anchor) - col("last_od")).as("r_days"),
+      col("f"), col("m_cents"))
+    base
+      .join(globalBand(base, "r_days", n, "r_band"), "key")
+      .join(globalBand(base, "f", n, "f_band"), "key")
+      .join(globalBand(base, "m_cents", n, "m_band"), "key")
+      .select(col("key").as("c_custkey"), col("r_days"), col("f"),
+        col("m_cents"), col("r_band"), col("f_band"), col("m_band"),
+        (col("r_band") * 100L + col("f_band") * 10L + col("m_band")).as("rfm_code"))
+  }
+
+  /** Per-user OLS trend (least-squares slope of `value` over time) —
+    * the regression primitive behind drift detection, burn-rate
+    * projection and per-entity trend scoring ("which users' spend is
+    * accelerating"). The whole computation lives on exact integer
+    * lattices so the oracle gate is hash-exact: y floors onto the
+    * 10⁻⁶ value lattice (the twap rule), x is whole SECONDS since
+    * the user's own first event (slope is shift-invariant, and
+    * centering keeps every moment bounded by the user's time SPAN,
+    * not the epoch — Σx² at a 10⁹-event/30-year user is ~10¹⁵·n,
+    * well inside decimal(38) where raw epoch seconds would court the
+    * cap), and the closed form
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * is evaluated entirely in decimal(38)/HUGEINT with ONE trunc
+    * division onto micro-units-per-DAY (`(num·86400) div den`) —
+    * both engines agree bit-for-bit including negative slopes (the
+    * window_ewma trunc rule). Degenerate series (single event, or
+    * all events in one second: den = 0) drop — the documented
+    * contract, matching target_encode's nc>1 gate.
+    *
+    * Scale shape: ONE exchange on user_id — the unordered window min
+    * and the final aggregate share the partitioning (the twap
+    * pattern), and the aggregate is partial+final (five sums and a
+    * count, all algebraic — no per-user buffering). */
+  def linregTrend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val num = col("n").cast("decimal(38,0)") * col("sxy") - col("sx") * col("sy")
+    val den = col("n").cast("decimal(38,0)") * col("sxx") - col("sx") * col("sx")
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 1000000").as("ts_s"),
+        expr("cast(floor(value * 1000000) as decimal(38,0))").as("yq"))
+      .withColumn("x", (col("ts_s") - min(col("ts_s")).over(w)).cast("decimal(38,0)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("x") * col("yq")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("user_id"), col("n"), num.as("num"), den.as("den"))
+      .filter(col("den") > 0)
+      .select(col("user_id"), col("n"),
+        expr("cast((num * 86400) div den as bigint)").as("slope_qpd"))
+      .withColumn("slope_per_day", col("slope_qpd") / lit(1000000.0))
   }
 
   /** Simpson concentration index of each user's event-type mix —
@@ -2267,6 +2388,8 @@ object Relational {
     "simpson_diversity" -> simpsonDiversity,
     "feature_hash"     -> featureHash,
     "target_encode"    -> targetEncode,
+    "linreg_trend"     -> linregTrend,
+    "rfm_segment"      -> rfmSegment,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
@@ -2868,6 +2991,53 @@ object Relational {
         |  CAST('0x' || substring(fh, 1, 4) AS BIGINT) % 64 AS idx,
         |  CAST(sum(1 - 2 * (CAST('0x' || substring(fh, 5, 1) AS BIGINT) % 2)) AS BIGINT) AS val
         |FROM f GROUP BY user_id, idx""".stripMargin,
+    // row_number under the same (metric, key) total order replays
+    // globalBand's rank lattice exactly — ntile() would NOT (its
+    // remainder distribution differs from the (rank-1)*k // n + 1
+    // formula when n % 5 != 0)
+    "rfm_segment" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS key, max(CAST(o_orderdate AS DATE)) AS last_d,
+        |    count(*) AS f,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m_cents
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT key,
+        |    CAST((SELECT max(last_d) FROM per) - last_d AS BIGINT) AS r_days,
+        |    f, m_cents FROM per),
+        |n AS (SELECT count(*) AS n FROM base),
+        |rb AS (SELECT key, ((row_number() OVER (ORDER BY r_days, key) - 1) * 5)
+        |         // (SELECT n FROM n) + 1 AS r_band FROM base),
+        |fb AS (SELECT key, ((row_number() OVER (ORDER BY f, key) - 1) * 5)
+        |         // (SELECT n FROM n) + 1 AS f_band FROM base),
+        |mb AS (SELECT key, ((row_number() OVER (ORDER BY m_cents, key) - 1) * 5)
+        |         // (SELECT n FROM n) + 1 AS m_band FROM base)
+        |SELECT base.key AS c_custkey, r_days, CAST(f AS BIGINT) AS f, m_cents,
+        |  CAST(r_band AS BIGINT) AS r_band, CAST(f_band AS BIGINT) AS f_band,
+        |  CAST(m_band AS BIGINT) AS m_band,
+        |  CAST(r_band * 100 + f_band * 10 + m_band AS BIGINT) AS rfm_code
+        |FROM base JOIN rb USING (key) JOIN fb USING (key) JOIN mb USING (key)""".stripMargin,
+    "linreg_trend" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS ts_s,
+        |    CAST(floor(value * 1000000) AS HUGEINT) AS yq
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id,
+        |    CAST(ts_s - min(ts_s) OVER (PARTITION BY user_id) AS HUGEINT) AS x,
+        |    yq
+        |  FROM b),
+        |a AS (
+        |  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(yq) AS sy,
+        |    sum(x * yq) AS sxy, sum(x * x) AS sxx
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  CAST(((CAST(n AS HUGEINT) * sxy - sx * sy) * 86400)
+        |       // (CAST(n AS HUGEINT) * sxx - sx * sx) AS BIGINT) AS slope_qpd,
+        |  CAST(((CAST(n AS HUGEINT) * sxy - sx * sy) * 86400)
+        |       // (CAST(n AS HUGEINT) * sxx - sx * sx) AS BIGINT) / 1000000.0 AS slope_per_day
+        |FROM a
+        |WHERE (CAST(n AS HUGEINT) * sxx - sx * sx) > 0""".stripMargin,
     "simpson_diversity" ->
       """WITH g AS (
         |  SELECT user_id, event_type, count(*) AS c

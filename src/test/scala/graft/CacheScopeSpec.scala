@@ -37,7 +37,8 @@ class CacheScopeSpec extends AnyFunSuite {
     "trigram_lm", "sample_balanced", "dedup_semantic", "dedup_incr",
     "bpe_train", "bpe_encode", "bpe_fertility",
     "inverted_index", "bigram_pmi", "oov_rate",
-    "label_prop", "kcore", "phash_dedup", "cms_counts")
+    "label_prop", "kcore", "phash_dedup", "cms_counts",
+    "sssp_weighted", "rfm_segment")
 
   test("persisting operators leave zero orphaned blocks after release()") {
     // start from a clean slate (earlier suites share this JVM/session)

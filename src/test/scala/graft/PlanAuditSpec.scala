@@ -732,6 +732,29 @@ class PlanAuditSpec extends AnyFunSuite {
       "media/seed bytes must never shuffle — only (doc_id, band, longs)")
   }
 
+  test("sssp_weighted: min-weight edges partial-combine and persist across relax rounds") {
+    val p = plan("sssp_weighted")
+    assert(p.contains("partial_min"),
+      "the pair min-weight aggregate must map-side combine")
+    assert(p.contains("InMemoryTableScan"),
+      "sssp must reuse the persisted weighted edge list per round, not rebuild it")
+  }
+
+  test("linreg_trend: one user_id exchange feeds window min AND the moment aggregate") {
+    val p = plan("linreg_trend")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size <= 1,
+      "the centering window and the moment sums must share one user_id exchange")
+    assert(p.contains("partial_"), "the five moment sums must partial-combine")
+  }
+
+  test("rfm_segment: quintile bands use distributed range sorts, never a global window") {
+    val p = plan("rfm_segment")
+    assert(!p.contains("Window"),
+      "rfm must not plan a window — an empty-partitionBy ntile collapses to one task")
+    assert(p.contains("InMemoryTableScan"),
+      "the per-customer rollup must persist — three band sorts and the join re-read it")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

@@ -803,4 +803,70 @@ class EdgeCaseSpec extends AnyFunSuite {
       graft.CacheScope.release()
     }
   }
+
+  test("sssp minimizes COST not hops, and the 4-round horizon is the documented contract") {
+    import org.apache.spark.sql.functions.col
+    // 1→2 direct costs 100; the 2-hop detour 1→3→2 costs 2 → sssp
+    // must take the detour (this is exactly where BFS and SSSP
+    // disagree). The pendant chain 2→4→5→6→7 then pins the horizon:
+    // 5 is 4 CHEAP hops out (d=4), 6 is reachable in 4 rounds only
+    // through the expensive direct edge (100+3), and 7 needs ≥5
+    // edges on ANY path — outside the relaxation horizon, absent.
+    val edges = Seq(
+      (1L, 2L, 100L), (1L, 3L, 1L), (3L, 2L, 1L),
+      (2L, 4L, 1L), (4L, 5L, 1L), (5L, 6L, 1L), (6L, 7L, 1L))
+      .toDF("u", "v", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val got = Graph.ssspOn(edges, seeds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 3L -> 1L, 2L -> 2L, 4L -> 3L, 5L -> 4L, 6L -> 103L))
+    graft.CacheScope.release()
+  }
+
+  test("linreg_trend equals the BigInt OLS reference on every fixture user") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts)"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 1000000L,
+        BigInt(math.floor(r.getDouble(2) * 1000000).toLong)))
+    val want = rows.groupBy(_._1).flatMap { case (u, g) =>
+      val x0 = g.map(_._2).min
+      val xs = g.map(r => BigInt(r._2 - x0))
+      val ys = g.map(_._3)
+      val n = BigInt(g.length)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.lazyZip(ys).map(_ * _).sum
+      val sxx = xs.map(x => x * x).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      // BigInt / truncates toward zero — the div/'//' rule both
+      // engines implement; negative slopes exercise it
+      if (den > 0) Some(u -> (num * 86400 / den).toLong) else None
+    }
+    val got = Relational.linregTrend(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === want)
+    assert(got.values.exists(_ < 0L) || got.values.exists(_ > 0L),
+      "fixture must exercise at least one nonzero slope")
+  }
+
+  test("rfm_segment bands partition the customers evenly and the code composes the digits") {
+    val out = Relational.rfmSegment(spark, "/root/testdata/sf0.001").collect()
+    val n = out.length
+    assert(n > 0)
+    Seq(4, 5, 6).foreach { bandCol =>
+      val sizes = out.groupBy(_.getLong(bandCol)).view.mapValues(_.length)
+      assert(sizes.keySet === Set(1L, 2L, 3L, 4L, 5L),
+        s"col $bandCol: every quintile band must be inhabited")
+      // ((rank-1)*5) div n + 1 gives each band floor(n/5) or ceil(n/5)
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"col $bandCol: exact quintiles differ by at most one member")
+    }
+    out.foreach { r =>
+      assert(r.getLong(7) ===
+        r.getLong(4) * 100L + r.getLong(5) * 10L + r.getLong(6))
+    }
+    graft.CacheScope.release()
+  }
 }
