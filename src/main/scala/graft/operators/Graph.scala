@@ -347,6 +347,101 @@ object Graph {
        |SELECT id, CAST(d AS BIGINT) AS d FROM r$SsspRounds""".stripMargin
   }
 
+  private[operators] val HitsRounds = 2
+  private[operators] val HitsScale = 1L << 20
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) over the DIRECTED
+    * bipartite purchase graph — customers point at the suppliers
+    * they buy from, so hub score = "buys from many authoritative
+    * suppliers" and authority score = "bought by many strong hubs":
+    * the mutual-reinforcement ranking PageRank's single score can't
+    * express, and the second canonical eigenvector algorithm of the
+    * iterative-MapReduce literature.
+    *
+    * Lattice determinism: scores live on the 2²⁰ lattice, and the
+    * per-half-round normalization is by the MAX (L∞) instead of the
+    * classical L2 — sqrt has no exact integer form, max does:
+    * `score' = (score · 2²⁰) div max(score)`, with the product
+    * widened to decimal(38)/HUGEINT (score reaches deg·2²⁰ ≈ 2⁵⁰ at
+    * a 10⁹-degree authority; ·2²⁰ would overflow int64). Every
+    * emitted score is back in [0, 2²⁰] BIGINT. [[HitsRounds]] fixed
+    * rounds; output rows are (id, role, score_q), hubs = customers,
+    * auths = suppliers.
+    *
+    * Scale shape: the edge list persists TWICE, pre-partitioned on
+    * each join side (`eByC`, `eByS` — the standard two-index trick
+    * for alternating-key iteration: h-updates join on c, a-updates
+    * on s, and re-shuffling the EDGES per half-round is exactly what
+    * a 100 TB run can't afford). Per half-round only the (id, score)
+    * state shuffles to meet the matching copy, sums aggregate
+    * partial+final, and the max attaches via [[ScalarJoin]]'s
+    * broadcast hash join (never a BNLJ). */
+  def hitsScores(spark: SparkSession, dir: String): DataFrame =
+    hitsOn(Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + SuppOffset).as("s"))
+      .distinct())
+
+  /** The mutual-reinforcement core over an arbitrary DIRECTED edge
+    * list (c, s) — extracted so specs can score planted graphs (the
+    * labelPropOn pattern). */
+  private[operators] def hitsOn(base: DataFrame): DataFrame = {
+    val eByC = base.repartition(col("c")).persistScoped()
+    val eByS = base.repartition(col("s")).persistScoped()
+
+    def rescale(scores: DataFrame): DataFrame = {
+      val mx = scores.agg(max(col("x")).as("mx"), count(lit(1)).as("nn"))
+      ScalarJoin.attachScalar(scores, col("x"), mx, col("nn"))
+        .select(col("id"),
+          expr(s"cast((cast(x as decimal(38,0)) * $HitsScale) div mx as bigint)").as("x"))
+    }
+
+    var h = eByC.select(col("c").as("id")).distinct()
+      .select(col("id"), lit(HitsScale).as("x"))
+    var a: DataFrame = null
+    for (_ <- 1 to HitsRounds) {
+      a = rescale(eByC.as("e").join(h.as("p"), col("e.c") === col("p.id"))
+        .groupBy(col("e.s")).agg(sum(col("p.x")).as("x"))
+        .select(col("s").as("id"), col("x")))
+      h = rescale(eByS.as("e").join(a.as("p"), col("e.s") === col("p.id"))
+        .groupBy(col("e.c")).agg(sum(col("p.x")).as("x"))
+        .select(col("c").as("id"), col("x")))
+    }
+    h.select(col("id"), lit("hub").as("role"), col("x").as("score_q"))
+      .unionAll(a.select(col("id"), lit("auth").as("role"), col("x").as("score_q")))
+  }
+
+  /** HITS replay: half-rounds unrolled; each max is its OWN
+    * materialized CTE (a raw `(SELECT max(..) FROM ..)` in the next
+    * round's aggregate trips DuckDB's "LATERAL join cannot contain
+    * aggregates" once the CTE chain inlines — the consts-CTE rule
+    * pagerankSql already follows), products widened to HUGEINT
+    * before the 2²⁰ rescale. */
+  private def hitsScoresSql: String = {
+    val rounds = (1 to HitsRounds).map { i =>
+      s"""a${i}r AS MATERIALIZED (SELECT s AS id, CAST(sum(h) AS BIGINT) AS x
+         |  FROM base JOIN h${i - 1} ON c = id GROUP BY s),
+         |am$i AS MATERIALIZED (SELECT max(x) AS mx FROM a${i}r),
+         |a$i AS MATERIALIZED (SELECT id, CAST((CAST(x AS HUGEINT) * $HitsScale)
+         |  // (SELECT mx FROM am$i) AS BIGINT) AS x FROM a${i}r),
+         |h${i}r AS MATERIALIZED (SELECT c AS id, CAST(sum(x) AS BIGINT) AS h
+         |  FROM base JOIN a$i ON s = id GROUP BY c),
+         |hm$i AS MATERIALIZED (SELECT max(h) AS mx FROM h${i}r),
+         |h$i AS MATERIALIZED (SELECT id, CAST((CAST(h AS HUGEINT) * $HitsScale)
+         |  // (SELECT mx FROM hm$i) AS BIGINT) AS h FROM h${i}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |h0 AS (SELECT DISTINCT c AS id, CAST($HitsScale AS BIGINT) AS h FROM base),
+       |$rounds
+       |SELECT id, 'hub' AS role, h AS score_q FROM h$HitsRounds
+       |UNION ALL
+       |SELECT id, 'auth' AS role, x AS score_q FROM a$HitsRounds""".stripMargin
+  }
+
   private[operators] val LpRounds = 2
 
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002 /
@@ -494,6 +589,7 @@ object Graph {
     "pagerank"        -> pagerank,
     "graph_bfs"       -> graphBfs,
     "sssp_weighted"   -> ssspWeighted,
+    "hits_scores"     -> hitsScores,
     "label_prop"      -> labelProp,
     "kcore"           -> kcore,
     "copurchase_topk" -> copurchaseTopk,
@@ -503,6 +599,7 @@ object Graph {
     "pagerank" -> pagerankSql,
     "graph_bfs" -> graphBfsSql,
     "sssp_weighted" -> ssspWeightedSql,
+    "hits_scores" -> hitsScoresSql,
     "label_prop" -> labelPropSql,
     "kcore" -> kcoreSql,
     "copurchase_topk" ->

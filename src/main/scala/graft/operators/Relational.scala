@@ -1138,6 +1138,95 @@ object Relational {
         (col("r_band") * 100L + col("f_band") * 10L + col("m_band")).as("rfm_code"))
   }
 
+  /** Inter-purchase gap profile per customer — the recency-dynamics
+    * rollup behind churn models and replenishment forecasting ("how
+    * regularly does this customer buy, and is the cadence drifting"):
+    * consecutive order-date deltas in whole days via one lag window,
+    * then min/max/sum/count and the exact mean on the ×100 day
+    * lattice (`(Σgap·100) div n`, widened to decimal(38) — Σgap·100
+    * at a 10¹²-order customer would nick int64). Customers with a
+    * single order have no gap and drop (the linreg_trend den>0
+    * convention). Ties on a same-day double order yield a 0-day gap
+    * — counted, not collapsed (the documented contract; the gap
+    * MULTISET is tie-order invariant since equal dates subtract to
+    * zero under any tie-break).
+    *
+    * Scale shape: the twap pattern — ONE o_custkey exchange whose
+    * in-partition sort feeds lag(), then the same partitioning feeds
+    * the partial+final aggregate. */
+  def purchaseGaps(spark: SparkSession, dir: String): DataFrame =
+    purchaseGapsOf(Tables.orders(spark, dir))
+
+  /** The gap-profile core over any orders-shaped frame — extracted
+    * for planted-timeline specs. */
+  private[operators] def purchaseGapsOf(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("od").asc, col("ok").asc)
+    orders
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey").as("ok"),
+        expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)").as("od"))
+      .withColumn("gap", col("od") - lag(col("od"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("n_gaps"), min(col("gap")).as("min_gap"),
+        max(col("gap")).as("max_gap"), sum(col("gap")).as("sum_gap"))
+      .select(col("c_custkey"), col("n_gaps"), col("min_gap"), col("max_gap"),
+        col("sum_gap"),
+        expr("cast((cast(sum_gap as decimal(38,0)) * 100) div n_gaps as bigint)")
+          .as("mean_gap_x100"))
+  }
+
+  /** Winsorized mean of `value` per event type — the robust central
+    * tendency beside anomaly_mad's robust dispersion: clamp each
+    * observation into the group's exact [p5, p95] band, then average,
+    * so a single corrupted 10⁹ reading moves the mean by at most the
+    * p95 edge instead of dominating it. Percentile edges are
+    * DISCRETE order statistics on the rank lattice — the element at
+    * row_number `(n−1)·p div 100 + 1` under the total order
+    * (vq, event_id) — NOT an interpolated percentile_cont, so both
+    * engines pick the identical element and the clamped sum is exact
+    * integer arithmetic end to end (values on the 10⁻⁶ floor
+    * lattice, mean via ONE trunc division, negatives under the
+    * window_ewma trunc rule).
+    *
+    * Scale shape: one event_type exchange — the ranking window, the
+    * edge extraction, and the clamped partial+final aggregate all
+    * ride it; the |types|-row edge table broadcasts back (the
+    * anomaly_zscore shape). The ranked relation persists once —
+    * edges and the clamped fold both read it. */
+  def winsorizedMean(spark: SparkSession, dir: String): DataFrame =
+    winsorizedMeanOf(Tables.events(spark, dir))
+
+  /** The winsorize core over any events-shaped frame — extracted for
+    * planted-outlier specs. */
+  private[operators] def winsorizedMeanOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("vq").asc, col("event_id").asc)
+    val ranked = events
+      .select(col("event_type"), col("event_id"),
+        expr("cast(floor(value * 1000000) as bigint)").as("vq"))
+      .withColumn("rn", row_number().over(w))
+      .persistScoped()
+    val ranks = ranked.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        (expr("(n - 1) * 5 div 100") + 1L).as("r_lo"),
+        (expr("(n - 1) * 95 div 100") + 1L).as("r_hi"))
+    val edges = ranked.join(broadcast(ranks), "event_type")
+      .filter(col("rn") === col("r_lo") || col("rn") === col("r_hi"))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("rn") === col("r_lo"), col("vq"))).as("lo_q"),
+        max(when(col("rn") === col("r_hi"), col("vq"))).as("hi_q"))
+    ranked.join(broadcast(edges), "event_type")
+      .select(col("event_type"), col("lo_q"), col("hi_q"),
+        least(greatest(col("vq"), col("lo_q")), col("hi_q")).as("cv"))
+      .groupBy(col("event_type"), col("lo_q"), col("hi_q"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cv").cast(DecimalType(38, 0))).as("sc"))
+      .select(col("event_type"), col("n"), col("lo_q"), col("hi_q"),
+        expr("cast(sc div n as bigint)").as("wmean_q"))
+      .withColumn("wmean", col("wmean_q") / lit(1000000.0))
+  }
+
   /** Per-user OLS trend (least-squares slope of `value` over time) —
     * the regression primitive behind drift detection, burn-rate
     * projection and per-entity trend scoring ("which users' spend is
@@ -2390,6 +2479,8 @@ object Relational {
     "target_encode"    -> targetEncode,
     "linreg_trend"     -> linregTrend,
     "rfm_segment"      -> rfmSegment,
+    "purchase_gaps"    -> purchaseGaps,
+    "winsorized_mean"  -> winsorizedMean,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
@@ -3017,6 +3108,40 @@ object Relational {
         |  CAST(m_band AS BIGINT) AS m_band,
         |  CAST(r_band * 100 + f_band * 10 + m_band AS BIGINT) AS rfm_code
         |FROM base JOIN rb USING (key) JOIN fb USING (key) JOIN mb USING (key)""".stripMargin,
+    "purchase_gaps" ->
+      """WITH b AS (
+        |  SELECT o_custkey AS key, o_orderkey AS ok,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS od
+        |  FROM orders),
+        |g AS (SELECT key,
+        |        od - lag(od, 1) OVER (PARTITION BY key ORDER BY od, ok) AS gap
+        |      FROM b)
+        |SELECT key AS c_custkey, count(*) AS n_gaps,
+        |  min(gap) AS min_gap, max(gap) AS max_gap,
+        |  CAST(sum(gap) AS BIGINT) AS sum_gap,
+        |  CAST((CAST(sum(gap) AS HUGEINT) * 100) // count(*) AS BIGINT) AS mean_gap_x100
+        |FROM g WHERE gap IS NOT NULL GROUP BY key""".stripMargin,
+    "winsorized_mean" ->
+      """WITH b AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vq
+        |  FROM events),
+        |r AS (SELECT event_type, vq,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY vq, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM b),
+        |th AS (SELECT event_type,
+        |         min(CASE WHEN rn = (n - 1) * 5 // 100 + 1 THEN vq END) AS lo_q,
+        |         max(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN vq END) AS hi_q
+        |       FROM r GROUP BY event_type)
+        |SELECT b.event_type, count(*) AS n, th.lo_q, th.hi_q,
+        |  CAST(sum(GREATEST(LEAST(vq, hi_q), lo_q))
+        |       // count(*) AS BIGINT) AS wmean_q,
+        |  CAST(sum(GREATEST(LEAST(vq, hi_q), lo_q))
+        |       // count(*) AS BIGINT) / 1000000.0 AS wmean
+        |FROM b JOIN th USING (event_type)
+        |GROUP BY b.event_type, th.lo_q, th.hi_q""".stripMargin,
     "linreg_trend" ->
       """WITH b AS (
         |  SELECT user_id, epoch_us(ts) // 1000000 AS ts_s,

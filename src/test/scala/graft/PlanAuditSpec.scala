@@ -755,6 +755,31 @@ class PlanAuditSpec extends AnyFunSuite {
       "the per-customer rollup must persist — three band sorts and the join re-read it")
   }
 
+  test("hits_scores: both edge indexes persist; sums partial-combine; max attaches as broadcast hash") {
+    val p = plan("hits_scores")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "alternating-key rounds must read the two pre-partitioned edge copies, not re-shuffle edges")
+    assert(p.contains("partial_sum"), "score sums must map-side combine")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 1-row max must attach via ScalarJoin's broadcast hash join, not a BNLJ")
+  }
+
+  test("purchase_gaps: one custkey exchange feeds lag AND the gap aggregate") {
+    val p = plan("purchase_gaps")
+    assert("Exchange hashpartitioning\\(c_custkey".r.findAllIn(p).size <= 1,
+      "the lag window and the gap sums must share one customer exchange")
+    assert(p.contains("partial_"), "gap stats must partial-combine")
+  }
+
+  test("winsorized_mean: ranked relation persists once; edges broadcast back over it") {
+    val p = plan("winsorized_mean")
+    assert(p.contains("InMemoryTableScan"),
+      "the ranked relation must persist — edge extraction and the clamped fold both read it")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "the |types|-row rank table and edge table must broadcast, never shuffle the stream")
+    assert(p.contains("partial_"), "the clamped sum must map-side combine")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

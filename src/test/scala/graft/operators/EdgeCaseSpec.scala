@@ -851,6 +851,58 @@ class EdgeCaseSpec extends AnyFunSuite {
       "fixture must exercise at least one nonzero slope")
   }
 
+  test("hits: the hub-authority mutual reinforcement orders a planted star correctly") {
+    import org.apache.spark.sql.functions.col
+    // customers 1,2,3 all buy from supplier 100; customer 1 ALSO
+    // buys from supplier 200. Invariants after any round count:
+    // 100 is the unique max authority (2^20 after L-inf rescale),
+    // 1 is the unique max hub (it holds the extra authoritative
+    // link), 2 and 3 tie strictly below, and 200 < 100.
+    val edges = Seq((1L, 100L), (2L, 100L), (3L, 100L), (1L, 200L)).toDF("c", "s")
+    val got = Graph.hitsOn(edges).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val S = Graph.HitsScale
+    assert(got((100L, "auth")) === S && got((200L, "auth")) < S)
+    assert(got((1L, "hub")) === S)
+    assert(got((2L, "hub")) === got((3L, "hub")) && got((2L, "hub")) < S)
+    graft.CacheScope.release()
+  }
+
+  test("purchase_gaps: planted timelines — gaps, zero-gap same-day orders, single-order drop") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // cust 1: days 1,3,10 → gaps 2,7; cust 2: one order → absent;
+    // cust 3: a same-day double order → one 0-day gap
+    val orders = Seq(
+      (1L, 10L, "1970-01-02"), (1L, 11L, "1970-01-04"), (1L, 12L, "1970-01-11"),
+      (2L, 20L, "1970-01-05"),
+      (3L, 30L, "1970-01-06"), (3L, 31L, "1970-01-06"))
+      .toDF("o_custkey", "o_orderkey", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d")))
+    val got = Relational.purchaseGapsOf(orders).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got === Map(
+      1L -> ((2L, 2L, 7L, 9L, 450L)),
+      3L -> ((1L, 0L, 0L, 0L, 0L))))
+  }
+
+  test("winsorized_mean: p5/p95 edges clamp exactly, and a planted 10^9 outlier cannot move it") {
+    // values 1..100 in one group: rank-lattice edges are the 5th and
+    // 95th elements (lo=5, hi=95); hand-traced clamped mean 50.45
+    def ev(vals: Seq[Double]) = vals.zipWithIndex
+      .map { case (v, i) => ("A", i.toLong, v) }.toDF("event_type", "event_id", "value")
+    val base = Relational.winsorizedMeanOf(ev((1 to 100).map(_.toDouble))).collect()
+    assert(base.length === 1)
+    assert(base.head.getLong(2) === 5000000L && base.head.getLong(3) === 95000000L)
+    assert(base.head.getLong(4) === 50450000L)
+    // robustness: the max replaced by 1e9 clamps to the SAME p95
+    // edge → wmean_q identical (this is the point of winsorizing)
+    val polluted = Relational.winsorizedMeanOf(
+      ev((1 to 99).map(_.toDouble) :+ 1e9)).collect()
+    assert(polluted.head.getLong(4) === base.head.getLong(4))
+    graft.CacheScope.release()
+  }
+
   test("rfm_segment bands partition the customers evenly and the code composes the digits") {
     val out = Relational.rfmSegment(spark, "/root/testdata/sf0.001").collect()
     val n = out.length
