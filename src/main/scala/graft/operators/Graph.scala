@@ -185,6 +185,82 @@ object Graph {
       .limit(CoK)
   }
 
+  private[operators] val AssocK = 20
+
+  /** Association rules over the co-purchase pairs — the
+    * support/confidence/lift triple (Agrawal & Srikant 1994) that
+    * turns [[copurchaseTopk]]'s raw counts into actionable rules:
+    * conf(a→b) = P(b|a) answers "given a in the basket, how likely
+    * is b", lift = P(ab)/(P(a)P(b)) answers "is that better than
+    * chance". All three live on the 2²⁰ lattice (`(2²⁰·n_ab) div
+    * n_a`, products widened to decimal(38)/HUGEINT since
+    * 2²⁰·n_ab·N ≈ 2⁸⁰ at web scale) so the gate is hash-exact; only
+    * the top-[[AssocK]] support pairs are scored (the business
+    * shape: rules are for the head, the tail is noise).
+    *
+    * Scale shape: baskets aggregate ONCE and persist (pair
+    * enumeration and item margins both read them — the bigram_pmi
+    * rule); pair counts bound by Σ C(basket, 2) as in copurchase;
+    * the top-K is a TakeOrderedAndProject; and the two margin
+    * attachments broadcast the 20-row rule table against the item
+    * counts — at 100 TB the |parts| margin relation never moves. N
+    * is one driver scalar (the pagerank-N precedent). */
+  def assocRules(spark: SparkSession, dir: String): DataFrame =
+    assocRulesOf(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  /** The rule-mining core over an arbitrary (ok, pk) item stream —
+    * extracted for planted-implication specs. */
+  private[operators] def assocRulesOf(items: DataFrame): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val baskets = items
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("parts"))
+      .persistScoped()
+    val nOrders = baskets.count()
+    val item = baskets.select(explode(col("parts")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val top = baskets.select(col("parts")).as[Seq[Long]]
+      .flatMap { ps =>
+        for { i <- ps.indices.iterator; j <- (i + 1) until ps.size }
+          yield (ps(i), ps(j))
+      }
+      .toDF("part_a", "part_b")
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("part_a").asc, col("part_b").asc)
+      .limit(AssocK)
+    val withA = item.select(col("pk").as("part_a"), col("n_item").as("n_a"))
+      .join(broadcast(top), "part_a")
+    item.select(col("pk").as("part_b"), col("n_item").as("n_b"))
+      .join(broadcast(withA), "part_b")
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("cast((1048576 * cast(n_ab as decimal(38,0))) div n_a as bigint)").as("conf_ab_q"),
+        expr("cast((1048576 * cast(n_ab as decimal(38,0))) div n_b as bigint)").as("conf_ba_q"),
+        expr(s"cast((1048576 * cast(n_ab as decimal(38,0)) * $nOrders)" +
+          " div (cast(n_a as decimal(38,0)) * n_b) as bigint)").as("lift_q"))
+  }
+
+  private def assocRulesSql: String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |n AS (SELECT count(DISTINCT ok) AS n FROM b),
+       |item AS (SELECT pk, count(*) AS n_item FROM b GROUP BY pk),
+       |pair AS (SELECT a.pk AS part_a, b2.pk AS part_b, count(*) AS n_ab
+       |         FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+       |         GROUP BY 1, 2),
+       |top AS (SELECT * FROM pair
+       |        ORDER BY n_ab DESC, part_a, part_b LIMIT $AssocK)
+       |SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+       |  CAST(ia.n_item AS BIGINT) AS n_a, CAST(ib.n_item AS BIGINT) AS n_b,
+       |  CAST((1048576 * CAST(n_ab AS HUGEINT)) // ia.n_item AS BIGINT) AS conf_ab_q,
+       |  CAST((1048576 * CAST(n_ab AS HUGEINT)) // ib.n_item AS BIGINT) AS conf_ba_q,
+       |  CAST((1048576 * CAST(n_ab AS HUGEINT) * (SELECT n FROM n))
+       |       // (CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT) AS lift_q
+       |FROM top
+       |JOIN item ia ON top.part_a = ia.pk
+       |JOIN item ib ON top.part_b = ib.pk""".stripMargin
+
   /** Triangle enumeration over the ngram near-dup pair graph — the
     * basis of clustering-coefficient / graph-density analysis (here:
     * "how clique-like are near-dup clusters", which distinguishes
@@ -593,6 +669,7 @@ object Graph {
     "label_prop"      -> labelProp,
     "kcore"           -> kcore,
     "copurchase_topk" -> copurchaseTopk,
+    "assoc_rules"     -> assocRules,
     "triangles"       -> triangles)
 
   val oracles: Map[String, String] = Map(
@@ -602,6 +679,7 @@ object Graph {
     "hits_scores" -> hitsScoresSql,
     "label_prop" -> labelPropSql,
     "kcore" -> kcoreSql,
+    "assoc_rules" -> assocRulesSql,
     "copurchase_topk" ->
       s"""WITH base AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
          |              FROM lineitem)

@@ -1083,14 +1083,14 @@ object Relational {
   private[operators] val RfmBands = 5L
 
   private def globalBand(df: DataFrame, metric: String, n: Long,
-      band: String): DataFrame = {
+      band: String, k: Long = RfmBands): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("key"), col(metric).as("m"))
       .orderBy(col("m").asc, col("key").asc)
       .select(col("key")).as[Long]
       .rdd.zipWithIndex()
-      .map { case (k, idx) => (k, idx * RfmBands / n + 1L) }
+      .map { case (key, idx) => (key, idx * k / n + 1L) }
       .toDF("key", band)
   }
 
@@ -1136,6 +1136,105 @@ object Relational {
       .select(col("key").as("c_custkey"), col("r_days"), col("f"),
         col("m_cents"), col("r_band"), col("f_band"), col("m_band"),
         (col("r_band") * 100L + col("f_band") * 10L + col("m_band")).as("rfm_code"))
+  }
+
+  /** Day-of-week seasonality profile per event type — the weekly-
+    * rhythm rollup behind load forecasting and anomaly baselines
+    * ("is Tuesday traffic down vs its OWN Tuesday norm"). The
+    * weekday derives from pure epoch-day arithmetic —
+    * `(epoch_days + 4) mod 7`, 0 = Sunday (1970-01-01 was a
+    * Thursday) — NOT from either engine's dayofweek() builtin, whose
+    * 0-vs-1-based conventions disagree; shares live on the 2²⁰
+    * lattice (`(2²⁰·n) div n_type`, widened — the simpson rule).
+    *
+    * Scale shape: two chained partial+final aggregates — (type, dow)
+    * counts, then the |types|·7-row rollup whose totals broadcast
+    * back (the simpson_diversity two-small-shuffles shape; the raw
+    * event stream shuffles once, already map-combined to ≤ 7 rows
+    * per type per task). */
+  def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("pmod((unix_micros(ts) div 86400000000) + 4, 7)").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"))
+    val tot = g.groupBy(col("event_type")).agg(sum(col("n")).as("nt"))
+    g.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        expr("cast((cast(n as decimal(38,0)) * 1048576) div nt as bigint)")
+          .as("share_q"))
+  }
+
+  /** Gini concentration of customer lifetime spend — THE inequality
+    * metric of revenue analysis ("what share of revenue rides on the
+    * top accounts"), here in its exact rank form
+    *
+    *   G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx),  i = ascending spend rank
+    *
+    * on the 2²⁰ lattice. The global rank is the SAME distributed
+    * range-sort + zipWithIndex lattice as [[rfmSegment]]'s bands
+    * (never a single-task window), spend is exact cents, and the
+    * rank-weighted sums widen to decimal(38)/HUGEINT (Σ i·xᵢ ≈ n²·x̄
+    * reaches 10²⁵ at 10⁹ customers) — one trunc division lands
+    * gini_q in [0, 2²⁰]. Output is ONE row (n, total, gini) — the
+    * dashboard scalar.
+    *
+    * Scale shape: fact table folds to |customers| rows partial+final,
+    * one dimension-scale distributed sort, one scalar aggregate. */
+  def giniSpend(spark: SparkSession, dir: String): DataFrame =
+    giniOf(Tables.orders(spark, dir)
+      .select(col("o_custkey").as("key"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("key")).agg(sum(col("cents")).as("x")))
+
+  /** The Gini core over an arbitrary (key, x) spend relation —
+    * extracted for planted-concentration specs. */
+  private[operators] def giniOf(per: DataFrame): DataFrame = {
+    val spark = per.sparkSession
+    import spark.implicits._
+    val ranked = per.orderBy(col("x").asc, col("key").asc)
+      .select(col("x")).as[Long]
+      .rdd.zipWithIndex()
+      .map { case (x, i) => (x, i + 1L) }
+      .toDF("x", "i")
+    ranked
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).as("s0"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("i")).as("s1"))
+      .select(col("n"), expr("cast(s0 as bigint)").as("total_cents"),
+        expr("cast(((2 * s1 - (n + 1) * s0) * 1048576) div (n * s0) as bigint)")
+          .as("gini_q"))
+      .withColumn("gini", col("gini_q") / lit(1048576.0))
+  }
+
+  /** Decile lift table for the [[targetEncode]] score — the standard
+    * model-evaluation artifact ("rank by predicted value, cut into
+    * ten equal bands, report each band's ACTUAL mean"): a monotone
+    * mean profile = the encoder ranks usefully; a flat one = it
+    * doesn't. Deciles come from the [[rfmSegment]] rank machinery
+    * (globalBand, k = 10 — exact, distributed, float-free) keyed on
+    * the leave-one-out encoding, actuals stay exact cents, and each
+    * band's mean is one trunc division.
+    *
+    * Scale shape: the encoder's two passes over orders, then ONE
+    * fact-scale distributed sort on the score (exact deciles cost a
+    * sort in any engine — the sample-sort machinery is what makes it
+    * scale), one key join, one partial+final 10-row aggregate. */
+  def decileLift(spark: SparkSession, dir: String): DataFrame = {
+    val scored = targetEncode(spark, dir)
+      .select(col("o_orderkey").as("key"), col("loo_cents"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("key"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("actual")),
+        "key")
+      .persistScoped()
+    val n = scored.count()
+    scored.join(globalBand(scored, "loo_cents", n, "decile", 10L), "key")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("actual").cast(DecimalType(38, 0))).as("sc"))
+      .select(col("decile"), col("n"),
+        expr("cast(sc div n as bigint)").as("mean_cents"))
   }
 
   /** Inter-purchase gap profile per customer — the recency-dynamics
@@ -2481,6 +2580,9 @@ object Relational {
     "rfm_segment"      -> rfmSegment,
     "purchase_gaps"    -> purchaseGaps,
     "winsorized_mean"  -> winsorizedMean,
+    "seasonal_profile" -> seasonalProfile,
+    "gini_spend"       -> giniSpend,
+    "decile_lift"      -> decileLift,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
@@ -3108,6 +3210,48 @@ object Relational {
         |  CAST(m_band AS BIGINT) AS m_band,
         |  CAST(r_band * 100 + f_band * 10 + m_band AS BIGINT) AS rfm_code
         |FROM base JOIN rb USING (key) JOIN fb USING (key) JOIN mb USING (key)""".stripMargin,
+    "seasonal_profile" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow
+        |  FROM events),
+        |g AS (SELECT event_type, dow, count(*) AS n FROM d GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nt FROM g GROUP BY 1)
+        |SELECT g.event_type, CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n,
+        |  CAST((CAST(n AS HUGEINT) * 1048576) // nt AS BIGINT) AS share_q
+        |FROM g JOIN t USING (event_type)""".stripMargin,
+    "gini_spend" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS key,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, key) AS i FROM per),
+        |a AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS s0,
+        |        sum(CAST(x AS HUGEINT) * i) AS s1 FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(s0 AS BIGINT) AS total_cents,
+        |  CAST(((2 * s1 - (n + 1) * s0) * 1048576) // (n * s0) AS BIGINT) AS gini_q,
+        |  CAST(((2 * s1 - (n + 1) * s0) * 1048576) // (n * s0) AS BIGINT)
+        |    / 1048576.0 AS gini
+        |FROM a""".stripMargin,
+    "decile_lift" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) AS xq
+        |  FROM orders),
+        |c AS (SELECT o_orderpriority, sum(xq) AS sc, count(*) AS nc
+        |      FROM o GROUP BY 1),
+        |e AS (SELECT o.o_orderkey AS key,
+        |        CAST((c.sc - o.xq) // (c.nc - 1) AS BIGINT) AS loo,
+        |        CAST(o.xq AS BIGINT) AS actual
+        |      FROM o JOIN c USING (o_orderpriority) WHERE c.nc > 1),
+        |nn AS (SELECT count(*) AS n FROM e),
+        |b AS (SELECT actual,
+        |        ((row_number() OVER (ORDER BY loo, key) - 1) * 10)
+        |          // (SELECT n FROM nn) + 1 AS decile
+        |      FROM e)
+        |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
+        |  CAST(sum(CAST(actual AS HUGEINT)) // count(*) AS BIGINT) AS mean_cents
+        |FROM b GROUP BY decile""".stripMargin,
     "purchase_gaps" ->
       """WITH b AS (
         |  SELECT o_custkey AS key, o_orderkey AS ok,

@@ -38,7 +38,8 @@ class CacheScopeSpec extends AnyFunSuite {
     "bpe_train", "bpe_encode", "bpe_fertility",
     "inverted_index", "bigram_pmi", "oov_rate",
     "label_prop", "kcore", "phash_dedup", "cms_counts",
-    "sssp_weighted", "rfm_segment", "hits_scores", "winsorized_mean")
+    "sssp_weighted", "rfm_segment", "hits_scores", "winsorized_mean",
+    "assoc_rules", "decile_lift")
 
   test("persisting operators leave zero orphaned blocks after release()") {
     // start from a clean slate (earlier suites share this JVM/session)

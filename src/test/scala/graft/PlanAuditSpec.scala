@@ -780,6 +780,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "the clamped sum must map-side combine")
   }
 
+  test("assoc_rules: baskets persist once; top-k takes ordered; margins broadcast the rule table") {
+    val p = plan("assoc_rules")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "pair enumeration and item margins must both read the persisted baskets")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-20 support cut must be a take-ordered, never a global sort")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "both margin attachments must broadcast the 20-row rule table")
+  }
+
+  test("seasonal_profile / gini_spend / decile_lift: lattice rollups plan no global window") {
+    Seq("seasonal_profile", "gini_spend", "decile_lift").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Window"),
+        s"$name must not plan a window — ranks come from the distributed sort lattice")
+      assert(p.contains("partial_"), s"$name sums must map-side combine")
+    }
+    assert(plan("seasonal_profile").contains("BroadcastHashJoin"),
+      "the |types|-row totals must broadcast back over the grouped relation")
+    assert(plan("decile_lift").contains("InMemoryTableScan"),
+      "the scored relation must persist — the band sort and the join both read it")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

@@ -903,6 +903,52 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("gini: planted distributions — perfect equality is 0, total concentration is (n-1)/n") {
+    import org.apache.spark.sql.functions.col
+    // 8 customers, equal spend → G = 0 exactly
+    val eq = (1L to 8L).map(k => (k, 1000L)).toDF("key", "x")
+    assert(Relational.giniOf(eq).collect().head.getLong(2) === 0L)
+    // one customer holds everything → G = (n-1)/n = 7/8 on the lattice
+    val conc = ((1L to 7L).map(k => (k, 0L)) :+ (8L, 8000L)).toDF("key", "x")
+    val g = Relational.giniOf(conc).collect().head.getLong(2)
+    assert(g === (7L * 1048576L) / 8L)
+  }
+
+  test("assoc_rules: a perfect implication scores conf = 2^20 and lift = N/n_b on the lattice") {
+    import org.apache.spark.sql.functions.col
+    // item 2 rides along in EVERY basket containing item 1 (3 of 6
+    // baskets); the other 3 baskets are {3}-noise → conf(1→2) = 1.0
+    // exactly, conf(2→1) = 1.0, lift = P(12)/(P(1)P(2)) = 2.0
+    val items = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L),
+      (13L, 3L), (14L, 3L), (15L, 3L)).toDF("ok", "pk")
+    val r = Graph.assocRulesOf(items).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> ((x.getLong(5), x.getLong(6), x.getLong(7))))
+      .toMap
+    assert(r((1L, 2L)) === ((1048576L, 1048576L, 2097152L)))
+    graft.CacheScope.release()
+  }
+
+  test("decile_lift: bands are even, exhaustive, and ordered by the encoder score on the fixture") {
+    val out = Relational.decileLift(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.map(_._1) === (1L to 10L).toArray)
+    assert(out.map(_._2).max - out.map(_._2).min <= 1,
+      "exact deciles differ by at most one member")
+    graft.CacheScope.release()
+  }
+
+  test("seasonal_profile: shares of each type sum to 2^20 minus at most 7 trunc crumbs") {
+    val out = Relational.seasonalProfile(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.groupBy(_._1).foreach { case (t, rows) =>
+      val s = rows.map(_._4).sum
+      assert(s <= 1048576L && s >= 1048576L - 7L,
+        s"type $t: truncated shares must sum to within 7 of 2^20, got $s")
+      assert(rows.map(_._2).toSet.subsetOf((0L to 6L).toSet))
+    }
+  }
+
   test("rfm_segment bands partition the customers evenly and the code composes the digits") {
     val out = Relational.rfmSegment(spark, "/root/testdata/sf0.001").collect()
     val n = out.length
