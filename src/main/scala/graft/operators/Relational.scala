@@ -1138,6 +1138,129 @@ object Relational {
         (col("r_band") * 100L + col("f_band") * 10L + col("m_band")).as("rfm_code"))
   }
 
+  /** Benford's-law expected first-digit shares, log₁₀(1 + 1/d),
+    * pre-quantized onto the 2²⁰ lattice (floor(·2²⁰ + 0.5)) so both
+    * engines consume the SAME integer constants — computing log10 at
+    * runtime would reintroduce exactly the cross-engine ULP drift
+    * the lattice rule exists to kill. Single source: the oracle SQL
+    * interpolates these literals. */
+  private[operators] val BenfordQ: Seq[(Int, Long)] = Seq(
+    1 -> 315653L, 2 -> 184645L, 3 -> 131008L, 4 -> 101618L, 5 -> 83028L,
+    6 -> 70199L, 7 -> 60809L, 8 -> 53637L, 9 -> 47980L)
+
+  /** Benford first-digit deviation of order totals — the
+    * forensic-accounting screen (fabricated or threshold-gamed
+    * amounts bend the leading-digit histogram away from
+    * log₁₀(1+1/d)): per digit 1–9, observed count, observed share on
+    * the 2²⁰ lattice, the quantized Benford expectation, and the
+    * absolute deviation — all integers, so the gate is hash-exact.
+    * The first digit comes from the CENTS integer's decimal string
+    * (identical in both engines; no float log anywhere). The
+    * expectation table attaches by a 9-row broadcast join.
+    *
+    * Scale shape: one narrow scan → partial+final 9-group count;
+    * total + expectation are broadcast-size metadata. */
+  def benfordDeviation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exp = BenfordQ.toDF("digit", "benford_q")
+    // the 9-row digit histogram feeds BOTH the output and the scalar
+    // total — persist it or the total's lineage re-scans the fact
+    // table (PlanAuditSpec pins the single scan)
+    val g = Tables.orders(spark, dir)
+      .select(expr("cast(substring(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint) as string), 1, 1) as int)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .persistScoped()
+    val tot = g.agg(sum(col("n")).as("nt"), count(lit(1)).as("nn"))
+    ScalarJoin.attachScalar(g, col("n"), tot, col("nn"))
+      .join(broadcast(exp), "digit")
+      .select(col("digit").cast("long").as("digit"), col("n"),
+        expr("cast((cast(n as decimal(38,0)) * 1048576) div nt as bigint)").as("share_q"),
+        col("benford_q"))
+      .withColumn("dev_q", abs(col("share_q") - col("benford_q")))
+  }
+
+  private def benfordSql: String = {
+    s"""WITH exp(digit, benford_q) AS (VALUES
+       |  ${BenfordQ.map { case (d, q) => s"($d, CAST($q AS BIGINT))" }.mkString(", ")}),
+       |g AS (
+       |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+       |    count(*) AS n
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g)
+       |SELECT CAST(g.digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
+       |  CAST((CAST(n AS HUGEINT) * 1048576) // (SELECT nt FROM t) AS BIGINT) AS share_q,
+       |  benford_q,
+       |  abs(CAST((CAST(n AS HUGEINT) * 1048576) // (SELECT nt FROM t) AS BIGINT)
+       |      - benford_q) AS dev_q
+       |FROM g JOIN exp ON g.digit = exp.digit""".stripMargin
+  }
+
+  /** Pareto concentration bands of customer spend — the "what share
+    * of revenue rides on the top 20%" rollup that pairs with
+    * [[giniSpend]]'s scalar: customers cut into exact spend
+    * quintiles (band 5 = top spenders) via the [[rfmSegment]] rank
+    * machinery, each band reporting its member count, cents total,
+    * revenue share on the 2²⁰ lattice, and the CUMULATIVE-from-the-
+    * top share ("band ≥ b holds X of revenue"). The 5-row cumulative
+    * is a band≥band self-join over the GROUPED relation — never a
+    * global window.
+    *
+    * Scale shape: fact → |customers| partial+final, one dimension
+    * sort, one 5-row rollup; everything after the sort is
+    * metadata-sized. */
+  def paretoShare(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("key"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("key")).agg(sum(col("cents")).as("x"))
+      .persistScoped()
+    val n = per.count()
+    val bands = per.join(globalBand(per, "x", n, "band"), "key")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_cents"))
+      .persistScoped()
+    val tot = bands.agg(sum(col("sum_cents").cast(DecimalType(38, 0))).as("t"),
+      count(lit(1)).as("nn"))
+    val withTot = ScalarJoin.attachScalar(bands, col("n"), tot, col("nn"))
+    // band ≥ band as an EQUI join: the 15 admissible (band, b2) pairs
+    // are a literal relation (bands are 1..5 by construction), so the
+    // cumulative stays a broadcast HASH join — a `>=` join condition
+    // would plan the banned BNLJ
+    import bands.sparkSession.implicits._
+    val pairs = (for { b <- 1L to RfmBands; b2 <- b to RfmBands } yield (b, b2))
+      .toDF("band", "b2")
+    val cum = broadcast(pairs)
+      .join(bands.select(col("band").as("b2"), col("sum_cents").as("sc2")), "b2")
+      .groupBy(col("band"))
+      .agg(sum(col("sc2").cast(DecimalType(38, 0))).as("cum_cents"))
+    withTot.join(broadcast(cum), "band")
+      .select(col("band"), col("n"), col("sum_cents"),
+        expr("cast((cast(sum_cents as decimal(38,0)) * 1048576) div t as bigint)")
+          .as("share_q"),
+        expr("cast((cum_cents * 1048576) div t as bigint)").as("cumtop_share_q"))
+  }
+
+  private def paretoSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey AS key,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM per),
+      |b AS (SELECT key, x,
+      |        ((row_number() OVER (ORDER BY x, key) - 1) * 5)
+      |          // (SELECT n FROM nn) + 1 AS band
+      |      FROM per),
+      |g AS (SELECT band, count(*) AS n, CAST(sum(x) AS BIGINT) AS sum_cents
+      |      FROM b GROUP BY band),
+      |t AS (SELECT CAST(sum(sum_cents) AS HUGEINT) AS t FROM g),
+      |c AS (SELECT g1.band, CAST(sum(g2.sum_cents) AS HUGEINT) AS cum_cents
+      |      FROM g g1 JOIN g g2 ON g2.band >= g1.band GROUP BY g1.band)
+      |SELECT g.band, CAST(g.n AS BIGINT) AS n, g.sum_cents,
+      |  CAST((CAST(g.sum_cents AS HUGEINT) * 1048576) // (SELECT t FROM t) AS BIGINT) AS share_q,
+      |  CAST((c.cum_cents * 1048576) // (SELECT t FROM t) AS BIGINT) AS cumtop_share_q
+      |FROM g JOIN c USING (band)""".stripMargin
+
   /** Day-of-week seasonality profile per event type — the weekly-
     * rhythm rollup behind load forecasting and anomaly baselines
     * ("is Tuesday traffic down vs its OWN Tuesday norm"). The
@@ -1236,6 +1359,119 @@ object Relational {
       .select(col("decile"), col("n"),
         expr("cast(sc div n as bigint)").as("mean_cents"))
   }
+
+  /** Discount elasticity of demand per part type — the pricing
+    * question ("does a deeper discount actually move more units of
+    * this product family") as a per-group exact OLS slope of
+    * quantity against the discount percentage: the [[linregTrend]]
+    * closed form re-instantiated with x = whole discount points
+    * (floor(·100 + 0.5) — l_discount is 2-decimal) and y = units,
+    * slope on the 2²⁰ lattice (`(num·2²⁰) div den` — a per-point
+    * unit response; no centering needed, x ∈ [0, 10]). Groups whose
+    * x never varies (den = 0) drop — the linreg_trend contract.
+    *
+    * Scale shape: the part type is denormalized onto lineitem by ONE
+    * dimension join (broadcast-able at any scale — part is the
+    * dimension side), then a single partial+final five-moment
+    * aggregate; no window, no sort. */
+  def discountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val num = col("n").cast("decimal(38,0)") * col("sxy") - col("sx") * col("sy")
+    val den = col("n").cast("decimal(38,0)") * col("sxx") - col("sx") * col("sx")
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr("cast(floor(l_discount * 100 + 0.5) as decimal(38,0))").as("x"),
+        col("l_quantity").cast(DecimalType(38, 0)).as("y"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("p_type"), col("n"), num.as("num"), den.as("den"))
+      .filter(col("den") > 0)
+      .select(col("p_type"), col("n"),
+        expr("cast((num * 1048576) div den as bigint)").as("slope_q"))
+      .withColumn("slope", col("slope_q") / lit(1048576.0))
+  }
+
+  private def discountElasticitySql: String =
+    """WITH b AS (
+      |  SELECT p_type,
+      |    CAST(floor(l_discount * 100 + 0.5) AS HUGEINT) AS x,
+      |    CAST(l_quantity AS HUGEINT) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |a AS (SELECT p_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |        sum(x * y) AS sxy, sum(x * x) AS sxx
+      |      FROM b GROUP BY p_type)
+      |SELECT p_type, CAST(n AS BIGINT) AS n,
+      |  CAST(((CAST(n AS HUGEINT) * sxy - sx * sy) * 1048576)
+      |       // (CAST(n AS HUGEINT) * sxx - sx * sx) AS BIGINT) AS slope_q,
+      |  CAST(((CAST(n AS HUGEINT) * sxy - sx * sy) * 1048576)
+      |       // (CAST(n AS HUGEINT) * sxx - sx * sx) AS BIGINT) / 1048576.0 AS slope
+      |FROM a
+      |WHERE (CAST(n AS HUGEINT) * sxx - sx * sx) > 0""".stripMargin
+
+  /** Order-to-ship latency profile per calendar month — the
+    * fulfillment-SLA rollup ("is shipping drifting slower this
+    * quarter"): whole-day latencies from exact epoch-day DATE
+    * arithmetic, bucketed by order month (year·100 + month — integer
+    * month keys, both engines' year()/month() agree on DATEs), with
+    * count, min, max, exact ×100 mean and the DISCRETE p50 on the
+    * winsorized_mean rank lattice (`rn = (n−1)·50 div 100 + 1` under
+    * (latency, orderkey, linenumber) — no interpolation).
+    *
+    * Scale shape: the winsorized_mean shape on a month key — ONE
+    * exchange feeds the ranking window, the month counts, the median
+    * pick and the partial+final stats; the |months|-row count and
+    * median tables broadcast back. */
+  def shipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("om"))
+      .orderBy(col("lat").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val ranked = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("cast(year(cast(o_orderdate as date)) * 100 + month(cast(o_orderdate as date)) as bigint)")
+          .as("om"),
+        expr("cast(datediff(cast(l_shipdate as date), cast(o_orderdate as date)) as bigint)")
+          .as("lat"))
+      .withColumn("rn", row_number().over(w))
+      .persistScoped()
+    val counts = ranked.groupBy(col("om")).agg(count(lit(1)).as("n"))
+    val med = ranked.join(broadcast(counts), "om")
+      .filter(col("rn") === expr("(n - 1) * 50 div 100") + 1L)
+      .select(col("om"), col("lat").as("p50_days"))
+    ranked.groupBy(col("om"))
+      .agg(count(lit(1)).as("n"), min(col("lat")).as("min_days"),
+        max(col("lat")).as("max_days"),
+        sum(col("lat").cast(DecimalType(38, 0))).as("sl"))
+      .join(broadcast(med), "om")
+      .select(col("om"), col("n"), col("min_days"), col("max_days"),
+        expr("cast((sl * 100) div n as bigint)").as("mean_x100"),
+        col("p50_days"))
+  }
+
+  private def shipLatencySql: String =
+    """WITH b AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(year(CAST(o_orderdate AS DATE)) * 100
+      |         + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS om,
+      |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT) AS lat
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |r AS (SELECT om, lat,
+      |        row_number() OVER (PARTITION BY om
+      |                           ORDER BY lat, l_orderkey, l_linenumber) AS rn,
+      |        count(*) OVER (PARTITION BY om) AS n
+      |      FROM b),
+      |m AS (SELECT om, min(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN lat END) AS p50_days
+      |      FROM r GROUP BY om)
+      |SELECT b.om, count(*) AS n, min(lat) AS min_days, max(lat) AS max_days,
+      |  CAST((CAST(sum(lat) AS HUGEINT) * 100) // count(*) AS BIGINT) AS mean_x100,
+      |  m.p50_days
+      |FROM b JOIN m USING (om)
+      |GROUP BY b.om, m.p50_days""".stripMargin
 
   /** Inter-purchase gap profile per customer — the recency-dynamics
     * rollup behind churn models and replenishment forecasting ("how
@@ -2583,6 +2819,10 @@ object Relational {
     "seasonal_profile" -> seasonalProfile,
     "gini_spend"       -> giniSpend,
     "decile_lift"      -> decileLift,
+    "benford_first_digit" -> benfordDeviation,
+    "pareto_share"     -> paretoShare,
+    "discount_elasticity" -> discountElasticity,
+    "ship_latency"     -> shipLatency,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
@@ -3210,6 +3450,10 @@ object Relational {
         |  CAST(m_band AS BIGINT) AS m_band,
         |  CAST(r_band * 100 + f_band * 10 + m_band AS BIGINT) AS rfm_code
         |FROM base JOIN rb USING (key) JOIN fb USING (key) JOIN mb USING (key)""".stripMargin,
+    "benford_first_digit" -> benfordSql,
+    "pareto_share" -> paretoSql,
+    "discount_elasticity" -> discountElasticitySql,
+    "ship_latency" -> shipLatencySql,
     "seasonal_profile" ->
       """WITH d AS (
         |  SELECT event_type,

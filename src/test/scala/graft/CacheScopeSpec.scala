@@ -39,7 +39,8 @@ class CacheScopeSpec extends AnyFunSuite {
     "inverted_index", "bigram_pmi", "oov_rate",
     "label_prop", "kcore", "phash_dedup", "cms_counts",
     "sssp_weighted", "rfm_segment", "hits_scores", "winsorized_mean",
-    "assoc_rules", "decile_lift")
+    "assoc_rules", "decile_lift", "pareto_share", "ship_latency",
+    "benford_first_digit")
 
   test("persisting operators leave zero orphaned blocks after release()") {
     // start from a clean slate (earlier suites share this JVM/session)

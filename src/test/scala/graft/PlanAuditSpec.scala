@@ -803,6 +803,42 @@ class PlanAuditSpec extends AnyFunSuite {
       "the scored relation must persist — the band sort and the join both read it")
   }
 
+  test("benford_first_digit: histogram cached for both consumers; expectation and total broadcast") {
+    val p = plan("benford_first_digit")
+    // the 9-row histogram persists; the output side AND the scalar
+    // total both read the cache (each InMemoryTableScan stringifies
+    // the one cached scan, so count cache reads, not FileScans)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "digit histogram must be cached and reused by output + total")
+    assert(p.contains("partial_count"), "digit counts must map-side combine")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "the 9-row Benford table and the 1-row total must both broadcast")
+  }
+
+  test("pareto_share: cumulative is an equi self-join over 5 grouped rows, never a BNLJ or window") {
+    val p = plan("pareto_share")
+    assert(!p.contains("Window"), "pareto must not plan a window")
+    assert(p.contains("InMemoryTableScan"),
+      "the per-customer rollup and the band rollup must persist")
+    // the >= condition is materialized as a 15-row literal pair
+    // relation — the global no-BNLJ gate already covers the rest
+  }
+
+  test("discount_elasticity: dimension join + one five-moment partial aggregate, no window") {
+    val p = plan("discount_elasticity")
+    assert(!p.contains("Window"), "the closed form needs no window")
+    assert(p.contains("partial_"), "the moment sums must map-side combine")
+  }
+
+  test("ship_latency: one month exchange; counts and medians broadcast back") {
+    val p = plan("ship_latency")
+    assert(p.contains("InMemoryTableScan"),
+      "the ranked relation must persist — counts, median pick and stats all read it")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "the |months|-row count and median tables must broadcast")
+    assert(p.contains("partial_"), "latency stats must map-side combine")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

@@ -949,6 +949,69 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("benford: digit domain, trunc-crumb share sum, and the deviation identity hold") {
+    val out = Relational.benfordDeviation(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSet.subsetOf((1L to 9L).toSet))
+    val s = out.map(_._3).sum
+    assert(s <= 1048576L && s >= 1048576L - 9L,
+      s"truncated shares must sum to within 9 of 2^20, got $s")
+    out.foreach { case (d, _, share, bq, dev) =>
+      assert(dev === math.abs(share - bq), s"digit $d deviation identity")
+    }
+  }
+
+  test("pareto_share: top band cumulates to exactly 2^20 and cum-share decreases with band") {
+    val out = Relational.paretoShare(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(out.map(_._1) === (1L to 5L).toArray)
+    // band 1's cumulative covers everything: (total·2^20) div total
+    assert(out.head._4 === 1048576L)
+    assert(out.map(_._4).sliding(2).forall(p => p(0) >= p(1)),
+      "cumulative-from-top share must be non-increasing in band")
+    assert(out.map(_._2).max - out.map(_._2).min <= 1, "exact quintiles")
+    graft.CacheScope.release()
+  }
+
+  test("discount_elasticity equals the BigInt OLS reference on every fixture part type") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_discount"), col("l_quantity"))
+      .collect().map(r => (r.getLong(0),
+        BigInt(math.floor(r.getDouble(1) * 100 + 0.5).toLong),
+        BigInt(math.round(r.getDouble(2)))))
+    val types = graft.sources.Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_type"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = li.groupBy(r => types(r._1)).flatMap { case (t, g) =>
+      val n = BigInt(g.length)
+      val (sx, sy) = (g.map(_._2).sum, g.map(_._3).sum)
+      val sxy = g.map(r => r._2 * r._3).sum
+      val sxx = g.map(r => r._2 * r._2).sum
+      val den = n * sxx - sx * sx
+      if (den > 0) Some(t -> ((n * sxy - sx * sy) * 1048576 / den).toLong) else None
+    }
+    val got = Relational.discountElasticity(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
+  test("ship_latency: medians sit inside [min,max], counts cover every lineitem") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val out = Relational.shipLatency(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val total = graft.sources.Tables.lineitem(spark, dir).count()
+    assert(out.map(_._2).sum === total, "every lineitem lands in exactly one month")
+    out.foreach { case (om, n, mn, mx, mean100, p50) =>
+      assert(mn <= p50 && p50 <= mx, s"month $om median outside [min,max]")
+      assert(mn * 100 <= mean100 && mean100 <= mx * 100, s"month $om mean outside range")
+    }
+    graft.CacheScope.release()
+  }
+
   test("rfm_segment bands partition the customers evenly and the code composes the digits") {
     val out = Relational.rfmSegment(spark, "/root/testdata/sf0.001").collect()
     val n = out.length
