@@ -1360,6 +1360,75 @@ object Relational {
         expr("cast(sc div n as bigint)").as("mean_cents"))
   }
 
+  /** Exact spend percentile per customer — percent_rank as a
+    * FEATURE column ("this account sits at p93 of lifetime spend"),
+    * on the 2²⁰ rank lattice: `pct_q = (rank−1)·2²⁰ div (n−1)` under
+    * the total order (cents, custkey) — bottom = 0, top = 2²⁰
+    * exactly. The rank is the [[rfmSegment]] distributed-sort +
+    * zipWithIndex machinery, never a single-task percent_rank()
+    * window; DuckDB replays with row_number under the same order.
+    * The n−1 denominator is percent_rank's own convention; a
+    * single-customer corpus degenerates to pct 0 via the max(·,1)
+    * guard.
+    *
+    * Scale shape: fact → |customers| partial+final, one dimension
+    * sort, a narrow map — no joins at all. */
+  def spendPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("key"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("key")).agg(sum(col("cents")).as("x"))
+    val n = per.count()
+    val d = math.max(n - 1L, 1L)
+    per.orderBy(col("x").asc, col("key").asc)
+      .select(col("key"), col("x")).as[(Long, Long)]
+      .rdd.zipWithIndex()
+      .map { case ((k, x), i) => (k, x, i * 1048576L / d) }
+      .toDF("c_custkey", "spend_cents", "pct_q")
+  }
+
+  /** Exact discrete quantile table of `value` per event type —
+    * p10/p25/p50/p75/p90 as ORDER STATISTICS on the rank lattice
+    * (`rn = (n−1)·p div 100 + 1` under (vq, event_id) — the
+    * winsorized_mean rule, no interpolation anywhere), the summary
+    * block a metrics dashboard renders per series. agg_approx_quantile
+    * gates the SKETCHED path; this is its exact companion, and the
+    * five probes share ONE ranked pass instead of five percentile
+    * calls.
+    *
+    * Scale shape: one event_type exchange feeds the ranking window;
+    * the 5-percent probe grid rides [[ScalarJoin.broadcastCross]]
+    * against the |types|-row counts (a 5·|types| rank lookup, all
+    * broadcast); the probe hits pivot back via a |types|-group
+    * partial+final fold. */
+  def quantileTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("vq").asc, col("event_id").asc)
+    val ranked = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("cast(floor(value * 1000000) as bigint)").as("vq"))
+      .withColumn("rn", row_number().over(w))
+      .persistScoped()
+    val counts = ranked.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val probes = ScalarJoin.broadcastCross(
+      counts, col("n"),
+      Seq(10L, 25L, 50L, 75L, 90L).toDF("p"), col("p"))
+      .select(col("event_type"), col("n"), col("p"),
+        (expr("(n - 1) * p div 100") + 1L).as("r"))
+    val hits = ranked.join(broadcast(probes), Seq("event_type"))
+      .filter(col("rn") === col("r"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("p") === 10L, col("vq"))).as("p10_q"),
+        max(when(col("p") === 25L, col("vq"))).as("p25_q"),
+        max(when(col("p") === 50L, col("vq"))).as("p50_q"),
+        max(when(col("p") === 75L, col("vq"))).as("p75_q"),
+        max(when(col("p") === 90L, col("vq"))).as("p90_q"))
+    hits
+  }
+
   /** Discount elasticity of demand per part type — the pricing
     * question ("does a deeper discount actually move more units of
     * this product family") as a per-group exact OLS slope of
@@ -2823,6 +2892,8 @@ object Relational {
     "pareto_share"     -> paretoShare,
     "discount_elasticity" -> discountElasticity,
     "ship_latency"     -> shipLatency,
+    "spend_percentile" -> spendPercentile,
+    "quantile_table"   -> quantileTable,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
@@ -3450,6 +3521,33 @@ object Relational {
         |  CAST(m_band AS BIGINT) AS m_band,
         |  CAST(r_band * 100 + f_band * 10 + m_band AS BIGINT) AS rfm_code
         |FROM base JOIN rb USING (key) JOIN fb USING (key) JOIN mb USING (key)""".stripMargin,
+    "spend_percentile" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS key,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |nn AS (SELECT greatest(count(*) - 1, 1) AS d FROM per),
+        |r AS (SELECT key, x, row_number() OVER (ORDER BY x, key) - 1 AS i FROM per)
+        |SELECT key AS c_custkey, x AS spend_cents,
+        |  CAST((CAST(i AS HUGEINT) * 1048576) // (SELECT d FROM nn) AS BIGINT) AS pct_q
+        |FROM r""".stripMargin,
+    "quantile_table" ->
+      """WITH b AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vq
+        |  FROM events),
+        |r AS (SELECT event_type, vq,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY vq, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM b)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rn = (n - 1) * 10 // 100 + 1 THEN vq END) AS p10_q,
+        |  max(CASE WHEN rn = (n - 1) * 25 // 100 + 1 THEN vq END) AS p25_q,
+        |  max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN vq END) AS p50_q,
+        |  max(CASE WHEN rn = (n - 1) * 75 // 100 + 1 THEN vq END) AS p75_q,
+        |  max(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN vq END) AS p90_q
+        |FROM r GROUP BY event_type""".stripMargin,
     "benford_first_digit" -> benfordSql,
     "pareto_share" -> paretoSql,
     "discount_elasticity" -> discountElasticitySql,

@@ -290,6 +290,118 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), bucket.as("bucket"))
   }
 
+  /** Per-document shingle novelty — the corpus-freshness score a
+    * pretraining pipeline uses to rank incremental crawls ("how much
+    * of this document's trigram mass has the corpus never seen"):
+    * a shingle is NOVEL in the lowest-doc_id document that contains
+    * it (ingestion order; the dedup_keep min-id convention), and a
+    * doc's novelty is its novel share on the 2²⁰ lattice. Boilerplate
+    * templates score → 0, fresh prose → 2²⁰; docs under the 3-token
+    * shingle width have no shingles and drop (the docShinglesOf
+    * contract, pinned in EdgeCaseSpec).
+    *
+    * Scale shape: distinct (doc, shingle) pairs persist ONCE; the
+    * first-occurrence relation is ONE partial+final min-aggregate on
+    * the shingle key, the verdict joins back on the SAME key (the
+    * partitioning is reused — no second wide shuffle of the pair
+    * stream), and the per-doc fold is a second partial+final
+    * aggregate. Shuffles carry (hash-sized shingle, id) pairs, never
+    * text bodies. */
+  def shingleNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.docShingles(spark, dir)
+      .repartition(col("shingle")).persistScoped()
+    val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("cast((cast(n_novel as decimal(38,0)) * 1048576) div n_shingles as bigint)")
+          .as("novelty_q"))
+  }
+
+  /** The DuckDB trigram pipeline (the Dedup ShinglesCte window build,
+    * re-stated here up to `sh`) + first-occurrence novelty. */
+  private def shingleNoveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS w,
+      |         unnest(range(1, len(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '))+1)) AS pos
+      |  FROM documents),
+      |tok2 AS (SELECT * FROM toks WHERE w <> ''),
+      |tri AS (
+      |  SELECT doc_id, w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win AS shingle,
+      |         lead(w,2) OVER win AS w2
+      |  FROM tok2 WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM tri WHERE w2 IS NOT NULL),
+      |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST((CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS HUGEINT) * 1048576)
+      |       // count(*) AS BIGINT) AS novelty_q
+      |FROM sh JOIN f USING (shingle)
+      |GROUP BY doc_id""".stripMargin
+
+  /** Vocabulary growth curve (Heaps' law, V ∝ Nᵝ) over ingestion
+    * order — the corpus-scaling diagnostic that says whether more
+    * data still buys new vocabulary: docs cut into ten ingestion
+    * deciles by doc_id, each reporting its token occurrences, its
+    * NEW types (tokens whose first-occurrence doc lands in the
+    * decile — the min-doc_id lattice again) and the cumulative type
+    * count. Cumulation over the 10 grouped rows is the pareto_share
+    * literal pair EQUI join — never a global window.
+    *
+    * Scale shape: one explode → per-(token) partial+final min/count...
+    * precisely: the (token → first_doc, global tf per decile) both
+    * derive from ONE exchange on the token key; everything after is
+    * ≤ 10-row metadata. n_docs is one scalar (the pagerank-N rule). */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = filter(split(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", " ")), " "),
+      t => length(t) > 0)
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val tok = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .select(expr(s"(doc_id * 10) div $nDocs").as("bucket"),
+        col("doc_id"), col("tok"))
+      .repartition(col("tok")).persistScoped()
+    val occ = tok.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val newTypes = tok.groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+      .select(expr(s"(fd * 10) div $nDocs").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val pairs = (for { b <- 0L until 10L; b2 <- 0L to b } yield (b, b2))
+      .toDF("bucket", "b2")
+    val cum = broadcast(pairs)
+      .join(newTypes.select(col("bucket").as("b2"), col("new_types").as("nt2")), "b2")
+      .groupBy(col("bucket")).agg(sum(col("nt2")).as("cum_types"))
+    // LEFT joins: a saturated decile (zero new types — exactly what
+    // Heaps saturation looks like, and what a small synthetic
+    // vocabulary produces for every decile after the first) must
+    // still report its row
+    occ.join(broadcast(newTypes), Seq("bucket"), "left")
+      .join(broadcast(cum), Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"),
+        coalesce(col("cum_types"), lit(0L)).as("cum_types"))
+  }
+
+  private def vocabGrowthSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')) AS tok
+      |  FROM documents),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |t AS (SELECT (doc_id * 10) // (SELECT n FROM n) AS bucket, doc_id, tok FROM d),
+      |occ AS (SELECT bucket, count(*) AS n_tokens FROM t GROUP BY 1),
+      |ft AS (SELECT tok, min(doc_id) AS fd FROM t GROUP BY 1),
+      |nt AS (SELECT (fd * 10) // (SELECT n FROM n) AS bucket, count(*) AS new_types
+      |       FROM ft GROUP BY 1),
+      |c AS (SELECT o.bucket, CAST(coalesce(sum(b.new_types), 0) AS BIGINT) AS cum_types
+      |      FROM occ o LEFT JOIN nt b ON b.bucket <= o.bucket GROUP BY 1)
+      |SELECT occ.bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types, c.cum_types
+      |FROM occ LEFT JOIN nt USING (bucket) JOIN c USING (bucket)""".stripMargin
+
   /** Corpus vocabulary head: the 100 most frequent tokens with term
     * and document frequencies — the first step of tokenizer/BPE
     * training and OOV analysis. One explode + one partial+final agg +
@@ -802,6 +914,8 @@ object TextAnalysis {
     "text_repetition" -> textRepetition,
     "text_redact"     -> textRedact,
     "vocab_topk"      -> vocabTopk,
+    "shingle_novelty" -> shingleNovelty,
+    "vocab_growth"    -> vocabGrowth,
     "doc_chunks"      -> docChunks,
     "doc_sample"      -> docSampleStratified,
     "freq_topk"       -> freqTopk,
@@ -929,6 +1043,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
 
   val oracles: Map[String, String] = Map(
+    "shingle_novelty" -> shingleNoveltySql,
+    "vocab_growth" -> vocabGrowthSql,
     "bigram_pmi" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
          |p AS (SELECT doc_id, unnest(toks) AS w,

@@ -40,7 +40,8 @@ class CacheScopeSpec extends AnyFunSuite {
     "label_prop", "kcore", "phash_dedup", "cms_counts",
     "sssp_weighted", "rfm_segment", "hits_scores", "winsorized_mean",
     "assoc_rules", "decile_lift", "pareto_share", "ship_latency",
-    "benford_first_digit")
+    "benford_first_digit", "shingle_novelty", "vocab_growth",
+    "quantile_table")
 
   test("persisting operators leave zero orphaned blocks after release()") {
     // start from a clean slate (earlier suites share this JVM/session)

@@ -839,6 +839,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "latency stats must map-side combine")
   }
 
+  test("shingle_novelty: pairs persist on the shingle key; min-agg and join share it") {
+    val p = plan("shingle_novelty")
+    assert(p.contains("InMemoryTableScan"),
+      "the (doc, shingle) pairs must persist — first-occurrence and verdict both read them")
+    assert(p.contains("partial_min"), "first-occurrence must map-side combine")
+  }
+
+  test("vocab_growth: one token exchange; decile rollups are metadata joins") {
+    val p = plan("vocab_growth")
+    assert(p.contains("InMemoryTableScan"),
+      "the token stream must persist — occurrence and first-type folds both read it")
+    assert(!p.contains("Window"), "cumulation is the literal pair equi join, never a window")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "the 10-row decile relations must broadcast")
+  }
+
+  test("spend_percentile: no window, no join — rank comes from the distributed sort") {
+    val p = plan("spend_percentile")
+    assert(!p.contains("Window"), "percent_rank() over () is the banned single-task window")
+    assert(!p.contains("Join"), "the percentile map is narrow over the sorted rank RDD")
+  }
+
+  test("quantile_table: one ranked pass serves all five probes") {
+    val p = plan("quantile_table")
+    assert(p.contains("InMemoryTableScan"),
+      "the ranked relation must persist — counts and probe pick both read it")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "the probe grid and rank lookups must broadcast")
+    assert("Window".r.findAllIn(p).size <= 2,
+      "exactly one ranking window (it may print per cache consumer), not one per probe")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

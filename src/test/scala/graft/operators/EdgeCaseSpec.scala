@@ -1012,6 +1012,64 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("shingle_novelty: first doc scores 2^20, an exact copy scores 0, fresh text scores full") {
+    import org.apache.spark.sql.functions.{col, count, lit, min, sum, when}
+    val d = Seq(
+      1L -> "alpha beta gamma delta",     // all shingles first seen here
+      2L -> "alpha beta gamma delta",     // exact copy → 0 novel
+      3L -> "epsilon zeta eta theta")     // disjoint → full novelty
+      .toDF("doc_id", "text")
+    val sh = Dedup.docShinglesOf(d).repartition(col("shingle"))
+    val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    // replicate the operator's fold over the planted corpus
+    val got = sh.join(first, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((2L, 2L)), 2L -> ((2L, 0L)), 3L -> ((2L, 2L))))
+  }
+
+  test("vocab_growth: cum_types is non-decreasing and ends at the distinct token count") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.vocabGrowth(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out.map(_._1) === (0L to 9L).toArray)
+    assert(out.map(_._4).sliding(2).forall(p => p(0) <= p(1)), "cum must be monotone")
+    assert(out.map(_._3).sum === out.last._4, "new types telescope into the final cum")
+    val vocab = TextAnalysis.vocabTopk(spark, dir).count()
+    assert(out.last._4 === vocab || vocab === 100L,
+      "final cum equals the distinct vocabulary (vocabTopk truncates at 100)")
+    graft.CacheScope.release()
+  }
+
+  test("spend_percentile: bottom is 0, top is exactly 2^20, and ranks are strictly ordered") {
+    val out = Relational.spendPercentile(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sorted = out.sortBy(r => (r._2, r._1))
+    assert(sorted.head._3 === 0L && sorted.last._3 === 1048576L)
+    assert(sorted.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+      "pct must be monotone along the spend order")
+  }
+
+  test("quantile_table probes are ordered and each sits inside the type's value range") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = "/root/testdata/sf0.001"
+    val rng = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("min(cast(floor(value * 1000000) as bigint))").as("mn"),
+        expr("max(cast(floor(value * 1000000) as bigint))").as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    Relational.quantileTable(spark, dir).collect().foreach { r =>
+      val (mn, mx) = rng(r.getString(0))
+      val ps = (2 to 6).map(r.getLong)
+      assert(ps === ps.sorted, s"${r.getString(0)}: probes must be non-decreasing")
+      assert(ps.head >= mn && ps.last <= mx)
+    }
+    graft.CacheScope.release()
+  }
+
   test("rfm_segment bands partition the customers evenly and the code composes the digits") {
     val out = Relational.rfmSegment(spark, "/root/testdata/sf0.001").collect()
     val n = out.length
