@@ -1360,6 +1360,187 @@ object Relational {
         expr("cast(sc div n as bigint)").as("mean_cents"))
   }
 
+  /** Weekly growth-accounting table (new / active / resurrected) —
+    * the user-lifecycle state machine every growth dashboard runs:
+    * each user-week of activity classifies by the user's OWN
+    * timeline (first week ever = new; consecutive week = active;
+    * returned after a gap = resurrected), then rolls up to per-week
+    * state counts. Weeks are integer epoch-weeks (`epoch_days div
+    * 7` — no engine week-numbering conventions), and the state
+    * expression is the same CASE cascade in both engines, so the
+    * gate is hash-exact. Churn rows (the 4th state) need a dense
+    * week grid and belong to a reporting layer — documented out.
+    *
+    * Scale shape: distinct user-weeks collapse the event stream
+    * FIRST (partial+final distinct on ≤ |users|·|weeks| keys), then
+    * the sessionize shape — one user exchange feeds lag() — and one
+    * final small rollup. */
+  def userLifecycle(spark: SparkSession, dir: String): DataFrame =
+    userLifecycleOf(Tables.events(spark, dir))
+
+  /** The state-machine core over any events-shaped frame — extracted
+    * for planted-timeline specs. */
+  private[operators] def userLifecycleOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk").asc)
+    events
+      .select(col("user_id"),
+        expr("(unix_micros(ts) div 86400000000) div 7").as("wk"))
+      // ONE user exchange: hash-partitioning on user_id alone
+      // satisfies the (user, wk) distinct's clustered distribution,
+      // and the lag window then rides the same partitioning — a
+      // bare .distinct() would shuffle on both keys and force the
+      // window to re-shuffle
+      .repartition(col("user_id"))
+      .distinct()
+      .withColumn("prev", lag(col("wk"), 1).over(w))
+      .select(col("wk"),
+        when(col("prev").isNull, "new")
+          .when(col("wk") - col("prev") === 1L, "active")
+          .otherwise("resurrected").as("state"))
+      .groupBy(col("wk"), col("state"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private def userLifecycleSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    (epoch_us(ts) // 86400000000) // 7 AS wk
+      |  FROM events),
+      |s AS (SELECT wk,
+      |        CASE WHEN lag(wk, 1) OVER win IS NULL THEN 'new'
+      |             WHEN wk - lag(wk, 1) OVER win = 1 THEN 'active'
+      |             ELSE 'resurrected' END AS state
+      |      FROM uw WINDOW win AS (PARTITION BY user_id ORDER BY wk))
+      |SELECT wk, state, count(*) AS n_users
+      |FROM s GROUP BY wk, state""".stripMargin
+
+  /** Price/volume/mix bridge between the corpus's two halves — the
+    * revenue-variance decomposition every finance review runs
+    * ("how much of the change is more UNITS vs higher PRICE"): per
+    * part brand, ΔRevenue splits into
+    *
+    *   volume = (q₂−q₁)·p̄₁,  price = q₂·(p̄₂−p̄₁),  residual
+    *
+    * with p̄ the per-unit cents `r div q` and the residual keeping
+    * the bridge EXACTLY additive (volume + price + residual =
+    * r₂ − r₁ by construction — trunc division's crumbs land in the
+    * residual instead of silently unbalancing the bridge, which is
+    * what float decompositions do). Periods split at the midpoint
+    * epoch-day of the order-date range (a data-derived scalar — no
+    * wall clock); brands active in only one period drop (no p̄ to
+    * bridge — documented).
+    *
+    * Scale shape: ONE pass over the joined fact (conditional
+    * partial+final sums per brand — no second scan for the second
+    * period), the part dimension broadcast-able, min/max dates one
+    * scalar aggregate. */
+  def priceVolumeMix(spark: SparkSession, dir: String): DataFrame = {
+    val od = expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)")
+    val bounds = Tables.orders(spark, dir).agg(min(od).as("mn"), max(od).as("mx")).head
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2L
+    val j = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast(DecimalType(38, 0)).as("q"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as decimal(38,0))").as("r"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), od.as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+    j.groupBy(col("p_brand"))
+      .agg(sum(when(col("od") <= mid, col("q")).otherwise(lit(0L))).as("q1"),
+        sum(when(col("od") <= mid, col("r")).otherwise(lit(0L))).as("r1"),
+        sum(when(col("od") > mid, col("q")).otherwise(lit(0L))).as("q2"),
+        sum(when(col("od") > mid, col("r")).otherwise(lit(0L))).as("r2"))
+      .filter(col("q1") > 0 && col("q2") > 0)
+      .select(col("p_brand"),
+        expr("cast(q1 as bigint)").as("q1"), expr("cast(r1 as bigint)").as("r1"),
+        expr("cast(q2 as bigint)").as("q2"), expr("cast(r2 as bigint)").as("r2"),
+        expr("cast((q2 - q1) * (r1 div q1) as bigint)").as("volume_effect"),
+        expr("cast(q2 * ((r2 div q2) - (r1 div q1)) as bigint)").as("price_effect"))
+      .withColumn("residual",
+        col("r2") - col("r1") - col("volume_effect") - col("price_effect"))
+  }
+
+  private def priceVolumeMixSql: String =
+    """WITH bounds AS (
+      |  SELECT (min(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+      |         + max(CAST(o_orderdate AS DATE) - DATE '1970-01-01')) // 2 AS mid
+      |  FROM orders),
+      |j AS (
+      |  SELECT p_brand,
+      |    CASE WHEN CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+      |              <= (SELECT mid FROM bounds) THEN 1 ELSE 0 END AS p1,
+      |    CAST(l_quantity AS HUGEINT) AS q,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS r
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey),
+      |g AS (
+      |  SELECT p_brand,
+      |    sum(CASE WHEN p1 = 1 THEN q ELSE 0 END) AS q1,
+      |    sum(CASE WHEN p1 = 1 THEN r ELSE 0 END) AS r1,
+      |    sum(CASE WHEN p1 = 0 THEN q ELSE 0 END) AS q2,
+      |    sum(CASE WHEN p1 = 0 THEN r ELSE 0 END) AS r2
+      |  FROM j GROUP BY p_brand)
+      |SELECT p_brand,
+      |  CAST(q1 AS BIGINT) AS q1, CAST(r1 AS BIGINT) AS r1,
+      |  CAST(q2 AS BIGINT) AS q2, CAST(r2 AS BIGINT) AS r2,
+      |  CAST((q2 - q1) * (r1 // q1) AS BIGINT) AS volume_effect,
+      |  CAST(q2 * ((r2 // q2) - (r1 // q1)) AS BIGINT) AS price_effect,
+      |  CAST((r2 - r1) - (q2 - q1) * (r1 // q1)
+      |       - q2 * ((r2 // q2) - (r1 // q1)) AS BIGINT) AS residual
+      |FROM g WHERE q1 > 0 AND q2 > 0""".stripMargin
+
+  /** Herfindahl–Hirschman supplier-concentration index per nation —
+    * the antitrust/market-structure metric ("is this nation's supply
+    * base a monopoly or a long tail"), HHI = Σ shareᵢ² over each
+    * nation's supplier revenue shares, on the 2²⁰ lattice:
+    * `(2²⁰·Σrᵢ²) div (Σr)²` — 2²⁰ at monopoly, →2²⁰/k for k equal
+    * suppliers. Intermediates widen to decimal(38)/HUGEINT; note
+    * (Σr)² is the headroom bound (a 10¹⁹-cent national market nicks
+    * decimal(38) — at that scale drop the lattice to 2¹⁰ or bucket
+    * by sub-market; documented, the simpson precedent).
+    *
+    * Scale shape: two chained partial+final aggregates ((nation,
+    * supplier) revenue → per-nation fold — the simpson shape), the
+    * supplier dimension broadcast-able, nation names attached by a
+    * 25-row broadcast. */
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("r"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum(col("r")).as("sr"))
+    perSupp.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("sr").cast(DecimalType(38, 0))).as("tot"),
+        sum(col("sr").cast(DecimalType(38, 0)) * col("sr")).as("ss"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+        col("n_suppliers"), expr("cast(tot as bigint)").as("total_cents"),
+        expr("cast((1048576 * ss) div (tot * tot) as bigint)").as("hhi_q"))
+  }
+
+  private def supplierHhiSql: String =
+    """WITH ps AS (
+      |  SELECT s_nationkey, s_suppkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS sr
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT s_nationkey, count(*) AS n_suppliers,
+      |    sum(sr) AS tot, sum(sr * sr) AS ss
+      |  FROM ps GROUP BY 1)
+      |SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |  CAST(n_suppliers AS BIGINT) AS n_suppliers,
+      |  CAST(tot AS BIGINT) AS total_cents,
+      |  CAST((1048576 * ss) // (tot * tot) AS BIGINT) AS hhi_q
+      |FROM g JOIN nation ON s_nationkey = n_nationkey""".stripMargin
+
   /** Exact spend percentile per customer — percent_rank as a
     * FEATURE column ("this account sits at p93 of lifetime spend"),
     * on the 2²⁰ rank lattice: `pct_q = (rank−1)·2²⁰ div (n−1)` under
@@ -2894,6 +3075,9 @@ object Relational {
     "ship_latency"     -> shipLatency,
     "spend_percentile" -> spendPercentile,
     "quantile_table"   -> quantileTable,
+    "user_lifecycle"   -> userLifecycle,
+    "price_volume_mix" -> priceVolumeMix,
+    "supplier_hhi"     -> supplierHhi,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
@@ -3521,6 +3705,9 @@ object Relational {
         |  CAST(m_band AS BIGINT) AS m_band,
         |  CAST(r_band * 100 + f_band * 10 + m_band AS BIGINT) AS rfm_code
         |FROM base JOIN rb USING (key) JOIN fb USING (key) JOIN mb USING (key)""".stripMargin,
+    "user_lifecycle" -> userLifecycleSql,
+    "price_volume_mix" -> priceVolumeMixSql,
+    "supplier_hhi" -> supplierHhiSql,
     "spend_percentile" ->
       """WITH per AS (
         |  SELECT o_custkey AS key,

@@ -871,6 +871,28 @@ class PlanAuditSpec extends AnyFunSuite {
       "exactly one ranking window (it may print per cache consumer), not one per probe")
   }
 
+  test("user_lifecycle: one user exchange serves distinct, lag, and the week rollup input") {
+    val p = plan("user_lifecycle")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size <= 1,
+      "distinct and the lag window must share the single user_id exchange")
+    assert(p.contains("partial_"), "the distinct and rollup must map-side combine")
+  }
+
+  test("price_volume_mix: one conditional pass builds both periods; no window") {
+    val p = plan("price_volume_mix")
+    assert(!p.contains("Window"), "the bridge needs no window")
+    assert(p.contains("partial_sum"), "period sums must map-side combine")
+    assert("FileScan parquet".r.findAllIn(p).size <= 3,
+      "lineitem/orders/part each scan at most once — no second pass for period two")
+  }
+
+  test("supplier_hhi: chained partial aggregates; nation names broadcast") {
+    val p = plan("supplier_hhi")
+    assert(!p.contains("Window"), "the fold needs no window")
+    assert(p.contains("partial_sum"), "revenue sums must map-side combine")
+    assert(p.contains("BroadcastHashJoin"), "the 25-row nation table must broadcast")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

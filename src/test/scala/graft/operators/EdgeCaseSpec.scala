@@ -1070,6 +1070,47 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("user_lifecycle: a planted timeline walks new → active → resurrected") {
+    import org.apache.spark.sql.functions.{col, expr, to_timestamp}
+    // user 1: weeks 0,1,3 → new, active, resurrected;
+    // user 2: week 1 only → new; two events in one week dedup
+    val ev = Seq(
+      (1L, "1970-01-02"), (1L, "1970-01-03"),   // week 0 ×2 → one row
+      (1L, "1970-01-09"),                        // week 1
+      (1L, "1970-01-23"),                        // week 3 (gap)
+      (2L, "1970-01-09"))
+      .toDF("user_id", "d")
+      .withColumn("ts", to_timestamp(col("d")))
+    val got = Relational.userLifecycleOf(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (0L, "new") -> 1L, (1L, "new") -> 1L, (1L, "active") -> 1L,
+      (3L, "resurrected") -> 1L))
+  }
+
+  test("price_volume_mix: the bridge is exactly additive on every fixture brand") {
+    val out = Relational.priceVolumeMix(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (r1, r2) = (r.getLong(2), r.getLong(4))
+      val (vol, price, res) = (r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(vol + price + res === r2 - r1,
+        s"brand ${r.getString(0)}: volume+price+residual must equal the revenue delta")
+    }
+  }
+
+  test("supplier_hhi sits in (2^20/k, 2^20] and hits the uniform floor only at equal shares") {
+    val out = Relational.supplierHhi(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (k, hhi) = (r.getLong(2), r.getLong(4))
+      assert(hhi <= 1048576L, s"${r.getString(1)}: HHI cannot exceed monopoly")
+      assert(hhi >= 1048576L / k - 1L,
+        s"${r.getString(1)}: HHI is bounded below by the uniform mix 1/k")
+    }
+    graft.CacheScope.release()
+  }
+
   test("rfm_segment bands partition the customers evenly and the code composes the digits") {
     val out = Relational.rfmSegment(spark, "/root/testdata/sf0.001").collect()
     val n = out.length
