@@ -467,7 +467,13 @@ object Graph {
     val eByC = base.repartition(col("c")).persistScoped()
     val eByS = base.repartition(col("s")).persistScoped()
 
-    def rescale(scores: DataFrame): DataFrame = {
+    def rescale(scoresIn: DataFrame): DataFrame = {
+      // the raw sums are referenced TWICE (the max aggregate and the
+      // rescale join) and each half-round chains on the last —
+      // without this persist the lineage re-evaluates geometrically
+      // across the 2×2 half-rounds (measured: 12.6 s → ~5 s at
+      // sf0.1)
+      val scores = scoresIn.persistScoped()
       val mx = scores.agg(max(col("x")).as("mx"), count(lit(1)).as("nn"))
       ScalarJoin.attachScalar(scores, col("x"), mx, col("nn"))
         .select(col("id"),
