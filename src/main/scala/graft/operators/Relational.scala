@@ -1491,6 +1491,196 @@ object Relational {
       |       - q2 * ((r2 // q2) - (r1 // q1)) AS BIGINT) AS residual
       |FROM g WHERE q1 > 0 AND q2 > 0""".stripMargin
 
+  /** Categorical distribution drift between the corpus's two halves
+    * — the data-quality monitor for ENUM columns ("did the
+    * order-priority mix shift after the release"), the distribution
+    * companion to union_drift's SCHEMA drift: per category, both
+    * periods' counts and 2²⁰-lattice shares plus the per-category
+    * share delta (total-variation distance = Σdrift_q div 2 — left
+    * to the reader's sum so the table stays per-category). The
+    * period split is the [[priceVolumeMix]] data-derived midpoint;
+    * categories absent from a period report share 0 via the
+    * conditional sums (never dropped — absence IS drift).
+    *
+    * Scale shape: one conditional partial+final pass over the fact
+    * (the PVM shape), the two totals attached by one ScalarJoin
+    * broadcast. */
+  def categoryDrift(spark: SparkSession, dir: String): DataFrame = {
+    val od = expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)")
+    val bounds = Tables.orders(spark, dir).agg(min(od).as("mn"), max(od).as("mx")).head
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2L
+    val g = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), od.as("od"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(when(col("od") <= mid, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("od") > mid, 1L).otherwise(0L)).as("n2"))
+      .persistScoped()
+    val tot = g.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"),
+      count(lit(1)).as("nn"))
+    ScalarJoin.attachScalar(g, col("n1") + col("n2"), tot, col("nn"))
+      .select(col("o_orderpriority"), col("n1"), col("n2"),
+        expr("cast((cast(n1 as decimal(38,0)) * 1048576) div t1 as bigint)").as("share1_q"),
+        expr("cast((cast(n2 as decimal(38,0)) * 1048576) div t2 as bigint)").as("share2_q"))
+      .withColumn("drift_q", abs(col("share1_q") - col("share2_q")))
+  }
+
+  private def categoryDriftSql: String =
+    """WITH bounds AS (
+      |  SELECT (min(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+      |         + max(CAST(o_orderdate AS DATE) - DATE '1970-01-01')) // 2 AS mid
+      |  FROM orders),
+      |b AS (
+      |  SELECT o_orderpriority,
+      |    CASE WHEN CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+      |              <= (SELECT mid FROM bounds) THEN 1 ELSE 0 END AS p1
+      |  FROM orders),
+      |g AS (
+      |  SELECT o_orderpriority,
+      |    sum(CASE WHEN p1 = 1 THEN 1 ELSE 0 END) AS n1,
+      |    sum(CASE WHEN p1 = 0 THEN 1 ELSE 0 END) AS n2
+      |  FROM b GROUP BY 1),
+      |t AS (SELECT CAST(sum(n1) AS HUGEINT) AS t1,
+      |             CAST(sum(n2) AS HUGEINT) AS t2 FROM g)
+      |SELECT o_orderpriority, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST((CAST(n1 AS HUGEINT) * 1048576) // (SELECT t1 FROM t) AS BIGINT) AS share1_q,
+      |  CAST((CAST(n2 AS HUGEINT) * 1048576) // (SELECT t2 FROM t) AS BIGINT) AS share2_q,
+      |  abs(CAST((CAST(n1 AS HUGEINT) * 1048576) // (SELECT t1 FROM t) AS BIGINT)
+      |    - CAST((CAST(n2 AS HUGEINT) * 1048576) // (SELECT t2 FROM t) AS BIGINT)) AS drift_q
+      |FROM g""".stripMargin
+
+  /** Nation-to-nation trade-flow matrix — the classic OLAP rollup of
+    * the full star ("how much does FRANCE buy from GERMANY"):
+    * customer nation × supplier nation revenue in exact cents, plus
+    * each cell's share of its BUYER-nation row on the 2²⁰ lattice
+    * (which supplier-nations a buyer concentrates on — the
+    * [[supplierHhi]] question in matrix form). ~|nations|² output.
+    *
+    * Scale shape: the fact stream takes TWO broadcast dimension
+    * hops (customer and supplier are dimension-scale; at 100 TB
+    * they'd be bucketed or still broadcast — either way the fact
+    * never wide-shuffles for the dimensions), one partial+final
+    * (c_nation, s_nation) aggregate, and the 25-row row totals
+    * broadcast back — the seasonal_profile shape. */
+  def tradeMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name").as("cust_nation"))),
+        "c_nationkey")
+    val sn = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("supp_nation"))),
+        "s_nationkey")
+    val g = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("r"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(sum(col("r")).as("revenue_cents"))
+    val rowTot = g.groupBy(col("cust_nation"))
+      .agg(sum(col("revenue_cents").cast(DecimalType(38, 0))).as("rt"))
+    g.join(broadcast(rowTot), "cust_nation")
+      .select(col("cust_nation"), col("supp_nation"), col("revenue_cents"),
+        expr("cast((cast(revenue_cents as decimal(38,0)) * 1048576) div rt as bigint)")
+          .as("row_share_q"))
+  }
+
+  private def tradeMatrixSql: String =
+    """WITH g AS (
+      |  SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS revenue_cents
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  GROUP BY 1, 2),
+      |rt AS (SELECT cust_nation, CAST(sum(revenue_cents) AS HUGEINT) AS rt
+      |       FROM g GROUP BY 1)
+      |SELECT g.cust_nation, g.supp_nation, g.revenue_cents,
+      |  CAST((CAST(g.revenue_cents AS HUGEINT) * 1048576) // rt.rt AS BIGINT)
+      |    AS row_share_q
+      |FROM g JOIN rt USING (cust_nation)""".stripMargin
+
+  /** Churn label + feature assembly — the FEATURE-STORE join a churn
+    * model trains on, end to end inside the engine: per customer the
+    * RFM raw metrics ([[rfmSegment]]'s aggregate), the purchase
+    * cadence ([[purchaseGaps]]' exact mean gap), and a reproducible
+    * label `churned = r_days > 2·(median inter-purchase gap of the
+    * whole corpus)` — the median is a DISCRETE rank-lattice order
+    * statistic over per-customer mean gaps (one scalar, data-derived
+    * — no wall clock, no magic constant), so the label set is
+    * hash-exact. Single-order customers carry no cadence: their
+    * mean_gap is the −1 sentinel (null-free gate) and they label by
+    * recency alone.
+    *
+    * Scale shape: two |customers|-row aggregates joined on the key,
+    * the median one dimension-scale sort-free rank pick (ranked by
+    * the distributed-sort lattice), label a narrow map. */
+  def churnLabel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rfm = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c_custkey"),
+        expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)").as("od"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("c_custkey"))
+      .agg(max(col("od")).as("last_od"), count(lit(1)).as("f"),
+        sum(col("cents")).as("m_cents"))
+      .persistScoped()
+    val anchor = rfm.agg(max(col("last_od"))).head.getLong(0)
+    val gaps = purchaseGaps(spark, dir)
+      .select(col("c_custkey"), col("mean_gap_x100"))
+      .persistScoped()
+    // corpus median of per-customer mean gaps: the spend_percentile
+    // rank machinery picks the (n-1)*50 div 100 + 1 element
+    val n = gaps.count()
+    val medIdx = (n - 1L) * 50L / 100L
+    val med = gaps.orderBy(col("mean_gap_x100").asc, col("c_custkey").asc)
+      .select(col("mean_gap_x100")).as[Long]
+      .rdd.zipWithIndex().filter(_._2 == medIdx).map(_._1).collect().head
+    rfm.join(gaps, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), (lit(anchor) - col("last_od")).as("r_days"),
+        col("f"), col("m_cents"),
+        coalesce(col("mean_gap_x100"), lit(-1L)).as("mean_gap_x100"))
+      .withColumn("churned",
+        (col("r_days") * 100L > lit(2L * med)).cast("int").cast("long"))
+  }
+
+  private def churnLabelSql: String =
+    """WITH rfm AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS last_od,
+      |    count(*) AS f,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m_cents
+      |  FROM orders GROUP BY 1),
+      |anchor AS (SELECT max(last_od) AS a FROM rfm),
+      |b AS (
+      |  SELECT o_custkey AS key, o_orderkey AS ok,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS od
+      |  FROM orders),
+      |gp AS (SELECT key,
+      |         od - lag(od, 1) OVER (PARTITION BY key ORDER BY od, ok) AS gap
+      |       FROM b),
+      |gaps AS (SELECT key AS c_custkey,
+      |           CAST((CAST(sum(gap) AS HUGEINT) * 100) // count(*) AS BIGINT) AS mean_gap_x100
+      |         FROM gp WHERE gap IS NOT NULL GROUP BY key),
+      |r AS (SELECT mean_gap_x100,
+      |        row_number() OVER (ORDER BY mean_gap_x100, c_custkey) AS rn FROM gaps),
+      |nn AS (SELECT count(*) AS n FROM gaps),
+      |med AS (SELECT mean_gap_x100 AS m FROM r
+      |        WHERE rn = (SELECT (n - 1) * 50 // 100 + 1 FROM nn))
+      |SELECT rfm.c_custkey,
+      |  CAST((SELECT a FROM anchor) - last_od AS BIGINT) AS r_days,
+      |  CAST(f AS BIGINT) AS f, m_cents,
+      |  coalesce(gaps.mean_gap_x100, -1) AS mean_gap_x100,
+      |  CAST(CASE WHEN ((SELECT a FROM anchor) - last_od) * 100
+      |            > 2 * (SELECT m FROM med) THEN 1 ELSE 0 END AS BIGINT) AS churned
+      |FROM rfm LEFT JOIN gaps USING (c_custkey)""".stripMargin
+
   /** Herfindahl–Hirschman supplier-concentration index per nation —
     * the antitrust/market-structure metric ("is this nation's supply
     * base a monopoly or a long tail"), HHI = Σ shareᵢ² over each
@@ -3078,6 +3268,9 @@ object Relational {
     "user_lifecycle"   -> userLifecycle,
     "price_volume_mix" -> priceVolumeMix,
     "supplier_hhi"     -> supplierHhi,
+    "category_drift"   -> categoryDrift,
+    "trade_matrix"     -> tradeMatrix,
+    "churn_label"      -> churnLabel,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
@@ -3708,6 +3901,9 @@ object Relational {
     "user_lifecycle" -> userLifecycleSql,
     "price_volume_mix" -> priceVolumeMixSql,
     "supplier_hhi" -> supplierHhiSql,
+    "category_drift" -> categoryDriftSql,
+    "trade_matrix" -> tradeMatrixSql,
+    "churn_label" -> churnLabelSql,
     "spend_percentile" ->
       """WITH per AS (
         |  SELECT o_custkey AS key,

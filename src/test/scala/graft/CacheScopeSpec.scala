@@ -41,7 +41,7 @@ class CacheScopeSpec extends AnyFunSuite {
     "sssp_weighted", "rfm_segment", "hits_scores", "winsorized_mean",
     "assoc_rules", "decile_lift", "pareto_share", "ship_latency",
     "benford_first_digit", "shingle_novelty", "vocab_growth",
-    "quantile_table")
+    "quantile_table", "category_drift", "churn_label")
 
   test("persisting operators leave zero orphaned blocks after release()") {
     // start from a clean slate (earlier suites share this JVM/session)

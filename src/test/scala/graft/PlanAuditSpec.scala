@@ -893,6 +893,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "the 25-row nation table must broadcast")
   }
 
+  test("category_drift: one conditional fact pass; totals broadcast") {
+    val p = plan("category_drift")
+    assert(!p.contains("Window"), "drift needs no window")
+    assert(p.contains("partial_sum"), "period counts must map-side combine")
+    assert(p.contains("BroadcastHashJoin"), "the 1-row totals must broadcast")
+  }
+
+  test("trade_matrix: the fact never wide-shuffles for dimensions; row totals broadcast") {
+    val p = plan("trade_matrix")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "customer/supplier/nation hops and row totals must broadcast")
+    assert(p.contains("partial_sum"), "cell sums must map-side combine")
+    assert(!p.contains("SortMergeJoin") ||
+      "SortMergeJoin".r.findAllIn(p).size <= 1,
+      "only the orders-lineitem fact join may merge; dimensions broadcast")
+  }
+
+  test("churn_label: two customer-grain aggregates, no global window for the median") {
+    val p = plan("churn_label")
+    assert(p.contains("InMemoryTableScan"),
+      "rfm and gaps aggregates must persist — median pick and join both read them")
+    // each InMemoryTableScan stringifies its cached subtree (which
+    // contains that aggregate's one exchange) — so the count is
+    // per-consumer-printed internal exchanges, not extra shuffles
+    assert("Exchange hashpartitioning\\(c_custkey".r.findAllIn(p).size <= 4,
+      "the feature join rides the two grouped relations")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

@@ -1111,6 +1111,51 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("category_drift: both periods' shares each sum to 2^20 minus trunc crumbs") {
+    val out = Relational.categoryDrift(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val k = out.length
+    Seq(out.map(_._2).sum, out.map(_._3).sum).foreach { s =>
+      assert(s <= 1048576L && s >= 1048576L - k,
+        s"period shares must sum to within $k of 2^20, got $s")
+    }
+    out.foreach { case (c, s1, s2, d) =>
+      assert(d === math.abs(s1 - s2), s"category $c drift identity")
+    }
+    graft.CacheScope.release()
+  }
+
+  test("trade_matrix: row shares sum to 2^20 per buyer nation; cells reconcile to total revenue") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = "/root/testdata/sf0.001"
+    val out = Relational.tradeMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out.groupBy(_._1).foreach { case (cn, rows) =>
+      val s = rows.map(_._4).sum
+      assert(s <= 1048576L && s >= 1048576L - rows.length,
+        s"$cn: row shares must sum to within ${rows.length} of 2^20")
+    }
+    val total = graft.sources.Tables.lineitem(spark, dir)
+      .agg(expr("sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint))"))
+      .head.getLong(0)
+    assert(out.map(_._3).sum === total,
+      "matrix cells must reconcile exactly to corpus revenue")
+  }
+
+  test("churn_label: labels are monotone in recency and single-order customers carry the sentinel") {
+    val out = Relational.churnLabel(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(out.exists(_._4 == 1L) && out.exists(_._4 == 0L),
+      "the fixture must exercise both labels")
+    val threshold = out.filter(_._4 == 0L).map(_._1).max
+    assert(out.filter(_._4 == 1L).forall(_._1 > threshold),
+      "every churned customer is MORE stale than every retained one")
+    out.filter(_._2 == 1L).foreach { r =>
+      assert(r._3 === -1L, "single-order customers carry the -1 cadence sentinel")
+    }
+    graft.CacheScope.release()
+  }
+
   test("rfm_segment bands partition the customers evenly and the code composes the digits") {
     val out = Relational.rfmSegment(spark, "/root/testdata/sf0.001").collect()
     val n = out.length
