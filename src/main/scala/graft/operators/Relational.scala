@@ -1491,6 +1491,120 @@ object Relational {
       |       - q2 * ((r2 // q2) - (r1 // q1)) AS BIGINT) AS residual
       |FROM g WHERE q1 > 0 AND q2 > 0""".stripMargin
 
+  /** Week-over-week revenue growth in basis points — the top-line
+    * trend metric every revenue dashboard leads with: weekly cents
+    * totals (engine-neutral epoch-weeks, the user_lifecycle rule),
+    * then `growth_bp = ((rₜ − rₜ₋₁)·10⁴) div rₜ₋₁` off one lag —
+    * exact integral basis points, negatives under the trunc rule.
+    * The first week has no predecessor and drops.
+    *
+    * Scale shape: the fact collapses to |weeks| rows partial+final
+    * FIRST; the lag window then runs over a TIME-GRAIN-bounded
+    * relation (rows grow with calendar span, not data volume — the
+    * one class of relation where a single-partition window is
+    * legitimate at any scale, same reasoning as resample grids). */
+  def revenueWow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("wk").asc)
+    Tables.orders(spark, dir)
+      .select(
+        expr("(cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)) div 7")
+          .as("wk"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("wk")).agg(sum(col("cents")).as("revenue_cents"))
+      .withColumn("prev", lag(col("revenue_cents"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("wk"), col("revenue_cents"),
+        expr("cast(((cast(revenue_cents as decimal(38,0)) - prev) * 10000) div prev as bigint)")
+          .as("growth_bp"))
+  }
+
+  private def revenueWowSql: String =
+    """WITH g AS (
+      |  SELECT (CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)) // 7 AS wk,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS revenue_cents
+      |  FROM orders GROUP BY 1),
+      |l AS (SELECT wk, revenue_cents,
+      |        lag(revenue_cents, 1) OVER (ORDER BY wk) AS prev FROM g)
+      |SELECT wk, revenue_cents,
+      |  CAST(((CAST(revenue_cents AS HUGEINT) - prev) * 10000) // prev AS BIGINT)
+      |    AS growth_bp
+      |FROM l WHERE prev IS NOT NULL""".stripMargin
+
+  /** Running-peak drawdown of weekly revenue — the risk metric
+    * ("how far below the best week ever are we") finance runs on
+    * every series: per week the running maximum so far and the
+    * drawdown `((peak − r)·2²⁰) div peak` on the lattice — 0 at a
+    * fresh peak, → 2²⁰ toward total collapse. Same time-grain-
+    * bounded window note as [[revenueWow]]; the running max is ONE
+    * unbounded-preceding frame over the |weeks|-row rollup.
+    *
+    * Scale shape: partial+final weekly fold first; everything
+    * windowed is calendar-bounded metadata. */
+  def drawdown(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("wk").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(
+        expr("(cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)) div 7")
+          .as("wk"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("wk")).agg(sum(col("cents")).as("revenue_cents"))
+      .withColumn("peak_cents", max(col("revenue_cents")).over(w))
+      .select(col("wk"), col("revenue_cents"), col("peak_cents"),
+        expr("cast(((cast(peak_cents as decimal(38,0)) - revenue_cents) * 1048576) div peak_cents as bigint)")
+          .as("drawdown_q"))
+  }
+
+  private def drawdownSql: String =
+    """WITH g AS (
+      |  SELECT (CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)) // 7 AS wk,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS revenue_cents
+      |  FROM orders GROUP BY 1),
+      |p AS (SELECT wk, revenue_cents,
+      |        max(revenue_cents) OVER (ORDER BY wk
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_cents
+      |      FROM g)
+      |SELECT wk, revenue_cents, peak_cents,
+      |  CAST(((CAST(peak_cents AS HUGEINT) - revenue_cents) * 1048576)
+      |       // peak_cents AS BIGINT) AS drawdown_q
+      |FROM p""".stripMargin
+
+  /** Duplicate-charge screen — the accounts-payable error primitive
+    * ("the same part billed twice on one invoice"): every
+    * (order, part) pair that appears on MORE than one line, with the
+    * line count, combined quantity and cents, and the price spread
+    * between the repeated lines (a zero spread is the classic
+    * double-keying signature; a wide one is a pricing error). Pure
+    * partial+final aggregation with a HAVING — no self-join at all,
+    * so the screen costs one shuffle of (order, part, partials) at
+    * any scale (the blocking-not-pairs dedup lesson taken to its
+    * limit: the "block" IS the group).
+    */
+  def dupCharges(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast(DecimalType(38, 0)).as("q"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("l_orderkey"), col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("cast(sum(q) as bigint)").as("total_qty"),
+        sum(col("cents")).as("total_cents"),
+        (max(col("cents")) - min(col("cents"))).as("spread_cents"))
+      .filter(col("n_lines") > 1L)
+
+  private def dupChargesSql: String =
+    """SELECT l_orderkey, l_partkey, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS HUGEINT)) AS BIGINT) AS total_qty,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS total_cents,
+      |  max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |    - min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS spread_cents
+      |FROM lineitem
+      |GROUP BY l_orderkey, l_partkey
+      |HAVING count(*) > 1""".stripMargin
+
   /** Categorical distribution drift between the corpus's two halves
     * — the data-quality monitor for ENUM columns ("did the
     * order-priority mix shift after the release"), the distribution
@@ -3271,6 +3385,9 @@ object Relational {
     "category_drift"   -> categoryDrift,
     "trade_matrix"     -> tradeMatrix,
     "churn_label"      -> churnLabel,
+    "revenue_wow"      -> revenueWow,
+    "drawdown"         -> drawdown,
+    "dup_charges"      -> dupCharges,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
@@ -3904,6 +4021,9 @@ object Relational {
     "category_drift" -> categoryDriftSql,
     "trade_matrix" -> tradeMatrixSql,
     "churn_label" -> churnLabelSql,
+    "revenue_wow" -> revenueWowSql,
+    "drawdown" -> drawdownSql,
+    "dup_charges" -> dupChargesSql,
     "spend_percentile" ->
       """WITH per AS (
         |  SELECT o_custkey AS key,

@@ -921,6 +921,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "the feature join rides the two grouped relations")
   }
 
+  test("revenue_wow / drawdown: fold to the week grain BEFORE any window") {
+    Seq("revenue_wow", "drawdown").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("partial_sum"), s"$name weekly fold must map-side combine")
+      // the single-partition window is legitimate ONLY because its
+      // input is the already-aggregated |weeks|-row relation — the
+      // partial agg must appear BELOW the window in the plan
+      assert(p.indexOf("partial_sum") > p.indexOf("Window"),
+        s"$name must aggregate to weeks before the time-series window")
+    }
+  }
+
+  test("dup_charges: the screen is one aggregation — no self-join at any scale") {
+    val p = plan("dup_charges")
+    assert(!p.contains("Join"), "the block IS the group: no self-join")
+    assert(p.contains("partial_"), "line folds must map-side combine")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

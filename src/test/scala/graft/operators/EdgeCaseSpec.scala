@@ -1156,6 +1156,53 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("drawdown: peaks are the running max, zero at fresh peaks, in [0, 2^20)") {
+    val out = Relational.drawdown(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    var peak = Long.MinValue
+    out.foreach { case (wk, rev, p, dq) =>
+      peak = math.max(peak, rev)
+      assert(p === peak, s"week $wk: peak must be the running max")
+      if (rev == peak) assert(dq === 0L, s"week $wk: fresh peak has zero drawdown")
+      assert(dq >= 0L && dq < 1048576L)
+    }
+  }
+
+  test("revenue_wow growth replays from consecutive revenue pairs, trunc rule included") {
+    val out = Relational.revenueWow(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val dd = Relational.drawdown(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (wk, rev, bp) =>
+      assert(dd(wk) === rev)
+      // only check weeks whose CONSECUTIVE predecessor exists — lag
+      // runs over the ordered week sequence, so a calendar gap makes
+      // the lagged value a different (earlier) week
+      dd.get(wk - 1).foreach { prev =>
+        assert(bp === (BigInt(rev - prev) * 10000 / prev).toLong, s"week $wk growth")
+      }
+    }
+    assert(out.exists(_._3 < 0) && out.exists(_._3 > 0),
+      "fixture must exercise both growth signs")
+    graft.CacheScope.release()
+  }
+
+  test("dup_charges: every flagged group really has >1 line and exact totals") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val raw = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        BigInt(math.floor(r.getDouble(2) * 100 + 0.5).toLong)))
+    val want = raw.groupBy(_._1).filter(_._2.length > 1).map { case (k, g) =>
+      k -> ((g.length.toLong, g.map(_._2).sum.toLong, (g.map(_._2).max - g.map(_._2).min).toLong))
+    }
+    val got = Relational.dupCharges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got === want)
+  }
+
   test("rfm_segment bands partition the customers evenly and the code composes the digits") {
     val out = Relational.rfmSegment(spark, "/root/testdata/sf0.001").collect()
     val n = out.length
