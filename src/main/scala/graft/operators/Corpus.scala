@@ -550,8 +550,80 @@ object Corpus {
       .withColumn("keep", (col("reason") === "ok").cast("long"))
   }
 
+  /** Packing-efficiency report per shard — the eval that says
+    * whether [[packSequences]]' greedy layout actually fills its
+    * 2048-token training sequences: per shard the doc count, total
+    * BPE tokens, the sequence count `ceil(total div SeqLen)` the
+    * layout consumes, the fill share on the 2²⁰ lattice, and the
+    * padding waste in tokens. Fill < ~95% means the packer is
+    * leaving GPU batch slots empty — the number the training-infra
+    * review asks for.
+    *
+    * Scale shape: one partial+final fold over the packed relation's
+    * (shard, n_bpe) columns — the packer's own window machinery is
+    * not re-run; its OUTPUT is the input (operator composition, the
+    * corpus_clean precedent). */
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame =
+    packSequences(spark, dir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens")).as("total_bpe"))
+      .select(col("shard"), col("n_docs"), col("total_bpe"),
+        expr(s"cast((total_bpe + ${SeqLen - 1}) div $SeqLen as bigint)").as("n_seqs"))
+      .select(col("shard"), col("n_docs"), col("total_bpe"), col("n_seqs"),
+        expr(s"cast((cast(total_bpe as decimal(38,0)) * 1048576) div (n_seqs * $SeqLen) as bigint)")
+          .as("fill_q"),
+        (col("n_seqs") * SeqLen - col("total_bpe")).as("waste_tokens"))
+
+  private def packEfficiencySql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+       |bc AS (
+       |  SELECT doc_id, CAST(sum(${TextAnalysis.BpeCaseSql}) AS BIGINT) AS nb
+       |  FROM toks GROUP BY doc_id),
+       |t AS (
+       |  SELECT d.doc_id, ${bucketSql(21, PackShards)} AS shard,
+       |    COALESCE(bc.nb, 0) AS n_bpe_tokens
+       |  FROM documents d LEFT JOIN bc ON d.doc_id = bc.doc_id),
+       |g AS (SELECT shard, count(*) AS n_docs,
+       |        CAST(sum(n_bpe_tokens) AS BIGINT) AS total_bpe
+       |      FROM t GROUP BY shard)
+       |SELECT shard, CAST(n_docs AS BIGINT) AS n_docs, total_bpe,
+       |  (total_bpe + ${SeqLen - 1}) // $SeqLen AS n_seqs,
+       |  CAST((CAST(total_bpe AS HUGEINT) * 1048576)
+       |       // (((total_bpe + ${SeqLen - 1}) // $SeqLen) * $SeqLen) AS BIGINT) AS fill_q,
+       |  ((total_bpe + ${SeqLen - 1}) // $SeqLen) * $SeqLen - total_bpe AS waste_tokens
+       |FROM g""".stripMargin
+
+  /** Source × language composition matrix — the corpus-governance
+    * table ("which crawl sources carry which languages, and in what
+    * proportion"): counts per (source, lang) with each cell's share
+    * of its SOURCE row on the 2²⁰ lattice — the trade_matrix shape
+    * on document metadata. Pure two-aggregate rollup; the row
+    * totals broadcast back.
+    */
+  def sourceLangMix(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = g.groupBy(col("source")).agg(sum(col("n_docs")).as("st"))
+    g.join(broadcast(tot), "source")
+      .select(col("source"), col("lang"), col("n_docs"),
+        expr("cast((cast(n_docs as decimal(38,0)) * 1048576) div st as bigint)")
+          .as("source_share_q"))
+  }
+
+  private def sourceLangMixSql: String =
+    """WITH g AS (SELECT source, lang, count(*) AS n_docs
+      |           FROM documents GROUP BY 1, 2),
+      |t AS (SELECT source, CAST(sum(n_docs) AS HUGEINT) AS st FROM g GROUP BY 1)
+      |SELECT g.source, g.lang, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST((CAST(n_docs AS HUGEINT) * 1048576) // st AS BIGINT) AS source_share_q
+      |FROM g JOIN t USING (source)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean"   -> corpusClean,
+    "pack_efficiency" -> packEfficiency,
+    "source_lang_mix" -> sourceLangMix,
     "pack_sequences" -> packSequences,
     "contamination"  -> contamination,
     "sample_per_key" -> samplePerKey,
@@ -609,6 +681,8 @@ object Corpus {
     // compaction must be row-lossless: the re-read equals the source
     "compact_files" ->
       "SELECT doc_id, lang, n_chars FROM documents",
+    "pack_efficiency" -> packEfficiencySql,
+    "source_lang_mix" -> sourceLangMixSql,
     "corpus_clean" -> CleanSql,
     // windows via generate_series per doc; the same md5 arithmetic
     // plans identical spans, so the mask layout hash-gates

@@ -90,6 +90,45 @@ object Dedup {
       .groupBy("text_hash")
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact-duplicate rate per crawl source — the corpus-governance
+    * rollup over [[dedupExact]]'s verdicts ("which sources are
+    * feeding us copies"): per source, doc count, the number of
+    * NON-representative exact copies (min-doc_id keeps, the dedup
+    * convention), and the duplicate share on the 2²⁰ lattice. Each
+    * engine groups by ITS OWN content hash — the hashes never cross
+    * the oracle boundary, so cross-engine hash equality is not
+    * required (the dedup_exact rule).
+    *
+    * Scale shape: the hashed projection (16-byte hash, id, source —
+    * never text) persists once; representative choice is one
+    * partial+final min on the hash key, the verdict join reuses the
+    * same partitioning, and the source rollup is a second
+    * partial+final fold. */
+  def dedupBySource(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("h"))
+      .repartition(col("h")).persistScoped()
+    val reps = d.groupBy(col("h")).agg(min(col("doc_id")).as("rep"))
+    d.join(reps, "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("rep"), 1L).otherwise(0L)).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        expr("cast((cast(n_dups as decimal(38,0)) * 1048576) div n_docs as bigint)")
+          .as("dup_share_q"))
+  }
+
+  private def dedupBySourceSql: String =
+    """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+      |r AS (SELECT h, min(doc_id) AS rep FROM d GROUP BY 1)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+      |  CAST((CAST(sum(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS HUGEINT)
+      |        * 1048576) // count(*) AS BIGINT) AS dup_share_q
+      |FROM d JOIN r USING (h)
+      |GROUP BY source""".stripMargin
+
   /** Shingles appearing in more than this many documents are dropped
     * from the [[dedupNgramJaccard]] universe before the self-join. A
     * single boilerplate shingle in d docs contributes d² join rows —
@@ -989,6 +1028,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_fuzzy"     -> dedupFuzzy,
     "dedup_exact"     -> dedupExact,
+    "dedup_by_source" -> dedupBySource,
     "dedup_ngram"     -> dedupNgramJaccard,
     "ngram_containment" -> ngramContainment,
     "simjoin_prefix"  -> simjoinPrefix,
@@ -1139,6 +1179,7 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_by_source" -> dedupBySourceSql,
     "dedup_ngram" -> ExactJaccardSql,
     // containment replays the same shingle pipeline with BOTH pair
     // directions (the string surgery keeps the two CTEs in lockstep —

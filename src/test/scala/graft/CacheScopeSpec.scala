@@ -41,7 +41,8 @@ class CacheScopeSpec extends AnyFunSuite {
     "sssp_weighted", "rfm_segment", "hits_scores", "winsorized_mean",
     "assoc_rules", "decile_lift", "pareto_share", "ship_latency",
     "benford_first_digit", "shingle_novelty", "vocab_growth",
-    "quantile_table", "category_drift", "churn_label")
+    "quantile_table", "category_drift", "churn_label",
+    "dedup_by_source")
 
   test("persisting operators leave zero orphaned blocks after release()") {
     // start from a clean slate (earlier suites share this JVM/session)

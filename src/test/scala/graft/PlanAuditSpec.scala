@@ -939,6 +939,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "line folds must map-side combine")
   }
 
+  test("pack_efficiency / source_lang_mix / dedup_by_source: governance rollups stay fold-shaped") {
+    Seq("pack_efficiency", "source_lang_mix", "dedup_by_source").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("partial_"), s"$name folds must map-side combine")
+    }
+    assert(plan("source_lang_mix").contains("BroadcastHashJoin"),
+      "the source row totals must broadcast back")
+    assert(plan("dedup_by_source").contains("InMemoryTableScan"),
+      "the hashed projection must persist — rep choice and verdict join both read it")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

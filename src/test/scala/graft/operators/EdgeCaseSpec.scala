@@ -1203,6 +1203,44 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("pack_efficiency: fill and waste reconcile exactly against pack_sequences totals") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val dir = "/root/testdata/sf0.001"
+    val packed = Corpus.packSequences(spark, dir)
+      .groupBy(col("shard")).agg(sum(col("n_bpe_tokens")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Corpus.packEfficiency(spark, dir).collect().foreach { r =>
+      val (shard, total, nSeqs, fill, waste) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(total === packed(shard), s"shard $shard totals reconcile")
+      assert(nSeqs === (total + 2047L) / 2048L)
+      assert(waste === nSeqs * 2048L - total)
+      assert(fill > 0L && fill <= 1048576L)
+    }
+    graft.CacheScope.release()
+  }
+
+  test("dedup_by_source: duplicate counts reconcile with dedup_exact's copy groups") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val extraCopies = Dedup.dedupExact(spark, dir).collect()
+      .map(r => r.getLong(2) - 1L).sum
+    val bySource = Dedup.dedupBySource(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(bySource.map(_._2).sum === extraCopies,
+      "per-source duplicate counts must sum to the corpus-wide non-representative copies")
+    graft.CacheScope.release()
+  }
+
+  test("source_lang_mix: each source's shares sum to 2^20 minus trunc crumbs") {
+    val out = Corpus.sourceLangMix(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    out.groupBy(_._1).foreach { case (s, rows) =>
+      val t = rows.map(_._2).sum
+      assert(t <= 1048576L && t >= 1048576L - rows.length, s"source $s crumb bound")
+    }
+  }
+
   test("rfm_segment bands partition the customers evenly and the code composes the digits") {
     val out = Relational.rfmSegment(spark, "/root/testdata/sf0.001").collect()
     val n = out.length
