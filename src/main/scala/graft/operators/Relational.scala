@@ -1491,6 +1491,50 @@ object Relational {
       |       - q2 * ((r2 // q2) - (r1 // q1)) AS BIGINT) AS residual
       |FROM g WHERE q1 > 0 AND q2 > 0""".stripMargin
 
+  /** Audience-overlap Jaccard between event types — the behavioral
+    * set-similarity matrix ("do the users who click also purchase"),
+    * exact on the 2²⁰ lattice: per type pair, |A∩B| from a
+    * canonically-oriented self-join of the DISTINCT (type, user)
+    * relation blocked on the USER key (per-user fan-out is
+    * C(|types a user touches|, 2) — an enum-cardinality bound, the
+    * copurchase basket rule, never all-pairs), margins broadcast
+    * back, `jaccard_q = (2²⁰·∩) div (n_a + n_b − ∩)`.
+    *
+    * Scale shape: the distinct relation persists once (pairs and
+    * margins both read it), ONE shuffle on user_id for the pair
+    * join, the |types|-row margins broadcast twice. */
+  def typeJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.events(spark, dir)
+      .select(col("event_type").as("t"), col("user_id"))
+      .distinct()
+      .repartition(col("user_id")).persistScoped()
+    val cnt = s.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    s.as("a").join(s.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(cnt.select(col("t").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(cnt.select(col("t").as("type_b"), col("n").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("inter"),
+        expr("cast((cast(inter as decimal(38,0)) * 1048576) div (n_a + n_b - inter) as bigint)")
+          .as("jaccard_q"))
+  }
+
+  private def typeJaccardSql: String =
+    """WITH s AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+      |cnt AS (SELECT t, count(*) AS n FROM s GROUP BY 1),
+      |i AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS inter
+      |      FROM s a JOIN s b ON a.user_id = b.user_id AND a.t < b.t
+      |      GROUP BY 1, 2)
+      |SELECT type_a, type_b,
+      |  CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+      |  CAST(inter AS BIGINT) AS inter,
+      |  CAST((CAST(inter AS HUGEINT) * 1048576)
+      |       // (ca.n + cb.n - inter) AS BIGINT) AS jaccard_q
+      |FROM i
+      |JOIN cnt ca ON i.type_a = ca.t
+      |JOIN cnt cb ON i.type_b = cb.t""".stripMargin
+
   /** Week-over-week revenue growth in basis points — the top-line
     * trend metric every revenue dashboard leads with: weekly cents
     * totals (engine-neutral epoch-weeks, the user_lifecycle rule),
@@ -3386,6 +3430,7 @@ object Relational {
     "trade_matrix"     -> tradeMatrix,
     "churn_label"      -> churnLabel,
     "revenue_wow"      -> revenueWow,
+    "type_jaccard"     -> typeJaccard,
     "drawdown"         -> drawdown,
     "dup_charges"      -> dupCharges,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -4022,6 +4067,7 @@ object Relational {
     "trade_matrix" -> tradeMatrixSql,
     "churn_label" -> churnLabelSql,
     "revenue_wow" -> revenueWowSql,
+    "type_jaccard" -> typeJaccardSql,
     "drawdown" -> drawdownSql,
     "dup_charges" -> dupChargesSql,
     "spend_percentile" ->

@@ -636,6 +636,65 @@ object Similarity {
       .select(col("vec_id"), col("scale"),
         array_join(transform(col("q"), x => x.cast("string")), ",").as("q"))
 
+  /** Embedding-distribution drift per class — the model-ops monitor
+    * ("did this label's embedding cloud move between ingestion
+    * batches"): vectors split into two pseudo-batches by vec_id
+    * parity, each (label, batch) gets an exact lattice centroid
+    * (`Σ floor(x·2²⁰) div n` per dimension — the QScale rule, trunc
+    * division), and the drift is the integer squared L2 between the
+    * two centroids. A genuine distribution shift shows up as a
+    * per-label outlier; at fixture both halves draw from one
+    * distribution so drifts are small and — the point — EXACTLY
+    * reproducible. Labels missing a batch drop (nothing to bridge).
+    *
+    * Scale shape: one explode to (label, half, dim) partials —
+    * partial+final all the way (64·|labels|·2 grouped rows), no
+    * joins, no windows; the dimension pivot is a second fold over
+    * grouped metadata. */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        (col("vec_id") % 2L).as("half"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("label"), col("half"), col("d"),
+        expr(s"cast(floor(cast(x as double) * $QScale) as bigint)").as("q"))
+    val cent = e.groupBy(col("label"), col("half"), col("d"))
+      .agg(expr("cast(sum(cast(q as decimal(38,0))) div count(1) as bigint)").as("c"),
+        count(lit(1)).as("n"))
+    cent.groupBy(col("label"), col("d"))
+      .agg(max(when(col("half") === 0L, col("c"))).as("ca"),
+        max(when(col("half") === 1L, col("c"))).as("cb"),
+        max(when(col("half") === 0L, col("n"))).as("na"),
+        max(when(col("half") === 1L, col("n"))).as("nb"))
+      .filter(col("ca").isNotNull && col("cb").isNotNull)
+      .groupBy(col("label"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(expr("cast((ca - cb) as decimal(38,0)) * (ca - cb)")).as("ds"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        expr("cast(ds as bigint)").as("drift_sq"))
+  }
+
+  private def embedDriftSql: String =
+    s"""WITH e AS (
+       |  SELECT label, vec_id % 2 AS half,
+       |    unnest(range(len(embedding))) AS d,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $QScale.0) AS BIGINT) AS q
+       |  FROM embeddings),
+       |c AS (SELECT label, half, d,
+       |        CAST(sum(q) // count(*) AS BIGINT) AS c, count(*) AS n
+       |      FROM e GROUP BY 1, 2, 3),
+       |p AS (SELECT label, d,
+       |        max(CASE WHEN half = 0 THEN c END) AS ca,
+       |        max(CASE WHEN half = 1 THEN c END) AS cb,
+       |        max(CASE WHEN half = 0 THEN n END) AS na,
+       |        max(CASE WHEN half = 1 THEN n END) AS nb
+       |      FROM c GROUP BY 1, 2)
+       |SELECT CAST(label AS BIGINT) AS label,
+       |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       |  CAST(sum(CAST(ca - cb AS HUGEINT) * (ca - cb)) AS BIGINT) AS drift_sq
+       |FROM p WHERE ca IS NOT NULL AND cb IS NOT NULL
+       |GROUP BY label""".stripMargin
+
   /** Contrastive training-pair assembly — the step that turns a
     * similarity index into a training set: POSITIVES are the verified
     * near-dup pairs ([[graft.operators.Dedup.dedupEmbedding]] — its
@@ -1188,6 +1247,7 @@ object Similarity {
     "ann_ivfpq" -> annIvfPq,
     "ann_graph" -> annGraph,
     "embed_q8" -> embedQuantize,
+    "embed_drift" -> embedDrift,
     "embed_pq" -> embedPq,
     "knn_join" -> knnJoin,
     "knn_classify" -> knnClassify,
@@ -1429,6 +1489,7 @@ object Similarity {
         |  CAST(0 AS BIGINT) AS label
         |FROM negid g JOIN e ea ON ea.vec_id = g.anchor
         |             JOIN e eb ON eb.vec_id = g.cand""".stripMargin,
+    "embed_drift" -> embedDriftSql,
     "embed_q8" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,

@@ -950,6 +950,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "the hashed projection must persist — rep choice and verdict join both read it")
   }
 
+  test("embed_drift: explode-then-fold, partial all the way, no joins or windows") {
+    val p = plan("embed_drift")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "centroid drift is pure chained aggregation")
+    assert(p.contains("partial_"), "dimension partials must map-side combine")
+  }
+
+  test("type_jaccard: pair join blocks on the user key; margins broadcast") {
+    val p = plan("type_jaccard")
+    assert(p.contains("InMemoryTableScan"),
+      "the distinct (type, user) relation must persist — pairs and margins read it")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "both |types|-row margins must broadcast")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

