@@ -423,6 +423,102 @@ object Graph {
        |SELECT id, CAST(d AS BIGINT) AS d FROM r$SsspRounds""".stripMargin
   }
 
+  /** Weight-proportional PageRank over the cent-weighted purchase
+    * graph — the ranking that asks "who moves the MONEY", not "who
+    * has the most links": each vertex distributes its rank over its
+    * out-edges proportionally to the edge's cent weight (the
+    * [[ssspWeighted]] min-cheapest-lineitem pair weights,
+    * symmetrized), so a supplier bound to one big-ticket customer
+    * outranks one with many trinket links. Same integer lattice as
+    * [[rankEdges]] with the per-edge share `(r·w) div W(u)` in
+    * decimal(38) (r·w reaches 2³⁰·cents — past int64 at real
+    * ticket sizes) and the identical 17/20 damping; the oracle is
+    * the pagerankSql unrolled chain with the weight share carried
+    * through.
+    *
+    * Scale shape: identical to rankEdges — (u, v, w, W) denormalized
+    * and persisted once, hash-partitioned on the join key; per round
+    * only the (id, r) state shuffles plus one partial+final sum. */
+  def pagerankWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + SuppOffset).as("s"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("w"))
+      .groupBy(col("c"), col("s")).agg(min(col("w")).as("w"))
+    val edges = pair.select(col("c").as("u"), col("s").as("v"), col("w"))
+      .unionAll(pair.select(col("s").as("u"), col("c").as("v"), col("w")))
+      .persistScoped()
+    val outw = edges.groupBy(col("u")).agg(sum(col("w")).as("tw"))
+    val n = outw.count()
+    val r0 = Scale / n
+    val tele = (3L * r0) / 20L
+    val edgeW = edges.join(outw, "u")
+      .select(col("u"), col("v"), col("w"), col("tw"))
+      .repartition(col("u")).persistScoped()
+    var r = outw.select(col("u").as("id"), lit(r0).as("r"))
+    for (_ <- 1 to Rounds) {
+      r = edgeW.as("e")
+        .join(r.as("p"), col("e.u") === col("p.id"))
+        .groupBy(col("e.v"))
+        .agg(sum(expr("cast(p.r as decimal(38,0)) * e.w div e.tw")).as("sm"))
+        .select(col("v").as("id"),
+          (lit(tele) + expr("cast((17 * sm) div 20 as bigint)")).as("r"))
+    }
+    r.select(col("id"), col("r").as("rank_scaled"),
+      (col("r") / lit(Scale.toDouble)).as("rank"))
+  }
+
+  private def pagerankWeightedSql: String = {
+    val rounds = (1 to Rounds).map { i =>
+      s"""r$i AS (
+         |  SELECT e.v AS id,
+         |    (SELECT tele FROM consts)
+         |      + ((17 * CAST(sum((CAST(p.r AS HUGEINT) * e.w) // e.tw) AS BIGINT)) // 20) AS r
+         |  FROM edges e
+         |  JOIN r${i - 1} p ON e.u = p.id
+         |  GROUP BY e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pair AS (
+       |  SELECT o_custkey AS c, l_suppkey + $SuppOffset AS s,
+       |    min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |e0 AS (SELECT c AS u, s AS v, w FROM pair
+       |       UNION ALL SELECT s AS u, c AS v, w FROM pair),
+       |outw AS (SELECT u, CAST(sum(w) AS BIGINT) AS tw FROM e0 GROUP BY u),
+       |edges AS (SELECT e0.u, e0.v, e0.w, outw.tw FROM e0 JOIN outw ON e0.u = outw.u),
+       |consts AS (SELECT ($Scale // count(*)) AS r0,
+       |                  ((3 * ($Scale // count(*))) // 20) AS tele
+       |           FROM outw),
+       |r0 AS (SELECT u AS id, (SELECT r0 FROM consts) AS r FROM outw),
+       |$rounds
+       |SELECT id, r AS rank_scaled, r / ${Scale.toDouble} AS rank
+       |FROM r$Rounds""".stripMargin
+  }
+
+  /** Degree distribution of the purchase graph — the first
+    * diagnostic of any graph workload (is this a power law, where
+    * does skew-join pressure come from): vertices bucket by
+    * out-degree, emitting (degree, n_vertices) — two chained
+    * partial+final aggregates, nothing else. */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame =
+    purchaseEdges(spark, dir)
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_vertices"))
+
+  private def degreeDistSql: String =
+    s"""WITH base AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS u, s AS v FROM base
+       |          UNION ALL SELECT s AS u, c AS v FROM base),
+       |d AS (SELECT u, count(*) AS deg FROM edges GROUP BY u)
+       |SELECT CAST(deg AS BIGINT) AS deg, count(*) AS n_vertices
+       |FROM d GROUP BY deg""".stripMargin
+
   private[operators] val HitsRounds = 2
   private[operators] val HitsScale = 1L << 20
 
@@ -669,6 +765,8 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank"        -> pagerank,
+    "pagerank_weighted" -> pagerankWeighted,
+    "degree_dist"     -> degreeDist,
     "graph_bfs"       -> graphBfs,
     "sssp_weighted"   -> ssspWeighted,
     "hits_scores"     -> hitsScores,
@@ -680,6 +778,8 @@ object Graph {
 
   val oracles: Map[String, String] = Map(
     "pagerank" -> pagerankSql,
+    "pagerank_weighted" -> pagerankWeightedSql,
+    "degree_dist" -> degreeDistSql,
     "graph_bfs" -> graphBfsSql,
     "sssp_weighted" -> ssspWeightedSql,
     "hits_scores" -> hitsScoresSql,

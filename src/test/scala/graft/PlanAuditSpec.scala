@@ -965,6 +965,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "both |types|-row margins must broadcast")
   }
 
+  test("pagerank_weighted: denormalized weighted edges persist; rounds shuffle state only") {
+    val p = plan("pagerank_weighted")
+    assert(p.contains("InMemoryTableScan"),
+      "the (u,v,w,tw) relation must persist and feed every round")
+    assert(p.contains("partial_sum"), "weighted contributions must map-side combine")
+  }
+
+  test("degree_dist: two chained partial aggregates, nothing else") {
+    val p = plan("degree_dist")
+    assert(!p.contains("Window") && p.contains("partial_"),
+      "degree histogram is a pure two-level fold")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

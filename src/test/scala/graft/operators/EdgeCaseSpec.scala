@@ -1287,6 +1287,42 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("pagerank_weighted conserves lattice mass like pagerank, and the two rankings differ") {
+    val dir = "/root/testdata/sf0.001"
+    val weighted = Graph.pagerankWeighted(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Graph.pagerank(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted.keySet === plain.keySet, "same vertex set")
+    assert(weighted.exists { case (k, v) => plain(k) != v },
+      "cent weighting must actually change some rank (else the weights are dead)")
+    // trunc-crumb-bounded mass conservation: each vertex emits its
+    // rank minus at most (outdeg) division crumbs, then 17/20 + tele
+    val (wSum, pSum) = (weighted.values.map(BigInt(_)).sum, plain.values.map(BigInt(_)).sum)
+    assert((wSum - pSum).abs < BigInt(weighted.size) * 4096L,
+      "weighted and plain lattice mass agree within per-vertex crumb bounds")
+    graft.CacheScope.release()
+  }
+
+  test("degree_dist reconciles: vertex counts sum to |V|, degree mass to 2·|pairs|") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val dir = "/root/testdata/sf0.001"
+    val out = Graph.degreeDist(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nVertices = Graph.pagerank(spark, dir).count()
+    assert(out.map(_._2).sum === nVertices, "Σ n_vertices = |V|")
+    val nPairs = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.sources.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().count()
+    assert(out.map { case (d, n) => d * n }.sum === 2L * nPairs,
+      "Σ deg·n = both directions of every distinct purchase pair")
+    assert(out.forall(_._1 >= 1L), "symmetrized graph has no isolated vertices")
+    graft.CacheScope.release()
+  }
+
   test("rfm_segment bands partition the customers evenly and the code composes the digits") {
     val out = Relational.rfmSegment(spark, "/root/testdata/sf0.001").collect()
     val n = out.length
