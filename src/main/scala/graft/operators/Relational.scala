@@ -1125,7 +1125,7 @@ object Relational {
       .agg(max(col("od")).as("last_od"), count(lit(1)).as("f"),
         sum(col("cents")).as("m_cents"))
       .persistScoped()
-    val anchor = per.agg(max(col("last_od"))).head.getLong(0)
+    val anchor = per.agg(max(col("last_od"))).head().getLong(0)
     val n = per.count()
     val base = per.select(col("key"), (lit(anchor) - col("last_od")).as("r_days"),
       col("f"), col("m_cents"))
@@ -1436,7 +1436,7 @@ object Relational {
     * scalar aggregate. */
   def priceVolumeMix(spark: SparkSession, dir: String): DataFrame = {
     val od = expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)")
-    val bounds = Tables.orders(spark, dir).agg(min(od).as("mn"), max(od).as("mx")).head
+    val bounds = Tables.orders(spark, dir).agg(min(od).as("mn"), max(od).as("mx")).head()
     val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2L
     val j = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"),
@@ -1665,7 +1665,7 @@ object Relational {
     * broadcast. */
   def categoryDrift(spark: SparkSession, dir: String): DataFrame = {
     val od = expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)")
-    val bounds = Tables.orders(spark, dir).agg(min(od).as("mn"), max(od).as("mx")).head
+    val bounds = Tables.orders(spark, dir).agg(min(od).as("mn"), max(od).as("mx")).head()
     val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2L
     val g = Tables.orders(spark, dir)
       .select(col("o_orderpriority"), od.as("od"))
@@ -1789,7 +1789,7 @@ object Relational {
       .agg(max(col("od")).as("last_od"), count(lit(1)).as("f"),
         sum(col("cents")).as("m_cents"))
       .persistScoped()
-    val anchor = rfm.agg(max(col("last_od"))).head.getLong(0)
+    val anchor = rfm.agg(max(col("last_od"))).head().getLong(0)
     val gaps = purchaseGaps(spark, dir)
       .select(col("c_custkey"), col("mean_gap_x100"))
       .persistScoped()
