@@ -1839,6 +1839,108 @@ object Relational {
       |            > 2 * (SELECT m FROM med) THEN 1 ELSE 0 END AS BIGINT) AS churned
       |FROM rfm LEFT JOIN gaps USING (c_custkey)""".stripMargin
 
+  /** Lorenz curve of customer spend by decile — the curve BEHIND
+    * [[giniSpend]]'s scalar (the area between this and the diagonal
+    * is the Gini): customers in exact spend deciles (ascending — the
+    * globalBand rank lattice), each reporting its member count, its
+    * cents, and the CUMULATIVE share of total spend held by deciles
+    * ≤ it on the 2²⁰ lattice. Decile 10 cumulates to exactly 2²⁰
+    * (total div total). Cumulation is the pareto_share literal-pair
+    * equi join over ten grouped rows — never a window.
+    *
+    * Scale shape: fact → |customers| partial+final, one dimension
+    * sort, 10-row metadata joins. */
+  def lorenzCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("key"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("key")).agg(sum(col("cents")).as("x"))
+      .persistScoped()
+    val n = per.count()
+    val bands = per.join(globalBand(per, "x", n, "decile", 10L), "key")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_cents"))
+      .persistScoped()
+    val tot = bands.agg(sum(col("sum_cents").cast(DecimalType(38, 0))).as("t"),
+      count(lit(1)).as("nn"))
+    val pairs = (for { b <- 1L to 10L; b2 <- 1L to b } yield (b, b2))
+      .toDF("decile", "b2")
+    val cum = broadcast(pairs)
+      .join(bands.select(col("decile").as("b2"), col("sum_cents").as("sc2")), "b2")
+      .groupBy(col("decile"))
+      .agg(sum(col("sc2").cast(DecimalType(38, 0))).as("cum_cents"))
+    ScalarJoin.attachScalar(bands, col("n"), tot, col("nn"))
+      .join(broadcast(cum), "decile")
+      .select(col("decile"), col("n"), col("sum_cents"),
+        expr("cast((cum_cents * 1048576) div t as bigint)").as("cum_share_q"))
+  }
+
+  private def lorenzCurveSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey AS key,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM per),
+      |b AS (SELECT key, x,
+      |        ((row_number() OVER (ORDER BY x, key) - 1) * 10)
+      |          // (SELECT n FROM nn) + 1 AS decile
+      |      FROM per),
+      |g AS (SELECT decile, count(*) AS n, CAST(sum(x) AS BIGINT) AS sum_cents
+      |      FROM b GROUP BY decile),
+      |t AS (SELECT CAST(sum(sum_cents) AS HUGEINT) AS t FROM g),
+      |c AS (SELECT g1.decile, CAST(sum(g2.sum_cents) AS HUGEINT) AS cum_cents
+      |      FROM g g1 JOIN g g2 ON g2.decile <= g1.decile GROUP BY 1)
+      |SELECT g.decile, CAST(g.n AS BIGINT) AS n, g.sum_cents,
+      |  CAST((c.cum_cents * 1048576) // (SELECT t FROM t) AS BIGINT) AS cum_share_q
+      |FROM g JOIN c USING (decile)""".stripMargin
+
+  /** CR1 concentration ratio per nation — the single-largest-
+    * supplier revenue share, [[supplierHhi]]'s blunt companion (the
+    * antitrust pairing: HHI for the whole distribution, CR-k for the
+    * head): per nation, supplier count, total cents, the TOP
+    * supplier's cents, and its share on the 2²⁰ lattice. Same
+    * two-chained-aggregate shape as HHI (max rides the same fold as
+    * the sums).
+    */
+  def nationCr1(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("r"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum(col("r")).as("sr"))
+    perSupp.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("sr").cast(DecimalType(38, 0))).as("tot"),
+        max(col("sr")).as("top_sr"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+        col("n_suppliers"), expr("cast(tot as bigint)").as("total_cents"),
+        col("top_sr").as("top_cents"),
+        expr("cast((cast(top_sr as decimal(38,0)) * 1048576) div tot as bigint)")
+          .as("cr1_q"))
+  }
+
+  private def nationCr1Sql: String =
+    """WITH ps AS (
+      |  SELECT s_nationkey, s_suppkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sr
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT s_nationkey, count(*) AS n_suppliers,
+      |    CAST(sum(CAST(sr AS HUGEINT)) AS HUGEINT) AS tot, max(sr) AS top_sr
+      |  FROM ps GROUP BY 1)
+      |SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |  CAST(n_suppliers AS BIGINT) AS n_suppliers,
+      |  CAST(tot AS BIGINT) AS total_cents, top_sr AS top_cents,
+      |  CAST((CAST(top_sr AS HUGEINT) * 1048576) // tot AS BIGINT) AS cr1_q
+      |FROM g JOIN nation ON s_nationkey = n_nationkey""".stripMargin
+
   /** Herfindahl–Hirschman supplier-concentration index per nation —
     * the antitrust/market-structure metric ("is this nation's supply
     * base a monopoly or a long tail"), HHI = Σ shareᵢ² over each
@@ -3426,6 +3528,8 @@ object Relational {
     "user_lifecycle"   -> userLifecycle,
     "price_volume_mix" -> priceVolumeMix,
     "supplier_hhi"     -> supplierHhi,
+    "lorenz_curve"     -> lorenzCurve,
+    "nation_cr1"       -> nationCr1,
     "category_drift"   -> categoryDrift,
     "trade_matrix"     -> tradeMatrix,
     "churn_label"      -> churnLabel,
@@ -4063,6 +4167,8 @@ object Relational {
     "user_lifecycle" -> userLifecycleSql,
     "price_volume_mix" -> priceVolumeMixSql,
     "supplier_hhi" -> supplierHhiSql,
+    "lorenz_curve" -> lorenzCurveSql,
+    "nation_cr1" -> nationCr1Sql,
     "category_drift" -> categoryDriftSql,
     "trade_matrix" -> tradeMatrixSql,
     "churn_label" -> churnLabelSql,

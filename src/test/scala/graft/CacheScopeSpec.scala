@@ -42,7 +42,8 @@ class CacheScopeSpec extends AnyFunSuite {
     "assoc_rules", "decile_lift", "pareto_share", "ship_latency",
     "benford_first_digit", "shingle_novelty", "vocab_growth",
     "quantile_table", "category_drift", "churn_label",
-    "dedup_by_source", "type_jaccard", "pagerank_weighted")
+    "dedup_by_source", "type_jaccard", "pagerank_weighted",
+    "lorenz_curve")
 
   test("persisting operators leave zero orphaned blocks after release()") {
     // start from a clean slate (earlier suites share this JVM/session)

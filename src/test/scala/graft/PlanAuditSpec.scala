@@ -978,6 +978,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "degree histogram is a pure two-level fold")
   }
 
+  test("lorenz_curve / nation_cr1: concentration rollups stay window-free and fold-shaped") {
+    Seq("lorenz_curve", "nation_cr1").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name must not plan a window")
+      assert(p.contains("partial_"), s"$name folds must map-side combine")
+    }
+    assert(plan("lorenz_curve").contains("InMemoryTableScan"),
+      "the per-customer rollup and decile bands must persist")
+    assert(plan("nation_cr1").contains("BroadcastHashJoin"),
+      "the 25-row nation table must broadcast")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

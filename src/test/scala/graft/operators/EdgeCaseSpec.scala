@@ -1323,6 +1323,33 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("lorenz_curve: convex, monotone, ends exactly at 2^20, and sits under the diagonal") {
+    val out = Relational.lorenzCurve(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(out.map(_._1) === (1L to 10L).toArray)
+    assert(out.last._3 === 1048576L, "decile 10 cumulates to exactly 2^20")
+    assert(out.map(_._3).sliding(2).forall(p => p(0) <= p(1)), "monotone")
+    // ascending-spend deciles: cumulative share can never exceed the
+    // population share (the Lorenz curve sits on/under the diagonal)
+    out.foreach { case (d, _, cum) =>
+      assert(cum <= d * 1048576L / 10L + 1L, s"decile $d above the diagonal")
+    }
+    graft.CacheScope.release()
+  }
+
+  test("nation_cr1 is bounded by the uniform floor and never exceeds the HHI's implied top share") {
+    val cr1 = Relational.nationCr1(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(cr1.nonEmpty)
+    cr1.foreach { case (nk, k, tot, top, q) =>
+      assert(q >= 1048576L / k - 1L, s"nation $nk: CR1 at least the uniform share")
+      assert(q <= 1048576L, s"nation $nk: CR1 at most everything")
+      assert(top <= tot)
+      assert(BigInt(q) === BigInt(top) * 1048576L / tot, s"nation $nk lattice identity")
+    }
+    graft.CacheScope.release()
+  }
+
   test("rfm_segment bands partition the customers evenly and the code composes the digits") {
     val out = Relational.rfmSegment(spark, "/root/testdata/sf0.001").collect()
     val n = out.length
