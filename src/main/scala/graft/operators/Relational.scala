@@ -2173,6 +2173,94 @@ object Relational {
       |FROM b JOIN m USING (om)
       |GROUP BY b.om, m.p50_days""".stripMargin
 
+  /** Order-to-ship latency by ORDER PRIORITY — the SLA table that
+    * answers whether "1-URGENT" actually ships faster: the
+    * [[shipLatency]] machinery keyed on o_orderpriority instead of
+    * the calendar month (same exact ×100 mean + DISCRETE rank-lattice
+    * p50, same one-exchange shape — window, counts, median pick and
+    * stats all ride the priority key; 5 groups, so every side table
+    * is broadcast-sized).
+    */
+  def priorityLatency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("prio"))
+      .orderBy(col("lat").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val ranked = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("o_orderpriority").as("prio"),
+        expr("cast(datediff(cast(l_shipdate as date), cast(o_orderdate as date)) as bigint)")
+          .as("lat"))
+      .withColumn("rn", row_number().over(w))
+      .persistScoped()
+    val counts = ranked.groupBy(col("prio")).agg(count(lit(1)).as("n"))
+    val med = ranked.join(broadcast(counts), "prio")
+      .filter(col("rn") === expr("(n - 1) * 50 div 100") + 1L)
+      .select(col("prio"), col("lat").as("p50_days"))
+    ranked.groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), min(col("lat")).as("min_days"),
+        max(col("lat")).as("max_days"),
+        sum(col("lat").cast(DecimalType(38, 0))).as("sl"))
+      .join(broadcast(med), "prio")
+      .select(col("prio").as("o_orderpriority"), col("n"), col("min_days"),
+        col("max_days"),
+        expr("cast((sl * 100) div n as bigint)").as("mean_x100"),
+        col("p50_days"))
+  }
+
+  private def priorityLatencySql: String =
+    """WITH b AS (
+      |  SELECT l_orderkey, l_linenumber, o_orderpriority AS prio,
+      |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT) AS lat
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |r AS (SELECT prio, lat,
+      |        row_number() OVER (PARTITION BY prio
+      |                           ORDER BY lat, l_orderkey, l_linenumber) AS rn,
+      |        count(*) OVER (PARTITION BY prio) AS n
+      |      FROM b),
+      |m AS (SELECT prio, min(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN lat END) AS p50_days
+      |      FROM r GROUP BY prio)
+      |SELECT b.prio AS o_orderpriority, count(*) AS n,
+      |  min(lat) AS min_days, max(lat) AS max_days,
+      |  CAST((CAST(sum(lat) AS HUGEINT) * 100) // count(*) AS BIGINT) AS mean_x100,
+      |  m.p50_days
+      |FROM b JOIN m USING (prio)
+      |GROUP BY b.prio, m.p50_days""".stripMargin
+
+  /** Market-segment composition per nation — the customer-base mix
+    * table ("is this nation machinery-heavy or household-heavy"):
+    * counts per (nation, segment) with each cell's share of its
+    * nation row on the 2²⁰ lattice — the source_lang_mix /
+    * trade_matrix rollup shape on the customer dimension, nation
+    * names by a 25-row broadcast.
+    */
+  def mktsegMix(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+    val tot = g.groupBy(col("c_nationkey")).agg(sum(col("n_customers")).as("nt"))
+    g.join(broadcast(tot), "c_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_mktsegment"), col("n_customers"),
+        expr("cast((cast(n_customers as decimal(38,0)) * 1048576) div nt as bigint)")
+          .as("nation_share_q"))
+  }
+
+  private def mktsegMixSql: String =
+    """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n_customers
+      |           FROM customer GROUP BY 1, 2),
+      |t AS (SELECT c_nationkey, CAST(sum(n_customers) AS HUGEINT) AS nt
+      |      FROM g GROUP BY 1)
+      |SELECT n_name, c_mktsegment, CAST(n_customers AS BIGINT) AS n_customers,
+      |  CAST((CAST(n_customers AS HUGEINT) * 1048576) // nt AS BIGINT)
+      |    AS nation_share_q
+      |FROM g JOIN t USING (c_nationkey)
+      |JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+
   /** Inter-purchase gap profile per customer — the recency-dynamics
     * rollup behind churn models and replenishment forecasting ("how
     * regularly does this customer buy, and is the cadence drifting"):
@@ -3530,6 +3618,8 @@ object Relational {
     "supplier_hhi"     -> supplierHhi,
     "lorenz_curve"     -> lorenzCurve,
     "nation_cr1"       -> nationCr1,
+    "priority_latency" -> priorityLatency,
+    "mktseg_mix"       -> mktsegMix,
     "category_drift"   -> categoryDrift,
     "trade_matrix"     -> tradeMatrix,
     "churn_label"      -> churnLabel,
@@ -4169,6 +4259,8 @@ object Relational {
     "supplier_hhi" -> supplierHhiSql,
     "lorenz_curve" -> lorenzCurveSql,
     "nation_cr1" -> nationCr1Sql,
+    "priority_latency" -> priorityLatencySql,
+    "mktseg_mix" -> mktsegMixSql,
     "category_drift" -> categoryDriftSql,
     "trade_matrix" -> tradeMatrixSql,
     "churn_label" -> churnLabelSql,

@@ -990,6 +990,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "the 25-row nation table must broadcast")
   }
 
+  test("priority_latency / mktseg_mix: the ship_latency and mix shapes hold on new keys") {
+    val pl = plan("priority_latency")
+    assert(pl.contains("InMemoryTableScan") && pl.contains("partial_"),
+      "priority latency reuses the persisted ranked relation and partial-combines")
+    val mm = plan("mktseg_mix")
+    assert(!mm.contains("Window") && mm.contains("partial_"),
+      "segment mix is the pure two-aggregate rollup")
+    assert("BroadcastHashJoin".r.findAllIn(mm).size >= 2,
+      "row totals and nation names both broadcast")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

@@ -1350,6 +1350,29 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("priority_latency: five priorities, medians inside [min,max], counts cover lineitem") {
+    val out = Relational.priorityLatency(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length === 5)
+    val total = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001").count()
+    assert(out.map(_._2).sum === total)
+    out.foreach { case (p, _, mn, mx, mean100, p50) =>
+      assert(mn <= p50 && p50 <= mx, s"$p median bounds")
+      assert(mn * 100 <= mean100 && mean100 <= mx * 100, s"$p mean bounds")
+    }
+    graft.CacheScope.release()
+  }
+
+  test("mktseg_mix: each nation's segment shares sum to 2^20 minus trunc crumbs") {
+    val out = Relational.mktsegMix(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    out.groupBy(_._1).foreach { case (nation, rows) =>
+      val s = rows.map(_._2).sum
+      assert(s <= 1048576L && s >= 1048576L - rows.length, s"$nation crumb bound")
+    }
+  }
+
   test("rfm_segment bands partition the customers evenly and the code composes the digits") {
     val out = Relational.rfmSegment(spark, "/root/testdata/sf0.001").collect()
     val n = out.length
