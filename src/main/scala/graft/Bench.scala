@@ -115,6 +115,46 @@ object Bench {
     candidates.find(_.length <= budget).getOrElse(line("{}", namesOnly))
   }
 
+  /** Full per-query bench detail, one pretty-printed JSON object per
+    * run, written to `bench_detail_<sf>.json` in the working directory
+    * (override dir via SPARK_GRAFT_BENCH_DETAIL_DIR). Unlike the
+    * stdout contract line this has no size budget: every query's
+    * 3-decimal seconds, which entries were min-of-two damped, and the
+    * full error map. Committed per round → cross-round `diff` shows
+    * regressions the top-40 stdout cap hides. */
+  private[graft] def writeDetail(
+      results: Seq[(String, Double)],
+      errors: collection.Map[String, String],
+      sfDir: String,
+      damped: Seq[String]): Unit = {
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL_DIR", ".")
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.sortBy(_._1)
+      .map { case (k, v) => s"""    "$k": ${f3(v)}""" }.mkString(",\n")
+    val errJson =
+      if (errors.isEmpty) "{}"
+      else errors.map { case (k, v) => s"""    "$k": "$v"""" }.mkString("{\n", ",\n", "\n  }")
+    val dampJson = damped.map("\"" + _ + "\"").mkString("[", ", ", "]")
+    val json =
+      s"""{
+         |  "sf": "$sfShort",
+         |  "utc": "${java.time.Instant.now()}",
+         |  "n_queries": ${results.size},
+         |  "total_sec": ${f3(results.map(_._2).sum)},
+         |  "nerr": ${errors.size},
+         |  "damped": $dampJson,
+         |  "errors": $errJson,
+         |  "queries": {
+         |$qs
+         |  }
+         |}
+         |""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, s"bench_detail_$sfShort.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -219,6 +259,16 @@ object Bench {
         System.err.println(s"BENCH ERROR $name: $msg")
       }
       System.err.println(s"BENCH ERRORS (${errors.size}): ${errors.keys.mkString(", ")}")
+    }
+    // VERDICT r11 item 3: the stdout line is capped (top-40 + _rest_*
+    // under the driver's 2000-char tail), which makes a per-query
+    // regression below rank 40 invisible cross-round. Write the FULL
+    // {query: sec} map (plus damped flags and errors) to a committable
+    // detail file so rounds are diffable query-by-query. Failure to
+    // write must never take down the contract line.
+    try writeDetail(damped, errors, sfDir, rerun.toSeq.sorted)
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH detail write failed: ${sanitize(String.valueOf(e.getMessage))}")
     }
     println(renderLine(damped, errors, sfDir, damped = rerun.toSeq.sorted))
     spark.stop()

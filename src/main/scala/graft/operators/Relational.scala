@@ -1797,9 +1797,16 @@ object Relational {
     // rank machinery picks the (n-1)*50 div 100 + 1 element
     val n = gaps.count()
     val medIdx = (n - 1L) * 50L / 100L
-    val med = gaps.orderBy(col("mean_gap_x100").asc, col("c_custkey").asc)
-      .select(col("mean_gap_x100")).as[Long]
-      .rdd.zipWithIndex().filter(_._2 == medIdx).map(_._1).collect().head
+    // Degenerate corpus (every customer single-order): gaps is empty,
+    // there is no cadence median, and the oracle's scalar subquery
+    // yields NULL → CASE → churned = 0 for all. Mirror that exactly
+    // with an unreachable threshold instead of throwing on .head
+    // (ADVICE r11). 2·med stays far below Long.MaxValue — no overflow.
+    val med =
+      if (n == 0L) Long.MaxValue / 4L
+      else gaps.orderBy(col("mean_gap_x100").asc, col("c_custkey").asc)
+        .select(col("mean_gap_x100")).as[Long]
+        .rdd.zipWithIndex().filter(_._2 == medIdx).map(_._1).collect().head
     rfm.join(gaps, Seq("c_custkey"), "left")
       .select(col("c_custkey"), (lit(anchor) - col("last_od")).as("r_days"),
         col("f"), col("m_cents"),

@@ -402,8 +402,13 @@ object Similarity {
     * Scale shape: lattice-quantize on the scan, posexplode to
     * (label, dim, qv) — 64× fan-out of LONGS, never raw vectors in
     * the wide shuffle — one partial+final sum on (label, dim), then
-    * an O(|classes|·64) reassembly into ordered arrays. */
-  def classCentroids(spark: SparkSession, dir: String): DataFrame = {
+    * an O(|classes|·64) reassembly into ordered arrays.
+    *
+    * Library form: [[classCentroidsTyped]] keeps `centroid_q` as the
+    * typed `array<long>`; the registered query emits it comma-joined
+    * (the `embed_q8` precedent) because the harness compare sorts
+    * columns cell-wise and cannot order array cells. */
+  def classCentroidsTyped(spark: SparkSession, dir: String): DataFrame = {
     val g = Tables.embeddings(spark, dir)
       .select(col("label").cast("long").as("label"),
         posexplode(latArrCol(col("embedding"))))
@@ -418,6 +423,13 @@ object Similarity {
           sort_array(collect_list(struct(col("d"), expr("sq div n").as("cq")))),
           e => e("cq")).as("centroid_q"))
   }
+
+  /** Registered (oracle-compared) form of [[classCentroidsTyped]]:
+    * identical lattice arithmetic, `centroid_q` serialized to a
+    * comma-joined string so the cross-engine compare can sort it. */
+  def classCentroids(spark: SparkSession, dir: String): DataFrame =
+    classCentroidsTyped(spark, dir)
+      .withColumn("centroid_q", array_join(col("centroid_q"), ","))
 
   /** Index-quality profile of the IVF coarse quantizer — per cell:
     * member count, tightest/loosest member cosine to the learned
@@ -1571,7 +1583,7 @@ object Similarity {
          |g AS (SELECT label, d, sum(CAST(qv AS HUGEINT)) AS sq, count(*) AS n
          |      FROM q GROUP BY 1, 2)
          |SELECT label, CAST(max(n) AS BIGINT) AS n_members,
-         |  list(CAST(sq // n AS BIGINT) ORDER BY d) AS centroid_q
+         |  array_to_string(list(CAST(sq // n AS BIGINT) ORDER BY d), ',') AS centroid_q
          |FROM g GROUP BY label""".stripMargin,
     // the knn_join replay (verbatim, as a derived table) wrapped in
     // the vote / tie-break / judge pipeline

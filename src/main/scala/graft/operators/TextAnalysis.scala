@@ -361,13 +361,18 @@ object TextAnalysis {
       t => length(t) > 0)
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.count()
+    // least(9, ·): the quotient reaches 10+ when doc_ids are sparse or
+    // 1-based (max doc_id >= nDocs) — clamped identically in the
+    // oracle, so the cumulative literal-pair join's 0..9 key space is
+    // total by construction, not by a fixture-density assumption
+    // (ADVICE r11). On dense-0-based ids the clamp is the identity.
     val tok = docs.select(col("doc_id"), explode(toks).as("tok"))
-      .select(expr(s"(doc_id * 10) div $nDocs").as("bucket"),
+      .select(expr(s"least(9L, (doc_id * 10) div $nDocs)").as("bucket"),
         col("doc_id"), col("tok"))
       .repartition(col("tok")).persistScoped()
     val occ = tok.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
     val newTypes = tok.groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
-      .select(expr(s"(fd * 10) div $nDocs").as("bucket"))
+      .select(expr(s"least(9L, (fd * 10) div $nDocs)").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
     val pairs = (for { b <- 0L until 10L; b2 <- 0L to b } yield (b, b2))
       .toDF("bucket", "b2")
@@ -391,10 +396,10 @@ object TextAnalysis {
       |    unnest(list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')) AS tok
       |  FROM documents),
       |n AS (SELECT count(*) AS n FROM documents),
-      |t AS (SELECT (doc_id * 10) // (SELECT n FROM n) AS bucket, doc_id, tok FROM d),
+      |t AS (SELECT least(9, (doc_id * 10) // (SELECT n FROM n)) AS bucket, doc_id, tok FROM d),
       |occ AS (SELECT bucket, count(*) AS n_tokens FROM t GROUP BY 1),
       |ft AS (SELECT tok, min(doc_id) AS fd FROM t GROUP BY 1),
-      |nt AS (SELECT (fd * 10) // (SELECT n FROM n) AS bucket, count(*) AS new_types
+      |nt AS (SELECT least(9, (fd * 10) // (SELECT n FROM n)) AS bucket, count(*) AS new_types
       |       FROM ft GROUP BY 1),
       |c AS (SELECT o.bucket, CAST(coalesce(sum(b.new_types), 0) AS BIGINT) AS cum_types
       |      FROM occ o LEFT JOIN nt b ON b.bucket <= o.bucket GROUP BY 1)

@@ -426,4 +426,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Long](1).mkString(",")).toMap
     assert(s === arr)
   }
+
+  test("class centroids: typed array form and registered string form agree") {
+    import org.apache.spark.sql.functions.col
+    val typed = Similarity.classCentroidsTyped(spark, dir)
+      .select(col("label"), col("n_members"), col("centroid_q")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).mkString(",")))).toMap
+    val str = Similarity.classCentroids(spark, dir)
+      .select(col("label"), col("n_members"), col("centroid_q")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(typed.nonEmpty, "fixture should contain labeled embeddings")
+    assert(str === typed)
+    // each centroid is a full 64-dim lattice vector
+    typed.values.foreach { case (_, c) => assert(c.split(",").length === 64) }
+  }
 }

@@ -19,17 +19,26 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _cell(v):
+    # ndarray/list/tuple → tuple (sortable/hashable); scalars untouched.
+    # Applied unconditionally per cell (ADVICE r11: a gated column-level
+    # .any() probe can skip conversion when the probe itself chokes or
+    # the first chunk's cells look scalar — the per-cell form cannot).
+    if isinstance(v, (list, tuple)):
+        return tuple(_cell(x) for x in v)
+    if hasattr(v, "tolist") and getattr(v, "ndim", 0):
+        return tuple(_cell(x) for x in v.tolist())
+    return v
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     # datetimes → utc-naive micros; arrays → tuples (sortable/hashable)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).dt.floor("us").astype("datetime64[ns]")
-        elif df[c].dtype == object and df[c].map(
-                lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist")).any():
-            df[c] = df[c].map(
-                lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
-                else tuple(v) if isinstance(v, (list, tuple)) else v)
+        elif df[c].dtype == object:
+            df[c] = df[c].map(_cell)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
