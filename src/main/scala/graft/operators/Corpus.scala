@@ -152,6 +152,9 @@ object Corpus {
       .otherwise("test")
   }
 
+  /** Growth-stable train/val/test split — Knuth multiplicative hash
+    * of doc_id against fixed thresholds, so adding documents never
+    * reassigns an existing one; see [[splitOf]]. */
   def datasetSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), splitOf(col("doc_id")).as("split"), col("n_chars"))
@@ -271,6 +274,9 @@ object Corpus {
       "/ CAST(CAST((SELECT count(*) FROM t) AS BIGINT) AS DOUBLE) " +
       "/ CAST(n_tokens AS DOUBLE))"
 
+  /** Source-mixing weights — per-source token mass and the
+    * keep-probability that flattens the mixture to the target
+    * proportion (the data-mixing step before corpus packing). */
   def mixWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // per-doc counts in one narrow typed pass: the BPE merge loop is

@@ -91,6 +91,9 @@ object DataQuality {
         sum(col("k")).as("checked"))
       .select(lit(name).as("rule"), col("violations"), col("checked"))
 
+  /** Data-quality rule sweep — null/range/referential/uniqueness
+    * rules, each one aggregate emitting (rule, violations, checked);
+    * the union is |rules| rows at any corpus size. */
   def dqChecks(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)

@@ -580,6 +580,8 @@ object Dedup {
       .distinct()
   }
 
+  /** Embedding near-dup pairs — random-hyperplane LSH bands generate
+    * candidates, exact lattice cosine confirms; never all-pairs. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val cands = embeddingCandidatesOf(

@@ -110,6 +110,9 @@ object Graph {
     r
   }
 
+  /** PageRank over the customer–part purchase graph — bounded-round
+    * BSP on the 2²⁰ integer lattice (see [[rankEdges]]); edges persist
+    * once pre-partitioned, rounds shuffle rank state only. */
   def pagerank(spark: SparkSession, dir: String): DataFrame =
     rankEdges(purchaseEdges(spark, dir))
       .select(col("id"), col("r").as("rank_scaled"),

@@ -14,6 +14,9 @@ import graft.sources.Tables
   */
 object MrOps {
 
+  /** The reference's MapReduce wordcount replayed through the
+    * generic [[MapReduceJob]] surface (tokenize map + sum reduce) —
+    * must agree with the declarative `wordcount` (MapReduceSpec). */
   def mrWordcount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lines = Tables.documents(spark, dir).select("text").as[String]

@@ -407,6 +407,9 @@ object Multimodal {
       .filter(col("n_docs") > 1)
   }
 
+  /** Thumbnail pipeline — decode PNG, resize via the stub-safe
+    * raster path, re-encode; shuffles carry keys/dims, never media
+    * bytes (plan-asserted). */
   def multimodalResized(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)

@@ -392,6 +392,9 @@ object Relational {
 
   // ---- core operator surface ---------------------------------------
 
+  /** Pushed-down filter + narrow projection: the scan must show
+    * PushedFilters and a 4-column ReadSchema (plan-gated) — the
+    * baseline "read less" operator every 100 TB query starts from. */
   def filterProject(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_quantity") >= 30 && col("l_discount") > 0.05 && col("l_returnflag") === "R")
@@ -399,6 +402,8 @@ object Relational {
         col("l_orderkey"), col("l_linenumber"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
 
+  /** Fact ⋈ two broadcast dimension tables (nation, region) then a
+    * rollup — zero wide shuffles for the dimensions at any scale. */
   def joinBroadcastDims(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -409,16 +414,22 @@ object Relational {
   private def bigOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir).filter(col("o_totalprice") > 400000)
 
+  /** LEFT SEMI join — existence filter (customers WITH a big order);
+    * shuffles only the key column, never duplicates rows. */
   def joinSemi(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
       .join(bigOrders(spark, dir), col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name")
 
+  /** LEFT ANTI join — the negative existence filter (customers with
+    * NO big order), the dual of [[joinSemi]]. */
   def joinAnti(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
       .join(bigOrders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
 
+  /** LEFT join preserving orderless customers, then a per-customer
+    * rollup; nulls fold to zero so the output is null-free gated. */
   def joinLeftAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
       .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
@@ -447,6 +458,8 @@ object Relational {
         coalesce(col("n_high"), lit(0L)).as("n_high"))
   }
 
+  /** Multi-column exact COUNT DISTINCT per group — expand-based
+    * distinct aggregation with partial+final combine. */
   def aggDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
@@ -455,11 +468,15 @@ object Relational {
         countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n_rows"))
 
+  /** ROLLUP hierarchy (flag → flag+status → grand total) in one
+    * pass — the expand operator emits all grouping levels map-side. */
   def aggRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
 
+  /** CUBE over (status, priority) — all four grouping-set levels in
+    * one expand+aggregate pass, no re-scan per level. */
   def aggCube(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -516,6 +533,8 @@ object Relational {
       .select(col("c_custkey"), col("c_mktsegment"))
   }
 
+  /** ntile/percent_rank/cume_dist over keyed partitions — rank-family
+    * window functions sharing ONE exchange + sort per key. */
   def windowNtile(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
@@ -526,6 +545,8 @@ object Relational {
         cume_dist().over(w).as("cume"))
   }
 
+  /** Top-3-per-key via rank(): the WindowGroupLimit pushdown must
+    * prune below the window (plan-gated) instead of ranking all rows. */
   def windowRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -535,6 +556,8 @@ object Relational {
       .filter(col("rnk") <= 3)
   }
 
+  /** Running per-customer spend — cumulative decimal sum over an
+    * unbounded-preceding ROWS frame (exact, order-insensitive). */
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -587,6 +610,8 @@ object Relational {
           .cast("double").as("moving3_sum"))
   }
 
+  /** lag(1) previous-order price per customer — the offset window
+    * primitive behind every delta/gap feature. */
   def windowLag(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -595,6 +620,8 @@ object Relational {
         lag(col("o_totalprice"), 1).over(w).as("prev_price"))
   }
 
+  /** Global top-100 by price — must plan as TakeOrderedAndProject
+    * (per-partition heaps + driver merge), never a full sort. */
   def topkOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -606,12 +633,18 @@ object Relational {
       .filter(col("o_orderdate") >= ts(s"$year-01-01") && col("o_orderdate") < ts(s"${year + 1}-01-01"))
       .select("o_custkey")
 
+  /** UNION DISTINCT of two yearly key sets — one hash-distinct
+    * exchange over the concatenated inputs. */
   def setUnion(spark: SparkSession, dir: String): DataFrame =
     custkeysOfYear(spark, dir, 1995).union(custkeysOfYear(spark, dir, 1996)).distinct()
 
+  /** INTERSECT (distinct) of two yearly key sets — planned as a
+    * left-semi aggregate, not a join explosion. */
   def setIntersect(spark: SparkSession, dir: String): DataFrame =
     custkeysOfYear(spark, dir, 1995).intersect(custkeysOfYear(spark, dir, 1996))
 
+  /** EXCEPT (distinct) — keys active in 1995 but not 1996; the
+    * left-anti dual of [[setIntersect]]. */
   def setExcept(spark: SparkSession, dir: String): DataFrame =
     custkeysOfYear(spark, dir, 1995).except(custkeysOfYear(spark, dir, 1996))
 
@@ -624,9 +657,13 @@ object Relational {
   def setExceptAll(spark: SparkSession, dir: String): DataFrame =
     custkeysOfYear(spark, dir, 1995).exceptAll(custkeysOfYear(spark, dir, 1996))
 
+  /** INTERSECT ALL — multiset intersection with multiplicities
+    * min(l, r); see [[setExceptAll]] for the bag semantics note. */
   def setIntersectAll(spark: SparkSession, dir: String): DataFrame =
     custkeysOfYear(spark, dir, 1995).intersectAll(custkeysOfYear(spark, dir, 1996))
 
+  /** Scalar string-function surface (upper/substring/length/concat_ws/
+    * regexp_replace) — all codegen built-ins, zero UDFs. */
   def scalarString(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
       .select(
@@ -637,6 +674,8 @@ object Relational {
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
         regexp_replace(col("p_name"), "[aeiou]", "").as("novowels"))
 
+  /** Scalar date-function surface (year/month/day/date_trunc/datediff)
+    * on the order-date column — integral outputs, cross-engine exact. */
   def scalarDate(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .select(
@@ -648,6 +687,8 @@ object Relational {
         datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01")))
           .cast("long").as("days_since"))
 
+  /** Scalar math-function surface (floor/ceil/abs/sqrt/products) —
+    * codegen built-ins over lineitem prices. */
   def scalarMath(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(
@@ -860,6 +901,8 @@ object Relational {
         sqrt(varSamp).as("stddev_qty"))
   }
 
+  /** JSON extraction surface — get_json_object / from_json over the
+    * events payload column, all codegen built-ins. */
   def jsonEvents(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
@@ -2611,6 +2654,8 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
 
+  /** Hourly event rollup — date_trunc to the hour grain + one
+    * partial+final aggregate per (hour, type). */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
@@ -3197,6 +3242,9 @@ object Relational {
       when(m === 3, "U").when(m === 5, "I").otherwise("D").as("op"))
   }
 
+  /** CDC upsert/delete application — full-outer merge of a change
+    * batch (I/U/D ops) into the base snapshot keyed by orderkey; see
+    * [[applyCdc]] for the merge semantics. */
   def cdcApply(spark: SparkSession, dir: String): DataFrame = {
     val o = cdcBase(spark, dir)
     applyCdc(o, cdcChanges(o), "o_orderkey")

@@ -97,6 +97,8 @@ object Reshape {
       .agg(sum(col("_partial")).cast("double").as("sum_val"),
         sum(col("_n")).as("n"))
 
+  /** Skew-safe aggregation via 16-way key salting — two-stage
+    * (salted partial → final) sum; see [[saltedSum]] for the shape. */
   def aggSalted(spark: SparkSession, dir: String): DataFrame =
     saltedSum(Tables.lineitem(spark, dir), "l_returnflag", "l_quantity", nSalts = 16)
       .withColumnRenamed("l_returnflag", "flag")

@@ -38,6 +38,10 @@ object Similarity {
   private val K = 5
   private val NQueries = 10
 
+  /** Brute-force exact cosine top-k — the ANN recall baseline: |Q|
+    * broadcast query vectors scored against every row, rank-limited
+    * per query (the ground truth the IVF/LSH/PQ variants are gated
+    * against). */
   def annTopkBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < NQueries)
@@ -643,6 +647,8 @@ object Similarity {
         transform(col("embedding"),
           x => floor(x.cast("double") / col("scale") + lit(0.5)).cast("long")).as("q"))
 
+  /** Registered (string) form of [[embedQuantizeArr]] — int8 codes
+    * comma-joined so the harness compare can sort the column. */
   def embedQuantize(spark: SparkSession, dir: String): DataFrame =
     embedQuantizeArr(spark, dir)
       .select(col("vec_id"), col("scale"),

@@ -16,19 +16,28 @@ import graft.streaming.EventStream
   * the streaming path and is asserted equal in EventStreamSpec. */
 object StreamOps {
 
+  /** Gaps-and-islands sessionization (batch window formulation) —
+    * the scale-safe plan; asserted equal to the stateful streaming
+    * operator in EventStreamSpec. */
   def sessionize(spark: SparkSession, dir: String): DataFrame =
     EventStream.sessionizeBatchWindowed(spark, dir)
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Structured Streaming tumbling-window event counts with
+    * watermark, drained via [[EventStream]]'s replay harness. */
   def streamWindowCounts(spark: SparkSession, dir: String): DataFrame =
     EventStream.windowedTypeCounts(
       graft.sources.Tables.events(spark, dir))
 
+  /** Sliding-window (overlapping) per-user activity — each event
+    * lands in every covering window pane. */
   def streamSlidingActivity(spark: SparkSession, dir: String): DataFrame =
     EventStream.slidingUserActivity(
       graft.sources.Tables.events(spark, dir))
 
+  /** View→click attribution — stream-stream interval join inside
+    * the watermark bound. */
   def streamAttribution(spark: SparkSession, dir: String): DataFrame =
     EventStream.viewClickAttribution(
       graft.sources.Tables.events(spark, dir))
@@ -83,6 +92,8 @@ object StreamOps {
         col("n_events"), col("sum_value"))
   }
 
+  /** Stream-static enrichment — the event stream broadcast-joined
+    * to the customer dimension, then segmented rollups. */
   def streamEnrich(spark: SparkSession, dir: String): DataFrame =
     EventStream.enrichedSegmentActivity(
       graft.sources.Tables.events(spark, dir),
@@ -167,6 +178,8 @@ object StreamOps {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Stream-stream inner join (views ⋈ clicks) run through real
+    * micro-batches with watermark state eviction. */
   def streamJoinAttrib(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
     import org.apache.spark.sql.streaming.Trigger
@@ -403,6 +416,8 @@ object StreamOps {
     spark.read.parquet(s"$scratch/state_v$cur")
   }
 
+  /** Windowed top-k users by event count — the MG/frequent-items
+    * sketch aggregation over the event stream. */
   def streamFreqTopk(spark: SparkSession, dir: String): DataFrame =
     EventStream.windowedTopUsers(
       graft.sources.Tables.events(spark, dir))

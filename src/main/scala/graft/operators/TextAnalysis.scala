@@ -90,6 +90,9 @@ object TextAnalysis {
     }
   }
 
+  /** N-gram-heuristic language ID — per-language stopword evidence
+    * scores folded to an argmax label, all codegen expressions (no
+    * UDF); `lang_confusion` evaluates it against the fixture truth. */
   def langId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), predLangOf(toksOf(col("text"))).as("pred_lang"))

@@ -26,6 +26,9 @@ object TextOps {
   def tokenize(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     explode(split(lower(regexp_replace(text, "[^a-zA-Z0-9]+", " ")), " "))
 
+  /** The reference's golden query, declarative form: tokenize +
+    * groupBy(word).count() — partial+final combine does the
+    * map-side work the reference's combiner did. */
   def wordcount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(tokenize(col("text")).as("word"))
