@@ -301,6 +301,45 @@ object Corpus {
          |FROM t""".stripMargin)
   }
 
+  /** Per-source epoch/repeat plan — the data-constrained-scaling step
+    * AFTER [[mixWeights]] decides proportions: to rebalance the
+    * corpus to a uniform per-source token budget (target = total div
+    * n_sources), how many passes ("epochs", ×100) over each source
+    * fill its quota? Sources above target subsample (epochs < 100);
+    * sources below repeat — CAPPED at 4 epochs (×100 = 400), the
+    * published diminishing-returns ceiling for repeating pretraining
+    * data (Muennighoff et al. 2023), with the unfillable remainder
+    * emitted as `deficit_tokens` (the "go find more of this source"
+    * signal). Every column is one truncating integer division from
+    * exact token counts — hash-exact cross-engine.
+    *
+    * Scale shape: one narrow scan folds to |sources| rows
+    * partial+final; the totals row attaches back by broadcast
+    * ([[ScalarJoin]] — never a cross join); everything after is
+    * |sources|-row metadata arithmetic. */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(filter(split(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", " ")), " "),
+          t => length(t) > 0)).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .persistScoped()
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    ScalarJoin.attachScalar(per, col("n_docs"), tot, col("n_sources"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("total_tokens div n_sources").as("target_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("target_tokens"),
+        expr("(target_tokens * 100) div n_tokens").as("epochs_x100"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("target_tokens"),
+        col("epochs_x100"),
+        least(col("epochs_x100"), lit(400L)).as("planned_x100"),
+        greatest(lit(0L),
+          col("target_tokens") - expr("(least(epochs_x100, 400) * n_tokens) div 100"))
+          .as("deficit_tokens"))
+  }
+
   /** Data-driven balanced downsampling — the companion to the
     * fixed-rate [[TextAnalysis.docSampleStratified]]: per-language
     * keep thresholds are COMPUTED from the corpus in the same job
@@ -643,6 +682,7 @@ object Corpus {
     "span_corrupt"   -> spanCorrupt,
     "tfidf_topk"     -> tfidfTopk,
     "bm25_topk"      -> bm25Topk,
+    "epoch_plan"     -> epochPlan,
     "compact_files"  -> compactFiles)
 
   // single source of truth for the DuckDB tokenizer fragment — a
@@ -689,6 +729,23 @@ object Corpus {
       "SELECT doc_id, lang, n_chars FROM documents",
     "pack_efficiency" -> packEfficiencySql,
     "source_lang_mix" -> sourceLangMixSql,
+    "epoch_plan" ->
+      s"""WITH per AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |             count(*) AS n_sources FROM per),
+         |p AS (SELECT per.*,
+         |        (SELECT total_tokens // n_sources FROM t) AS target_tokens
+         |      FROM per),
+         |e AS (SELECT *, (target_tokens * 100) // n_tokens AS epochs_x100 FROM p)
+         |SELECT source, n_docs, n_tokens, target_tokens,
+         |  CAST(epochs_x100 AS BIGINT) AS epochs_x100,
+         |  CAST(least(epochs_x100, 400) AS BIGINT) AS planned_x100,
+         |  CAST(greatest(0, target_tokens - (least(epochs_x100, 400) * n_tokens) // 100)
+         |       AS BIGINT) AS deficit_tokens
+         |FROM e""".stripMargin,
     "corpus_clean" -> CleanSql,
     // windows via generate_series per doc; the same md5 arithmetic
     // plans identical spans, so the mask layout hash-gates

@@ -675,10 +675,11 @@ object Graph {
     labels
   }
 
-  /** DuckDB replay of [[labelProp]]: rounds unrolled as CTE stages
-    * (same reason as [[pagerankSql]]), the majority pick expressed
-    * with the identical (n desc, lbl asc) row_number. */
-  private def labelPropSql: String = {
+  /** The [[labelProp]] replay's CTE prefix — edges, seeds, unrolled
+    * rounds, ending with the final label set `l<LpRounds>` — shared
+    * verbatim by the `label_prop` and `modularity` oracles so both
+    * gate against the IDENTICAL propagation. */
+  private def labelPropPrefixSql: String = {
     val rounds = (1 to LpRounds).map { i =>
       s"""v$i AS (SELECT e.v, l.lbl, count(*) AS n
          |  FROM edges e JOIN l${i - 1} l ON e.u = l.id GROUP BY 1, 2),
@@ -689,7 +690,7 @@ object Graph {
          |  UNION ALL
          |  SELECT * FROM p$i WHERE id NOT IN (SELECT id FROM seeds))""".stripMargin
     }.mkString(",\n")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS s
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |edges AS (SELECT c AS u, s AS v FROM base
@@ -697,9 +698,139 @@ object Graph {
        |seeds AS (SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS lbl
        |          FROM customer WHERE c_custkey % 10 = 0),
        |l0 AS (SELECT * FROM seeds),
-       |$rounds
-       |SELECT id, lbl FROM l$LpRounds""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  /** DuckDB replay of [[labelProp]]: rounds unrolled as CTE stages
+    * (same reason as [[pagerankSql]]), the majority pick expressed
+    * with the identical (n desc, lbl asc) row_number. */
+  private def labelPropSql: String =
+    s"""WITH $labelPropPrefixSql
+       |SELECT id, lbl FROM l$LpRounds""".stripMargin
+
+  /** Modularity profile of the [[labelProp]] communities — the
+    * community-quality score (Newman 2006) a clustering pipeline
+    * monitors per run: for each community c, its node count, total
+    * degree d_c, intra-community directed-edge count a_c (= 2·e_c on
+    * the symmetric list), and the exact integer numerator
+    * q_num = D·a_c − d_c² where D = Σdeg = 2m — so
+    * Q = Σ q_num / D², with every term BIGINT (d_c < 3·10⁹ before
+    * d_c² overflows; the fixture is 6 orders of magnitude under).
+    * A community with negative q_num is worse than random — the
+    * actionable per-row signal.
+    *
+    * Scale shape: edges persist once; degrees and community sums are
+    * partial+final aggregates; the intra count joins the (id, lbl)
+    * state — |V|-sized, dimension-scale — onto each endpoint (two
+    * keyed hash joins, broadcast when labels fit); output is
+    * O(|communities|). */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = purchaseEdges(spark, dir).persistScoped()
+    val labels = labelProp(spark, dir).persistScoped()
+    val dTotal = edges.count() // 2m — one scalar (the pagerank-N rule)
+    val deg = edges.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val dc = deg.join(labels, "id")
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val intra = edges
+      .join(labels.select(col("id").as("u"), col("lbl").as("lu")), "u")
+      .join(labels.select(col("id").as("v"), col("lbl").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("intra2"))
+    dc.join(intra, Seq("lbl"), "left")
+      .select(col("lbl"), col("n_nodes"), col("deg_sum"),
+        coalesce(col("intra2"), lit(0L)).as("intra2"),
+        (lit(dTotal) * coalesce(col("intra2"), lit(0L))
+          - col("deg_sum") * col("deg_sum")).as("q_num"))
+  }
+
+  private def modularitySql: String =
+    s"""WITH $labelPropPrefixSql,
+       |lab AS (SELECT id, lbl FROM l$LpRounds),
+       |deg AS (SELECT u AS id, count(*) AS deg FROM edges GROUP BY 1),
+       |dt AS (SELECT count(*) AS d FROM edges),
+       |dc AS (SELECT l.lbl, count(*) AS n_nodes, CAST(sum(deg) AS BIGINT) AS deg_sum
+       |       FROM deg JOIN lab l USING (id) GROUP BY 1),
+       |ic AS (SELECT lu.lbl, count(*) AS intra2
+       |       FROM edges e JOIN lab lu ON lu.id = e.u JOIN lab lv ON lv.id = e.v
+       |       WHERE lu.lbl = lv.lbl GROUP BY 1)
+       |SELECT dc.lbl, dc.n_nodes, dc.deg_sum,
+       |  CAST(coalesce(ic.intra2, 0) AS BIGINT) AS intra2,
+       |  CAST((SELECT d FROM dt) * coalesce(ic.intra2, 0)
+       |       - dc.deg_sum * dc.deg_sum AS BIGINT) AS q_num
+       |FROM dc LEFT JOIN ic USING (lbl)""".stripMargin
+
+  /** Customers considered for [[jaccardNeighbors]] pairing share a
+    * part bought by at most this many distinct customers. */
+  private[operators] val RarePartMax = 20
+  private[operators] val JaccK = 100
+
+  /** Link prediction by neighborhood Jaccard (common-neighbors
+    * family) over the customer→part purchase relation: the top
+    * [[JaccK]] customer pairs by |parts(a) ∩ parts(b)| /
+    * |parts(a) ∪ parts(b)| on the 2²⁰ lattice. The quadratic blow-up
+    * is bounded the prefix-filter way: candidate pairs are generated
+    * ONLY through parts with ≤ [[RarePartMax]] distinct buyers (rare
+    * co-purchases are the signal; a part half the corpus bought
+    * predicts nothing and would alone emit O(|customers|²) pairs) —
+    * but the Jaccard itself is then EXACT over the candidates' full
+    * part sets. Fan-out per rare part is ≤ RarePartMax², a constant.
+    *
+    * Scale shape: one distinct (customer, part) projection persisted;
+    * candidates from a bounded self-join on rare parts; the exact
+    * intersection is two keyed joins of candidates onto the edge
+    * relation (shuffle on customer key, partial+final count); union
+    * sizes arrive by joining the per-customer degree — and the final
+    * rank is a global top-k (TakeOrderedAndProject, never a full
+    * sort). */
+  def jaccardNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .persistScoped()
+    val rare = e.groupBy(col("p")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= RarePartMax).select(col("p"))
+    val re = e.join(rare, "p")
+    val cand = re.select(col("p"), col("c").as("a"))
+      .join(re.select(col("p"), col("c").as("b")), "p")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val shared = cand
+      .join(e.select(col("c").as("a"), col("p")), "a")
+      .join(e.select(col("c").as("b"), col("p")), Seq("b", "p"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+    val degc = e.groupBy(col("c")).agg(count(lit(1)).as("n"))
+    shared
+      .join(degc.select(col("c").as("a"), col("n").as("n_a")), "a")
+      .join(degc.select(col("c").as("b"), col("n").as("n_b")), "b")
+      .select(col("a").as("cust_a"), col("b").as("cust_b"),
+        col("shared"), col("n_a"), col("n_b"),
+        expr("(shared * 1048576) div (n_a + n_b - shared)").as("jaccard_q"))
+      .orderBy(col("jaccard_q").desc, col("cust_a").asc, col("cust_b").asc)
+      .limit(JaccK)
+  }
+
+  private def jaccardNeighborsSql: String =
+    s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |rare AS (SELECT p FROM (SELECT p, count(*) AS n FROM e GROUP BY 1) t
+       |         WHERE n <= $RarePartMax),
+       |re AS (SELECT e.c, e.p FROM e JOIN rare USING (p)),
+       |cand AS (SELECT DISTINCT a.c AS a, b.c AS b
+       |         FROM re a JOIN re b ON a.p = b.p AND a.c < b.c),
+       |sh AS (SELECT cand.a, cand.b, count(*) AS shared
+       |       FROM cand JOIN e ea ON ea.c = cand.a
+       |       JOIN e eb ON eb.c = cand.b AND eb.p = ea.p
+       |       GROUP BY 1, 2),
+       |dg AS (SELECT c, count(*) AS n FROM e GROUP BY 1)
+       |SELECT sh.a AS cust_a, sh.b AS cust_b, sh.shared,
+       |  da.n AS n_a, db.n AS n_b,
+       |  CAST((sh.shared * 1048576) // (da.n + db.n - sh.shared) AS BIGINT) AS jaccard_q
+       |FROM sh JOIN dg da ON da.c = sh.a JOIN dg db ON db.c = sh.b
+       |ORDER BY jaccard_q DESC, cust_a ASC, cust_b ASC
+       |LIMIT $JaccK""".stripMargin
 
   private[operators] val KcoreK = 3
   private[operators] val KcoreRounds = 4
@@ -777,7 +908,9 @@ object Graph {
     "kcore"           -> kcore,
     "copurchase_topk" -> copurchaseTopk,
     "assoc_rules"     -> assocRules,
-    "triangles"       -> triangles)
+    "triangles"       -> triangles,
+    "modularity"      -> modularity,
+    "jaccard_neighbors" -> jaccardNeighbors)
 
   val oracles: Map[String, String] = Map(
     "pagerank" -> pagerankSql,
@@ -787,6 +920,8 @@ object Graph {
     "sssp_weighted" -> ssspWeightedSql,
     "hits_scores" -> hitsScoresSql,
     "label_prop" -> labelPropSql,
+    "modularity" -> modularitySql,
+    "jaccard_neighbors" -> jaccardNeighborsSql,
     "kcore" -> kcoreSql,
     "assoc_rules" -> assocRulesSql,
     "copurchase_topk" ->

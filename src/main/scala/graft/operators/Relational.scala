@@ -1304,6 +1304,79 @@ object Relational {
       |  CAST((c.cum_cents * 1048576) // (SELECT t FROM t) AS BIGINT) AS cumtop_share_q
       |FROM g JOIN c USING (band)""".stripMargin
 
+  /** Lag-7 autocorrelation of daily revenue — the seasonality
+    * STRENGTH scalar behind [[seasonalProfile]]'s shape: does this
+    * week's daily revenue predict next week's, day for day? Series =
+    * per-day revenue in whole $k (cents summed exactly, ONE
+    * truncating division — integral, so the lag join is exact);
+    * pairs (day, day+7) meet by epoch-day EQUI join (never a global
+    * window); the correlation closes over exact integer moment sums
+    * via the [[aggCorr]] discipline (decimal accumulation, floor to
+    * a < 2⁵³ integer, identical IEEE ops both engines — rev_k ~10⁴
+    * keeps sxx well inside the lossless-double range through ~10⁹
+    * days or ~10⁶× the per-day revenue).
+    *
+    * Scale shape: fact folds to |days| rows partial+final FIRST;
+    * the self-join and moments are metadata-sized after that. */
+  def autocorrLag7(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(
+        expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)").as("day"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("day"))
+      .agg(expr("sum(cents) div 100000").as("rev_k"))
+      .persistScoped()
+    val pairs = daily.select(col("day"), col("rev_k").as("x"))
+      .join(daily.select((col("day") - 7L).as("day"), col("rev_k").as("y")), "day")
+    def mom(c: Column): Column = floor(c).cast("double")
+    val dec = (c: Column) => c.cast(DecimalType(19, 0))
+    val n = count(lit(1))
+    val sx = mom(sum(dec(col("x")))); val sy = mom(sum(dec(col("y"))))
+    val sxx = mom(sum(dec(col("x")) * dec(col("x"))))
+    val syy = mom(sum(dec(col("y")) * dec(col("y"))))
+    val sxy = mom(sum(dec(col("x")) * dec(col("y"))))
+    val covN = n * sxy - sx * sy
+    pairs.agg(
+      n.as("n_pairs"),
+      (covN / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_lag7"),
+      (covN / (n * sxx - sx * sx)).as("slope"))
+  }
+
+  /** Peak concurrency per user — the classic interval-overlap sweep
+    * (max overlapping intervals), each event an open-ended [ts,
+    * ts+5 min) activity span: the "how many sessions at once"
+    * capacity question. Boundaries (+1 at start, −1 at end) sort per
+    * user with ends BEFORE starts at the same instant (half-open
+    * semantics: touching intervals don't overlap), a running sum
+    * gives the live count, and the row where it peaks is exact and
+    * tie-stable — within equal (t, d) runs each prefix value occurs
+    * on exactly one row, so min(t at max) is order-independent.
+    * Epoch MICROSECONDS throughout (unix_micros / epoch_us —
+    * integral; epoch-seconds doubles drift).
+    *
+    * Scale shape: 2 rows per event, ONE exchange on user_id serving
+    * both windows (running sum + per-user max) and the final
+    * aggregate; a bot user streams through the sort spill path, never
+    * an in-memory buffer. */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("s"))
+    val bounds = ev.select(col("user_id"), col("s").as("t"), lit(1L).as("d"))
+      .unionAll(ev.select(col("user_id"), (col("s") + 300000000L).as("t"),
+        lit(-1L).as("d")))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("t").asc, col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("user_id"))
+    bounds
+      .withColumn("cnt", sum(col("d")).over(wRun))
+      .withColumn("mx", max(col("cnt")).over(wAll))
+      .filter(col("cnt") === col("mx"))
+      .groupBy(col("user_id"))
+      .agg(max(col("mx")).as("max_concurrent"), min(col("t")).as("peak_us"))
+  }
+
   /** Day-of-week seasonality profile per event type — the weekly-
     * rhythm rollup behind load forecasting and anomaly baselines
     * ("is Tuesday traffic down vs its OWN Tuesday norm"). The
@@ -3660,6 +3733,8 @@ object Relational {
     "purchase_gaps"    -> purchaseGaps,
     "winsorized_mean"  -> winsorizedMean,
     "seasonal_profile" -> seasonalProfile,
+    "autocorr_lag7" -> autocorrLag7,
+    "interval_overlap" -> intervalOverlap,
     "gini_spend"       -> giniSpend,
     "decile_lift"      -> decileLift,
     "benford_first_digit" -> benfordDeviation,
@@ -4351,6 +4426,44 @@ object Relational {
         |  max(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN vq END) AS p90_q
         |FROM r GROUP BY event_type""".stripMargin,
     "benford_first_digit" -> benfordSql,
+    // exact HUGEINT moment sums over the integral $k series, floored
+    // to lossless doubles — the agg_corr closing-formula discipline
+    "autocorr_lag7" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |s AS (SELECT day, CAST(sum(CAST(cents AS HUGEINT)) // 100000 AS BIGINT) AS rev_k
+        |      FROM d GROUP BY 1),
+        |p AS (SELECT a.rev_k AS x, b.rev_k AS y
+        |      FROM s a JOIN s b ON b.day = a.day + 7),
+        |m AS (SELECT count(*) AS n,
+        |        CAST(floor(sum(CAST(x AS HUGEINT))) AS DOUBLE) AS sx,
+        |        CAST(floor(sum(CAST(y AS HUGEINT))) AS DOUBLE) AS sy,
+        |        CAST(floor(sum(CAST(x AS HUGEINT) * x)) AS DOUBLE) AS sxx,
+        |        CAST(floor(sum(CAST(y AS HUGEINT) * y)) AS DOUBLE) AS syy,
+        |        CAST(floor(sum(CAST(x AS HUGEINT) * y)) AS DOUBLE) AS sxy
+        |      FROM p)
+        |SELECT n AS n_pairs,
+        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_lag7,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        |FROM m""".stripMargin,
+    // half-open [ts, ts+5min) sweep: ends (-1) sort before starts
+    // (+1) at equal t, so touching intervals never count as live
+    "interval_overlap" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS s FROM events),
+        |b AS (SELECT user_id, s AS t, 1 AS d FROM ev
+        |      UNION ALL
+        |      SELECT user_id, s + 300000000, -1 FROM ev),
+        |c AS (SELECT user_id, t,
+        |        sum(d) OVER (PARTITION BY user_id ORDER BY t, d
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
+        |      FROM b),
+        |m AS (SELECT user_id, t, cnt,
+        |        max(cnt) OVER (PARTITION BY user_id) AS mx FROM c)
+        |SELECT user_id, CAST(max(mx) AS BIGINT) AS max_concurrent,
+        |  CAST(min(t) AS BIGINT) AS peak_us
+        |FROM m WHERE cnt = mx GROUP BY user_id""".stripMargin,
     "pareto_share" -> paretoSql,
     "discount_elasticity" -> discountElasticitySql,
     "ship_latency" -> shipLatencySql,

@@ -56,6 +56,30 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Exact max-inner-product top-k (MIPS) — the retrieval objective
+    * recommendation/retrieval towers actually rank by (un-normalized
+    * dot, not cosine: magnitude is signal). Both sides quantize to
+    * the 2⁻²⁰ lattice and the dot is a 64-term BIGINT sum — exact and
+    * hash-comparable, no float rounding contract needed. Scale shape:
+    * |Q| query vectors broadcast against the corpus scan (the
+    * [[annTopkBrute]] orientation), rank-limit pushdown per query;
+    * the LSH/IVF machinery upgrades it to sub-linear exactly as for
+    * cosine when |Q|·N stops being scannable. */
+  def mipsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), latArrCol(col("embedding")).as("qq"))
+    val c = e.select(col("vec_id").as("nid"), latArrCol(col("embedding")).as("nq"))
+    val dot = aggregate(zip_with(col("qq"), col("nq"), (x, y) => x * y),
+      lit(0L), (a, x) => a + x)
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid").asc)
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("dot", dot)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("qid"), col("rnk"), col("nid"), col("dot"))
+  }
+
   // -- deterministic random hyperplanes (SplitMix64, fixed seed) -----
 
   private val NTables = 16
@@ -875,6 +899,45 @@ object Similarity {
       .toDF("vec_id", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
   }
 
+  /** Per-subspace PQ distortion profile — the codebook-health query a
+    * vector store runs after every (re)train: for each of the 8
+    * subspaces, how far members sit from their assigned codeword
+    * (exact lattice SSE — mean via one truncating division, plus the
+    * max tail). A subspace whose distortion dwarfs the others is
+    * under-trained or carries the data's variance and wants more
+    * codes; rising means across retrains signal drift. Scale shape:
+    * one narrow typed pass against the broadcast codebook (8·256·8
+    * longs, driver metadata) emitting 8 (s, sse) longs per vector,
+    * then ONE partial+final aggregation — O(8) output at any corpus
+    * size. Sums accumulate in DECIMAL(38,0): per-row SSE ≤ 8·(2²¹)²
+    * ≈ 2⁴⁵, so long totals overflow near 2¹⁸ vectors. */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cb = pqCodebook(spark, dir)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (_, v) =>
+        val cs = pqCodesOf(v, cb)
+        (0 until NSub).iterator.map { s =>
+          var sse = 0L
+          var d = 0
+          while (d < SubDim) {
+            val diff = lat(v, s * SubDim + d) - cb(s)(cs(s))(d)
+            sse += diff * diff
+            d += 1
+          }
+          (s.toLong, sse)
+        }
+      }
+      .toDF("s", "sse")
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("sse").cast("decimal(38,0)")).as("tot"),
+        max(col("sse")).as("max_sse"))
+      .select(col("s"), col("n"),
+        expr("cast(tot div n as bigint)").as("mean_sse"), col("max_sse"))
+  }
+
   private val PqShortlist = 100
 
   /** PQ ANN: ADC scan → shortlist → exact rerank, the production
@@ -1257,6 +1320,8 @@ object Similarity {
     "ann_index" -> annIndex,
     "ann_index_add" -> annIndexAdd,
     "ann_topk" -> annTopkBrute,
+    "mips_topk" -> mipsTopk,
+    "pq_distortion" -> pqDistortion,
     "ann_lsh"  -> annLsh,
     "ann_ivf"  -> annIvf,
     "ann_radius" -> annRadius,
@@ -1433,6 +1498,33 @@ object Similarity {
          |       AS BIGINT) AS g
          |FROM embeddings, range(1, ${Dim + 1}) t1(i), range(1, ${Dim + 1}) t2(j)
          |GROUP BY 1, 2""".stripMargin,
+    // exact lattice dot — every term and the sum are BIGINTs, so the
+    // full MIPS ranking replays with zero float contract
+    "mips_topk" ->
+      s"""WITH l AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |qs AS (SELECT vec_id AS qid, q AS qq FROM l WHERE vec_id < $NQueries),
+         |dd AS (SELECT unnest(range($Dim)) AS i),
+         |sc AS (SELECT qs.qid, l.vec_id AS nid,
+         |         CAST(sum(qs.qq[dd.i + 1] * l.q[dd.i + 1]) AS BIGINT) AS dot
+         |       FROM qs JOIN l ON l.vec_id <> qs.qid CROSS JOIN dd
+         |       GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, dot,
+         |        row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid ASC) AS rnk
+         |      FROM sc)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, dot FROM r WHERE rnk <= $K""".stripMargin,
+    // nd already holds every (vector, subspace, code) lattice SSE —
+    // the assigned-code join IS the distortion lookup
+    "pq_distortion" ->
+      s"""WITH ${pqReplayPrefix()},
+         |da AS (SELECT nd.vec_id, nd.s, nd.dist
+         |       FROM nd JOIN codes c
+         |         ON c.vec_id = nd.vec_id AND c.s = nd.s AND c.code = nd.code)
+         |SELECT CAST(s AS BIGINT) AS s, count(*) AS n,
+         |  CAST(sum(dist) // count(*) AS BIGINT) AS mean_sse,
+         |  CAST(max(dist) AS BIGINT) AS max_sse
+         |FROM da GROUP BY s""".stripMargin,
     "embed_pq" ->
       s"""WITH ${pqReplayPrefix()}
          |SELECT vec_id,

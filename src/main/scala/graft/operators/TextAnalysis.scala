@@ -935,7 +935,8 @@ object TextAnalysis {
     "tokens_pos"      -> tokensPos,
     "cooccur_lift"    -> cooccurLift,
     "inverted_index"  -> invertedIndex,
-    "bigram_pmi"      -> bigramPmi)
+    "bigram_pmi"      -> bigramPmi,
+    "gopher_quality"  -> gopherQuality)
 
   private[operators] val ToksSql =
     "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')"
@@ -1038,6 +1039,39 @@ object TextAnalysis {
     s"CASE tok $arms ELSE length(tok) END"
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, the
+    * published pretraining-corpus filter battery), re-expressed with
+    * exactly-replayable arithmetic: per doc the word count, mean word
+    * length (×100, one truncating division), max word length, words
+    * containing an alphabetic character, DISTINCT stopwords present,
+    * and the composed `keep` flag — word count ∈ [50, 100000], mean
+    * length ∈ [3, 10], ≥80 % alphabetic words (exact cross-multiplied
+    * 5·alpha ≥ 4·n, no fraction lattice needed for a comparison), ≥2
+    * distinct stopwords. All per-row array expressions + no shuffle:
+    * embarrassingly parallel at 100 TB, the filter runs ON the scan.
+    * (Line-based Gopher rules — bullet/ellipsis line ratios — have no
+    * analogue here: fixture documents are single-line by
+    * construction.) */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = toksOf(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+        array_max(transform(col("toks"), t => length(t))).cast("long").as("max_word_len"),
+        size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long").as("alpha_words"),
+        size(array_distinct(filter(col("toks"), t => t.isin(Stopwords: _*))))
+          .cast("long").as("stop_distinct"))
+      .select(col("doc_id"), col("n_words"),
+        expr("(sum_len * 100) div n_words").as("mean_len_x100"),
+        col("max_word_len"), col("alpha_words"), col("stop_distinct"),
+        (col("n_words").between(50L, 100000L) &&
+          expr("(sum_len * 100) div n_words").between(300L, 1000L) &&
+          (col("alpha_words") * 5L >= col("n_words") * 4L) &&
+          col("stop_distinct") >= 2L).cast("long").as("keep"))
+  }
+
   /** (doc_id, pos, tok) — every token with its 0-based ordinal, the
     * LATERAL/UNNEST-style reshape a token-level pipeline starts from
     * (position-aware n-gramming, span labeling, windowed attention
@@ -1103,6 +1137,23 @@ object TextAnalysis {
          |  length(text)*1.0 / len($ToksSql) AS chars_per_token
          |FROM documents""".stripMargin,
     "lang_id" -> langIdSql,
+    "gopher_quality" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+         |  CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT) AS max_word_len,
+         |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha_words,
+         |  CAST(len(list_distinct(list_filter(toks, t -> t IN (${Stopwords.map(w => s"'$w'").mkString(",")})))) AS BIGINT) AS stop_distinct
+         |  FROM t)
+         |SELECT doc_id, n_words,
+         |  CAST((sum_len * 100) // n_words AS BIGINT) AS mean_len_x100,
+         |  max_word_len, alpha_words, stop_distinct,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+         |        AND (sum_len * 100) // n_words BETWEEN 300 AND 1000
+         |        AND alpha_words * 5 >= n_words * 4
+         |        AND stop_distinct >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM f""".stripMargin,
     // exact referee + contract flags (the agg_approx_distinct rule):
     // both CMS guarantees must hold on every row
     "cms_counts" ->

@@ -32,7 +32,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // ann_topk broadcasts its 10-row query set against the scan — the
     // one legitimate nested-loop (PLANS.md). Everything else must be
     // hash/sort-merge joinable.
-    val allowedBnlj = Set("ann_topk")
+    // mips_topk shares the exact shape (lattice dot vs cosine)
+    val allowedBnlj = Set("ann_topk", "mips_topk")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -999,6 +1000,41 @@ class PlanAuditSpec extends AnyFunSuite {
       "segment mix is the pure two-aggregate rollup")
     assert("BroadcastHashJoin".r.findAllIn(mm).size >= 2,
       "row totals and nation names both broadcast")
+  }
+
+  test("r12 batch: scan-resident quality filter, metadata-fold moments, single-exchange sweep") {
+    val gq = plan("gopher_quality")
+    // the loader's round-robin split is parallelism, not data motion;
+    // the operator itself must add no keyed shuffle
+    assert(!gq.contains("Exchange hashpartitioning") && !gq.contains("Exchange rangepartitioning"),
+      "gopher_quality is a pure per-row filter battery — it must ride the scan, zero keyed shuffles")
+    val ac = plan("autocorr_lag7")
+    assert(ac.contains("partial_"), "daily fold must partial-combine")
+    assert(ac.contains("InMemoryTableScan"),
+      "the |days| series persists once and feeds both lag sides")
+    val io = plan("interval_overlap")
+    assert("Exchange hashpartitioning".r.findAllIn(io).size <= 1,
+      "one user_id exchange serves the running sum, the per-user max, and the final aggregate")
+    val ep = plan("epoch_plan")
+    assert(ep.contains("partial_") && ep.contains("BroadcastHashJoin"),
+      "per-source fold partial-combines; the totals row attaches by broadcast hash join")
+  }
+
+  test("r12 batch: pq_distortion/mips/modularity/jaccard keep vectors and facts out of wide shuffles") {
+    val pd = plan("pq_distortion")
+    assert(pd.contains("partial_"), "(s, sse) sums must partial-combine")
+    assert(!pd.linesIterator.exists(l => l.contains("Exchange") && l.contains("embedding")),
+      "raw vectors must never shuffle — only (s, sse) longs")
+    val mt = plan("mips_topk")
+    assert(mt.contains("WindowGroupLimit"),
+      "per-query rank limit must push below the exchange")
+    val mo = plan("modularity")
+    assert(mo.contains("InMemoryTableScan") && mo.contains("partial_"),
+      "edges persist once; degree/community sums partial-combine")
+    val jn = plan("jaccard_neighbors")
+    assert(jn.contains("TakeOrderedAndProject"),
+      "the global top-k must plan as per-partition heaps, never a full sort")
+    assert(jn.contains("partial_"), "shared-part counts must partial-combine")
   }
 
   test("AQE splits a planted skewed join partition at runtime") {
