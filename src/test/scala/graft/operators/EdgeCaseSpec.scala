@@ -1391,4 +1391,118 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
     graft.CacheScope.release()
   }
+
+  test("gopher_quality: keep replays from the emitted columns; bounds are internally consistent") {
+    val out = TextAnalysis.gopherQuality(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, mean, mx, alpha, stops, keep) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(mean <= mx * 100L, "mean word length cannot exceed the max")
+      assert(alpha <= n && stops <= 16L, "alpha words within count, stops within list size")
+      val expect = (n >= 50L && n <= 100000L) && (mean >= 300L && mean <= 1000L) &&
+        (alpha * 5L >= n * 4L) && stops >= 2L
+      assert(keep === (if (expect) 1L else 0L), s"keep flag must replay: $r")
+    }
+  }
+
+  test("mips_topk: ranks are 1..K per query with non-increasing dots") {
+    val out = Similarity.mipsTopk(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1L to byRank.length).toSeq, s"query $q ranks")
+      assert(byRank.map(_._3).sliding(2).forall(p => p(0) >= p(1)),
+        s"query $q dots must be non-increasing with rank")
+    }
+  }
+
+  test("pq_distortion: all 8 subspaces cover every vector; mean never exceeds max") {
+    val out = Similarity.pqDistortion(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).sorted.toSeq === (0L to 7L).toSeq)
+    val nVecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    out.foreach { case (s, n, mean, mx) =>
+      assert(n === nVecs, s"subspace $s must see every vector")
+      assert(mean >= 0L && mean <= mx, s"subspace $s: 0 <= mean <= max")
+    }
+    graft.CacheScope.release()
+  }
+
+  test("autocorr_lag7: a correlation is a correlation") {
+    val r = Relational.autocorrLag7(spark, "/root/testdata/sf0.001").collect().head
+    assert(r.getLong(0) > 0L, "fixture has lag-7 day pairs")
+    assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-12, "corr in [-1, 1]")
+    graft.CacheScope.release()
+  }
+
+  test("interval_overlap: peaks bounded by per-user event counts and time range") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+      .groupBy($"user_id").agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.expr("min(unix_micros(ts))").as("lo"),
+        org.apache.spark.sql.functions.expr("max(unix_micros(ts))").as("hi"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val out = Relational.intervalOverlap(spark, dir).collect()
+    assert(out.length === ev.size, "one row per user")
+    out.foreach { r =>
+      val (u, mc, peak) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (n, lo, hi) = ev(u)
+      assert(mc >= 1L && mc <= n, s"user $u: 1 <= peak concurrency <= events")
+      assert(peak >= lo && peak <= hi + 300000000L, s"user $u: peak time in range")
+    }
+  }
+
+  test("modularity: totals reconcile and Q stays in its theoretical band") {
+    val rows = Graph.modularity(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val dTotal = Graph.purchaseEdges(spark, "/root/testdata/sf0.001").count()
+    val degSum = rows.map(_._2).sum
+    val intraSum = rows.map(_._3).sum
+    assert(degSum <= dTotal, "labeled-vertex degree mass within total")
+    assert(intraSum <= dTotal, "intra edges within total")
+    rows.foreach { case (nn, dc, a, qn) =>
+      assert(a <= dc, "a community's intra edges cannot exceed its degree mass")
+      assert(qn === dTotal * a - dc * dc, "q_num replays from the emitted columns")
+    }
+    // Q = sum(q_num)/D^2 is bounded by [-1/2, 1]
+    val q = rows.map(_._4).sum.toDouble / (dTotal.toDouble * dTotal.toDouble)
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q out of band")
+    graft.CacheScope.release()
+  }
+
+  test("jaccard_neighbors: exact bounds — shared within both margins, lattice jaccard replays") {
+    val out = Graph.jaccardNeighbors(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, b, sh, na, nb, jq) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(a < b, "pairs are canonical (a < b)")
+      assert(sh >= 1L && sh <= math.min(na, nb), "shared within both part-set sizes")
+      assert(jq === sh * 1048576L / (na + nb - sh), "lattice jaccard replays")
+      assert(jq >= 1L && jq <= 1048576L, "jaccard in (0, 1] on the lattice")
+    }
+    graft.CacheScope.release()
+  }
+
+  test("epoch_plan: caps, deficits and totals reconcile exactly") {
+    val out = Corpus.epochPlan(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    val total = out.map(_._1).sum
+    out.foreach { case (nt, target, ex100, px100, deficit) =>
+      assert(target === total / out.length, "uniform target = total div n_sources")
+      assert(ex100 === target * 100L / nt, "epochs replay")
+      assert(px100 === math.min(ex100, 400L), "4-epoch repeat ceiling")
+      // uncapped sources only carry x100-truncation crumbs:
+      // target − floor(floor(target·100/nt)·nt/100) < nt/100 + 1
+      if (ex100 <= 400L) assert(deficit * 100L < nt + 100L,
+        "uncapped deficit is bounded by the x100 truncation crumb")
+      else assert(deficit === target - px100 * nt / 100L && deficit > 0L,
+        "capped sources report the unfillable remainder")
+    }
+    graft.CacheScope.release()
+  }
 }
