@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.CacheScope.ScopedDataset
@@ -760,6 +760,61 @@ object Graph {
        |       - dc.deg_sum * dc.deg_sum AS BIGINT) AS q_num
        |FROM dc LEFT JOIN ic USING (lbl)""".stripMargin
 
+  /** Degree assortativity of the purchase graph (Newman 2002) — the
+    * one-scalar structure summary next to [[modularity]]'s partition
+    * view: the Pearson correlation of (deg(u), deg(v)) over the
+    * symmetric edge list. Bipartite hub-and-spoke graphs come out
+    * negative (high-degree suppliers attach to low-degree customers)
+    * — a positive drift here means the graph's shape changed, which
+    * is exactly what a pipeline monitors. The correlation closes via
+    * the [[Relational.aggCorr]] exact-moment discipline: HUGEINT/
+    * decimal sums floored to < 2⁵³ integers (measured sxx ≈ 2·10¹¹
+    * at sf0.1 — four orders of headroom), then identical IEEE ops.
+    *
+    * Scale shape: degrees are one partial+final count; attaching
+    * them to both endpoints is two keyed joins against the persisted
+    * edges; the moment fold is one 1-row aggregate. */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = purchaseEdges(spark, dir).persistScoped()
+    val deg = edges.groupBy(col("u").as("id")).agg(count(lit(1)).as("d"))
+      .persistScoped()
+    val pairs = edges
+      .join(deg.select(col("id").as("u"), col("d").as("x")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("y")), "v")
+      .select(col("x"), col("y"))
+    def mom(c: Column): Column = floor(c).cast("double")
+    val dec = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val n = count(lit(1))
+    val sx = mom(sum(dec(col("x")))); val sy = mom(sum(dec(col("y"))))
+    val sxx = mom(sum(dec(col("x")) * dec(col("x"))))
+    val syy = mom(sum(dec(col("y")) * dec(col("y"))))
+    val sxy = mom(sum(dec(col("x")) * dec(col("y"))))
+    pairs.agg(n.as("n_edges"),
+      ((n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("assortativity"))
+  }
+
+  private def graphAssortativitySql: String =
+    s"""WITH base AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS u, s AS v FROM base
+       |          UNION ALL SELECT s AS u, c AS v FROM base),
+       |deg AS (SELECT u AS id, count(*) AS d FROM edges GROUP BY 1),
+       |p AS (SELECT du.d AS x, dv.d AS y
+       |      FROM edges e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+       |m AS (SELECT count(*) AS n,
+       |        CAST(floor(sum(CAST(x AS HUGEINT))) AS DOUBLE) AS sx,
+       |        CAST(floor(sum(CAST(y AS HUGEINT))) AS DOUBLE) AS sy,
+       |        CAST(floor(sum(CAST(x AS HUGEINT) * x)) AS DOUBLE) AS sxx,
+       |        CAST(floor(sum(CAST(y AS HUGEINT) * y)) AS DOUBLE) AS syy,
+       |        CAST(floor(sum(CAST(x AS HUGEINT) * y)) AS DOUBLE) AS sxy
+       |      FROM p)
+       |SELECT n AS n_edges,
+       |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+       |    AS assortativity
+       |FROM m""".stripMargin
+
   /** Customers considered for [[jaccardNeighbors]] pairing share a
     * part bought by at most this many distinct customers. */
   private[operators] val RarePartMax = 20
@@ -910,7 +965,8 @@ object Graph {
     "assoc_rules"     -> assocRules,
     "triangles"       -> triangles,
     "modularity"      -> modularity,
-    "jaccard_neighbors" -> jaccardNeighbors)
+    "jaccard_neighbors" -> jaccardNeighbors,
+    "graph_assortativity" -> graphAssortativity)
 
   val oracles: Map[String, String] = Map(
     "pagerank" -> pagerankSql,
@@ -922,6 +978,7 @@ object Graph {
     "label_prop" -> labelPropSql,
     "modularity" -> modularitySql,
     "jaccard_neighbors" -> jaccardNeighborsSql,
+    "graph_assortativity" -> graphAssortativitySql,
     "kcore" -> kcoreSql,
     "assoc_rules" -> assocRulesSql,
     "copurchase_topk" ->

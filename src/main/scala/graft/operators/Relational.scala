@@ -1377,6 +1377,99 @@ object Relational {
       .agg(max(col("mx")).as("max_concurrent"), min(col("t")).as("peak_us"))
   }
 
+  /** Join-key skew profile — the diagnostic a 100 TB join runs BEFORE
+    * choosing between plain shuffle, salting ([[Reshape.aggSalted]] /
+    * `join_salted`) and AQE skew-split: for each candidate key family
+    * the row count, distinct-key count, hottest key's frequency, and
+    * `skew_q = (max_freq · n_keys · 2²⁰) div n_rows` — the hottest
+    * key's multiple of the MEAN key frequency on the lattice (2²⁰ =
+    * perfectly uniform; 10·2²⁰ = the hot key is 10× mean and the
+    * post-shuffle partition holding it will straggle ~10×). One
+    * partial+final count per family, then a 1-row fold — O(families)
+    * output at any scale; the hot keys themselves are [[freqTopk]]'s
+    * job. */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    def family(name: String, keyed: DataFrame): DataFrame =
+      keyed.groupBy(col("k")).agg(count(lit(1)).as("f"))
+        .agg(sum(col("f")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("f")).as("max_freq"))
+        .select(lit(name).as("key_col"), col("n_rows"), col("n_keys"), col("max_freq"),
+          expr("(max_freq * n_keys * 1048576) div n_rows").as("skew_q"))
+    family("l_partkey", Tables.lineitem(spark, dir).select(col("l_partkey").as("k")))
+      .unionAll(family("l_suppkey",
+        Tables.lineitem(spark, dir).select(col("l_suppkey").as("k"))))
+      .unionAll(family("o_custkey",
+        Tables.orders(spark, dir).select(col("o_custkey").as("k"))))
+  }
+
+  /** Per-user activity bursts (Kleinberg-style burst detection
+    * reduced to its exactly-replayable core): hourly event counts per
+    * user, flagged where an hour runs ≥ 3× that user's own MEDIAN
+    * active-hour count (discrete rank-pick median — the
+    * [[aggQuantileDisc]] lattice, no interpolation) and ≥ 3 absolute.
+    * The per-user baseline is the point: a bot's every hour is "high"
+    * vs the corpus but flat vs itself, while a true burst towers over
+    * its own history.
+    *
+    * Scale shape: one (user, hour) partial+final count, then two
+    * windows over the GROUPED |active hours| relation sharing one
+    * user_id exchange; the raw event stream never enters a window. */
+  def burstDetect(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("hour"))
+      .groupBy(col("user_id"), col("hour")).agg(count(lit(1)).as("n_events"))
+    val wRank = Window.partitionBy(col("user_id"))
+      .orderBy(col("n_events").asc, col("hour").asc)
+    val wAll = Window.partitionBy(col("user_id"))
+    hourly
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("nh", count(lit(1)).over(wAll))
+      .withColumn("med", max(when(col("rn") === expr("(nh * 50 + 99) div 100"),
+        col("n_events"))).over(wAll))
+      .filter(col("n_events") >= col("med") * 3 && col("n_events") >= 3)
+      .select(col("user_id"), col("hour"), col("n_events"), col("med"))
+  }
+
+  /** SAX-style motif mining over daily revenue (symbolic aggregate
+    * approximation, distribution-free variant): days get quartile
+    * letters a–d by exact RANK banding (the [[rfmSegment]] lattice —
+    * empirical quartiles, not SAX's Gaussian breakpoints, so the
+    * symbolization is integral and engine-exact), weeks concatenate
+    * their 7 letters in day order into a motif word, and the output
+    * counts each motif's occurrences — the repeated-shape question
+    * ("how often does the week open low and close high") that raw
+    * correlation can't answer. Fold-below-window: the fact stream
+    * folds to |days| rows FIRST (the drawdown/revenue_wow contract);
+    * the single-partition rank window orders metadata only.
+    *
+    * Output: one row per distinct motif with its week count and
+    * length (edge weeks are shorter — kept, flagged by motif_len). */
+  def saxMotifs(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(
+        expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)").as("day"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("rev"))
+    val wRank = Window.orderBy(col("rev").asc, col("day").asc)
+    val banded = daily
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("day"),
+        expr("substring('abcd', cast(((rn - 1) * 4) div n + 1 as int), 1)")
+          .as("letter"))
+    banded
+      .select(expr("day div 7").as("week"), expr("day % 7").as("dow"), col("letter"))
+      .groupBy(col("week"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("dow"), col("letter")))),
+        e => e("letter")), "").as("motif"))
+      .groupBy(col("motif"))
+      .agg(count(lit(1)).as("n_weeks"))
+      .select(col("motif"), length(col("motif")).cast("long").as("motif_len"),
+        col("n_weeks"))
+  }
+
   /** Day-of-week seasonality profile per event type — the weekly-
     * rhythm rollup behind load forecasting and anomaly baselines
     * ("is Tuesday traffic down vs its OWN Tuesday norm"). The
@@ -3735,6 +3828,9 @@ object Relational {
     "seasonal_profile" -> seasonalProfile,
     "autocorr_lag7" -> autocorrLag7,
     "interval_overlap" -> intervalOverlap,
+    "skew_profile" -> skewProfile,
+    "burst_detect" -> burstDetect,
+    "sax_motifs" -> saxMotifs,
     "gini_spend"       -> giniSpend,
     "decile_lift"      -> decileLift,
     "benford_first_digit" -> benfordDeviation,
@@ -4464,6 +4560,49 @@ object Relational {
         |SELECT user_id, CAST(max(mx) AS BIGINT) AS max_concurrent,
         |  CAST(min(t) AS BIGINT) AS peak_us
         |FROM m WHERE cnt = mx GROUP BY user_id""".stripMargin,
+    "skew_profile" ->
+      """WITH f AS (
+        |  SELECT 'l_partkey' AS key_col, l_partkey AS k FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+        |  UNION ALL SELECT 'o_custkey', o_custkey FROM orders),
+        |g AS (SELECT key_col, k, count(*) AS f FROM f GROUP BY 1, 2)
+        |SELECT key_col, CAST(sum(f) AS BIGINT) AS n_rows,
+        |  count(*) AS n_keys, CAST(max(f) AS BIGINT) AS max_freq,
+        |  CAST((max(f) * count(*) * 1048576) // sum(f) AS BIGINT) AS skew_q
+        |FROM g GROUP BY key_col""".stripMargin,
+    "burst_detect" ->
+      """WITH h AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY n_events, hour) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS nh
+        |      FROM h),
+        |m AS (SELECT user_id,
+        |        max(CASE WHEN rn = (nh * 50 + 99) // 100 THEN n_events END) AS med
+        |      FROM r GROUP BY 1)
+        |SELECT h.user_id, CAST(h.hour AS BIGINT) AS hour, h.n_events, m.med
+        |FROM h JOIN m USING (user_id)
+        |WHERE h.n_events >= m.med * 3 AND h.n_events >= 3""".stripMargin,
+    "sax_motifs" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |s AS (SELECT day, CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT) AS rev
+        |      FROM d GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM s),
+        |b AS (SELECT day,
+        |        substring('abcd',
+        |          CAST(((row_number() OVER (ORDER BY rev, day) - 1) * 4)
+        |               // (SELECT n FROM nn) + 1 AS INTEGER), 1) AS letter
+        |      FROM s),
+        |w AS (SELECT day // 7 AS week,
+        |        string_agg(letter, '' ORDER BY day % 7) AS motif
+        |      FROM b GROUP BY 1)
+        |SELECT motif, CAST(length(motif) AS BIGINT) AS motif_len,
+        |  count(*) AS n_weeks
+        |FROM w GROUP BY motif""".stripMargin,
     "pareto_share" -> paretoSql,
     "discount_elasticity" -> discountElasticitySql,
     "ship_latency" -> shipLatencySql,

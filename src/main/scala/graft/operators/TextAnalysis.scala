@@ -936,7 +936,8 @@ object TextAnalysis {
     "cooccur_lift"    -> cooccurLift,
     "inverted_index"  -> invertedIndex,
     "bigram_pmi"      -> bigramPmi,
-    "gopher_quality"  -> gopherQuality)
+    "gopher_quality"  -> gopherQuality,
+    "blocklist_filter" -> blocklistFilter)
 
   private[operators] val ToksSql =
     "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> '')"
@@ -1072,6 +1073,30 @@ object TextAnalysis {
           col("stop_distinct") >= 2L).cast("long").as("keep"))
   }
 
+  /** Token blocklist for [[blocklistFilter]] — stand-ins for the
+    * C4-style "bad words" list (the real deployments swap in their
+    * own); chosen from tokens the fixture corpus actually contains so
+    * the flag paths execute. */
+  private[operators] val Blocklist = Seq("dup", "slow", "error")
+
+  /** C4-style blocklist screening, rolled up per source — the
+    * provenance-level view a corpus pipeline acts on (drop or
+    * down-weight a SOURCE whose violation share is high, not just
+    * the individual docs): per source the doc count, docs containing
+    * ≥1 blocklist token, and the violation share on the 2²⁰ lattice.
+    * The per-doc decision is a scan-resident array predicate over
+    * the shared tokenizer; the rollup is one partial+final count —
+    * O(|sources|) output at any corpus size. */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = size(filter(toksOf(col("text")), t => t.isin(Blocklist: _*))) > 0
+    Tables.documents(spark, dir)
+      .select(col("source"), flagged.cast("long").as("flag"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("flag")).as("n_flagged"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        expr("(n_flagged * 1048576) div n_docs").as("flag_share_q"))
+  }
+
   /** (doc_id, pos, tok) — every token with its 0-based ordinal, the
     * LATERAL/UNNEST-style reshape a token-level pipeline starts from
     * (position-aware n-gramming, span labeling, windowed attention
@@ -1137,6 +1162,17 @@ object TextAnalysis {
          |  length(text)*1.0 / len($ToksSql) AS chars_per_token
          |FROM documents""".stripMargin,
     "lang_id" -> langIdSql,
+    "blocklist_filter" ->
+      s"""WITH f AS (
+         |  SELECT source,
+         |    CASE WHEN len(list_filter($ToksSql,
+         |      t -> t IN (${Blocklist.map(w => s"'$w'").mkString(",")}))) > 0
+         |    THEN 1 ELSE 0 END AS flag
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(flag) AS BIGINT) AS n_flagged,
+         |  CAST((sum(flag) * 1048576) // count(*) AS BIGINT) AS flag_share_q
+         |FROM f GROUP BY source""".stripMargin,
     "gopher_quality" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
          |f AS (SELECT doc_id,

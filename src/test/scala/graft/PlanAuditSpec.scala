@@ -1037,6 +1037,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(jn.contains("partial_"), "shared-part counts must partial-combine")
   }
 
+  test("r12 batch 2: grouped-relation windows, scan-resident screens, fold-below-window motifs") {
+    val sp = plan("skew_profile")
+    assert(sp.contains("partial_"), "per-key counts must partial-combine")
+    val bd = plan("burst_detect")
+    assert(bd.contains("partial_"),
+      "hourly counts must partial-combine before any window")
+    // both windows (rank + per-user stats) run over the GROUPED
+    // |active hours| relation — the raw event stream never sorts
+    assert("Exchange hashpartitioning".r.findAllIn(bd).size <= 2,
+      "one (user, hour) count exchange + one user_id window exchange, nothing more")
+    val bf = plan("blocklist_filter")
+    assert(!bf.contains("Exchange hashpartitioning") || bf.contains("partial_"),
+      "the blocklist screen rides the scan; only the source rollup shuffles")
+    val sm = plan("sax_motifs")
+    assert(sm.contains("partial_"), "the daily fold must partial-combine")
+    val ga = plan("graph_assortativity")
+    assert(ga.contains("InMemoryTableScan") && ga.contains("partial_"),
+      "edges persist once; degree and moment folds partial-combine")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

@@ -1487,6 +1487,62 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("skew_profile: lattice ratios replay; a uniform key family floors at 2^20") {
+    val out = Relational.skewProfile(spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.getString(0)).sorted.toSeq ===
+      Seq("l_partkey", "l_suppkey", "o_custkey"))
+    out.foreach { r =>
+      val (n, k, mx, sq) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mx >= (n + k - 1) / k, "max frequency at least the ceiling mean")
+      assert(sq === mx * k * 1048576L / n, "skew_q replays")
+      assert(sq >= 1048576L - k, "hot key at least ~mean (trunc crumbs aside)")
+    }
+  }
+
+  test("sax_motifs: letters cover a-d only; week counts sum to the day-grid weeks") {
+    val dirp = "/root/testdata/sf0.001"
+    val out = Relational.saxMotifs(spark, dirp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (m, len, _) =>
+      assert(m.matches("[abcd]+"), s"motif $m must be over the 4-letter alphabet")
+      assert(len === m.length.toLong && len >= 1L && len <= 7L)
+    }
+    val nWeeks = graft.sources.Tables.orders(spark, dirp)
+      .select(org.apache.spark.sql.functions.expr(
+        "cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint) div 7").as("w"))
+      .distinct().count()
+    assert(out.map(_._3).sum === nWeeks, "every week contributes exactly one motif")
+    graft.CacheScope.release()
+  }
+
+  test("graph_assortativity: the bipartite purchase graph is disassortative") {
+    val r = Graph.graphAssortativity(spark, "/root/testdata/sf0.001").collect().head
+    assert(r.getLong(0) > 0L)
+    val a = r.getDouble(1)
+    assert(a >= -1.0 - 1e-12 && a <= 1.0 + 1e-12, "a correlation")
+    assert(a < 0.0, "hub-and-spoke bipartite graphs measure negative")
+    graft.CacheScope.release()
+  }
+
+  test("blocklist_filter: shares replay and flagged docs really contain a listed token") {
+    val dirp = "/root/testdata/sf0.001"
+    val out = TextAnalysis.blocklistFilter(spark, dirp).collect()
+    assert(out.nonEmpty)
+    var anyFlag = 0L
+    out.foreach { r =>
+      val (n, f, q) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(f <= n && q === f * 1048576L / n)
+      anyFlag += f
+    }
+    // recount directly from the corpus with the same tokenizer
+    val direct = graft.sources.Tables.documents(spark, dirp)
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .count(r => TextAnalysis.tokenize(r.getString(0))
+        .exists(TextAnalysis.Blocklist.contains))
+    assert(anyFlag === direct.toLong, "flag total matches a direct recount")
+  }
+
   test("epoch_plan: caps, deficits and totals reconcile exactly") {
     val out = Corpus.epochPlan(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
