@@ -1430,6 +1430,46 @@ object Relational {
       .select(col("user_id"), col("hour"), col("n_events"), col("med"))
   }
 
+  /** Open-order backlog over time — the operations-health series
+    * behind [[shipLatency]]'s per-order latency: per 30-day grid
+    * month (epoch-day div 30, the cohort_retention grid rule — never
+    * calendar months, whose engine conventions differ), how many
+    * orders OPENED (placed), CLOSED (last line shipped — an order is
+    * open until its final lineitem ships), and the cumulative
+    * backlog. A rising backlog line is the "demand outruns
+    * fulfillment" signal. Fold-below-window: order spans fold to
+    * |months| boundary rows FIRST; the one running-sum window orders
+    * metadata only (the drawdown contract).
+    *
+    * Scale shape: the per-order close month is one partial+final max
+    * over lineitem co-keyed with the orders join; everything after
+    * the |months| fold is metadata. */
+  def orderBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint) div 30")
+          .as("m_open"))
+      .join(Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(expr("max(cast(datediff(cast(l_shipdate as date), date'1970-01-01') as bigint)) div 30")
+          .as("m_ship")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("m_open"), (col("m_ship") + 1L).as("m_close"))
+      .persistScoped()
+    val opened = spans.groupBy(col("m_open").as("month"))
+      .agg(count(lit(1)).as("n_opened"))
+    val closed = spans.groupBy(col("m_close").as("month"))
+      .agg(count(lit(1)).as("n_closed"))
+    val w = Window.orderBy(col("month").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    opened.join(closed, Seq("month"), "full_outer")
+      .select(col("month"),
+        coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+      .withColumn("backlog",
+        sum(col("n_opened") - col("n_closed")).over(w))
+  }
+
   /** SAX-style motif mining over daily revenue (symbolic aggregate
     * approximation, distribution-free variant): days get quartile
     * letters a–d by exact RANK banding (the [[rfmSegment]] lattice —
@@ -3831,6 +3871,7 @@ object Relational {
     "skew_profile" -> skewProfile,
     "burst_detect" -> burstDetect,
     "sax_motifs" -> saxMotifs,
+    "order_backlog" -> orderBacklog,
     "gini_spend"       -> giniSpend,
     "decile_lift"      -> decileLift,
     "benford_first_digit" -> benfordDeviation,
@@ -4584,6 +4625,24 @@ object Relational {
         |SELECT h.user_id, CAST(h.hour AS BIGINT) AS hour, h.n_events, m.med
         |FROM h JOIN m USING (user_id)
         |WHERE h.n_events >= m.med * 3 AND h.n_events >= 3""".stripMargin,
+    "order_backlog" ->
+      """WITH sp AS (
+        |  SELECT o.o_orderkey,
+        |    CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) // 30 AS m_open,
+        |    (max(CAST(CAST(l.l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)) // 30) + 1 AS m_close
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |op AS (SELECT m_open AS month, count(*) AS n_opened FROM sp GROUP BY 1),
+        |cl AS (SELECT m_close AS month, count(*) AS n_closed FROM sp GROUP BY 1),
+        |j AS (SELECT coalesce(op.month, cl.month) AS month,
+        |        coalesce(op.n_opened, 0) AS n_opened,
+        |        coalesce(cl.n_closed, 0) AS n_closed
+        |      FROM op FULL OUTER JOIN cl ON op.month = cl.month)
+        |SELECT month, CAST(n_opened AS BIGINT) AS n_opened,
+        |  CAST(n_closed AS BIGINT) AS n_closed,
+        |  CAST(sum(n_opened - n_closed) OVER (ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+        |FROM j""".stripMargin,
     "sax_motifs" ->
       """WITH d AS (
         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,

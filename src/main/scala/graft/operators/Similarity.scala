@@ -419,6 +419,45 @@ object Similarity {
         (col("true_label") === col("pred_label")).cast("long").as("correct"))
   }
 
+  /** Calibration curve of the kNN classifier — accuracy bucketed by
+    * vote count (the classifier's native confidence signal): "when 4
+    * of 5 neighbors agree, how often is the label right?" — the
+    * downstream-threshold question every weak-labeling pipeline
+    * answers before trusting auto-labels. Pure rollup of
+    * [[knnClassify]]'s gated output (2²⁰-lattice accuracy, one
+    * truncating division), so the oracle wraps the identical
+    * classifier replay — O(k) output rows at any corpus size. */
+  def knnCalibration(spark: SparkSession, dir: String): DataFrame =
+    knnClassify(spark, dir)
+      .groupBy(col("n_votes"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("correct")).as("n_correct"))
+      .select(col("n_votes"), col("n_queries"), col("n_correct"),
+        expr("(n_correct * 1048576) div n_queries").as("acc_q"))
+
+  /** Reciprocal-rank fusion (RRF, Cormack et al. 2009) of the two
+    * exact retrieval rankings the registry gates — cosine
+    * ([[annTopkBrute]]) and max-inner-product ([[mipsTopk]]): per
+    * (query, candidate) the fused score Σ 2²⁰ div (60 + rank) over
+    * the lists that surfaced it, re-ranked top-[[K]]. RRF is THE
+    * production hybrid-retrieval combiner (lexical + dense, or two
+    * dense towers) precisely because it needs only ranks — which are
+    * integers — so unlike score-interpolation fusion the entire
+    * operator is exact on the lattice. Scale shape: both input
+    * rankings are rank-limit-pushed per query; the fusion is one
+    * (qid, nid) partial+final sum over ≤ 2K rows per query plus a
+    * top-K window — negligible next to the retrievals themselves. */
+  def rankFusion(spark: SparkSession, dir: String): DataFrame = {
+    val lists = annTopkBrute(spark, dir).select(col("qid"), col("nid"), col("rnk"))
+      .unionAll(mipsTopk(spark, dir).select(col("qid"), col("nid"), col("rnk")))
+    val fused = lists.groupBy(col("qid"), col("nid"))
+      .agg(sum(expr("1048576 div (60 + rnk)")).as("rrf_q"),
+        count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rrf_q").desc, col("nid").asc)
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("qid"), col("rnk"), col("nid"), col("rrf_q"), col("n_lists"))
+  }
+
   /** Class centroids (prototype vectors) — the per-label mean
     * embedding on the 2⁻²⁰ lattice: the nearest-centroid companion
     * to [[knnClassify]] (Rocchio / prototype classification), and
@@ -1334,6 +1373,8 @@ object Similarity {
     "embed_pq" -> embedPq,
     "knn_join" -> knnJoin,
     "knn_classify" -> knnClassify,
+    "knn_calibration" -> knnCalibration,
+    "rank_fusion" -> rankFusion,
     "class_centroids" -> classCentroids,
     "contrastive_pairs" -> contrastivePairs)
 
@@ -1685,23 +1726,71 @@ object Similarity {
          |FROM g GROUP BY label""".stripMargin,
     // the knn_join replay (verbatim, as a derived table) wrapped in
     // the vote / tie-break / judge pipeline
-    "knn_classify" ->
-      s"""WITH votes AS (
-         |  SELECT knn.qid, CAST(l.label AS BIGINT) AS nlabel, count(*) AS n
-         |  FROM (${lshReplaySql("", KnnK)}) knn
-         |  JOIN embeddings l ON l.vec_id = knn.nid
-         |  GROUP BY 1, 2),
-         |pick AS (
-         |  SELECT qid, nlabel AS pred_label, n AS n_votes FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY qid
-         |      ORDER BY n DESC, nlabel ASC) AS rn
-         |    FROM votes) t WHERE rn = 1)
-         |SELECT p.qid, CAST(g.label AS BIGINT) AS true_label, p.pred_label,
-         |  p.n_votes,
-         |  CAST(CASE WHEN CAST(g.label AS BIGINT) = p.pred_label
-         |       THEN 1 ELSE 0 END AS BIGINT) AS correct
-         |FROM pick p JOIN embeddings g ON g.vec_id = p.qid""".stripMargin,
+    "knn_classify" -> knnClassifySql,
+    "knn_calibration" ->
+      s"""SELECT n_votes, count(*) AS n_queries,
+         |  CAST(sum(correct) AS BIGINT) AS n_correct,
+         |  CAST((sum(correct) * 1048576) // count(*) AS BIGINT) AS acc_q
+         |FROM ($knnClassifySql) b
+         |GROUP BY n_votes""".stripMargin,
+    "rank_fusion" -> rankFusionSql,
     "ann_graph" -> graphReplaySql)
+
+  /** The full kNN-classify replay (LSH candidate generation, vote
+    * count, deterministic tie-broken pick, judged against the stored
+    * label) — shared verbatim by `knn_classify` and the
+    * `knn_calibration` rollup so both gate the identical classifier. */
+  private def knnClassifySql: String =
+    s"""WITH votes AS (
+       |  SELECT knn.qid, CAST(l.label AS BIGINT) AS nlabel, count(*) AS n
+       |  FROM (${lshReplaySql("", KnnK)}) knn
+       |  JOIN embeddings l ON l.vec_id = knn.nid
+       |  GROUP BY 1, 2),
+       |pick AS (
+       |  SELECT qid, nlabel AS pred_label, n AS n_votes FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY n DESC, nlabel ASC) AS rn
+       |    FROM votes) t WHERE rn = 1)
+       |SELECT p.qid, CAST(g.label AS BIGINT) AS true_label, p.pred_label,
+       |  p.n_votes,
+       |  CAST(CASE WHEN CAST(g.label AS BIGINT) = p.pred_label
+       |       THEN 1 ELSE 0 END AS BIGINT) AS correct
+       |FROM pick p JOIN embeddings g ON g.vec_id = p.qid""".stripMargin
+
+  /** RRF fusion replay: the `ann_topk` cosine ranking and the
+    * `mips_topk` lattice-dot ranking as CTEs, fused by the exact
+    * integer 2²⁰ div (60 + rank) formula. */
+  private def rankFusionSql: String =
+    s"""WITH qd AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+       |            FROM embeddings WHERE vec_id < $NQueries),
+       |cd AS (SELECT vec_id AS nid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ne
+       |       FROM embeddings),
+       |cosr AS (SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+       |         FROM (SELECT qid, nid, list_cosine_similarity(qe, ne) AS cos
+       |               FROM qd, cd WHERE qid <> nid) s),
+       |l AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qq AS (SELECT vec_id AS qid, q AS qv FROM l WHERE vec_id < $NQueries),
+       |dd AS (SELECT unnest(range($Dim)) AS i),
+       |mip AS (SELECT qq.qid, l.vec_id AS nid,
+       |          CAST(sum(qq.qv[dd.i + 1] * l.q[dd.i + 1]) AS BIGINT) AS dot
+       |        FROM qq JOIN l ON l.vec_id <> qq.qid CROSS JOIN dd
+       |        GROUP BY 1, 2),
+       |mipr AS (SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid ASC) AS rnk
+       |         FROM mip),
+       |lists AS (SELECT qid, nid, rnk FROM cosr WHERE rnk <= $K
+       |          UNION ALL SELECT qid, nid, rnk FROM mipr WHERE rnk <= $K),
+       |fused AS (SELECT qid, nid,
+       |            CAST(sum(1048576 // (60 + rnk)) AS BIGINT) AS rrf_q,
+       |            count(*) AS n_lists
+       |          FROM lists GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY rrf_q DESC, nid ASC) AS rnk FROM fused)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, rrf_q, n_lists
+       |FROM r WHERE rnk <= $K""".stripMargin
 
   /** `ann_index` shares `ann_ivfpq`'s full replay VERBATIM: the
     * persisted write→search round trip must land on the identical

@@ -32,8 +32,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // ann_topk broadcasts its 10-row query set against the scan — the
     // one legitimate nested-loop (PLANS.md). Everything else must be
     // hash/sort-merge joinable.
-    // mips_topk shares the exact shape (lattice dot vs cosine)
-    val allowedBnlj = Set("ann_topk", "mips_topk")
+    // mips_topk shares the exact shape (lattice dot vs cosine);
+    // rank_fusion composes both rankings so it inherits their BNLJs
+    val allowedBnlj = Set("ann_topk", "mips_topk", "rank_fusion")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -1055,6 +1056,22 @@ class PlanAuditSpec extends AnyFunSuite {
     val ga = plan("graph_assortativity")
     assert(ga.contains("InMemoryTableScan") && ga.contains("partial_"),
       "edges persist once; degree and moment folds partial-combine")
+  }
+
+  test("r12 batch 3: fusion and calibration compose their gated inputs; backlog folds below its window") {
+    val rf = plan("rank_fusion")
+    assert("WindowGroupLimit".r.findAllIn(rf).size >= 2,
+      "both input rankings must keep their per-query rank-limit pushdown")
+    assert(rf.contains("partial_"), "the RRF sum must partial-combine")
+    val kc = plan("knn_calibration")
+    assert(kc.contains("partial_"), "vote buckets must partial-combine")
+    val ob = plan("order_backlog")
+    assert(ob.contains("partial_"), "per-order close month must partial-combine")
+    // the running-sum window sorts the |months| fold, not the fact
+    // stream: no rangepartitioning exchange of order/lineitem rows
+    // wider than the month fold should appear after the join
+    assert(ob.contains("InMemoryTableScan"),
+      "spans persist once and feed both the opened and closed folds")
   }
 
   test("AQE splits a planted skewed join partition at runtime") {

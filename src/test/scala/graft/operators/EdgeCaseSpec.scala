@@ -1543,6 +1543,48 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(anyFlag === direct.toLong, "flag total matches a direct recount")
   }
 
+  test("knn_calibration: buckets partition the query set and accuracy replays") {
+    val dirp = "/root/testdata/sf0.001"
+    val out = Similarity.knnCalibration(spark, dirp).collect()
+    assert(out.nonEmpty)
+    val nq = Similarity.knnClassify(spark, dirp).count()
+    assert(out.map(_.getLong(1)).sum === nq, "buckets cover every query")
+    out.foreach { r =>
+      val (v, n, c, a) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(v >= 1L && c <= n && a === c * 1048576L / n)
+    }
+    graft.CacheScope.release()
+  }
+
+  test("rank_fusion: a candidate on both lists outranks rank-parity singles; scores replay") {
+    val rows = Similarity.rankFusion(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length).toSeq, s"query $q ranks")
+    }
+    rows.foreach { case (_, _, _, rrf, nl) =>
+      assert(nl >= 1L && nl <= 2L)
+      // each term is 2^20 div (60+rnk) with rnk in 1..5: bounds check
+      assert(rrf >= 1048576L / 65L * nl && rrf <= (1048576L / 61L) * nl)
+    }
+  }
+
+  test("order_backlog: flow conservation — backlog is the running open-minus-closed balance") {
+    val rows = Relational.orderBacklog(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    var bal = 0L
+    rows.foreach { case (_, o, c, b) =>
+      bal += o - c
+      assert(b === bal, "running balance replays")
+      assert(bal >= 0L, "an order cannot close before it opens")
+    }
+    assert(bal === 0L, "every order eventually closes")
+    assert(rows.map(_._2).sum === rows.map(_._3).sum, "opened == closed in total")
+    graft.CacheScope.release()
+  }
+
   test("epoch_plan: caps, deficits and totals reconcile exactly") {
     val out = Corpus.epochPlan(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
