@@ -42,6 +42,24 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("writeDetail dumps the FULL per-query map as parseable JSON (r11 verdict item 3)") {
+    val results = (1 to 60).map(i => (f"q$i%03d", i * 0.1))
+    val errors = scala.collection.mutable.LinkedHashMap("qbad" -> "boom msg")
+    // default dir is the working directory (what the driver commits)
+    Bench.writeDetail(results, errors, "/root/testdata/sf0.01", Seq("q001", "q002"))
+    val p = java.nio.file.Paths.get("bench_detail_sf0.01.json")
+    assert(java.nio.file.Files.exists(p), "detail file written")
+    val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    // no size budget: every query present, full 3-decimal precision
+    assert(text.contains("\"q060\": 6.000") && text.contains("\"q001\": 0.100"))
+    assert(text.contains("\"nerr\": 1") && text.contains("\"qbad\""))
+    assert(text.contains("\"damped\": [\"q001\", \"q002\"]"))
+    assert(text.contains("\"n_queries\": 60"))
+    // minimal JSON sanity without a parser dependency
+    assert(text.count(_ == '{') === text.count(_ == '}'))
+    java.nio.file.Files.delete(p)
+  }
+
   test("f2 renders valid minimal JSON numbers") {
     assert(Bench.f2(0.50)  === "0.5")
     assert(Bench.f2(1.00)  === "1")
