@@ -340,6 +340,36 @@ object Corpus {
           .as("deficit_tokens"))
   }
 
+  /** One-row dataset card — the corpus-level summary a dataset
+    * release ships (datasheet/data-card practice): document and
+    * token totals, language and source diversity, exact-duplicate
+    * mass (docs whose md5(text) collides with another's — the
+    * dedup_exact rule) and its 2²⁰-lattice share, and mean tokens
+    * per doc. Every figure is an exact integral aggregate, so the
+    * card is hash-reproducible — a release whose card drifts from a
+    * re-derivation has a provenance problem.
+    *
+    * Scale shape: one scan folds to a 1-row aggregate + one
+    * (md5 → count) partial+final for the dup mass; the two 1-row
+    * frames meet by [[ScalarJoin]] broadcast. */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val base = d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(filter(split(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", " ")), " "),
+        t => length(t) > 0)).cast("long")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val dups = d.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("n_dup_docs"))
+    ScalarJoin.attachScalar(base, col("n_docs"), dups, col("n_dup_docs"))
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"), col("n_sources"),
+        col("n_dup_docs"),
+        expr("n_tokens div n_docs").as("mean_doc_tokens"),
+        expr("(n_dup_docs * 1048576) div n_docs").as("dup_share_q"))
+  }
+
   /** Data-driven balanced downsampling — the companion to the
     * fixed-rate [[TextAnalysis.docSampleStratified]]: per-language
     * keep thresholds are COMPUTED from the corpus in the same job
@@ -683,6 +713,7 @@ object Corpus {
     "tfidf_topk"     -> tfidfTopk,
     "bm25_topk"      -> bm25Topk,
     "epoch_plan"     -> epochPlan,
+    "corpus_card"    -> corpusCard,
     "compact_files"  -> compactFiles)
 
   // single source of truth for the DuckDB tokenizer fragment — a
@@ -729,6 +760,18 @@ object Corpus {
       "SELECT doc_id, lang, n_chars FROM documents",
     "pack_efficiency" -> packEfficiencySql,
     "source_lang_mix" -> sourceLangMixSql,
+    "corpus_card" ->
+      s"""WITH t AS (SELECT md5(text) AS h, len($ToksSql) AS nt, lang, source
+         |           FROM documents),
+         |b AS (SELECT count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |        CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM t),
+         |d AS (SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS n_dup_docs
+         |      FROM (SELECT count(*) AS c FROM t GROUP BY h) g)
+         |SELECT n_docs, n_tokens, n_langs, n_sources, n_dup_docs,
+         |  CAST(n_tokens // n_docs AS BIGINT) AS mean_doc_tokens,
+         |  CAST((n_dup_docs * 1048576) // n_docs AS BIGINT) AS dup_share_q
+         |FROM b, d""".stripMargin,
     "epoch_plan" ->
       s"""WITH per AS (
          |  SELECT source, count(*) AS n_docs,

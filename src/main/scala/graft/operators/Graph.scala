@@ -760,6 +760,79 @@ object Graph {
        |       - dc.deg_sum * dc.deg_sum AS BIGINT) AS q_num
        |FROM dc LEFT JOIN ic USING (lbl)""".stripMargin
 
+  /** Personalized (topic-sensitive) PageRank — teleport mass
+    * restricted to a SEED set (every 10th customer, the labelProp
+    * seed rule): rank measures proximity TO THE SEEDS, the
+    * recommendation/trust-propagation primitive, where global
+    * PageRank measures popularity. Same integer lattice as
+    * [[rankEdges]] — r₀ = Scale div |S| on seeds (0 elsewhere), per
+    * round r'(v) = [v∈S]·tele + (17·Σ (r(u) div deg(u))) div 20 —
+    * so the unrolled oracle replays bit-exact. Vertices the seed
+    * mass hasn't reached by round R carry no row (exactly the
+    * personalized-PR semantics: unreached means rank 0).
+    *
+    * Scale shape: the [[rankEdges]] Pregel invariant — edges+degrees
+    * persist once pre-partitioned; per round only (id, rank) state
+    * shuffles; the seed teleport re-attaches by a full-outer join
+    * against the |S|-row seed table. */
+  def pagerankPersonalized(spark: SparkSession, dir: String): DataFrame = {
+    val edges = purchaseEdges(spark, dir).persistScoped()
+    val outdeg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val edgeDeg = edges.join(outdeg, "u")
+      .select(col("u"), col("v"), col("deg"))
+      .repartition(col("u"))
+      .persistScoped()
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("id"))
+      .persistScoped()
+    val nS = seeds.count()
+    val r0 = Scale / nS
+    val tele = (3L * r0) / 20L
+    var r = seeds.select(col("id"), lit(r0).as("r"))
+    for (_ <- 1 to Rounds) {
+      val contrib = edgeDeg.as("e")
+        .join(r.as("p"), col("e.u") === col("p.id"))
+        .groupBy(col("e.v"))
+        .agg(sum(expr("p.r div e.deg")).as("sm"))
+        .select(col("v").as("id"), expr("(17 * sm) div 20").as("rc"))
+      r = contrib.join(seeds.select(col("id"), lit(tele).as("t")), Seq("id"), "full_outer")
+        .select(col("id"),
+          (coalesce(col("rc"), lit(0L)) + coalesce(col("t"), lit(0L))).as("r"))
+    }
+    r.select(col("id"), col("r").as("rank_scaled"),
+      (col("r") / lit(Scale.toDouble)).as("rank"))
+  }
+
+  private def pagerankPersonalizedSql: String = {
+    val rounds = (1 to Rounds).map { i =>
+      s"""c$i AS (
+         |  SELECT e.v AS id, (17 * CAST(sum(p.r // d.deg) AS BIGINT)) // 20 AS rc
+         |  FROM edges e JOIN outdeg d ON e.u = d.u
+         |  JOIN r${i - 1} p ON e.u = p.id
+         |  GROUP BY e.v),
+         |r$i AS (
+         |  SELECT coalesce(c.id, s.id) AS id,
+         |    coalesce(c.rc, 0)
+         |      + CASE WHEN s.id IS NOT NULL THEN (SELECT tele FROM consts) ELSE 0 END AS r
+         |  FROM c$i c FULL OUTER JOIN seeds s ON s.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS u, s AS v FROM base
+       |          UNION ALL SELECT s AS u, c AS v FROM base),
+       |outdeg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+       |seeds AS (SELECT c_custkey AS id FROM customer WHERE c_custkey % 10 = 0),
+       |consts AS (SELECT ($Scale // count(*)) AS r0,
+       |                  ((3 * ($Scale // count(*))) // 20) AS tele
+       |           FROM seeds),
+       |r0 AS (SELECT id, (SELECT r0 FROM consts) AS r FROM seeds),
+       |$rounds
+       |SELECT id, r AS rank_scaled, r / ${Scale.toDouble} AS rank
+       |FROM r$Rounds""".stripMargin
+  }
+
   /** Degree assortativity of the purchase graph (Newman 2002) — the
     * one-scalar structure summary next to [[modularity]]'s partition
     * view: the Pearson correlation of (deg(u), deg(v)) over the
@@ -966,7 +1039,8 @@ object Graph {
     "triangles"       -> triangles,
     "modularity"      -> modularity,
     "jaccard_neighbors" -> jaccardNeighbors,
-    "graph_assortativity" -> graphAssortativity)
+    "graph_assortativity" -> graphAssortativity,
+    "pagerank_personalized" -> pagerankPersonalized)
 
   val oracles: Map[String, String] = Map(
     "pagerank" -> pagerankSql,
@@ -979,6 +1053,7 @@ object Graph {
     "modularity" -> modularitySql,
     "jaccard_neighbors" -> jaccardNeighborsSql,
     "graph_assortativity" -> graphAssortativitySql,
+    "pagerank_personalized" -> pagerankPersonalizedSql,
     "kcore" -> kcoreSql,
     "assoc_rules" -> assocRulesSql,
     "copurchase_topk" ->

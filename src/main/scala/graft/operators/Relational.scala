@@ -1430,6 +1430,33 @@ object Relational {
       .select(col("user_id"), col("hour"), col("n_events"), col("med"))
   }
 
+  /** Purchase-gap survival curve (Kaplan–Meier-lite, no censoring —
+    * every gap is fully observed): at each horizon t ∈ {7, 14, 30,
+    * 60, 90} days, the share of inter-purchase gaps exceeding t on
+    * the 2²⁰ lattice — the "how long until we call a customer
+    * lapsed" curve that grounds [[churnLabel]]'s single-threshold
+    * rule in the full distribution. Gaps derive from the identical
+    * lag-over-(od, ok) order the purchase_gaps/churn oracles use.
+    *
+    * Scale shape: one keyed window computes gaps; the 5× horizon
+    * fan-out rides the gap rows (longs only) into one partial+final
+    * rollup — O(5) output at any scale. */
+  def gapSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("od").asc, col("ok").asc)
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("key"), col("o_orderkey").as("ok"),
+        expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)").as("od"))
+      .withColumn("gap", col("od") - lag(col("od"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps
+      .select(col("gap"), explode(array(lit(7L), lit(14L), lit(30L), lit(60L), lit(90L))).as("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum((col("gap") > col("t")).cast("long")).as("n_exceed"))
+      .select(col("t"), col("n_gaps"), col("n_exceed"),
+        expr("(n_exceed * 1048576) div n_gaps").as("surv_q"))
+  }
+
   /** Open-order backlog over time — the operations-health series
     * behind [[shipLatency]]'s per-order latency: per 30-day grid
     * month (epoch-day div 30, the cohort_retention grid rule — never
@@ -3872,6 +3899,7 @@ object Relational {
     "burst_detect" -> burstDetect,
     "sax_motifs" -> saxMotifs,
     "order_backlog" -> orderBacklog,
+    "gap_survival" -> gapSurvival,
     "gini_spend"       -> giniSpend,
     "decile_lift"      -> decileLift,
     "benford_first_digit" -> benfordDeviation,
@@ -4625,6 +4653,18 @@ object Relational {
         |SELECT h.user_id, CAST(h.hour AS BIGINT) AS hour, h.n_events, m.med
         |FROM h JOIN m USING (user_id)
         |WHERE h.n_events >= m.med * 3 AND h.n_events >= 3""".stripMargin,
+    "gap_survival" ->
+      """WITH b AS (
+        |  SELECT o_custkey AS key, o_orderkey AS ok,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS od
+        |  FROM orders),
+        |g AS (SELECT od - lag(od, 1) OVER (PARTITION BY key ORDER BY od, ok) AS gap
+        |      FROM b),
+        |x AS (SELECT gap, unnest([7, 14, 30, 60, 90]) AS t FROM g WHERE gap IS NOT NULL)
+        |SELECT CAST(t AS BIGINT) AS t, count(*) AS n_gaps,
+        |  CAST(sum(CASE WHEN gap > t THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed,
+        |  CAST((sum(CASE WHEN gap > t THEN 1 ELSE 0 END) * 1048576) // count(*) AS BIGINT) AS surv_q
+        |FROM x GROUP BY t""".stripMargin,
     "order_backlog" ->
       """WITH sp AS (
         |  SELECT o.o_orderkey,

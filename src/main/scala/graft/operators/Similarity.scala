@@ -419,6 +419,26 @@ object Similarity {
         (col("true_label") === col("pred_label")).cast("long").as("correct"))
   }
 
+  /** Recall@K of the learned IVF index against the exact cosine
+    * ranking — the eval an ANN deployment runs after every retrain/
+    * probe-count change, AS a gated operator rather than a test-only
+    * lab (RecallLab measures curves; this row pins the shipped
+    * operating point cross-engine). Per query: K, how many of the
+    * exact top-K the index returned, and recall on the 2²⁰ lattice.
+    * Both inputs are the registry's own gated operators, so the eval
+    * can never drift from what it rates. Scale shape: both rankings
+    * are rank-limited per query before the |Q|·K-row join —
+    * everything after the retrievals is metadata. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = annTopkBrute(spark, dir).select(col("qid"), col("nid"))
+    val ivf = annIvf(spark, dir).select(col("qid"), col("nid"), lit(1L).as("hit"))
+    brute.join(ivf, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("qid"), col("k"), col("hits"),
+        expr("(hits * 1048576) div k").as("recall_q"))
+  }
+
   /** Calibration curve of the kNN classifier — accuracy bucketed by
     * vote count (the classifier's native confidence signal): "when 4
     * of 5 neighbors agree, how often is the label right?" — the
@@ -1375,6 +1395,7 @@ object Similarity {
     "knn_classify" -> knnClassify,
     "knn_calibration" -> knnCalibration,
     "rank_fusion" -> rankFusion,
+    "ann_recall" -> annRecall,
     "class_centroids" -> classCentroids,
     "contrastive_pairs" -> contrastivePairs)
 
@@ -1651,17 +1672,7 @@ object Similarity {
         |    x -> CAST(CAST(floor(CAST(x AS DOUBLE)/scale + 0.5) AS BIGINT) AS VARCHAR)),
         |    'string_agg', ',') AS q
         |FROM s""".stripMargin,
-    "ann_topk" ->
-      s"""WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
-         |           FROM embeddings WHERE vec_id < $NQueries),
-         |c AS (SELECT vec_id AS nid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ne
-         |      FROM embeddings),
-         |s AS (SELECT qid, nid, list_cosine_similarity(qe, ne) AS cos FROM q, c WHERE qid <> nid),
-         |r AS (SELECT qid, nid, cos,
-         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
-         |      FROM s)
-         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, round(cos, 4) AS cos
-         |FROM r WHERE rnk <= $K""".stripMargin,
+    "ann_topk" -> annTopkSql,
     // IVF is fully SQL-expressible because every piece is
     // deterministic: DuckDB replays seed-centroid selection, the
     // quantized-integer Lloyd mean update (floor onto the 2^-20
@@ -1670,18 +1681,18 @@ object Similarity {
     // lower cell), nprobe probing, in-cell scoring, and per-query
     // top-k — the whole LEARNED operator is hash-gated, not just row
     // counts.
-    "ann_ivf" ->
-      s"""$IvfCellsSqlPrefix,
-         |qcells AS (SELECT vec_id AS qid, cell FROM assign WHERE vec_id < $NQueries AND rk <= $NProbe),
-         |s AS (
-         |  SELECT q.qid, c.nid, list_cosine_similarity(qe.emb, ne.emb) AS cos
-         |  FROM qcells q JOIN cells c ON q.cell = c.cell AND c.nid <> q.qid
-         |  JOIN e qe ON qe.vec_id = q.qid JOIN e ne ON ne.vec_id = c.nid),
-         |r AS (SELECT qid, nid, cos,
-         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
-         |      FROM s)
-         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, round(cos, 4) AS cos
-         |FROM r WHERE rnk <= $K""".stripMargin,
+    "ann_ivf" -> annIvfSql,
+    // recall@K of the learned IVF index against the exact ranking —
+    // BOTH sides are the full gated replays, composed as derived
+    // tables, so the eval can never drift from the operators it rates
+    "ann_recall" ->
+      s"""SELECT b.qid, count(*) AS k,
+         |  CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |  CAST((sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) * 1048576) // count(*)
+         |       AS BIGINT) AS recall_q
+         |FROM ($annTopkSql) b
+         |LEFT JOIN ($annIvfSql) i ON i.qid = b.qid AND i.nid = b.nid
+         |GROUP BY b.qid""".stripMargin,
     // same cells/probe replay as ann_ivf, threshold instead of top-k
     "ann_radius" ->
       s"""$IvfCellsSqlPrefix,
@@ -1735,6 +1746,41 @@ object Similarity {
          |GROUP BY n_votes""".stripMargin,
     "rank_fusion" -> rankFusionSql,
     "ann_graph" -> graphReplaySql)
+
+  /** Brute-force cosine ranking replay — shared by `ann_topk` and the
+    * `ann_recall` evaluator so the ground truth cannot drift. */
+  private def annTopkSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+       |           FROM embeddings WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS nid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ne
+       |      FROM embeddings),
+       |s AS (SELECT qid, nid, list_cosine_similarity(qe, ne) AS cos FROM q, c WHERE qid <> nid),
+       |r AS (SELECT qid, nid, cos,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+       |      FROM s)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, round(cos, 4) AS cos
+       |FROM r WHERE rnk <= $K""".stripMargin
+
+  // IVF is fully SQL-expressible because every piece is
+  // deterministic: DuckDB replays seed-centroid selection, the
+  // quantized-integer Lloyd mean update (floor onto the 2^-20
+  // lattice → exact BIGINT sums → trunc-toward-zero division, all
+  // bit-identical across engines), nearest-cell assignment (ties →
+  // lower cell), nprobe probing, in-cell scoring, and per-query
+  // top-k — the whole LEARNED operator is hash-gated, not just row
+  // counts. Shared by `ann_ivf` and the `ann_recall` evaluator.
+  private def annIvfSql: String =
+    s"""$IvfCellsSqlPrefix,
+       |qcells AS (SELECT vec_id AS qid, cell FROM assign WHERE vec_id < $NQueries AND rk <= $NProbe),
+       |s AS (
+       |  SELECT q.qid, c.nid, list_cosine_similarity(qe.emb, ne.emb) AS cos
+       |  FROM qcells q JOIN cells c ON q.cell = c.cell AND c.nid <> q.qid
+       |  JOIN e qe ON qe.vec_id = q.qid JOIN e ne ON ne.vec_id = c.nid),
+       |r AS (SELECT qid, nid, cos,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+       |      FROM s)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, round(cos, 4) AS cos
+       |FROM r WHERE rnk <= $K""".stripMargin
 
   /** The full kNN-classify replay (LSH candidate generation, vote
     * count, deterministic tie-broken pick, judged against the stored

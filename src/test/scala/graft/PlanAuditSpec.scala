@@ -34,7 +34,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // hash/sort-merge joinable.
     // mips_topk shares the exact shape (lattice dot vs cosine);
     // rank_fusion composes both rankings so it inherits their BNLJs
-    val allowedBnlj = Set("ann_topk", "mips_topk", "rank_fusion")
+    val allowedBnlj = Set("ann_topk", "mips_topk", "rank_fusion", "ann_recall")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -1072,6 +1072,22 @@ class PlanAuditSpec extends AnyFunSuite {
     // wider than the month fold should appear after the join
     assert(ob.contains("InMemoryTableScan"),
       "spans persist once and feed both the opened and closed folds")
+  }
+
+  test("r12 batch 4: eval composition, card folds, personalized BSP keeps the Pregel invariant") {
+    val ar = plan("ann_recall")
+    assert(ar.contains("WindowGroupLimit"),
+      "both composed rankings keep their per-query rank limit")
+    val cc = plan("corpus_card")
+    assert(cc.contains("partial_") && cc.contains("BroadcastHashJoin"),
+      "card folds partial-combine; the dup-mass scalar attaches by broadcast")
+    val gs = plan("gap_survival")
+    assert(gs.contains("partial_"), "horizon rollup must partial-combine")
+    assert(!gs.linesIterator.exists(l => l.contains("Exchange") && l.contains("o_comment")),
+      "only (key, ok, od) columns may shuffle")
+    val pp = plan("pagerank_personalized")
+    assert(pp.contains("InMemoryTableScan") && pp.contains("partial_"),
+      "edges persist once; per-round contributions partial-combine")
   }
 
   test("AQE splits a planted skewed join partition at runtime") {

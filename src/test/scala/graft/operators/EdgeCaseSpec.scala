@@ -1585,6 +1585,59 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("ann_recall: the shipped IVF operating point holds the >= 0.7 recall floor") {
+    val out = Similarity.annRecall(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 10, "one row per query")
+    out.foreach { case (q, k, h, rq) =>
+      assert(h <= k && rq === h * 1048576L / k, s"query $q recall replays")
+    }
+    val macroRecall = out.map(_._3).sum.toDouble / out.map(_._2).sum
+    assert(macroRecall >= 0.7, s"IVF recall floor (RecallLab's contract): $macroRecall")
+    graft.CacheScope.release()
+  }
+
+  test("corpus_card: figures reconcile with their per-op sources") {
+    val dirp = "/root/testdata/sf0.001"
+    val r = Corpus.corpusCard(spark, dirp).collect().head
+    val nDocs = graft.sources.Tables.documents(spark, dirp).count()
+    assert(r.getLong(0) === nDocs)
+    assert(r.getLong(2) === 5L && r.getLong(3) === 20L, "fixture langs/sources")
+    assert(r.getLong(5) === r.getLong(1) / r.getLong(0), "mean replays")
+    assert(r.getLong(6) === r.getLong(4) * 1048576L / r.getLong(0), "dup share replays")
+    assert(r.getLong(4) >= 0L && r.getLong(4) <= nDocs)
+    graft.CacheScope.release()
+  }
+
+  test("gap_survival: monotone non-increasing in the horizon, bounded by 2^20") {
+    val out = Relational.gapSurvival(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(7L, 14L, 30L, 60L, 90L))
+    assert(out.map(_._2).distinct.length === 1, "every horizon sees every gap")
+    out.foreach { case (_, n, e, s) =>
+      assert(e <= n && s === e * 1048576L / n)
+    }
+    assert(out.map(_._4).sliding(2).forall(p => p(0) >= p(1)),
+      "survival cannot increase with the horizon")
+  }
+
+  test("pagerank_personalized: mass proximity — seeds outrank the global-uniform floor") {
+    val dirp = "/root/testdata/sf0.001"
+    val pers = Graph.pagerankPersonalized(spark, dirp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pers.nonEmpty)
+    val seeds = graft.sources.Tables.customer(spark, dirp)
+      .filter($"c_custkey" % 10 === 0).select($"c_custkey").collect()
+      .map(_.getLong(0)).toSet
+    assert(seeds.subsetOf(pers.keySet), "every seed holds rank (teleport floor)")
+    val seedMean = seeds.toSeq.map(pers).sum / seeds.size
+    val otherIds = pers.keySet -- seeds
+    assert(otherIds.nonEmpty, "mass spreads beyond the seed set")
+    val otherMean = otherIds.toSeq.map(pers).sum / otherIds.size
+    assert(seedMean > otherMean, "personalization: seeds average above non-seeds")
+    graft.CacheScope.release()
+  }
+
   test("epoch_plan: caps, deficits and totals reconcile exactly") {
     val out = Corpus.epochPlan(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
