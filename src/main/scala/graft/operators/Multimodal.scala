@@ -51,6 +51,47 @@ object Multimodal {
           else Array.tabulate(8)(i => (bytes(i % bytes.length) & 0xFF) / 255.0f))
     }
 
+  /** STUB AUDIO DECODER — the audio-modality twin of [[decodeStub]]
+    * (this container ships no audio codecs): reinterprets the binary
+    * payload as big-endian signed PCM16 samples, the exact batch
+    * shape a real decoder (wav/flac → PCM) needs. The Spark-side
+    * plumbing — binary column in, per-partition iterator, framed
+    * integral features out — is real and oracle-gated; only this
+    * byte→sample rule is the stand-in. */
+  def audioDecodeStub(rows: Iterator[(Long, Array[Byte])]): Iterator[(Long, Array[Int])] =
+    rows.map { case (id, bytes) =>
+      val n = bytes.length / 2
+      (id, Array.tabulate(n) { i =>
+        val v = ((bytes(2 * i) & 0xFF) << 8) | (bytes(2 * i + 1) & 0xFF)
+        if (v >= 32768) v - 65536 else v
+      })
+    }
+
+  /** Per-frame audio energy profile — the feature-extraction pass an
+    * audio pipeline runs before VAD/filtering: the 8-sample stub
+    * clip frames at 4 samples (2 frames/clip), each frame reporting
+    * its exact integral energy Σ sample² (≤ 4·2³⁰ — BIGINT-safe
+    * through ~2⁵⁰-sample frames) and peak |sample|. The oracle
+    * re-derives every sample from the md5 hex in SQL, so the whole
+    * binary → PCM → frame → energy path is hash-gated despite the
+    * stub codec. Scale shape: narrow per-partition decode + explode
+    * of 2 integral rows per clip — no shuffle at all. */
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(audioDecodeStub)
+      .flatMap { case (id, samples) =>
+        samples.grouped(4).zipWithIndex.map { case (fr, idx) =>
+          val energy = fr.map(s => s.toLong * s.toLong).sum
+          val peak = fr.map(s => math.abs(s.toLong)).max
+          (id, idx.toLong, fr.length.toLong, energy, peak)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_samples", "energy", "peak_abs")
+  }
+
   /** Fabricate a deterministic binary "media" column (md5 digest bytes
     * of the text — 16 bytes) and run it through the batch decoder. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
@@ -426,7 +467,8 @@ object Multimodal {
     "multimodal_phash"    -> multimodalPhash,
     "phash_dedup"         -> phashDedup,
     "multimodal_thumb"    -> multimodalThumb,
-    "frame_dedup"         -> frameDedup)
+    "frame_dedup"         -> frameDedup,
+    "audio_energy"        -> audioEnergy)
 
   /** aHash replay: sampled source coords are integer div, gray is
     * the (r+g+b)//3 of the gradient at those coords, mean is the
@@ -533,6 +575,21 @@ object Multimodal {
         |  CAST(sum((sx*7 + sy*13 + b2) % 256 + (sx*11 + sy*3 + b3) % 256
         |           + (sx*5 + sy*17 + b4) % 256) AS BIGINT) AS thumb_sum
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
+    // each PCM16 sample is 4 md5 hex chars (big-endian, signed):
+    // the full binary → sample → frame → energy path replays in SQL
+    "audio_energy" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(i AS BIGINT) AS si,
+        |    CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS BIGINT) AS smp
+        |  FROM (SELECT doc_id,
+        |          CAST('0x' || substr(md5(text), i*4 + 1, 4) AS INTEGER) AS v, i
+        |        FROM documents, generate_series(0, 7) AS t(i)) x)
+        |SELECT doc_id, CAST(si // 4 AS BIGINT) AS frame_idx,
+        |  count(*) AS n_samples,
+        |  CAST(sum(smp * smp) AS BIGINT) AS energy,
+        |  CAST(max(abs(smp)) AS BIGINT) AS peak_abs
+        |FROM s GROUP BY doc_id, si // 4""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(16 AS BIGINT) AS media_len,

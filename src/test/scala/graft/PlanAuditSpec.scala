@@ -1088,6 +1088,9 @@ class PlanAuditSpec extends AnyFunSuite {
     val pp = plan("pagerank_personalized")
     assert(pp.contains("InMemoryTableScan") && pp.contains("partial_"),
       "edges persist once; per-round contributions partial-combine")
+    val ae = plan("audio_energy")
+    assert(!ae.contains("Exchange hashpartitioning") && !ae.contains("Exchange rangepartitioning"),
+      "audio frame features are computed in the decode pass — zero keyed shuffles")
   }
 
   test("AQE splits a planted skewed join partition at runtime") {

@@ -1638,6 +1638,32 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("audio_energy: PCM16 stub decode — bounds, frame coverage, energy replay") {
+    val dirp = "/root/testdata/sf0.001"
+    val out = Multimodal.audioEnergy(spark, dirp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nDocs = graft.sources.Tables.documents(spark, dirp).count()
+    assert(out.length === 2 * nDocs, "16-byte clip = 8 samples = 2 frames per doc")
+    out.foreach { case (_, fi, n, e, p) =>
+      assert(fi === 0L || fi === 1L)
+      assert(n === 4L, "full 4-sample frames")
+      assert(p <= 32768L && e <= 4L * 32768L * 32768L, "PCM16 bounds")
+      assert(e >= p * p, "energy at least the peak's square")
+    }
+    // direct replay of the stub rule on one clip
+    val one = graft.sources.Tables.documents(spark, dirp)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.unhex(org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text").cast("binary"))).as("m"))
+      .collect().head
+    val bytes = one.getAs[Array[Byte]](1)
+    val samples = Multimodal.audioDecodeStub(Iterator((one.getLong(0), bytes))).next()._2
+    assert(samples.length === 8)
+    val expect0 = samples.take(4).map(s => s.toLong * s.toLong).sum
+    val got0 = out.filter(r => r._1 === one.getLong(0) && r._2 === 0L).head._4
+    assert(got0 === expect0, "frame-0 energy replays from the stub rule")
+  }
+
   test("epoch_plan: caps, deficits and totals reconcile exactly") {
     val out = Corpus.epochPlan(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
