@@ -1430,6 +1430,77 @@ object Relational {
       .select(col("user_id"), col("hour"), col("n_events"), col("med"))
   }
 
+  /** Funnel step latency — the TIME dimension [[funnelSteps]]' counts
+    * drop: for users who advanced, how long did view→click and
+    * click→purchase take (exact epoch-microsecond deltas, discrete
+    * rank-pick p50/p90 — the [[aggQuantileDisc]] lattice)? The
+    * staged first-qualifying-event times replay funnelSteps'
+    * windows verbatim, so the two rows can never disagree on what
+    * "advanced" means. Scale shape: one user-keyed window family,
+    * |transitions|-row fold, a 2-partition rank window over the
+    * folded latencies. */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val staged = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("tv", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("tc", min(when(col("event_type") === "click" && col("ts") > col("tv"),
+        col("ts"))).over(w))
+      .withColumn("tp", min(when(col("event_type") === "purchase" && col("ts") > col("tc"),
+        col("ts"))).over(w))
+      .select(col("user_id"), col("tv"), col("tc"), col("tp"))
+      .distinct()
+    val lats = staged.filter(col("tc").isNotNull)
+      .select(lit("view_to_click").as("step"),
+        (unix_micros(col("tc")) - unix_micros(col("tv"))).as("lat_us"))
+      .unionAll(staged.filter(col("tp").isNotNull)
+        .select(lit("click_to_purchase").as("step"),
+          (unix_micros(col("tp")) - unix_micros(col("tc"))).as("lat_us")))
+    val wr = Window.partitionBy(col("step")).orderBy(col("lat_us").asc)
+    lats
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("step"))))
+      .groupBy(col("step"))
+      .agg(max(col("n")).as("n_users"),
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("lat_us"))).as("p50_us"),
+        max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("lat_us"))).as("p90_us"))
+  }
+
+  /** Session conversion by engagement band — the gaps-and-islands
+    * sessionization ([[graft.streaming.EventStream]]'s 30-minute gap
+    * rule, with an event_id tiebreak so tied timestamps order
+    * identically cross-engine) rolled up to the product question:
+    * do longer sessions convert? Sessions band by event count (1 /
+    * 2–4 / 5–9 / 10+); each band reports sessions, converting
+    * sessions (≥1 purchase), and the 2²⁰-lattice conversion share.
+    * Scale shape: one user-keyed window family over the raw stream,
+    * then two tiny partial+final folds — O(4) output. */
+  def sessionConversion(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = 30L * 60L * 1000000L
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        max((col("event_type") === "purchase").cast("long")).as("has_purchase"))
+      .select(
+        when(col("n_events") === 1L, "1")
+          .when(col("n_events") <= 4L, "2-4")
+          .when(col("n_events") <= 9L, "5-9")
+          .otherwise("10+").as("band"),
+        col("has_purchase"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("has_purchase")).as("n_converting"))
+      .select(col("band"), col("n_sessions"), col("n_converting"),
+        expr("(n_converting * 1048576) div n_sessions").as("conv_q"))
+  }
+
   /** Purchase-gap survival curve (Kaplan–Meier-lite, no censoring —
     * every gap is fully observed): at each horizon t ∈ {7, 14, 30,
     * 60, 90} days, the share of inter-purchase gaps exceeding t on
@@ -3900,6 +3971,8 @@ object Relational {
     "sax_motifs" -> saxMotifs,
     "order_backlog" -> orderBacklog,
     "gap_survival" -> gapSurvival,
+    "funnel_latency" -> funnelLatency,
+    "session_conversion" -> sessionConversion,
     "gini_spend"       -> giniSpend,
     "decile_lift"      -> decileLift,
     "benford_first_digit" -> benfordDeviation,
@@ -4653,6 +4726,60 @@ object Relational {
         |SELECT h.user_id, CAST(h.hour AS BIGINT) AS hour, h.n_events, m.med
         |FROM h JOIN m USING (user_id)
         |WHERE h.n_events >= m.med * 3 AND h.n_events >= 3""".stripMargin,
+    "funnel_latency" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS tv
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+        |    OVER (PARTITION BY user_id) AS tc
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+        |    OVER (PARTITION BY user_id) AS tp
+        |  FROM s2),
+        |u AS (SELECT DISTINCT user_id, tv, tc, tp FROM s3),
+        |l AS (
+        |  SELECT 'view_to_click' AS step, epoch_us(tc) - epoch_us(tv) AS lat_us
+        |  FROM u WHERE tc IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'click_to_purchase', epoch_us(tp) - epoch_us(tc)
+        |  FROM u WHERE tp IS NOT NULL),
+        |r AS (SELECT step, lat_us,
+        |        row_number() OVER (PARTITION BY step ORDER BY lat_us) AS rn,
+        |        count(*) OVER (PARTITION BY step) AS n
+        |      FROM l)
+        |SELECT step, CAST(max(n) AS BIGINT) AS n_users,
+        |  CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN lat_us END) AS BIGINT) AS p50_us,
+        |  CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN lat_us END) AS BIGINT) AS p90_us
+        |FROM r GROUP BY step""".stripMargin,
+    "session_conversion" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |m AS (SELECT *,
+        |        CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |s AS (SELECT *,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM m),
+        |g AS (SELECT user_id, sid, count(*) AS n_events,
+        |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+        |      FROM s GROUP BY 1, 2),
+        |b AS (SELECT CASE WHEN n_events = 1 THEN '1'
+        |                  WHEN n_events <= 4 THEN '2-4'
+        |                  WHEN n_events <= 9 THEN '5-9'
+        |                  ELSE '10+' END AS band, has_purchase
+        |      FROM g)
+        |SELECT band, count(*) AS n_sessions,
+        |  CAST(sum(has_purchase) AS BIGINT) AS n_converting,
+        |  CAST((sum(has_purchase) * 1048576) // count(*) AS BIGINT) AS conv_q
+        |FROM b GROUP BY band""".stripMargin,
     "gap_survival" ->
       """WITH b AS (
         |  SELECT o_custkey AS key, o_orderkey AS ok,

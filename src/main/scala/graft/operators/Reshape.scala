@@ -24,6 +24,18 @@ object Reshape {
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(dsum(col("o_totalprice")))
 
+  /** Multi-aggregate pivot — the pivot surface [[pivotStatus]]
+    * doesn't exercise: TWO measures (count + exact decimal sum) per
+    * pivot value, yielding the `<value>_<measure>` wide layout
+    * (F_n/F_sum/...) a reporting sheet expects from one pass. Still
+    * one expand-free aggregate: Spark plans the pivot as conditional
+    * aggregation, identical to the oracle's CASE columns. */
+  def pivotMulti(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum"))
+
   /** Sorted collection aggregation: active order-years per customer as
     * an array. collect_set + array_sort (NOT collect_list, whose order
     * is partition-dependent) keeps the result deterministic. */
@@ -109,6 +121,7 @@ object Reshape {
     "string_agg"      -> stringAggPriorities,
     "date_intervals"  -> dateIntervals,
     "agg_salted"      -> aggSalted,
+    "pivot_multi"     -> pivotMulti,
     "melt_metrics"    -> meltLineitem)
 
   val oracles: Map[String, String] = Map(
@@ -123,6 +136,15 @@ object Reshape {
         |  list_aggregate(list_sort(list(DISTINCT CAST(year(o_orderdate) AS BIGINT))), 'string_agg', ',') AS years,
         |  count(DISTINCT year(o_orderdate)) AS n_years
         |FROM orders GROUP BY o_custkey""".stripMargin,
+    "pivot_multi" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS F_n,
+        |  CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(30,4)) END) AS DOUBLE) AS F_sum,
+        |  CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS O_n,
+        |  CAST(sum(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(30,4)) END) AS DOUBLE) AS O_sum,
+        |  CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS P_n,
+        |  CAST(sum(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(30,4)) END) AS DOUBLE) AS P_sum
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "string_agg" ->
       """SELECT o_custkey,
         |  list_aggregate(list_sort(list(DISTINCT o_orderpriority)), 'string_agg', ',') AS priorities

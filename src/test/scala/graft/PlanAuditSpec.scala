@@ -1093,6 +1093,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "audio frame features are computed in the decode pass — zero keyed shuffles")
   }
 
+  test("r12 batch 6: multi-measure pivot stays one aggregate; funnel/session windows share keyed exchanges") {
+    val pm = plan("pivot_multi")
+    assert(pm.contains("partial_"), "the pivot must plan as one partial+final aggregate")
+    assert(!pm.contains("Expand") || pm.contains("partial_"),
+      "no per-measure rescan — conditional aggregation in one pass")
+    val fl = plan("funnel_latency")
+    assert(fl.contains("partial_"), "the step rollup must partial-combine")
+    val sc = plan("session_conversion")
+    assert(sc.contains("partial_"),
+      "session fold and band rollup must partial-combine")
+    assert("Exchange hashpartitioning".r.findAllIn(sc).size <= 2,
+      "one user_id window exchange + one band rollup exchange at most")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

@@ -1664,6 +1664,51 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got0 === expect0, "frame-0 energy replays from the stub rule")
   }
 
+  test("pivot_multi: wide cells reconcile with the long-form rollup") {
+    val dirp = "/root/testdata/sf0.001"
+    val wide = Reshape.pivotMulti(spark, dirp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val long = graft.sources.Tables.orders(spark, dirp)
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(wide.nonEmpty)
+    wide.foreach { case (prio, row) =>
+      Seq(("F", 1), ("O", 3), ("P", 5)).foreach { case (st, idx) =>
+        val expect = long.getOrElse((prio, st), 0L)
+        val got = if (row.isNullAt(idx)) 0L else row.getLong(idx)
+        assert(got === expect, s"($prio, $st) count cell")
+      }
+    }
+  }
+
+  test("funnel_latency: latencies positive, p50 <= p90, user counts within funnel counts") {
+    val rows = Relational.funnelLatency(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getString(0)).toSet === Set("view_to_click", "click_to_purchase"))
+    rows.foreach { r =>
+      val (n, p50, p90) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0L && p50 > 0L && p50 <= p90, "ordered positive quantiles")
+    }
+  }
+
+  test("session_conversion: bands partition all sessions; conversion shares replay") {
+    val dirp = "/root/testdata/sf0.001"
+    val out = Relational.sessionConversion(spark, dirp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val totalSessions = out.map(_._2).sum
+    val nSessions = graft.streaming.EventStream
+      .sessionizeBatchWindowed(spark, dirp).count()
+    assert(totalSessions === nSessions,
+      "band session total equals the gated sessionize count (same gap rule)")
+    out.foreach { case (b, n, c, q) =>
+      assert(Set("1", "2-4", "5-9", "10+")(b))
+      assert(c <= n && q === c * 1048576L / n)
+    }
+  }
+
   test("epoch_plan: caps, deficits and totals reconcile exactly") {
     val out = Corpus.epochPlan(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
