@@ -123,10 +123,76 @@ object DataQuality {
     parts.reduce(_ unionAll _)
   }
 
+  /** One functional dependency det → dep over `df`: a determinant
+    * value is violating when more than one distinct dependent value
+    * coexists under it. One key-only partial+final aggregate
+    * (countDistinct plans as the two-level expand+agg, combining
+    * map-side) folds the table to |det| rows, then a 1-row rollup
+    * reports key counts and the violating ROW mass. */
+  private[operators] def fdRule(
+      name: String, df: DataFrame, det: String, dep: String): DataFrame =
+    df.groupBy(col(det))
+      .agg(countDistinct(col(dep)).as("nd"), count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_viol_keys"),
+        sum(when(col("nd") > 1, col("n")).otherwise(0L)).as("n_viol_rows"))
+      .select(lit(name).as("rule"), col("n_keys"), col("n_viol_keys"),
+        col("n_viol_rows"))
+
+  /** Functional-dependency audit — the schema-inference / data-contract
+    * check ("is this column really determined by that one?") a
+    * warehouse runs before declaring a candidate key or denormalizing:
+    * for each claimed FD, how many determinant values exist, how many
+    * carry more than one dependent value, and how many ROWS sit under
+    * the violating keys (the repair cost). Four FDs spanning three
+    * tables: part brand→type and name→brand, orders custkey→priority,
+    * customer nation→segment — a mix the fixture both satisfies and
+    * breaks, so the audit exercises non-zero and zero rows. Scale
+    * shape: one countDistinct aggregate per FD over KEY COLUMNS only
+    * (no payload shuffle), each folding to a 1-row frame; the union is
+    * |FDs| rows at any corpus size. */
+  def fdCheck(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    Seq(
+      fdRule("part_brand_type", p, "p_brand", "p_type"),
+      fdRule("part_name_brand", p, "p_name", "p_brand"),
+      fdRule("orders_cust_priority", Tables.orders(spark, dir),
+        "o_custkey", "o_orderpriority"),
+      fdRule("customer_nation_segment", Tables.customer(spark, dir),
+        "c_nationkey", "c_mktsegment"))
+      .reduce(_ unionAll _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dq_checks" -> dqChecks)
+    "dq_checks" -> dqChecks,
+    "fd_check" -> fdCheck)
 
   val oracles: Map[String, String] = Map(
+    "fd_check" ->
+      """WITH f1 AS (SELECT count(DISTINCT p_type) AS nd, count(*) AS n
+        |            FROM part GROUP BY p_brand),
+        |f2 AS (SELECT count(DISTINCT p_brand) AS nd, count(*) AS n
+        |       FROM part GROUP BY p_name),
+        |f3 AS (SELECT count(DISTINCT o_orderpriority) AS nd, count(*) AS n
+        |       FROM orders GROUP BY o_custkey),
+        |f4 AS (SELECT count(DISTINCT c_mktsegment) AS nd, count(*) AS n
+        |       FROM customer GROUP BY c_nationkey)
+        |SELECT 'part_brand_type' AS rule, count(*) AS n_keys,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_keys,
+        |  CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT) AS n_viol_rows
+        |FROM f1
+        |UNION ALL
+        |SELECT 'part_name_brand', count(*),
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT) FROM f2
+        |UNION ALL
+        |SELECT 'orders_cust_priority', count(*),
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT) FROM f3
+        |UNION ALL
+        |SELECT 'customer_nation_segment', count(*),
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT) FROM f4""".stripMargin,
     "dq_checks" ->
       """SELECT 'orders_date_bounds' AS rule,
         |  CAST(count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01'

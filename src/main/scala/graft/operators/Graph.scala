@@ -289,6 +289,40 @@ object Graph {
         col("e2.doc_b").as("doc_c"))
   }
 
+  /** Local clustering coefficient per node of the near-dup pair
+    * graph — [[triangles]] taken to its per-vertex conclusion: for
+    * every document in the pair graph, its degree, incident-triangle
+    * count, and the coefficient 2·tri/(deg·(deg−1)) on the 2²⁰
+    * lattice (exact integer division — no floats). A coefficient of
+    * 2²⁰ means the node's neighborhood is a clique (a true k-way
+    * duplicate group); low values flag chain-shaped similarity
+    * (drafts A~B~C where A≁C) that a transitive dedup would
+    * over-merge. Scale shape: the canonical a<b<c enumeration from
+    * [[triangles]] (each triangle once), explode to 3 per-vertex
+    * increments, partial+final count; degree is one groupBy over the
+    * symmetrized pairs; one key join aligns the two — the shingle
+    * pipeline runs once behind the persistScoped pair relation. */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val p = Dedup.dedupNgramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .persistScoped()
+    val deg = p.select(col("doc_a").as("u"))
+      .unionAll(p.select(col("doc_b").as("u")))
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val tri = p.as("e1")
+      .join(p.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(p.as("e3"),
+        col("e3.doc_a") === col("e1.doc_a") && col("e3.doc_b") === col("e2.doc_b"))
+      .select(explode(array(col("e1.doc_a"), col("e1.doc_b"), col("e2.doc_b"))).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("n_tri"))
+    deg.join(tri, Seq("u"), "left")
+      .select(col("u").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff_q",
+        expr("case when deg >= 2 then (2 * n_tri * 1048576) div (deg * (deg - 1)) " +
+          "else cast(0 as bigint) end"))
+  }
+
   private[operators] val BfsRounds = 4
   private[operators] val BfsMaxSeedSupp = 3L
 
@@ -1037,6 +1071,7 @@ object Graph {
     "copurchase_topk" -> copurchaseTopk,
     "assoc_rules"     -> assocRules,
     "triangles"       -> triangles,
+    "clustering_coeff" -> clusteringCoeff,
     "modularity"      -> modularity,
     "jaccard_neighbors" -> jaccardNeighbors,
     "graph_assortativity" -> graphAssortativity,
@@ -1072,5 +1107,21 @@ object Graph {
          |SELECT e1.doc_a AS doc_a, e1.doc_b AS doc_b, e2.doc_b AS doc_c
          |FROM jp e1
          |JOIN jp e2 ON e1.doc_b = e2.doc_a
-         |JOIN jp e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b""".stripMargin)
+         |JOIN jp e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b""".stripMargin,
+    "clustering_coeff" ->
+      s"""${Dedup.ClusterCtes},
+         |degx AS (SELECT a AS u, count(*) AS deg FROM edges GROUP BY a),
+         |trix AS (
+         |  SELECT u, count(*) AS n_tri FROM (
+         |    SELECT unnest([e1.doc_a, e1.doc_b, e2.doc_b]) AS u
+         |    FROM jp e1
+         |    JOIN jp e2 ON e1.doc_b = e2.doc_a
+         |    JOIN jp e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b) x
+         |  GROUP BY u)
+         |SELECT degx.u AS doc_id, CAST(degx.deg AS BIGINT) AS deg,
+         |  CAST(coalesce(trix.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CAST(CASE WHEN degx.deg >= 2
+         |    THEN (2 * coalesce(trix.n_tri, 0) * 1048576) // (degx.deg * (degx.deg - 1))
+         |    ELSE 0 END AS BIGINT) AS coeff_q
+         |FROM degx LEFT JOIN trix ON trix.u = degx.u""".stripMargin)
 }

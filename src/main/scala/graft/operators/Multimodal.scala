@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -458,6 +459,51 @@ object Multimodal {
       .select(col("doc_id"), col("width"), col("height"))
   }
 
+  /** Per-sample VAD threshold for [[audioVad]]: |sample| ≥ 2¹³
+    * (a quarter of PCM16 full scale) counts as voiced. */
+  private[operators] val VadThreshold = 8192L
+
+  /** Voice-activity segmentation over the stub-decoded PCM16 clips —
+    * the gaps-and-islands pass a speech pipeline runs after framing
+    * ([[audioEnergy]]): samples with |amplitude| ≥ [[VadThreshold]]
+    * are voiced, maximal consecutive runs of voiced samples form
+    * segments, and each clip reports its voiced-sample count, segment
+    * count, and longest run — the features VAD-based filtering and
+    * chunking decide on. Clips with NO voiced samples still emit
+    * their zero row (left join back to the corpus — a silence-heavy
+    * corpus must not vanish from the report). The island key is the
+    * classic `sample_idx − row_number()` difference, exact integer
+    * arithmetic replayed verbatim by the oracle. Scale shape: narrow
+    * decode + explode, ONE doc_id exchange serving the island window
+    * and both rollups; media bytes never shuffle (only (doc_id, idx)
+    * longs leave the decode stage). */
+  def audioVad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy("doc_id").orderBy("si")
+    val voiced = Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(audioDecodeStub)
+      .flatMap { case (id, samples) =>
+        samples.iterator.zipWithIndex.collect {
+          case (s, i) if math.abs(s.toLong) >= VadThreshold => (id, i.toLong)
+        }
+      }
+      .toDF("doc_id", "si")
+      .withColumn("grp", col("si") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("len")).as("n_voiced"), count(lit(1)).as("n_segments"),
+        max(col("len")).as("longest_run"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(voiced, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_voiced"), lit(0L)).as("n_voiced"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"     -> multimodalMeta,
     "multimodal_frames"   -> multimodalFrames,
@@ -468,7 +514,8 @@ object Multimodal {
     "phash_dedup"         -> phashDedup,
     "multimodal_thumb"    -> multimodalThumb,
     "frame_dedup"         -> frameDedup,
-    "audio_energy"        -> audioEnergy)
+    "audio_energy"        -> audioEnergy,
+    "audio_vad"           -> audioVad)
 
   /** aHash replay: sampled source coords are integer div, gray is
     * the (r+g+b)//3 of the gradient at those coords, mean is the
@@ -577,6 +624,28 @@ object Multimodal {
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
     // each PCM16 sample is 4 md5 hex chars (big-endian, signed):
     // the full binary → sample → frame → energy path replays in SQL
+    "audio_vad" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(i AS BIGINT) AS si,
+        |    CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS BIGINT) AS smp
+        |  FROM (SELECT doc_id,
+        |          CAST('0x' || substr(md5(text), i*4 + 1, 4) AS INTEGER) AS v, i
+        |        FROM documents, generate_series(0, 7) AS t(i)) x),
+        |voiced AS (
+        |  SELECT doc_id, si,
+        |    si - row_number() OVER (PARTITION BY doc_id ORDER BY si) AS grp
+        |  FROM s WHERE abs(smp) >= 8192),
+        |seg AS (SELECT doc_id, grp, count(*) AS len
+        |        FROM voiced GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_voiced,
+        |          count(*) AS n_segments, CAST(max(len) AS BIGINT) AS longest_run
+        |        FROM seg GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_voiced, 0) AS n_voiced,
+        |  coalesce(a.n_segments, 0) AS n_segments,
+        |  coalesce(a.longest_run, 0) AS longest_run
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
     "audio_energy" ->
       """WITH s AS (
         |  SELECT doc_id,

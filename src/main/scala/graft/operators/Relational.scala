@@ -3909,6 +3909,354 @@ object Relational {
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
   }
 
+  /** Bollinger-band breach screen over the daily revenue series —
+    * the volatility-envelope anomaly primitive (price/volume bands in
+    * trading, alert thresholds in ops dashboards): per calendar
+    * month, how many days' revenue left the trailing-7-day ±2σ band.
+    * The test is kept EXACT with no sqrt and no float variance:
+    * breach ⟺ (n·x − S₁)² > 4·(n·S₂ − S₁²) over the window's exact
+    * integral moment sums (S₁=Σcents, S₂=Σcents² as DECIMAL(38) —
+    * cents² reaches 10²⁶ at warehouse scale, past int64), the
+    * variance inequality cleared of its n² denominators, so both
+    * engines compare the same integers. Partial leading windows
+    * (n<7) use the same formula at their actual n. Scale shape:
+    * fold-below-window (the [[drawdown]] contract) — the fact table
+    * folds to |days| rows with one partial+final aggregate BEFORE
+    * the single-partition trailing window orders metadata-scale
+    * rows; the monthly rollup is a second partial+final aggregate. */
+  def bollingerBreach(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("day").asc).rowsBetween(-6, Window.currentRow)
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    Tables.orders(spark, dir)
+      .select(
+        expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)").as("day"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("x"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(dec(col("x"))).over(w))
+      .withColumn("s2", sum(dec(col("x")) * dec(col("x"))).over(w))
+      .select(
+        expr("day div 30").as("m"),
+        when(
+          (dec(col("n")) * dec(col("x")) - col("s1")) * (dec(col("n")) * dec(col("x")) - col("s1"))
+            > lit(4) * (dec(col("n")) * col("s2") - col("s1") * col("s1")),
+          1L).otherwise(0L).as("br"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_days"), sum(col("br")).as("n_breach"))
+  }
+
+  private def bollingerBreachSql: String =
+    """WITH g AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |w AS (SELECT day, x,
+      |        count(*) OVER tw AS n,
+      |        CAST(sum(CAST(x AS HUGEINT)) OVER tw AS HUGEINT) AS s1,
+      |        CAST(sum(CAST(x AS HUGEINT) * x) OVER tw AS HUGEINT) AS s2
+      |      FROM g
+      |      WINDOW tw AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |b AS (SELECT day // 30 AS m,
+      |        CASE WHEN (n * CAST(x AS HUGEINT) - s1) * (n * CAST(x AS HUGEINT) - s1)
+      |                  > 4 * (n * s2 - s1 * s1)
+      |             THEN 1 ELSE 0 END AS br
+      |      FROM w)
+      |SELECT CAST(m AS BIGINT) AS m, count(*) AS n_days,
+      |  CAST(sum(br) AS BIGINT) AS n_breach
+      |FROM b GROUP BY m""".stripMargin
+
+  /** Lead–lag cross-correlation between two daily series — the
+    * "does volume lead revenue" diagnostic a demand-planning team
+    * runs before trusting one series as a predictor of the other:
+    * corr(qty(d), rev(d+lag)) at lags {−7,−3,−1,0,1,3,7}. The
+    * [[autocorrLag7]] exact-moment discipline generalized to a
+    * second series and a lag VECTOR: both series fold from lineitem
+    * in ONE partial+final aggregate, each day row explodes into 7
+    * (day, lag) probes (a 7× fan-out of metadata-scale rows, not
+    * fact rows), and one key join on the shifted day aligns the
+    * pairs. Moment sums are exact integrals (floor-anchored
+    * DECIMAL(19) products); the final corr/slope doubles divide
+    * bit-identical integers, so IEEE division/sqrt makes the floats
+    * reproducible cross-engine. Scale shape: fact folds once; the
+    * join and the per-lag aggregate move only |days|·7 rows. */
+  def crossCorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .select(
+        expr("cast(datediff(cast(l_shipdate as date), date'1970-01-01') as bigint)").as("day"),
+        expr("cast(l_quantity as bigint)").as("qty"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("day"))
+      .agg(sum(col("qty")).as("q"), expr("sum(cents) div 100000").as("rev_k"))
+      .persistScoped()
+    val xs = daily.select(col("day"), col("q").as("x"))
+      .withColumn("lag", explode(array(Seq(-7L, -3L, -1L, 0L, 1L, 3L, 7L).map(lit): _*)))
+      .select((col("day") + col("lag")).as("yday"), col("lag"), col("x"))
+    val pairs = xs.join(
+      daily.select(col("day").as("yday"), col("rev_k").as("y")), "yday")
+    def mom(c: Column): Column = floor(c).cast("double")
+    val dec = (c: Column) => c.cast(DecimalType(19, 0))
+    val n = count(lit(1))
+    val sx = mom(sum(dec(col("x")))); val sy = mom(sum(dec(col("y"))))
+    val sxx = mom(sum(dec(col("x")) * dec(col("x"))))
+    val syy = mom(sum(dec(col("y")) * dec(col("y"))))
+    val sxy = mom(sum(dec(col("x")) * dec(col("y"))))
+    val covN = n * sxy - sx * sy
+    pairs.groupBy(col("lag")).agg(
+      n.as("n_pairs"),
+      (covN / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_xy"))
+  }
+
+  private def crossCorrSql: String =
+    """WITH d AS (
+      |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) // 100000 AS BIGINT) AS rev_k
+      |  FROM lineitem GROUP BY 1),
+      |xs AS (SELECT day + lag AS yday, lag, q AS x
+      |       FROM d, (SELECT unnest([-7, -3, -1, 0, 1, 3, 7]) AS lag) l),
+      |p AS (SELECT xs.lag, xs.x, d.rev_k AS y FROM xs JOIN d ON d.day = xs.yday),
+      |m AS (SELECT lag, count(*) AS n,
+      |        CAST(floor(sum(CAST(x AS HUGEINT))) AS DOUBLE) AS sx,
+      |        CAST(floor(sum(CAST(y AS HUGEINT))) AS DOUBLE) AS sy,
+      |        CAST(floor(sum(CAST(x AS HUGEINT) * x)) AS DOUBLE) AS sxx,
+      |        CAST(floor(sum(CAST(y AS HUGEINT) * y)) AS DOUBLE) AS syy,
+      |        CAST(floor(sum(CAST(x AS HUGEINT) * y)) AS DOUBLE) AS sxy
+      |      FROM p GROUP BY lag)
+      |SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+      |  (n * sxy - sx * sy)
+      |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+      |FROM m""".stripMargin
+
+  /** Weighted trade reciprocity — the network-science companion to
+    * [[tradeMatrix]]: for every unordered nation pair, the revenue
+    * flowing each way and how BALANCED the exchange is,
+    * `recip_q = 2·min(w_ab, w_ba) / (w_ab + w_ba)` on the 2²⁰
+    * lattice (2²⁰ = perfectly reciprocal, 0 = one-way). One-way
+    * pairs survive via the full outer join with zero fills — a
+    * reciprocity report that silently drops them would overstate
+    * balance. Scale shape: the same fact fold as the trade matrix
+    * (one partial+final aggregate to |nations|² rows at most), then
+    * the direction alignment is a join of two disjoint SLICES of
+    * that metadata-scale fold — the fact table is long gone. Wide
+    * lattice products ride DECIMAL(38) (min·2²¹ passes int64 near
+    * 10¹³-cent flows). */
+  def tradeReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name").as("cust_nation"))),
+        "c_nationkey")
+    val sn = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("supp_nation"))),
+        "s_nationkey")
+    val g = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("r"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(sum(col("r")).as("w"))
+      .persistScoped()
+    val ab = g.filter(col("cust_nation") < col("supp_nation"))
+      .select(col("cust_nation").as("nation_a"), col("supp_nation").as("nation_b"),
+        col("w").as("w_ab"))
+    val ba = g.filter(col("cust_nation") > col("supp_nation"))
+      .select(col("supp_nation").as("nation_a"), col("cust_nation").as("nation_b"),
+        col("w").as("w_ba"))
+    ab.join(ba, Seq("nation_a", "nation_b"), "full")
+      .select(col("nation_a"), col("nation_b"),
+        coalesce(col("w_ab"), lit(0L)).as("w_ab"),
+        coalesce(col("w_ba"), lit(0L)).as("w_ba"))
+      .withColumn("recip_q",
+        expr("cast((cast(least(w_ab, w_ba) as decimal(38,0)) * 2 * 1048576) " +
+          "div (w_ab + w_ba) as bigint)"))
+  }
+
+  private def tradeReciprocitySql: String =
+    """WITH g AS (
+      |  SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  WHERE cn.n_name <> sn.n_name
+      |  GROUP BY 1, 2),
+      |ab AS (SELECT cust_nation AS nation_a, supp_nation AS nation_b, w AS w_ab
+      |       FROM g WHERE cust_nation < supp_nation),
+      |ba AS (SELECT supp_nation AS nation_a, cust_nation AS nation_b, w AS w_ba
+      |       FROM g WHERE cust_nation > supp_nation),
+      |j AS (SELECT coalesce(ab.nation_a, ba.nation_a) AS nation_a,
+      |        coalesce(ab.nation_b, ba.nation_b) AS nation_b,
+      |        coalesce(ab.w_ab, 0) AS w_ab, coalesce(ba.w_ba, 0) AS w_ba
+      |      FROM ab FULL JOIN ba
+      |        ON ab.nation_a = ba.nation_a AND ab.nation_b = ba.nation_b)
+      |SELECT nation_a, nation_b, CAST(w_ab AS BIGINT) AS w_ab,
+      |  CAST(w_ba AS BIGINT) AS w_ba,
+      |  CAST((CAST(least(w_ab, w_ba) AS HUGEINT) * 2 * 1048576)
+      |       // (w_ab + w_ba) AS BIGINT) AS recip_q
+      |FROM j""".stripMargin
+
+  /** Deterministic A/B experiment readout — assignment, conversion,
+    * and significance in one pass, the whole loop an experimentation
+    * platform runs per flag: users land in arm A or B by the SAME
+    * Knuth multiplicative hash as the corpus splits (growth-stable:
+    * an assignment never changes as the corpus grows — random()
+    * would reshuffle arms every run), a user CONVERTS if they emit a
+    * high-value purchase (value ≥ 200 — plain "any purchase" is
+    * universal on the fixture, collapsing p̂(1−p̂) to 0 and the z
+    * denominator with it), and the readout is one row with both arms'
+    * exact counts, conversion rates on the 2²⁰ lattice, and the
+    * classic pooled two-proportion z statistic. z is the one double
+    * — computed from exact integer counts by identical IEEE
+    * arithmetic on both engines (the [[autocorrLag7]] discipline).
+    * Scale shape: one per-user partial+final fold of the event
+    * stream (conversion is max-of-flag — no distinct), then a 1-row
+    * conditional aggregate; assignment is a pure per-row function,
+    * never a join. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val h = ((col("user_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L)
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase" && col("value") >= 200.0, 1L)
+          .otherwise(0L).as("c"))
+      .groupBy(col("user_id"))
+      .agg(max(col("c")).as("conv"))
+      .select(when(h < lit(2147483648L), "A").otherwise("B").as("arm"), col("conv"))
+    val z = {
+      val na = sum(when(col("arm") === "A", 1L).otherwise(0L)).cast("double")
+      val nb = sum(when(col("arm") === "B", 1L).otherwise(0L)).cast("double")
+      val ca = sum(when(col("arm") === "A", col("conv")).otherwise(0L)).cast("double")
+      val cb = sum(when(col("arm") === "B", col("conv")).otherwise(0L)).cast("double")
+      val p = (ca + cb) / (na + nb)
+      (ca / na - cb / nb) / sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb))
+    }
+    per.agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "A", col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("conv_b"),
+      z.as("z_score"))
+      .withColumn("rate_a_q",
+        expr("cast((conv_a * cast(1048576 as bigint)) div n_a as bigint)"))
+      .withColumn("rate_b_q",
+        expr("cast((conv_b * cast(1048576 as bigint)) div n_b as bigint)"))
+  }
+
+  private def abTestSql: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' AND value >= 200.0 THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1),
+      |armed AS (
+      |  SELECT CASE WHEN ((user_id % 2147483648) * 2654435761) % 4294967296
+      |              < 2147483648 THEN 'A' ELSE 'B' END AS arm, conv
+      |  FROM per),
+      |a AS (SELECT
+      |        CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |        CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+      |        CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |        CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      |      FROM armed)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+      |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+      |           * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+      |           * (1.0 / n_a + 1.0 / n_b)) AS z_score,
+      |  CAST((conv_a * 1048576) // n_a AS BIGINT) AS rate_a_q,
+      |  CAST((conv_b * 1048576) // n_b AS BIGINT) AS rate_b_q
+      |FROM a""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov distance between the lifetime-spend
+    * distributions of two market segments — the NUMERIC
+    * distribution-drift companion to the categorical
+    * [[categoryDrift]]: did AUTOMOBILE customers' spend distribution
+    * shift against BUILDING's? D is computed EXACTLY on a
+    * [[KsBuckets]]-bucket ECDF lattice (bucket = (cents·K) div
+    * (max+1), the documented bucketed-KS semantics — bucket
+    * boundaries are where a step ECDF can differ most, and the
+    * lattice makes both engines compare identical integers):
+    * `d_q = max |c1·2²⁰ div n1 − c2·2²⁰ div n2|` over cumulative
+    * bucket counts, plus the classic α=0.05 rejection flag against
+    * `1.358·√((n1+n2)/(n1·n2))` (one IEEE comparison of
+    * exact-integer-derived doubles — the [[autocorrLag7]]
+    * discipline). Scale shape: fact folds to |customers| once
+    * (partial+final), the max-spend anchor is one scalar aggregate
+    * (the [[categoryDrift]] precedent), bucket counts fold to ≤ K
+    * rows, and the cumulative sum is the lorenz-style triangular
+    * broadcast join over K·(K+1)/2 metadata rows — no global sort,
+    * no single-partition window. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val segs = Seq("AUTOMOBILE", "BUILDING")
+    val per = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("m"))
+      .join(Tables.customer(spark, dir)
+        .filter(col("c_mktsegment").isin(segs: _*))
+        .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("seg"), col("m"))
+      .persistScoped()
+    val mx = per.agg(max(col("m"))).head().getLong(0)
+    val b = per
+      .select(col("seg"),
+        expr(s"(m * $KsBuckets) div ${mx + 1L}").as("b"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("seg") === segs.head, 1L).otherwise(0L)).as("x1"),
+        sum(when(col("seg") === segs.last, 1L).otherwise(0L)).as("x2"))
+      .persistScoped()
+    val pairs = (for { hi <- 0L until KsBuckets; lo <- 0L to hi } yield (hi, lo))
+      .toDF("hb", "b")
+    val cum = broadcast(pairs).join(b, "b")
+      .groupBy(col("hb"))
+      .agg(sum(col("x1")).as("c1"), sum(col("x2")).as("c2"))
+    val tot = b.agg(sum(col("x1")).as("n1"), sum(col("x2")).as("n2"))
+    ScalarJoin.attachScalar(cum, col("c1") + col("c2"), tot, col("n1") + col("n2"))
+      .select(
+        abs(expr("(c1 * cast(1048576 as bigint)) div n1") -
+          expr("(c2 * cast(1048576 as bigint)) div n2")).as("dq"),
+        col("n1"), col("n2"))
+      .agg(max(col("dq")).as("d_q"), max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+      .withColumn("reject_05",
+        when(col("d_q").cast("double") / lit(1048576.0)
+          > lit(1.358) * sqrt((col("n1") + col("n2")).cast("double")
+            / (col("n1") * col("n2")).cast("double")), 1L).otherwise(0L))
+  }
+
+  private[operators] val KsBuckets = 256L
+
+  private def ksTestSql: String =
+    """WITH per AS (
+      |  SELECT c.c_mktsegment AS seg,
+      |    CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+      |  GROUP BY o.o_custkey, c.c_mktsegment),
+      |mx AS (SELECT max(m) AS mx FROM per),
+      |b AS (SELECT (m * 256) // (mx + 1) AS b,
+      |        CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+      |        CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS x2
+      |      FROM per, mx GROUP BY 1),
+      |grid AS (SELECT unnest(range(256)) AS hb),
+      |cum AS (SELECT g.hb, CAST(sum(b.x1) AS BIGINT) AS c1, CAST(sum(b.x2) AS BIGINT) AS c2
+      |        FROM grid g JOIN b ON b.b <= g.hb GROUP BY 1),
+      |tot AS (SELECT CAST(sum(x1) AS BIGINT) AS n1, CAST(sum(x2) AS BIGINT) AS n2 FROM b),
+      |d AS (SELECT max(abs((c1 * 1048576) // n1 - (c2 * 1048576) // n2)) AS d_q,
+      |        max(n1) AS n1, max(n2) AS n2
+      |      FROM cum, tot)
+      |SELECT CAST(d_q AS BIGINT) AS d_q, n1, n2,
+      |  CAST(CASE WHEN CAST(d_q AS DOUBLE) / 1048576.0
+      |            > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))
+      |       THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+      |FROM d""".stripMargin
+
   // ---- registry ----------------------------------------------------
 
   // TPC-H-shaped rows use bare ids (q1…q22): the driver captures
@@ -3995,6 +4343,11 @@ object Relational {
     "type_jaccard"     -> typeJaccard,
     "drawdown"         -> drawdown,
     "dup_charges"      -> dupCharges,
+    "bollinger_breach" -> bollingerBreach,
+    "cross_corr"       -> crossCorr,
+    "trade_reciprocity" -> tradeReciprocity,
+    "ab_test"          -> abTest,
+    "ks_test"          -> ksTest,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
@@ -4636,6 +4989,11 @@ object Relational {
     "type_jaccard" -> typeJaccardSql,
     "drawdown" -> drawdownSql,
     "dup_charges" -> dupChargesSql,
+    "bollinger_breach" -> bollingerBreachSql,
+    "cross_corr" -> crossCorrSql,
+    "trade_reciprocity" -> tradeReciprocitySql,
+    "ab_test" -> abTestSql,
+    "ks_test" -> ksTestSql,
     "spend_percentile" ->
       """WITH per AS (
         |  SELECT o_custkey AS key,

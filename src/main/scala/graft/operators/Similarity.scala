@@ -1374,6 +1374,69 @@ object Similarity {
   private val DecimalType38 =
     org.apache.spark.sql.types.DecimalType(38, 0)
 
+  private[operators] val MutualK = 3
+
+  /** Per-label embedding-norm profile — the batch sanity check an
+    * embedding pipeline runs on every new shard BEFORE indexing it
+    * (collapsed vectors → norms near 0; an un-normalized model swap
+    * → norms far from the expected shell; both invisible to cosine
+    * ops, which normalize them away): per class label, the count and
+    * the min/max/mean of ‖v‖² on the shared Q-lattice
+    * (Σ floor(vᵢ·2²⁰)² — per-dim squares ≤ 2⁴⁰, a 64-dim sum ≤ 2⁴⁶,
+    * long-safe; the MEAN accumulates as DECIMAL(38) before its
+    * integral division). One narrow scan + one partial+final
+    * aggregate — vectors never shuffle, only (label, nq) longs. */
+  def embedNormStats(spark: SparkSession, dir: String): DataFrame = {
+    val nq = aggregate(latArrCol(col("embedding")), lit(0L), (a, x) => a + x * x)
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"), nq.as("nq"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), min(col("nq")).as("min_nq"),
+        max(col("nq")).as("max_nq"),
+        sum(col("nq").cast(DecimalType38)).as("s"))
+      .select(col("label"), col("n"), col("min_nq"), col("max_nq"),
+        expr("cast(s div n as bigint)").as("avg_nq"))
+  }
+
+  /** Mutual k-NN pairs — the symmetric-neighborhood graph a
+    * curation pipeline trusts more than one-directional retrieval
+    * (hubness filter: a vector that appears in thousands of top-k
+    * lists is a degenerate hub unless those lists are reciprocated):
+    * (a, b) is emitted iff b ranks in a's top-[[MutualK]] AND a
+    * ranks in b's — the building block of reciprocal-rank clustering
+    * and of UMAP/HDBSCAN-style graph construction. Candidates are
+    * CLUSTER-SCOPED through the shared IVF coarse quantizer
+    * ([[cellAssignments]] — the same trained artifact as `ann_ivf`
+    * and `dedup_semantic`), never all-pairs: intra-cell work is
+    * Σ cell², with cell count the 100 TB knob (the SemDeDup
+    * orientation). Per-source rank caps ride WindowGroupLimit (the
+    * per-partition heap prunes to k before the exchange); the
+    * reciprocity check is a self-join of the top-k relation with
+    * itself on the REVERSED key — |V|·k rows, metadata-scale. The
+    * tagged relation persists once behind both window sides. */
+  def mutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    val t = cellAssignments(spark, dir)
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        "vec_id")
+      .persistScoped()
+    val cand = t.as("a")
+      .join(t.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        cosine_sim(col("a.embedding"), col("b.embedding")).as("cos"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    val topk = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MutualK)
+      .select(col("src"), col("dst"), col("cos"))
+      .persistScoped()
+    topk.as("x")
+      .join(topk.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
+          col("x.src") < col("x.dst"))
+      .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"),
+        round(col("x.cos"), 4).as("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gram_matrix" -> gramMatrix,
     "ann_index" -> annIndex,
@@ -1397,7 +1460,9 @@ object Similarity {
     "rank_fusion" -> rankFusion,
     "ann_recall" -> annRecall,
     "class_centroids" -> classCentroids,
-    "contrastive_pairs" -> contrastivePairs)
+    "contrastive_pairs" -> contrastivePairs,
+    "mutual_knn" -> mutualKnn,
+    "embed_norm_stats" -> embedNormStats)
 
   /** Shared PQ replay: lattice-floored vectors, the sampled-point
     * SEED codebook, the per-subspace Lloyd mean update (integral
@@ -1715,6 +1780,36 @@ object Similarity {
          |  round(min(cos), 4) AS min_cos, round(max(cos), 4) AS max_cos,
          |  CAST(sum(CASE WHEN cos < 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_loose
          |FROM s GROUP BY cell""".stripMargin,
+    "embed_norm_stats" ->
+      s"""WITH q AS (
+         |  SELECT CAST(label AS BIGINT) AS label,
+         |    list_sum(list_transform(
+         |      list_transform(embedding,
+         |        x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT)),
+         |      y -> y * y)) AS nq
+         |  FROM embeddings)
+         |SELECT label, count(*) AS n,
+         |  CAST(min(nq) AS BIGINT) AS min_nq, CAST(max(nq) AS BIGINT) AS max_nq,
+         |  CAST(sum(CAST(nq AS HUGEINT)) // count(*) AS BIGINT) AS avg_nq
+         |FROM q GROUP BY label""".stripMargin,
+    // cluster-scoped candidates (cells), per-src top-k, reciprocity by
+    // reversed-key self-join — the full mutual-kNN replay
+    "mutual_knn" ->
+      s"""$IvfCellsSqlPrefix,
+         |cand AS (
+         |  SELECT a.nid AS src, b.nid AS dst,
+         |    list_cosine_similarity(ea.emb, eb.emb) AS cos
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.nid <> b.nid
+         |  JOIN e ea ON ea.vec_id = a.nid
+         |  JOIN e eb ON eb.vec_id = b.nid),
+         |tk AS (
+         |  SELECT src, dst, cos,
+         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+         |  FROM cand)
+         |SELECT x.src AS vec_a, x.dst AS vec_b, round(x.cos, 4) AS cos
+         |FROM tk x JOIN tk y
+         |  ON x.src = y.dst AND x.dst = y.src AND y.rn <= $MutualK
+         |WHERE x.rn <= $MutualK AND x.src < x.dst""".stripMargin,
     // the hyperplanes are just 96 fixed ±1 vectors — embed them as SQL
     // literals (exactly representable doubles) and DuckDB replays the
     // ENTIRE LSH operator: sign-bit keys per table, bucket-candidate

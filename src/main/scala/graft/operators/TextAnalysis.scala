@@ -897,6 +897,56 @@ object TextAnalysis {
         expr("cast((cast(1048576 as decimal(38,0)) * n_oov) div n_tokens as bigint)"))
   }
 
+  /** Cross-document sentence-level boilerplate screen — the C4-style
+    * "repeated line" pass a web-corpus pipeline runs before training
+    * (boilerplate navigation/footer sentences recur across pages;
+    * [[textRepetition]] is the INTRA-doc cousin): sentences split on
+    * terminal punctuation runs, normalized (lowercase, non-alnum runs
+    * collapsed to single spaces, trimmed), deduplicated per document,
+    * and a sentence is BOILERPLATE when its normalized form appears
+    * in ≥ 2 distinct documents. Per doc: distinct-sentence count,
+    * boilerplate count, and the 2²⁰-lattice boilerplate share. Scale
+    * shape: sentences shuffle as 16-hex-char md5 prefixes (8-byte
+    * keys, identical in both engines), never as text; the cross-doc
+    * frequency is one partial+final key-only aggregate; the verdict
+    * joins back on the same key and folds per doc. Docs whose every
+    * sentence normalizes away (pure punctuation) drop out — there is
+    * nothing to screen. */
+  def sentenceDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sents = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "[.!?]+")).as("raw"))
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("raw")), "[^a-z0-9]+", " ")).as("s"))
+      .filter(length(col("s")) > 0)
+      .select(col("doc_id"), substring(md5(col("s")), 1, 16).as("sh"))
+      .distinct()
+      .persistScoped()
+    val freq = sents.groupBy(col("sh")).agg(count(lit(1)).as("ndocs"))
+    sents.join(freq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when(col("ndocs") >= 2L, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_q",
+        expr("cast((cast(n_boiler as decimal(38,0)) * 1048576) div n_sents as bigint)"))
+  }
+
+  private def sentenceDedupSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(unnest(string_split_regex(text, '[.!?]+'))),
+      |      '[^a-z0-9]+', ' ', 'g')) AS s
+      |  FROM documents),
+      |sents AS (
+      |  SELECT DISTINCT doc_id, substr(md5(s), 1, 16) AS sh
+      |  FROM raw WHERE len(s) > 0),
+      |freq AS (SELECT sh, count(*) AS ndocs FROM sents GROUP BY sh)
+      |SELECT s.doc_id, count(*) AS n_sents,
+      |  CAST(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  CAST((CAST(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS HUGEINT) * 1048576)
+      |       // count(*) AS BIGINT) AS boiler_q
+      |FROM sents s JOIN freq f USING (sh)
+      |GROUP BY s.doc_id""".stripMargin
+
   /** Corpus rollup by lang × source — the partition-profile query a
     * pipeline runs before sampling. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
@@ -908,8 +958,60 @@ object TextAnalysis {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
 
+  /** Readability profile per source — the Flesch-style complexity
+    * screen a corpus-curation pipeline runs to route documents to
+    * grade-level buckets, kept on the exact integer lattice instead
+    * of the classic float score (whose 206.835/1.015/84.6 constants
+    * would only obscure the two ratios that carry all the signal):
+    * per source, Σwords, Σsentences, Σvowel-groups (the standard
+    * syllable-count heuristic — maximal [aeiou]+ runs), then
+    * words-per-sentence and vowel-groups-per-word as 2²⁰-lattice
+    * quotients of the corpus-level sums. Sentences count terminal
+    * punctuation runs ([.!?]+), floored at 1 per document so
+    * headline-style fragments don't divide by zero. All three
+    * per-document counts are pure codegen'd regex scalars (count =
+    * length difference after collapsing matches) — one scan, no UDF,
+    * no explode; the rollup is one partial+final aggregate. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val t = lower(col("text"))
+    def runs(c: Column, pat: String): Column =
+      length(regexp_replace(regexp_replace(c, pat, "\u0001"), "[^\u0001]", ""))
+    val words = size(filter(
+      split(t, "[^a-z0-9]+"), x => length(x) > 0)).cast("long")
+    val sents = greatest(runs(col("text"), "[.!?]+"), lit(1)).cast("long")
+    val vgrps = runs(t, "[aeiou]+").cast("long")
+    Tables.documents(spark, dir)
+      .select(col("source"), words.as("w"), sents.as("s"), vgrps.as("v"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("s")).as("n_sents"), sum(col("v")).as("n_vgroups"))
+      .withColumn("wps_q",
+        expr("cast((cast(n_words as decimal(38,0)) * 1048576) div n_sents as bigint)"))
+      .withColumn("vpw_q",
+        expr("cast((cast(n_vgroups as decimal(38,0)) * 1048576) div n_words as bigint)"))
+  }
+
+  private def readabilitySql: String =
+    """WITH p AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |      x -> len(x) > 0)) AS BIGINT) AS w,
+      |    CAST(greatest(len(regexp_replace(regexp_replace(text, '[.!?]+', chr(1), 'g'),
+      |      concat('[^', chr(1), ']'), '', 'g')), 1) AS BIGINT) AS s,
+      |    CAST(len(regexp_replace(regexp_replace(lower(text), '[aeiou]+', chr(1), 'g'),
+      |      concat('[^', chr(1), ']'), '', 'g')) AS BIGINT) AS v
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(w) AS BIGINT) AS n_words, CAST(sum(s) AS BIGINT) AS n_sents,
+      |  CAST(sum(v) AS BIGINT) AS n_vgroups,
+      |  CAST((CAST(sum(w) AS HUGEINT) * 1048576) // sum(s) AS BIGINT) AS wps_q,
+      |  CAST((CAST(sum(v) AS HUGEINT) * 1048576) // sum(w) AS BIGINT) AS vpw_q
+      |FROM p GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality"    -> textQuality,
+    "readability"     -> readability,
+    "sentence_dedup"  -> sentenceDedup,
     "lang_id"         -> langId,
     "lang_confusion"  -> langConfusion,
     "oov_rate"        -> oovRate,
@@ -1111,6 +1213,8 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "shingle_novelty" -> shingleNoveltySql,
+    "readability" -> readabilitySql,
+    "sentence_dedup" -> sentenceDedupSql,
     "vocab_growth" -> vocabGrowthSql,
     "bigram_pmi" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),

@@ -1107,6 +1107,76 @@ class PlanAuditSpec extends AnyFunSuite {
       "one user_id window exchange + one band rollup exchange at most")
   }
 
+  test("r12 batch 7: exact-moment envelopes, per-vertex triangles, scan-resident text profiles") {
+    val bb = plan("bollinger_breach")
+    assert(bb.contains("partial_"),
+      "the daily fold and the monthly rollup must both partial-combine")
+    // the trailing-moment window runs over the |days| fold (drawdown
+    // contract) — exactly one rangepartitioning sort for the window
+    assert("Exchange rangepartitioning".r.findAllIn(bb).size <= 1,
+      "one metadata-scale window sort, never a fact-table sort")
+    val xc = plan("cross_corr")
+    assert(xc.contains("InMemoryTableScan"),
+      "the |days| series persists once and feeds both the probe and the target side")
+    assert(xc.contains("partial_"), "the daily fold and per-lag moments must partial-combine")
+    val cf = plan("clustering_coeff")
+    assert(cf.contains("InMemoryTableScan"),
+      "the pair graph persists once behind the degree fold and the 3-way triangle join")
+    assert(cf.contains("partial_"), "degree and triangle counts must partial-combine")
+    val rd = plan("readability")
+    assert(rd.contains("partial_"),
+      "per-doc regex counts fold in one partial+final aggregate")
+    assert("Exchange hashpartitioning".r.findAllIn(rd).size <= 1,
+      "readability is scan-resident: only the source rollup shuffles")
+    val fd = plan("fd_check")
+    assert(fd.contains("partial_"), "each FD's countDistinct must partial-combine")
+    assert(!fd.linesIterator.exists(l => l.contains("Exchange") && l.contains("p_retailprice")),
+      "only determinant/dependent key columns may shuffle")
+  }
+
+  test("r12 batch 8: VAD islands, reciprocity slices, joinless A/B, mutual-kNN rank pushdown") {
+    val av = plan("audio_vad")
+    assert("Exchange hashpartitioning".r.findAllIn(av).size <= 1,
+      "one doc_id exchange serves the island window and both rollups")
+    assert(!av.linesIterator.exists(l => l.contains("Exchange") && l.contains("media")),
+      "media bytes never shuffle — only (doc_id, idx) longs")
+    val tr = plan("trade_reciprocity")
+    assert("BroadcastHashJoin".r.findAllIn(tr).size >= 2,
+      "customer- and supplier-nation dims broadcast onto the fact")
+    assert(tr.contains("InMemoryTableScan"),
+      "the nation-pair fold persists once and feeds both direction slices")
+    assert(tr.contains("partial_"), "the fact fold must partial-combine")
+    val ab = plan("ab_test")
+    assert(!ab.contains("Join"),
+      "arm assignment is a pure per-row function — the readout plans zero joins")
+    assert(ab.contains("partial_"),
+      "per-user conversion fold and the 1-row readout both partial-combine")
+    val mk = plan("mutual_knn")
+    assert(mk.contains("WindowGroupLimit"),
+      "per-source top-k prunes to k rows per partition before the exchange")
+    assert(mk.contains("InMemoryTableScan"),
+      "the tagged relation and the top-k relation persist once behind their self-joins")
+  }
+
+  test("r12 batch 9: hashed-key sentence screen, triangular-broadcast ECDF, scan-resident norms") {
+    val sd = plan("sentence_dedup")
+    assert(!sd.linesIterator.exists(l => l.contains("Exchange") && l.contains("text")),
+      "sentences shuffle as 16-hex md5 prefixes, never as text")
+    assert(sd.contains("InMemoryTableScan"),
+      "the distinct (doc, hash) relation persists once behind frequency and verdict")
+    assert(sd.contains("partial_"), "cross-doc frequency must partial-combine")
+    val ks = plan("ks_test")
+    assert(ks.contains("partial_"), "per-customer fold and bucket counts partial-combine")
+    assert(ks.contains("BroadcastHashJoin"),
+      "the triangular cumulative grid and the totals row attach by broadcast hash join")
+    assert(!ks.contains("CartesianProduct") && !ks.contains("BroadcastNestedLoopJoin"),
+      "no cartesian anywhere — the ScalarJoin contract")
+    val en = plan("embed_norm_stats")
+    assert("Exchange hashpartitioning".r.findAllIn(en).size <= 1,
+      "one label exchange for the rollup — vectors never shuffle")
+    assert(en.contains("partial_"), "norm moments partial-combine")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

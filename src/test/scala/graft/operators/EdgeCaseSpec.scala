@@ -1727,4 +1727,242 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
     graft.CacheScope.release()
   }
+
+  test("bollinger_breach: BigInt replay of the sqrt-free variance inequality") {
+    val dirp = "/root/testdata/sf0.001"
+    val daily = graft.sources.Tables.orders(spark, dirp)
+      .selectExpr(
+        "cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint) as day",
+        "cast(floor(o_totalprice * 100 + 0.5) as bigint) as cents")
+      .groupBy("day")
+      .agg(org.apache.spark.sql.functions.sum($"cents").as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expect = daily.indices.map { i =>
+      val w = daily.slice(math.max(0, i - 6), i + 1).map(t => BigInt(t._2))
+      val (n, x) = (BigInt(w.length), BigInt(daily(i)._2))
+      val s1 = w.sum; val s2 = w.map(v => v * v).sum
+      val br = if ((n * x - s1).pow(2) > 4 * (n * s2 - s1 * s1)) 1L else 0L
+      (daily(i)._1 / 30L, br)
+    }.groupBy(_._1).map { case (m, rs) => m -> (rs.length.toLong, rs.map(_._2).sum) }
+    val got = Relational.bollingerBreach(spark, dirp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expect, "monthly (n_days, n_breach) replays from the BigInt rule")
+  }
+
+  test("cross_corr: bounds, pair counts, and the contemporaneous qty-revenue link") {
+    val dirp = "/root/testdata/sf0.001"
+    val out = Relational.crossCorr(spark, dirp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(-7L, -3L, -1L, 0L, 1L, 3L, 7L))
+    out.foreach { case (lag, n, c) =>
+      assert(n > 0L, s"lag $lag has aligned pairs")
+      assert(c >= -1.0 && c <= 1.0, s"lag $lag corr in [-1,1]: $c")
+    }
+    val byLag = out.map(o => o._1 -> o).toMap
+    assert(byLag(0L)._3 > 0.5,
+      "same-day quantity and revenue must correlate strongly (rev ≈ qty·price)")
+    // lag ±L pair counts are symmetric: |days ∩ (days+L)| = |days ∩ (days−L)|
+    Seq(1L, 3L, 7L).foreach(l =>
+      assert(byLag(l)._2 === byLag(-l)._2, s"lag ±$l pair counts symmetric"))
+    graft.CacheScope.release()
+  }
+
+  test("clustering_coeff: lattice bounds and reconciliation with the triangle enumeration") {
+    val dirp = "/root/testdata/sf0.001"
+    val out = Graph.clusteringCoeff(spark, dirp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val tris = Graph.triangles(spark, dirp).collect()
+    assert(out.map(_._3).sum === 3L * tris.length,
+      "per-node triangle counts sum to 3x the triangle enumeration")
+    out.foreach { case (id, deg, nt, cq) =>
+      assert(deg >= 1L, s"node $id only appears with an incident pair")
+      if (deg < 2L) assert(cq === 0L && nt === 0L)
+      else {
+        assert(cq === 2L * nt * 1048576L / (deg * (deg - 1L)), "lattice replays")
+        assert(cq <= 1048576L, "coefficient bounded by 1 on the 2^20 lattice")
+      }
+    }
+    graft.CacheScope.release()
+  }
+
+  test("readability: lattice quotients replay and sentence floors hold") {
+    val out = TextAnalysis.readability(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.length === 20, "one row per fixture source")
+    out.foreach { case (_, nDocs, w, s, v, wpsQ, vpwQ) =>
+      assert(s >= nDocs, "every doc contributes at least one sentence (the floor)")
+      assert(w > 0L && v > 0L)
+      assert(wpsQ === (BigInt(w) * 1048576 / s).toLong, "words-per-sentence replays")
+      assert(vpwQ === (BigInt(v) * 1048576 / w).toLong, "vowel-groups-per-word replays")
+      assert(vpwQ >= 1048576L / 2L && vpwQ <= 5L * 1048576L,
+        "plausible syllable rate for English-like prose")
+    }
+  }
+
+  test("audio_vad: islands replay from the stub decode rule") {
+    val dirp = "/root/testdata/sf0.001"
+    val got = Multimodal.audioVad(spark, dirp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val media = graft.sources.Tables.documents(spark, dirp)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.unhex(org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text").cast("binary"))).as("m"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(got.size === media.length, "every clip reports, silence included")
+    media.foreach { case (id, bytes) =>
+      val samples = Multimodal.audioDecodeStub(Iterator((id, bytes))).next()._2
+      val runs = samples.map(s => math.abs(s.toLong) >= 8192L)
+        .foldLeft(List.empty[Long]) {
+          case (acc, true) if acc.nonEmpty && acc.head > 0L => (acc.head + 1L) :: acc.tail
+          case (acc, true)  => 1L :: acc
+          case (acc, false) if acc.nonEmpty && acc.head > 0L => 0L :: acc
+          case (acc, false) => acc
+        }.filter(_ > 0L)
+      val expect = (runs.sum, runs.length.toLong,
+        if (runs.isEmpty) 0L else runs.max)
+      assert(got(id) === expect, s"clip $id islands replay")
+    }
+  }
+
+  test("trade_reciprocity: bounded lattice, directional totals reconcile with trade_matrix") {
+    val dirp = "/root/testdata/sf0.001"
+    val out = Relational.tradeReciprocity(spark, dirp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, wab, wba, rq) =>
+      assert(a < b, "pairs are canonically ordered")
+      assert(wab + wba > 0L, "a pair only exists with some flow")
+      val expect = BigInt(2) * BigInt(math.min(wab, wba)) * 1048576 / BigInt(wab + wba)
+      assert(rq === expect.toLong, "lattice replays")
+      assert(rq <= 1048576L, "reciprocity bounded by 1")
+      if (wab == 0L || wba == 0L) assert(rq === 0L, "one-way pairs score 0")
+    }
+    val pairSum = out.map(r => BigInt(r._3) + BigInt(r._4)).sum
+    val tm = Relational.tradeMatrix(spark, dirp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tmOffDiag = tm.filter(r => r._1 != r._2).map(r => BigInt(r._3)).sum
+    assert(pairSum === tmOffDiag,
+      "off-diagonal trade-matrix mass is exactly the reciprocity pairs' mass")
+    graft.CacheScope.release()
+  }
+
+  test("ab_test: assignment, counts and z replay from the Knuth-hash rule") {
+    val dirp = "/root/testdata/sf0.001"
+    val r = Relational.abTest(spark, dirp).collect().head
+    val users = graft.sources.Tables.events(spark, dirp)
+      .select("user_id", "event_type", "value").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (u, evs) =>
+        u -> (if (evs.exists(e => e._2 == "purchase" && e._3 >= 200.0)) 1L else 0L) }
+    def arm(u: Long): String =
+      if (((u % 2147483648L) * 2654435761L) % 4294967296L < 2147483648L) "A" else "B"
+    val as = users.filter(kv => arm(kv._1) == "A"); val bs = users.filter(kv => arm(kv._1) == "B")
+    assert(r.getLong(0) === as.size.toLong && r.getLong(2) === bs.size.toLong)
+    assert(r.getLong(1) === as.values.sum && r.getLong(3) === bs.values.sum)
+    val (na, ca, nb, cb) =
+      (as.size.toDouble, as.values.sum.toDouble, bs.size.toDouble, bs.values.sum.toDouble)
+    val p = (ca + cb) / (na + nb)
+    val z = (ca / na - cb / nb) / math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    assert(r.getDouble(4) === z, "z replays bit-identically from exact counts")
+    assert(r.getLong(5) === as.values.sum * 1048576L / as.size)
+  }
+
+  test("mutual_knn: canonical order, reciprocity, and cluster-scoped candidates") {
+    val dirp = "/root/testdata/sf0.001"
+    val pairs = Similarity.mutualKnn(spark, dirp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    assert(pairs.map(p => (p._1, p._2)).distinct.length === pairs.length, "no dup pairs")
+    pairs.foreach { case (a, b, c) =>
+      assert(a < b, "canonical orientation")
+      assert(c >= -1.0001 && c <= 1.0001, "cosine bounds")
+    }
+    val cells = Similarity.cellAssignments(spark, dirp).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    pairs.foreach { case (a, b, _) =>
+      assert(cells(a) === cells(b), "mutual pairs are cluster-scoped by construction")
+    }
+    graft.CacheScope.release()
+  }
+
+  test("sentence_dedup: lattice replays; boilerplate is cross-doc by construction") {
+    val dirp = "/root/testdata/sf0.001"
+    val out = TextAnalysis.sentenceDedup(spark, dirp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, ns, nb, bq) =>
+      assert(nb <= ns)
+      assert(bq === (BigInt(nb) * 1048576 / ns).toLong, "lattice replays")
+    }
+    // global consistency: boilerplate mass counts each shared sentence
+    // once per doc it appears in, so Σ n_boiler ≥ 2 × (#shared forms)
+    val totBoiler = out.map(_._3).sum
+    assert(totBoiler === 0L || totBoiler >= 2L,
+      "a boilerplate sentence implies at least two carrying docs")
+    graft.CacheScope.release()
+  }
+
+  test("ks_test: D replays from a BigInt ECDF over the bucket lattice") {
+    val dirp = "/root/testdata/sf0.001"
+    val r = Relational.ksTest(spark, dirp).collect().head
+    val per = graft.sources.Tables.orders(spark, dirp)
+      .selectExpr("o_custkey", "cast(floor(o_totalprice * 100 + 0.5) as bigint) as cents")
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.sum($"cents").as("m"))
+      .join(graft.sources.Tables.customer(spark, dirp)
+        .filter($"c_mktsegment".isin("AUTOMOBILE", "BUILDING"))
+        .select($"c_custkey", $"c_mktsegment".as("seg")),
+        $"o_custkey" === $"c_custkey")
+      .select("seg", "m").collect().map(x => (x.getString(0), x.getLong(1)))
+    val mx = per.map(_._2).max
+    def cdf(seg: String): Array[Long] = {
+      val bs = per.filter(_._1 == seg).map(t => t._2 * 256L / (mx + 1L))
+      (0L until 256L).toArray.map(h => bs.count(_ <= h).toLong)
+    }
+    val (c1, c2) = (cdf("AUTOMOBILE"), cdf("BUILDING"))
+    val (n1, n2) = (c1.last, c2.last)
+    assert(r.getLong(1) === n1 && r.getLong(2) === n2)
+    val d = (0 until 256).map(i =>
+      math.abs(c1(i) * 1048576L / n1 - c2(i) * 1048576L / n2)).max
+    assert(r.getLong(0) === d, "bucketed-KS D replays")
+    graft.CacheScope.release()
+  }
+
+  test("embed_norm_stats: planted-free replay of the Q-lattice norm on one vector") {
+    val dirp = "/root/testdata/sf0.001"
+    val out = Similarity.embedNormStats(spark, dirp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._2).sum ===
+      graft.sources.Tables.embeddings(spark, dirp).count(), "every vector profiled")
+    out.foreach { case (_, n, mn, mxq, avg) =>
+      assert(mn <= avg && avg <= mxq, "mean inside the envelope")
+      assert(mn >= 0L, "norms are non-negative")
+      assert(n > 0L)
+    }
+    val one = graft.sources.Tables.embeddings(spark, dirp)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Float](1).toArray))
+    val byLabel = one.groupBy(_._1).map { case (l, vs) =>
+      l -> vs.map(v => v._2.map(x =>
+        { val q = math.floor(x.toDouble * 1048576.0).toLong; q * q }).sum)
+    }
+    byLabel.foreach { case (l, nqs) =>
+      val row = out.find(_._1 == l).get
+      assert(row._3 === nqs.min && row._4 === nqs.max, s"label $l min/max replay")
+      assert(row._5 === (nqs.map(BigInt(_)).sum / nqs.length).toLong, s"label $l mean replay")
+    }
+  }
+
+  test("fd_check: planted determinant with two dependents is the only violation") {
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
+      .toDF("det", "dep")
+    val r = DataQuality.fdRule("planted", df, "det", "dep").collect().head
+    assert(r.getString(0) === "planted")
+    assert(r.getLong(1) === 2L, "two determinant keys")
+    assert(r.getLong(2) === 1L, "only b violates")
+    assert(r.getLong(3) === 3L, "the 3 rows under b are the repair mass")
+  }
 }
