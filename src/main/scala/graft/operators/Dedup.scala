@@ -1027,11 +1027,70 @@ object Dedup {
       .distinct()
   }
 
+  private[operators] val AccPerms = 16
+
+  /** MinHash estimator calibration — the eval a dedup deployment runs
+    * before picking band/row parameters (the [[Similarity]] family's
+    * `ann_recall` pattern brought to sketch dedup): over the verified
+    * near-dup pairs, compare the [[AccPerms]]-permutation MinHash
+    * Jaccard ESTIMATE (matching-minima share) against the exact
+    * shingle Jaccard, both on the 2²⁰ lattice, plus the absolute
+    * error. Permutations here are md5-derived (seed suffixed into the
+    * shingle) so the WHOLE estimator replays in the oracle — the
+    * production sketch ([[minhashSketch]]) keeps its ~10×-cheaper
+    * xxhash64 path, which DuckDB cannot replay and which therefore
+    * gates through the exact-result equivalence instead. Scale shape:
+    * signatures and exact intersections are computed on CANDIDATE
+    * DOCS ONLY (the id semi-join sits below the tokenizer — the
+    * [[dedupMinhash]] verification shape); per-doc work is
+    * |shingles|·[[AccPerms]] hashes folding map-side to
+    * [[AccPerms]]+1 longs per doc; the pair join moves signatures,
+    * never shingles. */
+  def minhashAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val jp = dedupNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      .persistScoped()
+    val candDocs = jp.select(col("doc_a").as("doc_id"))
+      .union(jp.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = docShinglesOf(
+        Tables.documents(spark, dir).join(candDocs, Seq("doc_id"), "left_semi"))
+      .persistScoped()
+    val minCols = (0 until AccPerms).map(p =>
+      min(expr(s"cast(conv(substring(md5(concat(shingle, ':$p')), 1, 15), 16, 10) as bigint)"))
+        .as(s"m$p"))
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail :+ count(lit(1)).as("n"): _*)
+      .select(col("doc_id"),
+        array((0 until AccPerms).map(p => col(s"m$p")): _*).as("sig"), col("n"))
+      .persistScoped()
+    val inter = jp
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sig.select(col("doc_id"), col("sig").as("siga"), col("n").as("na")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sig.select(col("doc_id"), col("sig").as("sigb"), col("n").as("nb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("match_cnt",
+        aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, x) => a + x))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        expr("cast((inter * cast(1048576 as bigint)) div (na + nb - inter) as bigint)")
+          .as("exact_q"),
+        col("match_cnt"),
+        expr(s"cast((match_cnt * cast(1048576 as bigint)) div $AccPerms as bigint)")
+          .as("est_q"))
+      .withColumn("err_q", abs(col("est_q") - col("exact_q")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_fuzzy"     -> dedupFuzzy,
     "dedup_exact"     -> dedupExact,
     "dedup_by_source" -> dedupBySource,
     "dedup_ngram"     -> dedupNgramJaccard,
+    "minhash_accuracy" -> minhashAccuracy,
     "ngram_containment" -> ngramContainment,
     "simjoin_prefix"  -> simjoinPrefix,
     "dedup_minhash"   -> dedupMinhash,
@@ -1183,6 +1242,33 @@ object Dedup {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_by_source" -> dedupBySourceSql,
     "dedup_ngram" -> ExactJaccardSql,
+    "minhash_accuracy" ->
+      s"""$ClusterCtes,
+         |cd AS (SELECT doc_a AS doc_id FROM jp UNION SELECT doc_b FROM jp),
+         |perm AS (SELECT unnest(range($AccPerms)) AS p),
+         |msig AS (
+         |  SELECT sh.doc_id, perm.p,
+         |    min(CAST('0x' || substr(md5(sh.shingle || ':' || perm.p), 1, 15) AS BIGINT)) AS m
+         |  FROM sh JOIN cd USING (doc_id) CROSS JOIN perm
+         |  GROUP BY 1, 2),
+         |mc AS (
+         |  SELECT jp.doc_a, jp.doc_b,
+         |    CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS match_cnt
+         |  FROM jp
+         |  JOIN msig a ON a.doc_id = jp.doc_a
+         |  JOIN msig b ON b.doc_id = jp.doc_b AND b.p = a.p
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT p.doc_a, p.doc_b, CAST(p.inter AS BIGINT) AS inter,
+         |    CAST(ca.n + cb.n - p.inter AS BIGINT) AS uni,
+         |    CAST((p.inter * 1048576) // (ca.n + cb.n - p.inter) AS BIGINT) AS exact_q
+         |  FROM pairs p
+         |  JOIN jp ON jp.doc_a = p.doc_a AND jp.doc_b = p.doc_b
+         |  JOIN cnt ca ON p.doc_a = ca.doc_id JOIN cnt cb ON p.doc_b = cb.doc_id)
+         |SELECT ex.doc_a, ex.doc_b, ex.inter, ex.uni, ex.exact_q, mc.match_cnt,
+         |  CAST((mc.match_cnt * 1048576) // $AccPerms AS BIGINT) AS est_q,
+         |  abs(CAST((mc.match_cnt * 1048576) // $AccPerms AS BIGINT) - ex.exact_q) AS err_q
+         |FROM ex JOIN mc ON mc.doc_a = ex.doc_a AND mc.doc_b = ex.doc_b""".stripMargin,
     // containment replays the same shingle pipeline with BOTH pair
     // directions (the string surgery keeps the two CTEs in lockstep —
     // a drifted copy would silently diverge from the Jaccard family)

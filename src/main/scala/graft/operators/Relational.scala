@@ -4257,6 +4257,224 @@ object Relational {
       |       THEN 1 ELSE 0 END AS BIGINT) AS reject_05
       |FROM d""".stripMargin
 
+  /** Monthly return-rate trend — the quality KPI a merchandising org
+    * tracks per month: returned-line share of all lines on the 2²⁰
+    * lattice plus its month-over-month delta. Fold-below-window (the
+    * [[drawdown]] contract): the fact stream folds to |months| rows
+    * in one partial+final conditional aggregate; the delta window
+    * orders metadata only. Deltas are exact lattice differences (the
+    * first month's delta is 0 by the coalesce, a pinned convention —
+    * NULL would make the row incomparable cross-engine). */
+  def returnRateTrend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("m").asc)
+    Tables.lineitem(spark, dir)
+      .select(
+        expr("(cast(datediff(cast(l_shipdate as date), date'1970-01-01') as bigint)) div 30")
+          .as("m"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_items"), sum(col("ret")).as("n_returned"))
+      .withColumn("rate_q",
+        expr("cast((n_returned * cast(1048576 as bigint)) div n_items as bigint)"))
+      .withColumn("rate_delta_q",
+        coalesce(col("rate_q") - lag(col("rate_q"), 1).over(w), lit(0L)))
+  }
+
+  private def returnRateTrendSql: String =
+    """WITH g AS (
+      |  SELECT (CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)) // 30 AS m,
+      |    count(*) AS n_items,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+      |  FROM lineitem GROUP BY 1),
+      |r AS (SELECT m, n_items, n_returned,
+      |        CAST((n_returned * 1048576) // n_items AS BIGINT) AS rate_q
+      |      FROM g)
+      |SELECT m, n_items, n_returned, rate_q,
+      |  coalesce(rate_q - lag(rate_q, 1) OVER (ORDER BY m), 0) AS rate_delta_q
+      |FROM r""".stripMargin
+
+  /** Hierarchical contribution shares — the percent-of-parent OLAP
+    * readout [[aggRollup]]'s level rows don't give directly: per
+    * nation, its revenue, its share WITHIN its region, and its
+    * region's share of the world, all on the 2²⁰ lattice. One fact
+    * fold to nation grain (partial+final); region and world totals
+    * are |nations|-row re-aggregates of that fold attached by
+    * broadcast joins (the [[tradeMatrix]] row-total pattern) — the
+    * fact table is read once. */
+  def rollupShare(spark: SparkSession, dir: String): DataFrame = {
+    val byNation = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("cents"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(sum(col("cents")).as("cents"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("nation"),
+          col("n_regionkey"))), "s_nationkey")
+      .join(broadcast(Tables.region(spark, dir)
+        .select(col("r_regionkey").as("n_regionkey"), col("r_name").as("region"))),
+        "n_regionkey")
+      .persistScoped()
+    val byRegion = byNation.groupBy(col("region").as("rg"))
+      .agg(sum(col("cents").cast(DecimalType(38, 0))).as("r_cents"))
+    val world = byNation.agg(sum(col("cents").cast(DecimalType(38, 0))).as("w_cents"))
+    ScalarJoin.attachScalar(
+      byNation.join(broadcast(byRegion), col("region") === col("rg")),
+      col("cents"), world, col("w_cents"))
+      .select(col("nation"), col("region"), col("cents"),
+        expr("cast((cast(cents as decimal(38,0)) * 1048576) div r_cents as bigint)")
+          .as("in_region_q"),
+        expr("cast((r_cents * 1048576) div w_cents as bigint)").as("region_share_q"))
+  }
+
+  private def rollupShareSql: String =
+    """WITH n AS (
+      |  SELECT nn.n_name AS nation, r.r_name AS region,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation nn ON s_nationkey = nn.n_nationkey
+      |  JOIN region r ON nn.n_regionkey = r.r_regionkey
+      |  GROUP BY 1, 2),
+      |rg AS (SELECT region, CAST(sum(cents) AS HUGEINT) AS r_cents FROM n GROUP BY 1),
+      |w AS (SELECT CAST(sum(cents) AS HUGEINT) AS w_cents FROM n)
+      |SELECT n.nation, n.region, n.cents,
+      |  CAST((CAST(n.cents AS HUGEINT) * 1048576) // rg.r_cents AS BIGINT) AS in_region_q,
+      |  CAST((rg.r_cents * 1048576) // (SELECT w_cents FROM w) AS BIGINT) AS region_share_q
+      |FROM n JOIN rg USING (region)""".stripMargin
+
+  /** Seasonal-naive forecast backtest — the sanity loop a
+    * demand-planning team closes before trusting any forecast:
+    * forecast(m) = rev(m−12) × (Σ rev(m−3..m−1) div Σ rev(m−15..m−13))
+    * — last year's same month, re-leveled by the trailing-quarter
+    * growth ratio — scored in-sample with the absolute percentage
+    * error on the 2²⁰ lattice. All arithmetic is integral: the
+    * growth ratio is one 2²⁰-scaled DECIMAL(38) division, the
+    * forecast one multiply-then-unscale, APE an exact quotient of
+    * cents. Only months with the full 15-month history emit (the lag
+    * and both trailing windows non-null — a partial-history forecast
+    * is a different contract). Fold-below-window: the fact stream
+    * folds to |months| rows first; every window orders metadata. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("m").asc)
+    val recent = Window.orderBy(col("m").asc).rowsBetween(-3, -1)
+    val yearAgo = Window.orderBy(col("m").asc).rowsBetween(-15, -13)
+    Tables.orders(spark, dir)
+      .select(
+        expr("(cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)) div 30")
+          .as("m"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("m")).agg(sum(col("cents")).as("actual"))
+      .withColumn("base", lag(col("actual"), 12).over(w))
+      .withColumn("s_recent", sum(col("actual")).over(recent))
+      .withColumn("s_yearago", sum(col("actual")).over(yearAgo))
+      .withColumn("n_hist", count(lit(1)).over(Window.orderBy(col("m").asc)
+        .rowsBetween(-15, -1)))
+      .filter(col("n_hist") === 15L && col("base").isNotNull)
+      .withColumn("ratio_q",
+        expr("cast((cast(s_recent as decimal(38,0)) * 1048576) div s_yearago as bigint)"))
+      .withColumn("forecast",
+        expr("cast((cast(base as decimal(38,0)) * ratio_q) div 1048576 as bigint)"))
+      .select(col("m"), col("actual"), col("forecast"),
+        expr("cast((abs(actual - forecast) * cast(1048576 as decimal(38,0))) div actual as bigint)")
+          .as("ape_q"))
+  }
+
+  private def forecastBacktestSql: String =
+    """WITH g AS (
+      |  SELECT (CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)) // 30 AS m,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS actual
+      |  FROM orders GROUP BY 1),
+      |x AS (SELECT m, actual,
+      |        lag(actual, 12) OVER win AS base,
+      |        sum(actual) OVER (ORDER BY m ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS s_recent,
+      |        sum(actual) OVER (ORDER BY m ROWS BETWEEN 15 PRECEDING AND 13 PRECEDING) AS s_yearago,
+      |        count(*) OVER (ORDER BY m ROWS BETWEEN 15 PRECEDING AND 1 PRECEDING) AS n_hist
+      |      FROM g WINDOW win AS (ORDER BY m)),
+      |f AS (SELECT m, actual,
+      |        CAST((CAST(base AS HUGEINT)
+      |              * ((CAST(s_recent AS HUGEINT) * 1048576) // s_yearago))
+      |             // 1048576 AS BIGINT) AS forecast
+      |      FROM x WHERE n_hist = 15 AND base IS NOT NULL)
+      |SELECT m, actual, forecast,
+      |  CAST((abs(actual - forecast) * CAST(1048576 AS HUGEINT)) // actual AS BIGINT) AS ape_q
+      |FROM f""".stripMargin
+
+  /** Cumulative LTV curve by tenure month — the "how much is a
+    * customer worth after t months" readout a growth team plans
+    * acquisition spend against: spend folds to (customer, tenure)
+    * where tenure = order month − the customer's first-order month,
+    * then per tenure the curve reports how many customers are
+    * OBSERVABLE at that tenure (first month early enough for t
+    * months of history — censoring must divide by the at-risk mass,
+    * not the whole base), the spend landing at that tenure, the
+    * cumulative spend through it, and the per-observable-customer
+    * cumulative average on the cent lattice. Scale shape: two
+    * chained partial+final folds (fact → per-customer-month → per
+    * tenure), the observability mass one |cohorts|-row broadcast
+    * fold, cumulation the lorenz-style triangular broadcast over the
+    * |tenures| grid, and the max-month anchor a scalar aggregate
+    * (the [[categoryDrift]] precedent). No window at all. */
+  def ltvCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val om = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("(cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)) div 30")
+          .as("m"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("o_custkey"), col("m")).agg(sum(col("cents")).as("cents"))
+      .persistScoped()
+    val first = om.groupBy(col("o_custkey")).agg(min(col("m")).as("fm"))
+      .persistScoped()
+    val maxM = om.agg(max(col("m"))).head().getLong(0)
+    val perTenure = om.join(first, "o_custkey")
+      .select((col("m") - col("fm")).as("t"), col("cents"))
+      .groupBy(col("t")).agg(sum(col("cents")).as("cents"))
+      .persistScoped()
+    val observable = first
+      .select((lit(maxM) - col("fm")).as("maxt"))
+      .groupBy(col("maxt")).agg(count(lit(1)).as("nc"))
+    val tGrid = perTenure.select(col("t"))
+    val obsAt = ScalarJoin.broadcastCross(tGrid, col("t") + lit(1L),
+      observable, col("nc"))
+      .filter(col("maxt") >= col("t"))
+      .groupBy(col("t")).agg(sum(col("nc")).as("observable"))
+    // |tenures| ≤ |months| — driver metadata (the lorenz-grid
+    // precedent), so the triangular pair grid is an equi-join, not a
+    // BNLJ range join
+    val ts = perTenure.select(col("t")).as[Long].collect().sorted
+    val pairs = ts.flatMap(hi => ts.filter(_ <= hi).map(lo => (hi, lo))).toSeq
+      .toDF("hb", "b")
+    val cum = broadcast(pairs)
+      .join(perTenure.select(col("t").as("b"), col("cents").as("c2")), "b")
+      .groupBy(col("hb")).agg(sum(col("c2").cast(DecimalType(38, 0))).as("cum_cents"))
+    perTenure.join(obsAt, "t")
+      .join(broadcast(cum), col("t") === col("hb"))
+      .select(col("t"), col("observable"), col("cents"),
+        col("cum_cents").cast("long").as("cum_cents"),
+        expr("cast(cum_cents div observable as bigint)").as("avg_cum_cents"))
+  }
+
+  private def ltvCurveSql: String =
+    """WITH om AS (
+      |  SELECT o_custkey,
+      |    (CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)) // 30 AS m,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |fst AS (SELECT o_custkey, min(m) AS fm FROM om GROUP BY 1),
+      |mx AS (SELECT max(m) AS maxm FROM om),
+      |pt AS (SELECT om.m - fst.fm AS t, CAST(sum(om.cents) AS BIGINT) AS cents
+      |       FROM om JOIN fst USING (o_custkey) GROUP BY 1),
+      |obs AS (SELECT pt.t, count(*) AS observable
+      |        FROM pt, fst, mx WHERE (mx.maxm - fst.fm) >= pt.t GROUP BY pt.t),
+      |cum AS (SELECT a.t AS hb, CAST(sum(b.cents) AS HUGEINT) AS cum_cents
+      |        FROM pt a JOIN pt b ON b.t <= a.t GROUP BY 1)
+      |SELECT pt.t, obs.observable, pt.cents,
+      |  CAST(cum.cum_cents AS BIGINT) AS cum_cents,
+      |  CAST(cum.cum_cents // obs.observable AS BIGINT) AS avg_cum_cents
+      |FROM pt JOIN obs USING (t) JOIN cum ON cum.hb = pt.t""".stripMargin
+
   // ---- registry ----------------------------------------------------
 
   // TPC-H-shaped rows use bare ids (q1…q22): the driver captures
@@ -4348,6 +4566,10 @@ object Relational {
     "trade_reciprocity" -> tradeReciprocity,
     "ab_test"          -> abTest,
     "ks_test"          -> ksTest,
+    "return_rate_trend" -> returnRateTrend,
+    "rollup_share"     -> rollupShare,
+    "forecast_backtest" -> forecastBacktest,
+    "ltv_curve"        -> ltvCurve,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
@@ -4994,6 +5216,10 @@ object Relational {
     "trade_reciprocity" -> tradeReciprocitySql,
     "ab_test" -> abTestSql,
     "ks_test" -> ksTestSql,
+    "return_rate_trend" -> returnRateTrendSql,
+    "rollup_share" -> rollupShareSql,
+    "forecast_backtest" -> forecastBacktestSql,
+    "ltv_curve" -> ltvCurveSql,
     "spend_percentile" ->
       """WITH per AS (
         |  SELECT o_custkey AS key,

@@ -1177,6 +1177,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(en.contains("partial_"), "norm moments partial-combine")
   }
 
+  test("r12 batch 10: month-fold windows, broadcast share hierarchy, candidate-scoped sketch eval") {
+    val rr = plan("return_rate_trend")
+    assert(rr.contains("partial_"), "the month fold must partial-combine")
+    val rs = plan("rollup_share")
+    assert("BroadcastHashJoin".r.findAllIn(rs).size >= 2,
+      "nation/region dims and both total levels attach by broadcast")
+    assert(rs.contains("InMemoryTableScan"),
+      "the nation fold persists once behind the region and world re-aggregates")
+    assert(!rs.contains("CartesianProduct") && !rs.contains("BroadcastNestedLoopJoin"),
+      "share attachment is the ScalarJoin hash shape")
+    val fb = plan("forecast_backtest")
+    assert(fb.contains("partial_"), "the month fold must partial-combine")
+    assert(!fb.linesIterator.exists(l => l.contains("Exchange") && l.contains("o_totalprice")),
+      "only folded (m, cents) rows reach the window — never order rows")
+    val lc = plan("ltv_curve")
+    assert(lc.contains("InMemoryTableScan") && lc.contains("partial_"),
+      "customer-month and tenure folds persist once; all folds partial-combine")
+    assert(!lc.contains("CartesianProduct") && !lc.contains("BroadcastNestedLoopJoin"),
+      "the triangular grid is a broadcast equi-join, not a BNLJ")
+    val ma = plan("minhash_accuracy")
+    assert(ma.contains("InMemoryTableScan"),
+      "candidate shingles and signatures persist once behind the pair joins")
+    assert(ma.contains("partial_"), "signature minima fold map-side")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

@@ -1956,6 +1956,93 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("return_rate_trend: lattice replays and deltas telescope") {
+    val out = Relational.returnRateTrend(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { case (_, n, ret, rq, _) =>
+      assert(ret <= n && rq === ret * 1048576L / n)
+    }
+    assert(out.head._5 === 0L, "first month's delta pins to 0")
+    assert(out.map(_._5).sum === out.last._4 - out.head._4,
+      "deltas telescope to last minus first")
+  }
+
+  test("rollup_share: shares sum to one within lattice truncation, levels reconcile") {
+    val out = Relational.rollupShare(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val s = rows.map(_._4).sum
+      assert(s <= 1048576L && s > 1048576L - rows.length,
+        "within-region shares sum to 1 minus div-truncation crumbs")
+      assert(rows.map(_._5).distinct.length === 1,
+        "every nation in a region reports the same region share")
+    }
+    val regShares = out.groupBy(_._2).map { case (_, rs) => rs.head._5 }.sum
+    assert(regShares <= 1048576L && regShares > 1048576L - out.groupBy(_._2).size,
+      "region shares sum to 1 minus truncation")
+    graft.CacheScope.release()
+  }
+
+  test("forecast_backtest: forecasts replay from the month series via BigInt") {
+    val dirp = "/root/testdata/sf0.001"
+    val series = graft.sources.Tables.orders(spark, dirp)
+      .selectExpr(
+        "(cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)) div 30 as m",
+        "cast(floor(o_totalprice * 100 + 0.5) as bigint) as cents")
+      .groupBy("m").agg(org.apache.spark.sql.functions.sum($"cents").as("a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val got = Relational.forecastBacktest(spark, dirp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size === series.length - 15, "exactly the full-history months emit")
+    series.indices.drop(15).foreach { i =>
+      val (m, actual) = series(i)
+      val base = BigInt(series(i - 12)._2)
+      val sRecent = (1 to 3).map(k => BigInt(series(i - k)._2)).sum
+      val sYear = (13 to 15).map(k => BigInt(series(i - k)._2)).sum
+      val fc = (base * ((sRecent * 1048576) / sYear)) / 1048576
+      val (ga, gf, gape) = got(m)
+      assert(ga === actual && BigInt(gf) === fc, s"month $m forecast replays")
+      assert(BigInt(gape) === (BigInt(actual) - fc).abs * 1048576 / actual)
+    }
+  }
+
+  test("ltv_curve: cumulation telescopes, censoring is monotone") {
+    val out = Relational.ltvCurve(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.nonEmpty)
+    out.sliding(2).filter(_.length == 2).foreach { case Array(p, c) =>
+      assert(c._4 - p._4 === c._3, "cumulative minus previous = tenure mass")
+      assert(c._2 <= p._2, "observable customers cannot grow with tenure")
+    }
+    out.foreach { case (_, obs, _, cum, avg) =>
+      assert(obs > 0L && avg === cum / obs)
+    }
+    graft.CacheScope.release()
+  }
+
+  test("minhash_accuracy: estimator bounds and lattice replays") {
+    val out = Dedup.minhashAccuracy(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.nonEmpty)
+    out.foreach { case (inter, uni, exactQ, matchCnt, estQ, errQ) =>
+      assert(inter <= uni)
+      assert(exactQ === inter * 1048576L / uni, "exact lattice replays")
+      assert(exactQ >= 838860L, "pairs come from the >= 0.8 verified set")
+      assert(matchCnt >= 0L && matchCnt <= Dedup.AccPerms.toLong)
+      assert(estQ === matchCnt * 1048576L / Dedup.AccPerms)
+      assert(errQ === math.abs(estQ - exactQ))
+    }
+    // calibration: on near-identical pairs the estimator should be
+    // nearly saturated on average (j >= 0.8 => E[match] >= 0.8*16)
+    val meanMatch = out.map(_._4).sum.toDouble / out.length
+    assert(meanMatch >= 0.7 * Dedup.AccPerms, s"estimator grossly off: $meanMatch")
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
