@@ -504,6 +504,45 @@ object Multimodal {
         coalesce(col("longest_run"), lit(0L)).as("longest_run"))
   }
 
+  /** 16-bucket luma histogram over REAL decoded PNG pixels — the
+    * exposure/contrast profile an image-curation pipeline screens on
+    * (all-dark, all-blown, low-dynamic-range images are cheap to
+    * reject before any model sees them): each clip's PNG round-trips
+    * through ImageIO (genuine codec, the [[multimodalPng]] contract),
+    * every decoded pixel folds to `((r+g+b) div 3) div 16`, and the
+    * operator emits (doc_id, bucket, n_px) counts. The oracle replays
+    * the gradient-raster formula per pixel in SQL, so the whole
+    * encode→inflate→decode→histogram path is hash-gated despite the
+    * real codec. Scale shape: decode + per-image histogram fold
+    * happen INSIDE the partition (≤16 rows leave per image — pixels
+    * never shuffle); no keyed exchange at all. */
+  def imageHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("seed"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, seed) => (id, encodePng(seed)) })
+      .mapPartitions(_.flatMap { case (id, png) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val counts = new Array[Long](16)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+            counts(luma / 16) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        counts.iterator.zipWithIndex.collect {
+          case (n, b) if n > 0L => (id, b.toLong, n)
+        }
+      })
+      .toDF("doc_id", "bucket", "n_px")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"     -> multimodalMeta,
     "multimodal_frames"   -> multimodalFrames,
@@ -515,7 +554,8 @@ object Multimodal {
     "multimodal_thumb"    -> multimodalThumb,
     "frame_dedup"         -> frameDedup,
     "audio_energy"        -> audioEnergy,
-    "audio_vad"           -> audioVad)
+    "audio_vad"           -> audioVad,
+    "image_histogram"     -> imageHistogram)
 
   /** aHash replay: sampled source coords are integer div, gray is
     * the (r+g+b)//3 of the gradient at those coords, mean is the
@@ -624,6 +664,25 @@ object Multimodal {
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
     // each PCM16 sample is 4 md5 hex chars (big-endian, signed):
     // the full binary → sample → frame → energy path replays in SQL
+    "image_histogram" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) AS b0,
+        |    CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) AS b1,
+        |    CAST('0x' || substr(md5(text), 5, 2) AS INTEGER) AS b2,
+        |    CAST('0x' || substr(md5(text), 7, 2) AS INTEGER) AS b3,
+        |    CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) AS b4
+        |  FROM documents),
+        |d AS (SELECT doc_id, 4 + b0 % 16 AS w, 4 + b1 % 16 AS h, b2, b3, b4 FROM b),
+        |px AS (
+        |  SELECT doc_id,
+        |    (((xs.x*7 + ys.y*13 + b2) % 256 + (xs.x*11 + ys.y*3 + b3) % 256
+        |      + (xs.x*5 + ys.y*17 + b4) % 256) // 3) // 16 AS bucket
+        |  FROM d
+        |  JOIN (SELECT unnest(range(20)) AS x) xs ON xs.x < d.w
+        |  JOIN (SELECT unnest(range(20)) AS y) ys ON ys.y < d.h)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_px
+        |FROM px GROUP BY 1, 2""".stripMargin,
     "audio_vad" ->
       """WITH s AS (
         |  SELECT doc_id,

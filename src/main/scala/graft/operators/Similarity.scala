@@ -1437,8 +1437,41 @@ object Similarity {
         round(col("x.cos"), 4).as("cos"))
   }
 
+  private[operators] val PcaRounds = 4
+
+  /** Leading principal direction by power iteration over the exact
+    * integral Gram matrix — the "what single axis carries this
+    * embedding batch" diagnostic (anisotropy / collapsed-dimension
+    * detection; the first step of PCA whitening): [[PcaRounds]]
+    * rounds of v ← G·v with integer max-norm renormalization
+    * (v ← v·2²⁰ div max|G·v| — no sqrt, no floats, every engine and
+    * every run computes identical integers; division truncates
+    * toward zero in Scala BigInt, Spark `div`, and DuckDB `//`
+    * alike). Emits the 64 loadings on the 2²⁰ lattice. Scale shape:
+    * the DISTRIBUTED work is [[gramMatrix]]'s one-exchange
+    * partial+final fold (n×4096 never materializes); the 64×64
+    * iteration is driver metadata math (the learnedCentroids /
+    * codebook precedent — 4096 longs), and at ANY corpus size the
+    * Gram stays 64×64. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = gramMatrix(spark, dir).collect()
+    val dim = Dim
+    val G = Array.ofDim[BigInt](dim, dim)
+    g.foreach(r => G(r.getLong(0).toInt)(r.getLong(1).toInt) = BigInt(r.getLong(2)))
+    var v = Array.fill(dim)(BigInt(1) << 20)
+    (0 until PcaRounds).foreach { _ =>
+      val mv = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => G(i)(j) * v(j)).sum)
+      val mx = mv.map(_.abs).max
+      v = mv.map(x => x * (BigInt(1) << 20) / mx)
+    }
+    (0 until dim).map(d => (d.toLong, v(d).toLong)).toDF("d", "loading_q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gram_matrix" -> gramMatrix,
+    "pca_power" -> pcaPower,
     "ann_index" -> annIndex,
     "ann_index_add" -> annIndexAdd,
     "ann_topk" -> annTopkBrute,
