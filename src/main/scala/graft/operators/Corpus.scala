@@ -331,7 +331,11 @@ object Corpus {
       .select(col("source"), col("n_docs"), col("n_tokens"),
         expr("total_tokens div n_sources").as("target_tokens"))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("target_tokens"),
-        expr("(target_tokens * 100) div n_tokens").as("epochs_x100"))
+        // greatest(n, 1): a source whose docs are ALL empty (n_tokens
+        // = 0) must not NULL (Spark div) / error (DuckDB //) the plan
+        // row — it reads as an unfillable source: epochs explode past
+        // the 400 cap, planned caps, deficit stays ≈ target
+        expr("(target_tokens * 100) div greatest(n_tokens, 1)").as("epochs_x100"))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("target_tokens"),
         col("epochs_x100"),
         least(col("epochs_x100"), lit(400L)).as("planned_x100"),
@@ -713,6 +717,7 @@ object Corpus {
     "tfidf_topk"     -> tfidfTopk,
     "bm25_topk"      -> bm25Topk,
     "epoch_plan"     -> epochPlan,
+    "clean_funnel"   -> cleanFunnel,
     "corpus_card"    -> corpusCard,
     "compact_files"  -> compactFiles)
 
@@ -727,7 +732,10 @@ object Corpus {
     * quality ratios, and the recursive-CTE near-dup clustering all in
     * one statement (the cluster CTEs come verbatim from the dedup
     * oracle, so the two rows can never drift apart). */
-  private val CleanSql = {
+  /** CTE prefix ending in `dec(doc_id, reason)` — shared VERBATIM by
+    * the `corpus_clean` and `clean_funnel` oracles so the cascade and
+    * its attrition view cannot drift apart (the ClusterCtes rule). */
+  private val CleanCtes = {
     val score = TextAnalysis.Markers
       .map { case (l, ws) => s"${TextAnalysis.markerSql(ws)} AS s_$l" }.mkString(", ")
     val best = s"greatest(${TextAnalysis.Markers.map { case (l, _) => s"s_$l" }.mkString(", ")})"
@@ -748,11 +756,58 @@ object Corpus {
        |         WHEN lm.n_tokens < 15 OR lm.stop_ratio <= 0.0 THEN 'quality'
        |         WHEN cc.cluster_id IS NOT NULL AND cc.cluster_id <> lm.doc_id THEN 'duplicate'
        |         ELSE 'ok' END AS reason
-       |  FROM lm LEFT JOIN cc ON cc.id = lm.doc_id)
+       |  FROM lm LEFT JOIN cc ON cc.id = lm.doc_id)""".stripMargin
+  }
+
+  private val CleanSql =
+    s"""$CleanCtes
        |SELECT doc_id, reason,
        |  CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM dec""".stripMargin
-  }
+
+  /** Gate-attrition funnel over the [[corpusClean]] cascade — the
+    * per-stage governance view a curation review reads FIRST ("which
+    * gate eats the corpus"): for each sequential gate (lang →
+    * quality → duplicate, the cascade's own priority order) the docs
+    * entering, surviving, dropped, and the drop share of the stage's
+    * input on the 2²⁰ lattice. The cascade's reasons are mutually
+    * exclusive in gate order, so sequential attrition is ONE
+    * conditional aggregate over corpus_clean's output (operator
+    * composition — the pack_efficiency precedent), unpivoted to 3
+    * metadata rows by stack(). Degenerate corpora (a stage input of
+    * 0) divide by greatest(n, 1) on both engines. */
+  def cleanFunnel(spark: SparkSession, dir: String): DataFrame =
+    corpusClean(spark, dir)
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("reason") === "lang", 1L).otherwise(0L)).as("dl"),
+        sum(when(col("reason") === "quality", 1L).otherwise(0L)).as("dq"),
+        sum(when(col("reason") === "duplicate", 1L).otherwise(0L)).as("dd"))
+      .selectExpr(
+        """stack(3,
+          |  'lang', n0, n0 - dl, dl,
+          |  'quality', n0 - dl, n0 - dl - dq, dq,
+          |  'duplicate', n0 - dl - dq, n0 - dl - dq - dd, dd
+          |) as (stage, n_in, n_out, n_dropped)""".stripMargin)
+      .withColumn("drop_share_q",
+        expr("cast((n_dropped * cast(1048576 as bigint)) div greatest(n_in, 1) as bigint)"))
+
+  private def cleanFunnelSql: String =
+    s"""$CleanCtes,
+       |a AS (SELECT count(*) AS n0,
+       |        CAST(sum(CASE WHEN reason = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS dl,
+       |        CAST(sum(CASE WHEN reason = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS dq,
+       |        CAST(sum(CASE WHEN reason = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS dd
+       |      FROM dec)
+       |SELECT 'lang' AS stage, CAST(n0 AS BIGINT) AS n_in,
+       |  CAST(n0 - dl AS BIGINT) AS n_out, dl AS n_dropped,
+       |  CAST((dl * 1048576) // greatest(n0, 1) AS BIGINT) AS drop_share_q FROM a
+       |UNION ALL
+       |SELECT 'quality', CAST(n0 - dl AS BIGINT), CAST(n0 - dl - dq AS BIGINT), dq,
+       |  CAST((dq * 1048576) // greatest(n0 - dl, 1) AS BIGINT) FROM a
+       |UNION ALL
+       |SELECT 'duplicate', CAST(n0 - dl - dq AS BIGINT),
+       |  CAST(n0 - dl - dq - dd AS BIGINT), dd,
+       |  CAST((dd * 1048576) // greatest(n0 - dl - dq, 1) AS BIGINT) FROM a""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // compaction must be row-lossless: the re-read equals the source
@@ -782,7 +837,7 @@ object Corpus {
          |p AS (SELECT per.*,
          |        (SELECT total_tokens // n_sources FROM t) AS target_tokens
          |      FROM per),
-         |e AS (SELECT *, (target_tokens * 100) // n_tokens AS epochs_x100 FROM p)
+         |e AS (SELECT *, (target_tokens * 100) // greatest(n_tokens, 1) AS epochs_x100 FROM p)
          |SELECT source, n_docs, n_tokens, target_tokens,
          |  CAST(epochs_x100 AS BIGINT) AS epochs_x100,
          |  CAST(least(epochs_x100, 400) AS BIGINT) AS planned_x100,
@@ -790,6 +845,7 @@ object Corpus {
          |       AS BIGINT) AS deficit_tokens
          |FROM e""".stripMargin,
     "corpus_clean" -> CleanSql,
+    "clean_funnel" -> cleanFunnelSql,
     // windows via generate_series per doc; the same md5 arithmetic
     // plans identical spans, so the mask layout hash-gates
     "span_corrupt" ->

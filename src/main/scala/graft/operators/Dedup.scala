@@ -684,6 +684,45 @@ object Dedup {
         col("cluster_size"))
   }
 
+  /** Near-dup cluster-size histogram — the dedup-health rollup a
+    * corpus pipeline trends per crawl ("is boilerplate mass growing;
+    * did a template farm land"): from the SAME converged components
+    * as [[dedupCluster]], the count of clusters at each size and the
+    * doc mass they bind. A size-2 spike is organic duplication; a
+    * long tail of large clusters is templated spam. Scale shape:
+    * [[clusterLabels]] is bounded by the near-dup rate, never the
+    * corpus; both folds here are metadata-scale partial+final
+    * aggregates on top of it. */
+  def dupClusterHist(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir)
+      .groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
+  /** Near-duplicate rate per language — the slice-level dedup
+    * governance metric ("is the boilerplate concentrated in one
+    * language's crawl"): per lang, the doc count, the docs that are
+    * NON-REPRESENTATIVE members of a near-dup cluster (cluster_id ≠
+    * own id — exactly [[graft.operators.Corpus.corpusClean]]'s
+    * duplicate rule), and the duplicate share on the 2²⁰ lattice.
+    * Scale shape: the label set is bounded by the near-dup rate so
+    * it BROADCASTS against the corpus scan (the corpus_clean
+    * orientation); the lang rollup is one partial+final fold. */
+  def dedupRateByLang(spark: SparkSession, dir: String): DataFrame = {
+    val dups = clusterLabels(spark, dir)
+      .filter(col("lab") =!= col("id"))
+      .select(col("id").as("doc_id"), lit(1L).as("is_dup"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(broadcast(dups), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("is_dup")), lit(0L)).as("n_dups"))
+      .select(col("lang"), col("n_docs"), col("n_dups"),
+        expr("cast((n_dups * cast(1048576 as bigint)) div n_docs as bigint)")
+          .as("dup_share_q"))
+  }
+
   /** The converged (id, lab) assignment over near-dup CANDIDATE docs
     * only — the shared core of [[dedupCluster]] / [[dedupKeep]] /
     * [[graft.operators.Corpus.corpusClean]]. Consumers that don't
@@ -1099,6 +1138,8 @@ object Dedup {
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic"  -> dedupSemantic,
     "dedup_cluster"   -> dedupCluster,
+    "dup_cluster_hist" -> dupClusterHist,
+    "dedup_rate_by_lang" -> dedupRateByLang,
     "dedup_substring" -> dedupSubstring,
     "dedup_keep"      -> dedupKeep,
     "cc_star"         -> ccStarClusters)
@@ -1218,6 +1259,24 @@ object Dedup {
          |JOIN n nb ON nb.doc_id = c.doc_b
          |WHERE levenshtein(na.t, nb.t) <= $FuzzyK""".stripMargin,
     "dedup_cluster" -> ClusterSql,
+    // histogram over the SAME converged components — the two oracles
+    // share ClusterCtes verbatim so they cannot drift apart
+    "dedup_rate_by_lang" ->
+      s"""$ClusterCtes,
+         |dup AS (SELECT id FROM cc WHERE cluster_id <> id)
+         |SELECT d.lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN dup.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         |  CAST((sum(CASE WHEN dup.id IS NOT NULL THEN 1 ELSE 0 END) * 1048576)
+         |       // count(*) AS BIGINT) AS dup_share_q
+         |FROM documents d LEFT JOIN dup ON d.doc_id = dup.id
+         |GROUP BY d.lang""".stripMargin,
+    "dup_cluster_hist" ->
+      s"""$ClusterCtes,
+         |per AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM per GROUP BY cluster_size""".stripMargin,
     "dedup_keep" -> KeepSql,
     "dedup_substring" -> SubstringSql,
     // transitive closure over the all-pairs cosine near-dup graph —

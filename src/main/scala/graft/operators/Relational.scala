@@ -4204,7 +4204,13 @@ object Relational {
         col("o_custkey") === col("c_custkey"))
       .select(col("seg"), col("m"))
       .persistScoped()
-    val mx = per.agg(max(col("m"))).head().getLong(0)
+    // degenerate corpus (no AUTOMOBILE/BUILDING customers, or no
+    // orders): max(m) is NULL — getLong would NPE. The 0L fallback is
+    // inert (b is empty, so the bucket expression never evaluates)
+    // and the downstream lineage then lands on the same single
+    // (NULL, NULL, NULL, 0) row the DuckDB oracle emits.
+    val mxRow = per.agg(max(col("m"))).head()
+    val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
     val b = per
       .select(col("seg"),
         expr(s"(m * $KsBuckets) div ${mx + 1L}").as("b"))
@@ -4427,7 +4433,11 @@ object Relational {
       .persistScoped()
     val first = om.groupBy(col("o_custkey")).agg(min(col("m")).as("fm"))
       .persistScoped()
-    val maxM = om.agg(max(col("m"))).head().getLong(0)
+    // empty orders fixture → max(m) NULL; 0L keeps the lineage alive
+    // and every downstream join is empty, matching the oracle's
+    // empty result (the ks_test degenerate-corpus rule)
+    val maxMRow = om.agg(max(col("m"))).head()
+    val maxM = if (maxMRow.isNullAt(0)) 0L else maxMRow.getLong(0)
     val perTenure = om.join(first, "o_custkey")
       .select((col("m") - col("fm")).as("t"), col("cents"))
       .groupBy(col("t")).agg(sum(col("cents")).as("cents"))
@@ -4474,6 +4484,286 @@ object Relational {
       |  CAST(cum.cum_cents AS BIGINT) AS cum_cents,
       |  CAST(cum.cum_cents // obs.observable AS BIGINT) AS avg_cum_cents
       |FROM pt JOIN obs USING (t) JOIN cum ON cum.hb = pt.t""".stripMargin
+
+  /** ABC (Pareto-class) inventory classification of parts by revenue
+    * — the supply-chain standard ("A-parts: the few that carry 70 %
+    * of revenue; B: the next 20; C: the long tail"): parts rank by
+    * exact cent revenue under the total order (revenue desc, key asc)
+    * and classify by CUMULATIVE share — A while cum ≤ 70 % of total,
+    * B while ≤ 90 %, else C (boundaries inclusive, cross-multiplied:
+    * cum·10 ≤ tot·7 — no fraction lattice needed for a comparison).
+    * Emits the 3-row class rollup (count, cents, revenue share on
+    * 2²⁰).
+    *
+    * Scale shape — the distributed prefix sum: the |parts| fold gets
+    * a RANGE-PARTITIONED sort (the [[globalBand]] machinery — never
+    * a single-partition window), one lightweight pass collects the
+    * per-partition sums (|partitions| numbers to the driver), their
+    * scan becomes broadcast offsets, and a second pass stamps each
+    * row's running total as offset + local prefix — exact BigInt
+    * throughout, so cumulative cents can pass 2⁶³ at any corpus
+    * size. DuckDB replays the same total order with a window sum. */
+  def abcClass(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("key"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("key")).agg(sum(col("cents")).as("x"))
+      .persistScoped()
+    val sorted = per.orderBy(col("x").desc, col("key").asc)
+      .select(col("key"), col("x")).as[(Long, Long)].rdd
+    sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partSums = sorted
+      .mapPartitionsWithIndex { case (i, it) =>
+        Iterator((i, it.foldLeft(BigInt(0))(_ + _._2).toString))
+      }.collect().sortBy(_._1).map(s => BigInt(s._2))
+    val offsets = partSums.scanLeft(BigInt(0))(_ + _)
+    val tot = offsets.last
+    val bcOff = spark.sparkContext.broadcast(offsets.map(_.toString))
+    val totS = tot.toString
+    val classified = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var run = BigInt(bcOff.value(i))
+      val t = BigInt(totS)
+      it.map { case (_, x) =>
+        run += x
+        val abc = if (run * 10 <= t * 7) "A"
+        else if (run * 10 <= t * 9) "B" else "C"
+        (abc, x)
+      }
+    }
+    classified.toDF("abc", "x")
+      .groupBy(col("abc"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("x")).as("cents"))
+      .select(col("abc"), col("n_parts"), col("cents"),
+        expr(s"cast((cast(cents as decimal(38,0)) * 1048576) div cast('$totS' as decimal(38,0)) as bigint)")
+          .as("share_q"))
+  }
+
+  private def abcClassSql: String =
+    """WITH per AS (
+      |  SELECT l_partkey AS key,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(x) AS HUGEINT) AS tot FROM per),
+      |r AS (SELECT key, x,
+      |        sum(CAST(x AS HUGEINT)) OVER (ORDER BY x DESC, key ASC
+      |          ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM per),
+      |c AS (SELECT CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+      |                  WHEN cum * 10 <= tot * 9 THEN 'B'
+      |                  ELSE 'C' END AS abc, x, tot
+      |      FROM r, t)
+      |SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(x) AS BIGINT) AS cents,
+      |  CAST((CAST(sum(x) AS HUGEINT) * 1048576) // tot AS BIGINT) AS share_q
+      |FROM c GROUP BY abc, tot""".stripMargin
+
+  /** Monthly repeat-order rate — the loyalty KPI ("what share of this
+    * month's orders came from customers we'd already served"): each
+    * order ranks within its customer's lifetime by (date, orderkey),
+    * rank ≥ 2 marks a repeat, and months roll up count / repeats /
+    * repeat share on the 2²⁰ lattice. One customer-keyed exchange
+    * feeds the lifetime window (partition by o_custkey — distributed,
+    * never global), then the month rollup partial+final-combines;
+    * months are metadata-scale. */
+  def repeatRate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("od").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)").as("od"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(expr("od div 30").as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("rn") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+      .withColumn("repeat_share_q",
+        expr("cast((n_repeat * cast(1048576 as bigint)) div n_orders as bigint)"))
+  }
+
+  private def repeatRateSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS od
+      |  FROM orders),
+      |r AS (SELECT od,
+      |        row_number() OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) AS rn
+      |      FROM o)
+      |SELECT od // 30 AS m, count(*) AS n_orders,
+      |  CAST(sum(CASE WHEN rn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+      |  CAST((sum(CASE WHEN rn >= 2 THEN 1 ELSE 0 END) * 1048576) // count(*) AS BIGINT)
+      |    AS repeat_share_q
+      |FROM r GROUP BY 1""".stripMargin
+
+  /** Order-size histogram — lines-per-order distribution plus each
+    * size's share of all orders on the 2²⁰ lattice (the order-shape
+    * profile capacity planning and fraud screens read). Two chained
+    * partial+final folds (fact → |orders| → |sizes|); the total
+    * attaches by [[ScalarJoin]] broadcast; output is ≤ max-size rows
+    * at any corpus scale. */
+  def orderSizeHist(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+      .groupBy(col("n_lines")).agg(count(lit(1)).as("n_orders"))
+      .persistScoped()
+    val tot = g.agg(sum(col("n_orders")).as("nt"))
+    ScalarJoin.attachScalar(g, col("n_orders"), tot, col("nt"))
+      .select(col("n_lines"), col("n_orders"),
+        expr("cast((n_orders * cast(1048576 as bigint)) div nt as bigint)").as("share_q"))
+  }
+
+  private def orderSizeHistSql: String =
+    """WITH per AS (SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1),
+      |g AS (SELECT n_lines, count(*) AS n_orders FROM per GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS nt FROM g)
+      |SELECT CAST(n_lines AS BIGINT) AS n_lines, CAST(n_orders AS BIGINT) AS n_orders,
+      |  CAST((n_orders * 1048576) // nt AS BIGINT) AS share_q
+      |FROM g, t""".stripMargin
+
+  // fixture orders span 1995–2001 at every SF — two full interior
+  // years so both slices are populated and the matrix is dense
+  private[operators] val MigYearA = 1996
+  private[operators] val MigYearB = 1997
+
+  /** Customer spend-quintile migration matrix [[MigYearA]] →
+    * [[MigYearB]] — the segment-transition table a CRM org reads for
+    * upgrade/churn dynamics ("how many Q5 whales fell to Q2"): per
+    * year, active customers band into exact spend quintiles via the
+    * [[globalBand]] rank lattice (band 1 = lowest spend); customers
+    * inactive in a year carry band 0 (entered / lapsed); the output
+    * is the ≤ 6×6 transition count matrix. Scale shape: two
+    * year-sliced fact folds, two DIMENSION-scale distributed sorts
+    * (globalBand — no global window), one full-outer key join, and a
+    * metadata-sized rollup. */
+  def segmentMigration(spark: SparkSession, dir: String): DataFrame = {
+    def spend(y: Int) = Tables.orders(spark, dir)
+      .filter(expr(s"year(cast(o_orderdate as date)) = $y"))
+      .select(col("o_custkey").as("key"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("key")).agg(sum(col("cents")).as("x"))
+      .persistScoped()
+    val pa = spend(MigYearA)
+    val pb = spend(MigYearB)
+    val ba = globalBand(pa, "x", pa.count(), "band_a")
+    val bb = globalBand(pb, "x", pb.count(), "band_b")
+    ba.join(bb, Seq("key"), "full_outer")
+      .select(coalesce(col("band_a"), lit(0L)).as("band_a"),
+        coalesce(col("band_b"), lit(0L)).as("band_b"))
+      .groupBy(col("band_a"), col("band_b"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  private def segmentMigrationSql: String = {
+    def yearCte(tag: String, y: Int) =
+      s"""c$tag AS (
+         |  SELECT o_custkey AS key,
+         |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+         |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = $y GROUP BY 1),
+         |n$tag AS (SELECT count(*) AS n FROM c$tag),
+         |r$tag AS (SELECT key,
+         |    CAST(((row_number() OVER (ORDER BY x ASC, key ASC) - 1) * $RfmBands) // n + 1
+         |      AS BIGINT) AS band_$tag
+         |  FROM c$tag, n$tag)""".stripMargin
+    s"""WITH ${yearCte("a", MigYearA)},
+       |${yearCte("b", MigYearB)}
+       |SELECT COALESCE(ra.band_a, 0) AS band_a, COALESCE(rb.band_b, 0) AS band_b,
+       |  count(*) AS n_customers
+       |FROM ra FULL OUTER JOIN rb ON ra.key = rb.key
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Monthly DAU/MAU stickiness — the engagement ratio every consumer
+    * dashboard headlines (Σ daily actives over the month ÷ days·MAU,
+    * on the 2²⁰ lattice — 2²⁰ = every user active every day): the
+    * event stream folds ONCE to distinct (user, day), daily actives
+    * and monthly actives both derive from that fold, and months join
+    * at metadata scale. Exact integers end to end. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("cast(datediff(cast(ts as date), date'1970-01-01') as bigint)").as("d"))
+      .distinct().persistScoped()
+    val mdau = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      .groupBy(expr("d div 30").as("m"))
+      .agg(sum(col("dau")).as("sum_dau"), count(lit(1)).as("n_days"))
+    val mau = du.select(expr("d div 30").as("m"), col("user_id")).distinct()
+      .groupBy(col("m")).agg(count(lit(1)).as("mau"))
+    mdau.join(mau, "m")
+      .select(col("m"), col("n_days"), col("sum_dau"), col("mau"),
+        expr("cast((sum_dau * cast(1048576 as bigint)) div (n_days * mau) as bigint)")
+          .as("stickiness_q"))
+  }
+
+  private def stickinessSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      |  FROM events),
+      |dau AS (SELECT d, count(*) AS dau FROM du GROUP BY 1),
+      |md AS (SELECT d // 30 AS m, CAST(sum(dau) AS BIGINT) AS sum_dau,
+      |         count(*) AS n_days
+      |       FROM dau GROUP BY 1),
+      |mau AS (SELECT m, count(*) AS mau FROM (
+      |          SELECT DISTINCT d // 30 AS m, user_id FROM du) GROUP BY 1)
+      |SELECT md.m, CAST(n_days AS BIGINT) AS n_days, sum_dau,
+      |  CAST(mau AS BIGINT) AS mau,
+      |  CAST((sum_dau * 1048576) // (n_days * mau) AS BIGINT) AS stickiness_q
+      |FROM md JOIN mau USING (m)""".stripMargin
+
+  /** Inter-arrival time profile per event type — discrete p50/p90 of
+    * the seconds between a user's consecutive same-type events (the
+    * cadence baseline behind rate alerting and bot screens). Gaps are
+    * exact epoch-second differences over a (type, user)-keyed window;
+    * the percentile machinery is fold-below-window (the [[drawdown]]
+    * contract): gaps fold to (type, gap, count) FIRST, the per-type
+    * cumulative orders only the folded distinct-gap rows, and the
+    * nearest-rank cut is a cross-multiplied comparison (cum·2 ≥ n for
+    * p50 — no fraction, no interpolation; both engines pick the
+    * identical integer). */
+  def eventInterarrival(spark: SparkSession, dir: String): DataFrame = {
+    // order by the TRUNCATED second (+ event_id tiebreak), not raw
+    // ts: sub-second ordering is invisible after the truncation, and
+    // the oracle must replay the identical sequence
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("s").asc, col("event_id").asc)
+    val gaps = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        col("ts").cast("long").as("s"))
+      .withColumn("gap_s", col("s") - lag(col("s"), 1).over(w))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("event_type"), col("gap_s")).agg(count(lit(1)).as("c"))
+      .persistScoped()
+    val tot = gaps.groupBy(col("event_type")).agg(sum(col("c")).as("n_gaps"))
+    val w2 = Window.partitionBy(col("event_type")).orderBy(col("gap_s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gaps.withColumn("cum", sum(col("c")).over(w2))
+      .join(broadcast(tot), "event_type")
+      .groupBy(col("event_type"), col("n_gaps"))
+      .agg(min(when(col("cum") * 2 >= col("n_gaps"), col("gap_s"))).as("p50_s"),
+        min(when(col("cum") * 10 >= col("n_gaps") * 9, col("gap_s"))).as("p90_s"))
+      .select(col("event_type"), col("n_gaps"), col("p50_s"), col("p90_s"))
+  }
+
+  private def eventInterarrivalSql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id, event_id,
+      |    epoch_us(ts) // 1000000 AS s
+      |  FROM events),
+      |g AS (SELECT event_type,
+      |        s - lag(s) OVER (PARTITION BY event_type, user_id
+      |          ORDER BY s, event_id) AS gap_s
+      |      FROM e),
+      |f AS (SELECT event_type, gap_s, count(*) AS c
+      |      FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_gaps FROM f GROUP BY 1),
+      |cu AS (SELECT event_type, gap_s,
+      |         sum(c) OVER (PARTITION BY event_type ORDER BY gap_s
+      |           ROWS UNBOUNDED PRECEDING) AS cum
+      |       FROM f)
+      |SELECT cu.event_type, t.n_gaps,
+      |  min(CASE WHEN cum * 2 >= n_gaps THEN gap_s END) AS p50_s,
+      |  min(CASE WHEN cum * 10 >= n_gaps * 9 THEN gap_s END) AS p90_s
+      |FROM cu JOIN t USING (event_type)
+      |GROUP BY 1, 2""".stripMargin
 
   // ---- registry ----------------------------------------------------
 
@@ -4570,6 +4860,12 @@ object Relational {
     "rollup_share"     -> rollupShare,
     "forecast_backtest" -> forecastBacktest,
     "ltv_curve"        -> ltvCurve,
+    "abc_class"        -> abcClass,
+    "repeat_rate"      -> repeatRate,
+    "order_size_hist"  -> orderSizeHist,
+    "segment_migration" -> segmentMigration,
+    "stickiness"       -> stickiness,
+    "event_interarrival" -> eventInterarrival,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "kmv_set_ops"      -> kmvSetOps,
@@ -5220,6 +5516,12 @@ object Relational {
     "rollup_share" -> rollupShareSql,
     "forecast_backtest" -> forecastBacktestSql,
     "ltv_curve" -> ltvCurveSql,
+    "abc_class" -> abcClassSql,
+    "repeat_rate" -> repeatRateSql,
+    "order_size_hist" -> orderSizeHistSql,
+    "segment_migration" -> segmentMigrationSql,
+    "stickiness" -> stickinessSql,
+    "event_interarrival" -> eventInterarrivalSql,
     "spend_percentile" ->
       """WITH per AS (
         |  SELECT o_custkey AS key,

@@ -1437,6 +1437,59 @@ object Similarity {
         round(col("x.cos"), 4).as("cos"))
   }
 
+  /** Nearest-neighbor margin per query — the retrieval-confidence
+    * diagnostic (a tiny d2−d1 margin means the top hit is ambiguous;
+    * margin distributions drive abstention thresholds and hard-
+    * negative mining): for each of the [[NQueries]] probe vectors,
+    * the exact lattice-L2 first and second neighbors and their
+    * margin. All integers (per-dim squared diffs ≤ 2⁴², a 64-dim sum
+    * ≤ 2⁴⁸ — long-safe), so the gate is hash-exact. Scale shape: the
+    * |Q|-row probe set broadcasts against the corpus scan (the
+    * [[annTopkBrute]] orientation), the rank-2 cut rides
+    * WindowGroupLimit (per-partition heap keeps 2 rows per query
+    * before the exchange), and the pivot to one row per query is a
+    * |Q|·2-row metadata fold. */
+  def knnMargin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), latArrCol(col("embedding")).as("qq"))
+    val c = e.select(col("vec_id").as("nid"), latArrCol(col("embedding")).as("nq"))
+    val d = aggregate(zip_with(col("qq"), col("nq"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (a, x) => a + x)
+    val w = Window.partitionBy(col("qid")).orderBy(col("dd").asc, col("nid").asc)
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("dd", d)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .groupBy(col("qid"))
+      .agg(min(when(col("rnk") === 1, col("nid"))).as("nn1"),
+        min(when(col("rnk") === 1, col("dd"))).as("d1"),
+        min(when(col("rnk") === 2, col("dd"))).as("d2"))
+      .withColumn("margin", col("d2") - col("d1"))
+  }
+
+  private def knnMarginSql: String =
+    s"""WITH l AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qs AS (SELECT vec_id AS qid, q AS qq FROM l WHERE vec_id < $NQueries),
+       |dd AS (SELECT unnest(range($Dim)) AS i),
+       |sc AS (SELECT qs.qid, l.vec_id AS nid,
+       |         CAST(sum((qs.qq[dd.i + 1] - l.q[dd.i + 1])
+       |                * (qs.qq[dd.i + 1] - l.q[dd.i + 1])) AS BIGINT) AS d
+       |       FROM qs JOIN l ON l.vec_id <> qs.qid CROSS JOIN dd
+       |       GROUP BY 1, 2),
+       |r AS (SELECT qid, nid, d,
+       |        row_number() OVER (PARTITION BY qid ORDER BY d ASC, nid ASC) AS rnk
+       |      FROM sc)
+       |SELECT qid,
+       |  CAST(max(CASE WHEN rnk = 1 THEN nid END) AS BIGINT) AS nn1,
+       |  CAST(max(CASE WHEN rnk = 1 THEN d END) AS BIGINT) AS d1,
+       |  CAST(max(CASE WHEN rnk = 2 THEN d END) AS BIGINT) AS d2,
+       |  CAST(max(CASE WHEN rnk = 2 THEN d END)
+       |     - max(CASE WHEN rnk = 1 THEN d END) AS BIGINT) AS margin
+       |FROM r WHERE rnk <= 2 GROUP BY qid""".stripMargin
+
   private[operators] val PcaRounds = 4
 
   /** Leading principal direction by power iteration over the exact
@@ -1456,9 +1509,20 @@ object Similarity {
   def pcaPower(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val g = gramMatrix(spark, dir).collect()
-    val dim = Dim
-    val G = Array.ofDim[BigInt](dim, dim)
+    val G = Array.fill[BigInt](Dim, Dim)(BigInt(0))
     g.foreach(r => G(r.getLong(0).toInt)(r.getLong(1).toInt) = BigInt(r.getLong(2)))
+    val v = powerIterate(G)
+    (0 until Dim).map(d => (d.toLong, v(d).toLong)).toDF("d", "loading_q")
+  }
+
+  /** The driver-metadata half of [[pcaPower]]: [[PcaRounds]] rounds
+    * of v ← (G·v)·2²⁰ / max|G·v| in exact BigInt (truncating
+    * division). Invariants pinned by EdgeCaseSpec: max|v| = 2²⁰
+    * after every round, and the result is invariant under scaling G
+    * by any positive constant (so corpus duplication cannot move the
+    * loadings). */
+  private[operators] def powerIterate(G: Array[Array[BigInt]]): Array[BigInt] = {
+    val dim = G.length
     var v = Array.fill(dim)(BigInt(1) << 20)
     (0 until PcaRounds).foreach { _ =>
       val mv = Array.tabulate(dim)(i =>
@@ -1466,7 +1530,7 @@ object Similarity {
       val mx = mv.map(_.abs).max
       v = mv.map(x => x * (BigInt(1) << 20) / mx)
     }
-    (0 until dim).map(d => (d.toLong, v(d).toLong)).toDF("d", "loading_q")
+    v
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1495,6 +1559,7 @@ object Similarity {
     "class_centroids" -> classCentroids,
     "contrastive_pairs" -> contrastivePairs,
     "mutual_knn" -> mutualKnn,
+    "knn_margin" -> knnMargin,
     "embed_norm_stats" -> embedNormStats)
 
   /** Shared PQ replay: lattice-floored vectors, the sampled-point
@@ -1648,7 +1713,36 @@ object Similarity {
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, dist
          |FROM r WHERE rnk <= $K""".stripMargin
 
+  /** Unrolled [[PcaRounds]]-round power-iteration replay over the
+    * gram_matrix CTE (the labelPropSql/pagerankPersonalizedSql
+    * precedent): v₀ = 2²⁰, each round mv ← G·v as HUGEINT (G entries
+    * grow with corpus mass, v ≤ 2²⁰ → |mv·2²⁰| can pass 2⁶³ well
+    * inside HUGEINT range), then v ← mv·2²⁰ // max|mv|. DuckDB `//`
+    * truncates toward zero on integers, exactly BigInt `/`. The max
+    * is hoisted into its own mx CTE and CROSS JOINed (never a scalar
+    * subquery inside an aggregate — the DuckDB LATERAL-binder trap). */
+  private def pcaPowerSql: String = {
+    def round(r: Int): String =
+      s"""mv$r AS (
+         |  SELECT g.i AS d, sum(CAST(g.g AS HUGEINT) * v${r - 1}.v) AS mv
+         |  FROM g JOIN v${r - 1} ON v${r - 1}.d = g.j GROUP BY 1),
+         |mx$r AS (SELECT max(abs(mv)) AS mx FROM mv$r),
+         |v$r AS (SELECT d, (mv * $QScale) // mx AS v FROM mv$r CROSS JOIN mx$r)""".stripMargin
+    s"""WITH g AS (
+       |  SELECT t1.i - 1 AS i, t2.j - 1 AS j,
+       |    CAST(sum(CAST(floor(CAST(embedding[t1.i] AS DOUBLE) * $QScale.0) AS BIGINT)
+       |           * CAST(floor(CAST(embedding[t2.j] AS DOUBLE) * $QScale.0) AS BIGINT)) AS BIGINT) AS g
+       |  FROM embeddings, range(1, ${Dim + 1}) t1(i), range(1, ${Dim + 1}) t2(j)
+       |  GROUP BY 1, 2),
+       |v0 AS (SELECT unnest(range($Dim)) AS d, CAST($QScale AS HUGEINT) AS v),
+       |${(1 to PcaRounds).map(round).mkString(",\n")}
+       |SELECT CAST(d AS BIGINT) AS d, CAST(v AS BIGINT) AS loading_q
+       |FROM v$PcaRounds""".stripMargin
+  }
+
   private val oraclesBase: Map[String, String] = Map(
+    "pca_power" -> pcaPowerSql,
+    "knn_margin" -> knnMarginSql,
     // lattice products are exact BIGINTs; DuckDB's sum is HUGEINT →
     // both sides land on DECIMAL(38,0). range() is 1..64 → i = idx-1.
     "gram_matrix" ->

@@ -490,7 +490,38 @@ object StreamOps {
       .limit(20)
   }
 
+  /** Late-arrival (disorder) histogram — THE watermark-sizing
+    * diagnostic a streaming pipeline derives its
+    * `withWatermark("ts", δ)` bound from: per user, events replay in
+    * ARRIVAL order (event_id — the synthetic ingest sequence), each
+    * event's lateness is the running max event-time seen so far minus
+    * its own event-time (0 = in order), and the corpus rolls up to a
+    * per-minute-bucket histogram. The p99.9 bucket IS the watermark
+    * to configure; mass in high buckets = state that a tight
+    * watermark would drop. Exact integer epoch-second arithmetic.
+    * Scale shape: one user-keyed window (distributed, arrival-sorted
+    * within user), then a metadata-scale partial+final histogram
+    * fold. */
+  def lateArrivalHist(spark: SparkSession, dir: String): DataFrame =
+    lateArrivalHistOf(graft.sources.Tables.events(spark, dir))
+
+  /** Input-generic form (EdgeCaseSpec drives it with planted
+    * out-of-order streams — the fixture's event_ids are ts-ordered,
+    * so disorder never occurs there and the histogram is one
+    * bucket-0 row by design). */
+  private[operators] def lateArrivalHistOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count => fcount, expr, lit, max => fmax}
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id"), col("event_id"), col("ts").cast("long").as("s"))
+      .withColumn("late_s", fmax(col("s")).over(w) - col("s"))
+      .groupBy(expr("late_s div 60").as("late_min"))
+      .agg(fcount(lit(1)).as("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "late_arrival_hist"       -> lateArrivalHist,
     "stream_enrich"           -> streamEnrich,
     "path_topk"               -> pathTopk,
     "scd2_intervals"          -> scd2Intervals,
@@ -508,6 +539,16 @@ object StreamOps {
     "stream_merge"            -> streamMerge)
 
   val oracles: Map[String, String] = Map(
+    // running max over the arrival order replays as the same window;
+    // epoch seconds via epoch_us//1e6 == Spark's timestamp→long cast
+    "late_arrival_hist" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS s
+        |           FROM events),
+        |l AS (SELECT max(s) OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS UNBOUNDED PRECEDING) - s AS late_s
+        |      FROM e)
+        |SELECT late_s // 60 AS late_min, count(*) AS n_events
+        |FROM l GROUP BY 1""".stripMargin,
     // watermark is a no-op on batch; windows are epoch-grid-aligned,
     // so 1-hour tumbling == date_trunc('hour')
     "stream_enrich" ->

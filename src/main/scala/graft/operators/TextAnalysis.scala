@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.CacheScope.ScopedDataset
@@ -1008,7 +1009,184 @@ object TextAnalysis {
       |  CAST((CAST(sum(v) AS HUGEINT) * 1048576) // sum(w) AS BIGINT) AS vpw_q
       |FROM p GROUP BY source""".stripMargin
 
+  /** Type-token lexical-diversity profile per source — the corpus-
+    * governance readout behind "is this crawl source templated spam
+    * or genuine prose" (template farms have tiny type inventories;
+    * healthy prose carries a long hapax tail): per source the token
+    * mass, distinct-type count, hapax count (types occurring exactly
+    * once IN that source), TTR on the 2²⁰ lattice, and the hapax
+    * share of types. Scale shape: one (source, token) partial+final
+    * fold — the only exchange carries (source, tok) pairs — then a
+    * per-source rollup whose grouping is a SUBSET of the first fold's
+    * keys (no second wide shuffle of raw tokens). Divisions are safe
+    * by construction: a source group exists only if it has ≥ 1 token,
+    * and n_types ≥ 1 whenever the group exists. */
+  def ttrDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(toksOf(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("cast((n_types * cast(1048576 as bigint)) div n_tokens as bigint)").as("ttr_q"),
+        expr("cast((n_hapax * cast(1048576 as bigint)) div n_types as bigint)").as("hapax_share_q"))
+
+  private def ttrDiversitySql: String =
+    s"""WITH t AS (SELECT source, unnest($ToksSql) AS tok FROM documents),
+       |g AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2)
+       |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_types,
+       |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |  CAST((count(*) * 1048576) // sum(c) AS BIGINT) AS ttr_q,
+       |  CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1048576) // count(*) AS BIGINT)
+       |    AS hapax_share_q
+       |FROM g GROUP BY source""".stripMargin
+
+  private[operators] val DispTopK = 20
+
+  /** Token dispersion (burstiness) of the top-[[DispTopK]] vocabulary
+    * — the tf/df concentration screen ("is this frequent token spread
+    * across the corpus or bursty inside a few templated docs"; bursty
+    * high-tf tokens are boilerplate markers): per top token by total
+    * frequency (token asc tiebreak), total tf, containing-doc count
+    * df, document coverage on the 2²⁰ lattice, and mean occurrences
+    * per containing doc ×100 (truncating). Scale shape: one (tok,
+    * doc) fold (tf + df partial-combine in the SAME aggregate via
+    * count distinct-free two-level fold), global top-k by
+    * TakeOrderedAndProject, and the n_docs anchor broadcast by
+    * [[graft.operators.ScalarJoin]]. */
+  def tokenDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val perDoc = d
+      .select(col("doc_id"), explode(toksOf(col("text"))).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("tok"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("tok").asc).limit(DispTopK)
+    val nd = d.agg(count(lit(1)).as("n_docs"))
+    ScalarJoin.attachScalar(perDoc, col("tf"), nd, col("n_docs"))
+      .select(col("tok"), col("tf"), col("df"),
+        expr("cast((df * cast(1048576 as bigint)) div n_docs as bigint)").as("coverage_q"),
+        expr("cast((tf * 100) div df as bigint)").as("mean_tf_x100"))
+  }
+
+  private def tokenDispersionSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+       |pd AS (SELECT tok, doc_id, count(*) AS c FROM t GROUP BY 1, 2),
+       |g AS (SELECT tok, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df FROM pd GROUP BY 1),
+       |top AS (SELECT * FROM g ORDER BY tf DESC, tok ASC LIMIT $DispTopK),
+       |nd AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT tok, tf, CAST(df AS BIGINT) AS df,
+       |  CAST((df * 1048576) // n_docs AS BIGINT) AS coverage_q,
+       |  CAST((tf * 100) // df AS BIGINT) AS mean_tf_x100
+       |FROM top, nd""".stripMargin
+
+  /** Document-length percentiles per source — discrete (nearest-rank)
+    * p10/p50/p90 of per-doc token counts, the length-profile table a
+    * curation pipeline reads before setting truncation budgets. Fold-
+    * below-window (the drawdown contract): docs fold to (source, len,
+    * count) FIRST, the per-source cumulative orders only distinct
+    * length values, and each percentile is the smallest length whose
+    * cumulative count clears the cross-multiplied nearest-rank bound
+    * (cum·10 ≥ n for p10 — exact integers, no interpolation). */
+  def doclenPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val lens = Tables.documents(spark, dir)
+      .select(col("source"), size(toksOf(col("text"))).cast("long").as("len"))
+      .groupBy(col("source"), col("len")).agg(count(lit(1)).as("c"))
+      .persistScoped()
+    val tot = lens.groupBy(col("source")).agg(sum(col("c")).as("n_docs"))
+    val w = Window.partitionBy(col("source")).orderBy(col("len").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lens.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(tot), "source")
+      .groupBy(col("source"), col("n_docs"))
+      .agg(min(when(col("cum") * 10 >= col("n_docs"), col("len"))).as("p10_len"),
+        min(when(col("cum") * 2 >= col("n_docs"), col("len"))).as("p50_len"),
+        min(when(col("cum") * 10 >= col("n_docs") * 9, col("len"))).as("p90_len"))
+      .select(col("source"), col("n_docs"), col("p10_len"), col("p50_len"),
+        col("p90_len"))
+  }
+
+  private def doclenPercentilesSql: String =
+    s"""WITH d AS (SELECT source, CAST(len($ToksSql) AS BIGINT) AS len FROM documents),
+       |f AS (SELECT source, len, count(*) AS c FROM d GROUP BY 1, 2),
+       |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs FROM f GROUP BY 1),
+       |cu AS (SELECT source, len,
+       |         sum(c) OVER (PARTITION BY source ORDER BY len
+       |           ROWS UNBOUNDED PRECEDING) AS cum
+       |       FROM f)
+       |SELECT cu.source, t.n_docs,
+       |  min(CASE WHEN cum * 10 >= n_docs THEN len END) AS p10_len,
+       |  min(CASE WHEN cum * 2 >= n_docs THEN len END) AS p50_len,
+       |  min(CASE WHEN cum * 10 >= n_docs * 9 THEN len END) AS p90_len
+       |FROM cu JOIN t USING (source)
+       |GROUP BY 1, 2""".stripMargin
+
+  private[operators] val NgcTopK = 50
+
+  /** Head-coverage of the bigram distribution — the vocabulary-budget
+    * diagnostic ("how much of the corpus's bigram mass do the top-K
+    * bigrams carry"; a near-flat cumulative curve means an n-gram LM
+    * or phrase table needs a deep vocabulary, a steep one means a
+    * small head suffices): the top-[[NgcTopK]] bigrams by count
+    * (w1, w2 asc tiebreaks) with each rank's count, share, and the
+    * CUMULATIVE head share on the 2²⁰ lattice. Scale shape: bigrams
+    * are built SCAN-RESIDENT (zip of the token array with its own
+    * tail — no positional self-join), fold partial+final, the top-K
+    * is TakeOrderedAndProject, and the cumulative orders only the K
+    * retained metadata rows (bounded — never a corpus-sized global
+    * window); the total attaches by ScalarJoin broadcast. */
+  def ngramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = toksOf(col("text"))
+    val bg = Tables.documents(spark, dir)
+      .select(toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .persistScoped()
+    val tot = bg.agg(sum(col("cnt")).as("nt"))
+    val top = bg.orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+      .limit(NgcTopK)
+    val w = Window.orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ScalarJoin.attachScalar(top, col("cnt"), tot, col("nt"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("w1").asc, col("w2").asc)).cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .select(col("rnk"), col("w1"), col("w2"), col("cnt"),
+        expr("cast((cnt * cast(1048576 as bigint)) div nt as bigint)").as("share_q"),
+        expr("cast((cum * cast(1048576 as bigint)) div nt as bigint)").as("cum_share_q"))
+  }
+
+  private def ngramCoverageSql: String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS w,
+       |             CAST(unnest(range(len(toks))) AS BIGINT) AS pos
+       |      FROM t WHERE len(toks) >= 2),
+       |bg AS (SELECT a.w AS w1, b.w AS w2, count(*) AS cnt
+       |       FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |       GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nt FROM bg),
+       |top AS (SELECT * FROM bg ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT $NgcTopK),
+       |r AS (SELECT w1, w2, cnt,
+       |        row_number() OVER (ORDER BY cnt DESC, w1 ASC, w2 ASC) AS rnk,
+       |        sum(cnt) OVER (ORDER BY cnt DESC, w1 ASC, w2 ASC
+       |          ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM top)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, w1, w2, CAST(cnt AS BIGINT) AS cnt,
+       |  CAST((cnt * 1048576) // nt AS BIGINT) AS share_q,
+       |  CAST((cum * 1048576) // nt AS BIGINT) AS cum_share_q
+       |FROM r, tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_coverage"  -> ngramCoverage,
+    "ttr_diversity"   -> ttrDiversity,
+    "token_dispersion" -> tokenDispersion,
+    "doclen_percentiles" -> doclenPercentiles,
     "text_quality"    -> textQuality,
     "readability"     -> readability,
     "sentence_dedup"  -> sentenceDedup,
@@ -1167,10 +1345,14 @@ object TextAnalysis {
         size(array_distinct(filter(col("toks"), t => t.isin(Stopwords: _*))))
           .cast("long").as("stop_distinct"))
       .select(col("doc_id"), col("n_words"),
-        expr("(sum_len * 100) div n_words").as("mean_len_x100"),
+        // greatest(n, 1): an empty/punctuation-only doc (n_words = 0)
+        // must land on mean 0 + keep 0 in BOTH engines — unguarded,
+        // Spark div emits NULL while DuckDB // raises div-by-zero
+        // (the churn_label/vocab_growth degenerate-input class)
+        expr("(sum_len * 100) div greatest(n_words, 1)").as("mean_len_x100"),
         col("max_word_len"), col("alpha_words"), col("stop_distinct"),
         (col("n_words").between(50L, 100000L) &&
-          expr("(sum_len * 100) div n_words").between(300L, 1000L) &&
+          expr("(sum_len * 100) div greatest(n_words, 1)").between(300L, 1000L) &&
           (col("alpha_words") * 5L >= col("n_words") * 4L) &&
           col("stop_distinct") >= 2L).cast("long").as("keep"))
   }
@@ -1212,6 +1394,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
 
   val oracles: Map[String, String] = Map(
+    "ngram_coverage" -> ngramCoverageSql,
+    "ttr_diversity" -> ttrDiversitySql,
+    "token_dispersion" -> tokenDispersionSql,
+    "doclen_percentiles" -> doclenPercentilesSql,
     "shingle_novelty" -> shingleNoveltySql,
     "readability" -> readabilitySql,
     "sentence_dedup" -> sentenceDedupSql,
@@ -1281,16 +1467,16 @@ object TextAnalysis {
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
          |f AS (SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_words,
-         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+         |  CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_len,
          |  CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT) AS max_word_len,
          |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha_words,
          |  CAST(len(list_distinct(list_filter(toks, t -> t IN (${Stopwords.map(w => s"'$w'").mkString(",")})))) AS BIGINT) AS stop_distinct
          |  FROM t)
          |SELECT doc_id, n_words,
-         |  CAST((sum_len * 100) // n_words AS BIGINT) AS mean_len_x100,
+         |  CAST((sum_len * 100) // greatest(n_words, 1) AS BIGINT) AS mean_len_x100,
          |  max_word_len, alpha_words, stop_distinct,
          |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-         |        AND (sum_len * 100) // n_words BETWEEN 300 AND 1000
+         |        AND (sum_len * 100) // greatest(n_words, 1) BETWEEN 300 AND 1000
          |        AND alpha_words * 5 >= n_words * 4
          |        AND stop_distinct >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM f""".stripMargin,

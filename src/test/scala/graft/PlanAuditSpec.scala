@@ -34,7 +34,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // hash/sort-merge joinable.
     // mips_topk shares the exact shape (lattice dot vs cosine);
     // rank_fusion composes both rankings so it inherits their BNLJs
-    val allowedBnlj = Set("ann_topk", "mips_topk", "rank_fusion", "ann_recall")
+    // knn_margin broadcasts the same 10-row probe set (lattice-L2
+    // rank-2 variant of the ann_topk shape)
+    val allowedBnlj = Set("ann_topk", "mips_topk", "rank_fusion", "ann_recall",
+      "knn_margin")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -328,6 +331,111 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "gram sums must partial-combine before the exchange")
     val exchanges = "Exchange [a-z]*partitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"gram_matrix should shuffle exactly once, found $exchanges")
+  }
+
+  test("pca_power: distributed work ends at gram_matrix; the returned frame is driver metadata") {
+    // the 64×64 iteration is BigInt math over gram_matrix's collected
+    // 4096 rows (the learnedCentroids precedent) — the RETURNED plan
+    // must be a pure local scan: any Exchange here would mean the
+    // iteration leaked back into the cluster as per-row work
+    val p = plan("pca_power")
+    assert(p.contains("LocalTableScan"), "pca_power result must be driver metadata")
+    assert(!p.contains("Exchange"), "pca_power's returned frame must not shuffle")
+  }
+
+  test("image_histogram: decode + histogram fold stay inside the partition — no keyed exchange") {
+    // pixels never shuffle: the PNG decodes and folds to ≤16 bucket
+    // rows per image inside mapPartitions, so the plan carries the
+    // object stages but NO exchange of any kind
+    val p = plan("image_histogram")
+    // the loader's round-robin split is allowed (the gopher_quality
+    // rule); what must NOT appear is any KEYED exchange
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"),
+      "image_histogram must not shuffle pixels or buckets on a key")
+    assert(p.contains("MapPartitions"), "decode must be partition-resident")
+  }
+
+  test("abc_class: one keyed exchange; the prefix sum lives in the sorted RDD lineage") {
+    // fact → |parts| fold is the only hash exchange in the returned
+    // plan; the range sort + two-pass prefix stamp are RDD-side (the
+    // globalBand machinery), and the class rollup partial-combines
+    val p = plan("abc_class")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex == 1, s"abc_class: expected 1 keyed exchange, found $ex")
+    assert(p.contains("partial_"), "class rollup must partial-combine")
+  }
+
+  test("repeat_rate: customer-keyed window + month rollup = exactly 2 exchanges") {
+    val p = plan("repeat_rate")
+    assert(p.contains("Window"), "lifetime rank must be a windowed rank")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex == 2, s"repeat_rate: expected 2 exchanges, found $ex")
+  }
+
+  test("order_size_hist / stickiness / doclen_percentiles / event_interarrival: shared folds persist once") {
+    // each op computes a fold consumed by two branches (rollup +
+    // scalar/cumulative); the cache must serve BOTH reads or the
+    // fact scan re-runs per branch (playbook: count cache reads,
+    // not exchanges, below a persist)
+    Seq("order_size_hist", "stickiness", "doclen_percentiles",
+      "event_interarrival").foreach { name =>
+      val p = plan(name)
+      val reads = "InMemoryTableScan".r.findAllIn(p).size
+      assert(reads >= 2, s"$name: shared fold must feed both branches from cache, found $reads reads")
+      graft.CacheScope.release()
+    }
+  }
+
+  test("segment_migration: band frames meet in ONE full-outer key join") {
+    val p = plan("segment_migration")
+    assert(p.contains("FullOuter"), "entered/lapsed customers need a full-outer join")
+    graft.CacheScope.release()
+  }
+
+  test("token_dispersion: global top-k is TakeOrderedAndProject, anchor broadcasts") {
+    val p = plan("token_dispersion")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(p.contains("BroadcastHashJoin"), "n_docs anchor must broadcast")
+  }
+
+  test("ttr_diversity: token fold then source rollup — 2 exchanges, both partial-combined") {
+    val p = plan("ttr_diversity")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex == 2, s"ttr_diversity: expected 2 exchanges, found $ex")
+    assert("partial_".r.findAllIn(p).size >= 2, "both folds must partial-combine")
+  }
+
+  test("knn_margin: broadcast probe set + rank-2 WindowGroupLimit pushdown") {
+    val p = plan("knn_margin")
+    assert(p.contains("WindowGroupLimit"), "rank-2 cut must push down")
+    assert(!p.contains("CartesianProduct"), "probe side must broadcast")
+  }
+
+  test("late_arrival_hist: user-keyed running max, then metadata histogram fold") {
+    val p = plan("late_arrival_hist")
+    assert(p.contains("Window"), "lateness must be a running-max window")
+    assert(!p.contains("SinglePartition"), "the window must stay user-keyed")
+    assert(p.contains("partial_"), "histogram must partial-combine")
+  }
+
+  test("clean_funnel / dedup_rate_by_lang: cluster labels broadcast against the corpus scan") {
+    // the near-dup label relation is bounded by the dup rate, never
+    // the corpus — both consumers must plan it as the broadcast side
+    Seq("clean_funnel", "dedup_rate_by_lang").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name must broadcast the label set")
+      assert(!p.contains("SortMergeJoin"), s"$name shuffles the corpus against labels")
+      graft.CacheScope.release()
+    }
+  }
+
+  test("ngram_coverage: scan-resident bigrams, TakeOrderedAndProject top-k, bounded window") {
+    val p = plan("ngram_coverage")
+    assert(p.contains("Generate explode"), "bigrams must be generated row-side")
+    assert(!p.contains("SortMergeJoin"), "no positional self-join for bigrams")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    graft.CacheScope.release()
   }
 
   test("sort_export: global sort plans a range-partitioned exchange, not a funnel") {

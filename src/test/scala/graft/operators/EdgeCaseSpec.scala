@@ -2043,6 +2043,228 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("pca_power: planted dominant axis, renorm saturation, scale invariance") {
+    val dim = 8
+    // planted diagonal-dominant Gram: axis 5 carries 100× the mass
+    val G = Array.tabulate(dim, dim) { (i, j) =>
+      if (i == j) BigInt(if (i == 5) 1000000 else 10000)
+      else BigInt(if (i == 5 || j == 5) 300 else 7)
+    }
+    val v = Similarity.powerIterate(G)
+    assert(v.map(_.abs).max === BigInt(1) << 20,
+      "renormalization must saturate max|v| at exactly 2^20")
+    assert(v(5).abs === BigInt(1) << 20,
+      "the planted dominant axis must carry the saturated loading")
+    assert((0 until dim).filter(_ != 5).forall(i => v(i).abs < (BigInt(1) << 14)),
+      "off-axis loadings must collapse under the 100x eigengap")
+    // corpus duplication scales G by a constant — loadings can't move
+    val v2 = Similarity.powerIterate(G.map(_.map(_ * 17)))
+    assert(v2.toSeq === v.toSeq, "power iteration must be scale-invariant")
+    // rank-1 signed Gram (x xᵀ for x with mixed signs): the loading
+    // recovers x's sign pattern and magnitude order in one round
+    val x = Array(BigInt(-3), BigInt(1), BigInt(4), BigInt(-1))
+    val G1 = Array.tabulate(4, 4)((i, j) => x(i) * x(j))
+    val v1 = Similarity.powerIterate(G1)
+    assert(v1.map(_.abs).max === BigInt(1) << 20)
+    assert(v1.map(_.signum).toSeq === x.map(_.signum).toSeq ||
+      v1.map(-_.signum).toSeq === x.map(_.signum).toSeq,
+      "rank-1 Gram must recover the generating sign pattern (up to global sign)")
+  }
+
+  test("image_histogram: per-doc pixel mass equals the decoded PNG raster exactly") {
+    // the operator's contract: buckets partition ALL pixels (sum n_px
+    // = width*height of the encoded image), buckets ∈ [0, 16), and
+    // counts are strictly positive (zero rows are dropped)
+    val out = Multimodal.imageHistogram(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, b, n) => b >= 0L && b < 16L && n > 0L })
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // per doc, the bucket masses must partition the FULL raster —
+    // recompute each doc's expected w×h through the same seed rule
+    // (w = 4 + md5[0] % 16, h = 4 + md5[1] % 16) via the real codec
+    val expected = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "md5(cast(text as binary)) as h")
+      .collect()
+      .map { r =>
+        val seed = r.getString(1).grouped(2)
+          .map(Integer.parseInt(_, 16).toByte).toArray
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(Multimodal.encodePng(seed)))
+        r.getLong(0) -> img.getWidth.toLong * img.getHeight.toLong
+      }.toMap
+    assert(perDoc.keySet === expected.keySet, "every document must emit a histogram")
+    perDoc.foreach { case (id, n) =>
+      assert(n === expected(id), s"doc $id: bucket mass $n != raster ${expected(id)}")
+    }
+    graft.CacheScope.release()
+  }
+
+  test("abc_class / order_size_hist: rollups reconcile exactly against the fact table") {
+    val sf = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val abc = Relational.abcClass(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(abc.map(_._1).sorted.toSeq === Seq("A", "B", "C"))
+    assert(abc.map(_._2).sum === li.select("l_partkey").distinct().count(),
+      "class part counts must partition the part space")
+    val totCents = li.selectExpr("sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint))")
+      .head().getLong(0)
+    assert(abc.map(_._3).sum === totCents, "class cents must partition total revenue")
+    val shareSum = abc.map(_._4).sum
+    assert(shareSum <= 1048576L && shareSum >= 1048576L - 3L,
+      s"shares must sum to 2^20 minus truncation dust, got $shareSum")
+    val hist = Relational.orderSizeHist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hist.map(h => h._1 * h._2).sum === li.count(), "sizes × orders = line count")
+    graft.CacheScope.release()
+  }
+
+  test("repeat_rate: total repeats = orders minus first-time customers") {
+    val sf = "/root/testdata/sf0.001"
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val out = Relational.repeatRate(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).sum === o.count())
+    assert(out.map(_._2).sum === o.count() - o.select("o_custkey").distinct().count(),
+      "every customer's single first order is the only non-repeat")
+    out.foreach { case (n, rep, q) =>
+      assert(rep <= n && q === rep * 1048576L / n)
+    }
+    graft.CacheScope.release()
+  }
+
+  test("segment_migration: marginals reconcile with per-year active-customer counts") {
+    val sf = "/root/testdata/sf0.001"
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    def active(y: Int) = o.filter(s"year(cast(o_orderdate as date)) = $y")
+      .select("o_custkey").distinct().count()
+    val out = Relational.segmentMigration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.filter(_._1 >= 1L).map(_._3).sum === active(Relational.MigYearA))
+    assert(out.filter(_._2 >= 1L).map(_._3).sum === active(Relational.MigYearB))
+    assert(!out.exists(r => r._1 == 0L && r._2 == 0L),
+      "a customer inactive in both years cannot appear")
+    graft.CacheScope.release()
+  }
+
+  test("stickiness / event_interarrival: ratio bounds and ordered percentiles") {
+    val sf = "/root/testdata/sf0.001"
+    Relational.stickiness(spark, sf).collect().foreach { r =>
+      val (nDays, sumDau, mau, q) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mau <= sumDau && sumDau <= nDays * mau,
+        "DAU mass is bounded by [MAU, days*MAU]")
+      assert(q === sumDau * 1048576L / (nDays * mau) && q <= 1048576L)
+    }
+    val ia = Relational.eventInterarrival(spark, sf).collect()
+    assert(ia.nonEmpty)
+    ia.foreach { r =>
+      assert(!r.isNullAt(2) && !r.isNullAt(3), "populated types must emit both cuts")
+      assert(r.getLong(2) <= r.getLong(3), "p50 <= p90")
+    }
+    graft.CacheScope.release()
+  }
+
+  test("ttr_diversity / token_dispersion / doclen_percentiles: lattice bounds and totals") {
+    val sf = "/root/testdata/sf0.001"
+    val ttr = TextAnalysis.ttrDiversity(spark, sf).collect()
+    ttr.foreach { r =>
+      val (nTok, nTyp, nHap) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nHap <= nTyp && nTyp <= nTok)
+      assert(r.getLong(4) === nTyp * 1048576L / nTok)
+      assert(r.getLong(5) === nHap * 1048576L / nTyp)
+    }
+    val nd = spark.read.parquet(s"$sf/documents.parquet").count()
+    val disp = TextAnalysis.tokenDispersion(spark, sf).collect()
+    assert(disp.length === TextAnalysis.DispTopK)
+    disp.foreach { r =>
+      assert(r.getLong(2) <= nd && r.getLong(1) >= r.getLong(2),
+        "df <= n_docs and tf >= df")
+      assert(r.getLong(3) <= 1048576L)
+    }
+    val dl = TextAnalysis.doclenPercentiles(spark, sf).collect()
+    assert(dl.map(_.getLong(1)).sum === nd, "per-source doc counts partition the corpus")
+    dl.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4),
+        "p10 <= p50 <= p90")
+    }
+    graft.CacheScope.release()
+  }
+
+  test("knn_margin / dup_cluster_hist / late_arrival_hist: cross-operator reconciliation") {
+    val sf = "/root/testdata/sf0.001"
+    // margins are non-negative and d1 matches the gated brute-force
+    // top-1 ORDER (cosine and L2 agree on near-unit vectors only up
+    // to ties, so reconcile internal invariants, not the ranking)
+    val km = Similarity.knnMargin(spark, sf).collect()
+    assert(km.nonEmpty)
+    km.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), "d1 <= d2")
+      assert(r.getLong(4) === r.getLong(3) - r.getLong(2))
+      assert(r.getLong(0) !== r.getLong(1), "a query is never its own neighbor")
+    }
+    // histogram mass = dedup_cluster's doc mass, sizes >= 2 only
+    val hist = Dedup.dupClusterHist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val clustered = Dedup.dedupCluster(spark, sf).count()
+    assert(hist.map(_._3).sum === clustered, "histogram must bind every clustered doc")
+    assert(hist.forall(h => h._1 >= 2L && h._3 === h._1 * h._2),
+      "a 1-doc component cannot exist in the pair graph")
+    // lateness: bucket mass = |events|; in-order users put all mass
+    // in bucket 0; no negative buckets
+    val la = StreamOps.lateArrivalHist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ne = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(la.map(_._2).sum === ne, "every event lands in exactly one bucket")
+    assert(la.forall(_._1 >= 0L), "running max is never behind the current event")
+    // planted disorder (the fixture is ts-ordered, so only a planted
+    // stream exercises the late path): arrival order 1..4, event
+    // times 100, 50, 200, 10 → lateness 0, 50, 0, 190 s → buckets
+    // {0: 3 events, 3: 1 event}
+    val planted = Seq((1L, 1L, 100L), (1L, 2L, 50L), (1L, 3L, 200L), (1L, 4L, 10L))
+      .toDF("user_id", "event_id", "es")
+      .selectExpr("user_id", "event_id", "cast(es as timestamp) as ts")
+    val ph = StreamOps.lateArrivalHistOf(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ph === Map(0L -> 3L, 3L -> 1L))
+    graft.CacheScope.release()
+  }
+
+  test("clean_funnel / dedup_rate_by_lang / ngram_coverage: cascade and coverage reconciliation") {
+    val sf = "/root/testdata/sf0.001"
+    // funnel attrition must reconcile with corpus_clean's own rollup
+    val clean = Corpus.corpusClean(spark, sf).groupBy("reason").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fun = Corpus.cleanFunnel(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n0 = clean.values.sum
+    assert(fun.find(_._1 == "lang").get._2 === n0)
+    fun.foreach { case (stage, nIn, nOut, drop) =>
+      assert(nIn - nOut === drop && drop === clean.getOrElse(stage, 0L))
+    }
+    assert(fun.find(_._1 == "duplicate").get._3 === clean.getOrElse("ok", 0L),
+      "the last stage's survivors are exactly the kept docs")
+    // per-lang dup mass must total the cluster histogram's non-rep mass
+    val byLang = Dedup.dedupRateByLang(spark, sf).collect()
+    val hist = Dedup.dupClusterHist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(byLang.map(_.getLong(2)).sum === hist.map(h => (h._1 - 1L) * h._2).sum,
+      "each cluster contributes size-1 non-representative duplicates")
+    // coverage: cumulative share is monotone, caps at 2^20, and rank-1
+    // share equals the first cum value
+    val cov = TextAnalysis.ngramCoverage(spark, sf).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(cov.length === TextAnalysis.NgcTopK)
+    assert(cov.head._3 === cov.head._4, "rank 1: share == cumulative share")
+    cov.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, "counts are rank-ordered")
+      assert(b._4 >= a._4 && b._4 <= 1048576L, "cumulative share is monotone, bounded")
+    }
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
