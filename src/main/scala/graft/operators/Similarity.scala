@@ -1490,6 +1490,91 @@ object Similarity {
        |     - max(CASE WHEN rnk = 1 THEN d END) AS BIGINT) AS margin
        |FROM r WHERE rnk <= 2 GROUP BY qid""".stripMargin
 
+  /** Label purity of the IVF coarse quantizer's cells — the
+    * semantic-quality complement to [[clusterStats]]' geometric
+    * profile ("do the learned cells align with the label structure,
+    * or does every cell mix everything"): per cell, the member
+    * count, the majority label (ties → smallest label, a pinned
+    * convention), its count, and the purity share on the 2²⁰
+    * lattice. Low purity across cells means cell-scoped candidate
+    * generation (mutual_knn / dedup_semantic) crosses label
+    * boundaries constantly — the signal to retrain with more cells.
+    * Scale shape: assignments fold to (cell, label) counts
+    * partial+final; the majority pick is an argmax-by-struct inside
+    * the |cells|-row rollup — no window, no second shuffle of
+    * vectors. */
+  def cellLabelPurity(spark: SparkSession, dir: String): DataFrame =
+    cellAssignments(spark, dir)
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+      .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cell"))
+      .agg(sum(col("cnt")).as("n_members"),
+        max(struct(col("cnt"), (-col("label")).as("nl"), col("label"))).as("m"))
+      .select(col("cell").cast("long").as("cell"), col("n_members"),
+        col("m.label").as("majority_label"), col("m.cnt").as("majority_cnt"),
+        expr("cast((m.cnt * cast(1048576 as bigint)) div n_members as bigint)")
+          .as("purity_q"))
+
+  private def cellLabelPuritySql: String =
+    s"""$IvfCellsSqlPrefix,
+       |lab AS (SELECT cells.cell, CAST(e2.label AS BIGINT) AS label, count(*) AS cnt
+       |        FROM cells JOIN embeddings e2 ON e2.vec_id = cells.nid
+       |        GROUP BY 1, 2),
+       |pick AS (SELECT cell, label, cnt,
+       |           row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, label ASC) AS rk,
+       |           CAST(sum(cnt) OVER (PARTITION BY cell) AS BIGINT) AS n_members
+       |         FROM lab)
+       |SELECT CAST(cell AS BIGINT) AS cell, n_members,
+       |  label AS majority_label, CAST(cnt AS BIGINT) AS majority_cnt,
+       |  CAST((cnt * 1048576) // n_members AS BIGINT) AS purity_q
+       |FROM pick WHERE rk = 1""".stripMargin
+
+  private[operators] val OutlierK = 3
+
+  /** Farthest-from-centroid members per label — the mislabel /
+    * hard-example miner ("which vectors does this class barely
+    * own"): each label's integer centroid comes from
+    * [[classCentroidsTyped]]'s exact lattice rule (Σq div n,
+    * truncating — the gated arithmetic, reused verbatim), and the
+    * top-[[OutlierK]] members by exact lattice L2 to it are emitted
+    * (distance desc, vec_id asc). Per-dim diffs ≤ 2²¹ → squared sums
+    * ≤ 2⁴⁸, long-safe. Scale shape: the |labels|×64 centroid table
+    * broadcasts against the vector scan (distances are scan-resident
+    * zip_with arithmetic); the rank cut rides WindowGroupLimit. */
+  def centroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val cent = classCentroidsTyped(spark, dir)
+      .select(col("label"), col("centroid_q"))
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        latArrCol(col("embedding")).as("q"))
+    val d = aggregate(zip_with(col("q"), col("centroid_q"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (a, x) => a + x)
+    val w = Window.partitionBy(col("label")).orderBy(col("d2").desc, col("vec_id").asc)
+    v.join(broadcast(cent), "label")
+      .withColumn("d2", d)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= OutlierK)
+      .select(col("label"), col("rnk"), col("vec_id"), col("d2"))
+  }
+
+  private def centroidOutliersSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |dims AS (SELECT CAST(unnest(range($Dim)) AS BIGINT) AS d),
+       |g AS (SELECT label, dims.d, sum(CAST(q[dims.d + 1] AS HUGEINT)) AS sq, count(*) AS n
+       |      FROM e CROSS JOIN dims GROUP BY 1, 2),
+       |c AS (SELECT label, d, CAST(sq // n AS BIGINT) AS cq FROM g),
+       |dist AS (SELECT e.vec_id, e.label,
+       |    CAST(sum((e.q[c.d + 1] - c.cq) * (e.q[c.d + 1] - c.cq)) AS BIGINT) AS d2
+       |  FROM e JOIN c ON e.label = c.label GROUP BY 1, 2),
+       |r AS (SELECT label, vec_id, d2,
+       |        row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id ASC) AS rnk
+       |      FROM dist)
+       |SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id, d2
+       |FROM r WHERE rnk <= $OutlierK""".stripMargin
+
   private[operators] val PcaRounds = 4
 
   /** Leading principal direction by power iteration over the exact
@@ -1560,6 +1645,8 @@ object Similarity {
     "contrastive_pairs" -> contrastivePairs,
     "mutual_knn" -> mutualKnn,
     "knn_margin" -> knnMargin,
+    "cell_label_purity" -> cellLabelPurity,
+    "centroid_outliers" -> centroidOutliers,
     "embed_norm_stats" -> embedNormStats)
 
   /** Shared PQ replay: lattice-floored vectors, the sampled-point
@@ -1743,6 +1830,8 @@ object Similarity {
   private val oraclesBase: Map[String, String] = Map(
     "pca_power" -> pcaPowerSql,
     "knn_margin" -> knnMarginSql,
+    "cell_label_purity" -> cellLabelPuritySql,
+    "centroid_outliers" -> centroidOutliersSql,
     // lattice products are exact BIGINTs; DuckDB's sum is HUGEINT →
     // both sides land on DECIMAL(38,0). range() is 1..64 → i = idx-1.
     "gram_matrix" ->

@@ -520,8 +520,40 @@ object StreamOps {
       .agg(fcount(lit(1)).as("n_events"))
   }
 
+  private[operators] val WatermarkGrid = Seq(0L, 60L, 300L, 600L, 3600L)
+
+  /** Watermark what-if table — the decision artifact next to
+    * [[lateArrivalHist]]: for each candidate watermark δ on the
+    * [[WatermarkGrid]] (seconds), how many events would arrive LATER
+    * than δ behind the per-user high-water mark and be dropped by
+    * `withWatermark("ts", δ)`, with the drop share on the 2²⁰
+    * lattice. Pick the smallest δ whose drop share clears the
+    * pipeline's loss budget. Scale shape: lateness folds ONCE to
+    * (late_s, count) distinct values (fold-below-grid), the 5-row
+    * grid broadcast-crosses the folded rows, and the readout is a
+    * 5-row conditional aggregate. */
+  def watermarkWhatif(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count => fcount, expr, lit, max => fmax, sum => fsum, when}
+    import spark.implicits._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lateCounts = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("s"))
+      .withColumn("late_s", fmax(col("s")).over(w) - col("s"))
+      .groupBy(col("late_s")).agg(fcount(lit(1)).as("c"))
+    val grid = WatermarkGrid.toDF("delta_s")
+    ScalarJoin.broadcastCross(lateCounts, col("c"), grid, col("delta_s"))
+      .groupBy(col("delta_s"))
+      .agg(fsum(col("c")).as("n_events"),
+        fsum(when(col("late_s") > col("delta_s"), col("c")).otherwise(0L)).as("n_dropped"))
+      .withColumn("drop_share_q",
+        expr("cast((n_dropped * cast(1048576 as bigint)) div n_events as bigint)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "late_arrival_hist"       -> lateArrivalHist,
+    "watermark_whatif"        -> watermarkWhatif,
     "stream_enrich"           -> streamEnrich,
     "path_topk"               -> pathTopk,
     "scd2_intervals"          -> scd2Intervals,
@@ -549,6 +581,19 @@ object StreamOps {
         |      FROM e)
         |SELECT late_s // 60 AS late_min, count(*) AS n_events
         |FROM l GROUP BY 1""".stripMargin,
+    "watermark_whatif" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS s
+         |           FROM events),
+         |l AS (SELECT max(s) OVER (PARTITION BY user_id ORDER BY event_id
+         |        ROWS UNBOUNDED PRECEDING) - s AS late_s
+         |      FROM e),
+         |f AS (SELECT late_s, count(*) AS c FROM l GROUP BY 1),
+         |grid(delta_s) AS (VALUES ${StreamOps.WatermarkGrid.map(d => s"(CAST($d AS BIGINT))").mkString(", ")})
+         |SELECT delta_s, CAST(sum(c) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN late_s > delta_s THEN c ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST((sum(CASE WHEN late_s > delta_s THEN c ELSE 0 END) * 1048576)
+         |       // sum(c) AS BIGINT) AS drop_share_q
+         |FROM f, grid GROUP BY delta_s""".stripMargin,
     // watermark is a no-op on batch; windows are epoch-grid-aligned,
     // so 1-hour tumbling == date_trunc('hour')
     "stream_enrich" ->

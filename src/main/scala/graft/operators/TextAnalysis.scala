@@ -1182,8 +1182,55 @@ object TextAnalysis {
        |  CAST((cum * 1048576) // nt AS BIGINT) AS cum_share_q
        |FROM r, tot""".stripMargin
 
+  /** Pairwise vocabulary overlap between sources — the corpus-mixing
+    * diagnostic ("are these two crawl sources the same text wearing
+    * different provenance, or genuinely complementary"): for every
+    * unordered source pair (src_a < src_b) the two type-inventory
+    * sizes, the shared-type count, and the vocabulary Jaccard on the
+    * 2²⁰ lattice. Near-1 Jaccard across a pair is the
+    * mirror-site/syndication signal a [[graft.operators.Dedup]] pass
+    * at doc granularity can miss. Scale shape: one (source, token)
+    * DISTINCT fold, the intersection a token-keyed self-join of the
+    * folded type relation (|V|·sources² worst case, realistically
+    * sparse), per-source sizes broadcast onto the |pairs| grid built
+    * from the tiny size table itself — absent intersections emit 0,
+    * never drop. */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sv = Tables.documents(spark, dir)
+      .select(col("source"), explode(toksOf(col("text"))).as("tok"))
+      .distinct().persistScoped()
+    val sizes = sv.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    val inter = sv.as("a").join(sv.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pairs = broadcast(sizes.select(col("source").as("src_a"), col("nv").as("nv_a")))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("nv").as("nv_b"))),
+        col("src_a") < col("src_b"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("nv_a"), col("nv_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+      .withColumn("jaccard_q",
+        expr("cast((n_inter * cast(1048576 as bigint)) div (nv_a + nv_b - n_inter) as bigint)"))
+  }
+
+  private def vocabOverlapSql: String =
+    s"""WITH sv AS (SELECT DISTINCT source, unnest($ToksSql) AS tok FROM documents),
+       |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM sv GROUP BY 1),
+       |iv AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_inter
+       |       FROM sv a JOIN sv b ON a.tok = b.tok AND a.source < b.source
+       |       GROUP BY 1, 2),
+       |p AS (SELECT sa.source AS src_a, sb.source AS src_b, sa.nv AS nv_a, sb.nv AS nv_b
+       |      FROM sz sa JOIN sz sb ON sa.source < sb.source)
+       |SELECT p.src_a, p.src_b, p.nv_a, p.nv_b,
+       |  COALESCE(iv.n_inter, 0) AS n_inter,
+       |  CAST((COALESCE(iv.n_inter, 0) * 1048576)
+       |       // (p.nv_a + p.nv_b - COALESCE(iv.n_inter, 0)) AS BIGINT) AS jaccard_q
+       |FROM p LEFT JOIN iv ON p.src_a = iv.src_a AND p.src_b = iv.src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ngram_coverage"  -> ngramCoverage,
+    "vocab_overlap"   -> vocabOverlap,
     "ttr_diversity"   -> ttrDiversity,
     "token_dispersion" -> tokenDispersion,
     "doclen_percentiles" -> doclenPercentiles,
@@ -1395,6 +1442,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "ngram_coverage" -> ngramCoverageSql,
+    "vocab_overlap" -> vocabOverlapSql,
     "ttr_diversity" -> ttrDiversitySql,
     "token_dispersion" -> tokenDispersionSql,
     "doclen_percentiles" -> doclenPercentilesSql,

@@ -35,9 +35,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // mips_topk shares the exact shape (lattice dot vs cosine);
     // rank_fusion composes both rankings so it inherits their BNLJs
     // knn_margin broadcasts the same 10-row probe set (lattice-L2
-    // rank-2 variant of the ann_topk shape)
+    // rank-2 variant of the ann_topk shape); vocab_overlap's BNLJ is
+    // the |sources|² pair grid built from the ~20-row size table
     val allowedBnlj = Set("ann_topk", "mips_topk", "rank_fusion", "ann_recall",
-      "knn_margin")
+      "knn_margin", "vocab_overlap")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -435,6 +436,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), "bigrams must be generated row-side")
     assert(!p.contains("SortMergeJoin"), "no positional self-join for bigrams")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    graft.CacheScope.release()
+  }
+
+  test("watermark_whatif / centroid_outliers / cell_label_purity: broadcast anchors, no stray windows") {
+    val ww = plan("watermark_whatif")
+    assert(ww.contains("BroadcastHashJoin"), "the 5-row δ grid must broadcast")
+    assert(ww.contains("Window"), "lateness needs the user-keyed running max")
+    val co = plan("centroid_outliers")
+    assert(co.contains("WindowGroupLimit"), "top-k outlier cut must push down")
+    assert(co.contains("BroadcastHashJoin"), "the |labels|×64 centroid table must broadcast")
+    val cp = plan("cell_label_purity")
+    assert(!cp.contains("Window, "), "majority pick is an argmax-by-struct fold, not a window")
+    assert(cp.contains("partial_"), "cell counts must partial-combine")
+    graft.CacheScope.release()
+  }
+
+  test("vocab_overlap: the shared type fold persists once and feeds sizes + intersection") {
+    val p = plan("vocab_overlap")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "the distinct (source, token) fold must serve both branches from cache")
     graft.CacheScope.release()
   }
 

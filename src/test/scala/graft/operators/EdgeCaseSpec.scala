@@ -2265,6 +2265,47 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("watermark_whatif / cell_label_purity / centroid_outliers / vocab_overlap: invariants") {
+    val sf = "/root/testdata/sf0.001"
+    // what-if: drop mass is monotone non-increasing in δ, and every
+    // row accounts for the full event count
+    val ww = StreamOps.watermarkWhatif(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ww.map(_._1).toSeq === StreamOps.WatermarkGrid.sorted)
+    assert(ww.map(_._2).distinct.length === 1, "n_events is the same for every δ")
+    ww.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, "a larger watermark can only drop fewer events")
+    }
+    // purity: majority count bounded by membership; members total the
+    // corpus; purity on the lattice
+    val cp = Similarity.cellLabelPurity(spark, sf).collect()
+    val nv = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(cp.map(_.getLong(1)).sum === nv, "cells partition the vector corpus")
+    cp.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1))
+      assert(r.getLong(4) === r.getLong(3) * 1048576L / r.getLong(1))
+    }
+    // outliers: exactly K per label, rank-ordered by distance desc
+    val co = Similarity.centroidOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    co.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to Similarity.OutlierK.toLong))
+      sorted.sliding(2).foreach { case Array(a, b) => assert(b._3 <= a._3) }
+    }
+    // overlap: full pair grid, jaccard bounded, intersection bounded
+    val vo = TextAnalysis.vocabOverlap(spark, sf).collect()
+    val nSrc = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().count()
+    assert(vo.length.toLong === nSrc * (nSrc - 1) / 2, "every unordered pair appears")
+    vo.foreach { r =>
+      val (na, nb, ni, j) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(ni <= math.min(na, nb) && j <= 1048576L)
+      assert(j === ni * 1048576L / (na + nb - ni))
+    }
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
