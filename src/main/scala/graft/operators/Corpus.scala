@@ -699,8 +699,41 @@ object Corpus {
       |  CAST((CAST(n_docs AS HUGEINT) * 1048576) // st AS BIGINT) AS source_share_q
       |FROM g JOIN t USING (source)""".stripMargin
 
+  /** Shard-balance report for the [[shuffleExport]] layout — the
+    * loader-health check a training job runs before an epoch (one fat
+    * shard = one straggling data-loader worker): per shard the row
+    * count, its share of the corpus, and its skew vs the ideal
+    * uniform shard on the 2²⁰ lattice (2²⁰ = exactly ideal; the max
+    * skew_q across shards is the straggler factor). Uses the SAME
+    * md5-bucket expression as the export (shared builder — drift-
+    * proof) without re-running its positional window. One
+    * partial+final fold to [[ExportShards]] rows; the total attaches
+    * by [[ScalarJoin]] broadcast. */
+  def exportShardBalance(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .select(md5Bucket(5, ExportShards).as("shard"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_rows"))
+      .persistScoped()
+    val tot = g.agg(sum(col("n_rows")).as("nt"), count(lit(1)).as("n_shards"))
+    ScalarJoin.attachScalar(g, col("n_rows"), tot, col("nt"))
+      .select(col("shard"), col("n_rows"),
+        expr("cast((n_rows * cast(1048576 as bigint)) div nt as bigint)").as("share_q"),
+        expr("cast((n_rows * cast(1048576 as bigint) * n_shards) div nt as bigint)")
+          .as("skew_q"))
+  }
+
+  private def exportShardBalanceSql: String =
+    s"""WITH g AS (SELECT ${bucketSql(5, ExportShards)} AS shard, count(*) AS n_rows
+       |           FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS nt, count(*) AS n_shards FROM g)
+       |SELECT shard, CAST(n_rows AS BIGINT) AS n_rows,
+       |  CAST((n_rows * 1048576) // nt AS BIGINT) AS share_q,
+       |  CAST((n_rows * 1048576 * n_shards) // nt AS BIGINT) AS skew_q
+       |FROM g, t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean"   -> corpusClean,
+    "export_shard_balance" -> exportShardBalance,
     "pack_efficiency" -> packEfficiency,
     "source_lang_mix" -> sourceLangMix,
     "pack_sequences" -> packSequences,
@@ -846,6 +879,7 @@ object Corpus {
          |FROM e""".stripMargin,
     "corpus_clean" -> CleanSql,
     "clean_funnel" -> cleanFunnelSql,
+    "export_shard_balance" -> exportShardBalanceSql,
     // windows via generate_series per doc; the same md5 arithmetic
     // plans identical spans, so the mask layout hash-gates
     "span_corrupt" ->

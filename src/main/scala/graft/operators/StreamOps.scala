@@ -551,9 +551,27 @@ object StreamOps {
         expr("cast((n_dropped * cast(1048576 as bigint)) div n_events as bigint)"))
   }
 
+  /** Session-duration histogram — the engagement-depth profile next
+    * to [[sessionize]]'s raw session table ("are sessions 30-second
+    * bounces or hour-long engagements"): sessions bucket by whole
+    * minutes of duration (exact epoch-micro difference, truncating
+    * division), each bucket reporting session and event mass.
+    * Operator composition (the pack_efficiency precedent): the
+    * session relation's own window machinery runs once; this adds
+    * one metadata-scale partial+final fold on top. */
+  def sessionDurationHist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount, expr, lit, sum => fsum}
+    sessionize(spark, dir)
+      .groupBy(expr(
+        "(unix_micros(session_end) - unix_micros(session_start)) div 60000000")
+        .as("dur_min"))
+      .agg(fcount(lit(1)).as("n_sessions"), fsum(col("n_events")).as("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "late_arrival_hist"       -> lateArrivalHist,
     "watermark_whatif"        -> watermarkWhatif,
+    "session_duration_hist"   -> sessionDurationHist,
     "stream_enrich"           -> streamEnrich,
     "path_topk"               -> pathTopk,
     "scd2_intervals"          -> scd2Intervals,
@@ -569,6 +587,25 @@ object StreamOps {
     "stream_join_outer"       -> streamJoinOuterAttrib,
     "stream_dedup"            -> streamDedup,
     "stream_merge"            -> streamMerge)
+
+  /** Gaps-and-islands session replay, shared by the `sessionize` and
+    * `session_duration_hist` oracles. */
+  private val SessionizeSql =
+    """WITH m AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER win IS NULL
+      |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER win) > 1800 * 1000000000::BIGINT
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts)),
+      |g AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+      |FROM g GROUP BY user_id, sid""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // running max over the arrival order replays as the same window;
@@ -671,22 +708,15 @@ object StreamOps {
         |FROM p GROUP BY path
         |ORDER BY n_sessions DESC, path ASC
         |LIMIT 20""".stripMargin,
-    "sessionize" ->
-      """WITH m AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN lag(ts) OVER win IS NULL
-        |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER win) > 1800 * 1000000000::BIGINT
-        |         THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts)),
-        |g AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM m)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
-        |FROM g GROUP BY user_id, sid""".stripMargin,
+    "sessionize" -> SessionizeSql,
+    // duration histogram over the SAME session relation (shared CTE
+    // text — the ClusterCtes rule, so the rollup cannot drift)
+    "session_duration_hist" ->
+      s"""WITH s AS ($SessionizeSql)
+         |SELECT (epoch_us(session_end) - epoch_us(session_start)) // 60000000 AS dur_min,
+         |  count(*) AS n_sessions,
+         |  CAST(sum(n_events) AS BIGINT) AS n_events
+         |FROM s GROUP BY 1""".stripMargin,
     // native session_window: merge iff gap < 30 min (half-open
     // [ts, ts+gap) windows ⇒ an EXACT 1800 s gap starts a new
     // session, hence >= not > here), end = last event + gap

@@ -1228,9 +1228,26 @@ object TextAnalysis {
        |       // (p.nv_a + p.nv_b - COALESCE(iv.n_inter, 0)) AS BIGINT) AS jaccard_q
        |FROM p LEFT JOIN iv ON p.src_a = iv.src_a AND p.src_b = iv.src_b""".stripMargin
 
+  /** Per-source Gopher keep rate — the provenance rollup of
+    * [[gopherQuality]]'s per-doc battery ("which crawl sources clear
+    * the pretraining filter, and at what yield"): per source the doc
+    * count, docs passing every rule, and the keep share on the 2²⁰
+    * lattice — the number a source-procurement decision reads.
+    * Operator composition: the rule battery runs once (scan-resident
+    * flags), the source tag joins back on doc_id, and the rollup is
+    * one partial+final fold. */
+  def qualityBySource(spark: SparkSession, dir: String): DataFrame =
+    gopherQuality(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_keep"))
+      .withColumn("keep_share_q",
+        expr("cast((n_keep * cast(1048576 as bigint)) div n_docs as bigint)"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ngram_coverage"  -> ngramCoverage,
     "vocab_overlap"   -> vocabOverlap,
+    "quality_by_source" -> qualityBySource,
     "ttr_diversity"   -> ttrDiversity,
     "token_dispersion" -> tokenDispersion,
     "doclen_percentiles" -> doclenPercentiles,
@@ -1440,6 +1457,26 @@ object TextAnalysis {
       .toDF("doc_id", "pos", "tok")
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
 
+  /** Full Gopher rule-battery replay — shared by the
+    * `gopher_quality` and `quality_by_source` oracles. */
+  private lazy val GopherSql: String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |f AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_len,
+       |  CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT) AS max_word_len,
+       |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha_words,
+       |  CAST(len(list_distinct(list_filter(toks, t -> t IN (${Stopwords.map(w => s"'$w'").mkString(",")})))) AS BIGINT) AS stop_distinct
+       |  FROM t)
+       |SELECT doc_id, n_words,
+       |  CAST((sum_len * 100) // greatest(n_words, 1) AS BIGINT) AS mean_len_x100,
+       |  max_word_len, alpha_words, stop_distinct,
+       |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+       |        AND (sum_len * 100) // greatest(n_words, 1) BETWEEN 300 AND 1000
+       |        AND alpha_words * 5 >= n_words * 4
+       |        AND stop_distinct >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM f""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ngram_coverage" -> ngramCoverageSql,
     "vocab_overlap" -> vocabOverlapSql,
@@ -1511,23 +1548,16 @@ object TextAnalysis {
          |  CAST(sum(flag) AS BIGINT) AS n_flagged,
          |  CAST((sum(flag) * 1048576) // count(*) AS BIGINT) AS flag_share_q
          |FROM f GROUP BY source""".stripMargin,
-    "gopher_quality" ->
-      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-         |f AS (SELECT doc_id,
-         |  CAST(len(toks) AS BIGINT) AS n_words,
-         |  CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_len,
-         |  CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT) AS max_word_len,
-         |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha_words,
-         |  CAST(len(list_distinct(list_filter(toks, t -> t IN (${Stopwords.map(w => s"'$w'").mkString(",")})))) AS BIGINT) AS stop_distinct
-         |  FROM t)
-         |SELECT doc_id, n_words,
-         |  CAST((sum_len * 100) // greatest(n_words, 1) AS BIGINT) AS mean_len_x100,
-         |  max_word_len, alpha_words, stop_distinct,
-         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-         |        AND (sum_len * 100) // greatest(n_words, 1) BETWEEN 300 AND 1000
-         |        AND alpha_words * 5 >= n_words * 4
-         |        AND stop_distinct >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
-         |FROM f""".stripMargin,
+    "gopher_quality" -> GopherSql,
+    // per-source keep rollup over the SAME rule battery (shared SQL
+    // text — the cascade cannot drift from its governance view)
+    "quality_by_source" ->
+      s"""WITH gq AS ($GopherSql)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(gq.keep) AS BIGINT) AS n_keep,
+         |  CAST((sum(gq.keep) * 1048576) // count(*) AS BIGINT) AS keep_share_q
+         |FROM gq JOIN documents d USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
     // exact referee + contract flags (the agg_approx_distinct rule):
     // both CMS guarantees must hold on every row
     "cms_counts" ->

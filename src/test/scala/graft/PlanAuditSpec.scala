@@ -459,6 +459,22 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("session_duration_hist / export_shard_balance / quality_by_source: composition rollups stay thin") {
+    // each composes a gated parent + ONE metadata-scale fold: no new
+    // wide shuffles beyond the parent's own
+    val sd = plan("session_duration_hist")
+    val sdEx = "Exchange hashpartitioning".r.findAllIn(sd).size
+    assert(sdEx == 2, s"session windows + duration rollup = 2 exchanges, found $sdEx")
+    val eb = plan("export_shard_balance")
+    assert("InMemoryTableScan".r.findAllIn(eb).size >= 2,
+      "the 64-row shard fold must feed total + readout from cache")
+    val qs = plan("quality_by_source")
+    val qsEx = "Exchange hashpartitioning".r.findAllIn(qs).size
+    assert(qsEx <= 2 && qs.contains("partial_"),
+      s"scan-resident flags + source rollup, found $qsEx exchanges")
+    graft.CacheScope.release()
+  }
+
   test("sort_export: global sort plans a range-partitioned exchange, not a funnel") {
     val p = plan("sort_export")
     assert(p.contains("rangepartitioning"), "global sort must range-partition")

@@ -2306,6 +2306,30 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("session_duration_hist / export_shard_balance / quality_by_source: parents reconcile") {
+    val sf = "/root/testdata/sf0.001"
+    val sessions = StreamOps.sessionize(spark, sf).collect()
+    val sd = StreamOps.sessionDurationHist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sd.map(_._2).sum === sessions.length.toLong, "buckets partition the sessions")
+    assert(sd.map(_._3).sum === sessions.map(_.getLong(3)).sum, "event mass conserved")
+    assert(sd.forall(_._1 >= 0L))
+    val eb = Corpus.exportShardBalance(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    val nd = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(eb.map(_._1).sum === nd, "shards partition the corpus")
+    // skew_q = 2^20 means exactly ideal; the mean of n_rows over
+    // shards must sit at ideal by construction
+    assert(eb.exists(_._2 >= 1048576L) || eb.forall(_._2 === 1048576L),
+      "at least one shard sits at or above the ideal")
+    val qs = TextAnalysis.qualityBySource(spark, sf).collect()
+    val keepTotal = TextAnalysis.gopherQuality(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("keep")).head().getLong(0)
+    assert(qs.map(_.getLong(1)).sum === nd)
+    assert(qs.map(_.getLong(2)).sum === keepTotal, "keep mass conserved across sources")
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
