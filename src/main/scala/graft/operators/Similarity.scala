@@ -666,8 +666,22 @@ object Similarity {
     * beam width are constants, so query cost is independent of n
     * given the graph; graph build cost is the bounded NN-descent
     * above. That is the standard production trade for graph ANN:
-    * heavy one-time index build, cheap navigating queries. */
-  def annGraph(spark: SparkSession, dir: String): DataFrame = {
+    * heavy one-time index build, cheap navigating queries.
+    *
+    * Beam width 48 was re-measured (r13 GraphAnnLab A/B at sf0.1):
+    * 48 → 8.4 s cold / recall 0.920; 40 → 8.6 s / 0.880; 32 → 7.7 s
+    * / 0.880. The ~0.7 s saving at 32 is inside run-to-run noise
+    * (cold repeats varied 7.0–9.0 s) while recall gives up 0.04 of
+    * its 0.12 floor margin — the per-hop fixed structure (4 rounds
+    * of window+join), not the width, dominates cost. Rejected; 48
+    * stays. */
+  def annGraph(spark: SparkSession, dir: String): DataFrame =
+    annGraphBeam(spark, dir, BeamWidth)
+
+  /** [[annGraph]] with an explicit beam width — the cost/recall dial
+    * (GraphAnnLab A/B harness; the shipped operator pins
+    * [[BeamWidth]], and the oracle interpolates the same constant). */
+  private[graft] def annGraphBeam(spark: SparkSession, dir: String, beamWidth: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val g = neighborGraph(spark, dir)
     val q = e.filter(col("vec_id") < NQueries)
@@ -680,7 +694,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     def beamTop(cand: DataFrame): DataFrame =
       scored(cand).withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= BeamWidth)
+        .filter(col("rn") <= beamWidth)
         .select("qid", "nid")
     val seeds = e.filter(col("vec_id") % SeedStride === 0)
       .select(col("vec_id").as("nid"))

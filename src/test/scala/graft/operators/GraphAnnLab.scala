@@ -38,6 +38,21 @@ object GraphAnnLab {
     val cold2 = t { Similarity.annGraph(spark, dir).count() }
     sweep()
     println(f"GRAPHANN cold=$cold%.1f build=$build%.1f searchWarmGraph=$search%.1f cold2=$cold2%.1f")
+    // beam-width A/B (VERDICT r12 item 6): recall@5 vs brute force +
+    // cold time at each width; ship a narrower beam only if the 0.8
+    // floor holds at every SF
+    val brute = Similarity.annTopkBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    sweep()
+    for (bw <- Seq(48, 40, 32)) {
+      val t0 = System.nanoTime()
+      val rows = Similarity.annGraphBeam(spark, dir, bw).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = brute.intersect(
+        rows.map(r => (r.getLong(0), r.getLong(2))).toSet).size.toDouble / brute.size
+      println(f"GRAPHANN_AB beam=$bw%d cold=$sec%.1f recall=$recall%.3f")
+      sweep()
+    }
     spark.stop()
   }
 }
