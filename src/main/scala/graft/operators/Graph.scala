@@ -359,9 +359,11 @@ object Graph {
     dist.select(col("id"), col("d"))
   }
 
-  /** BFS replay: rounds unrolled as a CTE chain (the pagerankSql
-    * pattern — aggregation in a recursive term is disallowed). */
-  private def graphBfsSql: String = {
+  /** BFS replay CTE prefix (rounds unrolled as a chain — the
+    * pagerankSql pattern; aggregation in a recursive term is
+    * disallowed), shared verbatim by the `graph_bfs` and `bfs_reach`
+    * oracles so the rollup cannot drift from its source. */
+  private val BfsCtes: String = {
     val rounds = (1 to BfsRounds).map { i =>
       s"""r$i AS (
          |  SELECT id, min(d) AS d FROM (
@@ -370,16 +372,43 @@ object Graph {
          |    UNION ALL SELECT id, d FROM r${i - 1})
          |  GROUP BY id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS s
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |edges AS (SELECT c AS u, s AS v FROM base
        |          UNION ALL SELECT s AS u, c AS v FROM base),
        |r0 AS (SELECT DISTINCT u AS id, CAST(0 AS BIGINT) AS d FROM edges
        |       WHERE u BETWEEN $SuppOffset AND ${SuppOffset + BfsMaxSeedSupp}),
-       |$rounds
-       |SELECT id, CAST(d AS BIGINT) AS d FROM r$BfsRounds""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private def graphBfsSql: String =
+    s"""WITH $BfsCtes
+       |SELECT id, CAST(d AS BIGINT) AS d FROM r$BfsRounds""".stripMargin
+
+  /** Reach profile of [[graphBfs]] — the blast-radius summary an
+    * influence/exposure analysis reads FIRST ("how much of the graph
+    * is within N hops of these suppliers, and how fast does the
+    * frontier grow"): vertices bucket by their bounded-horizon hop
+    * distance, with the UNREACHED mass reported as d = −1 (a
+    * connectivity screen: a big −1 bucket means the seeds sit in a
+    * small component). Operator composition (the clean_funnel
+    * precedent): the BFS machinery runs once, this adds one
+    * |hops|-sized partial+final fold plus a distinct-vertex left
+    * join; the oracle shares [[BfsCtes]] verbatim. */
+  def bfsReach(spark: SparkSession, dir: String): DataFrame = {
+    val verts = purchaseEdges(spark, dir).select(col("u").as("id")).distinct()
+    verts.join(graphBfs(spark, dir), Seq("id"), "left")
+      .groupBy(coalesce(col("d"), lit(-1L)).as("d"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
+  private def bfsReachSql: String =
+    s"""WITH $BfsCtes,
+       |verts AS (SELECT DISTINCT u AS id FROM edges)
+       |SELECT CAST(coalesce(r.d, -1) AS BIGINT) AS d, count(*) AS n_nodes
+       |FROM verts v LEFT JOIN r$BfsRounds r ON r.id = v.id
+       |GROUP BY 1""".stripMargin
 
   private[operators] val SsspRounds = 4
 
@@ -994,6 +1023,67 @@ object Graph {
        |ORDER BY jaccard_q DESC, cust_a ASC, cust_b ASC
        |LIMIT $JaccK""".stripMargin
 
+  /** Resource-allocation link prediction (Zhou, Lü & Zhang 2009) —
+    * the weighted companion to [[jaccardNeighbors]]'s set-overlap
+    * view: two customers connected through a part every customer buys
+    * share almost no signal, while a part only THEY buy is near-proof
+    * of a relationship, so each shared part contributes 1/degree(p)
+    * (its customer count) instead of 1. On the 2²⁰ lattice the term
+    * is `1048576 div n_p` — pure integer, hash-exact. Same candidate
+    * discipline as jaccard_neighbors: pairs arise ONLY through parts
+    * with ≤ [[RarePartMax]] buyers (the sub-quadratic blocking trade
+    * — a popular part's term is ≤ 2²⁰/[[RarePartMax]] anyway), but
+    * the SCORE then sums over ALL shared parts of a candidate pair.
+    *
+    * Scale shape: the distinct (customer, part) relation persists
+    * once and feeds candidates, the exact intersection joins, and
+    * the part-degree weights (one extra key join vs jaccard); final
+    * rank is a global top-k (TakeOrderedAndProject). */
+  def linkPredictRa(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .persistScoped()
+    val degp = e.groupBy(col("p")).agg(count(lit(1)).as("n_p")).persistScoped()
+    val rare = degp.filter(col("n_p") <= RarePartMax).select(col("p"))
+    val re = e.join(rare, "p")
+    val cand = re.select(col("p"), col("c").as("a"))
+      .join(re.select(col("p"), col("c").as("b")), "p")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(e.select(col("c").as("a"), col("p")), "a")
+      .join(e.select(col("c").as("b"), col("p")), Seq("b", "p"))
+      .join(degp, "p")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(expr("1048576 div n_p")).as("ra_q"))
+      .select(col("a").as("cust_a"), col("b").as("cust_b"),
+        col("n_shared"), col("ra_q"))
+      .orderBy(col("ra_q").desc, col("cust_a").asc, col("cust_b").asc)
+      .limit(JaccK)
+  }
+
+  private def linkPredictRaSql: String =
+    s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |dp AS (SELECT p, count(*) AS n_p FROM e GROUP BY 1),
+       |rare AS (SELECT p FROM dp WHERE n_p <= $RarePartMax),
+       |re AS (SELECT e.c, e.p FROM e JOIN rare USING (p)),
+       |cand AS (SELECT DISTINCT a.c AS a, b.c AS b
+       |         FROM re a JOIN re b ON a.p = b.p AND a.c < b.c)
+       |SELECT cand.a AS cust_a, cand.b AS cust_b,
+       |  count(*) AS n_shared,
+       |  CAST(sum(1048576 // dp.n_p) AS BIGINT) AS ra_q
+       |FROM cand JOIN e ea ON ea.c = cand.a
+       |JOIN e eb ON eb.c = cand.b AND eb.p = ea.p
+       |JOIN dp ON dp.p = ea.p
+       |GROUP BY 1, 2
+       |ORDER BY ra_q DESC, cust_a ASC, cust_b ASC
+       |LIMIT $JaccK""".stripMargin
+
   private[operators] val KcoreK = 3
   private[operators] val KcoreRounds = 4
 
@@ -1075,13 +1165,17 @@ object Graph {
     "modularity"      -> modularity,
     "jaccard_neighbors" -> jaccardNeighbors,
     "graph_assortativity" -> graphAssortativity,
-    "pagerank_personalized" -> pagerankPersonalized)
+    "pagerank_personalized" -> pagerankPersonalized,
+    "bfs_reach"       -> bfsReach,
+    "link_predict_ra" -> linkPredictRa)
 
   val oracles: Map[String, String] = Map(
     "pagerank" -> pagerankSql,
     "pagerank_weighted" -> pagerankWeightedSql,
     "degree_dist" -> degreeDistSql,
     "graph_bfs" -> graphBfsSql,
+    "bfs_reach" -> bfsReachSql,
+    "link_predict_ra" -> linkPredictRaSql,
     "sssp_weighted" -> ssspWeightedSql,
     "hits_scores" -> hitsScoresSql,
     "label_prop" -> labelPropSql,

@@ -543,8 +543,87 @@ object Multimodal {
       .toDF("doc_id", "bucket", "n_px")
   }
 
+  /** Zero-crossing rate over the stub-decoded PCM16 clips — the
+    * classic voiced/unvoiced (and music-vs-speech) discriminator next
+    * to [[audioEnergy]]'s amplitude view: a sign flip between
+    * consecutive samples is one crossing, and the rate normalizes by
+    * the sample-pair count on the 2²⁰ lattice (truncating division —
+    * both engines). Zero samples are neither positive nor negative
+    * (product < 0 is the crossing test, so a zero breaks a run
+    * without counting), and `n_nonzero` reports how much of the clip
+    * is exactly silent. The oracle re-derives every sample from the
+    * md5 hex and replays the lag-product rule, so the byte → sample
+    * → feature path is hash-gated end to end. Scale shape: the whole
+    * feature folds INSIDE the per-partition decode loop — one narrow
+    * map, zero shuffles; only (doc_id, 4 longs) leave the scan. */
+  def audioZcr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(audioDecodeStub)
+      .map { case (id, samples) =>
+        var zc = 0L; var nz = 0L; var i = 0
+        while (i < samples.length) {
+          if (samples(i) != 0) nz += 1
+          if (i > 0 && samples(i - 1).toLong * samples(i).toLong < 0L) zc += 1
+          i += 1
+        }
+        val denom = math.max(samples.length - 1, 1).toLong
+        (id, samples.length.toLong, nz, zc, zc * 1048576L / denom)
+      }
+      .toDF("doc_id", "n_samples", "n_nonzero", "n_zc", "zcr_q")
+  }
+
+  /** Dominant color per REAL decoded PNG — the palette screen an
+    * image-curation pipeline runs beside [[imageHistogram]]'s
+    * exposure view (synthetic/solid-color/logo images concentrate
+    * their pixel mass in one coarse color cell; photographs spread
+    * it): every decoded pixel quantizes to a 4×4×4 RGB cell
+    * (`(r div 64)·16 + (g div 64)·4 + (b div 64)`), and each image
+    * reports its argmax cell (ties → lowest cell id), that cell's
+    * pixel count, and how many distinct cells the raster touches.
+    * The oracle replays the gradient-raster formula per pixel, so
+    * the encode → inflate → decode → quantize → argmax path is
+    * hash-gated despite the real codec. Scale shape: identical to
+    * [[imageHistogram]] — decode and the 64-cell fold live inside
+    * the partition; ONE row per image leaves; no keyed exchange. */
+  def imageDominantColor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("seed"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, seed) => (id, encodePng(seed)) })
+      .mapPartitions(_.map { case (id, png) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val cell = ((rgb >> 16) & 0xFF) / 64 * 16 +
+              ((rgb >> 8) & 0xFF) / 64 * 4 + (rgb & 0xFF) / 64
+            counts(cell) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        var dom = 0; var cells = 0L; var i = 0
+        while (i < 64) {
+          if (counts(i) > 0L) cells += 1
+          if (counts(i) > counts(dom)) dom = i
+          i += 1
+        }
+        (id, dom.toLong, counts(dom), cells)
+      })
+      .toDF("doc_id", "dom_cell", "n_px_dom", "n_cells")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"     -> multimodalMeta,
+    "audio_zcr"           -> audioZcr,
+    "image_dominant_color" -> imageDominantColor,
     "multimodal_frames"   -> multimodalFrames,
     "multimodal_resize"   -> multimodalResized,
     "multimodal_feat_agg" -> multimodalFeatAggExact,
@@ -718,6 +797,55 @@ object Multimodal {
         |  CAST(sum(smp * smp) AS BIGINT) AS energy,
         |  CAST(max(abs(smp)) AS BIGINT) AS peak_abs
         |FROM s GROUP BY doc_id, si // 4""".stripMargin,
+    // sample derivation shared verbatim with audio_energy's s CTE;
+    // a crossing is a strictly negative lag product (zeros break
+    // runs without counting), rate on the 2^20 lattice over pairs
+    "audio_zcr" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(i AS BIGINT) AS si,
+        |    CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS BIGINT) AS smp
+        |  FROM (SELECT doc_id,
+        |          CAST('0x' || substr(md5(text), i*4 + 1, 4) AS INTEGER) AS v, i
+        |        FROM documents, generate_series(0, 7) AS t(i)) x),
+        |p AS (SELECT doc_id, smp,
+        |        lag(smp) OVER (PARTITION BY doc_id ORDER BY si) AS prev
+        |      FROM s)
+        |SELECT doc_id, count(*) AS n_samples,
+        |  CAST(sum(CASE WHEN smp <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND prev * smp < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zc,
+        |  CAST((CAST(sum(CASE WHEN prev IS NOT NULL AND prev * smp < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |        * 1048576) // greatest(count(*) - 1, 1) AS BIGINT) AS zcr_q
+        |FROM p GROUP BY doc_id""".stripMargin,
+    // per-pixel gradient replay (the multimodal_png px CTE) quantized
+    // to 4x4x4 RGB cells; argmax by (count DESC, cell ASC)
+    "image_dominant_color" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) AS b0,
+        |    CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) AS b1,
+        |    CAST('0x' || substr(md5(text), 5, 2) AS INTEGER) AS b2,
+        |    CAST('0x' || substr(md5(text), 7, 2) AS INTEGER) AS b3,
+        |    CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) AS b4
+        |  FROM documents),
+        |d AS (SELECT doc_id, 4 + b0 % 16 AS w, 4 + b1 % 16 AS h, b2, b3, b4 FROM b),
+        |px AS (
+        |  SELECT doc_id,
+        |    ((xs.x*7 + ys.y*13 + b2) % 256) // 64 * 16
+        |      + ((xs.x*11 + ys.y*3 + b3) % 256) // 64 * 4
+        |      + ((xs.x*5 + ys.y*17 + b4) % 256) // 64 AS cell
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(range(20)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(range(20)) AS y) ys
+        |  WHERE xs.x < w AND ys.y < h),
+        |c AS (SELECT doc_id, cell, count(*) AS n FROM px GROUP BY 1, 2),
+        |r AS (SELECT doc_id, cell, n,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, cell ASC) AS rn,
+        |        count(*) OVER (PARTITION BY doc_id) AS n_cells
+        |      FROM c)
+        |SELECT doc_id, CAST(cell AS BIGINT) AS dom_cell,
+        |  CAST(n AS BIGINT) AS n_px_dom, CAST(n_cells AS BIGINT) AS n_cells
+        |FROM r WHERE rn = 1""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(16 AS BIGINT) AS media_len,

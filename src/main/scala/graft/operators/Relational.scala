@@ -3909,6 +3909,88 @@ object Relational {
       .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
   }
 
+  // 2^16 bits = one full 4-hex-char slice per hash; ~16+ bits/key at
+  // the largest fixture (3k keys at sf0.1) keeps the measured FP rate
+  // in the sub-1% regime a planner would actually ship
+  private val BloomM = 65536L // filter bits
+  private val BloomK = 3      // hash functions per key
+
+  /** Explicit broadcast-bloom semi-join calibration — the runtime
+    * filter of [[joinRuntimeFilter]] made first-class and MEASURED
+    * (the minhash_accuracy role for the join-pruning family): a
+    * [[BloomM]]-bit / [[BloomK]]-hash filter builds over one segment's
+    * customer keys, every ordering customer probes it, and the report
+    * states what a planner needs to decide "ship the filter or not" —
+    * probe count, true members, bloom positives, false positives, and
+    * the FP rate on the 2²⁰ lattice. Bit positions are md5-hex slices
+    * mod [[BloomM]] (the agg_kmv_distinct hash-domain trick), so both
+    * engines replay the filter bit-for-bit and the gate is hash-exact
+    * — including the no-false-negative guarantee (every member IS a
+    * bloom positive, by construction; EdgeCaseSpec executes it).
+    * Scale shape: the key fold and its ≤ [[BloomM]]-row bit set are
+    * broadcast-sized by construction (that is the point of a bloom —
+    * at 100 TB the bit set ships to every executor while the key set
+    * may not); the probe side explodes to [[BloomK]] narrow rows and
+    * meets the bits in a BroadcastHashJoin, then folds partial+final.
+    * The scalar report is ONE row — safe at any corpus size. */
+  def bloomProbe(spark: SparkSession, dir: String): DataFrame = {
+    def pos(key: Column, j: Int): Column =
+      pmod(conv(substring(md5(key.cast("string").cast("binary")), j * 4 + 1, 4), 16, 10)
+        .cast("long"), lit(BloomM))
+    val keys = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey").as("k")).distinct().persistScoped()
+    val bits = (0 until BloomK).map(j => keys.select(pos(col("k"), j).as("pos")))
+      .reduce(_ unionAll _).distinct()
+    val probe = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("k")).distinct().persistScoped()
+    // one row per (probe key, hash j): nhit = how many of the key's
+    // K positions are set — duplicates among a key's positions count
+    // per j, exactly the per-hash bit test of a real bloom
+    val probePos = (0 until BloomK)
+      .map(j => probe.select(col("k"), pos(col("k"), j).as("pos")))
+      .reduce(_ unionAll _)
+    val hits = probePos.join(broadcast(bits), "pos")
+      .groupBy(col("k")).agg(count(lit(1)).as("nhit"))
+    probe
+      .join(hits, Seq("k"), "left")
+      .withColumn("bloom_pos",
+        (coalesce(col("nhit"), lit(0L)) === BloomK.toLong).cast("long"))
+      .join(broadcast(keys.withColumn("member", lit(1L))), Seq("k"), "left")
+      .withColumn("member", coalesce(col("member"), lit(0L)))
+      .agg(
+        count(lit(1)).as("n_probe"),
+        sum(col("member")).as("n_member"),
+        sum(col("bloom_pos")).as("n_bloom_pos"),
+        sum(when(col("bloom_pos") === 1L && col("member") === 0L, 1L)
+          .otherwise(0L)).as("n_fp"))
+      .select(col("n_probe"), col("n_member"), col("n_bloom_pos"), col("n_fp"),
+        expr("(n_fp * 1048576) div greatest(n_probe - n_member, 1)").as("fp_q"))
+  }
+
+  private def bloomProbeSql: String =
+    s"""WITH keys AS (SELECT DISTINCT c_custkey AS k FROM customer
+       |              WHERE c_mktsegment = 'AUTOMOBILE'),
+       |pk AS (SELECT k, CAST('0x' || substr(md5(CAST(k AS VARCHAR)), j*4 + 1, 4) AS INTEGER)
+       |                 % $BloomM AS pos
+       |       FROM keys, generate_series(0, ${BloomK - 1}) AS t(j)),
+       |bits AS (SELECT DISTINCT pos FROM pk),
+       |probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+       |pp AS (SELECT k, CAST('0x' || substr(md5(CAST(k AS VARCHAR)), j*4 + 1, 4) AS INTEGER)
+       |                 % $BloomM AS pos
+       |       FROM probe, generate_series(0, ${BloomK - 1}) AS t(j)),
+       |hit AS (SELECT pp.k, count(*) AS nhit FROM pp JOIN bits USING (pos) GROUP BY 1),
+       |v AS (SELECT p.k,
+       |        CASE WHEN coalesce(h.nhit, 0) = $BloomK THEN 1 ELSE 0 END AS bloom_pos,
+       |        CASE WHEN kk.k IS NULL THEN 0 ELSE 1 END AS member
+       |      FROM probe p LEFT JOIN hit h ON h.k = p.k LEFT JOIN keys kk ON kk.k = p.k)
+       |SELECT count(*) AS n_probe, CAST(sum(member) AS BIGINT) AS n_member,
+       |  CAST(sum(bloom_pos) AS BIGINT) AS n_bloom_pos,
+       |  CAST(sum(CASE WHEN bloom_pos = 1 AND member = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+       |  CAST((CAST(sum(CASE WHEN bloom_pos = 1 AND member = 0 THEN 1 ELSE 0 END) AS BIGINT) * 1048576)
+       |       // greatest(count(*) - CAST(sum(member) AS BIGINT), 1) AS BIGINT) AS fp_q
+       |FROM v""".stripMargin
+
   /** Bollinger-band breach screen over the daily revenue series —
     * the volatility-envelope anomaly primitive (price/volume bands in
     * trading, alert thresholds in ops dashboards): per calendar
@@ -4920,6 +5002,7 @@ object Relational {
     "join_salted"      -> joinSalted,
     "cdc_apply"        -> cdcApply,
     "join_runtime_filter" -> joinRuntimeFilter,
+    "bloom_probe"      -> bloomProbe,
     "agg_incremental"  -> aggIncremental,
     "resample_hourly"  -> resampleHourly,
     "anomaly_zscore"   -> anomalyZscore,
@@ -6152,6 +6235,7 @@ object Relational {
          |   OR a.o_orderstatus <> b.o_orderstatus
          |   OR a.o_orderpriority <> b.o_orderpriority
          |   OR a.o_totalprice <> b.o_totalprice""".stripMargin,
+    "bloom_probe" -> bloomProbeSql,
     "join_runtime_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,

@@ -281,6 +281,28 @@ object TextAnalysis {
         md5(col("chunk_text").cast("binary")).as("chunk_hash"))
   }
 
+  /** Storage-overhead audit of the [[docChunks]] configuration — the
+    * QA a RAG/pretraining team runs before committing a (len, stride)
+    * pair ("how much does the overlap inflate the token store"): per
+    * document, the chunk count, the summed chunk tokens, and the
+    * inflation factor Σchunk_tokens / n_tokens on the 2²⁰ lattice
+    * (2²⁰ = no duplication; the len/stride=64/48 config tops out at
+    * 64/48 ≈ 1.33×2²⁰ for long docs, and short docs sit at exactly
+    * 2²⁰). Operator composition (the clean_funnel precedent): the
+    * chunker runs once; this is one per-doc partial+final fold on
+    * top, and the oracle shares [[DocChunksSql]] verbatim.
+    * `n_tokens` recovers as max(tok_start + n_tokens) — the last
+    * chunk always ends exactly at the document's token count. */
+  def chunkOverhead(spark: SparkSession, dir: String): DataFrame =
+    docChunks(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(max(col("tok_start") + col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("sum_chunk_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        col("sum_chunk_tokens"),
+        expr("(sum_chunk_tokens * 1048576) div n_tokens").as("overhead_q"))
+
   /** Deterministic stratified sampling: a fixed per-language rate via
     * content-hash buckets — the data-mixing primitive (upsample rare
     * languages, downsample the head) that must be reproducible across
@@ -1269,6 +1291,7 @@ object TextAnalysis {
     "shingle_novelty" -> shingleNovelty,
     "vocab_growth"    -> vocabGrowth,
     "doc_chunks"      -> docChunks,
+    "chunk_overhead"  -> chunkOverhead,
     "doc_sample"      -> docSampleStratified,
     "freq_topk"       -> freqTopk,
     "doc_rarity"      -> docRarity,
@@ -1476,6 +1499,27 @@ object TextAnalysis {
        |        AND alpha_words * 5 >= n_words * 4
        |        AND stop_distinct >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM f""".stripMargin
+
+  /** Chunk replay shared verbatim by the `doc_chunks` and
+    * `chunk_overhead` oracles (the ClusterCtes rule — a rollup must
+    * not be able to drift from its source relation). */
+  private val DocChunksSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS w,
+      |         unnest(range(1, len(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '))+1)) AS pos
+      |  FROM documents),
+      |tok2 AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS p
+      |         FROM toks WHERE w <> ''),
+      |n AS (SELECT doc_id, count(*) AS n_tok FROM tok2 GROUP BY 1),
+      |ch AS (SELECT doc_id, unnest(range(greatest((n_tok - 64 + 47) // 48, 0) + 1)) AS i FROM n)
+      |SELECT t.doc_id, CAST(c.i AS BIGINT) AS chunk_idx,
+      |  CAST(c.i * 48 AS BIGINT) AS tok_start,
+      |  count(*) AS n_tokens,
+      |  md5(string_agg(t.w, ' ' ORDER BY t.p)) AS chunk_hash
+      |FROM ch c JOIN tok2 t ON t.doc_id = c.doc_id
+      |  AND t.p >= c.i * 48 AND t.p < c.i * 48 + 64
+      |GROUP BY 1, 2, 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ngram_coverage" -> ngramCoverageSql,
@@ -1698,23 +1742,16 @@ object TextAnalysis {
          |FROM p, n""".stripMargin,
     // chunk i covers token positions [i*48, i*48+64); greatest(..,0)
     // guards DuckDB's floored // for docs under len-stride tokens
-    "doc_chunks" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |         unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS w,
-        |         unnest(range(1, len(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '))+1)) AS pos
-        |  FROM documents),
-        |tok2 AS (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS p
-        |         FROM toks WHERE w <> ''),
-        |n AS (SELECT doc_id, count(*) AS n_tok FROM tok2 GROUP BY 1),
-        |ch AS (SELECT doc_id, unnest(range(greatest((n_tok - 64 + 47) // 48, 0) + 1)) AS i FROM n)
-        |SELECT t.doc_id, CAST(c.i AS BIGINT) AS chunk_idx,
-        |  CAST(c.i * 48 AS BIGINT) AS tok_start,
-        |  count(*) AS n_tokens,
-        |  md5(string_agg(t.w, ' ' ORDER BY t.p)) AS chunk_hash
-        |FROM ch c JOIN tok2 t ON t.doc_id = c.doc_id
-        |  AND t.p >= c.i * 48 AND t.p < c.i * 48 + 64
-        |GROUP BY 1, 2, 3""".stripMargin,
+    "doc_chunks" -> DocChunksSql,
+    "chunk_overhead" ->
+      s"""WITH c AS ($DocChunksSql)
+         |SELECT doc_id,
+         |  CAST(max(tok_start + n_tokens) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_chunk_tokens,
+         |  CAST((CAST(sum(n_tokens) AS BIGINT) * 1048576)
+         |       // max(tok_start + n_tokens) AS BIGINT) AS overhead_q
+         |FROM c GROUP BY 1""".stripMargin,
     "doc_sample" ->
       """SELECT doc_id, lang,
         |  CAST(CAST('0x' || substring(md5(text), 17, 4) AS INTEGER) % 100 AS BIGINT) AS bucket

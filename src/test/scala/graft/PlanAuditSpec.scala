@@ -1347,6 +1347,50 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ma.contains("partial_"), "signature minima fold map-side")
   }
 
+  test("audio_zcr / image_dominant_color: features fold inside the partition — no keyed exchange") {
+    // the image_histogram rule: codec + per-clip fold are partition-
+    // resident; only (doc_id, a few longs) ever leave the scan
+    Seq("audio_zcr", "image_dominant_color").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning") &&
+        !p.contains("Exchange rangepartitioning"),
+        s"$name must not shuffle samples/pixels on a key")
+      assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+        s"$name decode must be partition-resident")
+    }
+  }
+
+  test("bfs_reach: reuses the persisted BFS edge relation; the rollup is partial+final") {
+    val p = plan("bfs_reach")
+    // edges persist once inside graphBfs — the rollup must read the
+    // cache, not re-derive the join of orders×lineitem per round
+    assert(p.contains("InMemoryTableScan"), "bfs_reach must reuse the cached edges")
+    assert(p.contains("partial_"), "bfs_reach's histogram must combine map-side")
+  }
+
+  test("link_predict_ra: blocked candidates, no BNLJ, global top-k is TakeOrderedAndProject") {
+    val p = plan("link_predict_ra")
+    assert(p.contains("TakeOrderedAndProject"),
+      "link_predict_ra's top-k must not plan a full global sort")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "link_predict_ra must stay key-joined (rare-part blocking)")
+  }
+
+  test("chunk_overhead: one keyed exchange — the per-doc rollup over the chunk stream") {
+    val p = plan("chunk_overhead")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"chunk_overhead planned $exchanges keyed exchanges, expected 1")
+    assert(p.contains("partial_"), "chunk_overhead must combine map-side")
+  }
+
+  test("bloom_probe: the bit set and key set ride broadcast joins, never a shuffle join") {
+    val p = plan("bloom_probe")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
+      "bloom_probe's bits join and membership join must both broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "bloom_probe must not shuffle the probe side against broadcast-sized filters")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

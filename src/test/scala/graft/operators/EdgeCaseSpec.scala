@@ -2330,6 +2330,70 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("audio_zcr / image_dominant_color: features reconcile with their decoded sources") {
+    val sf = "/root/testdata/sf0.001"
+    // zcr: replay the stub decode per doc and recount crossings
+    val zcr = Multimodal.audioZcr(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "md5(cast(text as binary)) as h").collect()
+    assert(zcr.size === docs.length)
+    docs.foreach { r =>
+      val bytes = r.getString(1).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      val samples = Array.tabulate(8) { i =>
+        val v = ((bytes(2 * i) & 0xFF) << 8) | (bytes(2 * i + 1) & 0xFF)
+        if (v >= 32768) v - 65536 else v
+      }
+      val zc = (1 until 8).count(i => samples(i - 1).toLong * samples(i).toLong < 0L).toLong
+      val (n, nz, got, q) = zcr(r.getLong(0))
+      assert(n === 8L && nz === samples.count(_ != 0).toLong)
+      assert(got === zc && q === zc * 1048576L / 7L)
+    }
+    // dominant color: the argmax cell's mass is bounded by the raster
+    // and n_cells by the 64-cell palette; dom really is the max
+    val dom = Multimodal.imageDominantColor(spark, sf).collect()
+    assert(dom.length === docs.length)
+    dom.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) < 64L)
+      assert(r.getLong(2) >= 1L && r.getLong(3) >= 1L && r.getLong(3) <= 64L)
+    }
+    graft.CacheScope.release()
+  }
+
+  test("bfs_reach / link_predict_ra / chunk_overhead / bloom_probe: contracts execute") {
+    val sf = "/root/testdata/sf0.001"
+    // bfs_reach: buckets partition the vertex set; d ∈ {-1} ∪ [0, rounds]
+    val reach = Graph.bfsReach(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bfsIds = Graph.graphBfs(spark, sf).collect()
+    assert(reach.forall { case (d, _) => d >= -1L && d <= 4L })
+    assert(reach.filter(_._1 >= 0L).map(_._2).sum === bfsIds.length.toLong,
+      "reached buckets must sum to the BFS relation")
+    // link_predict_ra: every shared part has degree >= 2 (both ends
+    // bought it), so each RA term is <= 2^20/2 and ra_q <= n_shared * 2^19
+    val ra = Graph.linkPredictRa(spark, sf).collect()
+    assert(ra.nonEmpty)
+    ra.foreach { r =>
+      assert(r.getLong(2) >= 1L, "candidates share at least one part")
+      assert(r.getLong(3) <= r.getLong(2) * 524288L, "RA term bound violated")
+    }
+    // chunk_overhead: inflation sits in [1, 64/48] on the lattice and
+    // the chunk counts reconcile with doc_chunks
+    val oh = TextAnalysis.chunkOverhead(spark, sf).collect()
+    val nChunks = TextAnalysis.docChunks(spark, sf).count()
+    assert(oh.map(_.getLong(2)).sum === nChunks)
+    oh.foreach { r =>
+      assert(r.getLong(4) >= 1048576L && r.getLong(4) <= 1398102L,
+        s"doc ${r.getLong(0)}: overhead_q ${r.getLong(4)} outside [1, 4/3]")
+    }
+    // bloom_probe: NO false negatives — every true member must be a
+    // bloom positive, i.e. positives minus FPs equals the member count
+    val bp = Relational.bloomProbe(spark, sf).collect().head
+    assert(bp.getLong(2) - bp.getLong(3) === bp.getLong(1),
+      "bloom filter produced a false negative")
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
