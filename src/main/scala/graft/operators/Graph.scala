@@ -1023,6 +1023,85 @@ object Graph {
        |ORDER BY jaccard_q DESC, cust_a ASC, cust_b ASC
        |LIMIT $JaccK""".stripMargin
 
+  private[operators] val TrussK = 4
+  private[operators] val TrussRounds = 2
+
+  /** Bounded k-truss peeling (k = [[TrussK]], [[TrussRounds]]
+    * synchronous rounds) over the near-dup pair graph — the
+    * EDGE-cohesion refinement of [[kcore]]'s vertex degrees and the
+    * community-core detector next to [[triangles]]: an edge survives
+    * iff it participates in ≥ k−2 triangles among surviving edges,
+    * so loose "bridge" near-dup pairs peel away and what remains are
+    * densely inter-duplicated cliques (template families, mirror
+    * sets) — at sf0.001 exactly the planted K₄ survives with every
+    * edge at support 2. Bounded rounds are the CONTRACT (the kcore /
+    * graph_bfs precedent): cost deterministic, oracle an unrolled CTE
+    * chain; each round enumerates triangles via the canonical
+    * a<b<c triple join ([[triangles]]'s shape), explodes each into
+    * its 3 member edges, folds support partial+final, and semi-joins
+    * survivors. Scale shape: edges persist per round (the Pregel
+    * invariant — the triple join reuses one cached relation three
+    * times); candidate volume is Σ deg(v)² over the near-dup graph,
+    * sub-quadratic because banding already bounded the pair graph. */
+  def ktruss(spark: SparkSession, dir: String): DataFrame = {
+    def support(edges: DataFrame): DataFrame =
+      edges.as("e1")
+        .join(edges.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+        .join(edges.as("e3"),
+          col("e3.doc_a") === col("e1.doc_a") && col("e3.doc_b") === col("e2.doc_b"))
+        .select(explode(array(
+          struct(col("e1.doc_a").as("doc_a"), col("e1.doc_b").as("doc_b")),
+          struct(col("e2.doc_a").as("doc_a"), col("e2.doc_b").as("doc_b")),
+          struct(col("e3.doc_a").as("doc_a"), col("e3.doc_b").as("doc_b")))).as("e"))
+        .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("support"))
+    var edges = Dedup.dedupNgramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b")).persistScoped()
+    for (_ <- 1 to TrussRounds) {
+      edges = edges.join(
+        support(edges).filter(col("support") >= TrussK - 2),
+        Seq("doc_a", "doc_b"), "left_semi").persistScoped()
+    }
+    edges.join(support(edges), Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** Truss replay: each round MATERIALIZED (a round references its
+    * predecessor 3× in the triple join AND 3× in the union — inlined,
+    * the chain re-derives geometrically; the annGraph lesson). */
+  private def ktrussSql: String = {
+    def supportOf(src: String): String =
+      s"""SELECT doc_a, doc_b, count(*) AS support FROM (
+         |    SELECT e1.doc_a AS doc_a, e1.doc_b AS doc_b
+         |    FROM $src e1 JOIN $src e2 ON e1.doc_b = e2.doc_a
+         |    JOIN $src e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+         |    UNION ALL
+         |    SELECT e2.doc_a, e2.doc_b
+         |    FROM $src e1 JOIN $src e2 ON e1.doc_b = e2.doc_a
+         |    JOIN $src e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+         |    UNION ALL
+         |    SELECT e3.doc_a, e3.doc_b
+         |    FROM $src e1 JOIN $src e2 ON e1.doc_b = e2.doc_a
+         |    JOIN $src e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b) u
+         |  GROUP BY 1, 2""".stripMargin
+    val rounds = (1 to TrussRounds).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  ${supportOf(s"t${i - 1}")}),
+         |t$i AS MATERIALIZED (
+         |  SELECT t.doc_a, t.doc_b FROM t${i - 1} t
+         |  JOIN s$i USING (doc_a, doc_b) WHERE s$i.support >= ${TrussK - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""${Dedup.ClusterCtes},
+       |t0 AS MATERIALIZED (SELECT doc_a, doc_b FROM jp),
+       |$rounds,
+       |sf AS MATERIALIZED (
+       |  ${supportOf(s"t$TrussRounds")})
+       |SELECT t.doc_a, t.doc_b,
+       |  CAST(coalesce(sf.support, 0) AS BIGINT) AS support
+       |FROM t$TrussRounds t LEFT JOIN sf USING (doc_a, doc_b)""".stripMargin
+  }
+
   /** Resource-allocation link prediction (Zhou, Lü & Zhang 2009) —
     * the weighted companion to [[jaccardNeighbors]]'s set-overlap
     * view: two customers connected through a part every customer buys
@@ -1167,7 +1246,8 @@ object Graph {
     "graph_assortativity" -> graphAssortativity,
     "pagerank_personalized" -> pagerankPersonalized,
     "bfs_reach"       -> bfsReach,
-    "link_predict_ra" -> linkPredictRa)
+    "link_predict_ra" -> linkPredictRa,
+    "ktruss"          -> ktruss)
 
   val oracles: Map[String, String] = Map(
     "pagerank" -> pagerankSql,
@@ -1176,6 +1256,7 @@ object Graph {
     "graph_bfs" -> graphBfsSql,
     "bfs_reach" -> bfsReachSql,
     "link_predict_ra" -> linkPredictRaSql,
+    "ktruss" -> ktrussSql,
     "sssp_weighted" -> ssspWeightedSql,
     "hits_scores" -> hitsScoresSql,
     "label_prop" -> labelPropSql,

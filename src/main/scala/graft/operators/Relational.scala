@@ -3393,6 +3393,59 @@ object Relational {
         col("day").cast("string").as("day"))
   }
 
+  /** Dynamic partition pruning — the scan-elimination twin of
+    * [[joinRuntimeFilter]]'s row-elimination bloom, and the feature
+    * that makes partitioned lakehouse layouts pay off at 100 TB: the
+    * fact table lands YEAR-partitioned (the [[partitionOverwrite]]
+    * write path), the dimension side derives at RUNTIME (top-2 years
+    * by returned quantity — an aggregate over lineitem, so the
+    * partition filter cannot constant-fold), and Spark's DPP inserts
+    * a `dynamicpruningexpression` into the fact scan's
+    * PartitionFilters: 5 of 7 year-directories are never opened, not
+    * merely filtered after read. PlanAuditSpec asserts the pruning
+    * subquery is planned; this registered form gates the join's
+    * RESULTS. The dim ranking is exact (integral quantities, ties →
+    * year asc), so the oracle replays the same 2 years. */
+  def joinDpp(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.TempDirs.scratch("dpp", dir)
+    val tbl = s"$out/orders_by_year"
+    val done = new java.io.File(s"$out/_staged")
+    if (!done.exists) {
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("o_year"))
+        .write.mode("overwrite").partitionBy("o_year").parquet(tbl)
+      done.createNewFile()
+    }
+    val fact = spark.read.parquet(tbl)
+    val dim = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(year(col("l_shipdate")).as("o_year"))
+      .agg(sum(col("l_quantity").cast("long")).as("ret_qty"))
+      .orderBy(col("ret_qty").desc, col("o_year").asc)
+      .limit(2)
+      .select(col("o_year"))
+    fact.join(dim, "o_year")
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("sum_cents"))
+      .select(col("o_year").cast("long").as("o_year"),
+        col("n_orders"), col("sum_cents"))
+  }
+
+  private def joinDppSql: String =
+    """WITH dim AS (
+      |  SELECT y AS o_year FROM (
+      |    SELECT year(l_shipdate) AS y,
+      |      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ret_qty
+      |    FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+      |    ORDER BY ret_qty DESC, y ASC LIMIT 2) t)
+      |SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders JOIN dim ON year(o_orderdate) = dim.o_year
+      |GROUP BY 1""".stripMargin
+
   /** Corrupt-file-tolerant scan — the ops-robustness half of the
     * malformed-RECORD quarantine (`csv_quarantine` handles bad rows;
     * this handles bad FILES): a landing directory holding valid
@@ -5003,6 +5056,7 @@ object Relational {
     "cdc_apply"        -> cdcApply,
     "join_runtime_filter" -> joinRuntimeFilter,
     "bloom_probe"      -> bloomProbe,
+    "join_dpp"         -> joinDpp,
     "agg_incremental"  -> aggIncremental,
     "resample_hourly"  -> resampleHourly,
     "anomaly_zscore"   -> anomalyZscore,
@@ -6236,6 +6290,7 @@ object Relational {
          |   OR a.o_orderpriority <> b.o_orderpriority
          |   OR a.o_totalprice <> b.o_totalprice""".stripMargin,
     "bloom_probe" -> bloomProbeSql,
+    "join_dpp" -> joinDppSql,
     "join_runtime_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,

@@ -1632,9 +1632,34 @@ object Similarity {
     v
   }
 
+  /** Projection of every embedding onto [[pcaPower]]'s leading
+    * principal direction — the step that turns the diagnostic into a
+    * usable TRANSFORM (1-D curriculum ordering, anisotropy removal's
+    * first component, coarse semantic binning): score = (q · v) div
+    * 2²⁰, with q the vector's 2²⁰-lattice quantization and v the
+    * power-iteration loadings — pure 64-term integer dot products
+    * (|term| ≤ 2⁴⁰, sum ≤ 2⁴⁶ — BIGINT-safe), division truncating
+    * toward zero in both engines (the pca_power rule). Scale shape:
+    * the loadings are driver metadata (64 longs — the learnedCentroids
+    * precedent) embedded as literals in a SCAN-RESIDENT projection;
+    * no join, no shuffle — the plan is one narrow map over the
+    * embeddings scan at any corpus size. */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val v = pcaPower(spark, dir).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1))).sortBy(_._1).map(_._2)
+    val score = (0 until Dim)
+      .map(i => element_at(col("q"), i + 1) * lit(v(i)))
+      .reduce(_ + _)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), latArrCol(col("embedding")).as("q"))
+      .withColumn("score_raw", score)
+      .select(col("vec_id"), expr("score_raw div 1048576").as("score_q"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gram_matrix" -> gramMatrix,
     "pca_power" -> pcaPower,
+    "pca_project" -> pcaProject,
     "ann_index" -> annIndex,
     "ann_index_add" -> annIndexAdd,
     "ann_topk" -> annTopkBrute,
@@ -1822,27 +1847,45 @@ object Similarity {
     * truncates toward zero on integers, exactly BigInt `/`. The max
     * is hoisted into its own mx CTE and CROSS JOINed (never a scalar
     * subquery inside an aggregate — the DuckDB LATERAL-binder trap). */
-  private def pcaPowerSql: String = {
+  /** Power-iteration replay prefix (ends at v[[PcaRounds]]), shared
+    * verbatim by the `pca_power` and `pca_project` oracles — the
+    * BfsCtes rule: a transform must not be able to drift from the
+    * loadings it applies. */
+  private val PcaCtes: String = {
     def round(r: Int): String =
       s"""mv$r AS (
          |  SELECT g.i AS d, sum(CAST(g.g AS HUGEINT) * v${r - 1}.v) AS mv
          |  FROM g JOIN v${r - 1} ON v${r - 1}.d = g.j GROUP BY 1),
          |mx$r AS (SELECT max(abs(mv)) AS mx FROM mv$r),
          |v$r AS (SELECT d, (mv * $QScale) // mx AS v FROM mv$r CROSS JOIN mx$r)""".stripMargin
-    s"""WITH g AS (
+    s"""g AS (
        |  SELECT t1.i - 1 AS i, t2.j - 1 AS j,
        |    CAST(sum(CAST(floor(CAST(embedding[t1.i] AS DOUBLE) * $QScale.0) AS BIGINT)
        |           * CAST(floor(CAST(embedding[t2.j] AS DOUBLE) * $QScale.0) AS BIGINT)) AS BIGINT) AS g
        |  FROM embeddings, range(1, ${Dim + 1}) t1(i), range(1, ${Dim + 1}) t2(j)
        |  GROUP BY 1, 2),
        |v0 AS (SELECT unnest(range($Dim)) AS d, CAST($QScale AS HUGEINT) AS v),
-       |${(1 to PcaRounds).map(round).mkString(",\n")}
+       |${(1 to PcaRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private def pcaPowerSql: String =
+    s"""WITH $PcaCtes
        |SELECT CAST(d AS BIGINT) AS d, CAST(v AS BIGINT) AS loading_q
        |FROM v$PcaRounds""".stripMargin
-  }
+
+  private def pcaProjectSql: String =
+    s"""WITH $PcaCtes
+       |SELECT e.vec_id,
+       |  CAST(sum(CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * $QScale.0) AS BIGINT) * v.v)
+       |       // $QScale AS BIGINT) AS score_q
+       |FROM embeddings e
+       |CROSS JOIN range(1, ${Dim + 1}) t(i)
+       |JOIN v$PcaRounds v ON v.d = t.i - 1
+       |GROUP BY e.vec_id""".stripMargin
 
   private val oraclesBase: Map[String, String] = Map(
     "pca_power" -> pcaPowerSql,
+    "pca_project" -> pcaProjectSql,
     "knn_margin" -> knnMarginSql,
     "cell_label_purity" -> cellLabelPuritySql,
     "centroid_outliers" -> centroidOutliersSql,

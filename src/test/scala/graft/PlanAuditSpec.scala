@@ -1391,6 +1391,35 @@ class PlanAuditSpec extends AnyFunSuite {
       "bloom_probe must not shuffle the probe side against broadcast-sized filters")
   }
 
+  test("join_dpp: the fact scan carries a dynamic-partition-pruning subquery") {
+    // the whole point of the operator: 5 of 7 year directories are
+    // never opened — the partition filter must be the runtime DPP
+    // subquery, not a static predicate
+    val p = plan("join_dpp")
+    assert(p.contains("dynamicpruningexpression"),
+      s"join_dpp's fact scan lost its DPP filter:\n${p.linesIterator.take(25).mkString("\n")}")
+    assert(p.contains("PartitionFilters"), "fact side must be a partitioned scan")
+  }
+
+  test("pca_project: the transform is one narrow map over the scan — no exchange, no join") {
+    // loadings are driver metadata embedded as literals; the returned
+    // plan must be scan → project only
+    val p = plan("pca_project")
+    // the loader's round-robin split is allowed (the gopher_quality
+    // rule); the transform itself must not move rows by key
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"), "pca_project must not shuffle on a key")
+    assert(!p.contains("Join"), "pca_project must not join — loadings ride as literals")
+    assert(p.contains("FileScan") || p.contains("Scan parquet"),
+      "pca_project must read the embeddings scan directly")
+  }
+
+  test("ktruss: each peeling round reuses the cached edge relation") {
+    val p = plan("ktruss")
+    assert(p.contains("InMemoryTableScan"),
+      "ktruss's triple joins must read the persisted round edges, not re-derive the pair graph")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

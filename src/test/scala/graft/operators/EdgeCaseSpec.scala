@@ -2394,6 +2394,52 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("join_dpp / pca_project / ktruss: results reconcile with their unpruned sources") {
+    val sf = "/root/testdata/sf0.001"
+    // join_dpp: the pruned aggregate must equal the same aggregate
+    // computed WITHOUT partition pruning over the raw orders table
+    val dpp = Relational.joinDpp(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val direct = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("cast(year(o_orderdate) as long) as y",
+        "cast(floor(o_totalprice * 100 + 0.5) as bigint) as cents")
+      .groupBy("y")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("cents").as("s"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(dpp.size === 2, "exactly the top-2 return years survive pruning")
+    dpp.foreach { case (y, (n, s)) =>
+      assert(direct(y) === ((n, s)), s"year $y diverges from the unpruned aggregate")
+    }
+    // pca_project: replay the dot product in BigInt for every vector
+    val loadings = Similarity.pcaPower(spark, sf).collect()
+      .map(r => (r.getLong(0).toInt, BigInt(r.getLong(1)))).sortBy(_._1).map(_._2)
+    val scores = Similarity.pcaProject(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0) as bigint)) as q")
+      .collect()
+    assert(scores.size === vecs.length)
+    vecs.foreach { r =>
+      val q = r.getSeq[Long](1)
+      val raw = q.indices.map(i => BigInt(q(i)) * loadings(i)).sum
+      assert(BigInt(scores(r.getLong(0))) === raw / BigInt(1048576),
+        s"vec ${r.getLong(0)}: projection drifted from the BigInt replay")
+    }
+    // ktruss: sf0.001 contains exactly one planted K4 — 6 edges over
+    // 4 vertices, every edge at support 2, a subset of the pair graph
+    val truss = Graph.ktruss(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = Dedup.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truss.length === 6, s"expected the K4's 6 edges, got ${truss.length}")
+    assert(truss.forall(e => pairs((e._1, e._2))), "truss edges must come from the pair graph")
+    assert(truss.forall(_._3 === 2L), "every K4 edge participates in exactly 2 surviving triangles")
+    assert(truss.flatMap(e => Seq(e._1, e._2)).distinct.length === 4)
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
