@@ -858,6 +858,51 @@ object Dedup {
           .cast("long").as("keep"))
   }
 
+  /** Quality-aware keep/drop manifest — [[dedupKeep]] with the
+    * representative chosen by MERIT instead of arrival order: a web
+    * corpus's near-dup clusters usually contain one clean original
+    * and N mangled mirrors, and min-id keeps whichever crawled first.
+    * Here each cluster keeps the member ranking best under
+    * (gopher keep flag DESC, n_words DESC, doc_id ASC) — pass the
+    * published quality battery first, then prefer the longest
+    * (truncation is the common mirror defect), doc_id as the
+    * deterministic tiebreak; singletons keep themselves. The oracle
+    * composes ClusterCtes with the full GopherSql battery, so the
+    * choice function is hash-gated end to end. Scale shape: the
+    * cluster labels are banding-bounded (tiny) and broadcast into
+    * the quality relation; the rank window partitions by cluster id
+    * over candidate rows only; the corpus-wide manifest is one
+    * broadcast left join — the dedup_keep shape plus one narrow
+    * quality column. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lab"))
+      .orderBy(col("q_keep").desc, col("n_words").desc, col("id").asc)
+    val clusters = clusterLabels(spark, dir).select(col("id"), col("lab"))
+    val ranked = TextAnalysis.gopherQuality(spark, dir)
+      .select(col("doc_id").as("id"), col("keep").as("q_keep"), col("n_words"))
+      .join(broadcast(clusters), "id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("id").as("doc_id"), col("lab").as("cluster_id"),
+        (col("rn") === 1).cast("long").as("keep"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(broadcast(ranked), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("keep"), lit(1L)).as("keep"))
+  }
+
+  private def keepBestSql: String =
+    s"""$ClusterCtes,
+       |gq AS (${TextAnalysis.GopherSql}),
+       |rk AS (SELECT cc.id, cc.cluster_id,
+       |         row_number() OVER (PARTITION BY cc.cluster_id
+       |           ORDER BY gq.keep DESC, gq.n_words DESC, cc.id ASC) AS rn
+       |       FROM cc JOIN gq ON gq.doc_id = cc.id)
+       |SELECT d.doc_id,
+       |  COALESCE(rk.cluster_id, d.doc_id) AS cluster_id,
+       |  CAST(CASE WHEN rk.id IS NULL OR rk.rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM documents d LEFT JOIN rk ON rk.id = d.doc_id""".stripMargin
+
   /** Connected components by alternating large-star / small-star edge
     * rewrites (Kiveris et al., "Connected Components in MapReduce and
     * Beyond") — the WEB-GRAPH-SCALE alternative to
@@ -1142,6 +1187,7 @@ object Dedup {
     "dedup_rate_by_lang" -> dedupRateByLang,
     "dedup_substring" -> dedupSubstring,
     "dedup_keep"      -> dedupKeep,
+    "dedup_keep_best" -> dedupKeepBest,
     "cc_star"         -> ccStarClusters)
 
   /** Shared DuckDB shingle pipeline (window-based trigram build). */
@@ -1278,6 +1324,7 @@ object Dedup {
          |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
          |FROM per GROUP BY cluster_size""".stripMargin,
     "dedup_keep" -> KeepSql,
+    "dedup_keep_best" -> keepBestSql,
     "dedup_substring" -> SubstringSql,
     // transitive closure over the all-pairs cosine near-dup graph —
     // the embedding-graph twin of ClusterSql

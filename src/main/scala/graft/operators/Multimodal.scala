@@ -620,10 +620,58 @@ object Multimodal {
       .toDF("doc_id", "dom_cell", "n_px_dom", "n_cells")
   }
 
+  /** Per-pixel edge threshold for [[imageEdgeDensity]]: horizontal +
+    * vertical luma gradient ≥ 64 (a quarter of the 0–255 range). */
+  private[operators] val EdgeT = 64L
+
+  /** Edge density over REAL decoded PNG pixels — the sharpness /
+    * detail screen beside [[imageHistogram]]'s exposure view and
+    * [[imageDominantColor]]'s palette view (blurry, blank, or
+    * synthetic-flat images carry almost no gradient mass; busy
+    * photographs and text screenshots carry a lot): for every
+    * interior pixel the L1 luma gradient |lum(x+1,y)−lum(x,y)| +
+    * |lum(x,y+1)−lum(x,y)| thresholds at [[EdgeT]], and each image
+    * reports its edge-pixel count, interior size, and edge share on
+    * the 2²⁰ lattice. The oracle evaluates the gradient-raster
+    * formula at (x,y), (x+1,y), (x,y+1) directly — the Spark side
+    * reads the DECODED raster, so a codec corruption or a
+    * neighbor-indexing slip breaks the hash. Scale shape: decode +
+    * gradient fold stay inside the partition (ONE row per image
+    * leaves); no keyed exchange. */
+  def imageEdgeDensity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("seed"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, seed) => (id, encodePng(seed)) })
+      .mapPartitions(_.map { case (id, png) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        def lum(x: Int, y: Int): Long = {
+          val rgb = img.getRGB(x, y)
+          (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)).toLong / 3L
+        }
+        var edges = 0L
+        var y = 0
+        while (y < img.getHeight - 1) {
+          var x = 0
+          while (x < img.getWidth - 1) {
+            if (math.abs(lum(x + 1, y) - lum(x, y)) +
+              math.abs(lum(x, y + 1) - lum(x, y)) >= EdgeT) edges += 1L
+            x += 1
+          }
+          y += 1
+        }
+        val interior = (img.getWidth - 1).toLong * (img.getHeight - 1).toLong
+        (id, edges, interior, edges * 1048576L / interior)
+      })
+      .toDF("doc_id", "n_edge_px", "n_interior_px", "edge_share_q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"     -> multimodalMeta,
     "audio_zcr"           -> audioZcr,
     "image_dominant_color" -> imageDominantColor,
+    "image_edge_density"  -> imageEdgeDensity,
     "multimodal_frames"   -> multimodalFrames,
     "multimodal_resize"   -> multimodalResized,
     "multimodal_feat_agg" -> multimodalFeatAggExact,
@@ -817,6 +865,36 @@ object Multimodal {
         |  CAST((CAST(sum(CASE WHEN prev IS NOT NULL AND prev * smp < 0 THEN 1 ELSE 0 END) AS BIGINT)
         |        * 1048576) // greatest(count(*) - 1, 1) AS BIGINT) AS zcr_q
         |FROM p GROUP BY doc_id""".stripMargin,
+    // gradient-formula luma at (x,y), (x+1,y), (x,y+1) — the oracle
+    // never touches the codec; the engine side must decode back to
+    // exactly these values
+    "image_edge_density" -> {
+      def lum(xe: String, ye: String): String =
+        s"(((($xe)*7 + ($ye)*13 + b2) % 256 + (($xe)*11 + ($ye)*3 + b3) % 256" +
+          s" + (($xe)*5 + ($ye)*17 + b4) % 256) // 3)"
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) AS b0,
+         |    CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) AS b1,
+         |    CAST('0x' || substr(md5(text), 5, 2) AS INTEGER) AS b2,
+         |    CAST('0x' || substr(md5(text), 7, 2) AS INTEGER) AS b3,
+         |    CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) AS b4
+         |  FROM documents),
+         |d AS (SELECT doc_id, 4 + b0 % 16 AS w, 4 + b1 % 16 AS h, b2, b3, b4 FROM b),
+         |px AS (
+         |  SELECT doc_id, w, h,
+         |    CASE WHEN abs(${lum("xs.x + 1", "ys.y")} - ${lum("xs.x", "ys.y")})
+         |            + abs(${lum("xs.x", "ys.y + 1")} - ${lum("xs.x", "ys.y")}) >= $EdgeT
+         |         THEN 1 ELSE 0 END AS is_edge
+         |  FROM d
+         |  CROSS JOIN (SELECT unnest(range(19)) AS x) xs
+         |  CROSS JOIN (SELECT unnest(range(19)) AS y) ys
+         |  WHERE xs.x < w - 1 AND ys.y < h - 1)
+         |SELECT doc_id, CAST(sum(is_edge) AS BIGINT) AS n_edge_px,
+         |  count(*) AS n_interior_px,
+         |  CAST((CAST(sum(is_edge) AS BIGINT) * 1048576) // count(*) AS BIGINT) AS edge_share_q
+         |FROM px GROUP BY doc_id""".stripMargin
+    },
     // per-pixel gradient replay (the multimodal_png px CTE) quantized
     // to 4x4x4 RGB cells; argmax by (count DESC, cell ASC)
     "image_dominant_color" ->

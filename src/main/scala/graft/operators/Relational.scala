@@ -3446,6 +3446,54 @@ object Relational {
       |FROM orders JOIN dim ON year(o_orderdate) = dim.o_year
       |GROUP BY 1""".stripMargin
 
+  /** Schema-evolution scan (`mergeSchema`) — the lakehouse reality
+    * that tables GROW columns: generation 1 of the landing zone
+    * (orders through 1994) was written before `o_prio` existed;
+    * generation 2 (1995+) carries it. One merged read must unify the
+    * schemas, backfilling NULL for the legacy files — and the gated
+    * report proves the merge semantics: per year, total rows and how
+    * many carry the new column (all-or-nothing per generation; a
+    * mis-merge either drops the column, fails the read, or bleeds
+    * values across generations, each breaking the hash). The
+    * NULL-bearing column itself stays ungated (the nullable-output
+    * comparator rule) — the COUNTS are the contract. Scale shape:
+    * schema merge is footer metadata work (per file, not per row);
+    * the report is one partial+final fold. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.TempDirs.scratch("schemaevo", dir)
+    val tbl = s"$out/t"
+    val done = new java.io.File(s"$out/_staged")
+    if (!done.exists) {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"),
+          col("o_orderpriority"))
+      o.filter(col("o_year") <= 1994)
+        .select("o_orderkey", "o_year", "cents")
+        .write.mode("overwrite").parquet(s"$tbl/gen1")
+      o.filter(col("o_year") >= 1995)
+        .select(col("o_orderkey"), col("o_year"), col("cents"),
+          col("o_orderpriority").as("o_prio"))
+        .write.mode("overwrite").parquet(s"$tbl/gen2")
+      done.createNewFile()
+    }
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$tbl/gen1", s"$tbl/gen2")
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_prio").isNotNull.cast("long")).as("n_with_prio"),
+        sum(col("cents")).as("sum_cents"))
+      .select(col("o_year").cast("long").as("o_year"),
+        col("n_orders"), col("n_with_prio"), col("sum_cents"))
+  }
+
+  private def schemaEvolutionSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CASE WHEN year(o_orderdate) >= 1995 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_prio,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** Corrupt-file-tolerant scan — the ops-robustness half of the
     * malformed-RECORD quarantine (`csv_quarantine` handles bad rows;
     * this handles bad FILES): a landing directory holding valid
@@ -5057,6 +5105,7 @@ object Relational {
     "join_runtime_filter" -> joinRuntimeFilter,
     "bloom_probe"      -> bloomProbe,
     "join_dpp"         -> joinDpp,
+    "schema_evolution" -> schemaEvolution,
     "agg_incremental"  -> aggIncremental,
     "resample_hourly"  -> resampleHourly,
     "anomaly_zscore"   -> anomalyZscore,
@@ -6291,6 +6340,7 @@ object Relational {
          |   OR a.o_totalprice <> b.o_totalprice""".stripMargin,
     "bloom_probe" -> bloomProbeSql,
     "join_dpp" -> joinDppSql,
+    "schema_evolution" -> schemaEvolutionSql,
     "join_runtime_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,

@@ -56,6 +56,52 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 4).as("cos"))
   }
 
+  /** FILTERED vector search — the production retrieval mode every
+    * vector store ships (metadata predicate + similarity, "nearest
+    * passages from THIS shard/tenant/class"): per query, exact cosine
+    * top-[[K]] among corpus vectors sharing the QUERY's OWN label, so
+    * the predicate varies per query (the hard case — a global filter
+    * would just be a smaller corpus). Post-filtering an unfiltered
+    * top-k is WRONG at low selectivity (k survivors may not exist);
+    * the filter belongs INSIDE candidate generation — here it rides
+    * the broadcast-join condition, and in the IVF/LSH upgrades the
+    * same predicate applies to the candidate lists before scoring.
+    * Scale shape: the [[annTopkBrute]] orientation — |Q| queries
+    * broadcast against the corpus scan, the label equality prunes
+    * before any scoring, rank-limit per query. */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("label").cast("long").as("qlabel"),
+        col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+      col("embedding").as("ne"))
+    val scored = c.join(broadcast(q),
+        col("qid") =!= col("nid") && col("nlabel") === col("qlabel"))
+      .withColumn("cos", cosine_sim(col("qe"), col("ne")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("qid"), col("qlabel").as("label"), col("rnk"), col("nid"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  private def annFilteredSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(label AS BIGINT) AS qlabel,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+       |           FROM embeddings WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS nid, label AS nlabel,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ne
+       |      FROM embeddings),
+       |s AS (SELECT qid, qlabel, nid, list_cosine_similarity(qe, ne) AS cos
+       |      FROM q, c WHERE qid <> nid AND nlabel = qlabel),
+       |r AS (SELECT qid, qlabel, nid, cos,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+       |      FROM s)
+       |SELECT qid, qlabel AS label, CAST(rnk AS BIGINT) AS rnk, nid, round(cos, 4) AS cos
+       |FROM r WHERE rnk <= $K""".stripMargin
+
   /** Exact max-inner-product top-k (MIPS) — the retrieval objective
     * recommendation/retrieval towers actually rank by (un-normalized
     * dot, not cosine: magnitude is signal). Both sides quantize to
@@ -1663,6 +1709,7 @@ object Similarity {
     "ann_index" -> annIndex,
     "ann_index_add" -> annIndexAdd,
     "ann_topk" -> annTopkBrute,
+    "ann_filtered" -> annFiltered,
     "mips_topk" -> mipsTopk,
     "pq_distortion" -> pqDistortion,
     "ann_lsh"  -> annLsh,
@@ -2011,6 +2058,7 @@ object Similarity {
         |    'string_agg', ',') AS q
         |FROM s""".stripMargin,
     "ann_topk" -> annTopkSql,
+    "ann_filtered" -> annFilteredSql,
     // IVF is fully SQL-expressible because every piece is
     // deterministic: DuckDB replays seed-centroid selection, the
     // quantized-integer Lloyd mean update (floor onto the 2^-20

@@ -1482,7 +1482,7 @@ object TextAnalysis {
 
   /** Full Gopher rule-battery replay — shared by the
     * `gopher_quality` and `quality_by_source` oracles. */
-  private lazy val GopherSql: String =
+  private[operators] lazy val GopherSql: String =
     s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
        |f AS (SELECT doc_id,
        |  CAST(len(toks) AS BIGINT) AS n_words,

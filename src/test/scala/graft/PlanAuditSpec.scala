@@ -1350,7 +1350,7 @@ class PlanAuditSpec extends AnyFunSuite {
   test("audio_zcr / image_dominant_color: features fold inside the partition — no keyed exchange") {
     // the image_histogram rule: codec + per-clip fold are partition-
     // resident; only (doc_id, a few longs) ever leave the scan
-    Seq("audio_zcr", "image_dominant_color").foreach { name =>
+    Seq("audio_zcr", "image_dominant_color", "image_edge_density").foreach { name =>
       val p = plan(name)
       assert(!p.contains("Exchange hashpartitioning") &&
         !p.contains("Exchange rangepartitioning"),
@@ -1358,6 +1358,24 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
         s"$name decode must be partition-resident")
     }
+  }
+
+  test("ann_filtered: the label predicate makes the probe join HASH-joinable, and rank-limit plans") {
+    // unlike ann_topk's pure-inequality BNLJ, the per-query label
+    // equality gives the join a key — the filter belongs INSIDE
+    // candidate generation, and the plan proves it pruned there
+    val p = plan("ann_filtered")
+    assert(p.contains("BroadcastHashJoin"), "label equality must plan a hash join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "the filter must not degrade to a BNLJ")
+    assert(p.contains("WindowGroupLimit"), "per-query top-k must push the rank limit")
+  }
+
+  test("dedup_keep_best: the corpus-wide manifest join broadcasts the ranked labels") {
+    val p = plan("dedup_keep_best")
+    assert(p.contains("BroadcastHashJoin"),
+      "keep-best manifest must broadcast the banding-bounded cluster labels")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus id set must not shuffle against tiny cluster labels")
   }
 
   test("bfs_reach: reuses the persisted BFS edge relation; the rollup is partial+final") {

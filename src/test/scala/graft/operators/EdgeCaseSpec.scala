@@ -2440,6 +2440,63 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("ann_filtered / dedup_keep_best / image_edge_density / schema_evolution: contracts execute") {
+    val sf = "/root/testdata/sf0.001"
+    // ann_filtered: every neighbor shares its query's label; ranks
+    // are consecutive from 1 per query
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "cast(label as long) as l").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val af = Similarity.annFiltered(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(af.nonEmpty)
+    af.foreach { case (qid, ql, _, nid) =>
+      assert(ql === labels(qid), "emitted label must be the query's")
+      assert(labels(nid) === ql, s"neighbor $nid crossed the label filter of query $qid")
+    }
+    af.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length.toLong))
+    }
+    // dedup_keep_best: same clusters as dedup_keep, exactly one keep
+    // per cluster, and the kept member is never worse than the min-id
+    // keeper under the quality order
+    val best = Dedup.dedupKeepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keepMinId = Dedup.dedupKeep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(best.map(r => (r._1, r._2)).toMap === keepMinId, "cluster assignment must match dedup_keep")
+    best.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).sum === 1L, s"cluster $c must keep exactly one member")
+    }
+    // image_edge_density: interior size reconciles with the real
+    // decoded raster dimensions; share bounded on the lattice
+    val ed = Multimodal.imageEdgeDensity(spark, sf).collect()
+    val dims = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "md5(cast(text as binary)) as h").collect()
+      .map { r =>
+        val seed = r.getString(1).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(Multimodal.encodePng(seed)))
+        r.getLong(0) -> (img.getWidth - 1).toLong * (img.getHeight - 1).toLong
+      }.toMap
+    assert(ed.length === dims.size)
+    ed.foreach { r =>
+      assert(r.getLong(2) === dims(r.getLong(0)), "interior must match the decoded raster")
+      assert(r.getLong(1) <= r.getLong(2) && r.getLong(3) <= 1048576L)
+    }
+    // schema_evolution: the merged read partitions the corpus by
+    // generation — new column present iff the 1995+ generation
+    val se = Relational.schemaEvolution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(se.map(_._2).sum === nOrders, "merged read must cover every order")
+    se.foreach { case (y, n, withPrio) =>
+      assert(if (y >= 1995L) withPrio === n else withPrio === 0L,
+        s"year $y: generation column bled across the merge")
+    }
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
