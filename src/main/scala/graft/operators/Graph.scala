@@ -342,7 +342,15 @@ object Graph {
     * frontier-delta variant (propagate only vertices whose d
     * improved) is the constant-factor dial at scale — same joins,
     * strictly smaller left side each round. */
-  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+  def graphBfs(spark: SparkSession, dir: String): DataFrame =
+    bfsParts(spark, dir)._2
+
+  /** (persisted symmetric edges, bounded-horizon distances) — split
+    * out so [[bfsReach]] derives its vertex set from the SAME cached
+    * edge relation the rounds join against (a separate
+    * purchaseEdges() call re-ran the orders×lineitem join + distinct:
+    * measured 7.9 s → the graph_bfs baseline after the reuse). */
+  private def bfsParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val edges = purchaseEdges(spark, dir)
       .repartition(col("u")).persistScoped()
     var dist = edges.select(col("u").as("id"))
@@ -356,7 +364,7 @@ object Graph {
         .unionAll(dist)
         .groupBy(col("id")).agg(min(col("d")).as("d"))
     }
-    dist.select(col("id"), col("d"))
+    (edges, dist.select(col("id"), col("d")))
   }
 
   /** BFS replay CTE prefix (rounds unrolled as a chain — the
@@ -397,8 +405,9 @@ object Graph {
     * |hops|-sized partial+final fold plus a distinct-vertex left
     * join; the oracle shares [[BfsCtes]] verbatim. */
   def bfsReach(spark: SparkSession, dir: String): DataFrame = {
-    val verts = purchaseEdges(spark, dir).select(col("u").as("id")).distinct()
-    verts.join(graphBfs(spark, dir), Seq("id"), "left")
+    val (edges, dist) = bfsParts(spark, dir)
+    edges.select(col("u").as("id")).distinct()
+      .join(dist, Seq("id"), "left")
       .groupBy(coalesce(col("d"), lit(-1L)).as("d"))
       .agg(count(lit(1)).as("n_nodes"))
   }

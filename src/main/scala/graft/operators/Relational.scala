@@ -2750,6 +2750,65 @@ object Relational {
       .withColumn("slope_per_day", col("slope_qpd") / lit(1000000.0))
   }
 
+  /** Theil–Sen slope of the trailing-year daily revenue — the ROBUST
+    * trend companion to [[linregTrend]]'s OLS (one Black-Friday spike
+    * drags a least-squares slope; the median of pairwise slopes
+    * shrugs it off — the estimator has a 29% breakdown point): every
+    * ordered day pair contributes ((c₂−c₁)·2²⁰) div (d₂−d₁) on the
+    * lattice (truncating division — negative slopes follow the
+    * pca_power trunc-toward-zero rule), and the reported slope is the
+    * nearest-rank median under the (slope_q, d1, d2) total order.
+    * Scale shape: the fact table folds to |days| rows FIRST
+    * (partial+final), the trailing-365 cut bounds the pair grid at
+    * ≤ 66k rows regardless of corpus size (the one legitimate tiny
+    * non-equi join — vocab_overlap's class), and the single-partition
+    * rank window orders metadata, never data (fold-below-window). */
+  def theilsenTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(expr("datediff(to_date(o_orderdate), date'1970-01-01')")
+        .cast("long").as("d"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("d")).agg(sum(col("cents")).as("c"))
+    val mx = daily.agg(max(col("d")).as("mxd"))
+    val recent = ScalarJoin.attachScalar(daily, col("d"), mx, col("mxd"))
+      .filter(col("d") > col("mxd") - 365L)
+      .select(col("d"), col("c"))
+      .persistScoped()
+    val pairs = recent.as("a").join(recent.as("b"), col("a.d") < col("b.d"))
+      .select(col("a.d").as("d1"), col("b.d").as("d2"),
+        expr("((b.c - a.c) * cast(1048576 as bigint)) div (b.d - a.d)").as("slope_q"))
+    val w = Window.orderBy(col("slope_q").asc, col("d1").asc, col("d2").asc)
+    val ranked = pairs.withColumn("rn", row_number().over(w).cast("long"))
+      .persistScoped()
+    val np = ranked.agg(count(lit(1)).as("n_pairs"))
+    val med = ScalarJoin.attachScalar(ranked, col("rn"), np, col("n_pairs"))
+      .filter(col("rn") === expr("(n_pairs - 1) div 2 + 1"))
+      .select(col("n_pairs"), col("slope_q").as("slope_med_q"))
+    val nd = recent.agg(count(lit(1)).as("n_days"))
+    ScalarJoin.attachScalar(med, col("n_pairs"), nd, col("n_days"))
+      .select(col("n_days"), col("n_pairs"), col("slope_med_q"))
+  }
+
+  private def theilsenTrendSql: String =
+    """WITH daily AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+      |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |mx AS (SELECT max(d) AS mxd FROM daily),
+      |recent AS (SELECT d, c FROM daily, mx WHERE d > mxd - 365),
+      |pairs AS (SELECT a.d AS d1, b.d AS d2,
+      |                 ((b.c - a.c) * 1048576) // (b.d - a.d) AS slope_q
+      |          FROM recent a JOIN recent b ON a.d < b.d),
+      |r AS (SELECT slope_q,
+      |        row_number() OVER (ORDER BY slope_q ASC, d1 ASC, d2 ASC) AS rn
+      |      FROM pairs),
+      |n AS (SELECT count(*) AS n_pairs FROM r),
+      |nd AS (SELECT count(*) AS n_days FROM recent)
+      |SELECT CAST(nd.n_days AS BIGINT) AS n_days,
+      |  CAST(n.n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(r.slope_q AS BIGINT) AS slope_med_q
+      |FROM r, n, nd WHERE r.rn = (n.n_pairs - 1) // 2 + 1""".stripMargin
+
   /** Simpson concentration index of each user's event-type mix —
     * the log-free diversity metric (probability two random events
     * share a type, Σcᵢ²/n²): corpus/source-diversity reports use
@@ -3493,6 +3552,46 @@ object Relational {
       |  CAST(sum(CASE WHEN year(o_orderdate) >= 1995 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_prio,
       |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM orders GROUP BY 1""".stripMargin
+
+  /** JSON-lines round trip — the interchange format the parquet
+    * fixtures don't cover (landing zones, event buses, and vendor
+    * drops still speak JSONL): events serialize to JSON text and
+    * re-read under an EXPLICIT schema (inference would double-scan —
+    * and at 100 TB, schema-on-read without a contract is an outage),
+    * then the gated rollup proves value fidelity through the text
+    * encoding — doubles survive because the writer emits
+    * shortest-round-trip literals, and timestamps ride as epoch
+    * micros (BIGINT) precisely because JSON timestamp FORMATS are
+    * where micros silently truncate; encoding the contract in the
+    * schema is the documented choice, not an accident. Scale shape:
+    * write and read are narrow per-partition codec passes; the
+    * report is one partial+final fold. */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.TempDirs.scratch("jsonl", dir)
+    val tbl = s"$out/events_jsonl"
+    val done = new java.io.File(s"$out/_staged")
+    if (!done.exists) {
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), expr("unix_micros(ts)").as("ts_us"))
+        .write.mode("overwrite").json(tbl)
+      done.createNewFile()
+    }
+    spark.read
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
+      .json(tbl)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(value * 1000000) as bigint)")).as("sum_vq"),
+        min(col("ts_us")).as("min_us"), max(col("ts_us")).as("max_us"))
+  }
+
+  private def jsonlRoundtripSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_vq,
+      |  CAST(min(epoch_us(ts)) AS BIGINT) AS min_us,
+      |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
+      |FROM events GROUP BY 1""".stripMargin
 
   /** Corrupt-file-tolerant scan — the ops-robustness half of the
     * malformed-RECORD quarantine (`csv_quarantine` handles bad rows;
@@ -5106,6 +5205,8 @@ object Relational {
     "bloom_probe"      -> bloomProbe,
     "join_dpp"         -> joinDpp,
     "schema_evolution" -> schemaEvolution,
+    "theilsen_trend"   -> theilsenTrend,
+    "jsonl_roundtrip"  -> jsonlRoundtrip,
     "agg_incremental"  -> aggIncremental,
     "resample_hourly"  -> resampleHourly,
     "anomaly_zscore"   -> anomalyZscore,
@@ -6341,6 +6442,8 @@ object Relational {
     "bloom_probe" -> bloomProbeSql,
     "join_dpp" -> joinDppSql,
     "schema_evolution" -> schemaEvolutionSql,
+    "theilsen_trend" -> theilsenTrendSql,
+    "jsonl_roundtrip" -> jsonlRoundtripSql,
     "join_runtime_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,

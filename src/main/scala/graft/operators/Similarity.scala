@@ -102,6 +102,90 @@ object Similarity {
        |SELECT qid, qlabel AS label, CAST(rnk AS BIGINT) AS rnk, nid, round(cos, 4) AS cos
        |FROM r WHERE rnk <= $K""".stripMargin
 
+  /** HARD-NEGATIVE mining — the other half of contrastive training
+    * data next to [[annFiltered]]'s positives: per query, the exact
+    * cosine top-[[K]] among vectors of a DIFFERENT label — the
+    * near-miss impostors a metric-learning loss needs (random
+    * negatives are trivially far; the informative ones sit just
+    * across the class boundary). Same |Q|-broadcast orientation as
+    * [[annTopkBrute]]; the label inequality leaves no equi-key, so
+    * the probe is the allowlisted tiny-broadcast BNLJ class. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("label").cast("long").as("qlabel"),
+        col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+      col("embedding").as("ne"))
+    val scored = c.join(broadcast(q),
+        col("qid") =!= col("nid") && col("nlabel") =!= col("qlabel"))
+      .withColumn("cos", cosine_sim(col("qe"), col("ne")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("qid"), col("qlabel").as("label"), col("rnk"), col("nid"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  private def hardNegativesSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(label AS BIGINT) AS qlabel,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+       |           FROM embeddings WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS nid, label AS nlabel,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ne
+       |      FROM embeddings),
+       |s AS (SELECT qid, qlabel, nid, list_cosine_similarity(qe, ne) AS cos
+       |      FROM q, c WHERE qid <> nid AND nlabel <> qlabel),
+       |r AS (SELECT qid, qlabel, nid, cos,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+       |      FROM s)
+       |SELECT qid, qlabel AS label, CAST(rnk AS BIGINT) AS rnk, nid, round(cos, 4) AS cos
+       |FROM r WHERE rnk <= $K""".stripMargin
+
+  /** Mean-centering audit of the embedding corpus — the anisotropy
+    * fix applied BEFORE [[pcaPower]]/whitening in most embedding
+    * pipelines (a large common-mean component makes every cosine
+    * look alike; centering removes it): per-dimension lattice means
+    * (Σq_d div n — 64 driver-metadata longs, the pca_project
+    * precedent) embed as literals, and every vector reports its
+    * exact integral norm² before and after centering — the
+    * corpus-level gap between the two IS the mean component's mass.
+    * Scale shape: one 64-row partial+final fold for the means, then
+    * a scan-resident narrow map; no joins, no keyed exchange in the
+    * transform. */
+  def embedCenter(spark: SparkSession, dir: String): DataFrame = {
+    val means: Array[Long] = Tables.embeddings(spark, dir)
+      .select(posexplode(latArrCol(col("embedding"))))
+      .groupBy(col("pos")).agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1) / r.getLong(2)))
+      .sortBy(_._1).map(_._2)
+    val raw = (0 until Dim)
+      .map(i => element_at(col("q"), i + 1) * element_at(col("q"), i + 1))
+      .reduce(_ + _)
+    val centered = (0 until Dim)
+      .map { i =>
+        val dlt = element_at(col("q"), i + 1) - lit(means(i))
+        dlt * dlt
+      }
+      .reduce(_ + _)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), latArrCol(col("embedding")).as("q"))
+      .select(col("vec_id"), raw.as("norm2_raw"), centered.as("norm2_centered"))
+  }
+
+  private def embedCenterSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT)) AS q
+       |           FROM embeddings),
+       |m AS (SELECT t.i AS i,
+       |        CAST(CAST(sum(q[t.i]) AS HUGEINT) // count(*) AS BIGINT) AS mq
+       |      FROM e CROSS JOIN range(1, ${Dim + 1}) t(i) GROUP BY 1)
+       |SELECT e.vec_id,
+       |  CAST(sum(q[m.i] * q[m.i]) AS BIGINT) AS norm2_raw,
+       |  CAST(sum((q[m.i] - m.mq) * (q[m.i] - m.mq)) AS BIGINT) AS norm2_centered
+       |FROM e CROSS JOIN m GROUP BY e.vec_id""".stripMargin
+
   /** Exact max-inner-product top-k (MIPS) — the retrieval objective
     * recommendation/retrieval towers actually rank by (un-normalized
     * dot, not cosine: magnitude is signal). Both sides quantize to
@@ -1710,6 +1794,8 @@ object Similarity {
     "ann_index_add" -> annIndexAdd,
     "ann_topk" -> annTopkBrute,
     "ann_filtered" -> annFiltered,
+    "hard_negatives" -> hardNegatives,
+    "embed_center" -> embedCenter,
     "mips_topk" -> mipsTopk,
     "pq_distortion" -> pqDistortion,
     "ann_lsh"  -> annLsh,
@@ -2059,6 +2145,8 @@ object Similarity {
         |FROM s""".stripMargin,
     "ann_topk" -> annTopkSql,
     "ann_filtered" -> annFilteredSql,
+    "hard_negatives" -> hardNegativesSql,
+    "embed_center" -> embedCenterSql,
     // IVF is fully SQL-expressible because every piece is
     // deterministic: DuckDB replays seed-centroid selection, the
     // quantized-integer Lloyd mean update (floor onto the 2^-20

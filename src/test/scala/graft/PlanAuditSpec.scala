@@ -37,8 +37,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // knn_margin broadcasts the same 10-row probe set (lattice-L2
     // rank-2 variant of the ann_topk shape); vocab_overlap's BNLJ is
     // the |sources|² pair grid built from the ~20-row size table
+    // hard_negatives: label INEQUALITY leaves no equi-key — same
+    // 10-row broadcast probe class as ann_topk; theilsen_trend: the
+    // pair grid is a non-equi join of a ≤365-row folded relation
     val allowedBnlj = Set("ann_topk", "mips_topk", "rank_fusion", "ann_recall",
-      "knn_margin", "vocab_overlap")
+      "knn_margin", "vocab_overlap", "hard_negatives", "theilsen_trend")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -1436,6 +1439,24 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("ktruss")
     assert(p.contains("InMemoryTableScan"),
       "ktruss's triple joins must read the persisted round edges, not re-derive the pair graph")
+  }
+
+  test("batch-J shapes: embed_center narrow map, hard_negatives rank-limit, theilsen fold-below-window") {
+    val ec = plan("embed_center")
+    assert(!ec.contains("Exchange hashpartitioning") &&
+      !ec.contains("Exchange rangepartitioning"),
+      "embed_center's transform must be scan-resident (means ride as literals)")
+    assert(!ec.contains("Join"), "embed_center must not join")
+    val hn = plan("hard_negatives")
+    assert(hn.contains("WindowGroupLimit"), "hard_negatives must push the rank limit")
+    val ts = plan("theilsen_trend")
+    assert(ts.contains("InMemoryTableScan"),
+      "theilsen_trend's pair grid must read the persisted daily fold")
+    assert(ts.contains("partial_"), "the daily fold must combine map-side")
+    val jr = plan("jsonl_roundtrip")
+    assert(jr.contains("partial_"), "jsonl_roundtrip's rollup must combine map-side")
+    assert(jr.contains("Scan json") || jr.contains("FileScan json"),
+      "jsonl_roundtrip must actually read the JSON source")
   }
 
   test("AQE splits a planted skewed join partition at runtime") {

@@ -2497,6 +2497,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("theilsen_trend / hard_negatives / embed_center / jsonl_roundtrip: contracts execute") {
+    val sf = "/root/testdata/sf0.001"
+    // theilsen: the pair count is exactly the trailing-year day grid
+    val ts = Relational.theilsenTrend(spark, sf).collect().head
+    val (nDays, nPairs) = (ts.getLong(0), ts.getLong(1))
+    assert(nPairs === nDays * (nDays - 1) / 2, "pair grid must cover every ordered day pair")
+    assert(nDays <= 365L, "the trailing-year cut must bound the fold")
+    // hard negatives: every neighbor is a DIFFERENT label than its query
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "cast(label as long) as l").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hn = Similarity.hardNegatives(spark, sf).collect()
+    assert(hn.nonEmpty)
+    hn.foreach { r =>
+      assert(labels(r.getLong(3)) !== r.getLong(1),
+        s"neighbor ${r.getLong(3)} shares the label of query ${r.getLong(0)} — not a negative")
+    }
+    // embed_center: truncated means can only REMOVE energy in total
+    val ecRows = Similarity.embedCenter(spark, sf).collect()
+    val rawSum = ecRows.map(r => BigInt(r.getLong(1))).sum
+    val cenSum = ecRows.map(r => BigInt(r.getLong(2))).sum
+    assert(cenSum <= rawSum, "centering must not increase total second moment")
+    // jsonl: the re-read covers every event exactly once
+    val jr = Relational.jsonlRoundtrip(spark, sf).collect()
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(jr.map(_.getLong(1)).sum === nEvents, "JSONL round trip lost or duplicated rows")
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
