@@ -667,8 +667,43 @@ object Multimodal {
       .toDF("doc_id", "n_edge_px", "n_interior_px", "edge_share_q")
   }
 
+  /** Hamming cut threshold for [[sceneCuts]]: ≥ 9 of 16 frame bits
+    * flipped between consecutive frames counts as a scene change. */
+  private[operators] val CutT = 9L
+
+  /** Scene-cut detection over the sampled frame stream — the shot
+    * segmentation a video-curation pipeline runs before per-scene
+    * dedup/captioning ([[frameDedup]] finds SHARED content; this
+    * finds temporal BOUNDARIES): consecutive 2-byte frames compare
+    * by 16-bit Hamming distance, a flip of ≥ [[CutT]] bits is a cut,
+    * and each clip reports its frame count, cut count, and the
+    * maximum inter-frame distance (the hardest cut). All integer
+    * (xor + popcount), replayed from the md5 hex in SQL, and the
+    * whole feature folds INSIDE the per-partition decode loop — one
+    * row per clip leaves, no keyed exchange. */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val frames = bytes.grouped(2)
+          .map(ch => ((ch(0) & 0xFF) << 8) | (ch(1) & 0xFF)).toArray
+        var cuts = 0L; var maxH = 0L; var i = 1
+        while (i < frames.length) {
+          val h = java.lang.Integer.bitCount(frames(i - 1) ^ frames(i)).toLong
+          if (h >= CutT) cuts += 1L
+          if (h > maxH) maxH = h
+          i += 1
+        }
+        (id, frames.length.toLong, cuts, maxH)
+      })
+      .toDF("doc_id", "n_frames", "n_cuts", "max_hamming")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta"     -> multimodalMeta,
+    "scene_cuts"          -> sceneCuts,
     "audio_zcr"           -> audioZcr,
     "image_dominant_color" -> imageDominantColor,
     "image_edge_density"  -> imageEdgeDensity,
@@ -845,6 +880,23 @@ object Multimodal {
         |  CAST(sum(smp * smp) AS BIGINT) AS energy,
         |  CAST(max(abs(smp)) AS BIGINT) AS peak_abs
         |FROM s GROUP BY doc_id, si // 4""".stripMargin,
+    // 8 2-byte frames from the md5 hex; cut = popcount(xor) >= CutT
+    // between consecutive frames
+    "scene_cuts" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, i,
+         |    CAST('0x' || substr(md5(text), i*4 + 1, 4) AS INTEGER) AS v
+         |  FROM documents, generate_series(0, 7) AS t(i)),
+         |p AS (SELECT doc_id, v,
+         |        lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+         |      FROM f)
+         |SELECT doc_id, count(*) AS n_frames,
+         |  CAST(sum(CASE WHEN prev IS NOT NULL
+         |                 AND bit_count(xor(CAST(prev AS BIGINT), CAST(v AS BIGINT))) >= $CutT
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+         |  CAST(coalesce(max(CASE WHEN prev IS NOT NULL
+         |         THEN bit_count(xor(CAST(prev AS BIGINT), CAST(v AS BIGINT))) END), 0) AS BIGINT) AS max_hamming
+         |FROM p GROUP BY doc_id""".stripMargin,
     // sample derivation shared verbatim with audio_energy's s CTE;
     // a crossing is a strictly negative lag product (zeros break
     // runs without counting), rate on the 2^20 lattice over pairs

@@ -2809,6 +2809,86 @@ object Relational {
       |  CAST(r.slope_q AS BIGINT) AS slope_med_q
       |FROM r, n, nd WHERE r.rn = (n.n_pairs - 1) // 2 + 1""".stripMargin
 
+  private val KAnon = 5L
+
+  /** k-anonymity / l-diversity audit — the re-identification screen a
+    * data-governance review runs before a table leaves its boundary:
+    * rows group by their QUASI-IDENTIFIER combination (market segment
+    * × nation — the attributes an adversary can link from outside),
+    * and any group smaller than k = [[KAnon]] is a re-identification
+    * risk (its members are "hiding in a crowd" of fewer than k).
+    * l_distinct counts distinct sensitive-attribute values (account
+    * balance on a coarse 1000-unit cent-lattice bucket) per group —
+    * k-anonymous but l=1 still leaks the sensitive value outright
+    * (the homogeneity attack l-diversity exists to catch). Exact
+    * integer arithmetic throughout; one partial+final fold with an
+    * exact distinct — O(|segments|·|nations|) output at any scale. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("long").as("nation"),
+        expr("floor(c_acctbal * 100 + 0.5) div 100000").as("bal_bucket"))
+      .groupBy(col("segment"), col("nation"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("bal_bucket")).as("l_distinct"))
+      .select(col("segment"), col("nation"), col("n"), col("l_distinct"),
+        (col("n") < KAnon).cast("long").as("risky"))
+
+  private def kAnonymitySql: String =
+    s"""SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nation,
+       |  count(*) AS n,
+       |  CAST(count(DISTINCT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 100000) AS BIGINT) AS l_distinct,
+       |  CAST(CASE WHEN count(*) < $KAnon THEN 1 ELSE 0 END AS BIGINT) AS risky
+       |FROM customer GROUP BY 1, 2""".stripMargin
+
+  /** Quantile normalization of per-source document lengths — the
+    * cross-source calibration (bioinformatics' microarray classic,
+    * here the "source A's 90th-percentile doc should count like
+    * source B's 90th-percentile doc" step of corpus mixing): each
+    * document's WITHIN-SOURCE rank r of n_s maps to the corpus value
+    * at rank (r·N) div n_s under the same (len, doc_id) total order,
+    * so every source's length distribution lands on the corpus's.
+    * Exact ranks only — the within-source rank is a keyed window,
+    * and the corpus-wide rank comes from the distributed
+    * sort + zipWithIndex primitive (the globalBand rule: exact
+    * global ranks never use a single-partition window). Scale shape:
+    * one persisted narrow fold, one keyed window, one distributed
+    * sort, one rank-key join. */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{length => flength}
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        flength(col("text")).cast("long").as("len"))
+      .persistScoped()
+    val n = docs.count()
+    val corpusRank = docs.orderBy(col("len").asc, col("doc_id").asc)
+      .select(col("doc_id"), col("len")).as[(Long, Long)]
+      .rdd.zipWithIndex()
+      .map { case ((_, len), idx) => (idx + 1L, len) }
+      .toDF("rt", "norm_len")
+    val ws = Window.partitionBy(col("source"))
+      .orderBy(col("len").asc, col("doc_id").asc)
+    docs
+      .withColumn("r", row_number().over(ws).cast("long"))
+      .withColumn("n_s", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("rt", expr(s"(r * cast($n as bigint)) div n_s"))
+      .join(corpusRank, "rt")
+      .select(col("doc_id"), col("source"), col("len"), col("norm_len"))
+  }
+
+  private def quantileNormalizeSql: String =
+    """WITH d AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len FROM documents),
+      |n AS (SELECT count(*) AS nn FROM d),
+      |cr AS (SELECT row_number() OVER (ORDER BY len ASC, doc_id ASC) AS rt, len AS norm_len FROM d),
+      |s AS (SELECT doc_id, source, len,
+      |        row_number() OVER (PARTITION BY source ORDER BY len ASC, doc_id ASC) AS r,
+      |        count(*) OVER (PARTITION BY source) AS n_s
+      |      FROM d)
+      |SELECT s.doc_id, s.source, s.len, cr.norm_len
+      |FROM s, n JOIN cr ON cr.rt = (s.r * n.nn) // s.n_s""".stripMargin
+
   /** Simpson concentration index of each user's event-type mix —
     * the log-free diversity metric (probability two random events
     * share a type, Σcᵢ²/n²): corpus/source-diversity reports use
@@ -5206,6 +5286,8 @@ object Relational {
     "join_dpp"         -> joinDpp,
     "schema_evolution" -> schemaEvolution,
     "theilsen_trend"   -> theilsenTrend,
+    "k_anonymity"      -> kAnonymity,
+    "quantile_normalize" -> quantileNormalize,
     "jsonl_roundtrip"  -> jsonlRoundtrip,
     "agg_incremental"  -> aggIncremental,
     "resample_hourly"  -> resampleHourly,
@@ -6443,6 +6525,8 @@ object Relational {
     "join_dpp" -> joinDppSql,
     "schema_evolution" -> schemaEvolutionSql,
     "theilsen_trend" -> theilsenTrendSql,
+    "k_anonymity" -> kAnonymitySql,
+    "quantile_normalize" -> quantileNormalizeSql,
     "jsonl_roundtrip" -> jsonlRoundtripSql,
     "join_runtime_filter" ->
       """SELECT l_returnflag,

@@ -1353,7 +1353,7 @@ class PlanAuditSpec extends AnyFunSuite {
   test("audio_zcr / image_dominant_color: features fold inside the partition — no keyed exchange") {
     // the image_histogram rule: codec + per-clip fold are partition-
     // resident; only (doc_id, a few longs) ever leave the scan
-    Seq("audio_zcr", "image_dominant_color", "image_edge_density").foreach { name =>
+    Seq("audio_zcr", "image_dominant_color", "image_edge_density", "scene_cuts").foreach { name =>
       val p = plan(name)
       assert(!p.contains("Exchange hashpartitioning") &&
         !p.contains("Exchange rangepartitioning"),
@@ -1457,6 +1457,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(jr.contains("partial_"), "jsonl_roundtrip's rollup must combine map-side")
     assert(jr.contains("Scan json") || jr.contains("FileScan json"),
       "jsonl_roundtrip must actually read the JSON source")
+  }
+
+  test("k_anonymity / quantile_normalize: partial folds; exact ranks avoid single-partition windows") {
+    val ka = plan("k_anonymity")
+    assert(ka.contains("partial_"), "k_anonymity must combine map-side")
+    val qn = plan("quantile_normalize")
+    // the corpus-wide rank rides the sort+zipWithIndex RDD (its range
+    // exchange lives in the RDD lineage, surfacing here as an
+    // ExistingRDD scan); what must NOT appear is a single-partition
+    // global window over the corpus
+    assert(!qn.contains("Exchange SinglePartition"),
+      "quantile_normalize's corpus rank must use the distributed sort, not a global window")
+    assert(qn.contains("Scan[obj") || qn.contains("ExistingRDD"),
+      "the exact global rank must come from the zipWithIndex primitive")
   }
 
   test("AQE splits a planted skewed join partition at runtime") {

@@ -2526,6 +2526,47 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("k_anonymity / quantile_normalize / scene_cuts: contracts execute") {
+    val sf = "/root/testdata/sf0.001"
+    // k_anonymity: groups partition the customer table; flags honest
+    val ka = Relational.kAnonymity(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(ka.map(_._1).sum === nCust, "QI groups must partition the table")
+    ka.foreach { case (n, l, risky) =>
+      assert(risky === (if (n < 5L) 1L else 0L))
+      assert(l >= 1L && l <= n)
+    }
+    // quantile_normalize: every doc mapped once; within a source the
+    // map is monotone in the length rank; values come from the corpus
+    val qn = Relational.quantileNormalize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val nd = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(qn.length.toLong === nd, "every document must map exactly once")
+    val lens = qn.map(_._3)
+    qn.foreach(r => assert(r._4 >= lens.min && r._4 <= lens.max))
+    qn.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1)).map(_._4)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a <= b, "rank map must be monotone within a source")
+        case _ =>
+      }
+    }
+    // scene_cuts: replay the 16-bit hamming rule from the md5 payload
+    val sc = Multimodal.sceneCuts(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "md5(cast(text as binary)) as h").collect()
+    assert(sc.size === docs.length)
+    docs.foreach { r =>
+      val fr = r.getString(1).grouped(4).map(Integer.parseInt(_, 16)).toArray
+      val hs = (1 until fr.length).map(i => java.lang.Integer.bitCount(fr(i - 1) ^ fr(i)).toLong)
+      val (nf, cuts, mx) = sc(r.getLong(0))
+      assert(nf === 8L && cuts === hs.count(_ >= 9L).toLong && mx === hs.max)
+    }
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
