@@ -3673,6 +3673,109 @@ object Relational {
       |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
       |FROM events GROUP BY 1""".stripMargin
 
+  /** ORC round trip — the third columnar format beside parquet (the
+    * fixtures) and the JSONL text path: events write as ORC and
+    * re-read with a pushed-down predicate, proving the engine's
+    * format surface isn't parquet-shaped by accident (ORC has its
+    * own reader, predicate-pushdown path, and vectorization — at
+    * 100 TB, a lakehouse inherits whatever formats its producers
+    * emit). The gated rollup proves value fidelity through the
+    * encode/decode; PlanAuditSpec asserts the filter reaches the ORC
+    * scan as a search argument, not a post-scan filter. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.TempDirs.scratch("orc", dir)
+    val tbl = s"$out/events_orc"
+    val done = new java.io.File(s"$out/_staged")
+    if (!done.exists) {
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), expr("unix_micros(ts)").as("ts_us"))
+        .write.mode("overwrite").orc(tbl)
+      done.createNewFile()
+    }
+    spark.read.orc(tbl)
+      .filter(col("event_type") =!= "view")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(value * 1000000) as bigint)")).as("sum_vq"),
+        min(col("ts_us")).as("min_us"), max(col("ts_us")).as("max_us"))
+  }
+
+  private def orcRoundtripSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_vq,
+      |  CAST(min(epoch_us(ts)) AS BIGINT) AS min_us,
+      |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
+      |FROM events WHERE event_type <> 'view' GROUP BY 1""".stripMargin
+
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Observed scan — Spark's `Dataset.observe` metrics API as a gated
+    * operator: production pipelines attach row-count / checksum
+    * observations to their writes and alert when a deploy changes
+    * them, WITHOUT running a second aggregation pass over the data —
+    * the metrics accumulate inside the existing scan's tasks. Here
+    * the observation rides a noop-format write (the action that
+    * materializes the metrics), and the registered row IS the
+    * observed values — so the gate proves the side-channel reports
+    * exactly what an explicit aggregate would (the oracle computes
+    * that aggregate). The observation name is counter-unique per
+    * call (re-registration of a live name is an error). */
+  def observedScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = new org.apache.spark.sql.Observation(
+      s"graft_obs_${obsCounter.incrementAndGet()}")
+    Tables.lineitem(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")).as("sum_cents"),
+        max(col("l_quantity").cast("long")).as("max_qty"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("sum_cents").asInstanceOf[Long],
+      m("max_qty").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_cents", "max_qty")
+  }
+
+  private def observedScanSql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+      |FROM lineitem""".stripMargin
+
+  /** Fano factor (index of dispersion, Var/Mean) of hourly event
+    * counts per type — the "is this arrival process Poisson-like,
+    * clumped, or regular" scalar next to [[burstDetect]]'s WHERE
+    * view: 2²⁰ ≈ Poisson, ≫ 2²⁰ = bursty/overdispersed, ≪ 2²⁰ =
+    * rate-limited/regular. Kept exact with no floats: over the
+    * hourly-count series c₁..cₙ, fano_q = ((n·Σc² − (Σc)²)·2²⁰) div
+    * (n·Σc) — the variance inequality cleared of denominators (the
+    * bollinger rule), DECIMAL(38) intermediates since Σc² passes
+    * int64 at warehouse scale. Scale shape: fold to (type, hour)
+    * counts first (partial+final), then a |types|-row second fold —
+    * fold-below everything. */
+  def fanoFactor(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("c")).as("s1"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("s2"))
+      .select(col("event_type"), col("n_hours"), col("s1"),
+        expr("cast(((n_hours * s2 - cast(s1 as decimal(38,0)) * s1) * 1048576) div (n_hours * cast(s1 as decimal(38,0))) as bigint)")
+          .as("fano_q"))
+
+  private def fanoFactorSql: String =
+    """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour, count(*) AS c
+      |           FROM events GROUP BY 1, 2)
+      |SELECT event_type, count(*) AS n_hours,
+      |  CAST(sum(c) AS BIGINT) AS s1,
+      |  CAST(((count(*) * sum(CAST(c AS HUGEINT) * c) - CAST(sum(c) AS HUGEINT) * sum(c)) * 1048576)
+      |       // (count(*) * CAST(sum(c) AS HUGEINT)) AS BIGINT) AS fano_q
+      |FROM h GROUP BY 1""".stripMargin
+
   /** Corrupt-file-tolerant scan — the ops-robustness half of the
     * malformed-RECORD quarantine (`csv_quarantine` handles bad rows;
     * this handles bad FILES): a landing directory holding valid
@@ -5289,6 +5392,9 @@ object Relational {
     "k_anonymity"      -> kAnonymity,
     "quantile_normalize" -> quantileNormalize,
     "jsonl_roundtrip"  -> jsonlRoundtrip,
+    "orc_roundtrip"    -> orcRoundtrip,
+    "observed_scan"    -> observedScan,
+    "fano_factor"      -> fanoFactor,
     "agg_incremental"  -> aggIncremental,
     "resample_hourly"  -> resampleHourly,
     "anomaly_zscore"   -> anomalyZscore,
@@ -6528,6 +6634,9 @@ object Relational {
     "k_anonymity" -> kAnonymitySql,
     "quantile_normalize" -> quantileNormalizeSql,
     "jsonl_roundtrip" -> jsonlRoundtripSql,
+    "orc_roundtrip" -> orcRoundtripSql,
+    "observed_scan" -> observedScanSql,
+    "fano_factor" -> fanoFactorSql,
     "join_runtime_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,

@@ -1473,6 +1473,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "the exact global rank must come from the zipWithIndex primitive")
   }
 
+  test("orc_roundtrip: the predicate reaches the ORC scan; observed_scan is driver metadata") {
+    val oc = plan("orc_roundtrip")
+    assert(oc.contains("Scan orc") || oc.contains("FileScan orc"),
+      "orc_roundtrip must actually read ORC")
+    assert(oc.contains("PushedFilters: [IsNotNull(event_type), Not(EqualTo(event_type,view))]") ||
+      oc.contains("Not(EqualTo(event_type,view))"),
+      s"the filter must push into the ORC reader:\n${oc.linesIterator.take(20).mkString("\n")}")
+    val os = plan("observed_scan")
+    assert(os.contains("LocalTableScan"),
+      "observed_scan's registered row is the observation — driver metadata, no re-scan")
+    val ff = plan("fano_factor")
+    assert(ff.contains("partial_"), "fano_factor's hourly fold must combine map-side")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

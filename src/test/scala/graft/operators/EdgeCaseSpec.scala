@@ -2567,6 +2567,34 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("orc_roundtrip / observed_scan / fano_factor: contracts execute") {
+    val sf = "/root/testdata/sf0.001"
+    // orc: the filtered round trip covers exactly the non-view events
+    val oc = Relational.orcRoundtrip(spark, sf).collect()
+    val expected = spark.read.parquet(s"$sf/events.parquet")
+      .filter("event_type <> 'view'").count()
+    assert(oc.map(_.getLong(1)).sum === expected, "ORC round trip lost or duplicated rows")
+    // observed_scan: the metric side-channel equals the explicit aggregate
+    val os = Relational.observedScan(spark, sf).collect().head
+    val direct = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("count(1) as n", "sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)) as s",
+        "max(cast(l_quantity as bigint)) as m").collect().head
+    assert(os.getLong(0) === direct.getLong(0) && os.getLong(1) === direct.getLong(1) &&
+      os.getLong(2) === direct.getLong(2), "observation diverged from the explicit aggregate")
+    // fano: per type, s1 must equal that type's event count; the
+    // dispersion index is non-negative by Cauchy-Schwarz
+    val ff = Relational.fanoFactor(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val perType = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    ff.foreach { case (t, s1, fano) =>
+      assert(s1 === perType(t), s"type $t: hourly counts must sum to the event count")
+      assert(fano >= 0L)
+    }
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
