@@ -575,6 +575,48 @@ object Multimodal {
       .toDF("doc_id", "n_samples", "n_nonzero", "n_zc", "zcr_q")
   }
 
+  /** Walsh–Hadamard sequency spectrum per clip — the exact-integer
+    * spectral feature (the DFT's twiddles are irrational; the WHT's
+    * are all ±1, so every coefficient X_k = Σₙ (−1)^popcount(k∧n)·xₙ
+    * is a BIGINT both engines reproduce bit-for-bit): over the
+    * 8-sample stub clip, the DC coefficient, the dominant non-DC
+    * sequency (argmax |X_k|, ties → smallest k), its magnitude, and
+    * the spectral energy ΣX_k². Parseval pins the transform against
+    * [[audioEnergy]]: ΣX_k² = 8·Σxₙ² — an EXECUTED EdgeCaseSpec
+    * invariant, not prose. |X_k| ≤ 8·2¹⁵ → ΣX_k² ≤ 2³⁹, long-safe.
+    * Scale shape: decode + transform + fold all inside the
+    * partition (the audio_zcr rule) — one 5-long row per clip
+    * leaves the scan; no shuffle at all. */
+  def audioWht(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(audioDecodeStub)
+      .map { case (id, samples) =>
+        val n = samples.length // 8 for the 16-byte md5 payload
+        val coefs = Array.tabulate(n) { k =>
+          var acc = 0L; var i = 0
+          while (i < n) {
+            val s = samples(i).toLong
+            acc += (if (Integer.bitCount(k & i) % 2 == 0) s else -s)
+            i += 1
+          }
+          acc
+        }
+        var domK = if (n > 1) 1 else 0; var k = 2
+        while (k < n) {
+          if (math.abs(coefs(k)) > math.abs(coefs(domK))) domK = k
+          k += 1
+        }
+        val specE = coefs.map(c => c * c).sum
+        val (dc, domAbs) =
+          if (n == 0) (0L, 0L) else (coefs(0), math.abs(coefs(domK)))
+        (id, dc, domK.toLong, domAbs, specE)
+      }
+      .toDF("doc_id", "dc", "dom_seq", "dom_abs", "spec_energy")
+  }
+
   /** Dominant color per REAL decoded PNG — the palette screen an
     * image-curation pipeline runs beside [[imageHistogram]]'s
     * exposure view (synthetic/solid-color/logo images concentrate
@@ -717,6 +759,7 @@ object Multimodal {
     "frame_dedup"         -> frameDedup,
     "audio_energy"        -> audioEnergy,
     "audio_vad"           -> audioVad,
+    "audio_wht"           -> audioWht,
     "image_histogram"     -> imageHistogram)
 
   /** aHash replay: sampled source coords are integer div, gray is
@@ -917,6 +960,33 @@ object Multimodal {
         |  CAST((CAST(sum(CASE WHEN prev IS NOT NULL AND prev * smp < 0 THEN 1 ELSE 0 END) AS BIGINT)
         |        * 1048576) // greatest(count(*) - 1, 1) AS BIGINT) AS zcr_q
         |FROM p GROUP BY doc_id""".stripMargin,
+    // sample CTE shared verbatim with audio_energy; X_k's sign is
+    // the parity of popcount(k AND n) — the Hadamard matrix in
+    // natural order, all arithmetic BIGINT
+    "audio_wht" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(i AS BIGINT) AS si,
+        |    CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS BIGINT) AS smp
+        |  FROM (SELECT doc_id,
+        |          CAST('0x' || substr(md5(text), i*4 + 1, 4) AS INTEGER) AS v, i
+        |        FROM documents, generate_series(0, 7) AS t(i)) x),
+        |co AS (SELECT doc_id, CAST(k AS BIGINT) AS k,
+        |         CAST(sum(CASE WHEN bit_count(CAST(k AS BIGINT) & si) % 2 = 0
+        |                       THEN smp ELSE -smp END) AS BIGINT) AS c
+        |       FROM s CROSS JOIN generate_series(0, 7) AS tk(k)
+        |       GROUP BY 1, 2),
+        |dom AS (SELECT doc_id, k, abs(c) AS a FROM (
+        |          SELECT doc_id, k, c,
+        |            row_number() OVER (PARTITION BY doc_id ORDER BY abs(c) DESC, k ASC) AS rk
+        |          FROM co WHERE k >= 1) t WHERE rk = 1)
+        |SELECT co.doc_id,
+        |  CAST(max(CASE WHEN co.k = 0 THEN co.c END) AS BIGINT) AS dc,
+        |  CAST(max(dom.k) AS BIGINT) AS dom_seq,
+        |  CAST(max(dom.a) AS BIGINT) AS dom_abs,
+        |  CAST(sum(co.c * co.c) AS BIGINT) AS spec_energy
+        |FROM co JOIN dom ON dom.doc_id = co.doc_id
+        |GROUP BY co.doc_id""".stripMargin,
     // gradient-formula luma at (x,y), (x+1,y), (x,y+1) — the oracle
     // never touches the codec; the engine side must decode back to
     // exactly these values

@@ -3776,6 +3776,74 @@ object Relational {
       |       // (count(*) * CAST(sum(c) AS HUGEINT)) AS BIGINT) AS fano_q
       |FROM h GROUP BY 1""".stripMargin
 
+  private[operators] val KtYearA = 1996
+  private[operators] val KtYearB = 1997
+
+  /** Kendall rank correlation of per-nation revenue between two
+    * years — "did the market's ORDER change, not just its levels":
+    * τ = (C − D)/(n(n−1)/2) over all nation pairs, on the 2²⁰
+    * lattice, pure integers end to end (no Pearson float sums).
+    * Ranks come from the TOTAL order (revenue desc, nation asc) so
+    * revenue ties cannot make the answer engine-dependent. Scale
+    * shape: ONE fact-side partial+final fold to (nation, year) cents
+    * — the fact table is scanned once, the folded relation persists
+    * and feeds both year slices from cache; the rank windows and the
+    * |nations|² pair grid sit on the ≤25-row folded relation (the
+    * forecast_backtest fold-below-window class; the pair join is the
+    * theilsen_trend non-equi-on-folded class). */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val folded = Tables.orders(spark, dir)
+      .filter(expr(s"year(cast(o_orderdate as date)) IN ($KtYearA, $KtYearB)"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), expr("year(cast(o_orderdate as date))").as("yr"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("rev"))
+      .persistScoped()
+    val a = folded.filter(col("yr") === KtYearA)
+      .select(col("n_name"), col("rev").as("rev_a"))
+    val b = folded.filter(col("yr") === KtYearB)
+      .select(col("n_name"), col("rev").as("rev_b"))
+    val j = a.join(b, "n_name")
+      .withColumn("ra", row_number()
+        .over(Window.orderBy(col("rev_a").desc, col("n_name").asc)).cast("long"))
+      .withColumn("rb", row_number()
+        .over(Window.orderBy(col("rev_b").desc, col("n_name").asc)).cast("long"))
+    j.as("x").join(broadcast(j.as("y")), col("x.n_name") < col("y.n_name"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when((col("x.ra") - col("y.ra")) * (col("x.rb") - col("y.rb")) > 0, 1L)
+          .otherwise(0L)).as("concordant"),
+        sum(when((col("x.ra") - col("y.ra")) * (col("x.rb") - col("y.rb")) < 0, 1L)
+          .otherwise(0L)).as("discordant"))
+      .withColumn("tau_q",
+        expr("((concordant - discordant) * cast(1048576 as bigint)) div greatest(n_pairs, 1)"))
+  }
+
+  private def kendallTauSql: String =
+    s"""WITH f AS (
+       |  SELECT n.n_name, year(CAST(o.o_orderdate AS DATE)) AS yr,
+       |    CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+       |  WHERE year(CAST(o.o_orderdate AS DATE)) IN ($KtYearA, $KtYearB)
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT a.n_name,
+       |    row_number() OVER (ORDER BY a.rev DESC, a.n_name ASC) AS ra,
+       |    row_number() OVER (ORDER BY b.rev DESC, a.n_name ASC) AS rb
+       |  FROM f a JOIN f b ON b.n_name = a.n_name AND b.yr = $KtYearB
+       |  WHERE a.yr = $KtYearA)
+       |SELECT count(*) AS n_pairs,
+       |  CAST(sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+       |  CAST(sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+       |  CAST(((sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0 THEN 1 ELSE 0 END)
+       |        - sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0 THEN 1 ELSE 0 END)) * 1048576)
+       |       // greatest(count(*), 1) AS BIGINT) AS tau_q
+       |FROM j x JOIN j y ON x.n_name < y.n_name""".stripMargin
+
   /** Corrupt-file-tolerant scan — the ops-robustness half of the
     * malformed-RECORD quarantine (`csv_quarantine` handles bad rows;
     * this handles bad FILES): a landing directory holding valid
@@ -5395,6 +5463,7 @@ object Relational {
     "orc_roundtrip"    -> orcRoundtrip,
     "observed_scan"    -> observedScan,
     "fano_factor"      -> fanoFactor,
+    "kendall_tau"      -> kendallTau,
     "agg_incremental"  -> aggIncremental,
     "resample_hourly"  -> resampleHourly,
     "anomaly_zscore"   -> anomalyZscore,
@@ -6637,6 +6706,7 @@ object Relational {
     "orc_roundtrip" -> orcRoundtripSql,
     "observed_scan" -> observedScanSql,
     "fano_factor" -> fanoFactorSql,
+    "kendall_tau" -> kendallTauSql,
     "join_runtime_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,

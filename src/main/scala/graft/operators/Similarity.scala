@@ -1719,6 +1719,190 @@ object Similarity {
        |SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id, d2
        |FROM r WHERE rnk <= $OutlierK""".stripMargin
 
+  private[operators] val NoiseK = 5
+
+  /** kNN label-noise screen (confident-learning lite) — the
+    * mislabeled-example detector a training-data pipeline runs
+    * before fitting anything: a vector whose [[NoiseK]]-nearest
+    * neighbors (exact lattice L2, candidates blocked by the shared
+    * IVF cell — the [[mutualKnn]] sub-quadratic shape) vote a
+    * MAJORITY label different from its own is flagged. Per label:
+    * member count, voted count (vectors with ≥1 in-cell neighbor —
+    * singleton-cell vectors cast no vote and are never flagged),
+    * flagged count, and the noise rate on the 2²⁰ lattice. Majority
+    * ties break to the smallest label (the [[cellLabelPurity]]
+    * convention); distances are BIGINT-exact (64·2⁴² ≤ 2⁴⁸).
+    * Scale shape: ONE cell-keyed pair join (never all-pairs), the
+    * k-cut rides WindowGroupLimit per src, then two metadata-scale
+    * folds; the (cell, q, label) relation persists once and feeds
+    * both join sides from cache. */
+  def labelNoise(spark: SparkSession, dir: String): DataFrame = {
+    val t = cellAssignments(spark, dir)
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          latArrCol(col("embedding")).as("q")), "vec_id")
+      .persistScoped()
+    val d = aggregate(zip_with(col("a.q"), col("b.q"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (a, x) => a + x)
+    val w = Window.partitionBy("src").orderBy(col("dd").asc, col("nid").asc)
+    val votes = t.as("a")
+      .join(t.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("a.label").as("own"),
+        col("b.vec_id").as("nid"), col("b.label").as("nl"), d.as("dd"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NoiseK)
+    val maj = votes.groupBy(col("src"), col("own"), col("nl"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("src"), col("own"))
+      .agg(max(struct(col("cnt"), (-col("nl")).as("neg"), col("nl"))).as("m"))
+      .select(col("src"), col("own"), col("m.nl").as("majl"))
+    val voted = maj.groupBy(col("own").as("label"))
+      .agg(count(lit(1)).as("n_voted"),
+        sum(when(col("majl") =!= col("own"), 1L).otherwise(0L)).as("n_flagged"))
+    t.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .join(voted, Seq("label"), "left")
+      .select(col("label"), col("n"),
+        coalesce(col("n_voted"), lit(0L)).as("n_voted"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+      .withColumn("noise_q",
+        expr("(n_flagged * cast(1048576 as bigint)) div greatest(n_voted, 1)"))
+  }
+
+  /** Squared lattice L2 via Σx²+Σy²−2Σxy over DuckDB list kernels:
+    * every term ≤ 2⁴⁸ so the DOUBLE list_inner_product is integer-
+    * exact (< 2⁵³), and the oracle stays vectorized instead of
+    * exploding |pairs|×64 rows. */
+  private def labelNoiseSql: String =
+    s"""$IvfCellsSqlPrefix,
+       |l AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT)) AS q
+       |      FROM embeddings),
+       |ln AS (SELECT vec_id, label, q,
+       |         list_inner_product(list_transform(q, x -> CAST(x AS DOUBLE)),
+       |                            list_transform(q, x -> CAST(x AS DOUBLE))) AS nrm
+       |       FROM l),
+       |sc AS (SELECT ca.nid AS src, la.label AS own, cb.nid AS nid, lb.label AS nl,
+       |         CAST(la.nrm + lb.nrm
+       |              - 2 * list_inner_product(list_transform(la.q, x -> CAST(x AS DOUBLE)),
+       |                                       list_transform(lb.q, x -> CAST(x AS DOUBLE))) AS BIGINT) AS d
+       |       FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.nid <> cb.nid
+       |       JOIN ln la ON la.vec_id = ca.nid JOIN ln lb ON lb.vec_id = cb.nid),
+       |top AS (SELECT src, own, nl FROM (
+       |          SELECT src, own, nl, row_number() OVER (PARTITION BY src ORDER BY d ASC, nid ASC) AS rn
+       |          FROM sc) t WHERE rn <= $NoiseK),
+       |v AS (SELECT src, own, nl, count(*) AS cnt FROM top GROUP BY 1, 2, 3),
+       |mj AS (SELECT src, own, nl AS majl FROM (
+       |         SELECT src, own, nl, row_number() OVER (PARTITION BY src ORDER BY cnt DESC, nl ASC) AS rk
+       |         FROM v) t WHERE rk = 1),
+       |fl AS (SELECT own AS label, count(*) AS n_voted,
+       |         CAST(sum(CASE WHEN majl <> own THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+       |       FROM mj GROUP BY 1),
+       |base AS (SELECT label, count(*) AS n FROM l GROUP BY 1)
+       |SELECT b.label, b.n,
+       |  coalesce(f.n_voted, 0) AS n_voted,
+       |  coalesce(f.n_flagged, 0) AS n_flagged,
+       |  CAST((coalesce(f.n_flagged, 0) * 1048576) // greatest(coalesce(f.n_voted, 0), 1) AS BIGINT) AS noise_q
+       |FROM base b LEFT JOIN fl f ON f.label = b.label""".stripMargin
+
+  /** Split-conformal calibration over centroid nonconformity — the
+    * distribution-free coverage guarantee a classifier deployment
+    * actually ships ("with probability ≥ 90%, the true label is in
+    * the prediction set"): calibration half = even vec_ids, test
+    * half = odd. Score = exact lattice L2² to the OWN label's
+    * calibration centroid (the [[classCentroidsTyped]] Σq div n
+    * rule, computed on the calibration half only); the threshold is
+    * the ⌈(n_cal+1)·0.9⌉-th smallest calibration score under the
+    * TOTAL order (score, vec_id) — an EXACT order statistic, never a
+    * percentile interpolation. Per label the test half reports
+    * coverage (own-centroid score ≤ thr) and the mean prediction-set
+    * size (labels whose centroid is within thr), both on the 2²⁰
+    * lattice.
+    *
+    * Scale shape: centroids fold partial+final to |labels|×64 driver
+    * metadata and broadcast back; the threshold rides the
+    * sort+zipWithIndex exact-rank primitive (the globalBand rule —
+    * never a global window, never a driver-side top-r collect); the
+    * set-size pass joins the |labels|-row centroid table broadcast
+    * on a constant key (≤ |labels|× row inflation of one scan). */
+  def conformalKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        latArrCol(col("embedding")).as("q"))
+    val cal = e.filter(col("vec_id") % 2 === 0)
+    val cent = cal
+      .select(col("label"), posexplode(col("q"))).toDF("label", "d", "qv")
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("qv").cast("decimal(38,0)")).as("sq"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("d"), expr("cast(sq div n as bigint)").as("cq")))),
+        x => x("cq")).as("cq"))
+    val score = aggregate(zip_with(col("q"), col("cq"), (x, c) => (x - c) * (x - c)),
+      lit(0L), (a, x) => a + x)
+    val calScores = cal.join(broadcast(cent), "label").select(col("vec_id"), score.as("s"))
+    val nCal = calScores.count() // scalar aggregate to the driver (metadata)
+    val r = math.min((9L * (nCal + 1L) + 9L) / 10L, nCal)
+    // exact global order statistic: distributed range sort + one
+    // zipWithIndex pass; ONE (rank, score) row reaches the driver
+    val thr = calScores.orderBy(col("s").asc, col("vec_id").asc)
+      .select(col("s")).as[Long]
+      .rdd.zipWithIndex().filter(_._2 == r - 1L).map(_._1).collect().head
+    val test = e.filter(col("vec_id") % 2 === 1)
+    val cov = test.join(broadcast(cent), "label")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(score <= thr, 1L).otherwise(0L)).as("n_covered"))
+    val sets = test.withColumn("one", lit(1))
+      .join(broadcast(cent.withColumn("one", lit(1))
+        .select(col("one"), col("label").as("cl"), col("cq"))), "one")
+      .select(col("vec_id"), col("label"), when(score <= thr, 1L).otherwise(0L).as("inset"))
+      .groupBy(col("vec_id"), col("label")).agg(sum(col("inset")).as("setsz"))
+      .groupBy(col("label")).agg(sum(col("setsz")).as("sum_set"))
+    cov.join(sets, "label")
+      .select(col("label"), col("n_test"), col("n_covered"),
+        expr("(n_covered * cast(1048576 as bigint)) div n_test").as("coverage_q"),
+        col("sum_set"),
+        expr("(sum_set * cast(1048576 as bigint)) div n_test").as("mean_set_q"),
+        lit(thr).as("thr"))
+  }
+
+  private def conformalKnnSql: String =
+    s"""WITH l AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT)) AS q
+       |      FROM embeddings),
+       |cal AS (SELECT * FROM l WHERE vec_id % 2 = 0),
+       |dims AS (SELECT CAST(unnest(range($Dim)) AS BIGINT) AS d),
+       |g AS (SELECT label, dims.d, sum(CAST(cal.q[dims.d + 1] AS HUGEINT)) AS sq, count(*) AS n
+       |      FROM cal CROSS JOIN dims GROUP BY 1, 2),
+       |c AS (SELECT label, d, CAST(sq // n AS BIGINT) AS cq FROM g),
+       |calsc AS (SELECT cal.vec_id,
+       |    CAST(sum((cal.q[c.d + 1] - c.cq) * (cal.q[c.d + 1] - c.cq)) AS BIGINT) AS s
+       |  FROM cal JOIN c ON c.label = cal.label GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM calsc),
+       |thr AS MATERIALIZED (
+       |  SELECT s AS thr FROM (
+       |    SELECT s, row_number() OVER (ORDER BY s ASC, vec_id ASC) AS rn FROM calsc) t, nn
+       |  WHERE rn = least((9 * (nn.n + 1) + 9) // 10, nn.n)),
+       |test AS (SELECT * FROM l WHERE vec_id % 2 = 1),
+       |tsc AS (SELECT test.vec_id, test.label, c.label AS cl,
+       |    CAST(sum((test.q[c.d + 1] - c.cq) * (test.q[c.d + 1] - c.cq)) AS BIGINT) AS s
+       |  FROM test CROSS JOIN c GROUP BY 1, 2, 3),
+       |cov AS (SELECT t.label, count(*) AS n_test,
+       |    CAST(sum(CASE WHEN t.s <= thr.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+       |  FROM tsc t CROSS JOIN thr WHERE t.cl = t.label GROUP BY 1),
+       |st AS (SELECT t.vec_id, t.label,
+       |    CAST(sum(CASE WHEN t.s <= thr.thr THEN 1 ELSE 0 END) AS BIGINT) AS setsz
+       |  FROM tsc t CROSS JOIN thr GROUP BY 1, 2),
+       |ss AS (SELECT label, CAST(sum(setsz) AS BIGINT) AS sum_set FROM st GROUP BY 1)
+       |SELECT cov.label, cov.n_test, cov.n_covered,
+       |  CAST((cov.n_covered * 1048576) // cov.n_test AS BIGINT) AS coverage_q,
+       |  ss.sum_set,
+       |  CAST((ss.sum_set * 1048576) // cov.n_test AS BIGINT) AS mean_set_q,
+       |  CAST(thr.thr AS BIGINT) AS thr
+       |FROM cov JOIN ss ON ss.label = cov.label CROSS JOIN thr""".stripMargin
+
   private[operators] val PcaRounds = 4
 
   /** Leading principal direction by power iteration over the exact
@@ -1819,6 +2003,8 @@ object Similarity {
     "knn_margin" -> knnMargin,
     "cell_label_purity" -> cellLabelPurity,
     "centroid_outliers" -> centroidOutliers,
+    "label_noise" -> labelNoise,
+    "conformal_knn" -> conformalKnn,
     "embed_norm_stats" -> embedNormStats)
 
   /** Shared PQ replay: lattice-floored vectors, the sampled-point
@@ -2019,6 +2205,8 @@ object Similarity {
   private val oraclesBase: Map[String, String] = Map(
     "pca_power" -> pcaPowerSql,
     "pca_project" -> pcaProjectSql,
+    "label_noise" -> labelNoiseSql,
+    "conformal_knn" -> conformalKnnSql,
     "knn_margin" -> knnMarginSql,
     "cell_label_purity" -> cellLabelPuritySql,
     "centroid_outliers" -> centroidOutliersSql,

@@ -40,8 +40,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // hard_negatives: label INEQUALITY leaves no equi-key — same
     // 10-row broadcast probe class as ann_topk; theilsen_trend: the
     // pair grid is a non-equi join of a ≤365-row folded relation
+    // kendall_tau: |nations|² pair grid from the ≤25-row folded
+    // relation, y side broadcast; conformal_knn: the |labels|-row
+    // centroid table broadcast on a constant key for the set-size
+    // pass — both by-construction tiny build sides
     val allowedBnlj = Set("ann_topk", "mips_topk", "rank_fusion", "ann_recall",
-      "knn_margin", "vocab_overlap", "hard_negatives", "theilsen_trend")
+      "knn_margin", "vocab_overlap", "hard_negatives", "theilsen_trend",
+      "kendall_tau", "conformal_knn")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -1353,7 +1358,8 @@ class PlanAuditSpec extends AnyFunSuite {
   test("audio_zcr / image_dominant_color: features fold inside the partition — no keyed exchange") {
     // the image_histogram rule: codec + per-clip fold are partition-
     // resident; only (doc_id, a few longs) ever leave the scan
-    Seq("audio_zcr", "image_dominant_color", "image_edge_density", "scene_cuts").foreach { name =>
+    Seq("audio_zcr", "image_dominant_color", "image_edge_density", "scene_cuts",
+        "audio_wht").foreach { name =>
       val p = plan(name)
       assert(!p.contains("Exchange hashpartitioning") &&
         !p.contains("Exchange rangepartitioning"),
@@ -1485,6 +1491,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "observed_scan's registered row is the observation — driver metadata, no re-scan")
     val ff = plan("fano_factor")
     assert(ff.contains("partial_"), "fano_factor's hourly fold must combine map-side")
+  }
+
+  test("label_noise: cell-keyed candidates with a per-partition k-cut; kendall_tau folds the fact once") {
+    val ln = plan("label_noise")
+    assert(ln.contains("WindowGroupLimit"),
+      "label_noise's k-cut must ride the per-partition heap before the exchange")
+    assert(ln.sliding("InMemoryTableScan".length).count(_ == "InMemoryTableScan") >= 2,
+      "the (cell, q, label) relation must feed both join sides from ONE cache")
+    val kt = plan("kendall_tau")
+    assert(kt.sliding("InMemoryTableScan".length).count(_ == "InMemoryTableScan") >= 2,
+      "kendall_tau must scan the fact once and slice both years from cache")
+    assert(kt.contains("BroadcastNestedLoopJoin"),
+      "the pair grid's y side must broadcast (≤25-row folded relation)")
+    val ck = plan("conformal_knn")
+    assert(ck.contains("BroadcastHashJoin"),
+      "conformal_knn's centroid table must broadcast against the vector scan")
+    assert(!ck.contains("Exchange rangepartitioning"),
+      "the threshold's distributed sort happens during construction, not in the returned plan")
   }
 
   test("AQE splits a planted skewed join partition at runtime") {

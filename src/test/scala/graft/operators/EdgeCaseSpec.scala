@@ -2595,6 +2595,44 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("audio_wht / label_noise / conformal_knn / kendall_tau: contracts execute") {
+    val sf = "/root/testdata/sf0.001"
+    // Parseval: ΣX_k² = 8·Σx² — the WHT is orthogonal (H·Hᵀ = 8·I),
+    // so spectral energy must equal 8× audio_energy's per-clip sum
+    val wht = Multimodal.audioWht(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toMap
+    val eng = Multimodal.audioEnergy(spark, sf)
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.sum("energy").as("e")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(wht.nonEmpty && wht.forall { case (id, se) => se === 8L * eng(id) },
+      "Parseval violated: spec_energy != 8 * sum(sample^2)")
+    // label_noise: per-label counts partition the corpus; a vector
+    // never flags without voting; rates live on the lattice
+    val ln = Similarity.labelNoise(spark, sf).collect()
+    val nTotal = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(ln.map(_.getLong(1)).sum === nTotal, "label rows must partition the corpus")
+    ln.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(2),
+        "n_flagged <= n_voted <= n")
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1048576L)
+    }
+    // conformal: own-label coverage implies set membership, so the
+    // mean prediction-set size dominates coverage per label (exact)
+    Similarity.conformalKnn(spark, sf).collect().foreach { r =>
+      assert(r.getLong(5) >= r.getLong(3), "mean_set_q >= coverage_q is a theorem")
+      assert(r.getLong(2) <= r.getLong(1), "covered <= tested")
+    }
+    // kendall: ranks are permutations (total order breaks ties), so
+    // no pair is ever neutral — conc + disc == n_pairs == n(n-1)/2
+    val kt = Relational.kendallTau(spark, sf).collect().head
+    assert(kt.getLong(1) + kt.getLong(2) === kt.getLong(0),
+      "distinct ranks leave no neutral pairs")
+    assert(kt.getLong(0) === 300L, "25 nations -> 300 pairs")
+    assert(math.abs(kt.getLong(3)) <= 1048576L)
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
