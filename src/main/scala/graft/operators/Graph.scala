@@ -419,6 +419,88 @@ object Graph {
        |FROM verts v LEFT JOIN r$BfsRounds r ON r.id = v.id
        |GROUP BY 1""".stripMargin
 
+  private[operators] val DiamRounds = 3
+
+  /** Bounded double-sweep diameter probe — the classic cheap
+    * lower bound on graph diameter (sweep 1: BFS out to
+    * [[DiamRounds]] hops from a pinned seed; sweep 2: BFS from the
+    * FARTHEST vertex sweep 1 reached; the second eccentricity lower-
+    * bounds the true diameter, and on real-world graphs is usually
+    * tight): one row — both seeds, both bounded eccentricities, and
+    * both reach counts (shrinking reach across sweeps means seed 1
+    * sat in a tendril). Argmax ties pin to the smallest vertex id.
+    * Scale shape: the symmetric edges persist pre-partitioned ONCE
+    * and BOTH sweeps' rounds reuse them (the Pregel invariant);
+    * per round one key join + one partial+final min; the farthest
+    * vertex is a rank-1 TakeOrdered (ONE row to the driver — the
+    * pagerank-N metadata class), never a full collect. */
+  def graphDiameter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = purchaseEdges(spark, dir)
+      .repartition(col("u")).persistScoped()
+    def sweep(seed: Long): DataFrame = {
+      var dist = edges.select(col("u").as("id"))
+        .filter(col("id") === seed).distinct()
+        .select(col("id"), lit(0L).as("d"))
+      for (_ <- 1 to DiamRounds) {
+        dist = dist.as("p")
+          .join(edges.as("e"), col("e.u") === col("p.id"))
+          .select(col("e.v").as("id"), (col("p.d") + lit(1L)).as("d"))
+          .unionAll(dist)
+          .groupBy(col("id")).agg(min(col("d")).as("d"))
+      }
+      dist
+    }
+    val seed1 = SuppOffset + 1L
+    val d1 = sweep(seed1).persistScoped()
+    val far = d1.orderBy(col("d").desc, col("id").asc).limit(1).collect()
+    if (far.isEmpty) // degenerate corpus: the seed has no edges
+      return Seq.empty[(Long, Long, Long, Long, Long, Long)]
+        .toDF("seed1", "ecc1", "seed2", "diameter_lb", "n_reach1", "n_reach2")
+    val (seed2, ecc1) = (far.head.getLong(0), far.head.getLong(1))
+    val d2 = sweep(seed2).persistScoped()
+    val lbRow = d2.agg(max(col("d"))).head()
+    val lb = if (lbRow.isNullAt(0)) 0L else lbRow.getLong(0)
+    Seq((seed1, ecc1, seed2, lb, d1.count(), d2.count()))
+      .toDF("seed1", "ecc1", "seed2", "diameter_lb", "n_reach1", "n_reach2")
+  }
+
+  /** Two unrolled relax chains; every round MATERIALIZED (a round
+    * references its predecessor twice — join + union — so inlining
+    * re-derives the chain geometrically: the ktruss lesson). The
+    * second chain seeds from the first's rank-1 argmax. */
+  private def graphDiameterSql: String = {
+    def chain(p: String, seed: String): String = {
+      val rounds = (1 to DiamRounds).map { i =>
+        s"""$p$i AS MATERIALIZED (
+           |  SELECT id, min(d) AS d FROM (
+           |    SELECT e.v AS id, p.d + 1 AS d
+           |    FROM edges e JOIN $p${i - 1} p ON e.u = p.id
+           |    UNION ALL SELECT id, d FROM $p${i - 1})
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""${p}0 AS (SELECT DISTINCT u AS id, CAST(0 AS BIGINT) AS d FROM edges
+         |        WHERE u = $seed),
+         |$rounds""".stripMargin
+    }
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + $SuppOffset AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS MATERIALIZED (SELECT c AS u, s AS v FROM base
+       |          UNION ALL SELECT s AS u, c AS v FROM base),
+       |${chain("a", (SuppOffset + 1L).toString)},
+       |far AS MATERIALIZED (
+       |  SELECT id, d FROM a$DiamRounds ORDER BY d DESC, id ASC LIMIT 1),
+       |${chain("b", "(SELECT id FROM far)")}
+       |SELECT CAST(${SuppOffset + 1L} AS BIGINT) AS seed1,
+       |  (SELECT d FROM far) AS ecc1,
+       |  (SELECT id FROM far) AS seed2,
+       |  CAST(max(d) AS BIGINT) AS diameter_lb,
+       |  (SELECT count(*) FROM a$DiamRounds) AS n_reach1,
+       |  count(*) AS n_reach2
+       |FROM b$DiamRounds""".stripMargin
+  }
+
   private[operators] val SsspRounds = 4
 
   /** Weighted single-source (multi-seed) shortest paths over the
@@ -1256,6 +1338,7 @@ object Graph {
     "pagerank_personalized" -> pagerankPersonalized,
     "bfs_reach"       -> bfsReach,
     "link_predict_ra" -> linkPredictRa,
+    "graph_diameter"  -> graphDiameter,
     "ktruss"          -> ktruss)
 
   val oracles: Map[String, String] = Map(
@@ -1264,6 +1347,7 @@ object Graph {
     "degree_dist" -> degreeDistSql,
     "graph_bfs" -> graphBfsSql,
     "bfs_reach" -> bfsReachSql,
+    "graph_diameter" -> graphDiameterSql,
     "link_predict_ra" -> linkPredictRaSql,
     "ktruss" -> ktrussSql,
     "sssp_weighted" -> ssspWeightedSql,

@@ -543,6 +543,64 @@ object Multimodal {
       .toDF("doc_id", "bucket", "n_px")
   }
 
+  /** Histogram equalization audit per REAL decoded PNG — the
+    * contrast-normalization pass an image-curation pipeline applies
+    * before any downstream feature ("stretch each image's luma CDF
+    * to uniform"), reported as an audit instead of a re-encode so
+    * the whole transform is hash-gateable: per image, the 256-level
+    * gray histogram builds inside the decode partition, each level
+    * remaps to g' = ((cdf(g) − cdf_min)·255) div (n_px − cdf_min)
+    * (the classic integer rule, truncating — both engines), and the
+    * row reports pixel count, distinct gray levels, and the exact
+    * luma variance NUMERATOR n·Σg² − (Σg)² before and after (the
+    * fano_factor denominators-cleared rule; ≤ 2³⁴ at the 20×20 stub
+    * raster, ≤ 2⁶³ through ~10⁸-pixel frames). After equalization
+    * the mapped range is exactly [0, 255] whenever ≥2 gray levels
+    * exist — an EXECUTED EdgeCaseSpec invariant. Scale shape: decode
+    * + histogram + both folds all partition-resident (the
+    * image_histogram rule); one 5-long row per image; no keyed
+    * exchange. */
+  def imageEqualize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("seed"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, seed) => (id, encodePng(seed)) })
+      .mapPartitions(_.map { case (id, png) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val hist = new Array[Long](256)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            hist((((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        val nPx = img.getWidth.toLong * img.getHeight
+        var cdfMin = 0L; var nGray = 0L
+        var s1b = 0L; var s2b = 0L; var s1a = 0L; var s2a = 0L
+        var cdf = 0L; var g = 0
+        while (g < 256) {
+          val c = hist(g)
+          if (c > 0L) {
+            cdf += c
+            if (cdfMin == 0L) cdfMin = cdf // first nonzero cdf
+            nGray += 1
+            val g2 =
+              if (nPx > cdfMin) (cdf - cdfMin) * 255L / (nPx - cdfMin) else 0L
+            s1b += c * g; s2b += c * g.toLong * g
+            s1a += c * g2; s2a += c * g2 * g2
+          }
+          g += 1
+        }
+        (id, nPx, nGray, nPx * s2b - s1b * s1b, nPx * s2a - s1a * s1a)
+      })
+      .toDF("doc_id", "n_px", "n_gray", "var_num_before", "var_num_after")
+  }
+
   /** Zero-crossing rate over the stub-decoded PCM16 clips — the
     * classic voiced/unvoiced (and music-vs-speech) discriminator next
     * to [[audioEnergy]]'s amplitude view: a sign flip between
@@ -760,6 +818,7 @@ object Multimodal {
     "audio_energy"        -> audioEnergy,
     "audio_vad"           -> audioVad,
     "audio_wht"           -> audioWht,
+    "image_equalize"      -> imageEqualize,
     "image_histogram"     -> imageHistogram)
 
   /** aHash replay: sampled source coords are integer div, gray is
@@ -869,6 +928,43 @@ object Multimodal {
         |FROM px GROUP BY doc_id, w, h""".stripMargin,
     // each PCM16 sample is 4 md5 hex chars (big-endian, signed):
     // the full binary → sample → frame → energy path replays in SQL
+    // per-pixel gradient replay (shared formula), per-image cdf via
+    // a keyed window, the integer remap rule, then both variance
+    // numerators from the (gray, g2, c) histogram relation
+    "image_equalize" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) AS b0,
+        |    CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) AS b1,
+        |    CAST('0x' || substr(md5(text), 5, 2) AS INTEGER) AS b2,
+        |    CAST('0x' || substr(md5(text), 7, 2) AS INTEGER) AS b3,
+        |    CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) AS b4
+        |  FROM documents),
+        |d AS (SELECT doc_id, 4 + b0 % 16 AS w, 4 + b1 % 16 AS h, b2, b3, b4 FROM b),
+        |px AS (
+        |  SELECT doc_id,
+        |    CAST((((xs.x*7 + ys.y*13 + b2) % 256 + (xs.x*11 + ys.y*3 + b3) % 256
+        |      + (xs.x*5 + ys.y*17 + b4) % 256) // 3) AS BIGINT) AS gray
+        |  FROM d
+        |  JOIN (SELECT unnest(range(20)) AS x) xs ON xs.x < d.w
+        |  JOIN (SELECT unnest(range(20)) AS y) ys ON ys.y < d.h),
+        |hh AS (SELECT doc_id, gray, count(*) AS c FROM px GROUP BY 1, 2),
+        |cd AS (SELECT doc_id, gray, c,
+        |         sum(c) OVER (PARTITION BY doc_id ORDER BY gray ASC
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf
+        |       FROM hh),
+        |st AS (SELECT doc_id, min(cdf) AS cdfmin, max(cdf) AS npx,
+        |         CAST(count(*) AS BIGINT) AS n_gray
+        |       FROM cd GROUP BY 1),
+        |mp AS (SELECT cd.doc_id, cd.gray, cd.c, st.npx, st.n_gray,
+        |         CASE WHEN st.npx > st.cdfmin
+        |              THEN ((cd.cdf - st.cdfmin) * 255) // (st.npx - st.cdfmin)
+        |              ELSE 0 END AS g2
+        |       FROM cd JOIN st USING (doc_id))
+        |SELECT doc_id, CAST(max(npx) AS BIGINT) AS n_px, max(n_gray) AS n_gray,
+        |  CAST(max(npx) * sum(c * gray * gray) - sum(c * gray) * sum(c * gray) AS BIGINT) AS var_num_before,
+        |  CAST(max(npx) * sum(c * g2 * g2) - sum(c * g2) * sum(c * g2) AS BIGINT) AS var_num_after
+        |FROM mp GROUP BY doc_id""".stripMargin,
     "image_histogram" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -3844,6 +3844,127 @@ object Relational {
        |       // greatest(count(*), 1) AS BIGINT) AS tau_q
        |FROM j x JOIN j y ON x.n_name < y.n_name""".stripMargin
 
+  /** t-closeness audit — the distributional tier above
+    * [[kAnonymity]]'s group-size screen (k-anonymous and l-diverse
+    * can still leak: a group whose balance DISTRIBUTION skews far
+    * from the corpus's tells an adversary plenty): per QI group
+    * (segment × nation), the Earth Mover's Distance between the
+    * group's ordered sensitive-bucket distribution and the corpus's,
+    * EMD = (1/(m−1))·Σⱼ|Σ_{b≤j}(P(b) − Q(b))| for ordered domains.
+    * Exact rationals with denominators cleared (the bollinger rule):
+    * cum numerator Σ(c_gb·N − C_b·n_g) over denominator n_g·N, final
+    * emd_q = (Σ|cum|·2²⁰) div ((m−1)·n_g·N) in DECIMAL(38)
+    * intermediates (c·N passes 2⁶³ at warehouse scale). A group
+    * fails at the classic t = 0.2 cut. Scale shape: ONE
+    * partial+final fold of the dim table to (group, bucket) counts
+    * persists and derives everything else; the dense group×bucket
+    * grid (zero-count buckets still accumulate −Q) is metadata-
+    * scale, built by broadcasting the |buckets|-row corpus relation
+    * on a constant key; the cum rides a keyed window. */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("long").as("nation"),
+        expr("floor(c_acctbal * 100 + 0.5) div 100000").as("bucket"))
+      .groupBy(col("segment"), col("nation"), col("bucket"))
+      .agg(count(lit(1)).as("cgb"))
+      .persistScoped()
+    val corpus = base.groupBy(col("bucket")).agg(sum(col("cgb")).as("cb"))
+    val groups = base.groupBy(col("segment"), col("nation"))
+      .agg(sum(col("cgb")).as("n_g"))
+    // two scalar aggregates to the driver (metadata — the
+    // quantile_normalize / pagerank-N precedent): corpus size and
+    // the bucket-domain width
+    val nmRow = corpus.agg(sum(col("cb")).as("n"), count(lit(1)).as("m")).head()
+    val (nTotal, m) =
+      if (nmRow.isNullAt(0)) (0L, 0L) else (nmRow.getLong(0), nmRow.getLong(1))
+    val w = Window.partitionBy(col("segment"), col("nation"))
+      .orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    groups.withColumn("one", lit(1))
+      .join(broadcast(corpus.withColumn("one", lit(1))), "one")
+      .join(base, Seq("segment", "nation", "bucket"), "left")
+      .select(col("segment"), col("nation"), col("bucket"), col("n_g"),
+        (coalesce(col("cgb"), lit(0L)).cast("decimal(38,0)") * lit(nTotal) -
+          col("cb").cast("decimal(38,0)") * col("n_g")).as("dnum"))
+      .withColumn("cum", sum(col("dnum")).over(w))
+      .groupBy(col("segment"), col("nation"))
+      .agg(max(col("n_g")).as("n_g"), sum(abs(col("cum"))).as("emd_num"))
+      .select(col("segment"), col("nation"), col("n_g"),
+        expr(s"cast((emd_num * 1048576) div (cast(${math.max(m - 1, 1)} as decimal(38,0)) " +
+          s"* n_g * ${math.max(nTotal, 1)}) as bigint)").as("emd_q"))
+      .withColumn("t_fail", (col("emd_q") > lit(209715L)).cast("long"))
+  }
+
+  private def tClosenessSql: String =
+    s"""WITH base AS (
+       |  SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nation,
+       |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 100000 AS bucket,
+       |    count(*) AS cgb
+       |  FROM customer GROUP BY 1, 2, 3),
+       |corpus AS (SELECT bucket, CAST(sum(cgb) AS BIGINT) AS cb FROM base GROUP BY 1),
+       |nm AS MATERIALIZED (SELECT CAST(sum(cb) AS BIGINT) AS n, count(*) AS m FROM corpus),
+       |groups AS (SELECT segment, nation, CAST(sum(cgb) AS BIGINT) AS n_g
+       |           FROM base GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT g.segment, g.nation, g.n_g, c.bucket,
+       |    CAST(coalesce(b.cgb, 0) AS HUGEINT) * nm.n
+       |      - CAST(c.cb AS HUGEINT) * g.n_g AS dnum
+       |  FROM groups g CROSS JOIN corpus c CROSS JOIN nm
+       |  LEFT JOIN base b ON b.segment = g.segment AND b.nation = g.nation
+       |                  AND b.bucket = c.bucket),
+       |cums AS (
+       |  SELECT segment, nation, n_g, bucket,
+       |    sum(dnum) OVER (PARTITION BY segment, nation ORDER BY bucket ASC
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM grid)
+       |SELECT segment, nation, n_g,
+       |  CAST((sum(abs(cum)) * 1048576)
+       |       // (greatest(nm.m - 1, 1) * n_g * greatest(nm.n, 1)) AS BIGINT) AS emd_q,
+       |  CAST(CASE WHEN (sum(abs(cum)) * 1048576)
+       |       // (greatest(nm.m - 1, 1) * n_g * greatest(nm.n, 1)) > 209715
+       |       THEN 1 ELSE 0 END AS BIGINT) AS t_fail
+       |FROM cums CROSS JOIN nm GROUP BY segment, nation, n_g, nm.m, nm.n""".stripMargin
+
+  /** Order-insensitive table fingerprint — the cheap "did anything
+    * change" screen a 100 TB table-diff runs BEFORE `snapshot_diff`'s
+    * row-level pass: each row canonicalizes to integral fields only
+    * (keys, cent/quantity lattices, day numbers — float formatting
+    * never enters the string, the cross-engine trap), hashes to a
+    * 60-bit slice of its md5, and the hashes SUM per l_returnflag —
+    * addition commutes, so the fingerprint is independent of row
+    * order, partitioning, and parallelism, and two tables compare by
+    * |flags| rows instead of a distributed sort-merge. DECIMAL(38)
+    * accumulation (2⁶⁰ per row passes 2⁶³ within 8 rows), published
+    * mod 2⁶¹ on the BIGINT lattice. Scale shape: one partial+final
+    * fold over the scan — no shuffle beyond the |flags|-row final. */
+  def tableFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr("""conv(substring(md5(concat_ws('|',
+            cast(l_orderkey as string), cast(l_linenumber as string),
+            cast(l_partkey as string), cast(l_suppkey as string),
+            cast(cast(l_quantity as bigint) as string),
+            cast(cast(floor(l_extendedprice * 100 + 0.5) as bigint) as string),
+            l_returnflag, l_linestatus,
+            cast(datediff(cast(l_shipdate as date), date'1970-01-01') as string))), 1, 15), 16, 10)""")
+          .cast("decimal(38,0)").as("h"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("cast(sum(h) % 2305843009213693952 as bigint)").as("fingerprint"))
+
+  private def tableFingerprintSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+      |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+      |      CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),
+      |      CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
+      |      CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+      |      l_returnflag, l_linestatus,
+      |      CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS VARCHAR))), 1, 15)) AS BIGINT))
+      |      % 2305843009213693952 AS BIGINT) AS fingerprint
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   /** Corrupt-file-tolerant scan — the ops-robustness half of the
     * malformed-RECORD quarantine (`csv_quarantine` handles bad rows;
     * this handles bad FILES): a landing directory holding valid
@@ -5464,6 +5585,8 @@ object Relational {
     "observed_scan"    -> observedScan,
     "fano_factor"      -> fanoFactor,
     "kendall_tau"      -> kendallTau,
+    "t_closeness"      -> tCloseness,
+    "table_fingerprint" -> tableFingerprint,
     "agg_incremental"  -> aggIncremental,
     "resample_hourly"  -> resampleHourly,
     "anomaly_zscore"   -> anomalyZscore,
@@ -6707,6 +6830,8 @@ object Relational {
     "observed_scan" -> observedScanSql,
     "fano_factor" -> fanoFactorSql,
     "kendall_tau" -> kendallTauSql,
+    "t_closeness" -> tClosenessSql,
+    "table_fingerprint" -> tableFingerprintSql,
     "join_runtime_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,

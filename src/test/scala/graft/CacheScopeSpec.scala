@@ -43,7 +43,8 @@ class CacheScopeSpec extends AnyFunSuite {
     "benford_first_digit", "shingle_novelty", "vocab_growth",
     "quantile_table", "category_drift", "churn_label",
     "dedup_by_source", "type_jaccard", "pagerank_weighted",
-    "lorenz_curve", "priority_latency", "label_noise", "kendall_tau")
+    "lorenz_curve", "priority_latency", "label_noise", "kendall_tau",
+    "t_closeness", "graph_diameter")
 
   test("persisting operators leave zero orphaned blocks after release()") {
     // start from a clean slate (earlier suites share this JVM/session)

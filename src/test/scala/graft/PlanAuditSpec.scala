@@ -41,12 +41,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // 10-row broadcast probe class as ann_topk; theilsen_trend: the
     // pair grid is a non-equi join of a ≤365-row folded relation
     // kendall_tau: |nations|² pair grid from the ≤25-row folded
-    // relation, y side broadcast; conformal_knn: the |labels|-row
-    // centroid table broadcast on a constant key for the set-size
-    // pass — both by-construction tiny build sides
+    // relation, y side broadcast; conformal_knn / t_closeness: a
+    // |labels|- / |buckets|-row relation broadcast on a constant key
+    // (folded to TRUE) — all by-construction tiny build sides
     val allowedBnlj = Set("ann_topk", "mips_topk", "rank_fusion", "ann_recall",
       "knn_margin", "vocab_overlap", "hard_negatives", "theilsen_trend",
-      "kendall_tau", "conformal_knn")
+      "kendall_tau", "conformal_knn", "t_closeness")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -1359,7 +1359,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // the image_histogram rule: codec + per-clip fold are partition-
     // resident; only (doc_id, a few longs) ever leave the scan
     Seq("audio_zcr", "image_dominant_color", "image_edge_density", "scene_cuts",
-        "audio_wht").foreach { name =>
+        "audio_wht", "image_equalize").foreach { name =>
       val p = plan(name)
       assert(!p.contains("Exchange hashpartitioning") &&
         !p.contains("Exchange rangepartitioning"),
@@ -1509,6 +1509,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "conformal_knn's centroid table must broadcast against the vector scan")
     assert(!ck.contains("Exchange rangepartitioning"),
       "the threshold's distributed sort happens during construction, not in the returned plan")
+  }
+
+  test("t_closeness folds the dim table once; table_fingerprint and graph_diameter keep their scale shapes") {
+    val tc = plan("t_closeness")
+    assert(tc.sliding("InMemoryTableScan".length).count(_ == "InMemoryTableScan") >= 2,
+      "the (group, bucket) fold must feed corpus/groups/grid from ONE cache")
+    assert(tc.contains("BroadcastHashJoin"),
+      "the |buckets|-row corpus relation must broadcast into the grid")
+    val tf = plan("table_fingerprint")
+    assert(tf.contains("partial_"),
+      "the fingerprint sum must combine map-side (one fold over the scan)")
+    assert(!tf.contains("Exchange rangepartitioning"),
+      "an order-insensitive fingerprint must never sort")
+    val gd = plan("graph_diameter")
+    assert(gd.contains("LocalTableScan") && !gd.contains("Exchange"),
+      "graph_diameter's returned row is driver metadata (the pca_power rule); the sweeps ran during construction")
   }
 
   test("AQE splits a planted skewed join partition at runtime") {

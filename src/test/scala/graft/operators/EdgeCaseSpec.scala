@@ -2633,6 +2633,40 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("t_closeness / table_fingerprint / graph_diameter / image_equalize: contracts execute") {
+    val sf = "/root/testdata/sf0.001"
+    // EMD is normalized: 0 <= emd_q <= 2^20; flag honesty
+    Relational.tCloseness(spark, sf).collect().foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1048576L, "EMD must be normalized")
+      assert(r.getLong(4) === (if (r.getLong(3) > 209715L) 1L else 0L), "t_fail must mirror the cut")
+    }
+    // fingerprint: per-flag rows partition the table; the sum-hash is
+    // deterministic across independent runs (order-insensitivity is
+    // by construction — addition commutes)
+    val fp1 = Relational.tableFingerprint(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val fp2 = Relational.tableFingerprint(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(fp1.toSeq === fp2.toSeq, "fingerprint must be run-invariant")
+    assert(fp1.map(_._2).sum ===
+      spark.read.parquet(s"$sf/lineitem.parquet").count())
+    fp1.foreach(t => assert(t._3 >= 0L && t._3 < 2305843009213693952L))
+    // double sweep: seed1 sits ecc1 hops from seed2, and ecc1 <=
+    // DiamRounds by construction, so sweep 2 must see >= ecc1
+    val gd = Graph.graphDiameter(spark, sf).collect().head
+    assert(gd.getLong(3) >= gd.getLong(1), "diameter_lb >= ecc1 (seed1 is reachable in sweep 2)")
+    assert(gd.getLong(1) <= 3L && gd.getLong(3) <= 3L, "bounded sweeps cap at DiamRounds")
+    assert(gd.getLong(4) >= 1L && gd.getLong(5) >= 1L)
+    // equalization stretches to the full [0,255] range whenever >= 2
+    // gray levels exist -> strictly positive mapped variance
+    Multimodal.imageEqualize(spark, sf).collect().foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(4) >= 0L, "variance numerators are nonnegative")
+      if (r.getLong(2) >= 2L)
+        assert(r.getLong(4) > 0L, "min->0 and max->255 force a spread after equalization")
+    }
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
