@@ -3965,6 +3965,215 @@ object Relational {
       |      % 2305843009213693952 AS BIGINT) AS fingerprint
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Rank-based ROC AUC over a histogram — the binary-classifier eval
+    * a labeling/filter pipeline reports ("does the score actually
+    * separate the classes?"), computed the only way that scales:
+    * scores quantize to a FIXED 4096-bucket lattice on the scan
+    * (least(cents div 16384, 4095) — resolution is a constant of the
+    * operator, not of the data), one partial+final fold yields the
+    * (bucket, n_pos, n_neg) histogram, and the Mann-Whitney pair
+    * count reads off it: concordant = Σ_b n_pos(b)·cum_neg(<b), ties
+    * = Σ_b n_pos(b)·n_neg(b), auc_q = (2·conc + ties)·2²⁰ div
+    * (2·P·N). A global rank over raw scores (the textbook AUC) would
+    * be a full sort of the fact table; the bucketed form is exact ON
+    * ITS OWN DOCUMENTED LATTICE and folds to 4096 rows before the
+    * one single-partition cumulative window (the fold-below-window
+    * class). DECIMAL(38) pair products (P·N passes 2⁶³ beyond ~3e9
+    * rows per class). Label: urgent/high order priority; score:
+    * order value in cents. */
+  def aucRank(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.orders(spark, dir)
+      .select(
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("pos"),
+        expr("least(cast(floor(o_totalprice * 100 + 0.5) as bigint) div 16384, 4095)")
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("pos")).as("n_pos"), sum(lit(1L) - col("pos")).as("n_neg"))
+    val w = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.withColumn("cum_neg", coalesce(sum(col("n_neg")).over(w), lit(0L)))
+      .agg(
+        sum(col("n_pos")).as("p"),
+        sum(col("n_neg")).as("nn"),
+        sum(col("n_pos").cast(DecimalType(38, 0)) *
+          (col("cum_neg").cast(DecimalType(38, 0)) * 2 + col("n_neg"))).as("num"))
+      .select(col("p").as("n_pos"), col("nn").as("n_neg"),
+        expr("cast((num * 1048576) div (2 * cast(greatest(p, 1) as decimal(38,0)) " +
+          "* greatest(nn, 1)) as bigint)").as("auc_q"))
+  }
+
+  private def aucRankSql: String =
+    """WITH b AS (
+      |  SELECT least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 16384, 4095) AS bucket,
+      |    sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_pos,
+      |    sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS n_neg
+      |  FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT n_pos, n_neg,
+      |    coalesce(sum(n_neg) OVER (ORDER BY bucket ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+      |  FROM b)
+      |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+      |  CAST(sum(n_neg) AS BIGINT) AS n_neg,
+      |  CAST((sum(CAST(n_pos AS HUGEINT) * (cum_neg * 2 + n_neg)) * 1048576)
+      |       // (2 * greatest(sum(n_pos), 1) * greatest(sum(n_neg), 1)) AS BIGINT) AS auc_q
+      |FROM c""".stripMargin
+
+  /** Chi-square independence test — segment × order-priority: "does
+    * purchase urgency depend on customer segment?", the categorical
+    * companion to [[ksTest]]'s distributional two-sample screen.
+    * Identity χ² = N·(Σ_cells O²/(R·C) − 1) keeps every intermediate
+    * inside DECIMAL(38) at warehouse scale (the textbook
+    * Σ(O·N−R·C)²/… squares an N²-sized residual — overflow by 10⁶ at
+    * 10¹¹ rows; O²·2⁴⁰ stays under 10³⁸ to ~10¹² rows per cell):
+    * per-cell term_q = (O²·2⁴⁰) div (R·C) with truncating division,
+    * chi2_q = greatest(N·(Σterm − 2⁴⁰) div 2²⁰, 0) — the clamp
+    * absorbs the ≤|cells| ulps truncation can shave below the
+    * Cauchy-Schwarz floor. Scale shape: ONE partial+final fold of
+    * the join to |segments|·|priorities| cells persists and derives
+    * margins and the dense grid (zero cells still enter — absent
+    * combinations are evidence OF dependence) via the constant-key
+    * broadcast the t_closeness grid uses; N and the df scalars are
+    * driver metadata. */
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("o"))
+      .persistScoped()
+    val t = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("segment")).as("rs"),
+      countDistinct(col("priority")).as("cs")).head()
+    // degenerate corpus (no orders): the fold is empty — mirror the
+    // oracle's empty result instead of NPE-ing on the scalar fetch
+    if (t.isNullAt(0))
+      return cells.select(col("o").as("n"), col("o").as("df"),
+        col("o").as("chi2_q")).limit(0)
+    val (nTot, rs, cs) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val rowsM = cells.groupBy(col("segment")).agg(sum(col("o")).as("r"))
+    val colsM = cells.groupBy(col("priority")).agg(sum(col("o")).as("c"))
+    rowsM.withColumn("one", lit(1))
+      .join(broadcast(colsM.withColumn("one", lit(1))), "one")
+      .join(cells, Seq("segment", "priority"), "left")
+      .select(col("r"), col("c"), coalesce(col("o"), lit(0L)).as("o"))
+      .select(expr("(cast(o as decimal(38,0)) * o * 1099511627776) div " +
+        "(cast(r as decimal(38,0)) * c)").as("term_q"))
+      .agg(sum(col("term_q")).as("sum_term"))
+      .select(
+        lit(nTot).as("n"),
+        lit(math.max(rs - 1L, 0L) * math.max(cs - 1L, 0L)).as("df"),
+        expr(s"cast(greatest((cast($nTot as decimal(38,0)) * " +
+          "(sum_term - 1099511627776)) div 1048576, 0) as bigint)").as("chi2_q"))
+  }
+
+  private def chi2IndependenceSql: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+      |    count(*) AS o
+      |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+      |t AS MATERIALIZED (
+      |  SELECT CAST(sum(o) AS BIGINT) AS n,
+      |    count(DISTINCT segment) AS rs, count(DISTINCT priority) AS cs
+      |  FROM cells),
+      |rm AS (SELECT segment, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+      |cm AS (SELECT priority, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |grid AS (
+      |  SELECT rm.r, cm.c, coalesce(cells.o, 0) AS o
+      |  FROM rm CROSS JOIN cm
+      |  LEFT JOIN cells ON cells.segment = rm.segment AND cells.priority = cm.priority),
+      |terms AS (
+      |  SELECT (CAST(o AS HUGEINT) * o * 1099511627776)
+      |         // (CAST(r AS HUGEINT) * c) AS term_q
+      |  FROM grid)
+      |SELECT t.n, CAST(greatest(t.rs - 1, 0) * greatest(t.cs - 1, 0) AS BIGINT) AS df,
+      |  CAST(greatest((CAST(t.n AS HUGEINT) * (sum(term_q) - 1099511627776))
+      |       // 1048576, 0) AS BIGINT) AS chi2_q
+      |FROM terms CROSS JOIN t
+      |GROUP BY t.n, t.rs, t.cs""".stripMargin
+
+  /** Wald-Wolfowitz runs test — "is daily revenue a random sequence
+    * around its median, or does it trend/cluster?": the
+    * non-parametric randomness screen behind SPC trend rules.
+    * Daily order cents fold once to |days| rows; the LOWER MEDIAN is
+    * picked under the total order (cents asc, day asc) so both
+    * engines select the identical pivot; equal-to-median days drop
+    * (the classic treatment — a tie is neither above nor below);
+    * runs count via one lag over the day order. The z test keeps
+    * exact integers by clearing every denominator: with
+    * D = m·(R−1) − 2·n1·n2 (m·(R − E[R])) the 5% two-sided cut
+    * (R−E)² > z²·Var becomes D²·(m−1)·10⁴ > 38416·2n1n2·(2n1n2−m)
+    * (z² = 3.8416 exactly as 38416/10⁴) — DECIMAL(38) products (D²
+    * alone passes 2⁶³ at |days|≈2500). Scale shape: one
+    * partial+final fold, then every window/scalar sits on the
+    * |days|-bounded relation (fold-below-window class); the median
+    * pivot is a driver scalar on that metadata-sized fold. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(
+        expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)").as("day"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("rev"))
+      .persistScoped()
+    val n = daily.count()
+    if (n == 0L)
+      return daily.select(col("rev").as("n"), col("rev").as("n1"),
+        col("rev").as("n2"), col("rev").as("runs"),
+        col("rev").as("reject_05")).limit(0)
+    val wMed = Window.orderBy(col("rev").asc, col("day").asc)
+    val med = daily.withColumn("rn", row_number().over(wMed))
+      .filter(col("rn") === lit(((n + 1) / 2).toInt))
+      .select(col("rev")).head().getLong(0)
+    val wDay = Window.orderBy(col("day").asc)
+    daily.filter(col("rev") =!= med)
+      .select(col("day"), (col("rev") > med).cast("long").as("s"))
+      .withColumn("prev", lag(col("s"), 1).over(wDay))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("s")).as("n1"),
+        sum(when(col("prev").isNull || col("prev") =!= col("s"), 1L)
+          .otherwise(0L)).as("runs"))
+      .select(col("m").as("n"), col("n1"), (col("m") - col("n1")).as("n2"),
+        col("runs"),
+        expr("""cast(case when m < 2 then 0
+          | when (cast(m as decimal(38,0)) * (runs - 1) - 2 * cast(n1 as decimal(38,0)) * (m - n1))
+          |      * (cast(m as decimal(38,0)) * (runs - 1) - 2 * cast(n1 as decimal(38,0)) * (m - n1))
+          |      * (m - 1) * 10000
+          |      > 38416 * 2 * cast(n1 as decimal(38,0)) * (m - n1)
+          |        * (2 * cast(n1 as decimal(38,0)) * (m - n1) - m)
+          | then 1 else 0 end as bigint)""".stripMargin).as("reject_05"))
+  }
+
+  private def runsTestSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM daily),
+      |med AS (
+      |  SELECT rev AS med FROM (
+      |    SELECT rev, row_number() OVER (ORDER BY rev ASC, day ASC) AS rn FROM daily) r
+      |  CROSS JOIN nn WHERE r.rn = (nn.n + 1) // 2),
+      |signs AS (
+      |  SELECT day, CASE WHEN rev > med THEN 1 ELSE 0 END AS s
+      |  FROM daily CROSS JOIN med WHERE rev <> med),
+      |lagged AS (
+      |  SELECT s, lag(s, 1) OVER (ORDER BY day ASC) AS prev FROM signs),
+      |agg AS (
+      |  SELECT count(*) AS m, CAST(sum(s) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      |  FROM lagged)
+      |SELECT m AS n, n1, m - n1 AS n2, runs,
+      |  CAST(CASE WHEN m < 2 THEN 0
+      |    WHEN (CAST(m AS HUGEINT) * (runs - 1) - 2 * CAST(n1 AS HUGEINT) * (m - n1))
+      |         * (CAST(m AS HUGEINT) * (runs - 1) - 2 * CAST(n1 AS HUGEINT) * (m - n1))
+      |         * (m - 1) * 10000
+      |         > 38416 * 2 * CAST(n1 AS HUGEINT) * (m - n1)
+      |           * (2 * CAST(n1 AS HUGEINT) * (m - n1) - m)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+      |FROM agg""".stripMargin
+
   /** Corrupt-file-tolerant scan — the ops-robustness half of the
     * malformed-RECORD quarantine (`csv_quarantine` handles bad rows;
     * this handles bad FILES): a landing directory holding valid
@@ -5587,6 +5796,9 @@ object Relational {
     "kendall_tau"      -> kendallTau,
     "t_closeness"      -> tCloseness,
     "table_fingerprint" -> tableFingerprint,
+    "auc_rank"         -> aucRank,
+    "chi2_independence" -> chi2Independence,
+    "runs_test"        -> runsTest,
     "agg_incremental"  -> aggIncremental,
     "resample_hourly"  -> resampleHourly,
     "anomaly_zscore"   -> anomalyZscore,
@@ -6832,6 +7044,9 @@ object Relational {
     "kendall_tau" -> kendallTauSql,
     "t_closeness" -> tClosenessSql,
     "table_fingerprint" -> tableFingerprintSql,
+    "auc_rank" -> aucRankSql,
+    "chi2_independence" -> chi2IndependenceSql,
+    "runs_test" -> runsTestSql,
     "join_runtime_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,

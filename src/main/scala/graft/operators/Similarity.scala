@@ -569,6 +569,60 @@ object Similarity {
         expr("(hits * 1048576) div k").as("recall_q"))
   }
 
+  /** Mean-reciprocal-rank eval of exact cosine retrieval against the
+    * label ground truth — the rank-AWARE retrieval metric beside
+    * [[annRecall]]'s set-overlap recall@K ("not just DID a relevant
+    * neighbor surface, but how far down the list"): per query, the
+    * first rank within depth [[MrrDepth]] whose neighbor shares the
+    * query's label, rr_q = 2²⁰ div first_rank (0 when no relevant
+    * neighbor surfaces — the standard MRR@depth convention); corpus
+    * MRR is one mean away. Reciprocal ranks are why MRR — like
+    * [[rankFusion]]'s RRF — is exact on the integer lattice where
+    * score-based metrics are not. Scale shape: the [[annTopkBrute]]
+    * orientation (|Q| broadcast queries, vectors never shuffle,
+    * rank-limit pushed at depth [[MrrDepth]]), then an O(|Q|·depth)
+    * label filter + min-rank fold + one |Q|-row join back. */
+  def mrrEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("label").cast("long").as("qlabel"),
+        col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("nid"), col("label").cast("long").as("nlabel"),
+      col("embedding").as("ne"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos", cosine_sim(col("qe"), col("ne")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    val first = scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= MrrDepth && col("nlabel") === col("qlabel"))
+      .groupBy(col("qid")).agg(min(col("rnk")).as("first_rank"))
+    q.select(col("qid"), col("qlabel").as("label"))
+      .join(first, Seq("qid"), "left")
+      .select(col("qid"), col("label"),
+        coalesce(col("first_rank"), lit(0L)).as("first_rank"),
+        coalesce(expr("1048576 div first_rank"), lit(0L)).as("rr_q"))
+  }
+
+  private val MrrDepth = 50L
+
+  private def mrrEvalSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(label AS BIGINT) AS qlabel,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+       |           FROM embeddings WHERE vec_id < $NQueries),
+       |c AS (SELECT vec_id AS nid, CAST(label AS BIGINT) AS nlabel,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ne
+       |      FROM embeddings),
+       |r AS (SELECT qid, qlabel, nid, nlabel,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY list_cosine_similarity(qe, ne) DESC, nid ASC) AS rnk
+       |      FROM q, c WHERE qid <> nid),
+       |f AS (SELECT qid, min(rnk) AS first_rank
+       |      FROM r WHERE rnk <= $MrrDepth AND nlabel = qlabel GROUP BY qid)
+       |SELECT q.qid, q.qlabel AS label,
+       |  coalesce(f.first_rank, 0) AS first_rank,
+       |  coalesce(1048576 // f.first_rank, 0) AS rr_q
+       |FROM q LEFT JOIN f ON q.qid = f.qid""".stripMargin
+
   /** Calibration curve of the kNN classifier — accuracy bucketed by
     * vote count (the classifier's native confidence signal): "when 4
     * of 5 neighbors agree, how often is the label right?" — the
@@ -1997,6 +2051,7 @@ object Similarity {
     "knn_calibration" -> knnCalibration,
     "rank_fusion" -> rankFusion,
     "ann_recall" -> annRecall,
+    "mrr_eval" -> mrrEval,
     "class_centroids" -> classCentroids,
     "contrastive_pairs" -> contrastivePairs,
     "mutual_knn" -> mutualKnn,
@@ -2347,6 +2402,7 @@ object Similarity {
     // recall@K of the learned IVF index against the exact ranking —
     // BOTH sides are the full gated replays, composed as derived
     // tables, so the eval can never drift from the operators it rates
+    "mrr_eval" -> mrrEvalSql,
     "ann_recall" ->
       s"""SELECT b.qid, count(*) AS k,
          |  CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,

@@ -2667,6 +2667,39 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("auc_rank / chi2_independence / runs_test / mrr_eval: eval-stat invariants") {
+    val sf = "/root/testdata/sf0.001"
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    // AUC: row counts partition the order table; auc_q ∈ [0, 2^20]
+    // (the Mann-Whitney statistic is a probability on the lattice)
+    val auc = Relational.aucRank(spark, sf).collect().head
+    assert(auc.getLong(0) + auc.getLong(1) === o.count(),
+      "pos + neg must partition orders")
+    assert(auc.getLong(2) >= 0L && auc.getLong(2) <= 1048576L)
+    // chi2: nonnegative by the clamped Cauchy-Schwarz floor; df is
+    // (|segments|-1)(|priorities|-1); n covers every joined order
+    val chi = Relational.chi2Independence(spark, sf).collect().head
+    assert(chi.getLong(0) === o.count(), "every order joins its customer")
+    assert(chi.getLong(1) === 16L, "5 segments x 5 priorities -> df 16")
+    assert(chi.getLong(2) >= 0L)
+    // runs test: signs partition the non-median days; runs count is
+    // bounded by [1, m]; the flag is binary
+    val rt = Relational.runsTest(spark, sf).collect().head
+    assert(rt.getLong(1) + rt.getLong(2) === rt.getLong(0), "n1 + n2 = n")
+    assert(rt.getLong(3) >= 1L && rt.getLong(3) <= rt.getLong(0))
+    assert(rt.getLong(4) === 0L || rt.getLong(4) === 1L)
+    // MRR: one row per query; rr_q is exactly the lattice reciprocal
+    // of first_rank (0 iff no in-label neighbor within depth)
+    val mrr = Similarity.mrrEval(spark, sf).collect()
+    assert(mrr.length === 10)
+    mrr.foreach { r =>
+      val (fr, rr) = (r.getLong(2), r.getLong(3))
+      assert(fr >= 0L && fr <= 50L)
+      assert(rr === (if (fr == 0L) 0L else 1048576L / fr))
+    }
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
