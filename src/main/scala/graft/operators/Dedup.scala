@@ -1169,7 +1169,68 @@ object Dedup {
       .withColumn("err_q", abs(col("est_q") - col("exact_q")))
   }
 
+  /** Candidate (bands × rows) splits of the 64-hash MinHash budget
+    * the S-curve planner evaluates before committing a banding. */
+  private val LshPlans = Seq((32, 2), (16, 4), (8, 8), (4, 16))
+
+  /** LSH banding S-curve planner — the tuning table consulted BEFORE
+    * re-banding a [[minhashSketch]] deployment: for each way to split
+    * the [[NumPerms]]-hash budget into (bands b × rows r) and each
+    * Jaccard level s ∈ {0.1..0.9}, the candidate probability
+    * p = 1 − (1 − sʳ)ᵇ — the curve that decides whether a plan's
+    * threshold (≈(1/b)^(1/r)) sits where the dedup policy needs it.
+    * Closed form is irrational, so the operator DEFINES the lattice
+    * replay both engines run: sʳ and the band product iterate
+    * x ← (x·y) div 2²⁰ (truncating each step — the documented
+    * contract, exact cross-engine where floating powers are not).
+    * Spark unrolls the fixed per-plan exponents as codegen'd column
+    * arithmetic over a `spark.range` seed; the oracle iterates the
+    * same recurrence in two recursive CTEs. O(|plans|·9) rows —
+    * metadata at any scale (the operator reads no fixture data; it
+    * plans against the sketch CONFIGURATION). */
+  def lshThresholdPlan(spark: SparkSession, dir: String): DataFrame = {
+    def chain(seed: String, mul: String, times: Int): String =
+      (0 until times).foldLeft(seed)((acc, _) => s"(($acc * $mul) div 1048576)")
+    LshPlans.map { case (b, r) =>
+      spark.range(1, 10)
+        .select(expr("(id * 1048576) div 10").as("s_q"))
+        .withColumn("srq", expr(chain("cast(1048576 as bigint)", "s_q", r)))
+        .withColumn("nomatch",
+          expr(chain("cast(1048576 as bigint)", "(1048576 - srq)", b)))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("s_q"), expr("1048576 - nomatch").as("p_match_q"))
+    }.reduce(_ unionAll _)
+  }
+
+  private def lshThresholdPlanSql: String = {
+    val plansValues = LshPlans.map { case (b, r) => s"($b, $r)" }.mkString(", ")
+    s"""WITH RECURSIVE plans AS (
+       |  SELECT * FROM (VALUES $plansValues) AS p(bands, rows_per_band)),
+       |s AS (SELECT CAST((i * 1048576) // 10 AS BIGINT) AS s_q
+       |      FROM generate_series(1, 9) AS t(i)),
+       |grid AS (SELECT bands, rows_per_band, s_q FROM plans CROSS JOIN s),
+       |srq_it AS (
+       |  SELECT bands, rows_per_band, s_q, 0 AS k, CAST(1048576 AS BIGINT) AS acc
+       |  FROM grid
+       |  UNION ALL
+       |  SELECT bands, rows_per_band, s_q, k + 1, (acc * s_q) // 1048576
+       |  FROM srq_it WHERE k < rows_per_band),
+       |srq AS (SELECT bands, rows_per_band, s_q, acc AS srq
+       |        FROM srq_it WHERE k = rows_per_band),
+       |nm_it AS (
+       |  SELECT bands, rows_per_band, s_q, srq, 0 AS k, CAST(1048576 AS BIGINT) AS acc
+       |  FROM srq
+       |  UNION ALL
+       |  SELECT bands, rows_per_band, s_q, srq, k + 1, (acc * (1048576 - srq)) // 1048576
+       |  FROM nm_it WHERE k < bands)
+       |SELECT CAST(bands AS BIGINT) AS bands,
+       |  CAST(rows_per_band AS BIGINT) AS rows_per_band, s_q,
+       |  CAST(1048576 - acc AS BIGINT) AS p_match_q
+       |FROM nm_it WHERE k = bands""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lsh_threshold_plan" -> lshThresholdPlan,
     "dedup_fuzzy"     -> dedupFuzzy,
     "dedup_exact"     -> dedupExact,
     "dedup_by_source" -> dedupBySource,
@@ -1274,6 +1335,7 @@ object Dedup {
       |FROM tot LEFT JOIN dup USING(doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "lsh_threshold_plan" -> lshThresholdPlanSql,
     // full replay of the pigeonhole filter + levenshtein verify —
     // same fixed-width normalized key, same 4×(2K+1) probe windows,
     // same candidate normalization; DuckDB's levenshtein is the same

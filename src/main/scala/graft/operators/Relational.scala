@@ -4174,6 +4174,137 @@ object Relational {
       |    THEN 1 ELSE 0 END AS BIGINT) AS reject_05
       |FROM agg""".stripMargin
 
+  /** Header-vs-lines ledger reconciliation — the two-ledger integrity
+    * audit every finance/billing pipeline runs before closing a
+    * period ("does each order header total equal the sum of its
+    * lines?"), and the CROSS-TABLE tier above [[graft.operators.DataQuality]]'s
+    * intra-row rules: per order, header cents vs the summed per-line
+    * charge cents (extendedprice·(1−discount)·(1+tax), the TPC-H
+    * total-price identity), bucketed exact / within-$1 tolerance /
+    * mismatch / no_lines (headers whose lines are missing entirely —
+    * the left join keeps them, an inner join would silently pass
+    * them). Identical cent lattice and factor order on both engines
+    * (left-assoc IEEE double product, then floor(x·100+0.5) — the
+    * tableFingerprint rule). Scale shape: ONE partial+final fold of
+    * lineitem to |orders| rows, one equi-join on the order key, one
+    * |status|-row final fold — no window, no broadcast needed beyond
+    * AQE's own choices. */
+  def ledgerRecon(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"),
+        expr("cast(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) as bigint)")
+          .as("lc"))
+      .groupBy(col("okey"))
+      .agg(sum(col("lc")).as("line_cents"), count(lit(1)).as("n_lines"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("okey"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("hdr_cents"))
+      .join(lines, Seq("okey"), "left")
+      .select(col("okey"), col("hdr_cents"),
+        coalesce(col("line_cents"), lit(0L)).as("line_cents"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+      .withColumn("delta", col("hdr_cents") - col("line_cents"))
+      .withColumn("status",
+        when(col("n_lines") === 0L, "no_lines")
+          .when(col("delta") === 0L, "exact")
+          .when(abs(col("delta")) <= 100L, "tolerance")
+          .otherwise("mismatch"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(abs(col("delta"))).as("abs_delta_cents"),
+        max(abs(col("delta"))).as("max_abs_delta"))
+  }
+
+  private def ledgerReconSql: String =
+    """WITH lines AS (
+      |  SELECT l_orderkey AS okey,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS line_cents,
+      |    count(*) AS n_lines
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o_orderkey AS okey,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS hdr_cents,
+      |    coalesce(line_cents, 0) AS line_cents,
+      |    coalesce(n_lines, 0) AS n_lines
+      |  FROM orders LEFT JOIN lines ON o_orderkey = lines.okey),
+      |d AS (
+      |  SELECT hdr_cents - line_cents AS delta,
+      |    CASE WHEN n_lines = 0 THEN 'no_lines'
+      |         WHEN hdr_cents - line_cents = 0 THEN 'exact'
+      |         WHEN abs(hdr_cents - line_cents) <= 100 THEN 'tolerance'
+      |         ELSE 'mismatch' END AS status
+      |  FROM j)
+      |SELECT status, count(*) AS n_orders,
+      |  CAST(sum(abs(delta)) AS BIGINT) AS abs_delta_cents,
+      |  CAST(max(abs(delta)) AS BIGINT) AS max_abs_delta
+      |FROM d GROUP BY 1""".stripMargin
+
+  /** U-shaped (position-based) multi-touch attribution — the 40/20/40
+    * credit model marketing analytics runs beside first/last-touch
+    * (which [[graft.operators.StreamOps]]' view→click attribution
+    * covers): each user's pre-conversion touch journey (views+clicks
+    * before their FIRST purchase, ordered by the (ts, event_id) total
+    * order) splits one conversion credit on the 2²⁰ lattice — 40% to
+    * first and last touch, the middle 20% divided evenly among
+    * interior touches with the truncation dust pinned to the LAST
+    * interior touch, so per-user credit sums to exactly 2²⁰ (the
+    * abc_class share rule: dust placement is part of the contract,
+    * executed in EdgeCaseSpec). Degenerate journeys: 1 touch → full
+    * credit, 2 touches → an even split. Scale shape: one |users|-row
+    * conversion fold, one equi-join, two windows on the SAME
+    * (user_id) key and sort — a single keyed exchange — then a
+    * |event_types|-row final fold. */
+  def attributionPosition(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val firstPurchase = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wAll = Window.partitionBy(col("user_id"))
+    e.filter(col("event_type").isin("view", "click"))
+      .join(firstPurchase, Seq("user_id"))
+      .filter(col("ts") < col("pt"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("credit_q",
+        when(col("n") === 1L, lit(1048576L))
+          .when(col("n") === 2L, lit(524288L))
+          .when(col("rn") === 1L || col("rn") === col("n"), lit(419430L))
+          .otherwise(expr(
+            "209716 div (n - 2) + case when rn = n - 1 then 209716 % (n - 2) else 0 end")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("credit_q")).as("credit_sum_q"))
+  }
+
+  private def attributionPositionSql: String =
+    """WITH fp AS (
+      |  SELECT user_id, min(ts) AS pt FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |t AS (
+      |  SELECT e.user_id, e.event_type, e.ts, e.event_id
+      |  FROM events e JOIN fp ON e.user_id = fp.user_id
+      |  WHERE e.event_type IN ('view', 'click') AND e.ts < fp.pt),
+      |r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM t),
+      |c AS (
+      |  SELECT user_id, event_type,
+      |    CASE WHEN n = 1 THEN 1048576
+      |         WHEN n = 2 THEN 524288
+      |         WHEN rn = 1 OR rn = n THEN 419430
+      |         ELSE 209716 // (n - 2)
+      |              + CASE WHEN rn = n - 1 THEN 209716 % (n - 2) ELSE 0 END
+      |    END AS credit_q
+      |  FROM r)
+      |SELECT event_type, count(*) AS n_touches,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(credit_q) AS BIGINT) AS credit_sum_q
+      |FROM c GROUP BY 1""".stripMargin
+
   /** Corrupt-file-tolerant scan — the ops-robustness half of the
     * malformed-RECORD quarantine (`csv_quarantine` handles bad rows;
     * this handles bad FILES): a landing directory holding valid
@@ -5799,6 +5930,8 @@ object Relational {
     "auc_rank"         -> aucRank,
     "chi2_independence" -> chi2Independence,
     "runs_test"        -> runsTest,
+    "ledger_recon"     -> ledgerRecon,
+    "attribution_position" -> attributionPosition,
     "agg_incremental"  -> aggIncremental,
     "resample_hourly"  -> resampleHourly,
     "anomaly_zscore"   -> anomalyZscore,
@@ -7047,6 +7180,8 @@ object Relational {
     "auc_rank" -> aucRankSql,
     "chi2_independence" -> chi2IndependenceSql,
     "runs_test" -> runsTestSql,
+    "ledger_recon" -> ledgerReconSql,
+    "attribution_position" -> attributionPositionSql,
     "join_runtime_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,

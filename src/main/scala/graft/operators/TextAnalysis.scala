@@ -1266,7 +1266,89 @@ object TextAnalysis {
       .withColumn("keep_share_q",
         expr("cast((n_keep * cast(1048576 as bigint)) div n_docs as bigint)"))
 
+  /** RAKE keyword extraction (Rose et al. 2010, simplified) — the
+    * unsupervised keyphrase miner a corpus-curation pipeline runs for
+    * topic inventories and dataset cards, and the PHRASE-level
+    * counterpart to [[tfidfTopk]]'s single-token scoring: candidate
+    * phrases are maximal runs of non-stopword tokens (delimiter set =
+    * [[Stopwords]] only — the documented deviation from classic RAKE,
+    * whose delimiters also include punctuation; this operator's
+    * tokenizer has already folded punctuation into separators),
+    * word score = degree·2²⁰ div freq (degree sums the lengths of
+    * every phrase the word occurs in, self included), phrase score =
+    * Σ member-occurrence word scores, top 20 under the (score desc,
+    * phrase asc) total order. Reciprocal-free integer lattice
+    * throughout. Scale shape: ONE keyed exchange on doc_id carries
+    * the position window, the phrase-id running sum, AND the
+    * per-phrase length count (same partitioning); then two
+    * partial+final folds (word stats on tok, distinct phrases) and a
+    * TakeOrdered top-20 — no window ever sees more than one doc. */
+  def keywordRake(spark: SparkSession, dir: String): DataFrame = {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val wPhrase = Window.partitionBy(col("doc_id"), col("pid"))
+    val marked = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toksOf(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+      .withColumn("stop", col("tok").isin(Stopwords: _*).cast("long"))
+      .withColumn("pid", sum(col("stop")).over(wDoc))
+      .filter(col("stop") === 0L)
+      .withColumn("len", count(lit(1)).over(wPhrase))
+      .persistScoped()
+    val wordStats = marked
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .select(col("tok"), expr("(deg * cast(1048576 as bigint)) div freq").as("score_q"))
+    marked.groupBy(col("doc_id"), col("pid"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("tok")))),
+        e => e("tok")), " ").as("phrase"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occ"))
+      .select(col("phrase"), col("n_occ"), explode(split(col("phrase"), " ")).as("tok"))
+      .join(wordStats, "tok")
+      .groupBy(col("phrase"), col("n_occ"))
+      .agg(sum(col("score_q")).as("score_q"))
+      .orderBy(col("score_q").desc, col("phrase").asc)
+      .limit(20)
+  }
+
+  private def keywordRakeSql: String = {
+    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS w,
+       |         unnest(range(1, len(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '))+1)) AS pos
+       |  FROM documents),
+       |t2 AS (
+       |  SELECT doc_id, w, pos,
+       |    CASE WHEN w IN ($stops) THEN 1 ELSE 0 END AS stop
+       |  FROM toks WHERE w <> ''),
+       |m0 AS (
+       |  SELECT doc_id, w, pos, stop,
+       |    sum(stop) OVER (PARTITION BY doc_id ORDER BY pos ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+       |  FROM t2),
+       |marked AS (SELECT doc_id, w, pos, pid FROM m0 WHERE stop = 0),
+       |lens AS (SELECT doc_id, pid, count(*) AS len FROM marked GROUP BY 1, 2),
+       |ws AS (
+       |  SELECT m.w AS tok,
+       |    (CAST(sum(l.len) AS BIGINT) * 1048576) // count(*) AS score_q
+       |  FROM marked m JOIN lens l ON m.doc_id = l.doc_id AND m.pid = l.pid
+       |  GROUP BY 1),
+       |phr AS (
+       |  SELECT doc_id, pid, string_agg(w, ' ' ORDER BY pos ASC) AS phrase
+       |  FROM marked GROUP BY 1, 2),
+       |dp AS (SELECT phrase, count(*) AS n_occ FROM phr GROUP BY 1),
+       |mem AS (
+       |  SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS tok FROM dp)
+       |SELECT phrase, n_occ, CAST(sum(ws.score_q) AS BIGINT) AS score_q
+       |FROM mem JOIN ws ON mem.tok = ws.tok
+       |GROUP BY phrase, n_occ
+       |ORDER BY score_q DESC, phrase ASC LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "keyword_rake"    -> keywordRake,
     "ngram_coverage"  -> ngramCoverage,
     "vocab_overlap"   -> vocabOverlap,
     "quality_by_source" -> qualityBySource,
@@ -1522,6 +1604,7 @@ object TextAnalysis {
       |GROUP BY 1, 2, 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "keyword_rake" -> keywordRakeSql,
     "ngram_coverage" -> ngramCoverageSql,
     "vocab_overlap" -> vocabOverlapSql,
     "ttr_diversity" -> ttrDiversitySql,

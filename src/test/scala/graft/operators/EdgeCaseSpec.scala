@@ -2700,6 +2700,51 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("ledger_recon / attribution_position / keyword_rake / lsh_threshold_plan invariants") {
+    val sf = "/root/testdata/sf0.001"
+    // recon statuses partition the order table exactly
+    val rec = Relational.ledgerRecon(spark, sf).collect()
+    assert(rec.map(_.getLong(1)).sum ===
+      spark.read.parquet(s"$sf/orders.parquet").count())
+    // per-user credit sums to exactly 2^20 (dust pinned to the last
+    // interior touch), so total credit = 2^20 x credited users
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    ev.createOrReplaceTempView("ev")
+    val credited = spark.sql(
+      """SELECT count(DISTINCT e.user_id) FROM ev e
+        |JOIN (SELECT user_id, min(ts) pt FROM ev
+        |      WHERE event_type = 'purchase' GROUP BY 1) p
+        |  ON e.user_id = p.user_id
+        |WHERE e.event_type IN ('view','click') AND e.ts < p.pt""".stripMargin)
+      .head().getLong(0)
+    val att = Relational.attributionPosition(spark, sf).collect()
+    assert(att.map(_.getLong(3)).sum === credited * 1048576L,
+      "U-shaped credit must sum to 2^20 per credited user")
+    // RAKE: top-20 rows, no stopword ever inside a phrase, positive scores
+    val rake = TextAnalysis.keywordRake(spark, sf).collect()
+    assert(rake.length === 20)
+    rake.foreach { r =>
+      val words = r.getString(0).split(" ")
+      assert(words.nonEmpty && words.forall(w => !TextAnalysis.Stopwords.contains(w)))
+      assert(r.getLong(1) >= 1L && r.getLong(2) > 0L)
+    }
+    // S-curve: probability-shaped, monotone in s, and at a fixed s a
+    // taller band count (smaller r) can only raise the match chance
+    val plan = Dedup.lshThresholdPlan(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    assert(plan.values.forall(p => p >= 0L && p <= 1048576L))
+    for (b <- Seq(32L, 16L, 8L, 4L); i <- 2 to 9) {
+      val s = (i * 1048576L) / 10
+      val sPrev = ((i - 1) * 1048576L) / 10
+      assert(plan((b, s)) >= plan((b, sPrev)), s"monotone in s for b=$b")
+    }
+    for (i <- 1 to 9; (hi, lo) <- Seq((32L, 16L), (16L, 8L), (8L, 4L))) {
+      val s = (i * 1048576L) / 10
+      assert(plan((hi, s)) >= plan((lo, s)), s"more bands never lowers p at s=$s")
+    }
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
