@@ -801,7 +801,85 @@ object Multimodal {
       .toDF("doc_id", "n_frames", "n_cuts", "max_hamming")
   }
 
+  /** Per-quadrant raster statistics over the REAL PNG decode — the
+    * tiled feature pass a vision-data pipeline runs for crop/layout
+    * decisions ("which region carries the detail?") and the spatial
+    * refinement of [[imageEqualize]]'s whole-raster histogram: the
+    * decoded image splits into a fixed 2×2 quadrant grid
+    * (qx = 2x div w — every quadrant nonempty at any w,h ≥ 2), each
+    * quadrant reporting exact integral n_px / Σgray / min / max.
+    * Spreads + sums only (the clusterStats rule: float means are
+    * order-sensitive; these are not). PNG is lossless, so the oracle
+    * replays the expected pixels from the md5 seed — a mismatch
+    * means the codec, the quadrant rule, or the accumulation broke.
+    * Scale shape: the 4 accumulators fold INSIDE the per-partition
+    * decode loop — one narrow map, zero shuffle; 4 rows per image
+    * leave the scan. */
+  def imageTileStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("seed"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, seed) => (id, encodePng(seed)) })
+      .mapPartitions(_.flatMap { case (id, png) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val w = img.getWidth; val h = img.getHeight
+        val n = new Array[Long](4); val s = new Array[Long](4)
+        val mn = Array.fill(4)(256L); val mx = Array.fill(4)(-1L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val gray = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+            val q = (x * 2 / w) + 2 * (y * 2 / h)
+            n(q) += 1L; s(q) += gray
+            if (gray < mn(q)) mn(q) = gray
+            if (gray > mx(q)) mx(q) = gray
+            x += 1
+          }
+          y += 1
+        }
+        (0 until 4).iterator.map(q =>
+          (id, (q % 2).toLong, (q / 2).toLong, n(q), s(q), mn(q), mx(q)))
+      })
+      .toDF("doc_id", "qx", "qy", "n_px", "sum_gray", "min_gray", "max_gray")
+  }
+
+  /** Clipping detector over the stub-decoded PCM16 clips — the
+    * third audio-QC screen beside [[audioEnergy]] (amplitude) and
+    * [[audioZcr]] (spectral proxy): samples at |s| ≥ 30000 sit in
+    * the clip zone, and CONSECUTIVE clipped samples are the
+    * distortion signature a recording pipeline quarantines on (one
+    * hot sample is a transient; a run is a flattened waveform). Per
+    * clip: sample count, clipped count, longest clipped RUN (the
+    * gaps-and-islands fold, run inside the decode closure), and the
+    * quarantine flag at ≥ 2 clipped samples. The oracle re-derives
+    * every sample from the md5 hex and replays the run length via
+    * the si − row_number island key. Scale shape: whole feature
+    * folds inside the per-partition decode loop — zero shuffle, 5
+    * longs per clip out. */
+  def audioClipDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(audioDecodeStub)
+      .map { case (id, samples) =>
+        val clip = samples.map(s => math.abs(s) >= 30000)
+        var run = 0L; var maxRun = 0L
+        clip.foreach { c =>
+          if (c) { run += 1L; if (run > maxRun) maxRun = run } else run = 0L
+        }
+        val nc = clip.count(identity).toLong
+        (id, samples.length.toLong, nc, maxRun, if (nc >= 2L) 1L else 0L)
+      }
+      .toDF("doc_id", "n_samples", "n_clipped", "max_clip_run", "clip_flag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "image_tile_stats"    -> imageTileStats,
+    "audio_clip_detect"   -> audioClipDetect,
     "multimodal_meta"     -> multimodalMeta,
     "scene_cuts"          -> sceneCuts,
     "audio_zcr"           -> audioZcr,
@@ -856,6 +934,56 @@ object Multimodal {
         |FROM g JOIN m USING (doc_id) GROUP BY g.doc_id, m.mean""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the image_equalize px CTE extended with quadrant keys — the
+    // lossless-PNG replay gates codec + quadrant rule + accumulation
+    "image_tile_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) AS b0,
+        |    CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) AS b1,
+        |    CAST('0x' || substr(md5(text), 5, 2) AS INTEGER) AS b2,
+        |    CAST('0x' || substr(md5(text), 7, 2) AS INTEGER) AS b3,
+        |    CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) AS b4
+        |  FROM documents),
+        |d AS (SELECT doc_id, 4 + b0 % 16 AS w, 4 + b1 % 16 AS h, b2, b3, b4 FROM b),
+        |px AS (
+        |  SELECT doc_id,
+        |    CAST(xs.x * 2 // d.w AS BIGINT) AS qx,
+        |    CAST(ys.y * 2 // d.h AS BIGINT) AS qy,
+        |    CAST((((xs.x*7 + ys.y*13 + b2) % 256 + (xs.x*11 + ys.y*3 + b3) % 256
+        |      + (xs.x*5 + ys.y*17 + b4) % 256) // 3) AS BIGINT) AS gray
+        |  FROM d
+        |  JOIN (SELECT unnest(range(20)) AS x) xs ON xs.x < d.w
+        |  JOIN (SELECT unnest(range(20)) AS y) ys ON ys.y < d.h)
+        |SELECT doc_id, qx, qy, count(*) AS n_px,
+        |  CAST(sum(gray) AS BIGINT) AS sum_gray,
+        |  CAST(min(gray) AS BIGINT) AS min_gray,
+        |  CAST(max(gray) AS BIGINT) AS max_gray
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+    // sample CTE shared verbatim with audio_energy; runs via the
+    // si - row_number island key over clipped samples only
+    "audio_clip_detect" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(i AS BIGINT) AS si,
+        |    CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS BIGINT) AS smp
+        |  FROM (SELECT doc_id,
+        |          CAST('0x' || substr(md5(text), i*4 + 1, 4) AS INTEGER) AS v, i
+        |        FROM documents, generate_series(0, 7) AS t(i)) x),
+        |c AS (SELECT doc_id, si FROM s WHERE abs(smp) >= 30000),
+        |r AS (SELECT doc_id,
+        |        si - row_number() OVER (PARTITION BY doc_id ORDER BY si ASC) AS grp
+        |      FROM c),
+        |runs AS (SELECT doc_id, count(*) AS rl FROM r GROUP BY doc_id, grp),
+        |mr AS (SELECT doc_id, max(rl) AS max_run FROM runs GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id, count(*) AS n_samples,
+        |    CAST(sum(CASE WHEN abs(smp) >= 30000 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        |  FROM s GROUP BY 1)
+        |SELECT b.doc_id, b.n_samples, b.n_clipped,
+        |  CAST(coalesce(mr.max_run, 0) AS BIGINT) AS max_clip_run,
+        |  CAST(CASE WHEN b.n_clipped >= 2 THEN 1 ELSE 0 END AS BIGINT) AS clip_flag
+        |FROM base b LEFT JOIN mr ON b.doc_id = mr.doc_id""".stripMargin,
     "multimodal_phash" -> phashReplaySql,
     // banding + exact hamming over the SAME phash replay (derived
     // table) — band membership and the ≤6 threshold all integral

@@ -4305,6 +4305,106 @@ object Relational {
       |  CAST(sum(credit_q) AS BIGINT) AS credit_sum_q
       |FROM c GROUP BY 1""".stripMargin
 
+  /** Laspeyres price index by ship year — the OLAP-econometrics
+    * rollup ("how much did our basket's price level move, holding
+    * the basket fixed?") a pricing team tracks per period: per
+    * (part, year) the exact unit-price lattice p_q = Σcents div Σqty,
+    * base-1995 quantities weight every year's prices, index_q =
+    * (Σ p_t·q0)·2²⁰ div (Σ p0·q0) over parts traded in BOTH years
+    * (the common-basket rule — a part absent from year t simply
+    * leaves the basket, matching the classic matched-model index).
+    * The base year indexes to EXACTLY 2²⁰ (numerator ≡ denominator —
+    * executed in spec). DECIMAL(38) basket sums (p·q products pass
+    * 2⁶³ at warehouse scale). Scale shape: ONE partial+final fold of
+    * lineitem to |parts|·|years| rows, a self-join on the part key
+    * against the |parts|-row base slice, and a |years|-row final
+    * fold. */
+  def priceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val py = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("pk"),
+        expr("cast(year(cast(l_shipdate as date)) as bigint)").as("yr"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("cents"),
+        expr("cast(l_quantity as bigint)").as("qty"))
+      .groupBy(col("pk"), col("yr"))
+      .agg(sum(col("cents")).as("sc"), sum(col("qty")).as("sq"))
+      .select(col("pk"), col("yr"), col("sq"),
+        expr("sc div greatest(sq, 1)").as("p_q"))
+      .persistScoped()
+    val base = py.filter(col("yr") === 1995L)
+      .select(col("pk"), col("sq").as("q0"), col("p_q").as("p0"))
+    py.join(base, Seq("pk"))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p_q").cast(DecimalType(38, 0)) * col("q0")).as("num"),
+        sum(col("p0").cast(DecimalType(38, 0)) * col("q0")).as("den"))
+      .select(col("yr").as("year"), col("n_parts"),
+        expr("cast((num * 1048576) div greatest(den, 1) as bigint)").as("laspeyres_q"))
+  }
+
+  private def priceIndexSql: String =
+    """WITH py AS (
+      |  SELECT l_partkey AS pk, CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+      |  FROM lineitem GROUP BY 1, 2),
+      |p AS (SELECT pk, yr, sq, sc // greatest(sq, 1) AS p_q FROM py),
+      |base AS (SELECT pk, sq AS q0, p_q AS p0 FROM p WHERE yr = 1995)
+      |SELECT p.yr AS year, count(*) AS n_parts,
+      |  CAST((sum(CAST(p.p_q AS HUGEINT) * base.q0) * 1048576)
+      |       // greatest(sum(CAST(base.p0 AS HUGEINT) * base.q0), 1) AS BIGINT) AS laspeyres_q
+      |FROM p JOIN base ON p.pk = base.pk
+      |GROUP BY p.yr""".stripMargin
+
+  /** Brand-loyalty distribution — the retail-analytics rollup
+    * ("how concentrated is each customer's brand spend, and how does
+    * that concentration distribute over the base?") behind retention
+    * and private-label strategy: per customer the TOP brand's share
+    * of their line count on the 2²⁰ lattice (ties break (count desc,
+    * brand asc) — the label_prop rule), bucketed into ten loyalty
+    * deciles (width 104858 = ⌈2²⁰/10⌉, so a perfect 2²⁰ share lands
+    * in decile 9). Scale shape: the 3-way fact join folds ONCE to
+    * (customer, brand) counts; the rank, total, and brand-count
+    * windows all ride the SAME (cust) exchange; the decile rollup is
+    * a |10|-row final fold. */
+  def brandLoyalty(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cust")).orderBy(col("n").desc, col("brand").asc)
+    val wc = Window.partitionBy(col("cust"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey").as("cust"), col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("tot", sum(col("n")).over(wc))
+      .withColumn("nb", count(lit(1)).over(wc))
+      .filter(col("rn") === 1)
+      .select(col("cust"), col("nb").as("n_brands"),
+        expr("(n * cast(1048576 as bigint)) div tot").as("top_share_q"))
+      .groupBy(expr("top_share_q div 104858").as("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("n_brands")).as("sum_brands"))
+  }
+
+  private def brandLoyaltySql: String =
+    """WITH cb AS (
+      |  SELECT o_custkey AS cust, p_brand AS brand, count(*) AS n
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT cust, n,
+      |    row_number() OVER (PARTITION BY cust ORDER BY n DESC, brand ASC) AS rn,
+      |    sum(n) OVER (PARTITION BY cust) AS tot,
+      |    count(*) OVER (PARTITION BY cust) AS nb
+      |  FROM cb),
+      |top AS (
+      |  SELECT cust, nb AS n_brands,
+      |    (n * CAST(1048576 AS BIGINT)) // tot AS top_share_q
+      |  FROM r WHERE rn = 1)
+      |SELECT CAST(top_share_q // 104858 AS BIGINT) AS decile, count(*) AS n_customers,
+      |  CAST(sum(n_brands) AS BIGINT) AS sum_brands
+      |FROM top GROUP BY 1""".stripMargin
+
   /** Corrupt-file-tolerant scan — the ops-robustness half of the
     * malformed-RECORD quarantine (`csv_quarantine` handles bad rows;
     * this handles bad FILES): a landing directory holding valid
@@ -5932,6 +6032,8 @@ object Relational {
     "runs_test"        -> runsTest,
     "ledger_recon"     -> ledgerRecon,
     "attribution_position" -> attributionPosition,
+    "price_index"      -> priceIndex,
+    "brand_loyalty"    -> brandLoyalty,
     "agg_incremental"  -> aggIncremental,
     "resample_hourly"  -> resampleHourly,
     "anomaly_zscore"   -> anomalyZscore,
@@ -7182,6 +7284,8 @@ object Relational {
     "runs_test" -> runsTestSql,
     "ledger_recon" -> ledgerReconSql,
     "attribution_position" -> attributionPositionSql,
+    "price_index" -> priceIndexSql,
+    "brand_loyalty" -> brandLoyaltySql,
     "join_runtime_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,

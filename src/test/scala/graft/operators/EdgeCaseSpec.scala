@@ -2745,6 +2745,43 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("price_index / brand_loyalty / image_tile_stats / audio_clip_detect invariants") {
+    val sf = "/root/testdata/sf0.001"
+    // the base year indexes to exactly 2^20: numerator = denominator
+    val piRows = Relational.priceIndex(spark, sf).collect()
+    val base = piRows.find(_.getLong(0) == 1995L)
+    assert(base.isDefined && base.get.getLong(2) === 1048576L,
+      "Laspeyres base year must index to exactly 2^20")
+    assert(piRows.nonEmpty)
+    // loyalty deciles cover [0,9] and partition the customer base
+    val bl = Relational.brandLoyalty(spark, sf).collect()
+    assert(bl.forall(r => r.getLong(0) >= 0L && r.getLong(0) <= 9L))
+    val nCust = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        $"l_orderkey" === $"o_orderkey")
+      .select("o_custkey").distinct().count()
+    assert(bl.map(_.getLong(1)).sum === nCust,
+      "every ordering customer lands in exactly one decile")
+    // tiles partition the raster exactly; spreads are ordered
+    val tiles = Multimodal.imageTileStats(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val dims = Multimodal.multimodalPng(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) * r.getLong(2))).toMap
+    tiles.foreach { case (id, qs) =>
+      assert(qs.length === 4)
+      assert(qs.map(_.getLong(3)).sum === dims(id), "quadrants partition the raster")
+      qs.foreach(r => assert(r.getLong(5) <= r.getLong(6), "min <= max"))
+    }
+    // clip runs are bounded by the clip count; the flag mirrors >= 2
+    Multimodal.audioClipDetect(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) === 8L)
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getLong(4) === (if (r.getLong(2) >= 2L) 1L else 0L))
+      if (r.getLong(2) > 0L) assert(r.getLong(3) >= 1L)
+    }
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
