@@ -44,9 +44,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // relation, y side broadcast; conformal_knn / t_closeness: a
     // |labels|- / |buckets|-row relation broadcast on a constant key
     // (folded to TRUE) — all by-construction tiny build sides
+    // mrr_eval: the ann_topk 10-row broadcast probe with a qid<>nid
+    // non-equi condition; chi2_independence: the t_closeness
+    // constant-key dense grid (|segments| x |priorities| — both
+    // margins are by-construction tiny folded relations)
     val allowedBnlj = Set("ann_topk", "mips_topk", "rank_fusion", "ann_recall",
       "knn_margin", "vocab_overlap", "hard_negatives", "theilsen_trend",
-      "kendall_tau", "conformal_knn", "t_closeness")
+      "kendall_tau", "conformal_knn", "t_closeness", "mrr_eval",
+      "chi2_independence")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
