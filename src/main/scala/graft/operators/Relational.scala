@@ -4405,6 +4405,54 @@ object Relational {
       |  CAST(sum(n_brands) AS BIGINT) AS sum_brands
       |FROM top GROUP BY 1""".stripMargin
 
+  /** Trailing-7-day modal event type per day — the windowed MODE the
+    * window family lacks (window_median covers ordered medians;
+    * categorical mode needs a count-then-rank, not a frame): for
+    * each active day, the most frequent event type over [day−6, day]
+    * with the (count desc, type asc) tie rule. The trailing window
+    * is EXPLODED FORWARD (each (day, type, n) fold row contributes
+    * to days day..day+6 via `sequence`), turning the range join a
+    * naive rolling mode would need into an EQUI join + second fold —
+    * shuffle keys only, 7× fan-out of a |days|·|types| folded
+    * relation (metadata-scale at any corpus size). Days with no own
+    * events don't report (semi-join to the active-day set). */
+  def rollingMode(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.events(spark, dir)
+      .select(expr("cast(datediff(cast(ts as date), date'1970-01-01') as bigint)").as("day"),
+        col("event_type"))
+      .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("n"))
+      .persistScoped()
+    val days = f.select(col("day")).distinct()
+      .withColumnRenamed("day", "tday")
+    val w = Window.partitionBy(col("tday")).orderBy(col("n7").desc, col("event_type").asc)
+    f.select(explode(sequence(col("day"), col("day") + 6)).as("tday"),
+        col("event_type"), col("n"))
+      .join(days, Seq("tday"))
+      .groupBy(col("tday"), col("event_type")).agg(sum(col("n")).as("n7"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("tday").as("day"), col("event_type").as("mode_type"),
+        col("n7").as("n_7d"))
+  }
+
+  private def rollingModeSql: String =
+    """WITH f AS (
+      |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day AS tday FROM f),
+      |c AS (
+      |  SELECT t.tday, f.event_type, CAST(sum(f.n) AS BIGINT) AS n7
+      |  FROM f, unnest(generate_series(f.day, f.day + 6)) AS g(tday)
+      |  JOIN days t ON t.tday = g.tday
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT tday, event_type, n7,
+      |    row_number() OVER (PARTITION BY tday ORDER BY n7 DESC, event_type ASC) AS rn
+      |  FROM c)
+      |SELECT tday AS day, event_type AS mode_type, n7 AS n_7d
+      |FROM r WHERE rn = 1""".stripMargin
+
   /** Corrupt-file-tolerant scan — the ops-robustness half of the
     * malformed-RECORD quarantine (`csv_quarantine` handles bad rows;
     * this handles bad FILES): a landing directory holding valid
@@ -6034,6 +6082,7 @@ object Relational {
     "attribution_position" -> attributionPosition,
     "price_index"      -> priceIndex,
     "brand_loyalty"    -> brandLoyalty,
+    "rolling_mode"     -> rollingMode,
     "agg_incremental"  -> aggIncremental,
     "resample_hourly"  -> resampleHourly,
     "anomaly_zscore"   -> anomalyZscore,
@@ -7286,6 +7335,7 @@ object Relational {
     "attribution_position" -> attributionPositionSql,
     "price_index" -> priceIndexSql,
     "brand_loyalty" -> brandLoyaltySql,
+    "rolling_mode" -> rollingModeSql,
     "join_runtime_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,

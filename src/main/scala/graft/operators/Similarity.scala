@@ -605,6 +605,89 @@ object Similarity {
 
   private val MrrDepth = 50L
 
+  /** Two-NN ratio distribution (Facco et al. 2017's intrinsic-
+    * dimension estimator input) — the manifold-health probe an
+    * embedding pipeline runs before trusting ANN/clustering
+    * structure: per vector the ratio μ = d₂/d₁ of its two nearest
+    * neighbors (squared lattice-L2, the knn_margin arithmetic);
+    * concentrated-near-1 ratios mean high intrinsic dimension
+    * (distances losing meaning), a fat tail means low-dimensional
+    * structure worth exploiting. Emitted as the 10-bucket histogram
+    * of the ratio EXCESS (μ_q − 2²⁰ capped at +2.0, width 0.2 on the
+    * lattice) — the estimator's sufficient statistic without the
+    * irrational log fit. Vectors whose nearest candidate is an exact
+    * lattice duplicate (d₁ = 0) drop — their ratio is undefined and
+    * dedup owns them. Neighbors come from the SAME fixed-seed LSH
+    * candidate graph knn_join gates (no all-pairs; candidates =
+    * bucket-mates), so the oracle replays planes → keys → candidates
+    * → lattice distances end to end. Scale shape: the candidate join
+    * shuffles (table, key, id) tuples only; distances attach by two
+    * equi-joins on the surviving pairs; the rank window is keyed by
+    * qid; the final fold is 10 rows. */
+  def twonnRatio(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val tagged = tableKeys(spark, dir)
+    val cand = tagged.as("a").join(tagged.as("b"),
+        col("a.table_idx") === col("b.table_idx") &&
+          col("a.table_key") === col("b.table_key") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+      .distinct()
+    val lat = e.select(col("vec_id"), latArrCol(col("embedding")).as("q"))
+    val d = aggregate(zip_with(col("qq"), col("nq"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (a, x) => a + x)
+    val w = Window.partitionBy(col("qid")).orderBy(col("dd").asc, col("nid").asc)
+    cand
+      .join(lat.select(col("vec_id").as("nid"), col("q").as("nq")), "nid")
+      .join(lat.select(col("vec_id").as("qid"), col("q").as("qq")), "qid")
+      .withColumn("dd", d)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .groupBy(col("qid"))
+      .agg(min(when(col("rnk") === 1, col("dd"))).as("d1"),
+        min(when(col("rnk") === 2, col("dd"))).as("d2"))
+      .filter(col("d1") > 0L && col("d2").isNotNull)
+      .select(expr(
+        "least((d2 * 1048576) div d1 - 1048576, 2097149) div 209715").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_points"))
+  }
+
+  private def twonnRatioSql: String = {
+    val planeRows = planesLiteral
+    s"""WITH planes(t, j, p) AS (VALUES $planeRows),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |      FROM embeddings),
+       |bits AS (
+       |  SELECT e.vec_id, pl.t, pl.j,
+       |    CASE WHEN list_inner_product(e.emb, pl.p) >= 0 THEN 1 << pl.j ELSE 0 END AS bit
+       |  FROM e CROSS JOIN planes pl),
+       |keys AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS key FROM bits GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM keys q JOIN keys c ON q.t = c.t AND q.key = c.key AND c.vec_id <> q.vec_id),
+       |l AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT)) AS q
+       |      FROM embeddings),
+       |dd AS (SELECT unnest(range($Dim)) AS i),
+       |sc AS (SELECT cands.qid, cands.nid,
+       |         CAST(sum((ql.q[dd.i + 1] - nl.q[dd.i + 1])
+       |                * (ql.q[dd.i + 1] - nl.q[dd.i + 1])) AS BIGINT) AS d
+       |       FROM cands
+       |       JOIN l ql ON ql.vec_id = cands.qid
+       |       JOIN l nl ON nl.vec_id = cands.nid
+       |       CROSS JOIN dd GROUP BY 1, 2),
+       |r AS (SELECT qid, d,
+       |        row_number() OVER (PARTITION BY qid ORDER BY d ASC, nid ASC) AS rnk
+       |      FROM sc),
+       |two AS (SELECT qid,
+       |          CAST(max(CASE WHEN rnk = 1 THEN d END) AS BIGINT) AS d1,
+       |          CAST(max(CASE WHEN rnk = 2 THEN d END) AS BIGINT) AS d2
+       |        FROM r WHERE rnk <= 2 GROUP BY qid)
+       |SELECT CAST(least((d2 * 1048576) // d1 - 1048576, 2097149) // 209715 AS BIGINT) AS bucket,
+       |  count(*) AS n_points
+       |FROM two WHERE d1 > 0 AND d2 IS NOT NULL GROUP BY 1""".stripMargin
+  }
+
   private def mrrEvalSql: String =
     s"""WITH q AS (SELECT vec_id AS qid, CAST(label AS BIGINT) AS qlabel,
        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
@@ -2052,6 +2135,7 @@ object Similarity {
     "rank_fusion" -> rankFusion,
     "ann_recall" -> annRecall,
     "mrr_eval" -> mrrEval,
+    "twonn_ratio" -> twonnRatio,
     "class_centroids" -> classCentroids,
     "contrastive_pairs" -> contrastivePairs,
     "mutual_knn" -> mutualKnn,
@@ -2403,6 +2487,7 @@ object Similarity {
     // BOTH sides are the full gated replays, composed as derived
     // tables, so the eval can never drift from the operators it rates
     "mrr_eval" -> mrrEvalSql,
+    "twonn_ratio" -> twonnRatioSql,
     "ann_recall" ->
       s"""SELECT b.qid, count(*) AS k,
          |  CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,

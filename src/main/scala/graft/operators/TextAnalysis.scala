@@ -1266,6 +1266,67 @@ object TextAnalysis {
       .withColumn("keep_share_q",
         expr("cast((n_keep * cast(1048576 as bigint)) div n_docs as bigint)"))
 
+  /** Language-ID margin / mixed-language screen — the confidence
+    * tier above [[langId]]'s bare argmax: per document the TOP-2
+    * marker-evidence scores under the (score desc, lang asc) total
+    * order (the operator's OWN tie rule — [[predLangOf]]'s cascade
+    * breaks ties by Markers-table position instead; both are
+    * documented contracts), their margin, and the mixed-content flag
+    * (two languages with evidence and margin ≤ 1 — the docs a
+    * monolingual pipeline should route to segmentation rather than
+    * filter by the argmax). Top-2 selection rides a sorted 4-element
+    * literal array of (−score, lang) structs — pure codegen
+    * expressions, no explode, no shuffle beyond the scan. */
+  def langMargin(spark: SparkSession, dir: String): DataFrame = {
+    val toks = toksOf(col("text"))
+    val entries = Markers.map { case (l, ws) =>
+      struct((-size(filter(toks, t => t.isin(ws: _*)))).cast("long").as("ns"),
+        lit(l).as("lang"))
+    }
+    val arr = sort_array(array(entries: _*))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        arr.getItem(0).getField("lang").as("l1"),
+        (-arr.getItem(0).getField("ns")).as("s1"),
+        (-arr.getItem(1).getField("ns")).as("s2"))
+      .select(col("doc_id"), col("lang"),
+        when(col("s1") > 0L, col("l1")).otherwise(lit("und")).as("top_lang"),
+        col("s1"), col("s2"),
+        (col("s1") - col("s2")).as("margin"),
+        (col("s1") > 0L && col("s2") > 0L &&
+          col("s1") - col("s2") <= 1L).cast("long").as("mixed_flag"))
+  }
+
+  private def langMarginSql: String = {
+    val scoreSelects = Markers.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      s"SELECT doc_id, '$l' AS lg, CAST(len(list_filter(toks, t -> t IN ($list))) AS BIGINT) AS s FROM toks"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+       |      t -> t <> '') AS toks
+       |  FROM documents),
+       |scores AS (
+       |  $scoreSelects),
+       |r AS (
+       |  SELECT doc_id, lg, s,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lg ASC) AS rn
+       |  FROM scores),
+       |top AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN rn = 1 THEN lg END) AS l1,
+       |    CAST(max(CASE WHEN rn = 1 THEN s END) AS BIGINT) AS s1,
+       |    CAST(max(CASE WHEN rn = 2 THEN s END) AS BIGINT) AS s2
+       |  FROM r WHERE rn <= 2 GROUP BY doc_id)
+       |SELECT d.doc_id, d.lang,
+       |  CASE WHEN t.s1 > 0 THEN t.l1 ELSE 'und' END AS top_lang,
+       |  t.s1, t.s2, t.s1 - t.s2 AS margin,
+       |  CAST(CASE WHEN t.s1 > 0 AND t.s2 > 0 AND t.s1 - t.s2 <= 1
+       |       THEN 1 ELSE 0 END AS BIGINT) AS mixed_flag
+       |FROM documents d JOIN top t ON d.doc_id = t.doc_id""".stripMargin
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010, simplified) — the
     * unsupervised keyphrase miner a corpus-curation pipeline runs for
     * topic inventories and dataset cards, and the PHRASE-level
@@ -1349,6 +1410,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "keyword_rake"    -> keywordRake,
+    "lang_margin"     -> langMargin,
     "ngram_coverage"  -> ngramCoverage,
     "vocab_overlap"   -> vocabOverlap,
     "quality_by_source" -> qualityBySource,
@@ -1605,6 +1667,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "keyword_rake" -> keywordRakeSql,
+    "lang_margin" -> langMarginSql,
     "ngram_coverage" -> ngramCoverageSql,
     "vocab_overlap" -> vocabOverlapSql,
     "ttr_diversity" -> ttrDiversitySql,

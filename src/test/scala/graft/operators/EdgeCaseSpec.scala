@@ -2782,6 +2782,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("twonn_ratio / lang_margin / rolling_mode invariants") {
+    val sf = "/root/testdata/sf0.001"
+    // ratio buckets live in [0,9]; every retained point has d2 >= d1
+    // > 0 so the excess is nonnegative by construction
+    val tn = Similarity.twonnRatio(spark, sf).collect()
+    assert(tn.nonEmpty)
+    assert(tn.forall(r => r.getLong(0) >= 0L && r.getLong(0) <= 9L))
+    // margin decomposes: s1 >= s2 >= 0, flag mirrors its definition,
+    // and 'und' appears exactly when no marker hit at all
+    val lm = TextAnalysis.langMargin(spark, sf).collect()
+    assert(lm.nonEmpty)
+    lm.foreach { r =>
+      val (top, s1, s2, m, fl) =
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(s1 >= s2 && s2 >= 0L && m === s1 - s2)
+      assert((top == "und") === (s1 == 0L))
+      assert(fl === (if (s1 > 0L && s2 > 0L && m <= 1L) 1L else 0L))
+    }
+    // the trailing-7-day mode on day d counts at least the single-day
+    // winner's mass and reports every active day exactly once
+    val f = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("cast(datediff(cast(ts as date), date'1970-01-01') as bigint) as day")
+      .distinct().count()
+    val rm = Relational.rollingMode(spark, sf).collect()
+    assert(rm.length.toLong === f, "one mode row per active day")
+    assert(rm.forall(_.getLong(2) >= 1L))
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
