@@ -159,6 +159,54 @@ object Corpus {
     Tables.documents(spark, dir)
       .select(col("doc_id"), splitOf(col("doc_id")).as("split"), col("n_chars"))
 
+  /** Stratification audit of [[datasetSplit]] — the check a hash
+    * split needs BEFORE anyone trusts val/test numbers: a content-
+    * blind id hash stratifies only in expectation, so per
+    * (split, lang) this reports the in-split language share against
+    * the corpus share and their absolute deviation, all on the 2²⁰
+    * lattice (share_q = n·2²⁰ div n_split; a big dev_q on a small
+    * split means the eval set over/under-represents a language).
+    * Scale shape: ONE partial+final fold to |splits|·|langs| cells
+    * persists and derives both margins; the corpus total is a driver
+    * scalar on that metadata-sized fold (t_closeness precedent, with
+    * the empty-corpus guard). */
+  def splitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(splitOf(col("doc_id")).as("split"), col("lang"))
+      .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n"))
+      .persistScoped()
+    val tRow = base.agg(sum(col("n"))).head()
+    if (tRow.isNullAt(0))
+      return base.select(col("split"), col("lang"), col("n"),
+        col("n").as("share_q"), col("n").as("corpus_share_q"),
+        col("n").as("dev_q")).limit(0)
+    val nTot = tRow.getLong(0)
+    val perSplit = base.groupBy(col("split")).agg(sum(col("n")).as("ns"))
+    val perLang = base.groupBy(col("lang")).agg(sum(col("n")).as("nl"))
+    base.join(perSplit, Seq("split")).join(perLang, Seq("lang"))
+      .select(col("split"), col("lang"), col("n"),
+        expr("(n * cast(1048576 as bigint)) div ns").as("share_q"),
+        expr(s"(nl * cast(1048576 as bigint)) div $nTot").as("corpus_share_q"))
+      .withColumn("dev_q", abs(col("share_q") - col("corpus_share_q")))
+  }
+
+  private def splitBalanceSql: String =
+    """WITH base AS (
+      |  SELECT CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < 3435973836 THEN 'train'
+      |              WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < 3865470566 THEN 'val'
+      |              ELSE 'test' END AS split,
+      |    lang, count(*) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |t AS MATERIALIZED (SELECT CAST(sum(n) AS BIGINT) AS nt FROM base),
+      |ps AS (SELECT split, CAST(sum(n) AS BIGINT) AS ns FROM base GROUP BY 1),
+      |pl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM base GROUP BY 1)
+      |SELECT base.split, base.lang, base.n,
+      |  (base.n * CAST(1048576 AS BIGINT)) // ps.ns AS share_q,
+      |  (pl.nl * CAST(1048576 AS BIGINT)) // t.nt AS corpus_share_q,
+      |  abs((base.n * CAST(1048576 AS BIGINT)) // ps.ns
+      |      - (pl.nl * CAST(1048576 AS BIGINT)) // t.nt) AS dev_q
+      |FROM base JOIN ps USING (split) JOIN pl USING (lang) CROSS JOIN t""".stripMargin
+
   private val ExportShards = 64
 
   /** Deterministic shuffle-shard export layout: shard = content-hash
@@ -740,6 +788,7 @@ object Corpus {
     "contamination"  -> contamination,
     "sample_per_key" -> samplePerKey,
     "dataset_split"  -> datasetSplit,
+    "split_balance"  -> splitBalance,
     "sample_balanced" -> sampleBalanced,
     "importance_sample" -> importanceSample,
     "shuffle_export" -> shuffleExport,
@@ -970,6 +1019,7 @@ object Corpus {
          |WHERE rn <= $SamplePerKey""".stripMargin,
     // split is a pure function of doc_id: identical Knuth-hash
     // arithmetic, identical integral 80/90 boundary constants
+    "split_balance" -> splitBalanceSql,
     "dataset_split" ->
       """SELECT doc_id,
         |  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < 3435973836 THEN 'train'

@@ -4453,6 +4453,56 @@ object Relational {
       |SELECT tday AS day, event_type AS mode_type, n7 AS n_7d
       |FROM r WHERE rn = 1""".stripMargin
 
+  /** Half-life-decayed engagement score — the recency weighting a
+    * growth/ranking pipeline applies so last quarter's activity
+    * outweighs last year's, made EXACT where the textbook e^(−λt) is
+    * irrational: weight = 2²⁰ >> (age_days div 30) — a step decay
+    * that halves every 30 days on the bit lattice (capped at 40
+    * halvings; beyond that the weight is already 0), so both engines
+    * shift identically and the score is bit-stable. Value enters on
+    * the cent lattice; per event type the decayed mass publishes as
+    * Σcents·w div 2²⁰ beside the raw mass, and their ratio is the
+    * "how alive is this stream" signal. The reference day is the
+    * corpus max (a driver scalar on the |days|-bounded fold — the
+    * t_closeness metadata rule, empty-guarded). Scale shape: one
+    * narrow scan with per-row shift arithmetic, ONE partial+final
+    * fold to |event_types| rows; DECIMAL(38) weighted sums. */
+  def decayScore(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("cast(datediff(cast(ts as date), date'1970-01-01') as bigint)").as("day"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+    val mRow = base.agg(max(col("day"))).head()
+    if (mRow.isNullAt(0))
+      return base.select(col("event_type"), col("day").as("n_events"),
+        col("day").as("raw_cents"), col("day").as("decayed_cents")).limit(0)
+    val maxDay = mRow.getLong(0)
+    base
+      .withColumn("w",
+        expr(s"shiftright(cast(1048576 as bigint), cast(least(($maxDay - day) div 30, 40) as int))"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("raw_cents"),
+        expr("cast(sum(cast(cents as decimal(38,0)) * w) div 1048576 as bigint)")
+          .as("decayed_cents"))
+  }
+
+  private def decayScoreSql: String =
+    """WITH base AS (
+      |  SELECT event_type,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS MATERIALIZED (SELECT max(day) AS maxday FROM base),
+      |wts AS (
+      |  SELECT event_type, cents,
+      |    CAST(1048576 AS BIGINT) >> CAST(least((m.maxday - day) // 30, 40) AS INTEGER) AS w
+      |  FROM base CROSS JOIN m)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS raw_cents,
+      |  CAST(sum(CAST(cents AS HUGEINT) * w) // 1048576 AS BIGINT) AS decayed_cents
+      |FROM wts GROUP BY 1""".stripMargin
+
   /** Corrupt-file-tolerant scan — the ops-robustness half of the
     * malformed-RECORD quarantine (`csv_quarantine` handles bad rows;
     * this handles bad FILES): a landing directory holding valid
@@ -6083,6 +6133,7 @@ object Relational {
     "price_index"      -> priceIndex,
     "brand_loyalty"    -> brandLoyalty,
     "rolling_mode"     -> rollingMode,
+    "decay_score"      -> decayScore,
     "agg_incremental"  -> aggIncremental,
     "resample_hourly"  -> resampleHourly,
     "anomaly_zscore"   -> anomalyZscore,
@@ -7336,6 +7387,7 @@ object Relational {
     "price_index" -> priceIndexSql,
     "brand_loyalty" -> brandLoyaltySql,
     "rolling_mode" -> rollingModeSql,
+    "decay_score" -> decayScoreSql,
     "join_runtime_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,

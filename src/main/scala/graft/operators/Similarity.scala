@@ -1278,6 +1278,37 @@ object Similarity {
         expr("cast(tot div n as bigint)").as("mean_sse"), col("max_sse"))
   }
 
+  /** Codebook-utilization balance of the trained PQ — the OTHER
+    * index-health axis beside [[pqDistortion]]'s error profile: per
+    * subspace, how many of the 256 codes the corpus actually uses,
+    * how many are DEAD (a dead code is a wasted codebook row — the
+    * 8-bit budget quietly shrinks), and the heaviest code's member
+    * share on the 2²⁰ lattice (one code swallowing the subspace
+    * means the quantizer collapsed there and ADC contrast is gone).
+    * Pure rollup of [[embedPq]]'s gated codes — unpivot to (s, code),
+    * one partial+final count, an O(8·256) final fold; the oracle
+    * wraps the identical code replay. */
+  def pqCodeBalance(spark: SparkSession, dir: String): DataFrame =
+    embedPq(spark, dir)
+      .select(expr("stack(8, 0, c0, 1, c1, 2, c2, 3, c3, 4, c4, 5, c5, 6, c6, 7, c7) as (s, code)"))
+      .groupBy(col("s"), col("code")).agg(count(lit(1)).as("n"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("codes_used"),
+        max(col("n")).as("max_code_n"),
+        sum(col("n")).as("n_vecs"))
+      .select(col("s").cast("long").as("s"), col("codes_used"),
+        (lit(256L) - col("codes_used")).as("dead_codes"), col("max_code_n"),
+        expr("(max_code_n * cast(1048576 as bigint)) div n_vecs").as("top_share_q"))
+
+  private def pqCodeBalanceSql: String =
+    s"""WITH ${pqReplayPrefix()},
+       |cc AS (SELECT s, code, count(*) AS n FROM codes GROUP BY 1, 2)
+       |SELECT CAST(s AS BIGINT) AS s, count(*) AS codes_used,
+       |  CAST(256 - count(*) AS BIGINT) AS dead_codes,
+       |  CAST(max(n) AS BIGINT) AS max_code_n,
+       |  CAST((max(n) * 1048576) // sum(n) AS BIGINT) AS top_share_q
+       |FROM cc GROUP BY s""".stripMargin
+
   private val PqShortlist = 100
 
   /** PQ ANN: ADC scan → shortlist → exact rerank, the production
@@ -2136,6 +2167,7 @@ object Similarity {
     "ann_recall" -> annRecall,
     "mrr_eval" -> mrrEval,
     "twonn_ratio" -> twonnRatio,
+    "pq_code_balance" -> pqCodeBalance,
     "class_centroids" -> classCentroids,
     "contrastive_pairs" -> contrastivePairs,
     "mutual_knn" -> mutualKnn,
@@ -2488,6 +2520,7 @@ object Similarity {
     // tables, so the eval can never drift from the operators it rates
     "mrr_eval" -> mrrEvalSql,
     "twonn_ratio" -> twonnRatioSql,
+    "pq_code_balance" -> pqCodeBalanceSql,
     "ann_recall" ->
       s"""SELECT b.qid, count(*) AS k,
          |  CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,

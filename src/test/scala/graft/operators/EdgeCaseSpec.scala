@@ -2811,6 +2811,36 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("pq_code_balance / split_balance / decay_score invariants") {
+    val sf = "/root/testdata/sf0.001"
+    // 8 subspaces; used + dead = 256; the top share can't undercut
+    // the uniform floor (ceil handled by lattice truncation)
+    val pb = Similarity.pqCodeBalance(spark, sf).collect()
+    assert(pb.length === 8)
+    pb.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === 256L)
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 256L)
+      assert(r.getLong(4) >= 1048576L / r.getLong(1) - 1L,
+        "top code share can't beat the uniform floor")
+    }
+    // split x lang cells partition the corpus; shares per split sum
+    // to 2^20 minus truncation dust
+    val sb = Corpus.splitBalance(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(sb.map(_.getLong(2)).sum === nDocs)
+    sb.groupBy(_.getString(0)).foreach { case (_, cells) =>
+      val s = cells.map(_.getLong(3)).sum
+      assert(s <= 1048576L && s >= 1048576L - cells.length,
+        "in-split shares must sum to 2^20 minus dust")
+    }
+    // decayed mass can never exceed raw mass (weights <= 2^20), and
+    // events on the reference day carry full weight
+    val ds = Relational.decayScore(spark, sf).collect()
+    assert(ds.nonEmpty)
+    ds.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
