@@ -4503,6 +4503,48 @@ object Relational {
       |  CAST(sum(CAST(cents AS HUGEINT) * w) // 1048576 AS BIGINT) AS decayed_cents
       |FROM wts GROUP BY 1""".stripMargin
 
+  /** Parquet bloom-filter write path — the third write-side layout
+    * feature beside [[zorderWrite]] (clustering) and
+    * [[partitionOverwrite]] (restatement): the export lands with a
+    * column bloom filter on `user_id`
+    * (`parquet.bloom.filter.enabled#user_id`), the row-group-level
+    * skip index a high-cardinality POINT-lookup column wants where
+    * min/max stats are useless (user ids are uniform across row
+    * groups; a bloom answers "definitely absent" per group without
+    * decoding). The registered query re-reads the bloom-equipped
+    * export through a selective probe and aggregates — gating that
+    * the feature-flagged write path loses nothing and the probe
+    * semantics match the fixture directly (the read_corrupt_skip
+    * gate shape; the bloom itself is an I/O optimization invisible
+    * to results, which is exactly why the gate is content equality).
+    * Explicit read schema skips footer inference. */
+  def parquetBloom(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.TempDirs.scratch("parquetbloom", dir)
+    val done = new java.io.File(s"$out/_staged")
+    if (!done.exists) {
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#user_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#user_id", "100000")
+        .parquet(s"$out/data")
+      done.createNewFile()
+    }
+    spark.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(s"$out/data")
+      .filter(col("user_id") % 97 === 3)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(value * 100 + 0.5) as bigint)")).as("cents"))
+  }
+
+  private def parquetBloomSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events WHERE user_id % 97 = 3
+      |GROUP BY 1""".stripMargin
+
   /** Corrupt-file-tolerant scan — the ops-robustness half of the
     * malformed-RECORD quarantine (`csv_quarantine` handles bad rows;
     * this handles bad FILES): a landing directory holding valid
@@ -6134,6 +6176,7 @@ object Relational {
     "brand_loyalty"    -> brandLoyalty,
     "rolling_mode"     -> rollingMode,
     "decay_score"      -> decayScore,
+    "parquet_bloom"    -> parquetBloom,
     "agg_incremental"  -> aggIncremental,
     "resample_hourly"  -> resampleHourly,
     "anomaly_zscore"   -> anomalyZscore,
@@ -7388,6 +7431,7 @@ object Relational {
     "brand_loyalty" -> brandLoyaltySql,
     "rolling_mode" -> rollingModeSql,
     "decay_score" -> decayScoreSql,
+    "parquet_bloom" -> parquetBloomSql,
     "join_runtime_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,

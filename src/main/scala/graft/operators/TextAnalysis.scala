@@ -1266,6 +1266,84 @@ object TextAnalysis {
       .withColumn("keep_share_q",
         expr("cast((n_keep * cast(1048576 as bigint)) div n_docs as bigint)"))
 
+  /** End-to-end quality-filter ENSEMBLE — the composed C4/Gopher-
+    * style verdict a curation pipeline actually ships (individual
+    * signals are diagnostics; the product is one keep/drop per doc
+    * WITH the reason): an ordered rule cascade — word-count bounds,
+    * mean word length, alpha ratio, stopword evidence (the
+    * [[gopherQuality]] battery, identical thresholds), top-token
+    * repetition (> 20% — the [[textRepetition]] signal on the exact
+    * integer form top·5 > n), and the C4 blocklist — reporting the
+    * FIRST failing rule, so drop-reason analytics aggregate directly
+    * ("what does each rule cost us?"). Rule order is part of the
+    * contract. Scale shape: every scan-resident signal rides one
+    * narrow pass; the repetition fold is the only keyed exchange
+    * (doc_id), joined back on the same key; docs failing before the
+    * repetition rule never depend on the join's null side (empty
+    * docs fail too_few_words first — the degenerate-input class). */
+  def docQualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val toks = toksOf(col("text"))
+    val base = Tables.documents(spark, dir).select(col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).as("sum_len"),
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("alpha_words"),
+      size(array_distinct(filter(toks, t => t.isin(Stopwords: _*))))
+        .cast("long").as("stop_distinct"),
+      (size(filter(toks, t => t.isin(Blocklist: _*))) > 0)
+        .cast("long").as("block_flag"))
+    val rep = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toksOf(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_count"))
+    base.join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        when(col("n_words") < 50L, "too_few_words")
+          .when(col("n_words") > 100000L, "too_many_words")
+          .when(!expr("(sum_len * 100) div greatest(n_words, 1)")
+            .between(300L, 1000L), "word_len")
+          .when(col("alpha_words") * 5L < col("n_words") * 4L, "alpha_ratio")
+          .when(col("stop_distinct") < 2L, "stopwords")
+          .when(col("top_count") * 5L > col("n_tokens"), "repetition")
+          .when(col("block_flag") === 1L, "blocklist")
+          .otherwise("pass").as("reason"))
+      .withColumn("keep", (col("reason") === "pass").cast("long"))
+  }
+
+  private def docQualityEnsembleSql: String = {
+    val stops = Stopwords.map(w => s"'$w'").mkString(",")
+    val block = Blocklist.map(w => s"'$w'").mkString(",")
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |f AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_len,
+       |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha_words,
+       |  CAST(len(list_distinct(list_filter(toks, t -> t IN ($stops)))) AS BIGINT) AS stop_distinct,
+       |  CAST(CASE WHEN len(list_filter(toks, t -> t IN ($block))) > 0
+       |       THEN 1 ELSE 0 END AS BIGINT) AS block_flag
+       |  FROM t),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |cc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+       |rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |          CAST(max(c) AS BIGINT) AS top_count
+       |        FROM cc GROUP BY 1),
+       |v AS (
+       |  SELECT f.doc_id, f.n_words,
+       |    CASE WHEN f.n_words < 50 THEN 'too_few_words'
+       |         WHEN f.n_words > 100000 THEN 'too_many_words'
+       |         WHEN (f.sum_len * 100) // greatest(f.n_words, 1) NOT BETWEEN 300 AND 1000
+       |           THEN 'word_len'
+       |         WHEN f.alpha_words * 5 < f.n_words * 4 THEN 'alpha_ratio'
+       |         WHEN f.stop_distinct < 2 THEN 'stopwords'
+       |         WHEN r.top_count * 5 > r.n_tokens THEN 'repetition'
+       |         WHEN f.block_flag = 1 THEN 'blocklist'
+       |         ELSE 'pass' END AS reason
+       |  FROM f LEFT JOIN rep r ON f.doc_id = r.doc_id)
+       |SELECT doc_id, n_words, reason,
+       |  CAST(CASE WHEN reason = 'pass' THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM v""".stripMargin
+  }
+
   /** Language-ID margin / mixed-language screen — the confidence
     * tier above [[langId]]'s bare argmax: per document the TOP-2
     * marker-evidence scores under the (score desc, lang asc) total
@@ -1411,6 +1489,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "keyword_rake"    -> keywordRake,
     "lang_margin"     -> langMargin,
+    "doc_quality_ensemble" -> docQualityEnsemble,
     "ngram_coverage"  -> ngramCoverage,
     "vocab_overlap"   -> vocabOverlap,
     "quality_by_source" -> qualityBySource,
@@ -1668,6 +1747,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "keyword_rake" -> keywordRakeSql,
     "lang_margin" -> langMarginSql,
+    "doc_quality_ensemble" -> docQualityEnsembleSql,
     "ngram_coverage" -> ngramCoverageSql,
     "vocab_overlap" -> vocabOverlapSql,
     "ttr_diversity" -> ttrDiversitySql,

@@ -2841,6 +2841,41 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("doc_quality_ensemble / parquet_bloom invariants") {
+    val sf = "/root/testdata/sf0.001"
+    // the ensemble's keep set IS gopher's keep set minus the two
+    // extra rules (repetition, blocklist) — a doc the ensemble keeps
+    // must pass gopher, and cascade reasons are from the closed set
+    val ens = TextAnalysis.docQualityEnsemble(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    val gopher = TextAnalysis.gopherQuality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    val reasons = Set("too_few_words", "too_many_words", "word_len",
+      "alpha_ratio", "stopwords", "repetition", "blocklist", "pass")
+    ens.foreach { case (id, (reason, keep)) =>
+      assert(reasons.contains(reason))
+      assert(keep === (if (reason == "pass") 1L else 0L))
+      if (keep == 1L) assert(gopher(id) === 1L,
+        s"doc $id kept by the ensemble must pass the gopher battery")
+    }
+    assert(ens.size === gopher.size, "one verdict per document")
+    // the bloom-equipped export must read back content-identical to
+    // the fixture under the same probe
+    val viaBloom = Relational.parquetBloom(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val direct = spark.read.parquet(s"$sf/events.parquet")
+      .filter($"user_id" % 97 === 3)
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr(
+            "cast(floor(value * 100 + 0.5) as bigint)")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(viaBloom.toSeq === direct.toSeq)
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
