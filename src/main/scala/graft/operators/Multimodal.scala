@@ -29,6 +29,23 @@ import graft.sources.Tables
   */
 object Multimodal {
 
+  /** ImageIO's default disk cache spools every encode/decode through
+    * a temp file in java.io.tmpdir — pure I/O overhead when the
+    * stream is already an in-memory byte array (every call site
+    * here), and a 3-5× wall-clock tax when tmp sits on slow storage.
+    * Flipped once per JVM via this lazy val, which each codec
+    * closure touches before its first ImageIO call (executors
+    * initialize it independently — a cheap idempotent static). */
+  private lazy val imageIoNoCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** The one PNG-decode entry point — routes every call site through
+    * the [[imageIoNoCache]] flip before touching ImageIO. */
+  private def readPng(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    imageIoNoCache
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+  }
+
   /** One decoded media record. `feat` stands in for an embedding /
     * thumbnail / spectrogram a real decoder would emit. */
   case class MediaMeta(
@@ -162,6 +179,7 @@ object Multimodal {
       }
       y += 1
     }
+    imageIoNoCache
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -174,7 +192,7 @@ object Multimodal {
     * amortizable state. */
   def decodePng(rows: Iterator[(Long, Array[Byte])]): Iterator[PngMeta] =
     rows.map { case (id, png) =>
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val img = readPng(png)
       var sum = 0L
       var y = 0
       while (y < img.getHeight) {
@@ -259,8 +277,7 @@ object Multimodal {
       .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("seed"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, seed) =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(encodePng(seed)))
+        val img = readPng(encodePng(seed))
         val (lo, hi, mean) = aHash(img)
         (id, img.getWidth.toLong, img.getHeight.toLong, lo, hi, mean)
       })
@@ -345,7 +362,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, seed) =>
         val png = encodePng(seed)
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val img = readPng(png)
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(resizeRaster(img, ThumbSide, ThumbSide), "png", bos)
         (id, img.getWidth.toLong, img.getHeight.toLong, bos.toByteArray)
@@ -353,7 +370,7 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "thumb_png")
       .as[(Long, Long, Long, Array[Byte])]
       .mapPartitions(_.map { case (id, w, h, png) =>
-        val t = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val t = readPng(png)
         var sum = 0L
         var y = 0
         while (y < t.getHeight) {
@@ -523,7 +540,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, seed) => (id, encodePng(seed)) })
       .mapPartitions(_.flatMap { case (id, png) =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val img = readPng(png)
         val counts = new Array[Long](16)
         var y = 0
         while (y < img.getHeight) {
@@ -567,7 +584,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, seed) => (id, encodePng(seed)) })
       .mapPartitions(_.map { case (id, png) =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val img = readPng(png)
         val hist = new Array[Long](256)
         var y = 0
         while (y < img.getHeight) {
@@ -695,7 +712,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, seed) => (id, encodePng(seed)) })
       .mapPartitions(_.map { case (id, png) =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val img = readPng(png)
         val counts = new Array[Long](64)
         var y = 0
         while (y < img.getHeight) {
@@ -745,7 +762,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, seed) => (id, encodePng(seed)) })
       .mapPartitions(_.map { case (id, png) =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val img = readPng(png)
         def lum(x: Int, y: Int): Long = {
           val rgb = img.getRGB(x, y)
           (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)).toLong / 3L
@@ -822,7 +839,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, seed) => (id, encodePng(seed)) })
       .mapPartitions(_.flatMap { case (id, png) =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val img = readPng(png)
         val w = img.getWidth; val h = img.getHeight
         val n = new Array[Long](4); val s = new Array[Long](4)
         val mn = Array.fill(4)(256L); val mx = Array.fill(4)(-1L)

@@ -4545,6 +4545,50 @@ object Relational {
       |FROM events WHERE user_id % 97 = 3
       |GROUP BY 1""".stripMargin
 
+  /** Randomized-response privatized counting (Warner 1965 — the
+    * local-DP mechanism behind RAPPOR-class telemetry) — the
+    * RANDOMIZATION tier of the governance family above
+    * [[kAnonymity]]/[[tCloseness]]'s static audits: each customer
+    * reports their sensitive flag (BUILDING segment) truthfully with
+    * p = 3/4 and flipped with p = 1/4 (the coin is a deterministic
+    * md5 hex digit — replayable, so the oracle gates the whole
+    * mechanism, which real deployments can't do and evals must), and
+    * the per-nation estimator de-biases via t = (4·n_priv − n)/2.
+    * The DOUBLED estimate (4·n_priv − n) is what's emitted — keeping
+    * it integral sidesteps the one real cross-engine trap here
+    * (Spark `div` truncates toward zero, DuckDB `//` floors: they
+    * disagree on negative odd numerators, and small-n estimates go
+    * negative legitimately). n_true rides along as the referee the
+    * fixture affords. One narrow scan, one partial+final fold to
+    * |nations| rows. */
+  def randResponse(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        (col("c_mktsegment") === "BUILDING").cast("long").as("flag"),
+        expr("substring(md5(c_name), 1, 1)").isin("0", "1", "2", "3")
+          .cast("long").as("flip"))
+      .withColumn("report", expr("cast((flag + flip) % 2 as bigint)"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n"), sum(col("flag")).as("n_true"),
+        sum(col("report")).as("n_priv"))
+      .select(col("nation"), col("n"), col("n_true"), col("n_priv"),
+        (col("n_priv") * 4L - col("n")).as("est2x"),
+        abs(col("n_priv") * 4L - col("n") - col("n_true") * 2L).as("err2x"))
+
+  private def randResponseSql: String =
+    """WITH r AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS flag,
+      |    CASE WHEN substring(md5(c_name), 1, 1) IN ('0','1','2','3')
+      |         THEN 1 ELSE 0 END AS flip
+      |  FROM customer)
+      |SELECT nation, count(*) AS n,
+      |  CAST(sum(flag) AS BIGINT) AS n_true,
+      |  CAST(sum((flag + flip) % 2) AS BIGINT) AS n_priv,
+      |  CAST(sum((flag + flip) % 2) * 4 - count(*) AS BIGINT) AS est2x,
+      |  CAST(abs(sum((flag + flip) % 2) * 4 - count(*) - sum(flag) * 2) AS BIGINT) AS err2x
+      |FROM r GROUP BY 1""".stripMargin
+
   /** Corrupt-file-tolerant scan — the ops-robustness half of the
     * malformed-RECORD quarantine (`csv_quarantine` handles bad rows;
     * this handles bad FILES): a landing directory holding valid
@@ -6177,6 +6221,7 @@ object Relational {
     "rolling_mode"     -> rollingMode,
     "decay_score"      -> decayScore,
     "parquet_bloom"    -> parquetBloom,
+    "rand_response"    -> randResponse,
     "agg_incremental"  -> aggIncremental,
     "resample_hourly"  -> resampleHourly,
     "anomaly_zscore"   -> anomalyZscore,
@@ -7432,6 +7477,7 @@ object Relational {
     "rolling_mode" -> rollingModeSql,
     "decay_score" -> decayScoreSql,
     "parquet_bloom" -> parquetBloomSql,
+    "rand_response" -> randResponseSql,
     "join_runtime_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,

@@ -490,6 +490,52 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Label-FILTERED IVF search — [[annFiltered]]'s production
+    * upgrade: the metadata predicate (neighbors sharing the query's
+    * label) applies INSIDE the IVF candidate stream — between cell
+    * probing and scoring — exactly where a vector store evaluates
+    * filters (post-filtering a top-k can come home short; filtering
+    * before candidate generation would need one index per predicate
+    * value). Same [[NProbe]] pruning, scan fraction, and shuffle
+    * shape as [[annIvf]]; the label attaches by an equi-join on the
+    * candidate id and the ≤|Q|-row query-label relation broadcasts.
+    * Approximate by the IVF contract (matches outside probed cells
+    * are unseen); the oracle composes the shared cell replay with
+    * the same filter placement. */
+  def annFilteredIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val labels = e.select(col("vec_id").as("nid"), col("label").cast("long").as("nlabel"))
+    val qLabels = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("label").cast("long").as("qlabel"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    ivfScored(spark, dir, NProbe)
+      .join(labels, Seq("nid"))
+      .join(broadcast(qLabels), Seq("qid"))
+      .filter(col("nlabel") === col("qlabel"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("qid"), col("qlabel").as("label"), col("rnk"), col("nid"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  private def annFilteredIvfSql: String =
+    s"""$IvfCellsSqlPrefix,
+       |qcells AS (SELECT vec_id AS qid, cell FROM assign WHERE vec_id < $NQueries AND rk <= $NProbe),
+       |s AS (
+       |  SELECT q.qid, CAST(gl.label AS BIGINT) AS label, c.nid,
+       |    list_cosine_similarity(qe.emb, ne.emb) AS cos
+       |  FROM qcells q
+       |  JOIN cells c ON q.cell = c.cell AND c.nid <> q.qid
+       |  JOIN embeddings nl ON nl.vec_id = c.nid
+       |  JOIN embeddings gl ON gl.vec_id = q.qid
+       |    AND CAST(nl.label AS BIGINT) = CAST(gl.label AS BIGINT)
+       |  JOIN e qe ON qe.vec_id = q.qid JOIN e ne ON ne.vec_id = c.nid),
+       |r AS (SELECT qid, label, nid, cos,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+       |      FROM s)
+       |SELECT qid, label, CAST(rnk AS BIGINT) AS rnk, nid, round(cos, 4) AS cos
+       |FROM r WHERE rnk <= $K""".stripMargin
+
   private[operators] val RadiusTau = 0.25
 
   /** Radius (range) similarity search — ALL neighbors with
@@ -2168,6 +2214,7 @@ object Similarity {
     "mrr_eval" -> mrrEval,
     "twonn_ratio" -> twonnRatio,
     "pq_code_balance" -> pqCodeBalance,
+    "ann_filtered_ivf" -> annFilteredIvf,
     "class_centroids" -> classCentroids,
     "contrastive_pairs" -> contrastivePairs,
     "mutual_knn" -> mutualKnn,
@@ -2521,6 +2568,7 @@ object Similarity {
     "mrr_eval" -> mrrEvalSql,
     "twonn_ratio" -> twonnRatioSql,
     "pq_code_balance" -> pqCodeBalanceSql,
+    "ann_filtered_ivf" -> annFilteredIvfSql,
     "ann_recall" ->
       s"""SELECT b.qid, count(*) AS k,
          |  CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,

@@ -2876,6 +2876,38 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("ann_filtered_ivf / rand_response invariants") {
+    val sf = "/root/testdata/sf0.001"
+    // filtered-IVF results are a subset of the probed-cell candidate
+    // semantics: every neighbor shares the query label, ranks are
+    // 1..K dense per query
+    val fi = Similarity.annFilteredIvf(spark, sf).collect()
+    assert(fi.nonEmpty)
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "cast(label as long) as label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fi.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      rows.foreach { r =>
+        assert(r.getLong(1) === labels(qid), "query label rides the output")
+        assert(labels(r.getLong(3)) === labels(qid), "neighbor label must match")
+      }
+      assert(rows.map(_.getLong(2)).sorted.toSeq ===
+        (1L to rows.length.toLong).toSeq, "dense ranks per query")
+    }
+    // randomized response: reports partition n; the doubled estimator
+    // is exactly 4*n_priv - n; err2x mirrors |est2x - 2*n_true|
+    val rr = Relational.randResponse(spark, sf).collect()
+    assert(rr.nonEmpty)
+    rr.foreach { r =>
+      val (n, t, p, est, err) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(t <= n && p <= n)
+      assert(est === 4L * p - n)
+      assert(err === math.abs(est - 2L * t))
+    }
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
