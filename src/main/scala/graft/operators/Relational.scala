@@ -4589,6 +4589,144 @@ object Relational {
       |  CAST(abs(sum((flag + flip) % 2) * 4 - count(*) - sum(flag) * 2) AS BIGINT) AS err2x
       |FROM r GROUP BY 1""".stripMargin
 
+  /** Cross-field TEMPORAL consistency audit — the causality rules
+    * [[graft.operators.DataQuality.dqChecks]]'s intra-row battery
+    * doesn't cover because each needs a JOIN or per-key fold: (1) a
+    * line item shipped before its order was placed; (2) a user whose
+    * first purchase precedes their first signup (the classic event-
+    * pipeline ingestion bug — backfilled or clock-skewed streams).
+    * Per rule: checked population and violation count — the
+    * dq_checks output contract, extended to the cross-row tier.
+    * Scale shape: rule 1 is one equi-join + conditional aggregate
+    * (keys + two dates shuffle, never payloads); rule 2 folds events
+    * to |users| first-timestamp rows, then one 1-row conditional
+    * aggregate. */
+  def temporalAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ship = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_shipdate").as("sd"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("okey"), col("o_orderdate").as("od")), Seq("okey"))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("sd") < col("od"), 1L).otherwise(0L)).as("n_viol"))
+      .select(lit("ship_before_order").as("rule"), col("n_checked"), col("n_viol"))
+    val firsts = Tables.events(spark, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .filter(col("first_signup").isNotNull && col("first_purchase").isNotNull)
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("first_purchase") < col("first_signup"), 1L).otherwise(0L))
+          .as("n_viol"))
+      .select(lit("purchase_before_signup").as("rule"), col("n_checked"), col("n_viol"))
+    ship.unionAll(firsts)
+  }
+
+  private def temporalAuditSql: String =
+    """SELECT 'ship_before_order' AS rule, count(*) AS n_checked,
+      |  CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS n_viol
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |UNION ALL
+      |SELECT 'purchase_before_signup', count(*),
+      |  CAST(sum(CASE WHEN fp < fs THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END) AS fs,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+      |  FROM events WHERE event_type IN ('signup', 'purchase')
+      |  GROUP BY 1) t
+      |WHERE fs IS NOT NULL AND fp IS NOT NULL""".stripMargin
+
+  /** 2-D histogram (quantity × order-value heat grid) — the joint-
+    * distribution fold behind every density scatter/heat-map a BI
+    * layer renders, and the 2-D generalization of [[histogramValues]]:
+    * a FIXED 10×10 bucket grid (5-unit quantity bands × $10k value
+    * bands, both capped into the top bucket) so the fold is
+    * O(100) rows at any scale — the resolution is a constant of the
+    * operator, not of the data (the auc_rank rule). One
+    * partial+final fold; cells carry count and cents mass so
+    * marginals and conditional profiles derive downstream. */
+  def histogram2d(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        expr("least((cast(l_quantity as bigint) - 1) div 5, 9)").as("qty_bucket"),
+        expr("least(cast(floor(l_extendedprice * 100 + 0.5) as bigint) div 1000000, 9)")
+          .as("value_bucket"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("qty_bucket"), col("value_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+
+  private def histogram2dSql: String =
+    """SELECT least((CAST(l_quantity AS BIGINT) - 1) // 5, 9) AS qty_bucket,
+      |  least(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 1000000, 9) AS value_bucket,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  /** Year-over-year revenue BRIDGE — the growth decomposition a
+    * revenue review opens with ("how much of the change is new
+    * customers vs churn vs expansion?"), the CUSTOMER-axis
+    * counterpart to [[priceVolumeMix]]'s price/volume axis: per
+    * (customer, year) cents fold, self-joined FULL OUTER against
+    * the prior year on the customer key, each customer classified
+    * new (no prior-year revenue) / churned (no current) / retained
+    * (split into expansion vs contraction deltas). The bridge
+    * identity rev_t = retained_prev + expansion − contraction + new
+    * is EXECUTED in spec — the decomposition can't silently leak
+    * mass. Scale shape: ONE partial+final fold of orders to
+    * |cust|·|years| rows (persisted once), one equi self-join on
+    * (cust, year), a |years|-row final fold. */
+  def revenueBridge(spark: SparkSession, dir: String): DataFrame = {
+    val cy = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("cust"),
+        expr("cast(year(cast(o_orderdate as date)) as bigint)").as("yr"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("cust"), col("yr")).agg(sum(col("cents")).as("cents"))
+      .persistScoped()
+    val prev = cy.select(col("cust"), (col("yr") + 1L).as("yr"),
+      col("cents").as("prev_cents"))
+    cy.join(prev, Seq("cust", "yr"), "full")
+      .groupBy(col("yr"))
+      .agg(
+        sum(when(col("prev_cents").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cents").isNull, 1L).otherwise(0L)).as("n_churned"),
+        sum(when(col("cents").isNotNull && col("prev_cents").isNotNull, 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("prev_cents").isNull, col("cents")).otherwise(0L)).as("new_cents"),
+        sum(when(col("cents").isNull, col("prev_cents")).otherwise(0L)).as("churn_cents"),
+        sum(when(col("cents").isNotNull && col("prev_cents").isNotNull,
+          greatest(col("cents") - col("prev_cents"), lit(0L))).otherwise(0L))
+          .as("expand_cents"),
+        sum(when(col("cents").isNotNull && col("prev_cents").isNotNull,
+          greatest(col("prev_cents") - col("cents"), lit(0L))).otherwise(0L))
+          .as("contract_cents"),
+        sum(when(col("cents").isNotNull && col("prev_cents").isNotNull,
+          col("prev_cents")).otherwise(0L)).as("retained_prev_cents"))
+  }
+
+  private def revenueBridgeSql: String =
+    """WITH cy AS (
+      |  SELECT o_custkey AS cust, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |j AS (
+      |  SELECT coalesce(a.cust, b.cust) AS cust, coalesce(a.yr, b.yr + 1) AS yr,
+      |    a.cents, b.cents AS prev_cents
+      |  FROM cy a FULL JOIN cy b ON a.cust = b.cust AND a.yr = b.yr + 1)
+      |SELECT yr,
+      |  CAST(sum(CASE WHEN prev_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+      |  CAST(sum(CASE WHEN cents IS NOT NULL AND prev_cents IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |  CAST(sum(CASE WHEN prev_cents IS NULL THEN cents ELSE 0 END) AS BIGINT) AS new_cents,
+      |  CAST(sum(CASE WHEN cents IS NULL THEN prev_cents ELSE 0 END) AS BIGINT) AS churn_cents,
+      |  CAST(sum(CASE WHEN cents IS NOT NULL AND prev_cents IS NOT NULL
+      |       THEN greatest(cents - prev_cents, 0) ELSE 0 END) AS BIGINT) AS expand_cents,
+      |  CAST(sum(CASE WHEN cents IS NOT NULL AND prev_cents IS NOT NULL
+      |       THEN greatest(prev_cents - cents, 0) ELSE 0 END) AS BIGINT) AS contract_cents,
+      |  CAST(sum(CASE WHEN cents IS NOT NULL AND prev_cents IS NOT NULL
+      |       THEN prev_cents ELSE 0 END) AS BIGINT) AS retained_prev_cents
+      |FROM j GROUP BY 1""".stripMargin
+
   /** Corrupt-file-tolerant scan — the ops-robustness half of the
     * malformed-RECORD quarantine (`csv_quarantine` handles bad rows;
     * this handles bad FILES): a landing directory holding valid
@@ -6222,6 +6360,9 @@ object Relational {
     "decay_score"      -> decayScore,
     "parquet_bloom"    -> parquetBloom,
     "rand_response"    -> randResponse,
+    "temporal_audit"   -> temporalAudit,
+    "histogram2d"      -> histogram2d,
+    "revenue_bridge"   -> revenueBridge,
     "agg_incremental"  -> aggIncremental,
     "resample_hourly"  -> resampleHourly,
     "anomaly_zscore"   -> anomalyZscore,
@@ -7478,6 +7619,9 @@ object Relational {
     "decay_score" -> decayScoreSql,
     "parquet_bloom" -> parquetBloomSql,
     "rand_response" -> randResponseSql,
+    "temporal_audit" -> temporalAuditSql,
+    "histogram2d" -> histogram2dSql,
+    "revenue_bridge" -> revenueBridgeSql,
     "join_runtime_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,

@@ -2908,6 +2908,41 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("temporal_audit / histogram2d / revenue_bridge invariants") {
+    val sf = "/root/testdata/sf0.001"
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    // rule populations: every line item is checked; violations bounded
+    val ta = Relational.temporalAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ta("ship_before_order")._1 === li.count())
+    ta.values.foreach { case (n, v) => assert(v >= 0L && v <= n) }
+    // grid cells partition the fact table in count AND mass
+    val h2 = Relational.histogram2d(spark, sf).collect()
+    assert(h2.map(_.getLong(2)).sum === li.count())
+    val cents = li.selectExpr(
+      "sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint))").head().getLong(0)
+    assert(h2.map(_.getLong(3)).sum === cents)
+    h2.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) <= 9L)
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 9L)
+    }
+    // the bridge identity: rev_t == retained_prev + expansion
+    //  - contraction + new, for every year with a current-year side
+    val yearRev = o.selectExpr(
+      "cast(year(cast(o_orderdate as date)) as bigint) as yr",
+      "cast(floor(o_totalprice * 100 + 0.5) as bigint) as cents")
+      .groupBy("yr").sum("cents").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Relational.revenueBridge(spark, sf).collect().foreach { r =>
+      val yr = r.getLong(0)
+      val recon = r.getLong(8) + r.getLong(6) - r.getLong(7) + r.getLong(4)
+      assert(recon === yearRev.getOrElse(yr, 0L),
+        s"bridge must reconcile year $yr revenue exactly")
+    }
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
