@@ -1541,6 +1541,12 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$root/codebook")
     val e = Tables.embeddings(spark, dir).filter(srcFilter)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    // IndexFileLab r13 (measured, rejected): coalescing the cells/
+    // codes writes to row-sized file counts (~2^18 rows/file) moved
+    // the pair 5.3+6.7 s → 5.4+7.2 s at sf0.1 — file-open overhead is
+    // NOT the bound (training compute is), and the sizing pass costs
+    // an extra source count. Keeping the plain per-task write; at
+    // real scale maxRecordsPerFile on the writer is the knob.
     e.map(r => (r._1, nearestCells(cents, r._2, 1).head))
       .toDF("nid", "cell")
       .write.mode("overwrite").parquet(s"$root/cells")
