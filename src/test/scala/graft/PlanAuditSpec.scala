@@ -86,6 +86,30 @@ class PlanAuditSpec extends AnyFunSuite {
       "copurchase top-k must never plan a global sort")
   }
 
+  test("r13 batches keep their PLANS.md plan-shape claims") {
+    // mrr_eval: the depth-50 rank filter must push as WindowGroupLimit
+    // even conjoined with the label predicate (shuffle stays
+    // O(queries x depth x tasks))
+    assert(plan("mrr_eval").contains("WindowGroupLimit"))
+    // rolling_mode: the trailing window is exploded FORWARD into an
+    // equi join — generate + partial agg, never a range BNLJ — and
+    // the rank-1 mode pick pushes its limit
+    val rm = plan("rolling_mode")
+    assert(rm.contains("Generate explode"), "forward explode must survive planning")
+    assert(rm.contains("WindowGroupLimit"))
+    // brand_loyalty: rank/total/count windows + fold all ride ONE
+    // (cust) exchange — a second would mean the windows split
+    assert("hashpartitioning\\(cust".r.findAllIn(plan("brand_loyalty")).length === 1,
+      "brand_loyalty must plan exactly one cust exchange")
+    // keyword_rake: corpus top-20 is TakeOrdered, never a global sort
+    assert(plan("keyword_rake").contains("TakeOrderedAndProject"))
+    // the stat folds all combine map-side
+    Seq("auc_rank", "ledger_recon", "price_index", "histogram2d",
+      "decay_score", "revenue_bridge").foreach { name =>
+      assert(plan(name).contains("partial_"), s"$name lacks partial aggregation")
+    }
+  }
+
   test("q6_forecast: every predicate reaches the scan, two-column read schema") {
     // default maxMetadataStringLength truncates PushedFilters at 100
     // chars — raise it so the assertion sees the full pushdown list
