@@ -4727,6 +4727,41 @@ object Relational {
       |       THEN prev_cents ELSE 0 END) AS BIGINT) AS retained_prev_cents
       |FROM j GROUP BY 1""".stripMargin
 
+  /** Single-source supply risk by brand — the resilience screen a
+    * supply-chain review runs ("which brands depend on parts only
+    * one supplier has ever shipped?"): supplier diversity per part
+    * from the OBSERVED (part, supplier) shipment pairs, rolled to
+    * per-brand part counts, single-sourced counts, and the risk
+    * share on the 2²⁰ lattice. Scale shape: one distinct fold of
+    * the fact's two key columns (never payloads), a |parts|-row
+    * count, an equi-join to the part dim, and a |brands|-row final
+    * fold. */
+  def singleSourceParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_supp"))
+      .join(Tables.part(spark, dir)
+        .select(col("p_partkey").as("pk"), col("p_brand").as("brand")), Seq("pk"))
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("n_supp") === 1L, 1L).otherwise(0L)).as("n_single"),
+        min(col("n_supp")).as("min_suppliers"))
+      .select(col("brand"), col("n_parts"), col("n_single"), col("min_suppliers"),
+        expr("(n_single * cast(1048576 as bigint)) div n_parts").as("single_share_q"))
+
+  private def singleSourcePartsSql: String =
+    """WITH ps AS (
+      |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+      |pc AS (SELECT pk, count(*) AS n_supp FROM ps GROUP BY 1)
+      |SELECT p_brand AS brand, count(*) AS n_parts,
+      |  CAST(sum(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single,
+      |  CAST(min(n_supp) AS BIGINT) AS min_suppliers,
+      |  CAST((sum(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END) * 1048576)
+      |       // count(*) AS BIGINT) AS single_share_q
+      |FROM pc JOIN part ON pk = p_partkey
+      |GROUP BY 1""".stripMargin
+
   /** Corrupt-file-tolerant scan — the ops-robustness half of the
     * malformed-RECORD quarantine (`csv_quarantine` handles bad rows;
     * this handles bad FILES): a landing directory holding valid
@@ -6363,6 +6398,7 @@ object Relational {
     "temporal_audit"   -> temporalAudit,
     "histogram2d"      -> histogram2d,
     "revenue_bridge"   -> revenueBridge,
+    "single_source_parts" -> singleSourceParts,
     "agg_incremental"  -> aggIncremental,
     "resample_hourly"  -> resampleHourly,
     "anomaly_zscore"   -> anomalyZscore,
@@ -7622,6 +7658,7 @@ object Relational {
     "temporal_audit" -> temporalAuditSql,
     "histogram2d" -> histogram2dSql,
     "revenue_bridge" -> revenueBridgeSql,
+    "single_source_parts" -> singleSourcePartsSql,
     "join_runtime_filter" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,

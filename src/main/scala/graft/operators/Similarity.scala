@@ -536,6 +536,55 @@ object Similarity {
        |SELECT qid, label, CAST(rnk AS BIGINT) AS rnk, nid, round(cos, 4) AS cos
        |FROM r WHERE rnk <= $K""".stripMargin
 
+  /** Recall-vs-probe tuning CURVE of the IVF index — the table an
+    * ANN deployment reads before picking nprobe (the single knob
+    * trading scan fraction for recall): corpus recall@[[K]] against
+    * the exact [[annTopkBrute]] truth at probe ∈ {1, 2, 4, 8}, on
+    * the 2²⁰ lattice. [[annRecall]] pins the SHIPPED operating
+    * point; this emits the curve the choice comes from — as a gated
+    * operator, because an eval that only lives in a test lab
+    * (RecallLab) can't be run by a user against their own corpus.
+    * Scale shape: cell assignment is computed once per probe level
+    * from the shared cached quantizer; each level is the annIvf
+    * candidate shape; everything after the retrievals is
+    * O(|probes|·|Q|·K) rows. The oracle runs ONE cell replay with a
+    * probes VALUES table crossed into the probe filter (rk ≤ np) —
+    * not four copies of the prefix. */
+  def ivfProbeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val brute = annTopkBrute(spark, dir).select(col("qid"), col("nid"))
+    Seq(1, 2, 4, 8).map { np =>
+      val ivf = annIvfProbe(spark, dir, np)
+        .select(col("qid"), col("nid"), lit(1L).as("hit"))
+      brute.join(ivf, Seq("qid", "nid"), "left")
+        .agg(count(lit(1)).as("k_total"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(lit(np.toLong).as("nprobe"), col("k_total"), col("hits"),
+          expr("(hits * 1048576) div k_total").as("recall_q"))
+    }.reduce(_ unionAll _)
+  }
+
+  private def ivfProbeCurveSql: String =
+    s"""$IvfCellsSqlPrefix,
+       |probes(np) AS (VALUES (1), (2), (4), (8)),
+       |qcells AS (SELECT p.np, a.vec_id AS qid, a.cell
+       |           FROM assign a CROSS JOIN probes p
+       |           WHERE a.vec_id < $NQueries AND a.rk <= p.np),
+       |s AS (SELECT q.np, q.qid, c.nid, list_cosine_similarity(qe.emb, ne.emb) AS cos
+       |      FROM qcells q JOIN cells c ON q.cell = c.cell AND c.nid <> q.qid
+       |      JOIN e qe ON qe.vec_id = q.qid JOIN e ne ON ne.vec_id = c.nid),
+       |r AS (SELECT np, qid, nid,
+       |        row_number() OVER (PARTITION BY np, qid ORDER BY cos DESC, nid ASC) AS rnk
+       |      FROM s),
+       |ivf AS (SELECT np, qid, nid FROM r WHERE rnk <= $K),
+       |b AS ($annTopkSql)
+       |SELECT CAST(p.np AS BIGINT) AS nprobe, count(*) AS k_total,
+       |  CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  CAST((sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) * 1048576)
+       |       // count(*) AS BIGINT) AS recall_q
+       |FROM probes p CROSS JOIN b
+       |LEFT JOIN ivf i ON i.np = p.np AND i.qid = b.qid AND i.nid = b.nid
+       |GROUP BY p.np""".stripMargin
+
   private[operators] val RadiusTau = 0.25
 
   /** Radius (range) similarity search — ALL neighbors with
@@ -2221,6 +2270,7 @@ object Similarity {
     "twonn_ratio" -> twonnRatio,
     "pq_code_balance" -> pqCodeBalance,
     "ann_filtered_ivf" -> annFilteredIvf,
+    "ivf_probe_curve" -> ivfProbeCurve,
     "class_centroids" -> classCentroids,
     "contrastive_pairs" -> contrastivePairs,
     "mutual_knn" -> mutualKnn,
@@ -2575,6 +2625,7 @@ object Similarity {
     "twonn_ratio" -> twonnRatioSql,
     "pq_code_balance" -> pqCodeBalanceSql,
     "ann_filtered_ivf" -> annFilteredIvfSql,
+    "ivf_probe_curve" -> ivfProbeCurveSql,
     "ann_recall" ->
       s"""SELECT b.qid, count(*) AS k,
          |  CAST(sum(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,

@@ -2943,6 +2943,30 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("ivf_probe_curve / single_source_parts invariants") {
+    val sf = "/root/testdata/sf0.001"
+    // recall is monotone in probe count (more cells can only add
+    // candidates) and the shipped NProbe=8 point matches ann_recall
+    val curve = Similarity.ivfProbeCurve(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(curve.keySet === Set(1L, 2L, 4L, 8L))
+    assert(curve(1L) <= curve(2L) && curve(2L) <= curve(4L)
+      && curve(4L) <= curve(8L), "recall must be monotone in nprobe")
+    val shipped = Similarity.annRecall(spark, sf).collect()
+    val corpus = (shipped.map(_.getLong(2)).sum * 1048576L) /
+      shipped.map(_.getLong(1)).sum
+    assert(curve(8L) === corpus,
+      "the curve's nprobe=8 point must equal the shipped ann_recall rollup")
+    // every brand's single-sourced parts are bounded by its parts;
+    // brands with min_suppliers > 1 report zero singles
+    Relational.singleSourceParts(spark, sf).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      if (r.getLong(3) > 1L) assert(r.getLong(2) === 0L)
+      assert(r.getLong(4) === r.getLong(2) * 1048576L / r.getLong(1))
+    }
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
