@@ -207,6 +207,33 @@ object Corpus {
       |      - (pl.nl * CAST(1048576 AS BIGINT)) // t.nt) AS dev_q
       |FROM base JOIN ps USING (split) JOIN pl USING (lang) CROSS JOIN t""".stripMargin
 
+  /** Per-shard integrity MANIFEST for the shuffle-shard export — the
+    * handshake a data-loader validates before training starts (row
+    * counts catch truncated shards; the order-insensitive
+    * fingerprint catches substituted/duplicated content): per export
+    * shard, member count, doc-id span, and the sum of 60-bit md5
+    * content slices mod 2⁶¹ (the table_fingerprint discipline —
+    * addition commutes, so the manifest is independent of write
+    * order and parallelism, and two exports compare by |shards|
+    * rows). Scale shape: the shard key is a scan-resident content
+    * hash; ONE partial+final fold to [[ExportShards]] rows. */
+  def exportManifest(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(md5Bucket(5, ExportShards).as("shard"), col("doc_id"),
+        expr("cast(conv(substring(md5(cast(text as binary)), 1, 15), 16, 10) as decimal(38,0))")
+          .as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        expr("cast(sum(h) % 2305843009213693952 as bigint)").as("fingerprint"))
+
+  private def exportManifestSql: String =
+    s"""SELECT ${bucketSql(5, ExportShards)} AS shard, count(*) AS n_docs,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+       |       % 2305843009213693952 AS BIGINT) AS fingerprint
+       |FROM documents GROUP BY 1""".stripMargin
+
   private val ExportShards = 64
 
   /** Deterministic shuffle-shard export layout: shard = content-hash
@@ -789,6 +816,7 @@ object Corpus {
     "sample_per_key" -> samplePerKey,
     "dataset_split"  -> datasetSplit,
     "split_balance"  -> splitBalance,
+    "export_manifest" -> exportManifest,
     "sample_balanced" -> sampleBalanced,
     "importance_sample" -> importanceSample,
     "shuffle_export" -> shuffleExport,
@@ -1020,6 +1048,7 @@ object Corpus {
     // split is a pure function of doc_id: identical Knuth-hash
     // arithmetic, identical integral 80/90 boundary constants
     "split_balance" -> splitBalanceSql,
+    "export_manifest" -> exportManifestSql,
     "dataset_split" ->
       """SELECT doc_id,
         |  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < 3435973836 THEN 'train'

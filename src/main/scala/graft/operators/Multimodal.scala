@@ -894,9 +894,37 @@ object Multimodal {
       .toDF("doc_id", "n_samples", "n_clipped", "max_clip_run", "clip_flag")
   }
 
+  /** Normalization-gain plan per clip — the step an audio pipeline
+    * computes before loudness-normalizing a corpus ([[audioEnergy]]
+    * measures; this PLANS the fix): target peak 30000 (just under
+    * the [[audioClipDetect]] clip zone), gain on the 2²⁰ lattice
+    * gain_q = (30000·2²⁰) div peak — >2²⁰ means amplify, <2²⁰
+    * attenuate; all-zero clips are flagged silent and get gain 0
+    * (amplifying silence is the classic normalize bug). The
+    * headroom column reports how far the gained peak lands under
+    * the clip zone after the TRUNCATING gain replay — both engines
+    * truncate identically, so the planned peak is exact. Zero
+    * shuffle: the whole plan folds inside the decode closure. */
+  def audioGainPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(audioDecodeStub)
+      .map { case (id, samples) =>
+        val peak = if (samples.isEmpty) 0L else samples.map(s => math.abs(s.toLong)).max
+        val silent = if (peak == 0L) 1L else 0L
+        val gain = if (peak == 0L) 0L else (30000L * 1048576L) / peak
+        val planned = (peak * gain) / 1048576L
+        (id, peak, gain, planned, silent)
+      }
+      .toDF("doc_id", "peak_abs", "gain_q", "planned_peak", "silent")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "image_tile_stats"    -> imageTileStats,
     "audio_clip_detect"   -> audioClipDetect,
+    "audio_gain_plan"     -> audioGainPlan,
     "multimodal_meta"     -> multimodalMeta,
     "scene_cuts"          -> sceneCuts,
     "audio_zcr"           -> audioZcr,
@@ -977,6 +1005,24 @@ object Multimodal {
         |  CAST(min(gray) AS BIGINT) AS min_gray,
         |  CAST(max(gray) AS BIGINT) AS max_gray
         |FROM px GROUP BY 1, 2, 3""".stripMargin,
+    // sample CTE shared verbatim with audio_energy; gain and the
+    // planned peak replay the same truncating lattice
+    "audio_gain_plan" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(i AS BIGINT) AS si,
+        |    CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS BIGINT) AS smp
+        |  FROM (SELECT doc_id,
+        |          CAST('0x' || substr(md5(text), i*4 + 1, 4) AS INTEGER) AS v, i
+        |        FROM documents, generate_series(0, 7) AS t(i)) x),
+        |p AS (SELECT doc_id, CAST(max(abs(smp)) AS BIGINT) AS peak FROM s GROUP BY 1)
+        |SELECT doc_id, peak AS peak_abs,
+        |  CAST(CASE WHEN peak = 0 THEN 0
+        |       ELSE (CAST(30000 AS BIGINT) * 1048576) // peak END AS BIGINT) AS gain_q,
+        |  CAST(CASE WHEN peak = 0 THEN 0
+        |       ELSE (peak * ((CAST(30000 AS BIGINT) * 1048576) // peak)) // 1048576 END AS BIGINT) AS planned_peak,
+        |  CAST(CASE WHEN peak = 0 THEN 1 ELSE 0 END AS BIGINT) AS silent
+        |FROM p""".stripMargin,
     // sample CTE shared verbatim with audio_energy; runs via the
     // si - row_number island key over clipped samples only
     "audio_clip_detect" ->

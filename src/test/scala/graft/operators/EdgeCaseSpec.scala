@@ -2967,6 +2967,34 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("export_manifest / audio_gain_plan invariants") {
+    val sf = "/root/testdata/sf0.001"
+    // manifest counts partition the corpus; shard keys stay in range;
+    // fingerprints sit on the mod-2^61 lattice
+    val man = Corpus.exportManifest(spark, sf).collect()
+    assert(man.map(_.getLong(1)).sum ===
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    man.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) < 64L)
+      assert(r.getLong(2) <= r.getLong(3), "doc-id span ordered")
+      assert(r.getLong(4) >= 0L && r.getLong(4) < 2305843009213693952L)
+    }
+    // the planned peak after the truncating gain can never clip and
+    // lands within one gain step of the 30000 target; silent clips
+    // plan zero gain
+    Multimodal.audioGainPlan(spark, sf).collect().foreach { r =>
+      val (peak, gain, planned, silent) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      if (silent == 1L) assert(peak === 0L && gain === 0L && planned === 0L)
+      else {
+        assert(planned <= 30000L, "a planned peak must never clip")
+        assert(planned === peak * gain / 1048576L)
+        assert(planned > 30000L - (peak * 2L), "truncation loses < 2 peak steps")
+      }
+    }
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
