@@ -48,10 +48,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // non-equi condition; chi2_independence: the t_closeness
     // constant-key dense grid (|segments| x |priorities| — both
     // margins are by-construction tiny folded relations)
+    // ivf_probe_curve composes the brute ranking (ann_recall's
+    // pattern), so it inherits the same 10-row broadcast probe BNLJ
     val allowedBnlj = Set("ann_topk", "mips_topk", "rank_fusion", "ann_recall",
       "knn_margin", "vocab_overlap", "hard_negatives", "theilsen_trend",
       "kendall_tau", "conformal_knn", "t_closeness", "mrr_eval",
-      "chi2_independence")
+      "chi2_independence", "ivf_probe_curve")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
