@@ -1422,10 +1422,17 @@ object TextAnalysis {
     * per-phrase length count (same partitioning); then two
     * partial+final folds (word stats on tok, distinct phrases) and a
     * TakeOrdered top-20 — no window ever sees more than one doc. */
-  def keywordRake(spark: SparkSession, dir: String): DataFrame = {
+  def keywordRake(spark: SparkSession, dir: String): DataFrame =
+    rakeOf(Tables.documents(spark, dir))
+
+  /** [[keywordRake]]'s core over any (doc_id, text) frame — factored
+    * so the spec can plant corpora with hand-computed RAKE scores
+    * (on a corpus whose phrases all have length L, every word scores
+    * L·2²⁰ and every phrase L²·2²⁰ — executed in EdgeCaseSpec). */
+  private[operators] def rakeOf(docs: DataFrame): DataFrame = {
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
     val wPhrase = Window.partitionBy(col("doc_id"), col("pid"))
-    val marked = Tables.documents(spark, dir)
+    val marked = docs
       .select(col("doc_id"), posexplode(toksOf(col("text"))))
       .toDF("doc_id", "pos", "tok")
       .withColumn("stop", col("tok").isin(Stopwords: _*).cast("long"))

@@ -2995,6 +2995,31 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("keyword_rake: hand-computed scores on a planted uniform-phrase corpus") {
+    // every phrase has length 2, so deg(w) = 2·freq(w) for every word
+    // -> word score = 2·2^20 exactly, phrase score = 4·2^20 exactly,
+    // regardless of frequencies ("of"/"and" are stopword delimiters)
+    val planted = docs(
+      1L -> "red apples and green apples",
+      2L -> "red apples of blue pears")
+    val out = TextAnalysis.rakeOf(planted).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq === Seq(
+      ("blue pears", 1L, 4194304L),
+      ("green apples", 1L, 4194304L),
+      ("red apples", 2L, 4194304L)))
+    // mixed lengths: "alpha beta gamma" (len 3) + "alpha" (len 1):
+    // deg(alpha)=3+1=4, freq=2 -> score 2·2^20; beta/gamma deg 3,
+    // freq 1 -> 3·2^20; phrase "alpha beta gamma" = 8·2^20,
+    // "alpha" = 2·2^20
+    val mixed = docs(1L -> "alpha beta gamma and alpha")
+    val m = TextAnalysis.rakeOf(mixed).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(m("alpha beta gamma") === 8L * 1048576L)
+    assert(m("alpha") === 2L * 1048576L)
+    graft.CacheScope.release()
+  }
+
   test("fd_check: planted determinant with two dependents is the only violation") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
       .toDF("det", "dep")
