@@ -650,6 +650,51 @@ object Multimodal {
       .toDF("doc_id", "n_samples", "n_nonzero", "n_zc", "zcr_q")
   }
 
+  /** Decimate-by-2 with the 3-tap [1, 2, 1]/4 FIR, factored for the
+    * spec's planted hand-checks: y_j = trunc((x_{2j−1} + 2·x_{2j} +
+    * x_{2j+1}) / 4) with edge CLAMP (x_{−1} = x₀, x_n = x_{n−1}).
+    * Samples are signed, so the division rule is part of the
+    * contract: TRUNCATION toward zero on both engines — JVM Long `/`
+    * truncates and so does DuckDB integer `//` (measured:
+    * (−3)//4 = 0, (−71919)//4 = −17979; the "`//` floors" folklore
+    * holds only for DOUBLE operands). The spec pins the negative-odd
+    * case so an engine that switched to floor would fail loudly. */
+  private[operators] def resampleClip(x: Array[Int]): Array[Long] =
+    Array.tabulate((x.length + 1) / 2) { j =>
+      val c = x(2 * j).toLong
+      val p = if (2 * j - 1 >= 0) x(2 * j - 1).toLong else c
+      val nx = if (2 * j + 1 < x.length) x(2 * j + 1).toLong else c
+      (p + 2L * c + nx) / 4L
+    }
+
+  /** Anti-aliased 2:1 downsample per clip — the sample-RATE half of
+    * audio normalization beside [[audioGainPlan]]'s amplitude half
+    * (a 100 TB audio corpus lands at mixed rates; training consumes
+    * ONE): each clip decimates through [[resampleClip]]'s half-band
+    * FIR (averaging before dropping — plain sample-dropping aliases
+    * high frequencies into band; the spec EXECUTES the Nyquist kill:
+    * an alternating ±a clip resamples to exact zeros past the edge),
+    * reported as n_in/n_out plus three integrity integrals over the
+    * output — Σ|y|, max|y|, and the position-weighted checksum
+    * Σ(j+1)·y_j that pins every output value AND its position (a
+    * swapped or shifted sample breaks it). Scale shape: decode +
+    * filter + fold all inside the partition (the audio_zcr rule) —
+    * one 6-long row per clip leaves the scan; no shuffle at all. */
+  def audioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(md5(col("text").cast("binary"))).as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(audioDecodeStub)
+      .map { case (id, x) =>
+        val y = resampleClip(x)
+        val chk = y.zipWithIndex.map { case (v, j) => (j + 1) * v }.sum
+        (id, x.length.toLong, y.length.toLong,
+          y.map(math.abs).sum, if (y.isEmpty) 0L else y.map(math.abs).max, chk)
+      }
+      .toDF("doc_id", "n_in", "n_out", "sum_abs_out", "peak_out", "chk")
+  }
+
   /** Walsh–Hadamard sequency spectrum per clip — the exact-integer
     * spectral feature (the DFT's twiddles are irrational; the WHT's
     * are all ±1, so every coefficient X_k = Σₙ (−1)^popcount(k∧n)·xₙ
@@ -928,6 +973,7 @@ object Multimodal {
     "multimodal_meta"     -> multimodalMeta,
     "scene_cuts"          -> sceneCuts,
     "audio_zcr"           -> audioZcr,
+    "audio_resample"      -> audioResample,
     "image_dominant_color" -> imageDominantColor,
     "image_edge_density"  -> imageEdgeDensity,
     "multimodal_frames"   -> multimodalFrames,
@@ -1247,6 +1293,31 @@ object Multimodal {
         |  CAST((CAST(sum(CASE WHEN prev IS NOT NULL AND prev * smp < 0 THEN 1 ELSE 0 END) AS BIGINT)
         |        * 1048576) // greatest(count(*) - 1, 1) AS BIGINT) AS zcr_q
         |FROM p GROUP BY doc_id""".stripMargin,
+    // sample CTE shared verbatim with audio_energy; the FIR taps ride
+    // lag/lead with edge clamp; integer `//` truncates toward zero
+    // exactly like the Scala side's Long division (spec-pinned)
+    "audio_resample" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(i AS BIGINT) AS si,
+        |    CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS BIGINT) AS smp
+        |  FROM (SELECT doc_id,
+        |          CAST('0x' || substr(md5(text), i*4 + 1, 4) AS INTEGER) AS v, i
+        |        FROM documents, generate_series(0, 7) AS t(i)) x),
+        |w AS (SELECT doc_id, si, smp,
+        |        lag(smp) OVER (PARTITION BY doc_id ORDER BY si) AS pr,
+        |        lead(smp) OVER (PARTITION BY doc_id ORDER BY si) AS nx
+        |      FROM s),
+        |y AS (SELECT doc_id, si // 2 AS j,
+        |        (coalesce(pr, smp) + 2 * smp + coalesce(nx, smp)) // 4 AS yv
+        |      FROM w WHERE si % 2 = 0),
+        |n AS (SELECT doc_id, count(*) AS n_in FROM s GROUP BY 1)
+        |SELECT y.doc_id, n.n_in, count(*) AS n_out,
+        |  CAST(sum(abs(yv)) AS BIGINT) AS sum_abs_out,
+        |  CAST(max(abs(yv)) AS BIGINT) AS peak_out,
+        |  CAST(sum((j + 1) * yv) AS BIGINT) AS chk
+        |FROM y JOIN n ON n.doc_id = y.doc_id
+        |GROUP BY y.doc_id, n.n_in""".stripMargin,
     // sample CTE shared verbatim with audio_energy; X_k's sign is
     // the parity of popcount(k AND n) — the Hadamard matrix in
     // natural order, all arithmetic BIGINT

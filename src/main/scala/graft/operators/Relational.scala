@@ -3306,6 +3306,45 @@ object Relational {
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
   }
 
+  /** Per-user coverage rollup of [[intervalMerge]] — the SLA/uptime
+    * scalar the merge exists to feed ("what fraction of each user's
+    * active span was actually covered"): covered = Σ island lengths,
+    * span = last end − first start, coverage_q on the 2²⁰ lattice
+    * (span ≥ covered > 0 by construction — every user has ≥ 1
+    * half-hour island). The oracle composes the SHARED interval-merge
+    * SQL verbatim ([[IntervalMergeSql]] — the ClusterCtes rule: a
+    * rollup's oracle must ride its parent's replay so the two can't
+    * drift). Scale shape: the merge's one user_id exchange already
+    * co-locates the islands; the rollup folds in place (zero
+    * additional exchanges). */
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame =
+    intervalMerge(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("end_us") - col("start_us")).as("covered_us"),
+        (max(col("end_us")) - min(col("start_us"))).as("span_us"))
+      .select(col("user_id"), col("n_islands"), col("covered_us"), col("span_us"),
+        expr("cast((cast(covered_us as decimal(38,0)) * 1048576) div span_us as bigint)")
+          .as("coverage_q"))
+
+  /** The interval_merge DuckDB replay, shared verbatim by the
+    * interval_merge gate and [[intervalCoverage]]'s rollup oracle. */
+  private[operators] val IntervalMergeSql: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |    epoch_ns(ts) // 1000 AS start_us,
+      |    epoch_ns(ts) // 1000 + 1800000000 AS end_us FROM events),
+      |f AS (SELECT *, max(end_us) OVER (PARTITION BY user_id
+      |    ORDER BY start_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM e),
+      |g AS (SELECT *, CASE WHEN pme IS NULL OR start_us > pme
+      |    THEN 1 ELSE 0 END AS ni FROM f),
+      |h AS (SELECT *, sum(ni) OVER (PARTITION BY user_id
+      |    ORDER BY start_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM g)
+      |SELECT user_id, min(start_us) AS start_us, max(end_us) AS end_us,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM h GROUP BY user_id, island""".stripMargin
+
   /** Skyline (Pareto frontier) per part type — parts not dominated on
     * (price ↓, size ↑): keep p unless some q in the type has
     * price ≤ AND size ≥ with at least one strict. The multi-objective
@@ -4036,7 +4075,7 @@ object Relational {
     * combinations are evidence OF dependence) via the constant-key
     * broadcast the t_closeness grid uses; N and the df scalars are
     * driver metadata. */
-  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+  private def chi2Full(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"),
@@ -4049,8 +4088,8 @@ object Relational {
     // degenerate corpus (no orders): the fold is empty — mirror the
     // oracle's empty result instead of NPE-ing on the scalar fetch
     if (t.isNullAt(0))
-      return cells.select(col("o").as("n"), col("o").as("df"),
-        col("o").as("chi2_q")).limit(0)
+      return cells.select(col("o").as("n"), col("o").as("rs"),
+        col("o").as("cs"), col("o").as("chi2_q")).limit(0)
     val (nTot, rs, cs) = (t.getLong(0), t.getLong(1), t.getLong(2))
     val rowsM = cells.groupBy(col("segment")).agg(sum(col("o")).as("r"))
     val colsM = cells.groupBy(col("priority")).agg(sum(col("o")).as("c"))
@@ -4062,14 +4101,47 @@ object Relational {
         "(cast(r as decimal(38,0)) * c)").as("term_q"))
       .agg(sum(col("term_q")).as("sum_term"))
       .select(
-        lit(nTot).as("n"),
-        lit(math.max(rs - 1L, 0L) * math.max(cs - 1L, 0L)).as("df"),
+        lit(nTot).as("n"), lit(rs).as("rs"), lit(cs).as("cs"),
         expr(s"cast(greatest((cast($nTot as decimal(38,0)) * " +
           "(sum_term - 1099511627776)) div 1048576, 0) as bigint)").as("chi2_q"))
   }
 
-  private def chi2IndependenceSql: String =
-    """WITH cells AS (
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame =
+    chi2Full(spark, dir)
+      .select(col("n"),
+        expr("greatest(rs - 1, 0L) * greatest(cs - 1, 0L)").as("df"),
+        col("chi2_q"))
+
+  /** Cramér's V effect size over the SAME contingency fold as
+    * [[chi2Independence]] (they share [[chi2Full]], so the statistic
+    * and its effect size cannot drift): at warehouse N every χ² test
+    * rejects — the significance scalar saturates and the EFFECT SIZE
+    * V² = χ²/(N·min(r−1, c−1)) is what a data-quality monitor must
+    * threshold on instead. Emitted as v2_q on the 2²⁰ lattice
+    * (v2_q = chi2_q div (N·k), computed FROM the already-truncated
+    * chi2_q in both engines so the truncation order is part of the
+    * contract; V itself is a square root — irrational, stays out),
+    * with Cohen-1988 effect buckets on exact integer comparisons
+    * (w = 0.1/0.3/0.5 ⇒ V² = 0.01/0.09/0.25, the df*=1 convention,
+    * documented simplification): v2_q·100 < 2²⁰ → negligible,
+    * v2_q·100 < 9·2²⁰ → small, v2_q·4 < 2²⁰ → medium, else large. */
+  def cramersV(spark: SparkSession, dir: String): DataFrame =
+    chi2Full(spark, dir)
+      .select(col("n"),
+        expr("greatest(rs - 1, 0L) * greatest(cs - 1, 0L)").as("df"),
+        expr("greatest(least(rs - 1, cs - 1), 1L)").as("k"),
+        col("chi2_q"),
+        expr("chi2_q div (n * greatest(least(rs - 1, cs - 1), 1L))").as("v2_q"))
+      .withColumn("effect",
+        when(col("v2_q") * 100L < 1048576L, "negligible")
+          .when(col("v2_q") * 100L < 9L * 1048576L, "small")
+          .when(col("v2_q") * 4L < 1048576L, "medium")
+          .otherwise("large"))
+
+  /** Shared χ² CTE chain ending in `chi2f(n, rs, cs, chi2_q)` — the
+    * [[chi2Independence]]/[[cramersV]] oracles both project it. */
+  private def chi2Ctes: String =
+    """cells AS (
       |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
       |    count(*) AS o
       |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
@@ -4086,12 +4158,33 @@ object Relational {
       |terms AS (
       |  SELECT (CAST(o AS HUGEINT) * o * 1099511627776)
       |         // (CAST(r AS HUGEINT) * c) AS term_q
-      |  FROM grid)
-      |SELECT t.n, CAST(greatest(t.rs - 1, 0) * greatest(t.cs - 1, 0) AS BIGINT) AS df,
-      |  CAST(greatest((CAST(t.n AS HUGEINT) * (sum(term_q) - 1099511627776))
-      |       // 1048576, 0) AS BIGINT) AS chi2_q
-      |FROM terms CROSS JOIN t
-      |GROUP BY t.n, t.rs, t.cs""".stripMargin
+      |  FROM grid),
+      |chi2f AS (
+      |  SELECT t.n, t.rs, t.cs,
+      |    CAST(greatest((CAST(t.n AS HUGEINT) * (sum(term_q) - 1099511627776))
+      |         // 1048576, 0) AS BIGINT) AS chi2_q
+      |  FROM terms CROSS JOIN t
+      |  GROUP BY t.n, t.rs, t.cs)""".stripMargin
+
+  private def chi2IndependenceSql: String =
+    s"""WITH $chi2Ctes
+       |SELECT n, CAST(greatest(rs - 1, 0) * greatest(cs - 1, 0) AS BIGINT) AS df,
+       |  chi2_q
+       |FROM chi2f""".stripMargin
+
+  private def cramersVSql: String =
+    s"""WITH $chi2Ctes
+       |SELECT n, CAST(greatest(rs - 1, 0) * greatest(cs - 1, 0) AS BIGINT) AS df,
+       |  CAST(greatest(least(rs - 1, cs - 1), 1) AS BIGINT) AS k, chi2_q,
+       |  CAST(chi2_q // (n * greatest(least(rs - 1, cs - 1), 1)) AS BIGINT) AS v2_q,
+       |  CASE WHEN chi2_q // (n * greatest(least(rs - 1, cs - 1), 1)) * 100 < 1048576
+       |         THEN 'negligible'
+       |       WHEN chi2_q // (n * greatest(least(rs - 1, cs - 1), 1)) * 100 < 9437184
+       |         THEN 'small'
+       |       WHEN chi2_q // (n * greatest(least(rs - 1, cs - 1), 1)) * 4 < 1048576
+       |         THEN 'medium'
+       |       ELSE 'large' END AS effect
+       |FROM chi2f""".stripMargin
 
   /** Wald-Wolfowitz runs test — "is daily revenue a random sequence
     * around its median, or does it trend/cluster?": the
@@ -4588,6 +4681,54 @@ object Relational {
       |  CAST(sum((flag + flip) % 2) * 4 - count(*) AS BIGINT) AS est2x,
       |  CAST(abs(sum((flag + flip) % 2) * 4 - count(*) - sum(flag) * 2) AS BIGINT) AS err2x
       |FROM r GROUP BY 1""".stripMargin
+
+  /** Central-DP released histogram — the TRUSTED-CURATOR mechanism
+    * tier beside [[randResponse]]'s local-DP randomizer: per-nation
+    * customer counts released with two-sided geometric noise (the
+    * discrete analogue of Laplace; Ghosh–Roughgarden–Sundararajan
+    * 2009's universally optimal count mechanism), ONE draw per
+    * histogram CELL — not per row, which is what separates the
+    * central from the local model. The draw is a deterministic md5
+    * slice of the cell key (replayable, the rand_response argument:
+    * the oracle gates the mechanism end-to-end, which a production
+    * deployment can't and an eval harness must): magnitude = length
+    * of the leading-'0' run in an 8-hex-digit slice — exactly
+    * geometric, P(m = k) = (15/16)·16⁻ᵏ, i.e. ε = ln 16 (illustrative
+    * operating point; production tunes the base) — sign from the 9th
+    * digit. Released counts go NEGATIVE legitimately on small cells
+    * (post-processing may clamp; the raw mechanism must not — bias).
+    * n_true rides along as the referee only the fixture affords.
+    * Scale shape: one partial+final fold to |nations| cells; the
+    * noise is a per-cell scalar expression on the folded relation. */
+  def dpHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("h", md5(concat(lit("dpnoise"), col("nation").cast("string"))))
+      .select(col("nation"), col("n_true"),
+        (when(substring(col("h"), 9, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+          lit(-1L)).otherwise(lit(1L)) *
+          length(regexp_extract(substring(col("h"), 1, 8), "^0*", 0)).cast("long"))
+          .as("noise"))
+      .withColumn("n_released", col("n_true") + col("noise"))
+      .withColumn("abs_err", abs(col("noise")))
+
+  private def dpHistogramSql: String =
+    """WITH g AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |             count(*) AS n_true
+      |           FROM customer GROUP BY 1),
+      |h AS (SELECT nation, n_true,
+      |        md5('dpnoise' || CAST(nation AS VARCHAR)) AS h FROM g),
+      |z AS (SELECT nation, n_true,
+      |        (CASE WHEN substring(h, 9, 1) IN ('8','9','a','b','c','d','e','f')
+      |              THEN -1 ELSE 1 END)
+      |        * length(regexp_extract(substring(h, 1, 8), '^0*')) AS noise
+      |      FROM h)
+      |SELECT nation, CAST(n_true AS BIGINT) AS n_true,
+      |  CAST(noise AS BIGINT) AS noise,
+      |  CAST(n_true + noise AS BIGINT) AS n_released,
+      |  CAST(abs(noise) AS BIGINT) AS abs_err
+      |FROM z""".stripMargin
 
   /** Cross-field TEMPORAL consistency audit — the causality rules
     * [[graft.operators.DataQuality.dqChecks]]'s intra-row battery
@@ -5858,6 +5999,64 @@ object Relational {
       |  CAST((abs(actual - forecast) * CAST(1048576 AS HUGEINT)) // actual AS BIGINT) AS ape_q
       |FROM f""".stripMargin
 
+  /** The SES recurrence over a (day, cents) series, factored for the
+    * spec's planted hand-checks: s₁ = c₁, s_d = (3·s_{d−1} + c_d) div 4
+    * (α = 1/4 as an exact dyadic; the recurrence stays non-negative
+    * from non-negative cents, so Long `/` and DuckDB integer `//`
+    * agree trivially), fcst_d = s_{d−1} (the one-step-ahead
+    * forecast), err = |c − fcst|.
+    * Returns (day, cents, smooth, fcst, abs_err) in day order. */
+  private[operators] def sesScan(daily: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long, Long)] = {
+    var smooth = 0L
+    daily.sortBy(_._1).zipWithIndex.map { case ((day, cents), i) =>
+      val fcst = if (i == 0) cents else smooth
+      smooth = if (i == 0) cents else (3L * smooth + cents) / 4L
+      (day, cents, smooth, fcst, math.abs(cents - fcst))
+    }
+  }
+
+  /** Simple-exponential-smoothing one-step backtest over the daily
+    * revenue series — the SMOOTHING-RECURRENCE primitive of the
+    * forecasting family, beside [[forecastBacktest]]'s seasonal-naive
+    * model: s_d = α·c_d + (1−α)·s_{d−1} with α = 1/4 kept exact as
+    * the integer recurrence s_d = (3·s_{d−1} + c_d) div 4 (a float α
+    * would drift between engines; the dyadic lattice IS the
+    * cross-engine contract — the lsh_threshold_plan rule), scored by
+    * the one-step-ahead absolute error |c_d − s_{d−1}|. A recurrence
+    * is inherently sequential: the fact stream folds partial+final to
+    * |days| rows (≤ ~2.5k at ANY corpus size — the date domain, not
+    * the row count, bounds it) and the scan runs in driver metadata
+    * ([[sesScan]], the ltv_curve collect rationale); the oracle
+    * replays it as a DuckDB recursive CTE. The returned frame is a
+    * LocalTableScan (the pca_power rule). */
+  def sesForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .select(
+        expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)")
+          .as("day"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    sesScan(daily).toDF("day", "cents", "smooth", "fcst", "abs_err")
+  }
+
+  private def sesForecastSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |i AS (SELECT day, cents, row_number() OVER (ORDER BY day ASC) AS rn FROM d),
+      |s AS (
+      |  SELECT rn, day, cents, cents AS smooth FROM i WHERE rn = 1
+      |  UNION ALL
+      |  SELECT i.rn, i.day, i.cents, (3 * s.smooth + i.cents) // 4
+      |  FROM s JOIN i ON i.rn = s.rn + 1)
+      |SELECT day, cents, CAST(smooth AS BIGINT) AS smooth,
+      |  CAST(coalesce(lag(smooth) OVER (ORDER BY rn), cents) AS BIGINT) AS fcst,
+      |  CAST(abs(cents - coalesce(lag(smooth) OVER (ORDER BY rn), cents)) AS BIGINT) AS abs_err
+      |FROM s""".stripMargin
+
   /** Cumulative LTV curve by tenure month — the "how much is a
     * customer worth after t months" readout a growth team plans
     * acquisition spend against: spend folds to (customer, tenure)
@@ -6331,6 +6530,7 @@ object Relational {
     "sort_export"      -> sortExport,
     "gaps_islands"     -> gapsIslands,
     "interval_merge"   -> intervalMerge,
+    "interval_coverage" -> intervalCoverage,
     "skyline"          -> skylineParts,
     "rolling_distinct" -> rollingDistinct,
     "anomaly_mad"      -> anomalyMad,
@@ -6386,6 +6586,9 @@ object Relational {
     "table_fingerprint" -> tableFingerprint,
     "auc_rank"         -> aucRank,
     "chi2_independence" -> chi2Independence,
+    "cramers_v"        -> cramersV,
+    "dp_histogram"     -> dpHistogram,
+    "ses_forecast"     -> sesForecast,
     "runs_test"        -> runsTest,
     "ledger_recon"     -> ledgerRecon,
     "attribution_position" -> attributionPosition,
@@ -6754,21 +6957,16 @@ object Relational {
         |  CAST(count(*) AS BIGINT) AS n_days
         |FROM i GROUP BY user_id, island""".stripMargin,
     // running-max-over-strict-predecessors island cut, exact micros
-    "interval_merge" ->
-      """WITH e AS (SELECT user_id, event_id,
-        |    epoch_ns(ts) // 1000 AS start_us,
-        |    epoch_ns(ts) // 1000 + 1800000000 AS end_us FROM events),
-        |f AS (SELECT *, max(end_us) OVER (PARTITION BY user_id
-        |    ORDER BY start_us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM e),
-        |g AS (SELECT *, CASE WHEN pme IS NULL OR start_us > pme
-        |    THEN 1 ELSE 0 END AS ni FROM f),
-        |h AS (SELECT *, sum(ni) OVER (PARTITION BY user_id
-        |    ORDER BY start_us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM g)
-        |SELECT user_id, min(start_us) AS start_us, max(end_us) AS end_us,
-        |  CAST(count(*) AS BIGINT) AS n_events
-        |FROM h GROUP BY user_id, island""".stripMargin,
+    "interval_merge" -> IntervalMergeSql,
+    // the rollup rides the IDENTICAL merge replay (shared val)
+    "interval_coverage" ->
+      s"""WITH m AS ($IntervalMergeSql)
+         |SELECT user_id, count(*) AS n_islands,
+         |  CAST(sum(end_us - start_us) AS BIGINT) AS covered_us,
+         |  CAST(max(end_us) - min(start_us) AS BIGINT) AS span_us,
+         |  CAST((CAST(sum(end_us - start_us) AS HUGEINT) * 1048576)
+         |       // (max(end_us) - min(start_us)) AS BIGINT) AS coverage_q
+         |FROM m GROUP BY user_id""".stripMargin,
     // the quadratic dominance definition the Spark side never runs —
     // a genuinely different formulation gating the window rewrite
     "skyline" ->
@@ -7646,6 +7844,9 @@ object Relational {
     "table_fingerprint" -> tableFingerprintSql,
     "auc_rank" -> aucRankSql,
     "chi2_independence" -> chi2IndependenceSql,
+    "cramers_v" -> cramersVSql,
+    "dp_histogram" -> dpHistogramSql,
+    "ses_forecast" -> sesForecastSql,
     "runs_test" -> runsTestSql,
     "ledger_recon" -> ledgerReconSql,
     "attribution_position" -> attributionPositionSql,

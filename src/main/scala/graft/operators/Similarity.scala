@@ -143,6 +143,208 @@ object Similarity {
        |SELECT qid, qlabel AS label, CAST(rnk AS BIGINT) AS rnk, nid, round(cos, 4) AS cos
        |FROM r WHERE rnk <= $K""".stripMargin
 
+  private val MmrPool = 8
+  private val MmrK = 3
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell–Goldstein
+    * 1998) — the retrieval DIVERSIFICATION primitive between search and
+    * selection: a plain top-k returns near-duplicates of the best hit;
+    * MMR greedily picks argmax of λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s),
+    * trading relevance against redundancy to what's already picked —
+    * the shape RAG context assembly and few-shot example selection
+    * need. λ = 1/2 makes the objective the pure integer rel − maxsel
+    * on the 2⁻²⁰ lattice (exact [[mipsTopk]] dots — no float ordering
+    * contract), ties → lowest nid; round 1 is argmax rel with
+    * max_sel_sim ≡ 0. Scale shape: the ONE corpus-scale stage is the
+    * [[annTopkBrute]]-oriented pool cut (|Q| broadcast queries, per-
+    * query top-[[MmrPool]] rides WindowGroupLimit); the pool and its
+    * ≤ P(P−1)·|Q| pairwise dots persist once, and the [[MmrK]] greedy
+    * rounds unroll as bounded joins over those caches (the ktruss
+    * round pattern) — metadata-sized at any corpus size. */
+  def mmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), latArrCol(col("embedding")).as("qq"))
+    val c = e.select(col("vec_id").as("nid"), latArrCol(col("embedding")).as("nq"))
+    val qdot = aggregate(zip_with(col("qq"), col("nq"), (x, y) => x * y),
+      lit(0L), (a, x) => a + x)
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid").asc)
+    val pool = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("dot", qdot)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= MmrPool)
+      .select(col("qid"), col("nid"), col("nq"), col("dot").as("rel"))
+      .persistScoped()
+    val pdot = aggregate(zip_with(col("aq"), col("bq"), (x, y) => x * y),
+      lit(0L), (a, x) => a + x)
+    val pairs = pool.select(col("qid"), col("nid").as("aid"), col("nq").as("aq"))
+      .join(pool.select(col("qid"), col("nid").as("bid"), col("nq").as("bq")), Seq("qid"))
+      .filter(col("aid") =!= col("bid"))
+      .select(col("qid"), col("aid"), col("bid"), pdot.as("sim"))
+      .persistScoped()
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("nid").asc)
+    var result = pool
+      .withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
+      .select(col("qid"), col("nid"), lit(1L).as("pick"), col("rel"),
+        lit(0L).as("max_sel_sim"))
+    for (r <- 2 to MmrK) {
+      val rem = pool.join(result.select(col("qid"), col("nid")),
+        Seq("qid", "nid"), "left_anti")
+      val ms = pairs
+        .join(result.select(col("qid"), col("nid").as("bid")), Seq("qid", "bid"))
+        .groupBy(col("qid"), col("aid")).agg(max(col("sim")).as("max_sel_sim"))
+        .withColumnRenamed("aid", "nid")
+      val wr = Window.partitionBy(col("qid"))
+        .orderBy((col("rel") - col("max_sel_sim")).desc, col("nid").asc)
+      val pick = rem.join(ms, Seq("qid", "nid"))
+        .withColumn("rk", row_number().over(wr)).filter(col("rk") === 1)
+        .select(col("qid"), col("nid"), lit(r.toLong).as("pick"), col("rel"),
+          col("max_sel_sim"))
+      result = result.unionByName(pick)
+    }
+    result
+  }
+
+  private def mmrSelectSql: String =
+    s"""WITH l AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qs AS (SELECT vec_id AS qid, q AS qq FROM l WHERE vec_id < $NQueries),
+       |dd AS (SELECT unnest(range($Dim)) AS i),
+       |sc AS (SELECT qs.qid, l.vec_id AS nid,
+       |         CAST(sum(qs.qq[dd.i + 1] * l.q[dd.i + 1]) AS BIGINT) AS dot
+       |       FROM qs JOIN l ON l.vec_id <> qs.qid CROSS JOIN dd
+       |       GROUP BY 1, 2),
+       |pool AS MATERIALIZED (
+       |  SELECT qid, nid, dot AS rel
+       |  FROM (SELECT qid, nid, dot,
+       |          row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid ASC) AS rnk
+       |        FROM sc) t
+       |  WHERE rnk <= $MmrPool),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.qid, a.nid AS aid, b.nid AS bid,
+       |    CAST(sum(la.q[dd.i + 1] * lb.q[dd.i + 1]) AS BIGINT) AS sim
+       |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.nid <> b.nid
+       |  JOIN l la ON la.vec_id = a.nid JOIN l lb ON lb.vec_id = b.nid
+       |  CROSS JOIN dd GROUP BY 1, 2, 3),
+       |s1 AS MATERIALIZED (
+       |  SELECT qid, nid, 1 AS pick, rel, 0 AS max_sel_sim
+       |  FROM (SELECT qid, nid, rel,
+       |          row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid ASC) AS rk
+       |        FROM pool) t
+       |  WHERE rk = 1),
+       |s2 AS MATERIALIZED (
+       |  SELECT qid, nid, 2 AS pick, rel, max_sel_sim FROM (
+       |    SELECT p.qid, p.nid, p.rel, m.max_sel_sim,
+       |      row_number() OVER (PARTITION BY p.qid
+       |        ORDER BY p.rel - m.max_sel_sim DESC, p.nid ASC) AS rk
+       |    FROM pool p
+       |    JOIN (SELECT pr.qid, pr.aid, max(pr.sim) AS max_sel_sim
+       |          FROM pairs pr JOIN s1 ON s1.qid = pr.qid AND s1.nid = pr.bid
+       |          GROUP BY 1, 2) m ON m.qid = p.qid AND m.aid = p.nid
+       |    WHERE NOT EXISTS (SELECT 1 FROM s1 WHERE s1.qid = p.qid AND s1.nid = p.nid)
+       |  ) t WHERE rk = 1),
+       |s12 AS (SELECT qid, nid FROM s1 UNION ALL SELECT qid, nid FROM s2),
+       |s3 AS (
+       |  SELECT qid, nid, 3 AS pick, rel, max_sel_sim FROM (
+       |    SELECT p.qid, p.nid, p.rel, m.max_sel_sim,
+       |      row_number() OVER (PARTITION BY p.qid
+       |        ORDER BY p.rel - m.max_sel_sim DESC, p.nid ASC) AS rk
+       |    FROM pool p
+       |    JOIN (SELECT pr.qid, pr.aid, max(pr.sim) AS max_sel_sim
+       |          FROM pairs pr JOIN s12 ON s12.qid = pr.qid AND s12.nid = pr.bid
+       |          GROUP BY 1, 2) m ON m.qid = p.qid AND m.aid = p.nid
+       |    WHERE NOT EXISTS (SELECT 1 FROM s12 WHERE s12.qid = p.qid AND s12.nid = p.nid)
+       |  ) t WHERE rk = 1)
+       |SELECT qid, CAST(pick AS BIGINT) AS pick, nid, rel,
+       |  CAST(max_sel_sim AS BIGINT) AS max_sel_sim
+       |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       |      UNION ALL SELECT * FROM s3) u""".stripMargin
+
+  private val KCenters = 5
+
+  /** k-center coreset selection by farthest-point traversal (Gonzalez
+    * 1985, the 2-approximation) — the DATA-SELECTION primitive a
+    * training pipeline runs to pick a maximally-covering subset
+    * (active-learning seeds, eval-set anchors, diversity sampling):
+    * seed = the smallest vec_id, then [[KCenters]]−1 rounds of "pick
+    * the vector farthest (exact lattice L2², ties → lowest id) from
+    * everything picked so far". radius2 of pick r is its distance² to
+    * the previous centers — the (r−1)-center cover radius, so the
+    * column is non-increasing from pick 2 on (a theorem the spec
+    * executes). The greedy is [[mmrSelect]]'s max-min dual: MMR
+    * diversifies a per-query shortlist, k-center covers the corpus.
+    * Scale shape: the lattice scan persists once; each round is one
+    * scan-resident distance expression (the new center rides as an
+    * array LITERAL — the pca_project rule) + a rank-1 TakeOrdered
+    * (ONE driver row per round, the graph_diameter pattern). Bounded
+    * rounds, zero joins, no all-pairs anywhere; the returned frame is
+    * a LocalTableScan. */
+  def coresetKcenter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lat = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), latArrCol(col("embedding")).as("q"))
+      .persistScoped()
+    val seed = lat.orderBy(col("vec_id").asc).limit(1).collect()
+    if (seed.isEmpty)
+      return Seq.empty[(Long, Long, Long)].toDF("pick", "vec_id", "radius2")
+    def dist2To(center: Array[Long]): Column =
+      aggregate(zip_with(col("q"), typedlit(center.toSeq), (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, x) => a + x)
+    var picks = List((1L, seed(0).getLong(0), 0L))
+    var dcol: Column = dist2To(seed(0).getSeq[Long](1).toArray)
+    for (r <- 2 to KCenters) {
+      val far = lat.withColumn("d", dcol)
+        .filter(!col("vec_id").isInCollection(picks.map(_._2)))
+        .orderBy(col("d").desc, col("vec_id").asc).limit(1).collect()
+      if (far.nonEmpty) {
+        picks = picks :+ ((r.toLong, far(0).getLong(0), far(0).getLong(2)))
+        dcol = least(dcol, dist2To(far(0).getSeq[Long](1).toArray))
+      }
+    }
+    picks.toDF("pick", "vec_id", "radius2")
+  }
+
+  private def coresetSql: String = {
+    val latCte =
+      s"""l AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |dd AS (SELECT unnest(range($Dim)) AS i),
+         |c1 AS MATERIALIZED (SELECT vec_id, q FROM l ORDER BY vec_id ASC LIMIT 1),
+         |s1 AS (SELECT vec_id FROM c1),
+         |d1 AS MATERIALIZED (
+         |  SELECT l.vec_id,
+         |    CAST(sum((l.q[dd.i + 1] - c.q[dd.i + 1]) * (l.q[dd.i + 1] - c.q[dd.i + 1])) AS BIGINT) AS d
+         |  FROM l CROSS JOIN c1 c CROSS JOIN dd GROUP BY l.vec_id)""".stripMargin
+    val rounds = (2 to KCenters).map { k =>
+      val pick =
+        s"""p$k AS MATERIALIZED (
+           |  SELECT vec_id, d FROM d${k - 1}
+           |  WHERE vec_id NOT IN (SELECT vec_id FROM s${k - 1})
+           |  ORDER BY d DESC, vec_id ASC LIMIT 1),
+           |s$k AS (SELECT vec_id FROM s${k - 1} UNION ALL SELECT vec_id FROM p$k)""".stripMargin
+      val refine = if (k == KCenters) "" else
+        s""",
+           |nd$k AS MATERIALIZED (
+           |  SELECT l.vec_id,
+           |    CAST(sum((l.q[dd.i + 1] - c.q[dd.i + 1]) * (l.q[dd.i + 1] - c.q[dd.i + 1])) AS BIGINT) AS d
+           |  FROM l CROSS JOIN (SELECT l2.q FROM l l2 JOIN p$k ON l2.vec_id = p$k.vec_id) c
+           |  CROSS JOIN dd GROUP BY l.vec_id),
+           |d$k AS MATERIALIZED (
+           |  SELECT d${k - 1}.vec_id, least(d${k - 1}.d, nd$k.d) AS d
+           |  FROM d${k - 1} JOIN nd$k USING (vec_id))""".stripMargin
+      pick + refine
+    }.mkString(",\n")
+    val tail = (2 to KCenters)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS pick, vec_id, d AS radius2 FROM p$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH $latCte,
+       |$rounds
+       |SELECT CAST(1 AS BIGINT) AS pick, vec_id, CAST(0 AS BIGINT) AS radius2 FROM c1
+       |UNION ALL $tail""".stripMargin
+  }
+
   /** Mean-centering audit of the embedding corpus — the anisotropy
     * fix applied BEFORE [[pcaPower]]/whitening in most embedding
     * pipelines (a large common-mean component makes every cosine
@@ -2248,6 +2450,8 @@ object Similarity {
     "ann_topk" -> annTopkBrute,
     "ann_filtered" -> annFiltered,
     "hard_negatives" -> hardNegatives,
+    "mmr_select" -> mmrSelect,
+    "coreset_kcenter" -> coresetKcenter,
     "embed_center" -> embedCenter,
     "mips_topk" -> mipsTopk,
     "pq_distortion" -> pqDistortion,
@@ -2608,6 +2812,8 @@ object Similarity {
     "ann_topk" -> annTopkSql,
     "ann_filtered" -> annFilteredSql,
     "hard_negatives" -> hardNegativesSql,
+    "mmr_select" -> mmrSelectSql,
+    "coreset_kcenter" -> coresetSql,
     "embed_center" -> embedCenterSql,
     // IVF is fully SQL-expressible because every piece is
     // deterministic: DuckDB replays seed-centroid selection, the

@@ -109,6 +109,57 @@ object TextAnalysis {
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
 
+  /** Cohen's κ over a confusion-cell relation (lang, pred_lang, n) —
+    * factored so the spec can plant hand-computed corpora. All the
+    * arithmetic past the cell fold is |labels|²-bounded metadata:
+    * N/agree are one scalar aggregate, Σ rowMargin·colMargin is a
+    * |labels|-row equi-join, and the κ lattice math runs in driver
+    * BigInt (exact; BigInt `/` truncates toward zero — the oracle's
+    * sign-symmetric CASE replays exactly that on negative κ). The
+    * returned frame is a LocalTableScan (the pca_power shape). */
+  private[operators] def kappaOfCells(spark: SparkSession, cells: DataFrame): DataFrame = {
+    import spark.implicits._
+    val c = cells.persistScoped()
+    val t = c.agg(
+      coalesce(sum(col("n")), lit(0L)).as("nn"),
+      coalesce(sum(when(col("lang") === col("pred_lang"), col("n"))
+        .otherwise(0L)), lit(0L)).as("a")).head()
+    val (n, a) = (BigInt(t.getLong(0)), BigInt(t.getLong(1)))
+    val rm = c.groupBy(col("lang").as("k")).agg(sum(col("n")).as("r"))
+    val cm = c.groupBy(col("pred_lang").as("k")).agg(sum(col("n")).as("c"))
+    val sRow = rm.join(cm, "k")
+      .agg(expr("sum(cast(r as decimal(38,0)) * c)").as("s")).head()
+    val s = if (sRow.isNullAt(0)) BigInt(0) else BigInt(sRow.getDecimal(0).toBigInteger)
+    val q = BigInt(1048576)
+    val poQ = (a * q / (n max BigInt(1))).toLong
+    val peQ = (s * q / ((n * n) max BigInt(1))).toLong
+    val kappaQ = ((n * a - s) * q / ((n * n - s) max BigInt(1))).toLong
+    Seq((n.toLong, a.toLong, poQ, peQ, kappaQ))
+      .toDF("n", "n_agree", "po_q", "pe_q", "kappa_q")
+  }
+
+  /** Cohen's kappa of [[langId]] against the fixture truth — the
+    * chance-corrected agreement coefficient (Cohen 1960), THE
+    * inter-annotator / classifier-vs-gold trust scalar a labeling
+    * pipeline reports next to raw accuracy: κ = (p_o − p_e)/(1 − p_e)
+    * where p_e = Σ_k rowMargin_k·colMargin_k / N² is the
+    * agree-by-chance mass — a majority-class labeler scores high p_o
+    * but κ ≈ 0. κ goes NEGATIVE legitimately (below-chance
+    * agreement), so the division rule is explicit: truncation toward
+    * zero on both engines (BigInt `/` and DuckDB integer `//` both
+    * truncate; the oracle additionally spells the negative branch as
+    * a sign-symmetric CASE so the contract survives an engine whose
+    * `//` floors). Emitted on the 2²⁰ lattice with the identity kept
+    * in cleared-denominator form, κ_q = ((N·A − S)·2²⁰) div (N² − S)
+    * (S ≤ N² by Cauchy–Schwarz, so the denominator is non-negative;
+    * greatest(…,1) absorbs the p_e = 1 degeneracy and the empty
+    * corpus — both engines then emit a zero row, not NULL/error).
+    * Scale shape: [[langConfusion]]'s one narrow scan + partial+final
+    * fold to |langs|² cells; everything after is metadata
+    * ([[kappaOfCells]]). */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame =
+    kappaOfCells(spark, langConfusion(spark, dir))
+
   /** Fixed BPE merge table, priority order — a real (if small)
     * byte-pair-encoding vocabulary: tokenization starts from single
     * characters (byte fallback — ANY string tokenizes) and applies
@@ -543,6 +594,82 @@ object TextAnalysis {
         expr("cast(least((cast(1048576 as decimal(38,0)) * n_bg * c12) " +
           "div (cast(cl as decimal(38,0)) * cr), 1099511627776) as bigint)").as("lift_q"))
   }
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser–Ney 1995,
+    * Chen–Goodman 1998) — THE smoothing behind the KenLM scorers that
+    * perplexity-filter pretraining corpora (CCNet's quality signal):
+    * P(w₂|w₁) = max(c₁₂ − D, 0)/c₁ + λ(w₁)·P_cont(w₂), where the
+    * CONTINUATION probability P_cont(w₂) = |{w₁ : c₁₂ > 0}|/|bigram
+    * types| replaces the raw unigram (the "San Francisco" effect:
+    * "francisco" is frequent but follows only "san" — KN backs off by
+    * type diversity, not token mass) and λ(w₁) = D·N₁₊(w₁)/c₁
+    * releases exactly the discounted mass. D = 3/4 is an exact dyadic
+    * (the Chen–Goodman default ballpark), so the whole model lives on
+    * the 2²⁰ lattice: pkn_q = ((4·c₁₂ − 3)·2¹⁸) div c₁ +
+    * (3·n1p·pcont_q) div (4·c₁) with pcont_q = (cont₂·2²⁰) div ntypes
+    * — nested truncating divisions in a FIXED order (the cramers_v
+    * rule: truncation order is part of the contract). Top-100 by
+    * (c₁₂ desc, w₁, w₂) keeps the output bounded; every margin is
+    * O(|distinct bigrams|).
+    *
+    * Scale shape: [[bigramPmiOf]]'s array-local pairing (zero token
+    * shuffle) + ONE partial+final (w₁, w₂) fold that persists and
+    * feeds both margin windows; ntypes attaches via [[ScalarJoin]];
+    * the cut is TakeOrderedAndProject. */
+  def kneserNey(spark: SparkSession, dir: String): DataFrame =
+    kneserNeyOf(Tables.documents(spark, dir))
+
+  private[operators] def kneserNeyOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs
+      .select(toksOf(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = d.select(explode(expr(
+        "transform(slice(toks, 1, size(toks)-1), (w, i) -> struct(w AS w1, toks[i+1] AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val c = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).persistScoped()
+    val n = c.agg(count(lit(1)).as("ntypes"))
+    val margins = c
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
+      .withColumn("n1p", count(lit(1)).over(Window.partitionBy("w1")))
+      .withColumn("cont2", count(lit(1)).over(Window.partitionBy("w2")))
+    ScalarJoin.attachScalar(margins, col("c12"), n, col("ntypes"))
+      .withColumn("pcont_q",
+        expr("cast((cast(cont2 as decimal(38,0)) * 1048576) div ntypes as bigint)"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("n1p"),
+        col("cont2"), col("pcont_q"),
+        expr("cast((cast(greatest(4 * c12 - 3, 0) as decimal(38,0)) * 262144) div c1 " +
+          "+ (cast(3 as decimal(38,0)) * n1p * pcont_q) div (4 * c1) as bigint)")
+          .as("pkn_q"))
+      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+      .limit(100)
+  }
+
+  private def kneserNeySql: String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS w,
+       |             CAST(unnest(range(len(toks))) AS BIGINT) AS pos
+       |      FROM t WHERE len(toks) >= 2),
+       |bg AS (SELECT a.w AS w1, b.w AS w2
+       |       FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+       |c AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+       |m AS (SELECT w1, w2, c12,
+       |             sum(c12) OVER (PARTITION BY w1) AS c1,
+       |             count(*) OVER (PARTITION BY w1) AS n1p,
+       |             count(*) OVER (PARTITION BY w2) AS cont2
+       |      FROM c),
+       |n AS (SELECT count(*) AS ntypes FROM c),
+       |f AS (SELECT w1, w2, c12, c1, n1p, cont2,
+       |        (CAST(cont2 AS HUGEINT) * 1048576) // ntypes AS pcont_q
+       |      FROM m, n)
+       |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+       |  CAST(n1p AS BIGINT) AS n1p, CAST(cont2 AS BIGINT) AS cont2,
+       |  CAST(pcont_q AS BIGINT) AS pcont_q,
+       |  CAST((CAST(greatest(4 * c12 - 3, 0) AS HUGEINT) * 262144) // c1
+       |       + (CAST(3 AS HUGEINT) * n1p * pcont_q) // (4 * c1) AS BIGINT) AS pkn_q
+       |FROM f
+       |ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT 100""".stripMargin
 
   private[operators] val CmsDepth = 4
   private[operators] val CmsWidth = 16
@@ -1508,6 +1635,7 @@ object TextAnalysis {
     "sentence_dedup"  -> sentenceDedup,
     "lang_id"         -> langId,
     "lang_confusion"  -> langConfusion,
+    "cohens_kappa"    -> cohensKappa,
     "oov_rate"        -> oovRate,
     "cms_counts"      -> cmsCounts,
     "token_count"     -> tokenCount,
@@ -1533,6 +1661,7 @@ object TextAnalysis {
     "cooccur_lift"    -> cooccurLift,
     "inverted_index"  -> invertedIndex,
     "bigram_pmi"      -> bigramPmi,
+    "kneser_ney"      -> kneserNey,
     "gopher_quality"  -> gopherQuality,
     "blocklist_filter" -> blocklistFilter)
 
@@ -1782,6 +1911,7 @@ object TextAnalysis {
          |             // (CAST(cl AS HUGEINT) * cr),
          |             CAST(1099511627776 AS HUGEINT)) AS BIGINT) AS lift_q
          |FROM m, n""".stripMargin,
+    "kneser_ney" -> kneserNeySql,
     "inverted_index" ->
       s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
          |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
@@ -1862,6 +1992,28 @@ object TextAnalysis {
       s"""SELECT lang, pred_lang, count(*) AS n
          |FROM ($langIdSql) t2
          |GROUP BY lang, pred_lang""".stripMargin,
+    // chance-corrected agreement over the SAME cascade replay; the
+    // negative-κ branch truncates sign-symmetrically (BigInt `/`
+    // truncates toward zero, DuckDB `//` floors — the CASE aligns them)
+    "cohens_kappa" ->
+      s"""WITH li AS ($langIdSql),
+         |cells AS (SELECT lang, pred_lang, count(*) AS n FROM li GROUP BY 1, 2),
+         |t AS (SELECT coalesce(CAST(sum(n) AS HUGEINT), 0) AS nn,
+         |        coalesce(CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END)
+         |                 AS HUGEINT), 0) AS a
+         |      FROM cells),
+         |rm AS (SELECT lang AS k, CAST(sum(n) AS HUGEINT) AS r FROM cells GROUP BY 1),
+         |cm AS (SELECT pred_lang AS k, CAST(sum(n) AS HUGEINT) AS c FROM cells GROUP BY 1),
+         |s AS (SELECT coalesce(CAST(sum(r * c) AS HUGEINT), 0) AS s
+         |      FROM rm JOIN cm USING (k))
+         |SELECT CAST(t.nn AS BIGINT) AS n, CAST(t.a AS BIGINT) AS n_agree,
+         |  CAST((t.a * 1048576) // greatest(t.nn, 1) AS BIGINT) AS po_q,
+         |  CAST((s.s * 1048576) // greatest(t.nn * t.nn, 1) AS BIGINT) AS pe_q,
+         |  CAST(CASE WHEN t.nn * t.a - s.s >= 0
+         |       THEN ((t.nn * t.a - s.s) * 1048576) // greatest(t.nn * t.nn - s.s, 1)
+         |       ELSE -(((s.s - t.nn * t.a) * 1048576) // greatest(t.nn * t.nn - s.s, 1))
+         |       END AS BIGINT) AS kappa_q
+         |FROM t CROSS JOIN s""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,

@@ -50,10 +50,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // margins are by-construction tiny folded relations)
     // ivf_probe_curve composes the brute ranking (ann_recall's
     // pattern), so it inherits the same 10-row broadcast probe BNLJ
+    // cramers_v projects the same chi2Full core as chi2_independence,
+    // so it inherits the identical constant-key dense-grid BNLJ
+    // mmr_select's pool cut is the ann_topk 10-row broadcast probe
     val allowedBnlj = Set("ann_topk", "mips_topk", "rank_fusion", "ann_recall",
       "knn_margin", "vocab_overlap", "hard_negatives", "theilsen_trend",
       "kendall_tau", "conformal_knn", "t_closeness", "mrr_eval",
-      "chi2_independence", "ivf_probe_curve")
+      "chi2_independence", "cramers_v", "ivf_probe_curve", "mmr_select")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -1556,6 +1559,60 @@ class PlanAuditSpec extends AnyFunSuite {
     val gd = plan("graph_diameter")
     assert(gd.contains("LocalTableScan") && !gd.contains("Exchange"),
       "graph_diameter's returned row is driver metadata (the pca_power rule); the sweeps ran during construction")
+  }
+
+  test("cohens_kappa is driver metadata past the cell fold; dp_histogram noises the FOLDED relation") {
+    // kappa's lattice math runs on the |langs|²-bounded cells — the
+    // returned frame is a LocalTableScan (the pca_power rule)
+    val ck = plan("cohens_kappa")
+    assert(ck.contains("LocalTableScan") && !ck.contains("Exchange"),
+      "cohens_kappa's returned row is driver metadata; the fold ran during construction")
+    // dp_histogram: ONE partial+final fold to |nations| cells; the
+    // noise draw is a scalar expression on the folded relation —
+    // exactly one keyed exchange, never a second
+    val dp = plan("dp_histogram")
+    assert(dp.contains("partial_"), "dp_histogram's count must combine map-side")
+    assert(dp.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") === 1,
+      "the per-cell noise must not introduce a second exchange")
+  }
+
+  test("ses_forecast is driver metadata past the daily fold; mmr_select's rounds ride the pool cache") {
+    // the recurrence is sequential by nature — the |days|-bounded fold
+    // ran during construction; the returned frame must be local
+    val sf = plan("ses_forecast")
+    assert(sf.contains("LocalTableScan") && !sf.contains("Exchange"),
+      "ses_forecast's returned series is driver metadata (the pca_power rule)")
+    // mmr_select: the ONE corpus-scale stage is the pool cut (rank-limit
+    // pushdown); the greedy rounds must re-read the cached pool/pairs,
+    // never re-derive the corpus scan per round
+    val mm = plan("mmr_select")
+    assert(mm.contains("WindowGroupLimit"),
+      "the pool cut must ride the per-partition heap before the exchange")
+    assert(mm.sliding("InMemoryTableScan".length).count(_ == "InMemoryTableScan") >= 4,
+      "rounds 2..3 must feed from the persisted pool and pairs, not re-derived scans")
+  }
+
+  test("kneser_ney / coreset_kcenter / interval_coverage keep their scale shapes") {
+    // kneser_ney: the top-100 cut is a TakeOrdered, never a global
+    // sort; the (w1,w2) fold persists once and feeds both margin
+    // windows plus the ntypes scalar
+    val kn = plan("kneser_ney")
+    assert(kn.contains("TakeOrderedAndProject"),
+      "kneser_ney's top-100 must never plan a global sort")
+    assert(kn.sliding("InMemoryTableScan".length).count(_ == "InMemoryTableScan") >= 2,
+      "the bigram fold must feed margins and ntypes from ONE cache")
+    // coreset_kcenter: bounded rounds ran during construction (rank-1
+    // TakeOrdered each); the returned frame is driver metadata
+    val ck = plan("coreset_kcenter")
+    assert(ck.contains("LocalTableScan") && !ck.contains("Exchange"),
+      "coreset_kcenter's returned picks are driver metadata (the pca_power rule)")
+    // interval_coverage: the rollup folds in place on the merge's
+    // user_id exchange — exactly one keyed exchange end to end
+    val ic = plan("interval_coverage")
+    assert(ic.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") === 1,
+      "the coverage rollup must reuse the merge's user_id partitioning")
   }
 
   test("AQE splits a planted skewed join partition at runtime") {

@@ -3029,4 +3029,182 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(r.getLong(2) === 1L, "only b violates")
     assert(r.getLong(3) === 3L, "the 3 rows under b are the repair mass")
   }
+
+  test("cohens_kappa: hand-computed planted confusion matrices, incl. negative-κ truncation") {
+    def cells(rows: (String, String, Long)*) =
+      rows.toDF("lang", "pred_lang", "n")
+    // N=100, agree=70 (po=0.7); margins A:50/60, B:50/40 -> S=5000
+    // (pe=0.5); kappa=(0.7-0.5)/0.5=0.4 -> floor(0.4*2^20)=419430
+    val k1 = TextAnalysis.kappaOfCells(spark, cells(
+      ("A", "A", 40L), ("B", "B", 30L), ("A", "B", 10L), ("B", "A", 20L)))
+      .collect().head
+    assert((k1.getLong(0), k1.getLong(1)) === ((100L, 70L)))
+    assert(k1.getLong(2) === 734003L, "po_q = 70*2^20/100 truncated")
+    assert(k1.getLong(3) === 524288L, "pe_q = 0.5 exactly")
+    assert(k1.getLong(4) === 419430L, "kappa_q = 0.4*2^20 truncated")
+    // negative kappa pins SIGN-SYMMETRIC truncation (not floor):
+    // N=3, agree=0, S=4 -> kappa = -4*2^20/5 = -838860.8 -> -838860
+    val k2 = TextAnalysis.kappaOfCells(spark, cells(
+      ("A", "B", 2L), ("B", "A", 1L))).collect().head
+    assert(k2.getLong(4) === -838860L,
+      "negative kappa must truncate toward zero (floor would be -838861)")
+    // empty cells: one all-zero row on both engines, never NULL/error
+    val k0 = TextAnalysis.kappaOfCells(spark, cells().limit(0)).collect().head
+    assert((0 to 4).map(k0.getLong) === Seq(0L, 0L, 0L, 0L, 0L))
+    // kappa <= po is an identity (pe >= 0): holds on the fixture too
+    val kf = TextAnalysis.cohensKappa(spark, "/root/testdata/sf0.001").collect().head
+    assert(kf.getLong(4) <= kf.getLong(2))
+    graft.CacheScope.release()
+  }
+
+  test("ses_forecast: hand-computed recurrence; audio_resample: planted FIR checks") {
+    // s1=100; s2=(3*100+200)/4=125; s3=(3*125+40)/4=floor(415/4)=103;
+    // forecasts lag the smooth by one step
+    assert(Relational.sesScan(Seq(1L -> 100L, 2L -> 200L, 3L -> 40L)) === Seq(
+      (1L, 100L, 100L, 100L, 0L),
+      (2L, 200L, 125L, 100L, 100L),
+      (3L, 40L, 103L, 125L, 85L)))
+    assert(Relational.sesScan(Nil) === Nil)
+    // constant signal is a fixed point of the half-band FIR
+    assert(Multimodal.resampleClip(Array.fill(6)(7)) === Array(7L, 7L, 7L))
+    // Nyquist (alternating +/-a) kills to exact zeros past the clamped
+    // edge — the EXECUTED anti-aliasing claim
+    assert(Multimodal.resampleClip(Array(8, -8, 8, -8, 8, -8)) ===
+      Array(4L, 0L, 0L))
+    // negative odd numerator pins TRUNCATION toward zero — DuckDB
+    // integer `//` truncates too (floor would yield -1)
+    assert(Multimodal.resampleClip(Array(-1, 0)) === Array(0L))
+    // fixture: n_out == ceil(n_in/2), chk replays per clip via the core
+    val ar = Multimodal.audioResample(spark, "/root/testdata/sf0.001").collect()
+    assert(ar.nonEmpty)
+    ar.foreach { r =>
+      assert(r.getLong(2) === (r.getLong(1) + 1L) / 2L)
+      assert(r.getLong(4) <= 32768L, "FIR output is bounded by the input range")
+    }
+    graft.CacheScope.release()
+  }
+
+  test("mmr_select: full greedy replay from raw fixture embeddings") {
+    val sf = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray)
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    val expected = (0L until 10L).flatMap { qid =>
+      val pool = vecs.keys.filter(_ != qid).toSeq
+        .map(n => n -> dot(vecs(qid), vecs(n)))
+        .sortBy { case (n, d) => (-d, n) }.take(8)
+      var sel = List.empty[(Long, Long, Long, Long)] // (pick, nid, rel, maxsel)
+      for (r <- 1 to 3 if pool.size >= r) {
+        val rem = pool.filterNot(p => sel.exists(_._2 == p._1))
+        val cand = rem.map { case (n, rel) =>
+          val ms = if (sel.isEmpty) 0L
+            else sel.map(s => dot(vecs(n), vecs(s._2))).max
+          (n, rel, ms)
+        }
+        val best = cand.minBy { case (n, rel, ms) => (-(rel - ms), n) }
+        sel = sel :+ ((r.toLong, best._1, best._2, best._3))
+      }
+      sel.map { case (pick, nid, rel, ms) => (qid, pick, nid, rel, ms) }
+    }.toSet
+    val got = Similarity.mmrSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === expected, "the DataFrame greedy must equal the independent replay")
+    graft.CacheScope.release()
+  }
+
+  test("kneser_ney: hand-computed planted corpus") {
+    // "a b a b c": bigrams ab:2 ba:1 bc:1, ntypes=3, pcont = 2^20//3
+    // = 349525 for each of b/a/c (one continuation each)
+    // (a,b): (4*2-3)*2^18//2 + 3*1*349525//(4*2) = 655360 + 131071
+    // (b,a)/(b,c): 1*2^18*... = 262144//2 + 3*2*349525//8 = 131072 + 262143
+    val out = TextAnalysis.kneserNeyOf(docs(1L -> "a b a b c")).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(out(("a", "b")) === ((2L, 2L, 1L, 1L, 349525L, 786431L)))
+    assert(out(("b", "a")) === ((1L, 2L, 2L, 1L, 349525L, 393215L)))
+    assert(out(("b", "c")) === ((1L, 2L, 2L, 1L, 349525L, 393215L)))
+    assert(out.size === 3)
+    graft.CacheScope.release()
+  }
+
+  test("coreset_kcenter: full greedy replay; interval_coverage reconciles with the merge") {
+    val sf = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray)
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    var centers = List(vecs.keys.min)
+    var expected = List((1L, centers.head, 0L))
+    for (r <- 2 to 5) {
+      val far = vecs.keys.filterNot(centers.contains).map { v =>
+        v -> centers.map(c => d2(vecs(v), vecs(c))).min
+      }.minBy { case (v, d) => (-d, v) }
+      centers = centers :+ far._1
+      expected = expected :+ ((r.toLong, far._1, far._2))
+    }
+    val got = Similarity.coresetKcenter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList.sortBy(_._1)
+    assert(got === expected, "farthest-point traversal must equal the independent replay")
+    // cover radius is non-increasing from pick 2 on (min over a
+    // growing center set, argmax of a pointwise-smaller function)
+    got.drop(1).sliding(2).foreach { case Seq(a, b) => assert(b._3 <= a._3) }
+    // interval_coverage: reconciles per user against the merge output
+    val merged = Relational.intervalMerge(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    Relational.intervalCoverage(spark, sf).collect().foreach { r =>
+      val (u, ni, cov, span, cq) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val m = merged(u)
+      assert(ni === m.length.toLong)
+      assert(cov === m.map(x => x.getLong(2) - x.getLong(1)).sum)
+      assert(span === m.map(_.getLong(2)).max - m.map(_.getLong(1)).min)
+      assert(cov <= span && cq === cov * 1048576L / span && cq <= 1048576L)
+    }
+    graft.CacheScope.release()
+  }
+
+  test("cramers_v / dp_histogram invariants") {
+    val sf = "/root/testdata/sf0.001"
+    // cramers_v derives from the SAME chi2 stat: v2_q == chi2_q div (n*k),
+    // df/n match chi2_independence exactly, effect bucket is the exact
+    // integer comparison chain
+    val chi = Relational.chi2Independence(spark, sf).collect().head
+    val cv = Relational.cramersV(spark, sf).collect().head
+    assert(cv.getLong(0) === chi.getLong(0), "same N")
+    assert(cv.getLong(1) === chi.getLong(1), "same df")
+    assert(cv.getLong(3) === chi.getLong(2), "same chi2_q")
+    val (n, k, v2) = (cv.getLong(0), cv.getLong(2), cv.getLong(4))
+    assert(v2 === cv.getLong(3) / (n * k))
+    val expected =
+      if (v2 * 100 < 1048576L) "negligible"
+      else if (v2 * 100 < 9L * 1048576L) "small"
+      else if (v2 * 4 < 1048576L) "medium" else "large"
+    assert(cv.getString(5) === expected)
+    // dp_histogram: noise replays from the md5 coin, |noise| <= 8 (the
+    // 8-hex-digit slice bounds the run), released = true + noise
+    val dp = Relational.dpHistogram(spark, sf).collect()
+    assert(dp.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    dp.foreach { r =>
+      val (nation, nTrue, noise, rel, err) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val hex = md.digest(s"dpnoise$nation".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val mag = hex.take(8).takeWhile(_ == '0').length.toLong
+      val sign = if ("89abcdef".contains(hex(8))) -1L else 1L
+      assert(noise === sign * mag, s"nation $nation coin replays")
+      assert(math.abs(noise) <= 8L && err === math.abs(noise))
+      assert(rel === nTrue + noise)
+    }
+    graft.CacheScope.release()
+  }
 }
