@@ -1242,10 +1242,13 @@ object Similarity {
   def annGraph(spark: SparkSession, dir: String): DataFrame =
     annGraphBeam(spark, dir, BeamWidth)
 
-  /** [[annGraph]] with an explicit beam width — the cost/recall dial
-    * (GraphAnnLab A/B harness; the shipped operator pins
-    * [[BeamWidth]], and the oracle interpolates the same constant). */
-  private[graft] def annGraphBeam(spark: SparkSession, dir: String, beamWidth: Int): DataFrame = {
+  /** [[annGraph]] with explicit beam width and hop count — the two
+    * cost/recall dials (GraphAnnLab A/B harness; the shipped operator
+    * pins [[BeamWidth]]/[[BeamHops]], and the oracle interpolates the
+    * same constants). */
+  private[graft] def annGraphBeam(
+      spark: SparkSession, dir: String, beamWidth: Int,
+      hops: Int = BeamHops): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val g = neighborGraph(spark, dir)
     val q = e.filter(col("vec_id") < NQueries)
@@ -1276,7 +1279,7 @@ object Similarity {
     // |Q| × B rows, so the scoped persist is all win.
     var beam = beamTop(seeds.join(broadcast(q.select(col("qid"))), col("qid") =!= col("nid")))
       .localCheckpointScoped()
-    for (_ <- 1 until BeamHops)
+    for (_ <- 1 until hops)
       beam = beamTop(beam.union(expand(beam)).distinct()).localCheckpointScoped()
     scored(beam.union(expand(beam)).distinct())
       .withColumn("rnk", row_number().over(w).cast("long"))

@@ -839,6 +839,118 @@ object TextAnalysis {
         expr("csum div n_tri").as("avg_cnt"), col("min_cnt"))
   }
 
+  /** Integer-exact LM surprisal per document — the CCNet/KenLM
+    * perplexity FILTER SHAPE with replayable arithmetic, one tier
+    * above [[trigramLm]]'s raw commonness: per trigram t the
+    * surprisal in WHOLE BITS, bits(t) = ⌊log₂(N div c_t)⌋ (N = total
+    * trigram mass) — rare trigrams cost more bits, exactly the
+    * negative-log-prob a perplexity filter sums, quantized to the
+    * integer bit so both engines agree bit-for-bit. The log₂ is NOT
+    * float log2 (floor(log2(x)) misrounds near huge powers of two —
+    * IEEE eps can round 2⁵³−1's log to exactly 53.0): it's the exact
+    * "highest power of two ≤ x" via a 64-row pow2 join — the
+    * allowlisted by-construction-tiny broadcast BNLJ class, fanning
+    * only over the BOUNDED trigram universe, never the corpus. Per
+    * doc: n_tri, Σbits, max bits (the rarest trigram — gibberish
+    * spikes it), and bits_avg_q on the 2²⁰ lattice (the threshold a
+    * filter cuts on; CCNet buckets corpora by exactly this head/
+    * middle/tail statistic).
+    *
+    * Scale shape: the trigram stream persists once and feeds the
+    * model fold AND the scoring join (the trigramLm rule); the model
+    * is trigram-universe-bounded so it broadcasts; the pow2 fan is
+    * 64×|universe|. Doc fold is partial+final. */
+  def lmSurprisal(spark: SparkSession, dir: String): DataFrame =
+    lmSurprisalOf(spark, Tables.documents(spark, dir))
+
+  private[operators] def lmSurprisalOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val tri = docs
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3)))).as("t"))
+      .persistScoped()
+    val model0 = tri.groupBy("t").agg(count(lit(1)).as("c"))
+    val n = model0.agg(sum(col("c")).as("n_total"))
+    val pow2 = (0 to 62).map(k => (k.toLong, 1L << k)).toDF("k", "p")
+    val bits = ScalarJoin.attachScalar(model0, col("c"), n, col("n_total"))
+      .withColumn("x", expr("n_total div c"))
+      .join(broadcast(pow2), col("p") <= col("x"))
+      .groupBy(col("t")).agg(max(col("k")).as("bits"))
+    tri.join(broadcast(bits), "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum(col("bits")).as("sum_bits"),
+        max(col("bits")).as("max_bits"))
+      .select(col("doc_id"), col("n_tri"), col("sum_bits"), col("max_bits"),
+        expr("cast((sum_bits * 1048576) div n_tri as bigint)").as("bits_avg_q"))
+  }
+
+  private def lmSurprisalSql: String =
+    """WITH tri AS (
+      |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS t
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 2)) AS i
+      |        FROM documents WHERE len(text) >= 3)),
+      |model AS (SELECT t, count(*) AS c FROM tri GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM model),
+      |pow2 AS (SELECT CAST(k AS BIGINT) AS k,
+      |           (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) AS p
+      |         FROM (SELECT unnest(range(63)) AS k) z),
+      |mb AS (SELECT m.t, max(p2.k) AS bits
+      |       FROM model m CROSS JOIN n JOIN pow2 p2 ON p2.p <= (n.nt // m.c)
+      |       GROUP BY m.t)
+      |SELECT tri.doc_id, count(*) AS n_tri,
+      |  CAST(sum(mb.bits) AS BIGINT) AS sum_bits,
+      |  CAST(max(mb.bits) AS BIGINT) AS max_bits,
+      |  CAST((CAST(sum(mb.bits) AS HUGEINT) * 1048576) // count(*) AS BIGINT) AS bits_avg_q
+      |FROM tri JOIN mb USING (t)
+      |GROUP BY tri.doc_id""".stripMargin
+
+  /** Per-SOURCE character-class mix — the char-level provenance
+    * screen beside [[textQuality]]'s per-doc ratios and
+    * blocklist_filter's source rollup: a source whose corpus is
+    * heavy on digits (tables/logs), punctuation (code/markup) or
+    * thin on spaces (minified blobs) needs a different cleaning
+    * recipe, and this is the ONE-ROW-PER-SOURCE readout a pipeline
+    * routes on. Exact integral char counts per class (alpha / digit
+    * / space / punct partition every char), shares on the 2²⁰
+    * lattice. Scale shape: scan-resident class counts (regexp
+    * replace lengths) + one partial+final fold to |sources| rows. */
+  def charProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        length(col("text")).cast("long").as("n"),
+        charCount(col("text"), "[a-zA-Z]").cast("long").as("alpha"),
+        charCount(col("text"), "[0-9]").cast("long").as("digit"),
+        charCount(col("text"), "[ ]").cast("long").as("space"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_chars"), sum(col("alpha")).as("n_alpha"),
+        sum(col("digit")).as("n_digit"), sum(col("space")).as("n_space"))
+      .select(col("source"), col("n_chars"), col("n_alpha"), col("n_digit"),
+        col("n_space"),
+        (col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space"))
+          .as("n_punct"),
+        expr("cast((cast(n_alpha as decimal(38,0)) * 1048576) div greatest(n_chars, 1) as bigint)")
+          .as("alpha_q"),
+        expr("cast((cast(n_digit as decimal(38,0)) * 1048576) div greatest(n_chars, 1) as bigint)")
+          .as("digit_q"))
+
+  private def charProfileSql: String =
+    """WITH d AS (
+      |  SELECT source, CAST(len(text) AS BIGINT) AS n,
+      |    CAST(len(text) - len(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS alpha,
+      |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit,
+      |    CAST(len(text) - len(regexp_replace(text, '[ ]', '', 'g')) AS BIGINT) AS space
+      |  FROM documents)
+      |SELECT source, CAST(sum(n) AS BIGINT) AS n_chars,
+      |  CAST(sum(alpha) AS BIGINT) AS n_alpha,
+      |  CAST(sum(digit) AS BIGINT) AS n_digit,
+      |  CAST(sum(space) AS BIGINT) AS n_space,
+      |  CAST(sum(n) - sum(alpha) - sum(digit) - sum(space) AS BIGINT) AS n_punct,
+      |  CAST((CAST(sum(alpha) AS HUGEINT) * 1048576) // greatest(sum(n), 1) AS BIGINT) AS alpha_q,
+      |  CAST((CAST(sum(digit) AS HUGEINT) * 1048576) // greatest(sum(n), 1) AS BIGINT) AS digit_q
+      |FROM d GROUP BY source""".stripMargin
+
   private val BpeRounds = 8
 
   /** BPE tokenizer TRAINING on corpus word frequencies (Sennrich et
@@ -1662,6 +1774,8 @@ object TextAnalysis {
     "inverted_index"  -> invertedIndex,
     "bigram_pmi"      -> bigramPmi,
     "kneser_ney"      -> kneserNey,
+    "lm_surprisal"    -> lmSurprisal,
+    "char_profile"    -> charProfile,
     "gopher_quality"  -> gopherQuality,
     "blocklist_filter" -> blocklistFilter)
 
@@ -1912,6 +2026,8 @@ object TextAnalysis {
          |             CAST(1099511627776 AS HUGEINT)) AS BIGINT) AS lift_q
          |FROM m, n""".stripMargin,
     "kneser_ney" -> kneserNeySql,
+    "lm_surprisal" -> lmSurprisalSql,
+    "char_profile" -> charProfileSql,
     "inverted_index" ->
       s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
          |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)

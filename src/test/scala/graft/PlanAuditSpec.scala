@@ -52,11 +52,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // pattern), so it inherits the same 10-row broadcast probe BNLJ
     // cramers_v projects the same chi2Full core as chi2_independence,
     // so it inherits the identical constant-key dense-grid BNLJ
-    // mmr_select's pool cut is the ann_topk 10-row broadcast probe
+    // mmr_select's pool cut is the ann_topk 10-row broadcast probe;
+    // lm_surprisal's non-equi pow2 join broadcasts a 63-row constant
+    // relation against the BOUNDED trigram universe
     val allowedBnlj = Set("ann_topk", "mips_topk", "rank_fusion", "ann_recall",
       "knn_margin", "vocab_overlap", "hard_negatives", "theilsen_trend",
       "kendall_tau", "conformal_knn", "t_closeness", "mrr_eval",
-      "chi2_independence", "cramers_v", "ivf_probe_curve", "mmr_select")
+      "chi2_independence", "cramers_v", "ivf_probe_curve", "mmr_select",
+      "lm_surprisal")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -1613,6 +1616,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ic.sliding("Exchange hashpartitioning".length)
       .count(_ == "Exchange hashpartitioning") === 1,
       "the coverage rollup must reuse the merge's user_id partitioning")
+  }
+
+  test("lm_surprisal scans trigrams once; char_profile combines map-side") {
+    val ls = plan("lm_surprisal")
+    assert(ls.sliding("InMemoryTableScan".length).count(_ == "InMemoryTableScan") >= 2,
+      "the trigram stream must feed the model fold AND the scoring join from ONE cache")
+    val cp = plan("char_profile")
+    assert(cp.contains("partial_"), "char_profile's source fold must combine map-side")
+    assert(cp.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") === 1,
+      "one narrow scan + one keyed exchange, nothing else")
   }
 
   test("AQE splits a planted skewed join partition at runtime") {

@@ -3172,6 +3172,34 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("lm_surprisal: hand-computed planted bits; char_profile reconciles with raw counts") {
+    // "aaaa" -> trigrams aaa,aaa; "abcd" -> abc,bcd; N=4
+    // c(aaa)=2 -> x=2 -> 1 bit; c(abc)=c(bcd)=1 -> x=4 -> 2 bits
+    val out = TextAnalysis.lmSurprisalOf(spark, docs(1L -> "aaaa", 2L -> "abcd"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((2L, 2L, 1L, 1048576L)))
+    assert(out(2L) === ((2L, 4L, 2L, 2097152L)))
+    // char_profile: per-source totals equal a direct Scala recount
+    val sf = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "text").collect()
+      .groupBy(_.getString(0)).map { case (s, rows) =>
+        val texts = rows.map(_.getString(1))
+        (s, (texts.map(_.length.toLong).sum,
+          texts.map(_.count(c => c.isLetter && c < 128)).map(_.toLong).sum,
+          texts.map(_.count(c => c >= '0' && c <= '9')).map(_.toLong).sum,
+          texts.map(_.count(_ == ' ')).map(_.toLong).sum))
+      }
+    TextAnalysis.charProfile(spark, sf).collect().foreach { r =>
+      val (n, a, d, sp) = raw(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) === ((n, a, d, sp)))
+      assert(r.getLong(5) === n - a - d - sp, "punct is the exact complement")
+      assert(r.getLong(6) === a * 1048576L / math.max(n, 1L))
+    }
+    graft.CacheScope.release()
+  }
+
   test("cramers_v / dp_histogram invariants") {
     val sf = "/root/testdata/sf0.001"
     // cramers_v derives from the SAME chi2 stat: v2_q == chi2_q div (n*k),

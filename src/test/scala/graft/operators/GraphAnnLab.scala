@@ -53,6 +53,18 @@ object GraphAnnLab {
       println(f"GRAPHANN_AB beam=$bw%d cold=$sec%.1f recall=$recall%.3f")
       sweep()
     }
+    // hop-count A/B (the r13 beam-width lab's conclusion: the per-hop
+    // fixed structure dominates — so the hop count is the dial worth
+    // measuring). Ship fewer hops only if recall holds at every SF.
+    for (h <- Seq(4, 3, 2); rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val rows = Similarity.annGraphBeam(spark, dir, 48, hops = h).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = brute.intersect(
+        rows.map(r => (r.getLong(0), r.getLong(2))).toSet).size.toDouble / brute.size
+      println(f"GRAPHANN_HOPS hops=$h%d rep=$rep%d cold=$sec%.1f recall=$recall%.3f")
+      sweep()
+    }
     spark.stop()
   }
 }
