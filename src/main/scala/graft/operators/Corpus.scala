@@ -235,6 +235,65 @@ object Corpus {
        |FROM documents GROUP BY 1""".stripMargin
 
   private val ExportShards = 64
+  private val RvShards = 8
+
+  /** Per-doc rendezvous owner over `nShards` — factored so the spec
+    * can execute the DEFINING property on a smaller ring. */
+  private[operators] def rendezvousOwner(docs: DataFrame, nShards: Int): DataFrame = {
+    val hs = (0 until nShards).map(i =>
+      md5(concat(col("doc_id").cast("string"), lit(s"#shard_$i"))))
+    val best = greatest(hs: _*)
+    val owner = (0 until nShards).foldRight(lit(-1L): Column) { case (i, other) =>
+      when(hs(i) === best, lit(i.toLong)).otherwise(other)
+    }
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+      owner.as("shard"))
+  }
+
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler–
+    * Ravishankar 1996) — the consistent-placement primitive of a
+    * distributed corpus store, beside [[exportManifest]]'s mod-hash
+    * layout: each doc goes to the shard whose keyed digest
+    * md5(doc_id || '#' || shard) is lexicographically GREATEST. The
+    * property that earns the scheme its keep — and that the spec
+    * EXECUTES on a shrunk ring — is minimal disruption: removing a
+    * shard remaps ONLY the docs it owned (their second-greatest
+    * digest takes over; every other doc's argmax is untouched),
+    * where mod-N hashing remaps (N−1)/N of the corpus. Output is the
+    * |shards|-row balance readout (docs, char mass, share on 2²⁰).
+    * Scale shape: the [[RvShards]] digests and their argmax are
+    * scan-resident codegen; ONE partial+final fold to |shards| rows;
+    * the total attaches via the ScalarJoin broadcast. */
+  def rendezvousShard(spark: SparkSession, dir: String): DataFrame = {
+    val g = rendezvousOwner(Tables.documents(spark, dir), RvShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .persistScoped()
+    val t = g.agg(sum(col("n_docs")).as("nt"))
+    ScalarJoin.attachScalar(g, col("n_docs"), t, col("nt"))
+      .select(col("shard"), col("n_docs"), col("n_chars"),
+        expr("cast((cast(n_docs as decimal(38,0)) * 1048576) div nt as bigint)")
+          .as("share_q"))
+  }
+
+  private def rendezvousShardSql: String = {
+    val hdefs = (0 until RvShards)
+      .map(i => s"md5(CAST(doc_id AS VARCHAR) || '#shard_$i') AS h$i").mkString(", ")
+    val hlist = (0 until RvShards).map(i => s"h$i").mkString(", ")
+    val cases = (0 until RvShards - 1)
+      .map(i => s"WHEN h$i = greatest($hlist) THEN $i").mkString(" ")
+    s"""WITH h AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars, $hdefs
+       |           FROM documents),
+       |o AS (SELECT doc_id, n_chars,
+       |        CAST(CASE $cases ELSE ${RvShards - 1} END AS BIGINT) AS shard
+       |      FROM h),
+       |g AS (SELECT shard, count(*) AS n_docs,
+       |        CAST(sum(n_chars) AS BIGINT) AS n_chars FROM o GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_docs) AS HUGEINT) AS nt FROM g)
+       |SELECT shard, n_docs, n_chars,
+       |  CAST((CAST(n_docs AS HUGEINT) * 1048576) // t.nt AS BIGINT) AS share_q
+       |FROM g, t""".stripMargin
+  }
 
   /** Deterministic shuffle-shard export layout: shard = content-hash
     * bucket, position = rank of the full md5 digest within the shard —
@@ -820,6 +879,7 @@ object Corpus {
     "sample_balanced" -> sampleBalanced,
     "importance_sample" -> importanceSample,
     "shuffle_export" -> shuffleExport,
+    "rendezvous_shard" -> rendezvousShard,
     "shuffle_export_write" -> shuffleExportWrite,
     "mix_weights"    -> mixWeights,
     "curriculum"     -> corpusCurriculum,
@@ -1073,6 +1133,7 @@ object Corpus {
         |SELECT d.doc_id, d.lang, t.thr
         |FROM documents d JOIN t USING (lang)
         |WHERE CAST('0x' || substring(md5(d.text), 9, 8) AS BIGINT) // 4096 < t.thr""".stripMargin,
+    "rendezvous_shard" -> rendezvousShardSql,
     "shuffle_export" ->
       s"""SELECT doc_id, ${bucketSql(5, ExportShards)} AS shard,
          |  CAST(row_number() OVER (PARTITION BY ${bucketSql(5, ExportShards)}

@@ -261,6 +261,82 @@ object Similarity {
        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
        |      UNION ALL SELECT * FROM s3) u""".stripMargin
 
+  private val MrlDims = 16
+
+  /** Matryoshka truncation audit (Kusupati et al. 2022, MRL) — "how
+    * much retrieval quality survives keeping only the FIRST
+    * [[MrlDims]] of [[Dim]] dimensions": per query, exact lattice-dot
+    * top-[[K]] under the full vector vs under the prefix slice, and
+    * the overlap as recall_q on the 2²⁰ lattice. This is the
+    * measurement an embedding pipeline runs before shipping truncated
+    * vectors as a cheap first-stage filter (4× bandwidth cut here) —
+    * the storage-tier sibling of [[embedQuantize]]/[[embedPq]]'s
+    * precision cuts, evaluated the ann_recall way. NOTE: the fixture
+    * embeddings are NOT MRL-trained, so low prefix recall is the
+    * expected (and informative) reading — the op measures, the
+    * training regime decides. Scale shape: both rankings are the
+    * [[annTopkBrute]]-oriented |Q|-broadcast probes (allowlisted
+    * BNLJ), rank-limit pushdown per query; the overlap join and the
+    * per-query fold are |Q|·K-sized. */
+  def mrlTruncate(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    def ranked(dims: Int): DataFrame = {
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"),
+          slice(latArrCol(col("embedding")), 1, dims).as("qq"))
+      val c = e.select(col("vec_id").as("nid"),
+        slice(latArrCol(col("embedding")), 1, dims).as("nq"))
+      val dot = aggregate(zip_with(col("qq"), col("nq"), (x, y) => x * y),
+        lit(0L), (a, x) => a + x)
+      val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid").asc)
+      c.join(broadcast(q), col("qid") =!= col("nid"))
+        .withColumn("dot", dot)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= K)
+        .select(col("qid"), col("nid"))
+    }
+    val full = ranked(Dim)
+    val prefix = ranked(MrlDims)
+    val overlap = full.join(prefix, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+    full.groupBy(col("qid")).agg(count(lit(1)).as("n_full"))
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"), col("n_full"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_q",
+        expr("cast((n_overlap * 1048576) div n_full as bigint)"))
+  }
+
+  private def mrlTruncateSql: String =
+    s"""WITH l AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qs AS (SELECT vec_id AS qid, q AS qq FROM l WHERE vec_id < $NQueries),
+       |ddf AS (SELECT unnest(range($Dim)) AS i),
+       |ddp AS (SELECT unnest(range($MrlDims)) AS i),
+       |full_r AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qs.qid, l.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY qs.qid
+       |        ORDER BY sum(qs.qq[ddf.i + 1] * l.q[ddf.i + 1]) DESC, l.vec_id ASC) AS rnk
+       |    FROM qs JOIN l ON l.vec_id <> qs.qid CROSS JOIN ddf
+       |    GROUP BY qs.qid, l.vec_id) t WHERE rnk <= $K),
+       |pre_r AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qs.qid, l.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY qs.qid
+       |        ORDER BY sum(qs.qq[ddp.i + 1] * l.q[ddp.i + 1]) DESC, l.vec_id ASC) AS rnk
+       |    FROM qs JOIN l ON l.vec_id <> qs.qid CROSS JOIN ddp
+       |    GROUP BY qs.qid, l.vec_id) t WHERE rnk <= $K),
+       |ov AS (SELECT f.qid, count(*) AS n_overlap
+       |       FROM full_r f JOIN pre_r p ON p.qid = f.qid AND p.nid = f.nid
+       |       GROUP BY f.qid)
+       |SELECT f.qid, count(*) AS n_full,
+       |  coalesce(max(ov.n_overlap), 0) AS n_overlap,
+       |  CAST((coalesce(max(ov.n_overlap), 0) * 1048576) // count(*) AS BIGINT) AS recall_q
+       |FROM full_r f LEFT JOIN ov ON ov.qid = f.qid
+       |GROUP BY f.qid""".stripMargin
+
   private val KCenters = 5
 
   /** k-center coreset selection by farthest-point traversal (Gonzalez
@@ -2455,6 +2531,7 @@ object Similarity {
     "hard_negatives" -> hardNegatives,
     "mmr_select" -> mmrSelect,
     "coreset_kcenter" -> coresetKcenter,
+    "mrl_truncate" -> mrlTruncate,
     "embed_center" -> embedCenter,
     "mips_topk" -> mipsTopk,
     "pq_distortion" -> pqDistortion,
@@ -2817,6 +2894,7 @@ object Similarity {
     "hard_negatives" -> hardNegativesSql,
     "mmr_select" -> mmrSelectSql,
     "coreset_kcenter" -> coresetSql,
+    "mrl_truncate" -> mrlTruncateSql,
     "embed_center" -> embedCenterSql,
     // IVF is fully SQL-expressible because every piece is
     // deterministic: DuckDB replays seed-centroid selection, the

@@ -59,7 +59,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "knn_margin", "vocab_overlap", "hard_negatives", "theilsen_trend",
       "kendall_tau", "conformal_knn", "t_closeness", "mrr_eval",
       "chi2_independence", "cramers_v", "ivf_probe_curve", "mmr_select",
-      "lm_surprisal")
+      "lm_surprisal", "mrl_truncate")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -1627,6 +1627,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(cp.sliding("Exchange hashpartitioning".length)
       .count(_ == "Exchange hashpartitioning") === 1,
       "one narrow scan + one keyed exchange, nothing else")
+  }
+
+  test("rendezvous_shard is scan-resident up to one fold; mrl_truncate pushes both rank limits") {
+    val rv = plan("rendezvous_shard")
+    assert(rv.contains("partial_"), "the shard fold must combine map-side")
+    // the ONE shard-fold exchange prints once per cache branch (main +
+    // scalar both read the persisted fold, and InMemoryRelation
+    // stringifies its cached subtree) — so <= 2 occurrences, never a sort
+    assert(rv.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") <= 2,
+      "the 8 digests and the argmax are scan-resident — only the shard fold exchanges")
+    assert(!rv.contains("Exchange rangepartitioning"),
+      "nothing in rendezvous assignment may sort")
+    val mt = plan("mrl_truncate")
+    assert(mt.sliding("WindowGroupLimit".length).count(_ == "WindowGroupLimit") >= 2,
+      "both the full and the prefix rankings must push their rank limits")
   }
 
   test("AQE splits a planted skewed join partition at runtime") {

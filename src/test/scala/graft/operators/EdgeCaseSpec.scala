@@ -3200,6 +3200,43 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("rendezvous_shard: minimal-disruption executed; mrl_truncate: full replay") {
+    val sf = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    // the DEFINING rendezvous property: removing shard 7 remaps ONLY
+    // the docs shard 7 owned — every other assignment is unchanged
+    val o8 = Corpus.rendezvousOwner(d, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val o7 = Corpus.rendezvousOwner(d, 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(o8.nonEmpty && o8.values.exists(_ == 7L), "shard 7 owns something")
+    o8.foreach { case (doc, s) =>
+      if (s != 7L) assert(o7(doc) === s, s"doc $doc must not remap when shard 7 leaves")
+    }
+    // the rollup partitions the corpus
+    val rs = Corpus.rendezvousShard(spark, sf).collect()
+    assert(rs.map(_.getLong(1)).sum === d.count())
+    // mrl_truncate: independent Scala replay of both rankings
+    val vecs = d.sparkSession.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray)
+      .toMap
+    def topk(qid: Long, dims: Int): Set[Long] =
+      vecs.keys.filter(_ != qid).toSeq
+        .map(n => n -> (0 until dims).map(i => vecs(qid)(i) * vecs(n)(i)).sum)
+        .sortBy { case (n, dot) => (-dot, n) }.take(5).map(_._1).toSet
+    val got = Similarity.mrlTruncate(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    (0L until 10L).foreach { qid =>
+      val f = topk(qid, 64); val p = topk(qid, 16)
+      val ov = f.intersect(p).size.toLong
+      assert(got(qid) === ((f.size.toLong, ov, ov * 1048576L / f.size)),
+        s"query $qid overlap must equal the replay")
+    }
+    graft.CacheScope.release()
+  }
+
   test("cramers_v / dp_histogram invariants") {
     val sf = "/root/testdata/sf0.001"
     // cramers_v derives from the SAME chi2 stat: v2_q == chi2_q div (n*k),
