@@ -5241,6 +5241,59 @@ object Relational {
       count(col("tp")).as("n_purchase"))
   }
 
+  private val EncCols: Seq[(String, Seq[String])] = Seq(
+    "orders" -> Seq("o_orderstatus", "o_orderpriority"),
+    "lineitem" -> Seq("l_returnflag", "l_linestatus", "l_shipdate"))
+
+  /** Columnar ENCODING advisor — the physical-design pass a lakehouse
+    * writer runs before committing a layout ([[profileTable]]'s
+    * sibling, aimed at the writer not the optimizer): per string
+    * column, exact row/distinct/byte-mass counts and a rule-based
+    * recommendation — ndv ≤ 100 → 'dict-rle' (dictionary page +
+    * run-length indexes), ndv·100 ≤ n → 'dict' (cardinality under 1%
+    * of rows still dictionary-codes well), else 'plain' (dictionary
+    * would blow the page budget). Parquet applies dictionary encoding
+    * adaptively per row group; this op is the CORPUS-level readout
+    * that decides defaults (and flags the l_shipinstruct-style
+    * pseudo-enums a schema should declare). Exact integer thresholds
+    * — no float heuristics. Scale shape: ONE single-pass aggregate
+    * per table (all countDistincts share the scan via Expand — the
+    * profile_table trade, exact because the oracle replays it), then
+    * a constant-width stack/unpivot; output is Σ|columns| rows. */
+  def encodingAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    def perTable(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
+      val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+        countDistinct(col(c)).as(s"d_$c"),
+        sum(length(col(c).cast("string")).cast("long")).as(s"l_$c")))
+      val stacked = cols.map(c => s"'$c', d_$c, l_$c").mkString(", ")
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(lit(table).as("tbl"), col("n"),
+          expr(s"stack(${cols.size}, $stacked) as (col_name, ndv, sum_len)"))
+    }
+    val parts = EncCols.map {
+      case ("orders", cs) => perTable(Tables.orders(spark, dir), "orders", cs)
+      case (t, cs) => perTable(Tables.lineitem(spark, dir), t, cs)
+    }
+    parts.reduce(_ unionByName _)
+      .withColumn("advice",
+        when(col("ndv") <= 100L, "dict-rle")
+          .when(col("ndv") * 100L <= col("n"), "dict")
+          .otherwise("plain"))
+  }
+
+  private def encodingAdvisorSql: String =
+    EncCols.flatMap { case (t, cs) =>
+      cs.map { c =>
+        s"""SELECT '$t' AS tbl, count(*) AS n, '$c' AS col_name,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+           |  CAST(sum(len(CAST($c AS VARCHAR))) AS BIGINT) AS sum_len,
+           |  CASE WHEN count(DISTINCT $c) <= 100 THEN 'dict-rle'
+           |       WHEN count(DISTINCT $c) * 100 <= count(*) THEN 'dict'
+           |       ELSE 'plain' END AS advice
+           |FROM $t""".stripMargin
+      }
+    }.mkString("\nUNION ALL\n")
+
   /** ANALYZE-style table profiling — the stats-collection pass a
     * cost-based optimizer (and any data-quality dashboard) runs:
     * per column, null count, distinct count, and canonical-string
@@ -6608,6 +6661,7 @@ object Relational {
     "histogram"        -> histogramValues,
     "join_bucketed"    -> joinBucketed,
     "profile_table"    -> profileTable,
+    "encoding_advisor" -> encodingAdvisor,
     "profile_approx"   -> profileTableApprox,
     "funnel_steps"     -> funnelSteps,
     "variant_events"   -> variantEvents)
@@ -7905,6 +7959,7 @@ object Relational {
         |FROM u""".stripMargin,
     // one aggregate row per column via UNION ALL; canonical strings
     // (BIGINT, DECIMAL(30,2), strftime) render identically cross-engine
+    "encoding_advisor" -> encodingAdvisorSql,
     "profile_table" ->
       """WITH a AS (
         |  SELECT count(*) AS n_rows,

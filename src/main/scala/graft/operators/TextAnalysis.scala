@@ -906,6 +906,45 @@ object TextAnalysis {
       |FROM tri JOIN mb USING (t)
       |GROUP BY tri.doc_id""".stripMargin
 
+  /** Surprisal mix report — [[lmSurprisal]] rolled up to (source,
+    * whole-bit bucket) counts with in-source shares: the CCNet-style
+    * head/middle/tail readout ("how much of each source is
+    * low-perplexity prose vs high-surprisal tail") a mixing policy
+    * reads before setting sampling weights. The bucket is the
+    * average surprisal in WHOLE BITS (bits_avg_q div 2²⁰) — the
+    * fixed-grid form of CCNet's tercile split, chosen because
+    * integer bit buckets are corpus-independent and replayable while
+    * tercile cuts move with the corpus (doclen_percentiles owns the
+    * order-statistic form). Scale shape: the surprisal scoring's own
+    * folds + ONE doc_id equi-join back to the narrow (doc_id,
+    * source) projection + a partial+final (source, bucket) fold. */
+  def surprisalBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val s = lmSurprisal(spark, dir)
+      .select(col("doc_id"), expr("bits_avg_q div 1048576").as("bits_bucket"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val g = s.join(src, "doc_id")
+      .groupBy(col("source"), col("bits_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .persistScoped()
+    val tot = g.groupBy(col("source")).agg(sum(col("n_docs")).as("n_src"))
+    g.join(tot, "source")
+      .select(col("source"), col("bits_bucket"), col("n_docs"),
+        expr("cast((cast(n_docs as decimal(38,0)) * 1048576) div n_src as bigint)")
+          .as("share_q"))
+  }
+
+  private def surprisalBucketsSql: String =
+    s"""WITH s AS ($lmSurprisalSql),
+       |b AS (SELECT d.source, s.bits_avg_q // 1048576 AS bits_bucket
+       |      FROM s JOIN documents d USING (doc_id)),
+       |g AS (SELECT source, bits_bucket, count(*) AS n_docs
+       |      FROM b GROUP BY 1, 2),
+       |t AS (SELECT source, CAST(sum(n_docs) AS HUGEINT) AS n_src
+       |      FROM g GROUP BY 1)
+       |SELECT g.source, CAST(g.bits_bucket AS BIGINT) AS bits_bucket, g.n_docs,
+       |  CAST((CAST(g.n_docs AS HUGEINT) * 1048576) // t.n_src AS BIGINT) AS share_q
+       |FROM g JOIN t USING (source)""".stripMargin
+
   /** Per-SOURCE character-class mix — the char-level provenance
     * screen beside [[textQuality]]'s per-doc ratios and
     * blocklist_filter's source rollup: a source whose corpus is
@@ -1775,6 +1814,7 @@ object TextAnalysis {
     "bigram_pmi"      -> bigramPmi,
     "kneser_ney"      -> kneserNey,
     "lm_surprisal"    -> lmSurprisal,
+    "surprisal_buckets" -> surprisalBuckets,
     "char_profile"    -> charProfile,
     "gopher_quality"  -> gopherQuality,
     "blocklist_filter" -> blocklistFilter)
@@ -2027,6 +2067,7 @@ object TextAnalysis {
          |FROM m, n""".stripMargin,
     "kneser_ney" -> kneserNeySql,
     "lm_surprisal" -> lmSurprisalSql,
+    "surprisal_buckets" -> surprisalBucketsSql,
     "char_profile" -> charProfileSql,
     "inverted_index" ->
       s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),

@@ -59,7 +59,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "knn_margin", "vocab_overlap", "hard_negatives", "theilsen_trend",
       "kendall_tau", "conformal_knn", "t_closeness", "mrr_eval",
       "chi2_independence", "cramers_v", "ivf_probe_curve", "mmr_select",
-      "lm_surprisal", "mrl_truncate")
+      "lm_surprisal", "surprisal_buckets", "mrl_truncate")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
@@ -1643,6 +1643,15 @@ class PlanAuditSpec extends AnyFunSuite {
     val mt = plan("mrl_truncate")
     assert(mt.sliding("WindowGroupLimit".length).count(_ == "WindowGroupLimit") >= 2,
       "both the full and the prefix rankings must push their rank limits")
+  }
+
+  test("encoding_advisor profiles each table in one pass") {
+    val ea = plan("encoding_advisor")
+    // multiple exact countDistincts share one scan via Expand — the
+    // profile_table shape; one aggregate per table, never per column
+    assert(ea.contains("Expand"), "exact multi-NDV must ride one Expand per table")
+    assert(ea.sliding("Scan parquet".length).count(_ == "Scan parquet") <= 2,
+      "one scan per table — per-column re-scans defeat the single-pass design")
   }
 
   test("AQE splits a planted skewed join partition at runtime") {

@@ -3237,6 +3237,36 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("surprisal_buckets / encoding_advisor invariants") {
+    val sf = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    // buckets partition the scoreable corpus (len >= 3 docs); within a
+    // source, shares sum to 2^20 minus truncation dust (< |buckets|)
+    val sb = TextAnalysis.surprisalBuckets(spark, sf).collect()
+    val scoreable = d.filter("length(text) >= 3").count()
+    assert(sb.map(_.getLong(2)).sum === scoreable)
+    sb.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val s = rows.map(_.getLong(3)).sum
+      assert(s <= 1048576L && 1048576L - s < rows.length.toLong,
+        "in-source shares must sum to 2^20 minus dust")
+    }
+    // encoding_advisor: one column recounted directly; the advice CASE
+    // replays from the emitted (n, ndv)
+    val ea = Relational.encodingAdvisor(spark, sf).collect()
+    val st = ea.find(r => r.getString(0) == "orders" &&
+      r.getString(2) == "o_orderstatus").get
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    assert(st.getLong(1) === o.count())
+    assert(st.getLong(3) === o.select("o_orderstatus").distinct().count())
+    ea.foreach { r =>
+      val (n, ndv) = (r.getLong(1), r.getLong(3))
+      val expect = if (ndv <= 100L) "dict-rle"
+        else if (ndv * 100L <= n) "dict" else "plain"
+      assert(r.getString(5) === expect)
+    }
+    graft.CacheScope.release()
+  }
+
   test("cramers_v / dp_histogram invariants") {
     val sf = "/root/testdata/sf0.001"
     // cramers_v derives from the SAME chi2 stat: v2_q == chi2_q div (n*k),
