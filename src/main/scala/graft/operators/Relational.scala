@@ -5817,6 +5817,161 @@ object Relational {
       |  CAST((conv_b * 1048576) // n_b AS BIGINT) AS rate_b_q
       |FROM a""".stripMargin
 
+  /** Referential-integrity audit — the FOREIGN-KEY tier of the DQ
+    * family ([[graft.operators.DataQuality.dqChecks]] is intra-row,
+    * [[temporalAudit]] cross-row-temporal; this is cross-TABLE): per
+    * declared FK edge, the child population and the orphan mass
+    * (child rows whose key has no parent — the repair queue of an
+    * ingestion bug), orphan share on the 2²⁰ lattice. The
+    * events.user_id → customer edge is deliberately included even
+    * though it ISN'T clean by construction: event streams routinely
+    * carry pre-signup/anonymous ids, and measuring that mass is the
+    * op's production reading. Scale shape: per edge ONE key-only
+    * left-anti join (keys shuffle, payloads never) + a 1-row
+    * conditional count; edges union to |edges| rows. */
+  def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def rule(name: String, child: DataFrame, parent: DataFrame): DataFrame = {
+      val c = child.toDF("k")
+      val p = parent.toDF("k").distinct()
+      val j = c.join(p.withColumn("hit", lit(1)), Seq("k"), "left")
+      j.agg(count(lit(1)).as("n_child"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphan"))
+        .select(lit(name).as("rule"), col("n_child"), col("n_orphan"),
+          expr("cast((cast(n_orphan as decimal(38,0)) * 1048576) div greatest(n_child, 1) as bigint)")
+            .as("orphan_q"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val cu = Tables.customer(spark, dir)
+    Seq(
+      rule("lineitem_orders", li.select(col("l_orderkey")), o.select(col("o_orderkey"))),
+      rule("lineitem_part", li.select(col("l_partkey")),
+        Tables.part(spark, dir).select(col("p_partkey"))),
+      rule("lineitem_supplier", li.select(col("l_suppkey")),
+        Tables.supplier(spark, dir).select(col("s_suppkey"))),
+      rule("orders_customer", o.select(col("o_custkey")), cu.select(col("c_custkey"))),
+      rule("customer_nation", cu.select(col("c_nationkey")),
+        Tables.nation(spark, dir).select(col("n_nationkey"))),
+      rule("events_customer",
+        Tables.events(spark, dir).select(col("user_id")), cu.select(col("c_custkey"))))
+      .reduce(_ unionByName _)
+  }
+
+  private def refIntegritySql: String = {
+    def rule(name: String, child: String, ck: String, parent: String, pk: String) =
+      s"""SELECT '$name' AS rule, count(*) AS n_child,
+         |  CAST(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+         |  CAST((CAST(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS HUGEINT)
+         |       * 1048576) // greatest(count(*), 1) AS BIGINT) AS orphan_q
+         |FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
+         |  ON c.$ck = p.$pk""".stripMargin
+    Seq(
+      rule("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      rule("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      rule("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      rule("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      rule("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      rule("events_customer", "events", "user_id", "customer", "c_custkey"))
+      .mkString("\nUNION ALL\n")
+  }
+
+  /** CUPED variance-reduction estimator (Deng et al. 2013) — the
+    * experimentation-platform technique above [[abTest]]'s plain
+    * two-proportion readout: adjust the post-period metric by the
+    * PRE-period covariate, ŷ = y − θ·(x − x̄), with θ = cov(x,y)/
+    * var(x) pooled across arms. Here x/y are each user's revenue
+    * cents in the first/second half of the time range (the
+    * [[categoryDrift]] data-derived midpoint), arms by [[abTest]]'s
+    * Knuth hash, and θ lives on the 2²⁰ lattice in cleared-
+    * denominator form, θ_q = ((n·Σxy − Σx·Σy)·2²⁰) div (n·Σx² −
+    * (Σx)²) — every product DECIMAL(38), and the possibly-NEGATIVE
+    * numerator truncates toward zero identically on both engines
+    * (JVM/Spark `div` and DuckDB integer `//` both truncate —
+    * MEASURED, see audio_resample). Emitted: θ_q, per-arm mean y,
+    * the raw A−B delta and the CUPED-adjusted delta = Δy − (θ_q·Δx)
+    * div 2²⁰ — the number the experiment readout actually ships.
+    * Scale shape: one per-user partial+final fold of events, then a
+    * single 1-row aggregate; no joins. */
+  def cupedAdjust(spark: SparkSession, dir: String): DataFrame = {
+    val usec = expr("unix_micros(ts)")
+    val bounds = Tables.events(spark, dir)
+      .agg(min(usec).as("mn"), max(usec).as("mx")).head()
+    // degenerate corpus: keep going with mid = 0 — the 1-row aggregate
+    // then emits (0, NULL, ...) exactly like the oracle's empty-sum row
+    val mid =
+      if (bounds.isNullAt(0)) 0L
+      else (bounds.getLong(0) + bounds.getLong(1)) / 2L
+    val h = ((col("user_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L)
+    val per = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        when(usec <= mid, expr("cast(floor(value * 100 + 0.5) as bigint)"))
+          .otherwise(0L).as("x"),
+        when(usec > mid, expr("cast(floor(value * 100 + 0.5) as bigint)"))
+          .otherwise(0L).as("y"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("x")).as("x"), sum(col("y")).as("y"))
+      .select(when(h < lit(2147483648L), "A").otherwise("B").as("arm"),
+        col("x").cast(DecimalType(38, 0)).as("x"),
+        col("y").cast(DecimalType(38, 0)).as("y"))
+    per.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === "A", col("x")).otherwise(lit(0L))).as("sxa"),
+      sum(when(col("arm") === "A", col("y")).otherwise(lit(0L))).as("sya"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"),
+      sum(when(col("arm") === "B", col("x")).otherwise(lit(0L))).as("sxb"),
+      sum(when(col("arm") === "B", col("y")).otherwise(lit(0L))).as("syb"))
+      .select(col("n").as("n_users"),
+        expr("cast(((n * sxy - sx * sy) * 1048576) div greatest(n * sxx - sx * sx, 1) as bigint)")
+          .as("theta_q"),
+        expr("cast((sya * 1048576) div greatest(na, 1) as bigint)").as("mean_y_a_q"),
+        expr("cast((syb * 1048576) div greatest(nb, 1) as bigint)").as("mean_y_b_q"),
+        expr("cast((sya * 1048576) div greatest(na, 1) - (syb * 1048576) div greatest(nb, 1) as bigint)")
+          .as("delta_raw_q"),
+        expr("""cast((sya * 1048576) div greatest(na, 1) - (syb * 1048576) div greatest(nb, 1)
+          - (cast(((n * sxy - sx * sy) * 1048576) div greatest(n * sxx - sx * sx, 1) as decimal(38,0))
+             * ((sxa * 1048576) div greatest(na, 1) - (sxb * 1048576) div greatest(nb, 1))) div 1048576
+          as bigint)""").as("delta_adj_q"))
+  }
+
+  private def cupedAdjustSql: String =
+    """WITH b AS (SELECT (min(epoch_ns(ts) // 1000) + max(epoch_ns(ts) // 1000)) // 2 AS mid
+      |           FROM events),
+      |per AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN epoch_ns(ts) // 1000 <= (SELECT mid FROM b)
+      |             THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS HUGEINT) AS x,
+      |    CAST(sum(CASE WHEN epoch_ns(ts) // 1000 > (SELECT mid FROM b)
+      |             THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS HUGEINT) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |armed AS (
+      |  SELECT CASE WHEN ((user_id % 2147483648) * 2654435761) % 4294967296
+      |              < 2147483648 THEN 'A' ELSE 'B' END AS arm, x, y
+      |  FROM per),
+      |a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+      |        CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+      |        sum(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS sxa,
+      |        sum(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS sya,
+      |        CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+      |        sum(CASE WHEN arm = 'B' THEN x ELSE 0 END) AS sxb,
+      |        sum(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS syb
+      |      FROM armed)
+      |SELECT CAST(n AS BIGINT) AS n_users,
+      |  CAST(((n * sxy - sx * sy) * 1048576) // greatest(n * sxx - sx * sx, 1) AS BIGINT) AS theta_q,
+      |  CAST((sya * 1048576) // greatest(na, 1) AS BIGINT) AS mean_y_a_q,
+      |  CAST((syb * 1048576) // greatest(nb, 1) AS BIGINT) AS mean_y_b_q,
+      |  CAST((sya * 1048576) // greatest(na, 1)
+      |       - (syb * 1048576) // greatest(nb, 1) AS BIGINT) AS delta_raw_q,
+      |  CAST((sya * 1048576) // greatest(na, 1) - (syb * 1048576) // greatest(nb, 1)
+      |       - ((((n * sxy - sx * sy) * 1048576) // greatest(n * sxx - sx * sx, 1))
+      |          * ((sxa * 1048576) // greatest(na, 1)
+      |             - (sxb * 1048576) // greatest(nb, 1))) // 1048576 AS BIGINT) AS delta_adj_q
+      |FROM a""".stripMargin
+
   /** Two-sample Kolmogorov–Smirnov distance between the lifetime-spend
     * distributions of two market segments — the NUMERIC
     * distribution-drift companion to the categorical
@@ -6662,6 +6817,8 @@ object Relational {
     "join_bucketed"    -> joinBucketed,
     "profile_table"    -> profileTable,
     "encoding_advisor" -> encodingAdvisor,
+    "ref_integrity"    -> refIntegrity,
+    "cuped_adjust"     -> cupedAdjust,
     "profile_approx"   -> profileTableApprox,
     "funnel_steps"     -> funnelSteps,
     "variant_events"   -> variantEvents)
@@ -7960,6 +8117,8 @@ object Relational {
     // one aggregate row per column via UNION ALL; canonical strings
     // (BIGINT, DECIMAL(30,2), strftime) render identically cross-engine
     "encoding_advisor" -> encodingAdvisorSql,
+    "ref_integrity" -> refIntegritySql,
+    "cuped_adjust" -> cupedAdjustSql,
     "profile_table" ->
       """WITH a AS (
         |  SELECT count(*) AS n_rows,

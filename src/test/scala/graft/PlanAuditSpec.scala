@@ -1654,6 +1654,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "one scan per table — per-column re-scans defeat the single-pass design")
   }
 
+  test("cuped_adjust folds once with no joins; ref_integrity ships keys only") {
+    val cp = plan("cuped_adjust")
+    assert(cp.contains("partial_"), "the per-user fold must combine map-side")
+    assert(!cp.contains("Join"),
+      "CUPED is two chained folds — the midpoint is driver metadata, never a join")
+    val ri = plan("ref_integrity")
+    assert(ri.contains("partial_"))
+    assert(!ri.contains("l_extendedprice") && !ri.contains("o_totalprice"),
+      "FK rules must shuffle keys only, never payloads")
+  }
+
   test("AQE splits a planted skewed join partition at runtime") {
     // the skew story the engine leans on at 100 TB (beyond manual
     // salting, join_salted): AQE detects the oversized post-shuffle

@@ -3267,6 +3267,57 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("ref_integrity reconciles against direct anti-joins; cuped_adjust replays in BigInt") {
+    val sf = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val cu = spark.read.parquet(s"$sf/customer.parquet")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ri = Relational.refIntegrity(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(ri("lineitem_orders")._1 === li.count())
+    assert(ri("lineitem_orders")._2 === 0L, "TPC-H lineitem keys are consistent")
+    val evOrphans = ev.selectExpr("user_id as k")
+      .join(cu.selectExpr("c_custkey as k").distinct(), Seq("k"), "left_anti").count()
+    assert(ri("events_customer") ===
+      ((ev.count(), evOrphans, evOrphans * 1048576L / math.max(ev.count(), 1L))))
+    // cuped_adjust: θ and both deltas replayed from a direct per-user
+    // (pre, post) recompute in exact BigInt
+    val mid = {
+      val b = ev.selectExpr("min(unix_micros(cast(ts as timestamp)))",
+        "max(unix_micros(cast(ts as timestamp)))").head()
+      (b.getLong(0) + b.getLong(1)) / 2L
+    }
+    val per = ev.filter("event_type = 'purchase'")
+      .selectExpr("user_id", "unix_micros(cast(ts as timestamp)) as us",
+        "cast(floor(value * 100 + 0.5) as bigint) as cents").collect()
+      .groupBy(_.getLong(0)).map { case (u, rows) =>
+        val x = rows.filter(_.getLong(1) <= mid).map(_.getLong(2)).sum
+        val y = rows.filter(_.getLong(1) > mid).map(_.getLong(2)).sum
+        val arm = if ((u % 2147483648L) * 2654435761L % 4294967296L < 2147483648L) "A" else "B"
+        (arm, BigInt(x), BigInt(y))
+      }.toSeq
+    val n = BigInt(per.size)
+    val (sx, sy) = (per.map(_._2).sum, per.map(_._3).sum)
+    val sxy = per.map(p => p._2 * p._3).sum
+    val sxx = per.map(p => p._2 * p._2).sum
+    def arm(a: String) = per.filter(_._1 == a)
+    val (na, nb) = (BigInt(arm("A").size), BigInt(arm("B").size))
+    val (sxa, sya) = (arm("A").map(_._2).sum, arm("A").map(_._3).sum)
+    val (sxb, syb) = (arm("B").map(_._2).sum, arm("B").map(_._3).sum)
+    val q = BigInt(1048576)
+    def g(x: BigInt) = x max BigInt(1)
+    val theta = (n * sxy - sx * sy) * q / g(n * sxx - sx * sx)
+    val mya = sya * q / g(na); val myb = syb * q / g(nb)
+    val mxa = sxa * q / g(na); val mxb = sxb * q / g(nb)
+    val r = Relational.cupedAdjust(spark, sf).collect().head
+    assert(r.getLong(0) === n.toLong)
+    assert(r.getLong(1) === theta.toLong)
+    assert(r.getLong(2) === mya.toLong && r.getLong(3) === myb.toLong)
+    assert(r.getLong(4) === (mya - myb).toLong)
+    assert(r.getLong(5) === (mya - myb - theta * (mxa - mxb) / q).toLong)
+    graft.CacheScope.release()
+  }
+
   test("cramers_v / dp_histogram invariants") {
     val sf = "/root/testdata/sf0.001"
     // cramers_v derives from the SAME chi2 stat: v2_q == chi2_q div (n*k),
