@@ -411,6 +411,73 @@ object Corpus {
   /** Source-mixing weights — per-source token mass and the
     * keep-probability that flattens the mixture to the target
     * proportion (the data-mixing step before corpus packing). */
+  /** Capped source mixing — the OVER-REPRESENTATION guard of a
+    * training mix, beside [[mixWeights]]' quality proportions and
+    * [[epochPlan]]'s repeat factors: no source may exceed 30% of the
+    * token budget (the C4/Pile-style dominance cap); clipped mass
+    * redistributes to under-cap sources proportional to their own
+    * mass, in ONE round (a receiver may end above cap — full
+    * waterfilling iterates; the single round is the documented
+    * contract, exactly replayable). All arithmetic is
+    * cleared-denominator integral: over-cap test n_i·10 > N·3, cap
+    * floor (N·3) div 10, add_i = (freed·n_i) div Σ_under n. When
+    * EVERY source is over cap the freed mass stays unallocated
+    * (documented — there is no under-cap receiver). Scale shape:
+    * scan-resident token counts fold partial+final to |sources|
+    * rows; the two scalar passes ([[ScalarJoin]]) ride the persisted
+    * fold. */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame =
+    sourceCapOf(
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          size(TextAnalysis.toksOf(col("text"))).cast("long").as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("n_tokens")))
+
+  /** The cap+redistribute arithmetic over a folded (source, n_tokens)
+    * relation — factored so the spec can plant an over-cap corpus
+    * (the fixture's ~20 balanced sources never bind the cap). */
+  private[operators] def sourceCapOf(folded: DataFrame): DataFrame = {
+    val g = folded.persistScoped()
+    val t1 = g.agg(sum(col("n_tokens")).as("nt"))
+    val withN = ScalarJoin.attachScalar(g, col("n_tokens"), t1, col("nt"))
+      .withColumn("cap", expr("(cast(nt as decimal(38,0)) * 3) div 10"))
+      .withColumn("capped", least(col("n_tokens"), col("cap")).cast("long"))
+      .withColumn("over", (col("n_tokens") > col("cap")).cast("long"))
+      .persistScoped()
+    val t2 = withN.agg(
+      sum(col("n_tokens") - col("capped")).as("freed"),
+      sum(when(col("over") === 0L, col("n_tokens")).otherwise(0L)).as("u"))
+    ScalarJoin.attachScalar(withN, col("n_tokens"), t2, col("freed"))
+      .withColumn("final_alloc",
+        col("capped") + when(col("over") === 0L,
+          expr("cast((cast(freed as decimal(38,0)) * n_tokens) div greatest(u, 1) as bigint)"))
+          .otherwise(0L))
+      .select(col("source"), col("n_tokens"), col("capped"), col("final_alloc"),
+        expr("cast((cast(final_alloc as decimal(38,0)) * 1048576) div nt as bigint)")
+          .as("final_share_q"))
+  }
+
+  private def sourceCapSql: String =
+    s"""WITH d AS (SELECT source, CAST(len(${TextAnalysis.ToksSql}) AS BIGINT) AS n FROM documents),
+       |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS nt FROM g),
+       |w AS (SELECT g.source, g.n_tokens,
+       |        CAST(least(CAST(g.n_tokens AS HUGEINT), (t.nt * 3) // 10) AS BIGINT) AS capped,
+       |        CASE WHEN CAST(g.n_tokens AS HUGEINT) > (t.nt * 3) // 10
+       |             THEN 1 ELSE 0 END AS over, t.nt
+       |      FROM g, t),
+       |f AS (SELECT CAST(sum(n_tokens - capped) AS HUGEINT) AS freed,
+       |        CAST(sum(CASE WHEN over = 0 THEN n_tokens ELSE 0 END) AS HUGEINT) AS u
+       |      FROM w)
+       |SELECT w.source, w.n_tokens, w.capped,
+       |  CAST(w.capped + CASE WHEN w.over = 0
+       |       THEN (f.freed * w.n_tokens) // greatest(f.u, 1) ELSE 0 END AS BIGINT)
+       |    AS final_alloc,
+       |  CAST(((w.capped + CASE WHEN w.over = 0
+       |         THEN (f.freed * w.n_tokens) // greatest(f.u, 1) ELSE 0 END)
+       |        * CAST(1048576 AS HUGEINT)) // w.nt AS BIGINT) AS final_share_q
+       |FROM w, f""".stripMargin
+
   def mixWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // per-doc counts in one narrow typed pass: the BPE merge loop is
@@ -880,6 +947,7 @@ object Corpus {
     "importance_sample" -> importanceSample,
     "shuffle_export" -> shuffleExport,
     "rendezvous_shard" -> rendezvousShard,
+    "source_cap" -> sourceCap,
     "shuffle_export_write" -> shuffleExportWrite,
     "mix_weights"    -> mixWeights,
     "curriculum"     -> corpusCurriculum,
@@ -1134,6 +1202,7 @@ object Corpus {
         |FROM documents d JOIN t USING (lang)
         |WHERE CAST('0x' || substring(md5(d.text), 9, 8) AS BIGINT) // 4096 < t.thr""".stripMargin,
     "rendezvous_shard" -> rendezvousShardSql,
+    "source_cap" -> sourceCapSql,
     "shuffle_export" ->
       s"""SELECT doc_id, ${bucketSql(5, ExportShards)} AS shard,
          |  CAST(row_number() OVER (PARTITION BY ${bucketSql(5, ExportShards)}

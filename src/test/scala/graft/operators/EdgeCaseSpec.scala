@@ -3318,6 +3318,29 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("source_cap: planted over-cap corpus hand-checked; fixture is cap-free") {
+    // N=100, cap=30: a(70) clips to 30, freed=40, under mass u=30;
+    // add_b = 40*20//30 = 26, add_c = 40*10//30 = 13 (dust 1 stays
+    // unallocated — single-round contract)
+    val planted = Seq(("a", 70L), ("b", 20L), ("c", 10L)).toDF("source", "n_tokens")
+    val out = Corpus.sourceCapOf(planted).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out("a") === ((70L, 30L, 30L, 30L * 1048576L / 100L)))
+    assert(out("b") === ((20L, 20L, 46L, 46L * 1048576L / 100L)))
+    assert(out("c") === ((10L, 10L, 23L, 23L * 1048576L / 100L)))
+    assert(out.values.map(_._3).sum <= 100L, "never allocates more than the budget")
+    // all-over-cap corpus: freed mass has no receiver and stays unallocated
+    val allOver = Corpus.sourceCapOf(
+      Seq(("x", 50L), ("y", 50L)).toDF("source", "n_tokens")).collect()
+    allOver.foreach(r => assert(r.getLong(3) === 30L, "everyone sits at the cap floor"))
+    // fixture: ~20 balanced sources — the cap never binds, final == raw
+    Corpus.sourceCap(spark, "/root/testdata/sf0.001").collect().foreach { r =>
+      assert(r.getLong(3) === r.getLong(1), "cap-free corpus passes through")
+    }
+    graft.CacheScope.release()
+  }
+
   test("cramers_v / dp_histogram invariants") {
     val sf = "/root/testdata/sf0.001"
     // cramers_v derives from the SAME chi2 stat: v2_q == chi2_q div (n*k),
