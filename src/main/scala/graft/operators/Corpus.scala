@@ -408,9 +408,6 @@ object Corpus {
       "/ CAST(CAST((SELECT count(*) FROM t) AS BIGINT) AS DOUBLE) " +
       "/ CAST(n_tokens AS DOUBLE))"
 
-  /** Source-mixing weights — per-source token mass and the
-    * keep-probability that flattens the mixture to the target
-    * proportion (the data-mixing step before corpus packing). */
   /** Capped source mixing — the OVER-REPRESENTATION guard of a
     * training mix, beside [[mixWeights]]' quality proportions and
     * [[epochPlan]]'s repeat factors: no source may exceed 30% of the
@@ -478,6 +475,9 @@ object Corpus {
        |        * CAST(1048576 AS HUGEINT)) // w.nt AS BIGINT) AS final_share_q
        |FROM w, f""".stripMargin
 
+  /** Source-mixing weights — per-source token mass and the
+    * keep-probability that flattens the mixture to the target
+    * proportion (the data-mixing step before corpus packing). */
   def mixWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // per-doc counts in one narrow typed pass: the BPE merge loop is

@@ -4106,6 +4106,12 @@ object Relational {
           "(sum_term - 1099511627776)) div 1048576, 0) as bigint)").as("chi2_q"))
   }
 
+  /** Chi-square independence test (segment × order-priority) — the
+    * categorical dependence screen; projects [[chi2Full]]'s shared
+    * core (see its doc for the overflow-safe χ² identity), emitting
+    * (n, df, chi2_q) on the 2²⁰ lattice. [[cramersV]] projects the
+    * SAME core into an effect size, so test and effect cannot
+    * drift. */
   def chi2Independence(spark: SparkSession, dir: String): DataFrame =
     chi2Full(spark, dir)
       .select(col("n"),
@@ -5817,6 +5823,58 @@ object Relational {
       |  CAST((conv_b * 1048576) // n_b AS BIGINT) AS rate_b_q
       |FROM a""".stripMargin
 
+  /** Purged temporal split with an EMBARGO gap (the de Prado
+    * purged-CV discipline, the time-series sibling of
+    * [[graft.operators.Corpus.datasetSplit]]'s hash split): train =
+    * events up to the 70%-of-span cut, then a 7-day embargo DROPPED
+    * from both sides, then validation — the gap absorbs the label /
+    * feature lookahead that makes naive temporal splits leak
+    * (rolling features computed at train-tail timestamps see val-head
+    * events). Emits one row per zone (train/embargo/val) with event
+    * and user mass and the exact day span; the defining property —
+    * min(val.day) − max(train.day) > embargo — is an EXECUTED spec
+    * assertion, as is zones-partition-the-stream. Cut and span are
+    * data-derived integers (the categoryDrift midpoint rule). Scale
+    * shape: one scalar bounds fold, then one conditional
+    * partial+final pass (exact distinct users per zone — the Expand
+    * trade at |zones| = 3). */
+  def embargoSplit(spark: SparkSession, dir: String): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000")
+    val b = Tables.events(spark, dir).agg(min(day).as("mn"), max(day).as("mx")).head()
+    if (b.isNullAt(0)) {
+      return Tables.events(spark, dir)
+        .select(col("event_type").as("zone"), col("user_id").as("n_events"),
+          col("user_id").as("n_users"), col("user_id").as("min_day"),
+          col("user_id").as("max_day")).limit(0)
+    }
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val cut = mn + (mx - mn) * 7L / 10L
+    val emb = cut + 7L
+    Tables.events(spark, dir)
+      .select(col("user_id"), day.as("d"))
+      .select(col("user_id"), col("d"),
+        when(col("d") <= cut, "train")
+          .when(col("d") <= emb, "embargo").otherwise("val").as("zone"))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"),
+        min(col("d")).as("min_day"), max(col("d")).as("max_day"))
+  }
+
+  private def embargoSplitSql: String =
+    """WITH b AS (SELECT min(epoch_ns(ts) // 1000 // 86400000000) AS mn,
+      |             max(epoch_ns(ts) // 1000 // 86400000000) AS mx FROM events),
+      |z AS (SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 AS d,
+      |        CASE WHEN epoch_ns(ts) // 1000 // 86400000000
+      |               <= b.mn + (b.mx - b.mn) * 7 // 10 THEN 'train'
+      |             WHEN epoch_ns(ts) // 1000 // 86400000000
+      |               <= b.mn + (b.mx - b.mn) * 7 // 10 + 7 THEN 'embargo'
+      |             ELSE 'val' END AS zone
+      |      FROM events, b)
+      |SELECT zone, count(*) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(min(d) AS BIGINT) AS min_day, CAST(max(d) AS BIGINT) AS max_day
+      |FROM z GROUP BY zone""".stripMargin
+
   /** Referential-integrity audit — the FOREIGN-KEY tier of the DQ
     * family ([[graft.operators.DataQuality.dqChecks]] is intra-row,
     * [[temporalAudit]] cross-row-temporal; this is cross-TABLE): per
@@ -6819,6 +6877,7 @@ object Relational {
     "encoding_advisor" -> encodingAdvisor,
     "ref_integrity"    -> refIntegrity,
     "cuped_adjust"     -> cupedAdjust,
+    "embargo_split"    -> embargoSplit,
     "profile_approx"   -> profileTableApprox,
     "funnel_steps"     -> funnelSteps,
     "variant_events"   -> variantEvents)
@@ -8119,6 +8178,7 @@ object Relational {
     "encoding_advisor" -> encodingAdvisorSql,
     "ref_integrity" -> refIntegritySql,
     "cuped_adjust" -> cupedAdjustSql,
+    "embargo_split" -> embargoSplitSql,
     "profile_table" ->
       """WITH a AS (
         |  SELECT count(*) AS n_rows,

@@ -3341,6 +3341,22 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("embargo_split: the gap theorem and stream partition execute") {
+    val sf = "/root/testdata/sf0.001"
+    val es = Relational.embargoSplit(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    assert(es.values.map(_._1).sum === ev.count(), "zones partition the stream")
+    // the defining purge property: val opens strictly more than the
+    // 7-day embargo after train closes
+    assert(es("val")._3 - es("train")._4 > 7L,
+      "min(val.day) - max(train.day) must exceed the embargo")
+    // zone day-ranges are disjoint and ordered (embargo may be empty)
+    assert(es.get("embargo").forall(e => es("train")._4 < e._3))
+    graft.CacheScope.release()
+  }
+
   test("cramers_v / dp_histogram invariants") {
     val sf = "/root/testdata/sf0.001"
     // cramers_v derives from the SAME chi2 stat: v2_q == chi2_q div (n*k),
