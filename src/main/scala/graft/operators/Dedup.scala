@@ -1229,8 +1229,101 @@ object Dedup {
        |FROM nm_it WHERE k = bands""".stripMargin
   }
 
+  /** Content-defined chunking (the FastCDC/rsync family, stateless
+    * Gear variant) + chunk-level cross-document sharing — the
+    * STORAGE-dedup tier below [[dedupSubstring]]'s span view: chunk
+    * boundaries cut where the 8-gram ENDING at a position hashes to
+    * 0 mod 64 (expected ~64-char chunks) — content-defined, so an
+    * insertion reshifts only its own chunk while fixed-width blocks
+    * reshift everything after it (the property that makes CDC the
+    * backbone of dedup stores and incremental corpus syncs). Each
+    * position's boundary test is INDEPENDENT (an md5 of the trailing
+    * 8-gram — no rolling state), so the whole chunker is relational:
+    * boundaries/starts/chunks are higher-order array expressions
+    * inside the scan, zero shuffle until the chunk-hash fold. Per
+    * doc: chunk count, max chunk length, and how many of its chunks
+    * appear in OTHER docs too (n_shared + share on 2²⁰) — the
+    * dedup-potential readout. Sub-8-char docs are one unsplittable
+    * chunk (the guard also dodges Spark's descending-sequence trap:
+    * sequence(8, len) with len < 8 counts DOWN, it is not empty).
+    * Scale shape: scan-resident chunking; ONE (hash) exchange for
+    * the sharing fold; one doc_id fold; a left join keeps every doc. */
+  /** The scan-resident chunker over any (doc_id, text) frame —
+    * (doc_id, idx, chunk) in document order; factored so the spec
+    * can EXECUTE the CDC locality property on planted insertions. */
+  private[operators] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val bnds = expr(
+      """case when length(text) >= 8 then
+        |  filter(sequence(8, length(text)),
+        |    i -> cast(conv(substring(md5(substring(text, i - 7, 8)), 1, 8), 16, 10) as bigint) % 64 = 0)
+        |else array() end""".stripMargin)
+    val chunks = expr(
+      """filter(zip_with(
+        |  concat(array(1), transform(bnds, i -> i + 1)),
+        |  concat(bnds, array(length(text))),
+        |  (s, e) -> substring(text, s, e - s + 1)),
+        |  c -> length(c) > 0)""".stripMargin)
+    docs
+      .select(col("doc_id"), bnds.as("bnds"), col("text"))
+      .select(col("doc_id"), posexplode(chunks).as(Seq("idx", "chunk")))
+  }
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val ch = cdcChunksOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), expr("substring(md5(chunk), 1, 16)").as("h"),
+        length(col("chunk")).cast("long").as("clen"))
+      .persistScoped()
+    val hs = ch.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+    val per = ch.join(hs, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), max(col("clen")).as("max_chunk"),
+        sum(when(col("nd") > 1L, 1L).otherwise(0L)).as("n_shared"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("max_chunk"), lit(0L)).as("max_chunk"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        expr("cast((coalesce(n_shared, 0) * 1048576) div greatest(coalesce(n_chunks, 0), 1) as bigint)")
+          .as("shared_q"))
+  }
+
+  private def cdcChunksSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN len(text) >= 8 THEN
+      |      list_filter(range(8, len(text) + 1),
+      |        i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER) - 7, 8)), 1, 8)) AS BIGINT) % 64 = 0)
+      |    ELSE [] END AS bnds
+      |  FROM documents),
+      |ck AS (
+      |  SELECT doc_id, unnest(
+      |    list_filter(
+      |      list_transform(range(1, len(bnds) + 2),
+      |        j -> substr(text,
+      |               CAST(CASE WHEN j = 1 THEN 1 ELSE bnds[CAST(j AS INTEGER) - 1] + 1 END AS INTEGER),
+      |               CAST((CASE WHEN j = CAST(len(bnds) AS BIGINT) + 1 THEN len(text) ELSE bnds[CAST(j AS INTEGER)] END)
+      |                    - (CASE WHEN j = 1 THEN 1 ELSE bnds[CAST(j AS INTEGER) - 1] + 1 END) + 1 AS INTEGER))),
+      |      c -> len(c) > 0)) AS chunk
+      |  FROM b),
+      |ch AS (SELECT doc_id, substr(md5(chunk), 1, 16) AS h,
+      |         CAST(len(chunk) AS BIGINT) AS clen FROM ck),
+      |hs AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1),
+      |per AS (SELECT ch.doc_id, count(*) AS n_chunks,
+      |          CAST(max(ch.clen) AS BIGINT) AS max_chunk,
+      |          CAST(sum(CASE WHEN hs.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      |        FROM ch JOIN hs USING (h) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(per.n_chunks, 0) AS n_chunks,
+      |  coalesce(per.max_chunk, 0) AS max_chunk,
+      |  coalesce(per.n_shared, 0) AS n_shared,
+      |  CAST((coalesce(per.n_shared, 0) * 1048576)
+      |       // greatest(coalesce(per.n_chunks, 0), 1) AS BIGINT) AS shared_q
+      |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lsh_threshold_plan" -> lshThresholdPlan,
+    "cdc_chunks"      -> cdcChunks,
     "dedup_fuzzy"     -> dedupFuzzy,
     "dedup_exact"     -> dedupExact,
     "dedup_by_source" -> dedupBySource,
@@ -1336,6 +1429,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "lsh_threshold_plan" -> lshThresholdPlanSql,
+    "cdc_chunks" -> cdcChunksSql,
     // full replay of the pigeonhole filter + levenshtein verify —
     // same fixed-width normalized key, same 4×(2K+1) probe windows,
     // same candidate normalization; DuckDB's levenshtein is the same

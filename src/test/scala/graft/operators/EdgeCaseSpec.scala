@@ -3357,6 +3357,38 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("cdc_chunks: chunks reassemble the text; prefix insertion only disturbs the head") {
+    val sf = "/root/testdata/sf0.001"
+    // a long planted text (fixture docs concatenated) with many boundaries
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("text").limit(6).collect().map(_.getString(0)).mkString(" ")
+    def chunksOf(id: Long, t: String): Seq[String] =
+      Dedup.cdcChunksOf(Seq((id, t)).toDF("doc_id", "text"))
+        .orderBy("idx").collect().map(_.getString(2)).toSeq
+    val c0 = chunksOf(1L, base)
+    assert(c0.size >= 3, "planted text must carry several boundaries")
+    assert(c0.mkString("") === base, "chunks partition the text exactly")
+    // CDC locality: a 1-char PREFIX insertion shifts every 8-gram by
+    // one, so the boundary SET shifts with it — every chunk after the
+    // first is unchanged (fixed-width blocking would reshift them all)
+    val c1 = chunksOf(2L, "q" + base)
+    assert(c1.mkString("") === "q" + base)
+    // every boundary shifts with the text; the only new freedom is ONE
+    // possible extra boundary inside the 8-char head window, so the
+    // tail matches after dropping 1 or 2 head chunks
+    assert(Seq(1, 2).exists(k => c1.drop(k) == c0.drop(1)),
+      "all chunks after the head survive the insertion")
+    // registered rollup: n_chunks/shared reconcile per doc
+    val out = Dedup.cdcChunks(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.length.toLong === nDocs)
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), "shared chunks are a subset")
+      assert(r.getLong(4) === r.getLong(3) * 1048576L / math.max(r.getLong(1), 1L))
+    }
+    graft.CacheScope.release()
+  }
+
   test("cramers_v / dp_histogram invariants") {
     val sf = "/root/testdata/sf0.001"
     // cramers_v derives from the SAME chi2 stat: v2_q == chi2_q div (n*k),
