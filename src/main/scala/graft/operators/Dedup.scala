@@ -1268,6 +1268,13 @@ object Dedup {
       .select(col("doc_id"), posexplode(chunks).as(Seq("idx", "chunk")))
   }
 
+  /** Content-defined chunking rollup — per doc, [[cdcChunksOf]]'s
+    * chunk count, max chunk length, and the cross-document SHARED
+    * chunk mass (chunks whose hash appears in other docs too, share
+    * on 2²⁰) — the storage-dedup / incremental-sync readout; see the
+    * chunker's doc for the stateless-Gear boundary rule and the
+    * executed insertion-locality property. ONE (hash) exchange for
+    * the sharing fold, one doc fold, a left join keeps every doc. */
   def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
     val ch = cdcChunksOf(Tables.documents(spark, dir))
       .select(col("doc_id"), expr("substring(md5(chunk), 1, 16)").as("h"),
