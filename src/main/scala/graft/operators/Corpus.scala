@@ -475,6 +475,71 @@ object Corpus {
        |        * CAST(1048576 AS HUGEINT)) // w.nt AS BIGINT) AS final_share_q
        |FROM w, f""".stripMargin
 
+  private val TokenBudget = 1000000L
+
+  /** Largest-remainder (Hamilton) apportionment of a fixed token
+    * budget across sources — the EXACT-SUM allocation step a
+    * training-mix planner runs after proportions are chosen
+    * ([[mixWeights]] picks proportions, [[sourceCap]] bounds them;
+    * THIS turns them into integer token quotas that sum to the
+    * budget EXACTLY): base_i = (n_i·B) div N, and the L = B − Σbase
+    * leftover tokens go one each to the L largest remainders
+    * (ties → source asc) — floor-only allocation under-ships up to
+    * |sources|−1 tokens, and naive rounding can over-ship; Hamilton
+    * is the standard exact apportionment. Σalloc ≡ B is an EXECUTED
+    * spec assertion, as is the quota-monotonicity bound
+    * |alloc_i − quota_i| < 1 (alloc ∈ {base, base+1}). All
+    * arithmetic DECIMAL(38) cleared-denominator. Scale shape: one
+    * scan-resident token fold to |sources| rows; the remainder rank
+    * is a window over that folded relation (fold-below-window);
+    * scalars attach via [[ScalarJoin]]. */
+  def tokenBudgetPlan(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetOf(
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          size(TextAnalysis.toksOf(col("text"))).cast("long").as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("n_tokens")),
+      TokenBudget)
+
+  /** The apportionment arithmetic over a folded (source, n_tokens)
+    * relation — factored for planted-corpus spec checks. */
+  private[operators] def tokenBudgetOf(folded: DataFrame, budget: Long): DataFrame = {
+    val g = folded.persistScoped()
+    val t = g.agg(sum(col("n_tokens")).as("nt"))
+    val q = ScalarJoin.attachScalar(g, col("n_tokens"), t, col("nt"))
+      .withColumn("base",
+        expr(s"cast((cast(n_tokens as decimal(38,0)) * $budget) div nt as bigint)"))
+      .withColumn("rem",
+        expr(s"cast((cast(n_tokens as decimal(38,0)) * $budget) % nt as bigint)"))
+      .persistScoped()
+    val t2 = q.agg(sum(col("base")).as("sb"))
+    val w = Window.orderBy(col("rem").desc, col("source").asc)
+    ScalarJoin.attachScalar(q, col("n_tokens"), t2, col("sb"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("extra",
+        when(col("rk") <= lit(budget) - col("sb"), 1L).otherwise(0L))
+      .select(col("source"), col("n_tokens"), col("base"), col("extra"),
+        (col("base") + col("extra")).as("alloc"))
+  }
+
+  private def tokenBudgetPlanSql: String =
+    s"""WITH d AS (SELECT source, CAST(len(${TextAnalysis.ToksSql}) AS BIGINT) AS n
+       |           FROM documents),
+       |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS nt FROM g),
+       |q AS (SELECT g.source, g.n_tokens,
+       |        CAST((CAST(g.n_tokens AS HUGEINT) * $TokenBudget) // t.nt AS BIGINT) AS base,
+       |        CAST((CAST(g.n_tokens AS HUGEINT) * $TokenBudget) % t.nt AS BIGINT) AS rem
+       |      FROM g, t),
+       |s AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM q),
+       |r AS (SELECT q.*, s.sb,
+       |        row_number() OVER (ORDER BY q.rem DESC, q.source ASC) AS rk
+       |      FROM q, s)
+       |SELECT source, n_tokens, base,
+       |  CAST(CASE WHEN rk <= $TokenBudget - sb THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       |  CAST(base + CASE WHEN rk <= $TokenBudget - sb THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |FROM r""".stripMargin
+
   /** Source-mixing weights — per-source token mass and the
     * keep-probability that flattens the mixture to the target
     * proportion (the data-mixing step before corpus packing). */
@@ -948,6 +1013,7 @@ object Corpus {
     "shuffle_export" -> shuffleExport,
     "rendezvous_shard" -> rendezvousShard,
     "source_cap" -> sourceCap,
+    "token_budget_plan" -> tokenBudgetPlan,
     "shuffle_export_write" -> shuffleExportWrite,
     "mix_weights"    -> mixWeights,
     "curriculum"     -> corpusCurriculum,
@@ -1203,6 +1269,7 @@ object Corpus {
         |WHERE CAST('0x' || substring(md5(d.text), 9, 8) AS BIGINT) // 4096 < t.thr""".stripMargin,
     "rendezvous_shard" -> rendezvousShardSql,
     "source_cap" -> sourceCapSql,
+    "token_budget_plan" -> tokenBudgetPlanSql,
     "shuffle_export" ->
       s"""SELECT doc_id, ${bucketSql(5, ExportShards)} AS shard,
          |  CAST(row_number() OVER (PARTITION BY ${bucketSql(5, ExportShards)}

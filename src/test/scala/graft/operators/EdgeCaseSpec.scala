@@ -3389,6 +3389,26 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("token_budget_plan: Hamilton apportionment hand-checked; exact-sum on the fixture") {
+    def planted(b: Long, rows: (String, Long)*) =
+      Corpus.tokenBudgetOf(rows.toDF("source", "n_tokens"), b).collect()
+        .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // quotas 1.4 / 2.1 / 3.5 of B=7: bases 1/2/3 (sum 6), the one
+    // leftover goes to the largest remainder (c, rem 5)
+    val p = planted(7L, ("a", 2L), ("b", 3L), ("c", 5L))
+    assert(p("a") === ((1L, 0L, 1L)))
+    assert(p("b") === ((2L, 0L, 2L)))
+    assert(p("c") === ((3L, 1L, 4L)))
+    // remainder TIES break by source asc: equal masses, one leftover
+    val q = planted(10L, ("a", 1L), ("b", 1L), ("c", 1L))
+    assert(q("a") === ((3L, 1L, 4L)) && q("b") === ((3L, 0L, 3L)) && q("c") === ((3L, 0L, 3L)))
+    // the exact-sum guarantee and the quota bound, on the fixture
+    val out = Corpus.tokenBudgetPlan(spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.getLong(4)).sum === 1000000L, "allocations sum to the budget EXACTLY")
+    out.foreach(r => assert(r.getLong(3) === 0L || r.getLong(3) === 1L))
+    graft.CacheScope.release()
+  }
+
   test("cramers_v / dp_histogram invariants") {
     val sf = "/root/testdata/sf0.001"
     // cramers_v derives from the SAME chi2 stat: v2_q == chi2_q div (n*k),
