@@ -28,3 +28,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// VERDICT r13 item 6: the executed-property suites carry most of the
+// scale-safety evidence (EdgeCaseSpec's planted-corpus invariants,
+// PlanAuditSpec's shape gates, CacheScopeSpec's persist hygiene) —
+// `sbt smoke` runs just those three (~3 min) so mid-round refactors
+// get caught before the full ~14-minute suite.
+addCommandAlias("smoke",
+  "testOnly graft.operators.EdgeCaseSpec graft.PlanAuditSpec graft.CacheScopeSpec")

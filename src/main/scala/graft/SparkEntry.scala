@@ -20,11 +20,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     TextOps.wordcount(spark, "/root/testdata/sf0.001")
 
+  /** Module name → its registry slice, for Bench's per-module subset
+    * path (SPARK_GRAFT_MODULE / -DbenchModule — VERDICT r13 item 4). */
+  private[graft] val namedModules: Seq[(String, Map[String, (SparkSession, String) => DataFrame])] =
+    Seq("textops" -> TextOps.queries, "mrops" -> MrOps.queries,
+      "relational" -> Relational.queries, "asofjoin" -> AsOfJoin.queries,
+      "reshape" -> Reshape.queries, "dedup" -> Dedup.queries,
+      "similarity" -> Similarity.queries, "textanalysis" -> TextAnalysis.queries,
+      "multimodal" -> Multimodal.queries, "streamops" -> StreamOps.queries,
+      "corpus" -> Corpus.queries, "graph" -> Graph.queries,
+      "dataquality" -> DataQuality.queries)
+
   private[graft] val modules: Seq[Map[String, (SparkSession, String) => DataFrame]] =
-    Seq(TextOps.queries, MrOps.queries, Relational.queries, AsOfJoin.queries,
-      Reshape.queries, Dedup.queries, Similarity.queries, TextAnalysis.queries,
-      Multimodal.queries, StreamOps.queries, Corpus.queries, Graph.queries,
-      DataQuality.queries)
+    namedModules.map(_._2)
 
   private[graft] val oracleModules: Seq[Map[String, String]] =
     Seq(TextOps.oracles, MrOps.oracles, Relational.oracles, AsOfJoin.oracles,

@@ -184,4 +184,80 @@ class BenchLineSpec extends AnyFunSuite {
     val real = Bench.renderLine(results, Map("q_x" -> "boom"), "/root/testdata/sf0.1")
     assert(real.length <= 1900 && real.contains(""""_rest_n":"""))
   }
+
+  test("parseDetailQueries round-trips writeDetail and ignores meta/error entries (r13 item 1)") {
+    val results = Seq("q_alpha" -> 1.234, "q_beta" -> 0.056, "nerr_trap" -> 3.0)
+    val errors = scala.collection.mutable.LinkedHashMap("q_dead" -> "boom 42")
+    Bench.writeDetail(results, errors, "/root/testdata/sfparse", Seq("q_alpha"))
+    val p = java.nio.file.Paths.get("bench_detail_sfparse.json")
+    val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    java.nio.file.Files.delete(p)
+    val m = Bench.parseDetailQueries(text)
+    // exactly the queries block: the error entry is a string (not
+    // matched), and the top-level meta numbers (n_queries, total_sec,
+    // nerr) sit BEFORE the "queries" key so the scope cut drops them
+    assert(m === Map("q_alpha" -> 1.234, "q_beta" -> 0.056, "nerr_trap" -> 3.0))
+    // malformed / empty input degrades to empty, never throws
+    assert(Bench.parseDetailQueries("not json").isEmpty)
+    assert(Bench.parseDetailQueries("").isEmpty)
+  }
+
+  test("pickReruns targets committed-reference outliers, worst excess first (r13 item 1)") {
+    val committed = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 0.1, "q_d" -> 4.0, "q_s" -> 1.0)
+    val measured = Seq(
+      "q_a" -> 3.5,  // 3.5x, excess 2.5 → candidate
+      "q_b" -> 2.4,  // 1.2x → NOT a candidate (within noise)
+      "q_c" -> 0.2,  // 2x but excess 0.1 < 0.15 floor → not worth a rerun
+      "q_d" -> 9.0,  // 2.25x, excess 5.0 → worst offender, first
+      "q_s" -> 8.0,  // hot but excluded (persistent-scratch contract)
+      "q_new" -> 2.0) // absent from committed, slow → one damping pass
+    val picked = Bench.pickReruns(measured, committed, exclude = Set("q_s"))
+    assert(picked === Seq("q_d", "q_a", "q_new"))
+    // fast new ops (sub-second) are not re-timed
+    val picked2 = Bench.pickReruns(Seq("q_tiny" -> 0.4), committed, Set.empty)
+    assert(picked2.isEmpty)
+    // no committed reference (fresh machine / new sf): legacy top-12
+    val many = (1 to 20).map(i => f"q$i%02d" -> i.toDouble)
+    val legacy = Bench.pickReruns(many, Map.empty, exclude = Set("q20"))
+    assert(legacy.size === 12 && legacy.head === "q19" && !legacy.contains("q20"))
+  }
+
+  test("dampWithBudget hard-caps rerun wall, keeps mins, flags only successful reruns (r13 item 1)") {
+    val results = Seq("q_d" -> 9.0, "q_a" -> 3.5, "q_new" -> 2.0, "q_b" -> 2.4)
+    val rerunTimes = Map("q_d" -> 4.1, "q_a" -> 55.0, "q_new" -> 1.9)
+    val ran = scala.collection.mutable.ListBuffer[String]()
+    val (damped, flagged) = Bench.dampWithBudget(results, Seq("q_d", "q_a", "q_new"), 60.0) { n =>
+      ran += n; (rerunTimes(n), n != "q_a") // q_a's rerun FAILS
+    }
+    // budget: 4.1 + 55.0 = 59.1 < 60 → q_new still runs; then spent
+    // >= 60 would stop. All three ran here.
+    assert(ran.toList === List("q_d", "q_a", "q_new"))
+    val m = damped.toMap
+    assert(m("q_d") === 4.1, "min of two runs recorded")
+    assert(m("q_a") === 3.5, "failed rerun must NOT replace the first successful timing")
+    assert(m("q_new") === 1.9)
+    assert(m("q_b") === 2.4, "un-rerun ops keep their single-shot time")
+    assert(flagged === List("q_d", "q_new"), "failed rerun is not flagged damped")
+    // a tight budget stops after the first rerun consumes it
+    val (_, flagged2) = Bench.dampWithBudget(results, Seq("q_d", "q_a", "q_new"), 4.0) { n =>
+      (rerunTimes(n), true)
+    }
+    assert(flagged2 === List("q_d"), "budget is a hard cap, worst offender first")
+  }
+
+  test("damped flag caps at 15 names + count so a loaded run can't crowd the line (r13 item 1)") {
+    val results = (1 to 50).map(i => f"q$i%02d" -> 1.0)
+    val damped = (1 to 46).map(i => f"q$i%02d")
+    val out = Bench.renderLine(results, Map.empty[String, String], "/sf0.1",
+      damped = damped)
+    assert(out.contains(""""damped":"q01 """), "flag present with headroom")
+    assert(out.contains("+31\""), s"overflow count must be reported: $out")
+    assert(!out.contains("q16 "), "names beyond 15 fold into the count")
+  }
+
+  test("namedModules cover the registry exactly (r13 item 4)") {
+    val union = SparkEntry.namedModules.map(_._2.keySet).foldLeft(Set.empty[String])(_ ++ _)
+    assert(union === SparkEntry.queries.keySet)
+    assert(SparkEntry.namedModules.map(_._1).distinct.size === SparkEntry.namedModules.size)
+  }
 }
