@@ -24,7 +24,7 @@ import graft.sources.Tables
   * Bare `private` members are widened to `private[operators]` so
   * cross-slice references keep resolving.
   */
-private[operators] trait RelationalAnalytics { this: Relational.type =>
+private[operators] trait RelationalAnalytics extends Serializable { this: Relational.type =>
 
 
   /** Per-user activity bursts (Kleinberg-style burst detection

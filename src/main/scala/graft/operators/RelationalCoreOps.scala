@@ -24,7 +24,7 @@ import graft.sources.Tables
   * Bare `private` members are widened to `private[operators]` so
   * cross-slice references keep resolving.
   */
-private[operators] trait RelationalCoreOps { this: Relational.type =>
+private[operators] trait RelationalCoreOps extends Serializable { this: Relational.type =>
 
 
   /** Order-insensitive exact sum of a double column: cast to decimal,

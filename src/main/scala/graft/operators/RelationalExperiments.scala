@@ -23,7 +23,7 @@ import graft.sources.Tables
   * Bare `private` members are widened to `private[operators]` so
   * cross-slice references keep resolving.
   */
-private[operators] trait RelationalExperiments { this: Relational.type =>
+private[operators] trait RelationalExperiments extends Serializable { this: Relational.type =>
 
 
   private[operators] def bloomProbeSql: String =

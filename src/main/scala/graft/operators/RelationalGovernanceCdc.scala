@@ -24,7 +24,7 @@ import graft.sources.Tables
   * Bare `private` members are widened to `private[operators]` so
   * cross-slice references keep resolving.
   */
-private[operators] trait RelationalGovernanceCdc { this: Relational.type =>
+private[operators] trait RelationalGovernanceCdc extends Serializable { this: Relational.type =>
 
 
   /** Shared χ² CTE chain ending in `chi2f(n, rs, cs, chi2_q)` — the

@@ -24,7 +24,7 @@ import graft.sources.Tables
   * Bare `private` members are widened to `private[operators]` so
   * cross-slice references keep resolving.
   */
-private[operators] trait RelationalTimeseriesLayout { this: Relational.type =>
+private[operators] trait RelationalTimeseriesLayout extends Serializable { this: Relational.type =>
 
 
   private[operators] def theilsenTrendSql: String =
