@@ -51,7 +51,19 @@ private[operators] trait SimilarityPqIndex extends Serializable { this: Similari
     * (cold repeats varied 7.0–9.0 s) while recall gives up 0.04 of
     * its 0.12 floor margin — the per-hop fixed structure (4 rounds
     * of window+join), not the width, dominates cost. Rejected; 48
-    * stays. */
+    * stays.
+    *
+    * The build side's last dial — the descent rounds' local-join
+    * candidate cap (r14 GraphAnnLab A/B, 16 vs 12, 44% less
+    * candidate mass): recall IDENTICAL at every SF (1.000 / 1.000 /
+    * 0.920) but steady-state cold at sf0.1 saved only 0.2 s
+    * (10.6 → 10.4; the 2–3 s "wins" at small SFs were JVM-warmup
+    * order bias) — at fixture scale the per-round fixed structure
+    * dominates the n·cap² candidate term. Rejected for the shipped
+    * op (the oracle replays the exact construction, and a
+    * within-noise win doesn't buy that SQL change); the dial ships
+    * as [[neighborGraphCapped]] for corpora large enough that the
+    * candidate term dominates. */
   def annGraph(spark: SparkSession, dir: String): DataFrame =
     annGraphBeam(spark, dir, BeamWidth)
 
