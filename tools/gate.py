@@ -76,6 +76,21 @@ def main():
         else:
             print(f"[gate] {path} claim {n} == registry")
 
+    # 5. no non-test source file may regrow past 3,000 lines (r13
+    #    verdict item 3: Relational.scala reached 8,303 before the
+    #    trait-mixin split; this pins the ceiling so it can't recur)
+    import os
+    for dirpath, _, files in os.walk("src/main"):
+        for fn in files:
+            if fn.endswith(".scala"):
+                p = os.path.join(dirpath, fn)
+                n = sum(1 for _ in open(p, encoding="utf-8"))
+                if n > 3000:
+                    fail(f"{p} is {n} lines (>3000) — split it (trait-mixin "
+                         "pattern, see RelationalCoreOps.scala)")
+    if not FAIL:
+        print("[gate] source file sizes: all <= 3000 lines")
+
     print("[gate] OK" if not FAIL else "[gate] FAILED")
     sys.exit(FAIL)
 
