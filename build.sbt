@@ -32,7 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // VERDICT r13 item 6: the executed-property suites carry most of the
 // scale-safety evidence (EdgeCaseSpec's planted-corpus invariants,
 // PlanAuditSpec's shape gates, CacheScopeSpec's persist hygiene) —
-// `sbt smoke` runs just those three (~3 min) so mid-round refactors
-// get caught before the full ~14-minute suite.
+// `sbt smoke` runs just those three (measured ~11 min solo vs ~12-18
+// for all 20 suites) so a mid-round refactor gets its scale-safety
+// verdict from 3 targeted suites instead of the whole battery.
 addCommandAlias("smoke",
   "testOnly graft.operators.EdgeCaseSpec graft.PlanAuditSpec graft.CacheScopeSpec")

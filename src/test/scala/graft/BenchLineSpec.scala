@@ -255,6 +255,14 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!out.contains("q16 "), "names beyond 15 fold into the count")
   }
 
+  test("the damping exclusion set names real registry queries") {
+    // a renamed stream op would silently re-enable warm-path damping
+    // for its persistent-scratch contract — pin the names
+    val noRerun = Set("stream_sink", "stream_join", "stream_join_outer", "stream_dedup")
+    val ghosts = noRerun -- SparkEntry.queries.keySet
+    assert(ghosts.isEmpty, s"noRerun entries not in the registry: $ghosts")
+  }
+
   test("namedModules cover the registry exactly (r13 item 4)") {
     val union = SparkEntry.namedModules.map(_._2.keySet).foldLeft(Set.empty[String])(_ ++ _)
     assert(union === SparkEntry.queries.keySet)
