@@ -42,7 +42,12 @@ object Relational extends RelationalCoreOps with RelationalAnalytics with Relati
   // q7_volume→q7, q10_returns→q10, q4_priority→q4, q6_forecast→q6,
   // q12_priority→q12, q14_promo→q14, q19_disjunctive→q19,
   // q22_balance→q22, q18_volume→q18).
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // @transient: a closure in a trait-slice method captures the module
+  // (see the Serializable note on the slices); the registry maps are the
+  // module's heavy fields (hundreds of lambdas + oracle SQL) and must not
+  // ride every task binary — readResolve restores the singleton, so field
+  // contents never survive deserialization anyway.
+  @transient val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1"  -> q1Pricing,
     "q2"  -> q2MinCost,
     "q3"  -> q3Shipping,
@@ -325,7 +330,7 @@ object Relational extends RelationalCoreOps with RelationalAnalytics with Relati
         |SELECT o_orderkey + 100000000, o_custkey, 'N', o_orderpriority, o_totalprice
         |FROM orders WHERE o_orderkey % 100 = 5""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  @transient val oracles: Map[String, String] = Map(
     "q2"  -> Q2Sql,
     "q11" -> Q11Sql,
     "q17" -> Q17Sql,

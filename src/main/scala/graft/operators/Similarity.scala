@@ -36,7 +36,12 @@ import graft.sources.Tables
 object Similarity extends SimilaritySearch with SimilarityPqIndex {
 
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // @transient: a closure in a trait-slice method captures the module
+  // (see the Serializable note on the slices); the registry maps are the
+  // module's heavy fields (hundreds of lambdas + oracle SQL) and must not
+  // ride every task binary — readResolve restores the singleton, so field
+  // contents never survive deserialization anyway.
+  @transient val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gram_matrix" -> gramMatrix,
     "pca_power" -> pcaPower,
     "pca_project" -> pcaProject,
@@ -617,7 +622,7 @@ object Similarity extends SimilaritySearch with SimilarityPqIndex {
     * result (same training, probing, ADC, rerank), so one oracle
     * gates both and they cannot drift apart (the simjoin_prefix ≡
     * dedup_ngram precedent). */
-  val oracles: Map[String, String] =
+  @transient val oracles: Map[String, String] =
     oraclesBase +
       ("ann_index" -> oraclesBase("ann_ivfpq")) +
       // incremental add: training restricted to the base 4/5 of the

@@ -1259,6 +1259,10 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
       spark: SparkSession, dir: String, candCap: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val tagged = tableKeys(spark, dir)
+    // only a turned dial pays for rank-tracking: at candCap == GraphDeg
+    // the plan (and the persisted cache layout) must stay byte-for-byte
+    // the pre-dial one — the default path is the shipped operator
+    val needRank = candCap < GraphDeg
     val cand0 = tagged.as("a").join(tagged.as("b"),
         col("a.table_idx") === col("b.table_idx") &&
           col("a.table_key") === col("b.table_key") &&
@@ -1271,14 +1275,16 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
         .join(e.select(col("vec_id").as("dst"), col("embedding").as("de")), "dst")
         .withColumn("cos", cosine_sim(col("se"), col("de")))
       val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
-      scored.withColumn("rn", row_number().over(w))
+      val ranked = scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= GraphDeg)
-        .select("src", "dst", "rn")
+      if (needRank) ranked.select("src", "dst", "rn")
+      else ranked.select("src", "dst")
     }
     var g = topM(cand0).persistScoped()
     for (_ <- 1 to DescentRounds) {
-      val edges = g.select("src", "dst")
-      val cg = g.filter(col("rn") <= candCap).select("src", "dst")
+      val edges = if (needRank) g.select("src", "dst") else g
+      val cg =
+        if (needRank) g.filter(col("rn") <= candCap).select("src", "dst") else g
       val fwd = cg.as("a").join(cg.as("b"),
           col("a.dst") === col("b.src") && col("a.src") =!= col("b.dst"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
@@ -1288,6 +1294,6 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
         .select(col("a.dst").as("src"), col("b.dst").as("dst"))
       g = topM(edges.union(fwd).union(rev).union(co).distinct()).persistScoped()
     }
-    g.select("src", "dst")
+    if (needRank) g.select("src", "dst") else g
   }
 }
