@@ -87,6 +87,25 @@ object Bench {
       flagged.toList.sorted)
   }
 
+  /** Resolve a bench module selector ("relational" or "dedup,graph")
+    * against SparkEntry.namedModules: Right(query-name set) or
+    * Left(error message naming the unknown selectors and the valid
+    * ones). Pure so BenchLineSpec can pin it; main exits loudly on
+    * Left (an empty silent run would read as a 0 s bench). */
+  private[graft] def resolveModuleFilter(
+      sel: String,
+      modules: Seq[(String, Map[String, _])]): Either[String, Set[String]] = {
+    val wanted = sel.split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+    val known = modules.map(_._1).toSet
+    val unknown = wanted -- known
+    if (wanted.isEmpty) Left(s"empty module selector; available: ${known.toSeq.sorted.mkString(",")}")
+    else if (unknown.nonEmpty)
+      Left(s"unknown module(s): ${unknown.toSeq.sorted.mkString(",")}; " +
+        s"available: ${known.toSeq.sorted.mkString(",")}")
+    else Right(modules.collect { case (n, qs) if wanted(n) => qs.keySet }
+      .foldLeft(Set.empty[String])(_ ++ _))
+  }
+
   /** 10 ms precision is plenty; full double precision made the r2
     * line ~2.4 kB and the driver's stdout tail capture (2000 chars,
     * measured from BENCH_r02.json) cut off its head → "parsed": null.
@@ -279,17 +298,13 @@ object Bench {
     // silent run would read as a 0 s bench).
     val moduleSel = sys.props.get("benchModule").orElse(sys.env.get("SPARK_GRAFT_MODULE"))
     val moduleOnly: Option[Set[String]] = moduleSel.map { sel =>
-      val wanted = sel.split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
-      val known = SparkEntry.namedModules.map(_._1).toSet
-      val unknown = wanted -- known
-      if (unknown.nonEmpty) {
-        System.err.println(s"BENCH unknown module(s): ${unknown.mkString(",")}; " +
-          s"available: ${known.toSeq.sorted.mkString(",")}")
-        spark.stop()
-        sys.exit(1)
+      resolveModuleFilter(sel, SparkEntry.namedModules) match {
+        case Right(names) => names
+        case Left(msg) =>
+          System.err.println(s"BENCH $msg")
+          spark.stop()
+          sys.exit(1)
       }
-      SparkEntry.namedModules.collect { case (n, qs) if wanted(n) => qs.keySet }
-        .foldLeft(Set.empty[String])(_ ++ _)
     }
     val subsetRun = only.nonEmpty || moduleOnly.nonEmpty
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

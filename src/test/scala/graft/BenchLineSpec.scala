@@ -268,4 +268,20 @@ class BenchLineSpec extends AnyFunSuite {
     assert(union === SparkEntry.queries.keySet)
     assert(SparkEntry.namedModules.map(_._1).distinct.size === SparkEntry.namedModules.size)
   }
+
+  test("resolveModuleFilter: valid selectors union, unknown/empty fail loudly (r13 item 4)") {
+    val mods: Seq[(String, Map[String, Int])] =
+      Seq("alpha" -> Map("a1" -> 1, "a2" -> 2), "beta" -> Map("b1" -> 3))
+    assert(Bench.resolveModuleFilter("alpha", mods) === Right(Set("a1", "a2")))
+    // multi-select unions, case-insensitive, whitespace-tolerant
+    assert(Bench.resolveModuleFilter(" Alpha , BETA ", mods) === Right(Set("a1", "a2", "b1")))
+    val bad = Bench.resolveModuleFilter("alpha,gamma", mods)
+    assert(bad.isLeft && bad.swap.exists(m => m.contains("gamma") && m.contains("alpha,beta")),
+      s"unknown selector must name itself and the valid set: $bad")
+    assert(Bench.resolveModuleFilter(" , ", mods).isLeft, "empty selector fails loudly")
+    // every real module name resolves against the live registry
+    SparkEntry.namedModules.foreach { case (n, qs) =>
+      assert(Bench.resolveModuleFilter(n, SparkEntry.namedModules) === Right(qs.keySet))
+    }
+  }
 }
