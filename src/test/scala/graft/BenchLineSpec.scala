@@ -269,6 +269,23 @@ class BenchLineSpec extends AnyFunSuite {
     assert(SparkEntry.namedModules.map(_._1).distinct.size === SparkEntry.namedModules.size)
   }
 
+  test("the committed bench detail is a usable damping reference") {
+    // since r14 the committed bench_detail_sf0.1.json is load-bearing:
+    // Bench's damping reads it to pick re-time candidates. A corrupt or
+    // subset-overwritten file would silently disable (or misdirect)
+    // damping — assert it parses and substantially matches the registry.
+    val p = java.nio.file.Paths.get("bench_detail_sf0.1.json")
+    assert(java.nio.file.Files.exists(p), "committed damping reference missing")
+    val m = Bench.parseDetailQueries(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    val reg = SparkEntry.queries.keySet
+    val overlap = m.keySet.intersect(reg).size.toDouble
+    assert(m.nonEmpty && overlap / reg.size >= 0.9,
+      s"detail covers only ${overlap.toInt}/${reg.size} registry ops — " +
+        "was it overwritten by a subset run?")
+    assert(m.values.forall(v => v >= 0 && v < 3600), "nonsense seconds in detail")
+  }
+
   test("resolveModuleFilter: valid selectors union, unknown/empty fail loudly (r13 item 4)") {
     val mods: Seq[(String, Map[String, Int])] =
       Seq("alpha" -> Map("a1" -> 1, "a2" -> 2), "beta" -> Map("b1" -> 3))
