@@ -345,6 +345,96 @@ object Graph {
   def graphBfs(spark: SparkSession, dir: String): DataFrame =
     bfsParts(spark, dir)._2
 
+  /** Shipped relax-loop strategy for the hop-BFS family
+    * ([[bfsParts]], [[graphDiameter]]'s sweeps) — see
+    * [[bfsDistances]] for the candidates. Chosen by the r15
+    * interleaved A/B (BfsLab, sf0.1, 3 reps, bfs_reach shape):
+    * frontier 3.7/3.9/4.0 s ≈ ckpt 3.7/3.7/3.8 (within rep noise)
+    * vs legacy 5.9/6.0/6.6 — the lineage cut is worth ~40% and
+    * frontier is the at-scale shape (per-round join left side is the
+    * NEW frontier, not the whole reached set), so it ships. */
+  private[operators] val BfsMode = "frontier"
+
+  /** Bounded hop-BFS relax core over a symmetric edge list (u, v) and
+    * a seed relation (id, d=0) — the loop shared by [[bfsParts]] and
+    * [[graphDiameter]], extracted with a strategy knob for the r15
+    * lineage A/B (VERDICT r14 item 1: the legacy loop references its
+    * own plan TWICE per round — join side + union side — so the
+    * logical plan doubles per round, 2^rounds leaf references at
+    * BfsRounds = 4, and bfs_reach was the registry's slowest op).
+    * All three modes compute the identical relation (BfsLab asserts
+    * exceptAll-parity both directions before timing):
+    *
+    *  - "legacy": dist' = min_id(dist ⋈ edges ∪ dist). Declarative,
+    *    zero materialization — but the doubled self-reference grows
+    *    the plan geometrically and re-plans the whole history each
+    *    round.
+    *  - "ckpt": the same recurrence with a per-round eager
+    *    [[graft.CacheScope.ScopedDataset.localCheckpointScoped]] —
+    *    lineage cut to a LogicalRDD leaf each round, every round
+    *    planned and executed exactly once (the dedup_cluster /
+    *    cc_star precedent; swap for reliable checkpoint(dir) on
+    *    preemptible executors).
+    *  - "frontier": delta propagation — only NEWLY-reached vertices
+    *    join the edges next round. Sound because hop distances never
+    *    improve once set (unit weights: first discovery IS the min),
+    *    so dist is a DISJOINT union of per-round frontiers — no
+    *    re-aggregation of settled state at all. Each frontier is
+    *    checkpointed (linear lineage) and the relax join's left side
+    *    SHRINKS as the reachable set saturates — the asymptotic
+    *    winner at 100 TB (per-round work ∝ frontier, not ∝ reached),
+    *    and at fixture scale within rep noise of "ckpt" (BfsLab). */
+  private[operators] def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      rounds: Int, mode: String = BfsMode): DataFrame = mode match {
+    case "legacy" =>
+      var dist = seeds
+      for (_ <- 1 to rounds) {
+        dist = dist.as("p")
+          .join(edges.as("e"), col("e.u") === col("p.id"))
+          .select(col("e.v").as("id"), (col("p.d") + lit(1L)).as("d"))
+          .unionAll(dist)
+          .groupBy(col("id")).agg(min(col("d")).as("d"))
+      }
+      dist
+    case "ckpt" =>
+      // the LAST round stays declarative: every earlier round is a
+      // LogicalRDD leaf, so the final plan's double self-reference
+      // only re-scans cached blocks — the consumer's one action
+      // executes the last round instead of an eager checkpoint
+      // materializing it and the action re-scanning the copy
+      var dist = seeds
+      for (r <- 1 to rounds) {
+        dist = dist.as("p")
+          .join(edges.as("e"), col("e.u") === col("p.id"))
+          .select(col("e.v").as("id"), (col("p.d") + lit(1L)).as("d"))
+          .unionAll(dist)
+          .groupBy(col("id")).agg(min(col("d")).as("d"))
+        if (r < rounds) dist = dist.localCheckpointScoped()
+      }
+      dist
+    case "frontier" =>
+      var dist = seeds.localCheckpointScoped()
+      var frontier = dist
+      for (r <- 1 to rounds) {
+        var next = frontier.as("p")
+          .join(edges.as("e"), col("e.u") === col("p.id"))
+          .select(col("e.v").as("id"), (col("p.d") + lit(1L)).as("d"))
+          // dedupe multi-path discoveries within the hop, then drop
+          // already-settled vertices: what's left is exactly the set
+          // first reached at THIS hop
+          .groupBy(col("id")).agg(min(col("d")).as("d"))
+          .join(dist.select(col("id")), Seq("id"), "left_anti")
+        // same last-round rule as "ckpt": dist is a union of leaves,
+        // so the final anti-join re-scans, never recomputes
+        if (r < rounds) next = next.localCheckpointScoped()
+        dist = dist.unionAll(next)
+        frontier = next
+      }
+      dist
+    case other =>
+      throw new IllegalArgumentException(s"unknown bfs mode: $other")
+  }
+
   /** (persisted symmetric edges, bounded-horizon distances) — split
     * out so [[bfsReach]] derives its vertex set from the SAME cached
     * edge relation the rounds join against (a separate
@@ -353,17 +443,11 @@ object Graph {
   private def bfsParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val edges = purchaseEdges(spark, dir)
       .repartition(col("u")).persistScoped()
-    var dist = edges.select(col("u").as("id"))
+    val seeds = edges.select(col("u").as("id"))
       .filter(col("id") >= SuppOffset && col("id") <= SuppOffset + BfsMaxSeedSupp)
       .distinct()
       .select(col("id"), lit(0L).as("d"))
-    for (_ <- 1 to BfsRounds) {
-      dist = dist.as("p")
-        .join(edges.as("e"), col("e.u") === col("p.id"))
-        .select(col("e.v").as("id"), (col("p.d") + lit(1L)).as("d"))
-        .unionAll(dist)
-        .groupBy(col("id")).agg(min(col("d")).as("d"))
-    }
+    val dist = bfsDistances(edges, seeds, BfsRounds)
     (edges, dist.select(col("id"), col("d")))
   }
 
@@ -439,17 +523,10 @@ object Graph {
     val edges = purchaseEdges(spark, dir)
       .repartition(col("u")).persistScoped()
     def sweep(seed: Long): DataFrame = {
-      var dist = edges.select(col("u").as("id"))
+      val seeds = edges.select(col("u").as("id"))
         .filter(col("id") === seed).distinct()
         .select(col("id"), lit(0L).as("d"))
-      for (_ <- 1 to DiamRounds) {
-        dist = dist.as("p")
-          .join(edges.as("e"), col("e.u") === col("p.id"))
-          .select(col("e.v").as("id"), (col("p.d") + lit(1L)).as("d"))
-          .unionAll(dist)
-          .groupBy(col("id")).agg(min(col("d")).as("d"))
-      }
-      dist
+      bfsDistances(edges, seeds, DiamRounds)
     }
     val seed1 = SuppOffset + 1L
     val d1 = sweep(seed1).persistScoped()
@@ -540,18 +617,92 @@ object Graph {
         .select(col("u").as("id")).distinct())
   }
 
+  /** Shipped relax-loop strategy for weighted SSSP — see [[ssspOn]]
+    * for the candidates. Chosen by the r15 interleaved A/B (BfsLab,
+    * sf0.1, 3 reps): ckpt 3.6/3.6/3.7 s vs delta 4.2/4.3/4.3 vs
+    * legacy 5.6/5.7/5.8 — the delta mode's extra improvement-join
+    * costs more than the shrinking frontier saves at fixture scale
+    * (4 rounds, still-expanding reach). "delta" remains the dial for
+    * deep-horizon corpora where late rounds touch a vanishing
+    * fraction of vertices. */
+  private[operators] val SsspMode = "ckpt"
+
   /** The bounded Bellman-Ford core over an arbitrary weighted edge
     * list (u, v, w) and seed set (id) — extracted so specs can relax
-    * planted graphs (the labelPropOn pattern). */
-  private[operators] def ssspOn(edgesIn: DataFrame, seeds: DataFrame): DataFrame = {
+    * planted graphs (the labelPropOn pattern).
+    *
+    * Same r15 lineage A/B as [[bfsDistances]], but weighted relax
+    * differs in one essential: a settled distance CAN improve in a
+    * later round (a longer-hop cheaper path), so the frontier trick's
+    * disjoint-union shortcut is unsound here. Modes (all
+    * exceptAll-parity-asserted in BfsLab before timing):
+    *
+    *  - "legacy": the doubled-self-reference recurrence (2^rounds
+    *    plan growth — the r14 verdict nit).
+    *  - "ckpt": per-round eager localCheckpoint — linear lineage.
+    *  - "delta": Bellman-Ford with a change-frontier — only vertices
+    *    whose distance IMPROVED last round relax their out-edges next
+    *    round (the textbook queue-based Bellman-Ford, BSP form). Each
+    *    round: candidates from the frontier, one min-merge against
+    *    settled state to find strict improvements, checkpoint the
+    *    improvement set, merge it in (min over the disjoint-by-key
+    *    union). Costs one extra small join per round vs "ckpt" but
+    *    the relax join's left side shrinks to the churn set — the
+    *    asymptotic shape at 100 TB where late rounds touch a
+    *    vanishing fraction of vertices. */
+  private[operators] def ssspOn(edgesIn: DataFrame, seeds: DataFrame,
+      mode: String = SsspMode): DataFrame = {
     val edges = edgesIn.repartition(col("u")).persistScoped()
-    var dist = seeds.select(col("id"), lit(0L).as("d"))
-    for (_ <- 1 to SsspRounds) {
-      dist = dist.as("p")
-        .join(edges.as("e"), col("e.u") === col("p.id"))
-        .select(col("e.v").as("id"), (col("p.d") + col("e.w")).as("d"))
-        .unionAll(dist)
-        .groupBy(col("id")).agg(min(col("d")).as("d"))
+    val d0 = seeds.select(col("id"), lit(0L).as("d"))
+    val dist = mode match {
+      case "legacy" =>
+        var dist = d0
+        for (_ <- 1 to SsspRounds) {
+          dist = dist.as("p")
+            .join(edges.as("e"), col("e.u") === col("p.id"))
+            .select(col("e.v").as("id"), (col("p.d") + col("e.w")).as("d"))
+            .unionAll(dist)
+            .groupBy(col("id")).agg(min(col("d")).as("d"))
+        }
+        dist
+      case "ckpt" =>
+        // last round declarative — see bfsDistances' "ckpt" note
+        var dist = d0
+        for (r <- 1 to SsspRounds) {
+          dist = dist.as("p")
+            .join(edges.as("e"), col("e.u") === col("p.id"))
+            .select(col("e.v").as("id"), (col("p.d") + col("e.w")).as("d"))
+            .unionAll(dist)
+            .groupBy(col("id")).agg(min(col("d")).as("d"))
+          if (r < SsspRounds) dist = dist.localCheckpointScoped()
+        }
+        dist
+      case "delta" =>
+        var dist = d0.localCheckpointScoped()
+        var frontier = dist
+        for (r <- 1 to SsspRounds) {
+          // checkpointed EVERY round (unlike "ckpt"'s last-round
+          // exception): the settled chain is re-referenced by both
+          // the improvement filter and the merge, so a declarative
+          // last improvement set would recompute the whole chain
+          // twice in the consumer's action
+          val improved = frontier.as("p")
+            .join(edges.as("e"), col("e.u") === col("p.id"))
+            .select(col("e.v").as("id"), (col("p.d") + col("e.w")).as("d"))
+            .groupBy(col("id")).agg(min(col("d")).as("d"))
+            // strict improvements only: unreached (null) or cheaper
+            .join(dist.withColumnRenamed("d", "d_set"), Seq("id"), "left")
+            .filter(col("d_set").isNull || col("d") < col("d_set"))
+            .select(col("id"), col("d"))
+            .localCheckpointScoped()
+          // min-merge: `improved` beats `dist` wherever both hold a key
+          dist = dist.unionAll(improved)
+            .groupBy(col("id")).agg(min(col("d")).as("d"))
+          frontier = improved
+        }
+        dist
+      case other =>
+        throw new IllegalArgumentException(s"unknown sssp mode: $other")
     }
     dist.select(col("id"), col("d"))
   }

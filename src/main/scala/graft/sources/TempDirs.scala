@@ -23,12 +23,27 @@ object TempDirs {
   private val pid = ProcessHandle.current().pid()
   private val registered = scala.collection.mutable.HashSet[String]()
 
-  /** A stable-within-this-JVM scratch path for (label, input dir),
-    * deleted recursively at JVM shutdown. */
+  /** Optional scratch EPOCH (r15, VERDICT r14 item 2): the sysprop is
+    * read at every `scratch` call, so flipping it mid-JVM hands out a
+    * FRESH directory tree for the same (label, dir). Benchmarking is
+    * the one consumer: the streaming sink gates keep their checkpoint
+    * across calls in one JVM by design (a rerun drains zero new files
+    * — the incremental contract), which made their min-of-two damping
+    * rerun time the warm path instead of the operator. Bench flips
+    * the epoch before its damping pass so a stream-op rerun is a
+    * genuine cold drain. Unset (every non-bench context) → paths are
+    * byte-identical to the pre-epoch scheme, and each epoch's tree
+    * registers its own shutdown-hook cleanup. */
+  val EpochProp = "graft.scratch.epoch"
+
+  /** A stable-within-this-JVM scratch path for (label, input dir,
+    * current epoch), deleted recursively at JVM shutdown. */
   def scratch(label: String, dir: String): String = synchronized {
+    val epoch = sys.props.get(EpochProp).filter(_.nonEmpty)
+      .map(e => s"_e$e").getOrElse("")
     val f = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      s"graft_${label}_${dirKey(dir)}_p$pid")
+      s"graft_${label}_${dirKey(dir)}_p$pid$epoch")
     val path = f.toString
     if (registered.add(path))
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(f)))

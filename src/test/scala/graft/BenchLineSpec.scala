@@ -216,6 +216,14 @@ class BenchLineSpec extends AnyFunSuite {
     // fast new ops (sub-second) are not re-timed
     val picked2 = Bench.pickReruns(Seq("q_tiny" -> 0.4), committed, Set.empty)
     assert(picked2.isEmpty)
+    // ADVICE r14: a new op ranks by t/2 (assumed half-time baseline),
+    // so a genuinely-new 5 s op no longer outranks an op inflated by
+    // 4 s and can't drain the capped budget ahead of real distortions
+    val mixed = Bench.pickReruns(
+      Seq("q_inflated" -> 5.0, "q_brandnew" -> 5.0),
+      Map("q_inflated" -> 1.0), Set.empty)
+    assert(mixed === Seq("q_inflated", "q_brandnew"),
+      "excess 4.0 must outrank a new op's assumed excess 2.5")
     // no committed reference (fresh machine / new sf): legacy top-12
     val many = (1 to 20).map(i => f"q$i%02d" -> i.toDouble)
     val legacy = Bench.pickReruns(many, Map.empty, exclude = Set("q20"))
@@ -224,13 +232,12 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("dampWithBudget hard-caps rerun wall, keeps mins, flags only successful reruns (r13 item 1)") {
     val results = Seq("q_d" -> 9.0, "q_a" -> 3.5, "q_new" -> 2.0, "q_b" -> 2.4)
-    val rerunTimes = Map("q_d" -> 4.1, "q_a" -> 55.0, "q_new" -> 1.9)
+    val rerunTimes = Map("q_d" -> 4.1, "q_a" -> 2.5, "q_new" -> 1.9)
     val ran = scala.collection.mutable.ListBuffer[String]()
     val (damped, flagged) = Bench.dampWithBudget(results, Seq("q_d", "q_a", "q_new"), 60.0) { n =>
       ran += n; (rerunTimes(n), n != "q_a") // q_a's rerun FAILS
     }
-    // budget: 4.1 + 55.0 = 59.1 < 60 → q_new still runs; then spent
-    // >= 60 would stop. All three ran here.
+    // estimates (first-pass): 9.0 + 3.5 + 2.0 all fit inside 60
     assert(ran.toList === List("q_d", "q_a", "q_new"))
     val m = damped.toMap
     assert(m("q_d") === 4.1, "min of two runs recorded")
@@ -238,11 +245,42 @@ class BenchLineSpec extends AnyFunSuite {
     assert(m("q_new") === 1.9)
     assert(m("q_b") === 2.4, "un-rerun ops keep their single-shot time")
     assert(flagged === List("q_d", "q_new"), "failed rerun is not flagged damped")
-    // a tight budget stops after the first rerun consumes it
-    val (_, flagged2) = Bench.dampWithBudget(results, Seq("q_d", "q_a", "q_new"), 4.0) { n =>
-      (rerunTimes(n), true)
+    // ADVICE r14: a candidate whose FIRST-PASS time would overshoot
+    // the remaining budget is skipped BEFORE running (the old loop
+    // always ran the first — likely longest — candidate, so actual
+    // wall could exceed the 'hard cap' by one slow query), and the
+    // scan continues so a cheaper later candidate uses the remainder
+    val ran3 = scala.collection.mutable.ListBuffer[String]()
+    val (_, flagged3) = Bench.dampWithBudget(results, Seq("q_d", "q_a", "q_new"), 6.0) { n =>
+      ran3 += n; (rerunTimes(n), true)
     }
-    assert(flagged2 === List("q_d"), "budget is a hard cap, worst offender first")
+    assert(ran3.toList === List("q_a", "q_new"),
+      "q_d's 9 s first pass exceeds the 6 s budget outright — never run; " +
+        "q_a (3.5 est) runs, then q_new (2.5 spent + 2.0 est <= 6)")
+    assert(flagged3 === List("q_a", "q_new"))
+    // an op whose single first pass exceeds the ENTIRE budget is never
+    // re-timed, by design — it stays honestly hot in the line
+    val ran4 = scala.collection.mutable.ListBuffer[String]()
+    Bench.dampWithBudget(Seq("q_huge" -> 99.0), Seq("q_huge"), 60.0) { n =>
+      ran4 += n; (1.0, true)
+    }
+    assert(ran4.isEmpty)
+  }
+
+  test("mergeReference keeps per-op best-known-idle; confirmed regressions move it (r14 item 6)") {
+    val ref = Map("q_a" -> 2.0, "q_b" -> 3.0, "q_c" -> 1.0, "q_gone" -> 5.0)
+    val recorded = Seq(
+      "q_a" -> 1.5, // faster → new best-known-idle
+      "q_b" -> 9.0, // slower but NOT damped → ambient, reference holds
+      "q_c" -> 2.0, // slower AND min-of-two damped → two fresh
+                    // measurements agree: a confirmed change moves it
+      "q_new" -> 4.0) // new op enters at its recorded time
+    val merged = Bench.mergeReference(ref, recorded, damped = Set("q_c"))
+    assert(merged === Map("q_a" -> 1.5, "q_b" -> 3.0, "q_c" -> 2.0, "q_new" -> 4.0),
+      "and q_gone (absent from this run) must be dropped, not linger")
+    // a damped op INSIDE the 1.5x band keeps the min (both honest)
+    val m2 = Bench.mergeReference(Map("q_d" -> 2.0), Seq("q_d" -> 2.4), Set("q_d"))
+    assert(m2 === Map("q_d" -> 2.0))
   }
 
   test("damped flag caps at 15 names + count so a loaded run can't crowd the line (r13 item 1)") {
@@ -255,12 +293,27 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!out.contains("q16 "), "names beyond 15 fold into the count")
   }
 
-  test("the damping exclusion set names real registry queries") {
-    // a renamed stream op would silently re-enable warm-path damping
-    // for its persistent-scratch contract — pin the names
-    val noRerun = Set("stream_sink", "stream_join", "stream_join_outer", "stream_dedup")
-    val ghosts = noRerun -- SparkEntry.queries.keySet
-    assert(ghosts.isEmpty, s"noRerun entries not in the registry: $ghosts")
+  test("scratch epoch flip hands out fresh trees — the noRerun set is retired (r14 item 2)") {
+    // r15: Bench flips graft.scratch.epoch before its damping pass so
+    // the streaming sink gates (whose checkpoint persists per-JVM by
+    // design) re-run as a genuine cold drain instead of the warm
+    // incremental path — the former noRerun exclusion set is gone.
+    import graft.sources.TempDirs
+    val before = TempDirs.scratch("epochspec", "/some/dir")
+    try {
+      sys.props(TempDirs.EpochProp) = "damp"
+      val during = TempDirs.scratch("epochspec", "/some/dir")
+      assert(during !== before, "epoch must hand out a fresh tree")
+      assert(during.contains("_edamp"))
+      assert(TempDirs.scratch("epochspec", "/some/dir") === during,
+        "stable within one epoch")
+    } finally sys.props.remove(TempDirs.EpochProp)
+    assert(TempDirs.scratch("epochspec", "/some/dir") === before,
+      "unset epoch restores the legacy path byte-for-byte")
+    // and the retired names must still be real registry ops (a rename
+    // would invalidate the epoch rationale documented in Bench)
+    val streamGates = Set("stream_sink", "stream_join", "stream_join_outer", "stream_dedup")
+    assert((streamGates -- SparkEntry.queries.keySet).isEmpty)
   }
 
   test("namedModules cover the registry exactly (r13 item 4)") {

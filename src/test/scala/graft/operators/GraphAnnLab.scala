@@ -46,10 +46,14 @@ object GraphAnnLab {
     }
     // beam-width A/B (VERDICT r12 item 6): recall@5 vs brute force +
     // cold time at each width; ship a narrower beam only if the 0.8
-    // floor holds at every SF
-    val brute = Similarity.annTopkBrute(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    sweep()
+    // floor holds at every SF. Lazy (ADVICE r14): a phases-only run
+    // must not pay the brute-force collect it never reads.
+    lazy val brute: Set[(Long, Long)] = {
+      val b = Similarity.annTopkBrute(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      sweep()
+      b
+    }
     for (bw <- Seq(48, 40, 32) if sections("beam")) {
       val t0 = System.nanoTime()
       val rows = Similarity.annGraphBeam(spark, dir, bw).collect()

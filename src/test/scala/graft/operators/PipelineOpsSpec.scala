@@ -177,7 +177,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     val maxDeg = Similarity.neighborGraph(spark, dir)
       .groupBy("src").count()
       .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
-    assert(maxDeg <= 16L, s"graph out-degree $maxDeg exceeds the bound")
+    assert(maxDeg <= Similarity.GraphDeg.toLong,
+      s"graph out-degree $maxDeg exceeds the bound")
     graft.CacheScope.release(blocking = true)
   }
 
@@ -186,7 +187,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     // the shipped construction EXACTLY (the oracle replays it), so the
     // capped variant may never drift under refactors
     val shipped = Similarity.neighborGraph(spark, dir)
-    val capped = Similarity.neighborGraphCapped(spark, dir, 16)
+    // ADVICE r14: derive the cap from the shipped constant — a literal
+    // 16 would silently pin a non-default cap if GraphDeg ever moved
+    val capped = Similarity.neighborGraphCapped(spark, dir, Similarity.GraphDeg)
     assert(shipped.exceptAll(capped).isEmpty && capped.exceptAll(shipped).isEmpty,
       "candCap=GraphDeg must be row-for-row identical to neighborGraph")
     // a tighter cap restricts CANDIDATE GENERATION only — the output
@@ -194,7 +197,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     val g12 = Similarity.neighborGraphCapped(spark, dir, 12)
     val maxDeg12 = g12.groupBy("src").count()
       .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
-    assert(maxDeg12 <= 16L, s"capped-build out-degree $maxDeg12 exceeds GraphDeg")
+    assert(maxDeg12 <= Similarity.GraphDeg.toLong,
+      s"capped-build out-degree $maxDeg12 exceeds GraphDeg")
     assert(g12.count() > 0L)
     graft.CacheScope.release(blocking = true)
   }

@@ -59,23 +59,45 @@ def scaladoc_above(lines, def_idx):
     return text.replace("|", "\\|")
 
 
+DEF_RX = re.compile(r"\s*(?:private\[\w+\]\s+)?def (\w+)\s*[(\[:]")
+
+
 def index_defs(root):
-    """Global def index across every module file: name -> (basename,
-    line idx, file lines). Needed since the Relational trait-mixin
-    split (r13 verdict item 3): a registry entry in Relational.scala
-    may reference a def living in a sibling slice file. Same-file
-    resolution still wins (parse_module checks its own file first), so
-    same-named defs in unrelated modules keep their old behavior."""
+    """Global def index across every module file: name -> list of
+    (basename, line idx, file lines) candidates. Needed since the
+    Relational trait-mixin split (r13 verdict item 3): a registry
+    entry in Relational.scala may reference a def living in a sibling
+    slice file. Same-file resolution still wins (parse_module checks
+    its own file first); cross-file collisions are resolved by the
+    caller, which prefers SIBLING SLICE files of the referencing
+    module (ADVICE r14: first-alphabetical-wins could anchor a ref to
+    a same-named def in an unrelated module). The def regex also
+    accepts parameter-less and generic defs (`def fooSql: String`,
+    `def foo[T](...)`)."""
     index = {}
     for fn in sorted(os.listdir(os.path.join(root, MODULE_DIR))):
         if not fn.endswith(".scala"):
             continue
         lines = open(os.path.join(root, MODULE_DIR, fn), encoding="utf-8").read().splitlines()
+        seen = set()
         for idx, ln in enumerate(lines):
-            m = re.match(r"\s*(?:private\[\w+\]\s+)?def (\w+)\(", ln)
-            if m and m.group(1) not in index:
-                index[m.group(1)] = (fn, idx, lines)
+            m = DEF_RX.match(ln)
+            if m and m.group(1) not in seen:
+                seen.add(m.group(1))
+                index.setdefault(m.group(1), []).append((fn, idx, lines))
     return index
+
+
+def pick_candidate(cands, base):
+    """Resolve a cross-file def collision: prefer a sibling slice of
+    the referencing module (one file's stem prefixes the other's —
+    Relational.scala <-> RelationalCoreOps.scala), else first
+    alphabetical (the legacy rule)."""
+    stem = base[:-len(".scala")]
+    sibs = [c for c in cands
+            if c[0][:-len(".scala")].startswith(stem)
+            or stem.startswith(c[0][:-len(".scala")])]
+    return (sibs or cands)[0]
 
 
 def parse_module(path, global_defs):
@@ -83,7 +105,7 @@ def parse_module(path, global_defs):
     # def line index per method name (objects are flat — one def per name)
     defs = {}
     for idx, ln in enumerate(lines):
-        m = re.match(r"\s*(?:private\[\w+\]\s+)?def (\w+)\(", ln)
+        m = DEF_RX.match(ln)
         if m and m.group(1) not in defs:
             defs[m.group(1)] = idx
     # the queries block: from `val queries` to its closing paren at depth 0
@@ -111,7 +133,7 @@ def parse_module(path, global_defs):
             idx = defs[ref]
             rows.append((name, f"{base}:{idx + 1}", scaladoc_above(lines, idx)))
         elif ref and ref in global_defs:
-            gfn, idx, glines = global_defs[ref]
+            gfn, idx, glines = pick_candidate(global_defs[ref], base)
             rows.append((name, f"{gfn}:{idx + 1}", scaladoc_above(glines, idx)))
         else:
             rows.append((name, base, ""))
