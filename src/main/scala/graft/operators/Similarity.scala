@@ -86,6 +86,15 @@ object Similarity extends SimilaritySearch with SimilarityPqIndex {
     "conformal_knn" -> conformalKnn,
     "embed_norm_stats" -> embedNormStats)
 
+  /** Seed-window predicate for the oracle replays — replays the
+    * engine's corpus-relative slice ([[seedWindowBase]]: min(vec_id)
+    * + [[SeedBaseOffset]], width `n`) so oracle and engine stay in
+    * lockstep through the ONE shared constant (r15, VERDICT r14
+    * item 5). */
+  private[operators] def seedWindowSql(n: Int): String =
+    s"vec_id >= (SELECT min(vec_id) + $SeedBaseOffset FROM embeddings) " +
+      s"AND vec_id < (SELECT min(vec_id) + ${SeedBaseOffset + n} FROM embeddings)"
+
   /** Shared PQ replay: lattice-floored vectors, the sampled-point
     * SEED codebook, the per-subspace Lloyd mean update (integral
     * sums, truncating division), then per-(vector, subspace, code)
@@ -97,7 +106,7 @@ object Similarity extends SimilaritySearch with SimilarityPqIndex {
        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT)) AS q
        |  FROM embeddings),
        |cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, q AS cq
-       |        FROM e WHERE vec_id >= 100 AND vec_id < ${100 + NCodes}),
+       |        FROM e WHERE ${seedWindowSql(NCodes)}),
        |sd AS (SELECT ss.s, dd.d FROM (SELECT unnest(range($NSub)) AS s) ss
        |       CROSS JOIN (SELECT unnest(range($SubDim)) AS d) dd),
        |nd0 AS (
@@ -151,7 +160,7 @@ object Similarity extends SimilaritySearch with SimilarityPqIndex {
        |           FROM embeddings),
        |cents0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS ce
-       |  FROM e WHERE vec_id >= 100 AND vec_id < ${100 + NCells}),
+       |  FROM e WHERE ${seedWindowSql(NCells)}),
        |a0 AS (
        |  SELECT e.vec_id, c.cell,
        |    row_number() OVER (PARTITION BY e.vec_id
@@ -184,7 +193,7 @@ object Similarity extends SimilaritySearch with SimilarityPqIndex {
          |       FROM embeddings),
          |cents0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS ce
-         |  FROM ed WHERE vec_id >= 100 AND vec_id < ${100 + NCells}),
+         |  FROM ed WHERE ${seedWindowSql(NCells)}),
          |a0 AS (
          |  SELECT ed.vec_id, c.cell,
          |    row_number() OVER (PARTITION BY ed.vec_id

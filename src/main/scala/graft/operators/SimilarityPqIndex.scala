@@ -253,12 +253,13 @@ private[operators] trait SimilarityPqIndex extends Serializable { this: Similari
 
   /** Sampled-point SEED codebook, as lattice integers:
     * codebook(s)(c)(d) = component s·SubDim+d of seed vector c
-    * (vec_id ∈ [100, 100+NCodes) — the IVF seed-slice trick, one
-    * codebook entry per seed per subspace). Driver metadata:
-    * 256×64 longs. */
+    * (vec_id ∈ [base, base+NCodes), base corpus-derived via
+    * `seedWindowBase` — the IVF seed-slice trick, one codebook entry
+    * per seed per subspace). Driver metadata: 256×64 longs. */
   private[operators] def pqSeedCodebook(spark: SparkSession, dir: String): Array[Array[Array[Long]]] = {
+    val base = seedWindowBase(spark, dir).getOrElse(SeedBaseOffset)
     val seeds = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") >= 100 && col("vec_id") < (100 + NCodes))
+      .filter(col("vec_id") >= base && col("vec_id") < (base + NCodes))
       .select(col("vec_id"), col("embedding"))
       .collect()
       .sortBy(_.getLong(0))

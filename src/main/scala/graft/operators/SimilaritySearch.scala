@@ -589,17 +589,41 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
   private[operators] val NProbe = 8 // r8 shipped 6 (sf0.1 recall 0.64); 8 holds ≥0.7 at every swept SF
   private[operators] val LloydRounds = 1
 
-  /** Deterministic SEED centroids: a fixed slice of the corpus itself
-    * (vec_id ∈ [100, 100+NCells)) — sampled-point initialization, the
-    * k-means analogue of a fixed seed. */
+  /** Offset of the sampled-point seed window above the corpus'
+    * SMALLEST vec_id — r15 (VERDICT r14 item 5): the seed slice is
+    * corpus-RELATIVE (min(vec_id) + offset), not a literal id range,
+    * and this one constant is shared by the engine ([[seedCentroids]],
+    * `SimilarityPqIndex.pqSeedCodebook`) and the oracle replays
+    * (`Similarity.seedWindowSql`), so both derive the identical slice
+    * on any corpus. The offset preserves the shipped fixtures' slice
+    * bit-for-bit (their min(vec_id) is 0), keeping all eight
+    * quantizer-sharing ops hash-stable. */
+  private[operators] val SeedBaseOffset = 100L
+
+  /** Corpus-derived base of the seed window, or None on an empty
+    * corpus (callers return empty seeds — the pre-r15 behavior). One
+    * scalar min() to the driver — the pagerank-N metadata class. */
+  private[operators] def seedWindowBase(spark: SparkSession, dir: String): Option[Long] = {
+    val r = Tables.embeddings(spark, dir).agg(min(col("vec_id"))).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0) + SeedBaseOffset)
+  }
+
+  /** Deterministic SEED centroids: a fixed corpus-relative slice
+    * (vec_id ∈ [base, base+NCells), base = min(vec_id) +
+    * [[SeedBaseOffset]]) — sampled-point initialization, the k-means
+    * analogue of a fixed seed. */
   private[operators] def seedCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Double])] =
-    Tables.embeddings(spark, dir)
-      .filter(col("vec_id") >= 100 && col("vec_id") < (100 + NCells))
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .sortBy(_.getLong(0))
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1).toArray.map(_.toDouble)) }
+    seedWindowBase(spark, dir) match {
+      case None => Array.empty
+      case Some(b) =>
+        Tables.embeddings(spark, dir)
+          .filter(col("vec_id") >= b && col("vec_id") < (b + NCells))
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .sortBy(_.getLong(0))
+          .zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Float](1).toArray.map(_.toDouble)) }
+    }
 
   /** Quantization grid for the Lloyd mean update: components are
     * floored onto a 2^-20 lattice BEFORE summing, so the per-cell mean
