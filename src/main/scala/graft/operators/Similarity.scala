@@ -645,13 +645,17 @@ object Similarity extends SimilaritySearch with SimilarityPqIndex {
     * candidates → exact cosine → per-query rank), shared by the
     * `ann_lsh` and `knn_join` oracles so the two can't drift. */
   /** Full DuckDB replay of [[annGraph]]: LSH keys → bucket-mate
-    * init → two NN-descent rounds → stride seeds → four beam hops →
+    * init → [[SimilaritySearch.DescentRounds]] NN-descent round(s) →
+    * stride seeds → four beam hops →
     * exact top-K. Every CTE is `AS MATERIALIZED`: DuckDB inlines CTEs
     * by default and each NN-descent round references its predecessor
     * FOUR times, so the inlined plan re-derives the whole prefix per
     * reference — exponential in round count (measured: 240 s inlined
     * vs 0.9 s materialized at sf0.01, identical 50 rows). */
   private def graphReplaySql: String = {
+    // the trained-graph CTE the beam hops walk — generated from
+    // DescentRounds so engine and replay share the one constant
+    val gcte = s"e$DescentRounds"
     def ndRound(r: Int, prev: String): String =
       s"""cand$r AS MATERIALIZED (SELECT src, dst FROM $prev
          |  UNION SELECT a.src, b.dst FROM $prev a JOIN $prev b ON a.dst = b.src AND b.dst <> a.src
@@ -685,8 +689,7 @@ object Similarity extends SimilaritySearch with SimilarityPqIndex {
        |e0 AS MATERIALIZED (SELECT src, dst FROM (
        |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
        |    FROM s0) t WHERE rn <= $GraphDeg),
-       |${ndRound(1, "e0")}
-       |${ndRound(2, "e1")}
+       |${(1 to DescentRounds).map(r => ndRound(r, s"e${r - 1}")).mkString("\n")}
        |q AS MATERIALIZED (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < $NQueries),
        |seeds AS MATERIALIZED (SELECT vec_id AS nid FROM e WHERE vec_id % $SeedStride = 0),
        |b0 AS MATERIALIZED (SELECT qid, nid FROM (
@@ -695,11 +698,11 @@ object Similarity extends SimilaritySearch with SimilarityPqIndex {
        |        ORDER BY list_cosine_similarity(qq.qe, ne.emb) DESC, s.nid ASC) AS rn
        |    FROM q qq CROSS JOIN seeds s JOIN e ne ON ne.vec_id = s.nid
        |    WHERE qq.qid <> s.nid) t WHERE rn <= $BeamWidth),
-       |${hop(1, "b0", "e2")}
-       |${hop(2, "b1", "e2")}
-       |${hop(3, "b2", "e2")}
+       |${hop(1, "b0", gcte)}
+       |${hop(2, "b1", gcte)}
+       |${hop(3, "b2", gcte)}
        |cf AS MATERIALIZED (SELECT qid, nid FROM b3
-       |  UNION SELECT b3.qid, g.dst AS nid FROM b3 JOIN e2 g ON g.src = b3.nid),
+       |  UNION SELECT b3.qid, g.dst AS nid FROM b3 JOIN $gcte g ON g.src = b3.nid),
        |sfin AS MATERIALIZED (SELECT c.qid, c.nid, list_cosine_similarity(qq.qe, ne.emb) AS cos
        |  FROM cf c JOIN q qq ON qq.qid = c.qid JOIN e ne ON ne.vec_id = c.nid
        |  WHERE c.qid <> c.nid),

