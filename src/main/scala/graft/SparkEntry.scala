@@ -40,6 +40,16 @@ object SparkEntry {
       Multimodal.oracles, StreamOps.oracles, Corpus.oracles, Graph.oracles,
       DataQuality.oracles)
 
+  /** Operator names registered by MORE than one module — the names
+    * `modules.reduce(_ ++ _)` would silently shadow (last module
+    * wins). Must be empty; CatalogSpec asserts it on the live
+    * registry AND that the detection fires on a planted duplicate
+    * (VERDICT r14 item 3). */
+  private[graft] def registryCollisions(mods: Seq[(String, Map[String, _])]): Seq[String] =
+    mods.flatMap { case (mod, qs) => qs.keys.map(_ -> mod) }
+      .groupBy(_._1).filter(_._2.size > 1).toSeq.sortBy(_._1)
+      .map { case (op, ms) => s"$op in ${ms.map(_._2).mkString("+")}" }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.reduce(_ ++ _)
