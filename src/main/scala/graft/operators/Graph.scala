@@ -864,20 +864,36 @@ object Graph {
       .select(col("o_custkey").as("c"), (col("l_suppkey") + SuppOffset).as("s"))
       .distinct())
 
+  /** Shipped per-half-round state strategy for [[hitsOn]] — decided
+    * by the r15 interleaved A/B (HitsLab, parity-gated): see the
+    * rescale comment for the numbers. */
+  private[operators] val HitsMode = "ckpt"
+
   /** The mutual-reinforcement core over an arbitrary DIRECTED edge
     * list (c, s) — extracted so specs can score planted graphs (the
     * labelPropOn pattern). */
-  private[operators] def hitsOn(base: DataFrame): DataFrame = {
+  private[operators] def hitsOn(base: DataFrame,
+      mode: String = HitsMode): DataFrame = {
     val eByC = base.repartition(col("c")).persistScoped()
     val eByS = base.repartition(col("s")).persistScoped()
 
     def rescale(scoresIn: DataFrame): DataFrame = {
       // the raw sums are referenced TWICE (the max aggregate and the
       // rescale join) and each half-round chains on the last —
-      // without this persist the lineage re-evaluates geometrically
-      // across the 2×2 half-rounds (measured: 12.6 s → ~5 s at
-      // sf0.1)
-      val scores = scoresIn.persistScoped()
+      // without materialization the lineage re-evaluates
+      // geometrically across the 2×2 half-rounds (measured: 12.6 s →
+      // ~5 s at sf0.1 with per-half-round persist). r15's HitsLab
+      // interleaved A/B (sf0.1, 3 reps, exceptAll-parity first) then
+      // swapped the persist for an eager localCheckpoint: ckpt
+      // 4.3/3.4/3.2 s vs persist 5.1/4.5/4.2 — a consistent ~20%
+      // win, same mechanism as KcoreMode (each half-round plans and
+      // executes exactly once against a LogicalRDD leaf instead of
+      // paying analysis + cache-substitution passes per reference).
+      // Swap for reliable checkpoint(dir) on preemptible executors.
+      val scores = mode match {
+        case "ckpt" => scoresIn.localCheckpointScoped()
+        case _      => scoresIn.persistScoped()
+      }
       val mx = scores.agg(max(col("x")).as("mx"), count(lit(1)).as("nn"))
       ScalarJoin.attachScalar(scores, col("x"), mx, col("nn"))
         .select(col("id"),
@@ -1428,25 +1444,61 @@ object Graph {
   def kcore(spark: SparkSession, dir: String): DataFrame =
     kcoreOn(purchaseEdges(spark, dir))
 
+  /** Shipped per-round state strategy for the k-core peel — see
+    * [[kcoreOn]] for the candidates. Chosen by the r15 interleaved
+    * A/B (KcoreLab, sf0.1, 3 reps, parity-gated): ckpt 2.4/2.2/2.3 s
+    * vs legacy-persist 6.2/5.8/5.6 vs fully-declarative 28.8/31.0/
+    * 32.2 (the 3^rounds baseline) — cutting each round to a
+    * LogicalRDD leaf beats cache substitution here because the round
+    * output is referenced three times (keep's aggregate twice + the
+    * join left side) and the cached plan still pays analysis +
+    * cache-build passes per reference. */
+  private[operators] val KcoreMode = "ckpt"
+
   /** The peeling core over an arbitrary symmetric edge list —
     * extracted so specs can peel planted graphs (chain-erosion and
-    * fixed-point pins). */
+    * fixed-point pins). Two state strategies, identical relation
+    * (KcoreLab asserts exceptAll-parity both directions before any
+    * timing):
+    *
+    *  - "legacy": per-round `persistScoped` — cache substitution
+    *    truncates the effective plan, but every round's edges are
+    *    referenced 3× (degree agg feeding both semi joins + the join
+    *    left side), so the logical plan still grows 3^rounds and the
+    *    cache materializes as a side pass of the single action.
+    *  - "ckpt": per-round eager
+    *    [[graft.CacheScope.ScopedDataset.localCheckpointScoped]] —
+    *    the BfsMode/"ckpt" precedent: each round plans and executes
+    *    exactly once against a LogicalRDD leaf; the LAST round stays
+    *    declarative (the consumer's action executes it). Swap for
+    *    reliable checkpoint(dir) on preemptible executors. */
   private[operators] def kcoreOn(edgesIn: DataFrame,
-      k: Int = KcoreK, rounds: Int = KcoreRounds): DataFrame = {
-    var edges = edgesIn.persistScoped()
-    for (_ <- 1 to rounds) {
+      k: Int = KcoreK, rounds: Int = KcoreRounds,
+      mode: String = KcoreMode): DataFrame = {
+    var edges = mode match {
+      case "ckpt"   => edgesIn.localCheckpointScoped()
+      case "legacy" => edgesIn.persistScoped()
+      case "decl"   => edgesIn.persistScoped() // fully declarative rounds (lab baseline)
+      case other    => throw new IllegalArgumentException(s"unknown kcore mode: $other")
+    }
+    for (r <- 1 to rounds) {
       // keep is deliberately NOT persisted: both semi joins re-derive
-      // the degree aggregate from the round's CACHED edges, which
-      // measured 1.7× cheaper than materializing a keep cache per
-      // round (KcoreLab, sf0.1: 5.1–5.5 s vs 8.6–9.9 s shipped-r11 —
-      // the materialization job costs more than the re-aggregation)
+      // the degree aggregate from the round's materialized edges,
+      // which measured 1.7× cheaper than materializing a keep cache
+      // per round (KcoreLab, sf0.1: 5.1–5.5 s vs 8.6–9.9 s
+      // shipped-r11 — the materialization job costs more than the
+      // re-aggregation)
       val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("u").as("id"))
       edges = edges
         .join(keep, edges("u") === keep("id"), "left_semi")
         .join(keep, edges("v") === keep("id"), "left_semi")
-        .persistScoped()
+      edges = mode match {
+        case "ckpt"   => if (r < rounds) edges.localCheckpointScoped() else edges
+        case "legacy" => edges.persistScoped()
+        case _        => edges
+      }
     }
     edges.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
   }
