@@ -1297,11 +1297,32 @@ object Graph {
     * chain; each round enumerates triangles via the canonical
     * a<b<c triple join ([[triangles]]'s shape), explodes each into
     * its 3 member edges, folds support partial+final, and semi-joins
-    * survivors. Scale shape: edges persist per round (the Pregel
-    * invariant — the triple join reuses one cached relation three
-    * times); candidate volume is Σ deg(v)² over the near-dup graph,
+    * survivors. Scale shape: each round's survivor set materializes
+    * once (the Pregel invariant — the triple join references it
+    * three times, plus the semi join's left side: 4 references per
+    * round); candidate volume is Σ deg(v)² over the near-dup graph,
     * sub-quadratic because banding already bounded the pair graph. */
-  def ktruss(spark: SparkSession, dir: String): DataFrame = {
+  def ktruss(spark: SparkSession, dir: String): DataFrame =
+    ktrussOn(Dedup.dedupNgramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b")))
+
+  /** Shipped per-round state strategy for [[ktrussOn]] — decided by
+    * the r15 interleaved A/B (TrussLab, parity-gated, sf0.1, 3 reps,
+    * legacy timed first so it also absorbed rep-1's JVM warmup):
+    * ckpt 2.8/1.9/2.4 s vs legacy-persist 11.2/3.8/4.5 — ~45% off
+    * the steady-state reps. The KcoreMode mechanism transfers (4
+    * references per round beat cache substitution's analysis +
+    * cache-build passes) even though the shared shingle-pair build
+    * is inside both walls. */
+  private[operators] val TrussMode = "ckpt"
+
+  /** The truss-peel core over an arbitrary canonically-oriented
+    * (doc_a < doc_b) pair list — extracted so specs and TrussLab can
+    * peel planted graphs. Modes as [[kcoreOn]]: "ckpt" (per-round
+    * eager localCheckpoint, last round declarative), "legacy"
+    * (per-round persist). */
+  private[operators] def ktrussOn(pairsIn: DataFrame,
+      mode: String = TrussMode): DataFrame = {
     def support(edges: DataFrame): DataFrame =
       edges.as("e1")
         .join(edges.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
@@ -1313,12 +1334,22 @@ object Graph {
           struct(col("e3.doc_a").as("doc_a"), col("e3.doc_b").as("doc_b")))).as("e"))
         .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("support"))
-    var edges = Dedup.dedupNgramJaccard(spark, dir)
-      .select(col("doc_a"), col("doc_b")).persistScoped()
+    var edges = mode match {
+      case "ckpt"   => pairsIn.localCheckpointScoped()
+      case "legacy" => pairsIn.persistScoped()
+      case other    => throw new IllegalArgumentException(s"unknown truss mode: $other")
+    }
     for (_ <- 1 to TrussRounds) {
       edges = edges.join(
         support(edges).filter(col("support") >= TrussK - 2),
-        Seq("doc_a", "doc_b"), "left_semi").persistScoped()
+        Seq("doc_a", "doc_b"), "left_semi")
+      edges = mode match {
+        // the final support() below re-references the last round 4×
+        // more, so unlike kcoreOn the LAST round checkpoints too —
+        // the declarative tail here is the left join + coalesce only
+        case "ckpt" => edges.localCheckpointScoped()
+        case _      => edges.persistScoped()
+      }
     }
     edges.join(support(edges), Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"),

@@ -1494,10 +1494,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "pca_project must read the embeddings scan directly")
   }
 
-  test("ktruss: each peeling round reuses the cached edge relation") {
+  test("ktruss: the final support scan reads the checkpointed last round") {
+    // r15 TrussMode="ckpt": every round (incl. the last — its output
+    // is referenced 4× by the final support join) is an eager
+    // localCheckpoint, so the audited plan is the left join + one
+    // support enumeration over a LogicalRDD leaf. Round-body reuse is
+    // pinned lineage-visibly in GraphRoundPlanSpec's family note.
     val p = plan("ktruss")
-    assert(p.contains("InMemoryTableScan"),
-      "ktruss's triple joins must read the persisted round edges, not re-derive the pair graph")
+    assert(p.contains("Scan ExistingRDD"),
+      "ktruss's final support join must read the materialized last round, not re-derived lineage")
+    assert(p.contains("partial_count"),
+      "triangle support must map-side combine")
   }
 
   test("batch-J shapes: embed_center narrow map, hard_negatives rank-limit, theilsen fold-below-window") {
