@@ -73,9 +73,10 @@ private[operators] trait SimilarityPqIndex extends Serializable { this: Similari
     * same constants). */
   private[graft] def annGraphBeam(
       spark: SparkSession, dir: String, beamWidth: Int,
-      hops: Int = BeamHops, candCap: Int = GraphDeg): DataFrame = {
+      hops: Int = BeamHops, candCap: Int = GraphDeg,
+      graphMode: String = GraphStateMode): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val g = neighborGraphCapped(spark, dir, candCap)
+    val g = neighborGraphCapped(spark, dir, candCap, graphMode)
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     def scored(cand: DataFrame): DataFrame =

@@ -1277,12 +1277,26 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
     * bucket-mates (the knn_join trade), and each descent round is
     * self-joins of an (n × M) edge list partitioned on the join key,
     * i.e. O(n·M²) candidate rows per round with M a small constant.
-    * Rounds are a bounded constant, and each round's graph is
-    * persisted (scoped) because the next round references it four
-    * times — the same once-partitioned-reuse invariant as pagerank's
-    * edge cache. */
+    * Rounds are a bounded constant, and each round's graph
+    * materializes once ([[GraphStateMode]]) because the next round
+    * references it six times — the same once-materialized-reuse
+    * invariant as the kcore/ktruss peel rounds. */
   private[operators] def neighborGraph(spark: SparkSession, dir: String): DataFrame =
     neighborGraphCapped(spark, dir, GraphDeg)
+
+  /** Shipped state strategy for [[neighborGraphCapped]]'s per-round
+    * graph — decided by the r15 interleaved A/B (GraphAnnLab `state`
+    * section, parity-gated, sf0.1, whole-operator colds, 3 reps):
+    * ckpt 3.9/3.5/3.2 s vs persist 6.2/5.6/5.8 — ~40% off the
+    * registry's second-slowest op. Each round's graph is referenced
+    * 6× by the next round
+    * (edges + fwd×2 + rev + co×2) and the FINAL graph is referenced
+    * once per beam hop by [[annGraphBeam]], so "ckpt" (eager
+    * localCheckpoint, the KcoreMode mechanism) materializes each
+    * exactly once as a LogicalRDD leaf; "persist" is the pre-r15
+    * cached-plan form. Swap for reliable checkpoint(dir) on
+    * preemptible executors. */
+  private[operators] val GraphStateMode = "ckpt"
 
   /** [[neighborGraph]] with the descent rounds' local-join candidate
     * cap as a dial (GraphAnnLab A/B): forward and co-neighbor pairs
@@ -1292,9 +1306,15 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
     * with candCap², the quadratic term in the build. `candCap ==
     * GraphDeg` reproduces the shipped construction row-for-row. */
   private[operators] def neighborGraphCapped(
-      spark: SparkSession, dir: String, candCap: Int): DataFrame = {
+      spark: SparkSession, dir: String, candCap: Int,
+      mode: String = GraphStateMode): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val tagged = tableKeys(spark, dir)
+    def materialize(df: DataFrame): DataFrame = mode match {
+      case "ckpt"    => df.localCheckpointScoped()
+      case "persist" => df.persistScoped()
+      case other     => throw new IllegalArgumentException(s"unknown graph mode: $other")
+    }
     // only a turned dial pays for rank-tracking: at candCap == GraphDeg
     // the plan (and the persisted cache layout) must stay byte-for-byte
     // the pre-dial one — the default path is the shipped operator
@@ -1316,7 +1336,7 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
       if (needRank) ranked.select("src", "dst", "rn")
       else ranked.select("src", "dst")
     }
-    var g = topM(cand0).persistScoped()
+    var g = materialize(topM(cand0))
     for (_ <- 1 to DescentRounds) {
       val edges = if (needRank) g.select("src", "dst") else g
       val cg =
@@ -1328,7 +1348,7 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
       val co = cg.as("a").join(cg.as("b"),
           col("a.src") === col("b.src") && col("a.dst") =!= col("b.dst"))
         .select(col("a.dst").as("src"), col("b.dst").as("dst"))
-      g = topM(edges.union(fwd).union(rev).union(co).distinct()).persistScoped()
+      g = materialize(topM(edges.union(fwd).union(rev).union(co).distinct()))
     }
     if (needRank) g.select("src", "dst") else g
   }

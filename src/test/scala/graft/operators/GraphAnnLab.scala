@@ -198,6 +198,27 @@ object GraphAnnLab {
       println(f"GRAPHANN_HOPS hops=$h%d rep=$rep%d cold=$sec%.1f recall=$recall%.3f")
       sweep()
     }
+    // graph state-strategy A/B (r15, the KcoreMode transfer): each
+    // descent round references its graph 6× and the beam hops re-read
+    // the final graph — persist (cached plan, pre-r15) vs ckpt (eager
+    // localCheckpoint → LogicalRDD leaf). Parity first, then
+    // interleaved cold timings of the WHOLE operator per mode.
+    if (sections("state")) {
+      val ref = Similarity.neighborGraphCapped(spark, dir, Similarity.GraphDeg, "persist")
+      val cand = Similarity.neighborGraphCapped(spark, dir, Similarity.GraphDeg, "ckpt")
+      val d1 = ref.exceptAll(cand).count()
+      val d2 = cand.exceptAll(ref).count()
+      require(d1 == 0 && d2 == 0, s"graph ckpt diverges: $d1/$d2 rows")
+      println("GRAPHANN_STATE parity ckpt OK")
+      sweep()
+      for (rep <- 1 to 3; m <- Seq("persist", "ckpt")) {
+        val t0 = System.nanoTime()
+        Similarity.annGraphBeam(spark, dir, Similarity.BeamWidth, graphMode = m).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"GRAPHANN_STATE mode=$m%-8s rep=$rep%d cold=$sec%.1f")
+        sweep()
+      }
+    }
     // candidate-cap A/B (VERDICT r13 item 5): the descent rounds'
     // local-join cap is the one unprobed term left in the build —
     // candidate mass scales with cap² (16²=256 → 12²=144 rows/node).
