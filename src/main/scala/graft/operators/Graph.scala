@@ -1232,13 +1232,35 @@ object Graph {
     * sizes arrive by joining the per-customer degree — and the final
     * rank is a global top-k (TakeOrderedAndProject, never a full
     * sort). */
-  def jaccardNeighbors(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+  /** State strategy for [[jaccardNeighbors]]' shared (c, p) relation
+    * — the DAG (non-loop) test of the r15 ckpt-vs-persist question:
+    * the relation is referenced 5× in ONE plan (rare-part df guard,
+    * both candidate sides via `re`, both shared-count sides, the
+    * degree fold). The r15 interleaved A/B (JaccLab, parity-gated,
+    * sf0.1, 6 reps over two runs under ambient noise): ckpt
+    * 6.0/3.2/4.0/6.0/3.7/3.1 s vs persist 4.3/4.6/5.0/6.3/4.9/4.7 —
+    * ckpt wins 5 of 6 interleaved pairs, mean 4.3 vs 5.0 (~13%).
+    * Smaller than the loop-family wins (one action analyzes ONE plan
+    * here, so the per-round re-analysis term is absent; what remains
+    * is per-reference re-optimization of the cached subtree), but
+    * consistent — so it ships. */
+  private[operators] val JaccMode = "ckpt"
+
+  def jaccardNeighbors(spark: SparkSession, dir: String): DataFrame =
+    jaccardNeighborsOn(spark, dir, JaccMode)
+
+  private[operators] def jaccardNeighborsOn(
+      spark: SparkSession, dir: String, mode: String): DataFrame = {
+    val eRaw = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
-      .persistScoped()
+    val e = mode match {
+      case "ckpt"    => eRaw.localCheckpointScoped()
+      case "persist" => eRaw.persistScoped()
+      case other     => throw new IllegalArgumentException(s"unknown jacc mode: $other")
+    }
     val rare = e.groupBy(col("p")).agg(count(lit(1)).as("n"))
       .filter(col("n") <= RarePartMax).select(col("p"))
     val re = e.join(rare, "p")

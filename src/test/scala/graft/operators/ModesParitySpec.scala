@@ -95,6 +95,14 @@ class ModesParitySpec extends AnyFunSuite {
     }
   }
 
+  test("jaccardNeighborsOn: persist / ckpt agree on the fixture graph; unknown mode throws") {
+    assertParity("jaccard")(m => Graph.jaccardNeighborsOn(spark, dir, m),
+      Seq("persist", "ckpt"))
+    intercept[IllegalArgumentException] {
+      Graph.jaccardNeighborsOn(spark, dir, "nope")
+    }
+  }
+
   test("neighborGraphCapped: persist / ckpt agree on the fixture embeddings; unknown mode throws") {
     assertParity("neighborGraph")(
       m => Similarity.neighborGraphCapped(spark, dir, Similarity.GraphDeg, m),
