@@ -1232,6 +1232,9 @@ object Graph {
     * sizes arrive by joining the per-customer degree — and the final
     * rank is a global top-k (TakeOrderedAndProject, never a full
     * sort). */
+  def jaccardNeighbors(spark: SparkSession, dir: String): DataFrame =
+    jaccardNeighborsOn(spark, dir, JaccMode)
+
   /** State strategy for [[jaccardNeighbors]]' shared (c, p) relation
     * — the DAG (non-loop) test of the r15 ckpt-vs-persist question:
     * the relation is referenced 5× in ONE plan (rare-part df guard,
@@ -1245,9 +1248,6 @@ object Graph {
     * is per-reference re-optimization of the cached subtree), but
     * consistent — so it ships. */
   private[operators] val JaccMode = "ckpt"
-
-  def jaccardNeighbors(spark: SparkSession, dir: String): DataFrame =
-    jaccardNeighborsOn(spark, dir, JaccMode)
 
   private[operators] def jaccardNeighborsOn(
       spark: SparkSession, dir: String, mode: String): DataFrame = {
