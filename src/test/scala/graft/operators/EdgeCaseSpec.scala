@@ -1137,7 +1137,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
     val total = graft.sources.Tables.lineitem(spark, dir)
       .agg(expr("sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint))"))
-      .head.getLong(0)
+      .head().getLong(0)
     assert(out.map(_._3).sum === total,
       "matrix cells must reconcile exactly to corpus revenue")
   }
@@ -3156,7 +3156,10 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got === expected, "farthest-point traversal must equal the independent replay")
     // cover radius is non-increasing from pick 2 on (min over a
     // growing center set, argmax of a pointwise-smaller function)
-    got.drop(1).sliding(2).foreach { case Seq(a, b) => assert(b._3 <= a._3) }
+    got.drop(1).sliding(2).foreach {
+      case Seq(a, b) => assert(b._3 <= a._3)
+      case _         => () // trailing window shorter than 2 — nothing to compare
+    }
     // interval_coverage: reconciles per user against the merge output
     val merged = Relational.intervalMerge(spark, sf).collect()
       .groupBy(_.getLong(0))
