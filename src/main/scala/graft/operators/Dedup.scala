@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.CacheScope.ScopedDataset
+import graft.StateMode
 import graft.functions.VectorFunctions.{cosine_sim, xxhash64Seeded}
 import graft.sources.Tables
 
@@ -747,14 +748,14 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .repartition(ClusterParts)
-      .localCheckpointScoped()
+      .transform(StateMode.cut(_))
     // seed: lab₀ = min(id, min incident neighbour) — one groupBy, the
     // same shuffle a plain distinct() would cost, but it bakes the
     // first propagation round into initialization for free
     var labels = edges.groupBy(col("doc_a").as("id"))
       .agg(min(col("doc_b")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("lab"))
-      .localCheckpointScoped()
+      .transform(StateMode.cut(_))
     var converged = false
     var rounds = 0
     while (!converged && rounds < 32) {
@@ -785,7 +786,7 @@ object Dedup {
         }
       val next = msgs.groupBy(col("id"))
         .agg(min(col("lab")).as("new_lab"), max(col("own")).as("lab"))
-        .localCheckpointScoped(eager = false)
+        .transform(StateMode.cut(_, eager = false))
       // this agg is the action that materializes the lazy checkpoint:
       // one job per round computes next AND the convergence signal
       val changed = next
@@ -960,7 +961,7 @@ object Dedup {
     var edges = symmetric(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .filter(col("u") =!= col("v")))
-      .localCheckpointScoped(eager = false)
+      .transform(StateMode.cut(_, eager = false))
     def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
       val dir = e.filter(col("v") < col("u"))
       val r = dir.agg(
@@ -974,7 +975,7 @@ object Dedup {
     var rounds = 0
     while (!converged && rounds < 48) {
       val next = symmetric(smallStar(largeStar(edges)))
-        .localCheckpointScoped(eager = false)
+        .transform(StateMode.cut(_, eager = false))
       val nextSig = signature(next)
       converged = nextSig == sig
       edges = next

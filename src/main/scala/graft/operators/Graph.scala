@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.CacheScope.ScopedDataset
+import graft.StateMode
 import graft.sources.Tables
 
 /** Iterative graph analytics over the fixture's bipartite
@@ -373,8 +374,8 @@ object Graph {
     *    [[graft.CacheScope.ScopedDataset.localCheckpointScoped]] —
     *    lineage cut to a LogicalRDD leaf each round, every round
     *    planned and executed exactly once (the dedup_cluster /
-    *    cc_star precedent; swap for reliable checkpoint(dir) on
-    *    preemptible executors).
+    *    cc_star precedent; the cut's storage backing is the
+    *    one-switch [[graft.StateMode]] deployment property).
     *  - "frontier": delta propagation — only NEWLY-reached vertices
     *    join the edges next round. Sound because hop distances never
     *    improve once set (unit weights: first discovery IS the min),
@@ -409,11 +410,11 @@ object Graph {
           .select(col("e.v").as("id"), (col("p.d") + lit(1L)).as("d"))
           .unionAll(dist)
           .groupBy(col("id")).agg(min(col("d")).as("d"))
-        if (r < rounds) dist = dist.localCheckpointScoped()
+        if (r < rounds) dist = StateMode.cut(dist)
       }
       dist
     case "frontier" =>
-      var dist = seeds.localCheckpointScoped()
+      var dist = StateMode.cut(seeds)
       var frontier = dist
       for (r <- 1 to rounds) {
         var next = frontier.as("p")
@@ -426,7 +427,7 @@ object Graph {
           .join(dist.select(col("id")), Seq("id"), "left_anti")
         // same last-round rule as "ckpt": dist is a union of leaves,
         // so the final anti-join re-scans, never recomputes
-        if (r < rounds) next = next.localCheckpointScoped()
+        if (r < rounds) next = StateMode.cut(next)
         dist = dist.unionAll(next)
         frontier = next
       }
@@ -674,11 +675,11 @@ object Graph {
             .select(col("e.v").as("id"), (col("p.d") + col("e.w")).as("d"))
             .unionAll(dist)
             .groupBy(col("id")).agg(min(col("d")).as("d"))
-          if (r < SsspRounds) dist = dist.localCheckpointScoped()
+          if (r < SsspRounds) dist = StateMode.cut(dist)
         }
         dist
       case "delta" =>
-        var dist = d0.localCheckpointScoped()
+        var dist = StateMode.cut(d0)
         var frontier = dist
         for (r <- 1 to SsspRounds) {
           // checkpointed EVERY round (unlike "ckpt"'s last-round
@@ -686,15 +687,14 @@ object Graph {
           // the improvement filter and the merge, so a declarative
           // last improvement set would recompute the whole chain
           // twice in the consumer's action
-          val improved = frontier.as("p")
+          val improved = StateMode.cut(frontier.as("p")
             .join(edges.as("e"), col("e.u") === col("p.id"))
             .select(col("e.v").as("id"), (col("p.d") + col("e.w")).as("d"))
             .groupBy(col("id")).agg(min(col("d")).as("d"))
             // strict improvements only: unreached (null) or cheaper
             .join(dist.withColumnRenamed("d", "d_set"), Seq("id"), "left")
             .filter(col("d_set").isNull || col("d") < col("d_set"))
-            .select(col("id"), col("d"))
-            .localCheckpointScoped()
+            .select(col("id"), col("d")))
           // min-merge: `improved` beats `dist` wherever both hold a key
           dist = dist.unionAll(improved)
             .groupBy(col("id")).agg(min(col("d")).as("d"))
@@ -889,10 +889,11 @@ object Graph {
       // win, same mechanism as KcoreMode (each half-round plans and
       // executes exactly once against a LogicalRDD leaf instead of
       // paying analysis + cache-substitution passes per reference).
-      // Swap for reliable checkpoint(dir) on preemptible executors.
+      // Cut storage backing: the graft.StateMode one-switch.
       val scores = mode match {
-        case "ckpt" => scoresIn.localCheckpointScoped()
-        case _      => scoresIn.persistScoped()
+        case "ckpt"    => StateMode.cut(scoresIn)
+        case "persist" => scoresIn.persistScoped()
+        case other     => throw new IllegalArgumentException(s"unknown hits mode: $other")
       }
       val mx = scores.agg(max(col("x")).as("mx"), count(lit(1)).as("nn"))
       ScalarJoin.attachScalar(scores, col("x"), mx, col("nn"))
@@ -1257,7 +1258,7 @@ object Graph {
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
     val e = mode match {
-      case "ckpt"    => eRaw.localCheckpointScoped()
+      case "ckpt"    => StateMode.cut(eRaw)
       case "persist" => eRaw.persistScoped()
       case other     => throw new IllegalArgumentException(s"unknown jacc mode: $other")
     }
@@ -1357,7 +1358,7 @@ object Graph {
         .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("support"))
     var edges = mode match {
-      case "ckpt"   => pairsIn.localCheckpointScoped()
+      case "ckpt"   => StateMode.cut(pairsIn)
       case "legacy" => pairsIn.persistScoped()
       case other    => throw new IllegalArgumentException(s"unknown truss mode: $other")
     }
@@ -1369,7 +1370,7 @@ object Graph {
         // the final support() below re-references the last round 4×
         // more, so unlike kcoreOn the LAST round checkpoints too —
         // the declarative tail here is the left join + coalesce only
-        case "ckpt" => edges.localCheckpointScoped()
+        case "ckpt" => StateMode.cut(edges)
         case _      => edges.persistScoped()
       }
     }
@@ -1529,7 +1530,7 @@ object Graph {
       k: Int = KcoreK, rounds: Int = KcoreRounds,
       mode: String = KcoreMode): DataFrame = {
     var edges = mode match {
-      case "ckpt"   => edgesIn.localCheckpointScoped()
+      case "ckpt"   => StateMode.cut(edgesIn)
       case "legacy" => edgesIn.persistScoped()
       case "decl"   => edgesIn.persistScoped() // fully declarative rounds (lab baseline)
       case other    => throw new IllegalArgumentException(s"unknown kcore mode: $other")
@@ -1548,7 +1549,7 @@ object Graph {
         .join(keep, edges("u") === keep("id"), "left_semi")
         .join(keep, edges("v") === keep("id"), "left_semi")
       edges = mode match {
-        case "ckpt"   => if (r < rounds) edges.localCheckpointScoped() else edges
+        case "ckpt"   => if (r < rounds) StateMode.cut(edges) else edges
         case "legacy" => edges.persistScoped()
         case _        => edges
       }

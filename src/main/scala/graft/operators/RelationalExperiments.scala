@@ -792,6 +792,9 @@ private[operators] trait RelationalExperiments extends Serializable { this: Rela
           .as("day"),
         expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
       .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+      // scale: collect is |distinct days| rows — CALENDAR-bounded
+      // (~2.5k for the fixture's 7-year span), invariant in corpus
+      // size; the aggregate above folds the data volume distributed
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     sesScan(daily).toDF("day", "cents", "smooth", "fcst", "abs_err")
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.CacheScope.ScopedDataset
+import graft.StateMode
 import graft.functions.VectorFunctions.cosine_sim
 import graft.sources.Tables
 
@@ -103,10 +104,10 @@ private[operators] trait SimilarityPqIndex extends Serializable { this: Similari
     // 2^hops times — the same exponential-inlining disease the
     // oracle's AS MATERIALIZED fixes on the DuckDB side. The beam is
     // |Q| × B rows, so the scoped persist is all win.
-    var beam = beamTop(seeds.join(broadcast(q.select(col("qid"))), col("qid") =!= col("nid")))
-      .localCheckpointScoped()
+    var beam = StateMode.cut(
+      beamTop(seeds.join(broadcast(q.select(col("qid"))), col("qid") =!= col("nid"))))
     for (_ <- 1 until hops)
-      beam = beamTop(beam.union(expand(beam)).distinct()).localCheckpointScoped()
+      beam = StateMode.cut(beamTop(beam.union(expand(beam)).distinct()))
     scored(beam.union(expand(beam)).distinct())
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= K)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.CacheScope.ScopedDataset
+import graft.StateMode
 import graft.functions.VectorFunctions.cosine_sim
 import graft.sources.Tables
 
@@ -1294,8 +1295,8 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
     * once per beam hop by [[annGraphBeam]], so "ckpt" (eager
     * localCheckpoint, the KcoreMode mechanism) materializes each
     * exactly once as a LogicalRDD leaf; "persist" is the pre-r15
-    * cached-plan form. Swap for reliable checkpoint(dir) on
-    * preemptible executors. */
+    * cached-plan form. The cut's storage backing is the
+    * one-switch [[graft.StateMode]] deployment property. */
   private[operators] val GraphStateMode = "ckpt"
 
   /** [[neighborGraph]] with the descent rounds' local-join candidate
@@ -1311,7 +1312,7 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
     val e = Tables.embeddings(spark, dir)
     val tagged = tableKeys(spark, dir)
     def materialize(df: DataFrame): DataFrame = mode match {
-      case "ckpt"    => df.localCheckpointScoped()
+      case "ckpt"    => StateMode.cut(df)
       case "persist" => df.persistScoped()
       case other     => throw new IllegalArgumentException(s"unknown graph mode: $other")
     }

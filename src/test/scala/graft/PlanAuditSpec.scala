@@ -25,8 +25,18 @@ class PlanAuditSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 
-  private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+  private def plan(name: String): String = {
+    // ADVICE r15: with eager ckpt the shipped default for the
+    // iterative families, CONSTRUCTING these DataFrames executes the
+    // full operator and parks checkpoint RDD blocks in the global
+    // CacheScope — capture the plan text, then drop this query's
+    // blocks so audits don't accumulate cached RDDs across ~50 tests
+    // (same per-query hygiene as graft.Verify, which proves the
+    // release-between-queries pattern safe for every registered op).
+    val s = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    graft.CacheScope.release(blocking = true)
+    s
+  }
 
   test("no registered query plans a CartesianProduct; BNLJ only where broadcast is by-construction tiny") {
     // ann_topk broadcasts its 10-row query set against the scan — the

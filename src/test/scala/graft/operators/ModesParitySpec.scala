@@ -79,10 +79,30 @@ class ModesParitySpec extends AnyFunSuite {
     }
   }
 
-  test("hitsOn: persist / ckpt agree on a planted star") {
+  test("hitsOn: persist / ckpt agree on a planted star; unknown mode throws") {
     import spark.implicits._
     val edges = Seq((1L, 100L), (2L, 100L), (3L, 100L), (1L, 200L)).toDF("c", "s")
     assertParity("hits")(m => Graph.hitsOn(edges, m), Seq("persist", "ckpt"))
+    // ADVICE r15: hits was the one knob whose match silently fell
+    // back to persist on a typo'd mode — pin the throw like the rest
+    intercept[IllegalArgumentException] {
+      Graph.hitsOn(edges, "nope").count()
+    }
+  }
+
+  test("StateMode: default deployment is ckpt and cut() truncates lineage") {
+    import spark.implicits._
+    // no GRAFT_STATE_MODE / graft.state.mode is set in CI, so every
+    // shipped cut must resolve to the measured local-checkpoint
+    // winner; under an override this spec run would itself flip, so
+    // also assert the resolved value is one of the legal three
+    assert(graft.StateMode.deployment == graft.StateMode.Ckpt)
+    val cut = graft.StateMode.cut(Seq(1L, 2L, 3L).toDF("x"))
+    assert(cut.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.getClass.getSimpleName.contains("LogicalRDD")),
+      "ckpt-mode cut must leave a LogicalRDD leaf (lineage truncated)")
+    assert(cut.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    CacheScope.release(blocking = true)
   }
 
   test("ktrussOn: legacy / ckpt agree on the fixture pair graph; unknown mode throws") {
