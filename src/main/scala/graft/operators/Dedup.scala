@@ -327,7 +327,7 @@ object Dedup {
     * the self-join ([[dedupMinhash]]) and two-sided
     * ([[dedupIncremental]]) paths. Band keys are codegen'd multi-arg
     * hashes of the 4 signature columns, not string concats. */
-  private def bandsOf(sketch: DataFrame): DataFrame = {
+  private[operators] def bandsOf(sketch: DataFrame): DataFrame = {
     val bandKeys = (0 until Bands).map(b =>
       xxhash64((0 until RowsPerBand).map(r =>
         element_at(col("sig"), b * RowsPerBand + r + 1)): _*))
@@ -1032,6 +1032,7 @@ object Dedup {
   private[operators] val FuzzyK = 3        // max edit distance
   private[operators] val FuzzyNSeg = 4     // K+1 segments (pigeonhole)
   private[operators] val FuzzySegLen = 8   // FuzzyPrefixLen / FuzzyNSeg
+  private[operators] val FuzzyMaxGramDf = 1000L // hot-segment cap (r16 ScaleLab)
 
   /** Normalized fixed-width fuzzy key: tokenizer-style ASCII fold,
     * first [[FuzzyPrefixLen]] chars, '#'-padded to exactly that
@@ -1056,13 +1057,18 @@ object Dedup {
     * indels before it). So: side `a` emits its 4 exact segments,
     * side `b` emits its (segment, shift) windows (≤ 4×(2K+1) = 28
     * eight-char keys), and an equi-join on (segment index, substring)
-    * yields every qualifying pair — no recall loss, proven by the
-    * lemma, verified by the exact levenshtein only on candidates.
+    * yields every qualifying pair — no recall loss below the hot
+    * cap, proven by the lemma, verified by the exact levenshtein
+    * only on candidates.
     * Scale shape: shuffles carry (doc_id, 8-char gram) keys — never
     * documents; the verify re-join touches candidates only. A hot
-    * identical-prefix gram (boilerplate headers) would fan out like
-    * a hot shingle — the [[MaxShingleDf]]-style cap is the dial,
-    * unneeded on the fixture (hottest bucket = 3). Both engines
+    * identical-prefix gram (boilerplate headers) fans out like a hot
+    * shingle — the [[FuzzyMaxGramDf]] segment-df cap (shipped r16:
+    * ScaleLab measured 219k → 39.9M candidates on a 10× corpus with
+    * replica-hot prefixes) bounds the join volume to cap×(2K+1)×NSeg
+    * ×n — linear in n; the recall contract is in
+    * [[dedupFuzzyCandidatesRawOn]], and the fixture never approaches
+    * the cap (hottest bucket = 3). Both engines
     * compute classic unit-cost levenshtein — the verify threshold is
     * exact integer arithmetic, hash-replayed end to end. */
   def dedupFuzzy(spark: SparkSession, dir: String): DataFrame =
@@ -1087,13 +1093,36 @@ object Dedup {
   /** The pigeonhole candidate set before verification — exposed so
     * DedupScaleSpec can count it (the simjoinPrefixCandidates
     * precedent). */
-  private[operators] def dedupFuzzyCandidatesOn(docs: DataFrame): DataFrame = {
+  private[operators] def dedupFuzzyCandidatesOn(docs: DataFrame): DataFrame =
+    dedupFuzzyCandidatesRawOn(docs).distinct()
+
+  /** [[dedupFuzzyCandidatesOn]] BEFORE witness dedup — one row per
+    * (pair, matching segment window), i.e. the volume the segment
+    * join's shuffle and the distinct actually process; exposed for
+    * ScaleLab's candidate-growth audit. */
+  private[operators] def dedupFuzzyCandidatesRawOn(docs: DataFrame,
+      maxGramDf: Long = FuzzyMaxGramDf): DataFrame = {
     val n = docs.select(col("doc_id"), fuzzyKey(col("text")).as("t"))
     val segIdx = (0 until FuzzyNSeg).map(lit(_))
-    val segs = n.select(col("doc_id"), col("t"),
+    val segsAll = n.select(col("doc_id"), col("t"),
         explode(array(segIdx: _*)).as("i"))
       .select(col("doc_id"), col("i"),
         expr(s"substring(t, i * $FuzzySegLen + 1, $FuzzySegLen)").as("s"))
+    // Hot-gram cap (r16 ScaleLab finding: a boilerplate PREFIX shared
+    // by m docs makes its digit-free segments m-hot, and the segment
+    // join goes m² on those buckets — 219k → 39.9M candidates on a
+    // 10× corpus with replica-hot prefixes). Pruning grams whose
+    // SEGMENT-side df exceeds [[FuzzyMaxGramDf]] bounds the join
+    // volume by cap × (2K+1)·NSeg × n — LINEAR in n. Recall
+    // contract: a qualifying pair is lost only when, in BOTH
+    // directions, every edit-untouched segment is a >cap boilerplate
+    // gram — i.e. mass-shared prefixes, whose exact duplicates are
+    // [[dedupExact]]'s job (hash-group, output-linear). The hot list
+    // cannot exceed NSeg·n/cap rows, so the anti-join broadcasts.
+    val hot = segsAll.groupBy(col("i"), col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxGramDf).select(col("i"), col("s"))
+    val segs = segsAll.join(hot, Seq("i", "s"), "left_anti")
     val shifts = (-FuzzyK to FuzzyK).map(lit(_))
     val probes = n.select(col("doc_id"), col("t"),
         explode(array(segIdx: _*)).as("i"))
@@ -1109,7 +1138,6 @@ object Dedup {
       .filter(col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
   }
 
   private[operators] val AccPerms = 16

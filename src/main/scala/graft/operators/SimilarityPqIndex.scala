@@ -75,9 +75,10 @@ private[operators] trait SimilarityPqIndex extends Serializable { this: Similari
   private[graft] def annGraphBeam(
       spark: SparkSession, dir: String, beamWidth: Int,
       hops: Int = BeamHops, candCap: Int = GraphDeg,
-      graphMode: String = GraphStateMode): DataFrame = {
+      graphMode: String = GraphStateMode,
+      initPairCap: Int = Int.MaxValue): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val g = neighborGraphCapped(spark, dir, candCap, graphMode)
+    val g = neighborGraphCapped(spark, dir, candCap, graphMode, initPairCap)
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     def scored(cand: DataFrame): DataFrame =

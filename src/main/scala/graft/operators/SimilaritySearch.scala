@@ -1299,6 +1299,13 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
     * one-switch [[graft.StateMode]] deployment property. */
   private[operators] val GraphStateMode = "ckpt"
 
+  /** Broadcast ceiling for the descent build's vector table (r16):
+    * well past Spark's 10 MB default because the alternative is a
+    * per-PAIR wide shuffle, but bounded — 256 MB lands on every
+    * executor once per build and is the conventional upper bound for
+    * a useful broadcast. */
+  private[operators] val GraphBroadcastVecBytes = 256L << 20
+
   /** [[neighborGraph]] with the descent rounds' local-join candidate
     * cap as a dial (GraphAnnLab A/B): forward and co-neighbor pairs
     * are generated from each node's top-`candCap` edges only (by the
@@ -1308,8 +1315,26 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
     * GraphDeg` reproduces the shipped construction row-for-row. */
   private[operators] def neighborGraphCapped(
       spark: SparkSession, dir: String, candCap: Int,
-      mode: String = GraphStateMode): DataFrame = {
+      mode: String = GraphStateMode,
+      initPairCap: Int = Int.MaxValue): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+    // r16 ScaleLab finding: the descent local join emits n×(2·deg²
+    // + deg) candidate PAIRS (~105M at a 200k-vector corpus), and
+    // past Spark's 10 MB auto-broadcast threshold the two
+    // embedding-attach joins flip to sort-merge — every pair then
+    // drags a Dim×4-byte vector through an exchange (~31 GB a pass;
+    // the measured x100 build spilled >90 GB and died ENOSPC).
+    // Below [[GraphBroadcastVecBytes]] the vector table is hinted
+    // broadcast, so pair traffic stays (src, dst) ids and the only
+    // wide relation is the post-cos (src, dst, cos) window input.
+    // Beyond the cap the shuffle shape returns (a 1000-executor
+    // cluster has the disk for it) with [[neighborGraphCapped]]'s
+    // candCap as the volume dial; the next dial past THAT scale is
+    // PQ-coded candidate distances + exact re-rank (the
+    // [[SimilarityPqIndex]] machinery), which divides per-pair bytes
+    // by ~16 at the cost of an approximate descent ordering.
+    val eBytes = e.count() * Dim * 4L
+    val eHinted = if (eBytes < GraphBroadcastVecBytes) broadcast(e) else e
     val tagged = tableKeys(spark, dir)
     def materialize(df: DataFrame): DataFrame = mode match {
       case "ckpt"    => StateMode.cut(df)
@@ -1320,16 +1345,43 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
     // the plan (and the persisted cache layout) must stay byte-for-byte
     // the pre-dial one — the default path is the shipped operator
     val needRank = candCap < GraphDeg
-    val cand0 = tagged.as("a").join(tagged.as("b"),
-        col("a.table_idx") === col("b.table_idx") &&
-          col("a.table_key") === col("b.table_key") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-      .distinct()
+    // r16 ScaleLab: at a FIXED key length the per-table bucket
+    // population grows linearly with the corpus, so this bucket-mate
+    // self-join is inherently QUADRATIC in n — the measured x100 run
+    // generated ~10⁴× the init pairs and died ENOSPC before the
+    // descent even started. `initPairCap` is the scale dial: rank
+    // bucket members by vec_id and pair each with only its next
+    // `initPairCap` in-bucket successors (symmetrized), bounding
+    // init mass by NTables × cap × n — LINEAR in n — while descent
+    // rounds repair init quality (the classic random-init NN-descent
+    // argument; bucket-mates are already LSH-close). The shipped
+    // fixture op keeps Int.MaxValue (plan byte-identical, oracle
+    // untouched); a production corpus sets the cap — or grows
+    // BitsPerTable with log n, which keeps bucket sizes constant.
+    val cand0 = if (initPairCap == Int.MaxValue) {
+      tagged.as("a").join(tagged.as("b"),
+          col("a.table_idx") === col("b.table_idx") &&
+            col("a.table_key") === col("b.table_key") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+        .distinct()
+    } else {
+      val wB = Window.partitionBy(col("table_idx"), col("table_key"))
+        .orderBy(col("vec_id"))
+      val ranked = tagged.withColumn("rn", row_number().over(wB))
+      val fwdp = ranked.as("a").join(ranked.as("b"),
+          col("a.table_idx") === col("b.table_idx") &&
+            col("a.table_key") === col("b.table_key") &&
+            col("b.rn") > col("a.rn") &&
+            col("b.rn") <= col("a.rn") + initPairCap)
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      fwdp.union(fwdp.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+    }
     def topM(cand: DataFrame): DataFrame = {
       val scored = cand
-        .join(e.select(col("vec_id").as("src"), col("embedding").as("se")), "src")
-        .join(e.select(col("vec_id").as("dst"), col("embedding").as("de")), "dst")
+        .join(eHinted.select(col("vec_id").as("src"), col("embedding").as("se")), "src")
+        .join(eHinted.select(col("vec_id").as("dst"), col("embedding").as("de")), "dst")
         .withColumn("cos", cosine_sim(col("se"), col("de")))
       val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
       val ranked = scored.withColumn("rn", row_number().over(w))

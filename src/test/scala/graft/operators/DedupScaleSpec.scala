@@ -171,6 +171,45 @@ class DedupScaleSpec extends AnyFunSuite {
       f"(${cands * 100.0 / allPairs}%.2f%%), ${naive.size} true pairs")
   }
 
+  test("fuzzy hot-gram cap: boilerplate prefixes stay linear, cold pairs keep full recall") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted corpus (r16 ScaleLab finding executed in CI): 1,200
+    // docs share segment 0 verbatim ("headerpr") but diverge beyond
+    // repair inside the 32-char window (per-doc hex spelled into the
+    // later segments), so every cross-pair is > FuzzyK edits — the
+    // uncapped segment join would emit ~m²/2 ≈ 719k WASTED candidate
+    // pairs from that one hot bucket. Beside them, 6 cold true
+    // near-dup pairs (1-char edits) that must survive the cap.
+    val hot = (0L until 1200L).map { i =>
+      // 24 deterministic hex chars: segments 1–3 are unique per doc
+      // (df 1), pairwise distance ≫ FuzzyK — segment 0 is the ONLY
+      // hot gram and no hot pair is a true near-dup
+      val tail = f"${mix(i)}%016x".take(12) + f"${mix(i + 7777L)}%016x".take(12)
+      (i, s"headerpr $tail")
+    }
+    val cold = (0 until 6).flatMap { j =>
+      val base = s"coldpair$j distinct body $j text number ${j}xx"
+      Seq((2000L + 2 * j, base), (2001L + 2 * j, base.replace("xx", "xy")))
+    }
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    val capped = Dedup.dedupFuzzyCandidatesOn(docs).count()
+    // linear bound: cap × (2K+1) × NSeg × n, nowhere near m²/2
+    assert(capped < 50000, s"capped candidates $capped should stay ≪ 719k hot pairs")
+    // recall: the cold true pairs all survive, and equal the naive truth
+    val keyed = docs.select(col("doc_id"), Dedup.fuzzyKey(col("text")).as("t"))
+    val naive = keyed.as("a")
+      .join(keyed.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(levenshtein(col("a.t"), col("b.t")) <= Dedup.FuzzyK)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.dedupFuzzyOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.size >= 6 && found === naive,
+      s"capped fuzzy must keep full recall on sub-cap pairs (${found.size} vs ${naive.size})")
+    info(s"capped candidates $capped; true pairs ${naive.size}, all found")
+  }
+
   test("the fixture operating point (32×4) still finds every fixture pair after the refactor") {
     // the candidate generator was factored out of dedupEmbedding; its
     // equality against the all-pairs exact truth is re-asserted in

@@ -14,7 +14,7 @@ object GraphAnnLab {
     // optional section filter: `Test/runMain graft.operators.GraphAnnLab cap`
     // runs only that A/B (sections: phases, beam, hops, cap)
     val sections: Set[String] =
-      if (args.isEmpty) Set("phases", "beam", "hops", "cap") else args.toSet
+      if (args.isEmpty) Set("phases", "beam", "hops", "cap", "initcap") else args.toSet
     // `stages` (r15, VERDICT r14 item 4) is opt-in: it replicates the
     // operator stage-by-stage and is not part of the default A/B sweep
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -176,6 +176,23 @@ object GraphAnnLab {
         .map(r => (r.getLong(0), r.getLong(2))).toSet
       sweep()
       b
+    }
+    // ring-bounded LSH-init A/B (r16 ScaleLab: the uncapped
+    // bucket-mate self-join is quadratic in corpus size — twice
+    // ENOSPC at x100): recall@5 at initPairCap ∈ {∞, 256, 64} — the
+    // shipped fixture op keeps ∞ (plan byte-identical); the capped
+    // configs are the linear-regime production dial, and their
+    // recall floor is what licenses recommending them at scale.
+    for (cap <- Seq(Int.MaxValue, 256, 64) if sections("initcap")) {
+      val t0 = System.nanoTime()
+      val rows = Similarity.annGraphBeam(spark, dir, Similarity.BeamWidth,
+        initPairCap = cap).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = brute.intersect(
+        rows.map(r => (r.getLong(0), r.getLong(2))).toSet).size.toDouble / brute.size
+      val capLabel = if (cap == Int.MaxValue) "inf" else cap.toString
+      println(f"GRAPHANN_INITCAP cap=$capLabel%s cold=$sec%.1f recall=$recall%.3f")
+      sweep()
     }
     for (bw <- Seq(48, 40, 32) if sections("beam")) {
       val t0 = System.nanoTime()

@@ -1,0 +1,312 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{CacheScope, SparkEntry}
+
+/** Dev-side measured SCALING curves for the scale-critical operator
+  * families (VERDICT r15 item 1) — `sbt "Test/runMain
+  * graft.operators.ScaleLab [gen|counts|floor|time ...]"`.
+  *
+  * Every 100 TB claim so far is a plan-shape proof at sf0.1. This lab
+  * converts it into numbers: it synthesizes ~N× corpora in scratch
+  * (`/root/testdata` is read-only) and times each family at 1× vs N×,
+  * recording Spark job counts per run so the ratios separate DATA
+  * scaling from per-job fixed machinery (VERDICT r15 item 4 — at
+  * fixture scale the bench measures AQE stage creation and broadcast
+  * builds more than data).
+  *
+  * Corpus synthesis (deterministic, no RNG): factor-F tables are F
+  * id-remapped replicas of the sf0.1 fixture, written once per
+  * factor under `/tmp/graft_scalelab/xF` with a `_staged` marker.
+  *
+  *  - Keys shift by `replica × (max(key)+1)` — replicas are DISJOINT
+  *    in id space, join keys stay consistent across tables (orders ⋈
+  *    lineitem on the shifted orderkey), so the purchase graph
+  *    becomes F disjoint copies: degree distribution preserved,
+  *    per-round work must scale ~linearly in F if the operator does.
+  *  - `documents.text` gets a per-replica WORD suffix (`w` →
+  *    `wqab`, letters only — see the gen comment): a bijection on
+  *    the token sequence per replica, so
+  *    within-replica Jaccard/edit structure is EXACTLY the original
+  *    (same near-dup pairs per replica) while cross-replica shingle
+  *    and pigeonhole-segment collisions are ~0 — candidate volume
+  *    under a linear-scaling algorithm must grow ~F, and superlinear
+  *    growth (the dedup_fuzzy segment-collision caveat, VERDICT r15
+  *    item 5) shows up as ratio ≫ F in the `counts` section.
+  *  - `embeddings` replicate with vec_id shifts only (bytes
+  *    unchanged): the ANN seed window is corpus-relative off
+  *    min(vec_id), so the query set stays the replica-0 originals
+  *    and build+search cost is measured against an F× corpus.
+  *
+  * Not shipped; its numbers land in PLANS.md's scaling table. The
+  * oracle registry is untouched (lab only).
+  */
+object ScaleLab {
+
+  private val Root = "/tmp/graft_scalelab"
+  private val Base = "/root/testdata/sf0.1"
+
+  /** (family label, registered query names, factors to measure). The
+    * doc/embedding tables are tiny at sf0.1 (5k docs / 2k vectors) so
+    * their families stretch to 100×; the fact tables (600k lineitem /
+    * 100k events) stop at 10×. */
+  private val Families: Seq[(String, Seq[String], Seq[Int])] = Seq(
+    ("dedup", Seq("dedup_minhash", "dedup_fuzzy"), Seq(1, 10, 100)),
+    ("ann",   Seq("ann_ivf", "ann_pq", "ann_graph"), Seq(1, 10, 100)),
+    ("graph", Seq("pagerank", "bfs_reach", "kcore"), Seq(1, 3, 10)),
+    ("sort",  Seq("sort_export"), Seq(1, 3, 10)))
+
+  private def factorsNeeded: Seq[Int] =
+    Families.flatMap(_._3).distinct.filter(_ > 1).sorted
+
+  def main(args: Array[String]): Unit = {
+    val sections: Set[String] =
+      if (args.isEmpty) Set("gen", "counts", "floor", "time") else args.toSet
+    // SCALELAB_SHUFFLE tests the partition-count hypothesis: the
+    // fixture bench pins 32 partitions (sized for sf0.1); at 100×
+    // data the per-partition sort/spill grows superlinearly, which a
+    // real cluster absorbs by scaling partitions with data
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SCALELAB_SHUFFLE", "32"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val jobs = new AtomicInteger()
+    val stages = new AtomicInteger()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = { stages.incrementAndGet(); () }
+    })
+
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      CacheScope.release(blocking = true)
+      // shuffle files are dropped by the ContextCleaner only when
+      // their ShuffleDependency is GC'd — with a 48g heap GC may
+      // never fire across the sweep, so a 100× op's shuffle files
+      // (tens of GB for dedup_fuzzy's 314M-row distinct) stay on
+      // disk under EVERY later op. Measured: the ann_graph x100 run
+      // died ENOSPC under the accumulated files. Nudge the cleaner.
+      System.gc()
+      Thread.sleep(500)
+    }
+
+    /** dir for factor f — factor 1 is the fixture itself. */
+    def dirFor(f: Int): String = if (f == 1) Base else s"$Root/x$f"
+
+    // ───────────────────────────── gen ─────────────────────────────
+    if (sections("gen")) factorsNeeded.foreach { f =>
+      val out = dirFor(f)
+      val staged = new java.io.File(s"$out/_staged")
+      if (staged.exists) println(s"SCALELAB gen x$f: already staged")
+      else {
+        val t0 = System.nanoTime()
+        def reps(df: DataFrame): DataFrame =
+          df.crossJoin(spark.range(f).toDF("rep"))
+
+        def shifted(df: DataFrame, keys: Seq[String], strides: Map[String, Long],
+            extra: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame = {
+          val remapped = keys.foldLeft(reps(df)) { (d, k) =>
+            d.withColumn(k, col(k) + col("rep") * strides(k))
+          }
+          extra.foldLeft(remapped) { case (d, (c, e)) => d.withColumn(c, e) }
+            .drop("rep").select(df.columns.map(col): _*)
+        }
+        def strideOf(df: DataFrame, keys: String*): Map[String, Long] =
+          keys.map(k => k ->
+            (df.agg(max(col(k))).head.getLong(0) + 1L)).toMap
+
+        val docs = spark.read.parquet(s"$Base/documents.parquet")
+        val emb = spark.read.parquet(s"$Base/embeddings.parquet")
+        val ord = spark.read.parquet(s"$Base/orders.parquet")
+        val li = spark.read.parquet(s"$Base/lineitem.parquet")
+        val ev = spark.read.parquet(s"$Base/events.parquet")
+
+        // documents: per-replica word suffix — replica 0 stays the
+        // verbatim original so corpus-relative anchors (min ids, the
+        // ANN seed window) keep their 1× meaning. The suffix is
+        // LETTERS ONLY, appended with no separator ("batch" →
+        // "batchqba"): the engine tokenizer splits on [^a-z0-9]+, so
+        // a separator-or-digit suffix would mint extra tokens and
+        // DEGRADE trigram shingles to ~bigrams (measured: minhash
+        // candidates inflated 400× within replicas on the first cut
+        // of this lab). Letters keep the remap a BIJECTION on the
+        // token sequence — within-replica Jaccard/edit structure is
+        // exactly the original, cross-replica token spaces disjoint.
+        val sfx = when(col("rep") === 0, lit("")).otherwise(concat(lit("q"),
+          expr("char(97 + CAST(rep / 26 AS INT) % 26)"),
+          expr("char(97 + rep % 26)")))
+        val suffixed = when(col("rep") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, col("sfx"))), " "))
+        shifted(docs.withColumn("sfx", lit("")), Seq("doc_id"), strideOf(docs, "doc_id"),
+          extra = Seq("sfx" -> sfx, "text" -> suffixed,
+            "n_chars" -> length(col("text")).cast("long")))
+          .drop("sfx")
+          .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+        shifted(emb, Seq("vec_id"), strideOf(emb, "vec_id"))
+          .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+        val ordStride = strideOf(ord, "o_orderkey", "o_custkey")
+        shifted(ord, Seq("o_orderkey", "o_custkey"), ordStride)
+          .write.mode("overwrite").parquet(s"$out/orders.parquet")
+        val liStride = strideOf(li, "l_suppkey", "l_partkey") +
+          ("l_orderkey" -> ordStride("o_orderkey"))
+        shifted(li, Seq("l_orderkey", "l_suppkey", "l_partkey"), liStride)
+          .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+        shifted(ev, Seq("event_id", "user_id"), strideOf(ev, "event_id", "user_id"))
+          .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+        // dimension tables ride along unreplicated (referenced by
+        // replica-0 keys only; none of the measured ops aggregate them)
+        for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+          spark.read.parquet(s"$Base/$t.parquet")
+            .write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+        staged.createNewFile()
+        println(f"SCALELAB gen x$f: staged in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        sweep()
+      }
+    }
+
+    // ─────────────────────────── counts ───────────────────────────
+    // VERDICT r15 item 5: the dedup candidate-volume audit. Linear
+    // algorithm + replica-disjoint corpus ⇒ candidates ≈ F × base;
+    // a superlinear segment/band-collision distribution shows here
+    // long before it shows in wall time.
+    if (sections("counts")) {
+      val fs = 1 +: factorsNeeded.filter(f =>
+        Families.find(_._1 == "dedup").get._3.contains(f))
+      for (f <- fs) {
+        val d = dirFor(f)
+        val docs = graft.sources.Tables.documents(spark, d)
+        val nDocs = docs.count()
+        val fuzzy = Dedup.dedupFuzzyCandidatesOn(docs).count()
+        // raw segment-join volume (pre-distinct: what the shuffle and
+        // the distinct actually pay) and the UNCAPPED distinct volume
+        // (what the hot-gram cap is buying; skipped at 100× where the
+        // uncapped pair set is billions)
+        val fuzzyRaw = Dedup.dedupFuzzyCandidatesRawOn(docs)
+          .groupBy().count().head.getLong(0)
+        val fuzzyUncapped = if (f <= 10)
+          Dedup.dedupFuzzyCandidatesRawOn(docs, maxGramDf = Long.MaxValue)
+            .distinct().count()
+        else -1L
+        val sketch = Dedup.minhashSketch(spark, d)
+        val bands = Dedup.bandsOf(sketch)
+        val mh = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_key") === col("y.band_key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+        println(s"SCALELAB counts x$f docs=$nDocs fuzzy_cands=$fuzzy " +
+          s"fuzzy_raw=$fuzzyRaw fuzzy_uncapped=$fuzzyUncapped minhash_cands=$mh")
+        sweep()
+      }
+    }
+
+    // ─────────────────────────── floor ────────────────────────────
+    // VERDICT r15 item 4: the per-job machinery constant. Three
+    // representative cheap shapes (scan-agg, join, window) run at
+    // sf0.001 (data → ~0, time ≈ jobs × perJob) and sf0.1; the
+    // implied s/job is what the scaling ratios should mentally
+    // subtract before reading an exponent out of a small ratio.
+    if (sections("floor")) {
+      for (op <- Seq("q1", "q3", "window_rank");
+           d <- Seq("/root/testdata/sf0.001", Base)) {
+        val (sec, j, st) = timed(jobs, stages) {
+          SparkEntry.queries(op)(spark, d).count()
+        }
+        println(f"SCALELAB floor op=$op%-12s dir=${d.split('/').last}%-8s " +
+          f"sec=$sec%6.2f jobs=$j%3d stages=$st%3d perJob=${sec / math.max(1, j)}%6.3f")
+        sweep()
+      }
+    }
+
+    // ──────────────────────────── time ────────────────────────────
+    // SCALELAB_FAMS=graph,sort re-times a subset after a partial run
+    if (sections("time")) {
+      val famFilter = sys.env.get("SCALELAB_FAMS")
+        .map(_.split(',').map(_.trim).toSet)
+      val factorFilter = sys.env.get("SCALELAB_FACTORS")
+        .map(_.split(',').map(_.trim.toInt).toSet)
+      val active = Families.filter(f => famFilter.forall(_.contains(f._1)))
+        .map { case (fam, ops, fs) =>
+          (fam, ops, fs.filter(f => factorFilter.forall(_.contains(f))))
+        }
+      val results = scala.collection.mutable.ArrayBuffer[(String, Int, Double, Int)]()
+      for ((fam, ops, factors) <- active; rep <- 1 to 2; f <- factors; op <- ops) {
+        // 100× runs once — they are minutes, and the question is the
+        // exponent, not the variance. ann_graph's UNCAPPED init is
+        // measured-quadratic (twice ENOSPC at x100) — beyond x10 it
+        // runs only as the initPairCap=64 configuration below.
+        if ((rep == 1 || f < 100) && !(op == "ann_graph" && f >= 100)) {
+          val (sec, j, _) = timed(jobs, stages) {
+            val q = SparkEntry.queries(op)(spark, dirFor(f))
+            // count() lets the optimizer ELIMINATE an unconsumed
+            // global sort (EliminateSorts) — sort_export measured
+            // 0.1 s flat across factors until this action forced the
+            // range-partition + sort to actually run
+            if (op == "sort_export") { q.rdd.count(); () } else { q.count(); () }
+          }
+          println(f"SCALELAB time fam=$fam%-5s op=$op%-14s x$f%-3d rep=$rep sec=$sec%7.2f jobs=$j%3d")
+          results += ((op, f, sec, j))
+          sweep()
+        }
+      }
+      // the linear-regime graph-ANN configuration (ring-bounded LSH
+      // init): same beam/deg/state, initPairCap=64 — timed at every
+      // factor so the capped-vs-uncapped delta and the capped
+      // scaling exponent are both on record
+      if (active.exists(_._1 == "ann"))
+        for (f <- Seq(1, 10, 100).filter(f => factorFilter.forall(_.contains(f)))) {
+        val (sec, j, _) = timed(jobs, stages) {
+          Similarity.annGraphBeam(spark, dirFor(f), Similarity.BeamWidth,
+            initPairCap = 64).count()
+        }
+        println(f"SCALELAB time fam=ann   op=ann_graph_cap64 x$f%-3d rep=1 sec=$sec%7.2f jobs=$j%3d")
+        results += (("ann_graph_cap64", f, sec, j))
+        sweep()
+      }
+      // per-(op, factor) min-merged summary + ratio vs 1×
+      println("SCALELAB summary (min over reps):")
+      val byOp = results.groupBy(r => (r._1, r._2)).view
+        .mapValues(rs => (rs.map(_._3).min, rs.head._4)).toMap
+      val allOps = active.flatMap { case (_, ops, factors) =>
+        ops.map(op => (op, factors))
+      } ++ (if (active.exists(_._1 == "ann"))
+        Seq(("ann_graph_cap64", Seq(1, 10, 100))) else Nil)
+      for ((op, factors) <- allOps) {
+        val base = byOp.get((op, 1)).map(_._1)
+        val cells = factors.flatMap { f =>
+          byOp.get((op, f)).map { case (t, j) =>
+            val r = base.map(b => f"${t / b}%.1f").getOrElse("-")
+            f"x$f=$t%.2f(r$r,j$j)"
+          }
+        }
+        println(s"SCALELAB summary op=$op ${cells.mkString(" ")}")
+      }
+    }
+
+    spark.stop()
+  }
+
+  /** Times `body`, returning (seconds, jobs started, stages run). */
+  private def timed(jobs: AtomicInteger, stages: AtomicInteger)(body: => Unit): (Double, Int, Int) = {
+    val j0 = jobs.get(); val s0 = stages.get()
+    val t0 = System.nanoTime()
+    body
+    ((System.nanoTime() - t0) / 1e9, jobs.get() - j0, stages.get() - s0)
+  }
+}
