@@ -59,7 +59,8 @@ object ScaleLab {
     ("dedup", Seq("dedup_minhash", "dedup_fuzzy"), Seq(1, 10, 100)),
     ("ann",   Seq("ann_ivf", "ann_pq", "ann_graph"), Seq(1, 10, 100)),
     ("graph", Seq("pagerank", "bfs_reach", "kcore"), Seq(1, 3, 10)),
-    ("sort",  Seq("sort_export"), Seq(1, 3, 10)))
+    ("sort",  Seq("sort_export"), Seq(1, 3, 10)),
+    ("text",  Seq("bpe_train", "trigram_lm", "doc_quality_ensemble"), Seq(1, 10, 100)))
 
   private def factorsNeeded: Seq[Int] =
     Families.flatMap(_._3).distinct.filter(_ > 1).sorted
