@@ -35,6 +35,12 @@ import graft.CacheScope.ScopedDataset
   *     cleaner when `spark.cleaner.referenceTracking.cleanCheckpoints`
   *     is set, else they live until the dir is deleted. This is the
   *     mode for preemptible / dynamically-allocated executors.
+  *     Cost note (ADVICE r16): the iterative families cut once per
+  *     ROUND, so a 32–48-round loop (dedup_cluster's pointer
+  *     doubling, cc_star) writes that many checkpoint directories
+  *     per run — without `cleanCheckpoints` they accumulate
+  *     unboundedly across runs; set it (or sweep the dir) when
+  *     running iterative ops in this mode.
   *
   * The switch is read once per JVM (env `GRAFT_STATE_MODE`, overridden
   * by sysprop `graft.state.mode`) — a deployment property, not a
@@ -51,8 +57,14 @@ object StateMode {
 
   private val Allowed = Set(Ckpt, Persist, Reliable)
 
-  /** The deployment-selected backing for shipped lineage cuts. */
-  val deployment: String =
+  /** The deployment-selected backing for shipped lineage cuts.
+    *
+    * `lazy` on purpose (ADVICE r16): resolved in the object
+    * initializer, an invalid `GRAFT_STATE_MODE` would surface as an
+    * opaque `ExceptionInInitializerError` (and `NoClassDefFoundError`
+    * on every later touch of the object); deferring to first use
+    * lets the IllegalArgumentException message reach the user. */
+  lazy val deployment: String =
     sys.props.get("graft.state.mode")
       .orElse(sys.env.get("GRAFT_STATE_MODE"))
       .map(_.trim.toLowerCase) match {

@@ -564,14 +564,7 @@ object Dedup {
     * shuffle carries only (table, key, id) tuples either way. */
   private[graft] def embeddingCandidatesOf(
       emb: DataFrame, nTables: Int, bits: Int): DataFrame = {
-    import emb.sparkSession.implicits._
-    val planes = Similarity.makePlanes(nTables * bits)
-    val tagged = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .flatMap { r =>
-        Similarity.signKeys(r._2, planes, nTables, bits)
-          .iterator.zipWithIndex.map { case (k, t) => (r._1, t, k) }
-      }
-      .toDF("vec_id", "table_idx", "table_key")
+    val tagged = embeddingTaggedOf(emb, nTables, bits)
     tagged.as("x")
       .join(tagged.as("y"),
         col("x.table_idx") === col("y.table_idx") &&
@@ -581,15 +574,39 @@ object Dedup {
       .distinct()
   }
 
+  /** The (vec_id, table_idx, table_key) bucket frame behind
+    * [[embeddingCandidatesOf]] — exposed so ScaleLab can price the
+    * Σ bucket² pair mass analytically from bucket sizes (a groupBy,
+    * not the pair join) at factors where materializing the pairs is
+    * the measured ENOSPC class. */
+  private[graft] def embeddingTaggedOf(
+      emb: DataFrame, nTables: Int, bits: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val planes = Similarity.makePlanes(nTables * bits)
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { r =>
+        Similarity.signKeys(r._2, planes, nTables, bits)
+          .iterator.zipWithIndex.map { case (k, t) => (r._1, t, k) }
+      }
+      .toDF("vec_id", "table_idx", "table_key")
+  }
+
+  private[graft] def embTablesBits: (Int, Int) = (EmbTables, EmbBits)
+
   /** Embedding near-dup pairs — random-hyperplane LSH bands generate
     * candidates, exact lattice cosine confirms; never all-pairs. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val cands = embeddingCandidatesOf(
       e.select(col("vec_id"), col("embedding")), EmbTables, EmbBits)
+    // cands is the Σ bucket² side — attach vectors via the size-gated
+    // broadcast (Similarity.vecHinted, the r16 descent-build lesson)
+    // so the pair shuffle carries (vec_a, vec_b) ids, never vectors
     cands
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .join(Similarity.vecHinted(
+        e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))), "vec_a")
+      .join(Similarity.vecHinted(
+        e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))), "vec_b")
       .withColumn("cos", cosine_sim(col("ea"), col("eb")))
       .filter(col("cos") >= 0.45)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
@@ -620,6 +637,20 @@ object Dedup {
     * skew trade as LSH buckets — AQE skew-split territory. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
     dedupSemanticOf(Similarity.cellAssignments(spark, dir)
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), "vec_id"))
+
+  /** [[dedupSemantic]] with the cluster COUNT as the scale dial (r17
+    * ScaleLab batch 2): the intra-cell self-join is Σ cell², so at a
+    * FIXED cell count an F× corpus pays F² — linear-ish only when
+    * cells scale ∝ corpus (the SemDeDup paper runs 50k clusters at
+    * web scale). This trains its OWN nCells-centroid quantizer (same
+    * deterministic seed-window + Lloyd machinery, wider window)
+    * instead of ann_ivf's shared [[Similarity.NCells]]-cell artifact;
+    * nCells == NCells reproduces the registered op bit-for-bit. */
+  private[graft] def dedupSemanticCells(spark: SparkSession, dir: String,
+      nCells: Int): DataFrame =
+    dedupSemanticOf(Similarity.cellAssignmentsWith(spark, dir,
+        Similarity.learnedCentroids(spark, dir, nCells = nCells))
       .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), "vec_id"))
 
   /** Verdict over any (vec_id, cell, embedding) frame — the planted
@@ -1114,14 +1145,24 @@ object Dedup {
     // 10× corpus with replica-hot prefixes). Pruning grams whose
     // SEGMENT-side df exceeds [[FuzzyMaxGramDf]] bounds the join
     // volume by cap × (2K+1)·NSeg × n — LINEAR in n. Recall
-    // contract: a qualifying pair is lost only when, in BOTH
-    // directions, every edit-untouched segment is a >cap boilerplate
-    // gram — i.e. mass-shared prefixes, whose exact duplicates are
-    // [[dedupExact]]'s job (hash-group, output-linear). The hot list
-    // cannot exceed NSeg·n/cap rows, so the anti-join broadcasts.
+    // contract (reworded r17, ADVICE r16): a qualifying pair is
+    // DROPPED — not recovered elsewhere — when every edit-untouched
+    // segment of an optimal alignment is a >cap-hot gram. Such pairs
+    // share >cap boilerplate in all surviving segments yet differ
+    // within K edits in the rest; they are genuine near-dups that
+    // [[dedupExact]] CANNOT recover (it needs byte-identical docs).
+    // The cap is a deliberate recall-for-boundedness trade on
+    // mass-shared boilerplate; the `fuzzy_hot_grams` observed metric
+    // below reports when it engages (0 on the fixture, hottest
+    // bucket = 3) so a deployment sees the trade the run actually
+    // made — read it from `df.queryExecution.observedMetrics` or a
+    // QueryExecutionListener after any action; no extra job runs.
+    // The hot list cannot exceed NSeg·n/cap rows, so the anti-join
+    // broadcasts.
     val hot = segsAll.groupBy(col("i"), col("s"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxGramDf).select(col("i"), col("s"))
+      .observe("fuzzy_hot_grams", count(lit(1)).as("hot_gram_count"))
     val segs = segsAll.join(hot, Seq("i", "s"), "left_anti")
     val shifts = (-FuzzyK to FuzzyK).map(lit(_))
     val probes = n.select(col("doc_id"), col("t"),

@@ -294,23 +294,34 @@ object Multimodal {
     * hashes compute ONCE (persisted — encode/decode must not rerun
     * for the self-join's two sides), and the wide joins carry only
     * (doc_id, band, byte) / (doc_id, two longs) — never media. */
-  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
-    import graft.CacheScope.ScopedDataset
-    val p = multimodalPhash(spark, dir)
-      .select(col("doc_id"), col("phash_lo"), col("phash_hi"))
-      .persistScoped()
-    val bands = p.select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 7), k -> struct(k AS k, " +
-          "CASE WHEN k < 4 THEN shiftright(phash_lo, 8*k) & 255 " +
-          "ELSE shiftright(phash_hi, 8*(k-4)) & 255 END AS bv))")).as("b"))
-      .select(col("doc_id"), col("b.k").as("k"), col("b.bv").as("bv"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
+  def phashDedup(spark: SparkSession, dir: String): DataFrame =
+    phashDedupBanded(spark, dir)
+
+  /** Default operating point: hamming ≤ 6 over 8 bands of 8 bits —
+    * the widest threshold the 64-bit hash supports losslessly with
+    * byte-aligned bands. */
+  private[operators] val PhashK = 6
+  private[operators] val PhashBands = 8
+
+  /** [[phashDedup]] with the (threshold, band-count) SCALE dials
+    * exposed (r17 ScaleLab batch 2): at a fixed band width the
+    * per-band bucket population over near-uniform perceptual hashes
+    * grows ~n/2^bits, so candidate volume is ~nBands·n²/2^bits —
+    * QUADRATIC in the corpus at the shipped 8×8 layout (the knob the
+    * r16 scaladoc named, now measurable). Lowering the hamming
+    * threshold k lets bands WIDEN while staying lossless — the
+    * pigeonhole needs only nBands ≥ k+1 (k flips touch ≤ k bands, so
+    * one band survives untouched) — and each extra band bit halves
+    * candidate mass: (k=3, 4×16-bit) divides it ~256× vs (6, 8×8).
+    * Band b takes bits [off(b), off(b)+w(b)) of the combined 64-bit
+    * hash (lo | hi<<32; widths split 64 as evenly as possible,
+    * remainder to the low bands) — at the default 8×8 the keys are
+    * bit-identical to the historical per-byte layout, so the
+    * registered operator and its oracle are unchanged. */
+  private[graft] def phashDedupBanded(spark: SparkSession, dir: String,
+      k: Int = PhashK, nBands: Int = PhashBands): DataFrame = {
+    val p = phashesPersisted(spark, dir)
+    phashCandidates(spark, dir, k, nBands)
       .join(p.select(col("doc_id").as("doc_a"),
         col("phash_lo").as("lo_a"), col("phash_hi").as("hi_a")), "doc_a")
       .join(p.select(col("doc_id").as("doc_b"),
@@ -318,8 +329,49 @@ object Multimodal {
       .withColumn("hamming",
         (bit_count(col("lo_a").bitwiseXOR(col("lo_b")))
           + bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long"))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= k)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Hashes computed once for both the band and the verify side —
+    * the two call sites build the IDENTICAL plan, so plan-equality
+    * cache dedup shares one persisted copy (the
+    * simjoinPrefixCandidates universe precedent). */
+  private def phashesPersisted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.CacheScope.ScopedDataset
+    multimodalPhash(spark, dir)
+      .select(col("doc_id"), col("phash_lo"), col("phash_hi"))
+      .persistScoped()
+  }
+
+  /** The banded candidate stage alone — exposed for ScaleLab's
+    * candidate-growth audit (the dedupFuzzyCandidatesOn precedent). */
+  private[graft] def phashCandidates(spark: SparkSession, dir: String,
+      k: Int = PhashK, nBands: Int = PhashBands): DataFrame = {
+    val bands = phashBands(spark, dir, k, nBands)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The (doc_id, band k, band value) bucket frame — exposed so
+    * ScaleLab can price Σ bucket² analytically from bucket sizes. */
+  private[graft] def phashBands(spark: SparkSession, dir: String,
+      k: Int, nBands: Int): DataFrame = {
+    require(nBands > k && nBands <= 64,
+      s"pigeonhole needs nBands > k for losslessness: got k=$k, nBands=$nBands")
+    val widths = Array.tabulate(nBands)(b => 64 / nBands + (if (b < 64 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandExprs = (0 until nBands).map { b =>
+      s"struct(${b}L AS k, shiftrightunsigned(ph, ${offsets(b)}) & ${(1L << widths(b)) - 1} AS bv)"
+    }
+    phashesPersisted(spark, dir)
+      .withColumn("ph", col("phash_lo").bitwiseOR(shiftleft(col("phash_hi"), 32)))
+      .select(col("doc_id"), explode(expr(s"array(${bandExprs.mkString(",")})")).as("b"))
+      .select(col("doc_id"), col("b.k").as("k"), col("b.bv").as("bv"))
   }
 
   private val ThumbSide = 4

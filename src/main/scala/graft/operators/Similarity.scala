@@ -644,8 +644,9 @@ object Similarity extends SimilaritySearch with SimilarityPqIndex {
     * exact ±1.0 VALUES literals → sign-bit keys → bucket-mate
     * candidates → exact cosine → per-query rank), shared by the
     * `ann_lsh` and `knn_join` oracles so the two can't drift. */
-  /** Full DuckDB replay of [[annGraph]]: LSH keys → bucket-mate
-    * init → [[SimilaritySearch.DescentRounds]] NN-descent round(s) →
+  /** Full DuckDB replay of [[annGraph]]: LSH keys → ring-bounded
+    * bucket-mate init ([[SimilaritySearch.GraphInitPairCap]], linear
+    * in n) → [[SimilaritySearch.DescentRounds]] NN-descent round(s) →
     * stride seeds → four beam hops →
     * exact top-K. Every CTE is `AS MATERIALIZED`: DuckDB inlines CTEs
     * by default and each NN-descent round references its predecessor
@@ -656,6 +657,25 @@ object Similarity extends SimilaritySearch with SimilarityPqIndex {
     // the trained-graph CTE the beam hops walk — generated from
     // DescentRounds so engine and replay share the one constant
     val gcte = s"e$DescentRounds"
+    // the init CTE is likewise generated from GraphInitPairCap
+    // (r17 flip): finite cap → the linear ring-bounded init the
+    // registered op runs (rank bucket members by vec_id, pair each
+    // with its next `cap` in-bucket successors, symmetrize — UNION
+    // dedups exactly like the engine's union().distinct());
+    // Int.MaxValue → the historical unbounded bucket-mate self-join,
+    // so turning the dial back keeps engine and oracle in lockstep
+    val initCte =
+      if (GraphInitPairCap == Int.MaxValue)
+        s"""cand0 AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+           |  FROM keys a JOIN keys b ON a.t = b.t AND a.key = b.key AND b.vec_id <> a.vec_id),""".stripMargin
+      else
+        s"""rk AS MATERIALIZED (SELECT vec_id, t, key,
+           |    row_number() OVER (PARTITION BY t, key ORDER BY vec_id) AS rn FROM keys),
+           |fwdp AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS dst
+           |  FROM rk a JOIN rk b ON a.t = b.t AND a.key = b.key
+           |    AND b.rn > a.rn AND b.rn <= a.rn + $GraphInitPairCap),
+           |cand0 AS MATERIALIZED (SELECT src, dst FROM fwdp
+           |  UNION SELECT dst AS src, src AS dst FROM fwdp),""".stripMargin
     def ndRound(r: Int, prev: String): String =
       s"""cand$r AS MATERIALIZED (SELECT src, dst FROM $prev
          |  UNION SELECT a.src, b.dst FROM $prev a JOIN $prev b ON a.dst = b.src AND b.dst <> a.src
@@ -682,8 +702,7 @@ object Similarity extends SimilaritySearch with SimilarityPqIndex {
        |    CASE WHEN list_inner_product(e.emb, pl.p) >= 0 THEN 1 << pl.j ELSE 0 END AS bit
        |  FROM e CROSS JOIN planes pl),
        |keys AS MATERIALIZED (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS key FROM bits GROUP BY 1, 2),
-       |cand0 AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-       |  FROM keys a JOIN keys b ON a.t = b.t AND a.key = b.key AND b.vec_id <> a.vec_id),
+       |$initCte
        |s0 AS MATERIALIZED (SELECT src, dst, list_cosine_similarity(se.emb, de.emb) AS cos
        |  FROM cand0 JOIN e se ON se.vec_id = src JOIN e de ON de.vec_id = dst),
        |e0 AS MATERIALIZED (SELECT src, dst FROM (

@@ -76,7 +76,7 @@ private[operators] trait SimilarityPqIndex extends Serializable { this: Similari
       spark: SparkSession, dir: String, beamWidth: Int,
       hops: Int = BeamHops, candCap: Int = GraphDeg,
       graphMode: String = GraphStateMode,
-      initPairCap: Int = Int.MaxValue): DataFrame = {
+      initPairCap: Int = GraphInitPairCap): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val g = neighborGraphCapped(spark, dir, candCap, graphMode, initPairCap)
     val q = e.filter(col("vec_id") < NQueries)

@@ -203,11 +203,20 @@ class DedupScaleSpec extends AnyFunSuite {
       .filter(levenshtein(col("a.t"), col("b.t")) <= Dedup.FuzzyK)
       .select(col("a.doc_id"), col("b.doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val found = Dedup.dedupFuzzyOn(docs)
+    val foundDf = Dedup.dedupFuzzyOn(docs)
+    val found = foundDf
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(naive.size >= 6 && found === naive,
       s"capped fuzzy must keep full recall on sub-cap pairs (${found.size} vs ${naive.size})")
-    info(s"capped candidates $capped; true pairs ${naive.size}, all found")
+    // the cap-engagement signal (ADVICE r16): the observed metric
+    // reports the hot list is non-empty — exactly the one planted
+    // boilerplate gram — with no extra job
+    val hotGrams = foundDf.queryExecution.observedMetrics
+      .get("fuzzy_hot_grams").map(_.getLong(0))
+    assert(hotGrams.contains(1L),
+      s"fuzzy_hot_grams observed metric should report 1 hot gram, got $hotGrams")
+    info(s"capped candidates $capped; true pairs ${naive.size}, all found; " +
+      s"fuzzy_hot_grams metric = ${hotGrams.orNull}")
   }
 
   test("the fixture operating point (32×4) still finds every fixture pair after the refactor") {

@@ -634,6 +634,63 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("phash widened-band dial (k=3, 4×16-bit) is lossless at its own threshold") {
+    import org.apache.spark.sql.functions.{col, bit_count}
+    // the r17 scale dial: lowering the hamming threshold lets bands
+    // WIDEN (pigeonhole needs only nBands > k), dividing bucket
+    // collision mass ~256× — this pins that the widened layout is
+    // still lossless, so the dial trades THRESHOLD, never recall
+    val dir = "/root/testdata/sf0.001"
+    val p = Multimodal.multimodalPhash(spark, dir)
+      .select(col("doc_id"), col("phash_lo"), col("phash_hi"))
+    val brute = p.as("a").join(p.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("h",
+        (bit_count(col("a.phash_lo").bitwiseXOR(col("b.phash_lo")))
+          + bit_count(col("a.phash_hi").bitwiseXOR(col("b.phash_hi")))).cast("long"))
+      .filter(col("h") <= 3)
+      .select(col("a.doc_id"), col("b.doc_id"), col("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Multimodal.phashDedupBanded(spark, dir, k = 3, nBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === brute, "4×16-bit banding must lose no pair within hamming 3")
+    // an unsound layout (nBands ≤ k) is refused, not silently lossy
+    intercept[IllegalArgumentException] {
+      Multimodal.phashDedupBanded(spark, dir, k = 6, nBands = 6)
+    }
+    graft.CacheScope.release()
+  }
+
+  test("knnJoinCapped: ring candidates are bucket-mates, k-bound holds, high recall vs uncapped") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val full = Similarity.knnJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val cappedDf = Similarity.knnJoinCapped(spark, dir, 64)
+    val capped = cappedDf.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // the ring only SUBSETS candidate generation, so results can
+    // differ where rank 3 refills from lower-cos mates — recall vs
+    // the uncapped op is the contract (ScaleLab `knncap` measures
+    // the full curve; this pins a CI floor)
+    val recall = full.intersect(capped).size.toDouble / full.size
+    assert(recall >= 0.9, s"cap-64 knn_join recall $recall vs uncapped")
+    val maxPerQ = cappedDf.groupBy("qid").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    assert(maxPerQ <= Similarity.KnnK.toLong)
+    assert(full.nonEmpty && capped.nonEmpty)
+    graft.CacheScope.release()
+  }
+
+  test("dedupSemanticCells at the default cell count reproduces the registered op row-for-row") {
+    // the r17 cluster-count dial must be the shipped construction at
+    // nCells == NCells (the neighborGraphCapped candCap precedent)
+    val dir = "/root/testdata/sf0.001"
+    val shipped = Dedup.dedupSemantic(spark, dir)
+    val dialed = Dedup.dedupSemanticCells(spark, dir, Similarity.NCells)
+    assert(shipped.exceptAll(dialed).isEmpty && dialed.exceptAll(shipped).isEmpty,
+      "nCells=NCells must be row-for-row identical to dedupSemantic")
+    graft.CacheScope.release()
+  }
+
   test("target_encode equals the BigInt LOO reference on every fixture order") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"

@@ -180,9 +180,10 @@ object GraphAnnLab {
     // ring-bounded LSH-init A/B (r16 ScaleLab: the uncapped
     // bucket-mate self-join is quadratic in corpus size — twice
     // ENOSPC at x100): recall@5 at initPairCap ∈ {∞, 256, 64} — the
-    // shipped fixture op keeps ∞ (plan byte-identical); the capped
-    // configs are the linear-regime production dial, and their
-    // recall floor is what licenses recommending them at scale.
+    // REGISTERED op ships cap = GraphInitPairCap = 64 since r17 (the
+    // linear-regime init, oracle regenerated from the constant); ∞
+    // is the small-corpus dial. The measured ∞-vs-64 recall parity
+    // here is what licensed the flip.
     for (cap <- Seq(Int.MaxValue, 256, 64) if sections("initcap")) {
       val t0 = System.nanoTime()
       val rows = Similarity.annGraphBeam(spark, dir, Similarity.BeamWidth,

@@ -92,10 +92,17 @@ class ModesParitySpec extends AnyFunSuite {
 
   test("StateMode: default deployment is ckpt and cut() truncates lineage") {
     import spark.implicits._
-    // no GRAFT_STATE_MODE / graft.state.mode is set in CI, so every
-    // shipped cut must resolve to the measured local-checkpoint
-    // winner; under an override this spec run would itself flip, so
-    // also assert the resolved value is one of the legal three
+    // the resolved value must always be one of the legal three —
+    // this holds under any supported override
+    assert(Set(graft.StateMode.Ckpt, graft.StateMode.Persist,
+      graft.StateMode.Reliable)(graft.StateMode.deployment))
+    // the ckpt-specific assertions pin the DEFAULT deployment; a run
+    // under a legitimate GRAFT_STATE_MODE=persist/reliable override
+    // is a supported configuration, not a failure (ADVICE r16) —
+    // skip them rather than fail the suite
+    assume(sys.env.get("GRAFT_STATE_MODE").forall(_.trim.isEmpty) &&
+      sys.props.get("graft.state.mode").isEmpty,
+      "StateMode override active — ckpt-default assertions skipped")
     assert(graft.StateMode.deployment == graft.StateMode.Ckpt)
     val cut = graft.StateMode.cut(Seq(1L, 2L, 3L).toDF("x"))
     assert(cut.queryExecution.optimizedPlan.collectLeaves()

@@ -57,17 +57,45 @@ object ScaleLab {
     * 100k events) stop at 10×. */
   private val Families: Seq[(String, Seq[String], Seq[Int])] = Seq(
     ("dedup", Seq("dedup_minhash", "dedup_fuzzy"), Seq(1, 10, 100)),
+    // batch 2 (r17, VERDICT r16 "What's missing" 1–2): the shingle/
+    // prefix-join and bucket-join long tail + the stored-index path.
+    // knn_join / phash_dedup / dedup_embedding are Σ bucket² shapes
+    // at FIXED key bits — expected superlinear, so 100× runs only as
+    // their capped/widened extra configs below (the uncapped x100
+    // pair volume is the measured ann_graph-init ENOSPC class).
+    ("dedup2", Seq("dedup_semantic", "dedup_substring"), Seq(1, 10, 100)),
+    ("sim",    Seq("simjoin_prefix"), Seq(1, 10, 100)),
+    ("bucket", Seq("knn_join", "phash_dedup", "dedup_embedding"), Seq(1, 10)),
+    ("index",  Seq("ann_index", "ann_index_add"), Seq(1, 10, 100)),
     ("ann",   Seq("ann_ivf", "ann_pq", "ann_graph"), Seq(1, 10, 100)),
-    ("graph", Seq("pagerank", "bfs_reach", "kcore"), Seq(1, 3, 10)),
+    ("graph", Seq("pagerank", "bfs_reach", "kcore", "jaccard_neighbors"), Seq(1, 3, 10)),
     ("sort",  Seq("sort_export"), Seq(1, 3, 10)),
     ("text",  Seq("bpe_train", "trigram_lm", "doc_quality_ensemble"), Seq(1, 10, 100)))
+
+  /** Extra timed configurations — the SCALE-DIAL settings of batch-2
+    * ops (each family's registered op runs uncapped above; these are
+    * the linear-regime dials whose curves license recommending them)
+    * keyed by the family that must be active for them to run. */
+  private def extraConfigs(spark: SparkSession, dirFor: Int => String)
+      : Seq[(String, String, Seq[Int], Int => Unit)] = Seq(
+    ("ann", "ann_graph_inf", Seq(1, 10),
+      f => { Similarity.annGraphBeam(spark, dirFor(f), Similarity.BeamWidth,
+        initPairCap = Int.MaxValue).count(); () }),
+    ("bucket", "knn_join_cap64", Seq(1, 10, 100),
+      f => { Similarity.knnJoinCapped(spark, dirFor(f), 64).count(); () }),
+    ("bucket", "phash_k3b4", Seq(1, 10, 100),
+      f => { Multimodal.phashDedupBanded(spark, dirFor(f), 3, 4).count(); () }),
+    ("dedup2", "dedup_semantic_nx", Seq(1, 10, 100),
+      f => { Dedup.dedupSemanticCells(spark, dirFor(f),
+        Similarity.NCells * f).count(); () }))
 
   private def factorsNeeded: Seq[Int] =
     Families.flatMap(_._3).distinct.filter(_ > 1).sorted
 
   def main(args: Array[String]): Unit = {
     val sections: Set[String] =
-      if (args.isEmpty) Set("gen", "counts", "floor", "time") else args.toSet
+      if (args.isEmpty) Set("gen", "counts", "counts2", "floor", "time", "knncap")
+      else args.toSet
     // SCALELAB_SHUFFLE tests the partition-count hypothesis: the
     // fixture bench pins 32 partitions (sized for sf0.1); at 100×
     // data the per-partition sort/spill grows superlinearly, which a
@@ -217,6 +245,74 @@ object ScaleLab {
       }
     }
 
+    // ────────────────────────── counts2 ───────────────────────────
+    // r17 batch 2 (VERDICT r16 "What's missing" 1): candidate-volume
+    // audit for the prefix/bucket-join tail. Bucket-join pair mass is
+    // priced ANALYTICALLY from bucket sizes (Σ n·(n−1)/2 per bucket —
+    // exact for per-table emission, an upper bound on the cross-table
+    // DISTINCT the ops actually keep), so the 100× rows cost a
+    // groupBy over tags, never a materialized pair set. Ring-cap
+    // masses use the same closed form (n>cap ⇒ n·cap − cap(cap+1)/2).
+    if (sections("counts2")) {
+      // doubled inside the sum, halved on the driver — Spark's `/`
+      // on longs is DOUBLE division and would lose exactness
+      def pairMass(buckets: DataFrame): Long =
+        buckets.agg(sum(col("count") * (col("count") - 1))).head.getLong(0) / 2
+      def ringMass(buckets: DataFrame, cap: Int): Long =
+        buckets.agg(sum(when(col("count") > cap,
+            col("count") * (2L * cap) - cap.toLong * (cap + 1))
+          .otherwise(col("count") * (col("count") - 1)))).head.getLong(0) / 2
+      for (f <- Seq(1, 10, 100)) {
+        val d = dirFor(f)
+        val sj = Dedup.simjoinPrefixCandidates(spark, d).count()
+        sweep()
+        val knnB = Similarity.tableKeys(spark, d)
+          .groupBy("table_idx", "table_key").count()
+        val (knnUb, knnCap) = (pairMass(knnB), ringMass(knnB, 64))
+        sweep()
+        val (embT, embBits) = Dedup.embTablesBits
+        val e = graft.sources.Tables.embeddings(spark, d)
+        val embB = Dedup.embeddingTaggedOf(e, embT, embBits)
+          .groupBy("table_idx", "table_key").count()
+        val embUb = pairMass(embB)
+        sweep()
+        val ph8 = pairMass(Multimodal.phashBands(spark, d, 6, 8)
+          .groupBy("k", "bv").count())
+        val ph4 = pairMass(Multimodal.phashBands(spark, d, 3, 4)
+          .groupBy("k", "bv").count())
+        sweep()
+        val semB = Similarity.cellAssignments(spark, d).groupBy("cell").count()
+        val semFix = pairMass(semB)
+        val semNx = pairMass(Similarity.cellAssignmentsWith(spark, d,
+            Similarity.learnedCentroids(spark, d,
+              nCells = Similarity.NCells * f))
+          .groupBy("cell").count())
+        println(s"SCALELAB counts2 x$f sj_cands=$sj knn_ub=$knnUb " +
+          s"knn_cap64=$knnCap emb_ub=$embUb phash_8x8=$ph8 phash_4x16=$ph4 " +
+          s"sem_fixed=$semFix sem_nx=$semNx")
+        sweep()
+      }
+    }
+
+    // ────────────────────────── knncap ────────────────────────────
+    // recall of the ring-capped knn_join vs the registered uncapped
+    // op at every swept SF — the floor that licenses (or forbids)
+    // flipping the default, the ann_graph initPairCap arc
+    if (sections("knncap")) {
+      for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", Base);
+           cap <- Seq(256, 64)) {
+        val full = Similarity.knnJoin(spark, d).collect()
+          .map(r => (r.getLong(0), r.getLong(2))).toSet
+        val capped = Similarity.knnJoinCapped(spark, d, cap).collect()
+          .map(r => (r.getLong(0), r.getLong(2))).toSet
+        val recall = full.intersect(capped).size.toDouble / full.size
+        val exact = if (capped == full) "EXACT" else "differs"
+        println(f"SCALELAB knncap dir=${d.split('/').last}%-8s cap=$cap%-4d " +
+          f"recall=$recall%.4f ($exact, ${full.size} rows)")
+        sweep()
+      }
+    }
+
     // ─────────────────────────── floor ────────────────────────────
     // VERDICT r15 item 4: the per-job machinery constant. Three
     // representative cheap shapes (scan-agg, join, window) run at
@@ -249,10 +345,11 @@ object ScaleLab {
       val results = scala.collection.mutable.ArrayBuffer[(String, Int, Double, Int)]()
       for ((fam, ops, factors) <- active; rep <- 1 to 2; f <- factors; op <- ops) {
         // 100× runs once — they are minutes, and the question is the
-        // exponent, not the variance. ann_graph's UNCAPPED init is
-        // measured-quadratic (twice ENOSPC at x100) — beyond x10 it
-        // runs only as the initPairCap=64 configuration below.
-        if ((rep == 1 || f < 100) && !(op == "ann_graph" && f >= 100)) {
+        // exponent, not the variance. (r17: the registered ann_graph
+        // now ships the ring-bounded init — GraphInitPairCap=64,
+        // linear in n — so it runs at every factor; the UNCAPPED
+        // quadratic init is the excluded configuration below.)
+        if (rep == 1 || f < 100) {
           val (sec, j, _) = timed(jobs, stages) {
             val q = SparkEntry.queries(op)(spark, dirFor(f))
             // count() lets the optimizer ELIMINATE an unconsumed
@@ -266,18 +363,16 @@ object ScaleLab {
           sweep()
         }
       }
-      // the linear-regime graph-ANN configuration (ring-bounded LSH
-      // init): same beam/deg/state, initPairCap=64 — timed at every
-      // factor so the capped-vs-uncapped delta and the capped
-      // scaling exponent are both on record
-      if (active.exists(_._1 == "ann"))
-        for (f <- Seq(1, 10, 100).filter(f => factorFilter.forall(_.contains(f)))) {
-        val (sec, j, _) = timed(jobs, stages) {
-          Similarity.annGraphBeam(spark, dirFor(f), Similarity.BeamWidth,
-            initPairCap = 64).count()
-        }
-        println(f"SCALELAB time fam=ann   op=ann_graph_cap64 x$f%-3d rep=1 sec=$sec%7.2f jobs=$j%3d")
-        results += (("ann_graph_cap64", f, sec, j))
+      // dial configurations (ann_graph_inf is the historical
+      // UNCAPPED init — quadratic, ENOSPC at x100, timed 1×/10× for
+      // the capped-vs-uncapped delta; the rest are the batch-2
+      // linear-regime settings)
+      for ((fam, label, factors, run) <- extraConfigs(spark, dirFor)
+             if active.exists(_._1 == fam);
+           f <- factors.filter(f => factorFilter.forall(_.contains(f)))) {
+        val (sec, j, _) = timed(jobs, stages) { run(f) }
+        println(f"SCALELAB time fam=$fam%-6s op=$label%-18s x$f%-3d rep=1 sec=$sec%7.2f jobs=$j%3d")
+        results += ((label, f, sec, j))
         sweep()
       }
       // per-(op, factor) min-merged summary + ratio vs 1×
@@ -286,8 +381,10 @@ object ScaleLab {
         .mapValues(rs => (rs.map(_._3).min, rs.head._4)).toMap
       val allOps = active.flatMap { case (_, ops, factors) =>
         ops.map(op => (op, factors))
-      } ++ (if (active.exists(_._1 == "ann"))
-        Seq(("ann_graph_cap64", Seq(1, 10, 100))) else Nil)
+      } ++ extraConfigs(spark, dirFor).collect {
+        case (fam, label, factors, _) if active.exists(_._1 == fam) =>
+          (label, factors)
+      }
       for ((op, factors) <- allOps) {
         val base = byOp.get((op, 1)).map(_._1)
         val cells = factors.flatMap { f =>
