@@ -512,7 +512,7 @@ object Similarity extends SimilaritySearch with SimilarityPqIndex {
     // the same doubles).
     "ann_lsh" -> lshReplaySql(s"WHERE q.vec_id < $NQueries", K),
     // same replay, no query filter: EVERY vector ranks its bucket-mates
-    "knn_join" -> lshReplaySql("", KnnK),
+    "knn_join" -> lshReplaySql("", KnnK, KnnBucketCap),
     "class_centroids" ->
       s"""WITH q AS (
          |  SELECT CAST(label AS BIGINT) AS label, d.d,
@@ -577,7 +577,7 @@ object Similarity extends SimilaritySearch with SimilarityPqIndex {
   private def knnClassifySql: String =
     s"""WITH votes AS (
        |  SELECT knn.qid, CAST(l.label AS BIGINT) AS nlabel, count(*) AS n
-       |  FROM (${lshReplaySql("", KnnK)}) knn
+       |  FROM (${lshReplaySql("", KnnK, KnnBucketCap)}) knn
        |  JOIN embeddings l ON l.vec_id = knn.nid
        |  GROUP BY 1, 2),
        |pick AS (
@@ -738,8 +738,32 @@ object Similarity extends SimilaritySearch with SimilarityPqIndex {
       s"(${i / BitsPerTable},${i % BitsPerTable},[${p.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}])"
     }.mkString(",")
 
-  private def lshReplaySql(qFilter: String, k: Int): String = {
+  private def lshReplaySql(qFilter: String, k: Int,
+      ringCap: Int = Int.MaxValue): String = {
     val planeRows = planesLiteral
+    // finite ringCap replays the [[SimilaritySearch.KnnBucketCap]]
+    // ring init (r17 knn_join flip — the graphReplaySql initCte
+    // precedent): rank bucket members by vec_id, pair each with its
+    // next `cap` in-bucket successors, symmetrize; UNION dedups like
+    // the engine's union().distinct(). Query-bounded replays
+    // (ann_lsh) keep the plain bucket join — their candidate mass is
+    // already linear in the corpus.
+    val candsCte =
+      if (ringCap == Int.MaxValue)
+        s"""cands AS (
+           |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+           |  FROM keys q JOIN keys c ON q.t = c.t AND q.key = c.key AND c.vec_id <> q.vec_id
+           |  $qFilter),""".stripMargin
+      else {
+        require(qFilter.isEmpty, "ring replay is the all-vectors path")
+        s"""rk AS (SELECT vec_id, t, key,
+           |    row_number() OVER (PARTITION BY t, key ORDER BY vec_id) AS rn FROM keys),
+           |fwdp AS (SELECT a.vec_id AS qid, b.vec_id AS nid
+           |  FROM rk a JOIN rk b ON a.t = b.t AND a.key = b.key
+           |    AND b.rn > a.rn AND b.rn <= a.rn + $ringCap),
+           |cands AS (SELECT qid, nid FROM fwdp
+           |  UNION SELECT nid AS qid, qid AS nid FROM fwdp),""".stripMargin
+      }
     s"""WITH planes(t, j, p) AS (VALUES $planeRows),
        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |      FROM embeddings),
@@ -748,10 +772,7 @@ object Similarity extends SimilaritySearch with SimilarityPqIndex {
        |    CASE WHEN list_inner_product(e.emb, pl.p) >= 0 THEN 1 << pl.j ELSE 0 END AS bit
        |  FROM e CROSS JOIN planes pl),
        |keys AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS key FROM bits GROUP BY 1, 2),
-       |cands AS (
-       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
-       |  FROM keys q JOIN keys c ON q.t = c.t AND q.key = c.key AND c.vec_id <> q.vec_id
-       |  $qFilter),
+       |$candsCte
        |s AS (
        |  SELECT qid, nid, list_cosine_similarity(qe.emb, ne.emb) AS cos
        |  FROM cands JOIN e qe ON qe.vec_id = qid JOIN e ne ON ne.vec_id = nid),

@@ -1226,8 +1226,22 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
     * replays the SAME bucketing, so the gate is exact for the operator
     * as specified. Candidate volume scales with Σ bucket², the
     * documented LSH trade (see [[annLsh]]). */
+  /** Registered default for the kNN-join bucket-mate ring cap (r17,
+    * same arc as [[GraphInitPairCap]] but with a STRONGER measured
+    * license: ScaleLab `knncap` found the cap-64 output EXACTLY
+    * EQUAL to the uncapped op at every swept SF — recall 1.0000,
+    * set-identical rows — because a true top-[[KnnK]] neighbor
+    * shares a bucket with its query in many of the 16 tables, so at
+    * least one table's ring reaches it. Candidate mass (analytic,
+    * counts2): uncapped 543k → 55.7M → 5.59G at 1×/10×/100× —
+    * QUADRATIC, the ann_graph-init ENOSPC class — vs capped
+    * 543k → 18.4M → 203M, linear once saturated. The oracle's
+    * candidate CTE is generated from this constant, so engine and
+    * replay flip together; ∞ stays reachable as the dial. */
+  private[operators] val KnnBucketCap = 64
+
   def knnJoin(spark: SparkSession, dir: String): DataFrame =
-    knnJoinCapped(spark, dir, Int.MaxValue)
+    knnJoinCapped(spark, dir, KnnBucketCap)
 
   /** [[knnJoin]] with the bucket-mate pair cap as a dial (r17
     * ScaleLab batch 2 — the same inherent quadratic as the
@@ -1236,11 +1250,9 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
     * Σ bucket² ~ n²). A finite cap ranks bucket members by vec_id
     * and pairs each with only its next `bucketCap` in-bucket
     * successors (symmetrized — every vector is a query here), which
-    * bounds candidates by NTables × cap × n, LINEAR in n. Recall at
-    * cap=64 is measured by ScaleLab's `knncap` section against the
-    * uncapped op; the registered op keeps ∞ (output-identical
-    * candidates = the oracle's bucket-mate CTE) until that floor is
-    * on record — the ann_graph initPairCap arc, one round behind. */
+    * bounds candidates by NTables × cap × n, LINEAR in n. The
+    * registered op ships [[KnnBucketCap]]; Int.MaxValue reproduces
+    * the historical unbounded self-join for A/B. */
   private[graft] def knnJoinCapped(spark: SparkSession, dir: String,
       bucketCap: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)

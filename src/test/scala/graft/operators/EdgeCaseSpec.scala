@@ -660,23 +660,23 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
-  test("knnJoinCapped: ring candidates are bucket-mates, k-bound holds, high recall vs uncapped") {
+  test("knn_join ring cap (registered r17): set-identical to the unbounded join, k-bound holds") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
-    val full = Similarity.knnJoin(spark, dir).collect()
+    // the REGISTERED op ships the ring cap (r17 flip); the unbounded
+    // self-join is the dial. ScaleLab `knncap` measured the capped
+    // output set-EQUAL to the uncapped at every swept SF — pin that
+    // license here so fixture drift that breaks it is loud
+    val full = Similarity.knnJoinCapped(spark, dir, Int.MaxValue).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val cappedDf = Similarity.knnJoinCapped(spark, dir, 64)
+    val cappedDf = Similarity.knnJoin(spark, dir)
     val capped = cappedDf.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    // the ring only SUBSETS candidate generation, so results can
-    // differ where rank 3 refills from lower-cos mates — recall vs
-    // the uncapped op is the contract (ScaleLab `knncap` measures
-    // the full curve; this pins a CI floor)
-    val recall = full.intersect(capped).size.toDouble / full.size
-    assert(recall >= 0.9, s"cap-64 knn_join recall $recall vs uncapped")
+    assert(capped === full,
+      "ring-capped knn_join must stay set-identical to the unbounded join on the fixture")
     val maxPerQ = cappedDf.groupBy("qid").count()
       .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
     assert(maxPerQ <= Similarity.KnnK.toLong)
-    assert(full.nonEmpty && capped.nonEmpty)
+    assert(full.nonEmpty)
     graft.CacheScope.release()
   }
 

@@ -65,7 +65,10 @@ object ScaleLab {
     // pair volume is the measured ann_graph-init ENOSPC class).
     ("dedup2", Seq("dedup_semantic", "dedup_substring"), Seq(1, 10, 100)),
     ("sim",    Seq("simjoin_prefix"), Seq(1, 10, 100)),
-    ("bucket", Seq("knn_join", "phash_dedup", "dedup_embedding"), Seq(1, 10)),
+    // knn_join ships the ring-capped init since r17 (linear) — full
+    // sweep; the other two bucket joins are quadratic as registered
+    ("knn",    Seq("knn_join"), Seq(1, 10, 100)),
+    ("bucket", Seq("phash_dedup", "dedup_embedding"), Seq(1, 10)),
     ("index",  Seq("ann_index", "ann_index_add"), Seq(1, 10, 100)),
     ("ann",   Seq("ann_ivf", "ann_pq", "ann_graph"), Seq(1, 10, 100)),
     ("graph", Seq("pagerank", "bfs_reach", "kcore", "jaccard_neighbors"), Seq(1, 3, 10)),
@@ -81,9 +84,9 @@ object ScaleLab {
     ("ann", "ann_graph_inf", Seq(1, 10),
       f => { Similarity.annGraphBeam(spark, dirFor(f), Similarity.BeamWidth,
         initPairCap = Int.MaxValue).count(); () }),
-    ("bucket", "knn_join_cap64", Seq(1, 10, 100),
-      f => { Similarity.knnJoinCapped(spark, dirFor(f), 64).count(); () }),
-    ("bucket", "phash_k3b4", Seq(1, 10, 100),
+    ("knn", "knn_join_inf", Seq(1, 10),
+      f => { Similarity.knnJoinCapped(spark, dirFor(f), Int.MaxValue).count(); () }),
+    ("bucket", "phash_k3b4", Seq(1, 10),
       f => { Multimodal.phashDedupBanded(spark, dirFor(f), 3, 4).count(); () }),
     ("dedup2", "dedup_semantic_nx", Seq(1, 10, 100),
       f => { Dedup.dedupSemanticCells(spark, dirFor(f),
