@@ -593,6 +593,44 @@ object Dedup {
 
   private[graft] def embTablesBits: (Int, Int) = (EmbTables, EmbBits)
 
+  // the τ ≥ 0.8 operating point: FEW tables × LONG keys — random
+  // pairs collide at ~2⁻¹⁶/table while near-dup pairs still share a
+  // table w.h.p. (the DedupScaleSpec planted-cluster proof)
+  private val EmbTightTables = 8
+  private val EmbTightBits = 16
+
+  /** TRUE near-dup embedding pairs (cos ≥ 0.8) at the sub-quadratic
+    * LSH operating point: 8 tables × 16-bit sign keys, so bucket
+    * mass over a non-adversarial corpus is ~n²/2¹⁶ per table instead
+    * of [[dedupEmbedding]]'s near-all-pairs (counts2 priced the 32×4
+    * point at 41.7G pairs at the 100× corpus). APPROXIMATE by
+    * construction — a pair outside every shared bucket is unseen;
+    * the operating point is built for the cos ≥ 0.9 mass where
+    * banding is effectively lossless. LIBRARY surface, deliberately
+    * NOT registered: every driver fixture has ZERO cos ≥ 0.8 pairs
+    * (max fixture cos 0.5128), so a registered entry would gate a
+    * permanently-empty result — vacuous evidence. The behavioral
+    * gate is DedupScaleSpec's planted-cluster test, which runs this
+    * exact operator over 0.99-cos clusters and asserts the output
+    * EQUALS the planted truth with candidates ≪ n²/2. Scale shape:
+    * shuffles carry (table, key, id) tuples; vectors attach to the
+    * candidate list via the size-gated broadcast. */
+  def dedupEmbeddingTightOn(emb: DataFrame): DataFrame = {
+    val cands = embeddingCandidatesOf(
+      emb.select(col("vec_id"), col("embedding")), EmbTightTables, EmbTightBits)
+    cands
+      .join(Similarity.vecHinted(
+        emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))), "vec_a")
+      .join(Similarity.vecHinted(
+        emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))), "vec_b")
+      .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.8)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  def dedupEmbeddingTight(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingTightOn(Tables.embeddings(spark, dir))
+
   /** Embedding near-dup pairs — random-hyperplane LSH bands generate
     * candidates, exact lattice cosine confirms; never all-pairs. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {

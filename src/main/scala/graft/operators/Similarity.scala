@@ -734,8 +734,15 @@ object Similarity extends SimilaritySearch with SimilarityPqIndex {
   /** The 16×6 hyperplane set as an exact DuckDB VALUES literal —
     * shared by every LSH-replaying oracle. */
   private[operators] def planesLiteral: String =
-    planes.zipWithIndex.map { case (p, i) =>
-      s"(${i / BitsPerTable},${i % BitsPerTable},[${p.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}])"
+    planesLiteralFor(NTables, BitsPerTable)
+
+  /** Plane literal for an ARBITRARY (tables × bits) operating point —
+    * same fixed-seed stream as the engine's [[makePlanes]], so any
+    * banding scheme replays exactly (r17: the dedup_embedding_tight
+    * 8×16 oracle). */
+  private[operators] def planesLiteralFor(nTables: Int, bits: Int): String =
+    makePlanes(nTables * bits).zipWithIndex.map { case (p, i) =>
+      s"(${i / bits},${i % bits},[${p.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}])"
     }.mkString(",")
 
   private def lshReplaySql(qFilter: String, k: Int,

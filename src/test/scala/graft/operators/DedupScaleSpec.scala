@@ -112,13 +112,11 @@ class DedupScaleSpec extends AnyFunSuite {
       s"candidate volume ${cands.size} not ≪ n²/2 = $allPairs")
     info(s"candidates ${cands.size} of $allPairs pairs (${cands.size * 100.0 / allPairs}%)")
 
-    // end-to-end: candidates + exact verify at τ=0.8 recover EXACTLY
-    // the planted clusters — the same verify step dedupEmbedding runs
-    val verified = Dedup.embeddingCandidatesOf(emb, 8, 16)
-      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
-      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
-      .withColumn("cos", cosine_sim(col("ea"), col("eb")))
-      .filter(col("cos") >= 0.8)
+    // end-to-end: the SHIPPED τ≥0.8 operator (dedupEmbeddingTightOn —
+    // library surface, unregistered because every driver fixture has
+    // zero cos ≥ 0.8 pairs) recovers EXACTLY the planted clusters —
+    // this test IS its behavioral gate
+    val verified = Dedup.dedupEmbeddingTightOn(emb)
       .select(col("vec_a"), col("vec_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(verified === truePairs)
