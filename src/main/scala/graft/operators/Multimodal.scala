@@ -357,6 +357,75 @@ object Multimodal {
       .distinct()
   }
 
+  /** [[phashDedupBanded]] with EXACT-HASH pre-grouping — the
+    * linearization for the REALISTIC image-corpus shape (r17): at
+    * 100 TB the mass of visual duplicates is re-encodes and mirrors
+    * of the SAME image, which hash identically, so the banded
+    * self-join's Σ bucket² concentrates in identical-hash groups of
+    * size m and pays m² per group. Grouping first makes that part
+    * linear: one hash-groupBy picks a min-doc_id representative per
+    * DISTINCT hash, banding + hamming verification run over
+    * representatives only (the pigeonhole losslessness argument is
+    * unchanged — reps are just hashes), and member pairs expand at
+    * the end (cross-group pairs inherit their reps' hamming; same-
+    * hash pairs are hamming 0). Output-IDENTICAL to
+    * [[phashDedupBanded]] — pinned by EdgeCaseSpec on the fixture
+    * and on a planted 20×-duplicated corpus where the banded join
+    * would pay 400× the candidate mass. The expansion is
+    * output-sized (m² pairs among m identical docs is the ANSWER,
+    * not overhead). Takes the hash frame directly so corpora with
+    * precomputed hashes (and tests) can drive it. */
+  private[graft] def phashDedupGrouped(hashes: DataFrame,
+      k: Int = PhashK, nBands: Int = PhashBands): DataFrame = {
+    import graft.CacheScope.ScopedDataset
+    require(nBands > k && nBands <= 64,
+      s"pigeonhole needs nBands > k for losslessness: got k=$k, nBands=$nBands")
+    val p = hashes.select(col("doc_id"), col("phash_lo"), col("phash_hi"))
+      .persistScoped()
+    val reps = p.groupBy(col("phash_lo"), col("phash_hi"))
+      .agg(min(col("doc_id")).as("rep"))
+      .persistScoped()
+    val widths = Array.tabulate(nBands)(b => 64 / nBands + (if (b < 64 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandExprs = (0 until nBands).map { b =>
+      s"struct(${b}L AS k, shiftrightunsigned(ph, ${offsets(b)}) & ${(1L << widths(b)) - 1} AS bv)"
+    }
+    val bands = reps
+      .withColumn("ph", col("phash_lo").bitwiseOR(shiftleft(col("phash_hi"), 32)))
+      .select(col("rep"), explode(expr(s"array(${bandExprs.mkString(",")})")).as("b"))
+      .select(col("rep"), col("b.k").as("k"), col("b.bv").as("bv"))
+    val candReps = bands.as("a")
+      .join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
+      .distinct()
+    val qual = candReps
+      .join(reps.select(col("rep").as("rep_a"),
+        col("phash_lo").as("lo_a"), col("phash_hi").as("hi_a")), "rep_a")
+      .join(reps.select(col("rep").as("rep_b"),
+        col("phash_lo").as("lo_b"), col("phash_hi").as("hi_b")), "rep_b")
+      .withColumn("hamming",
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b")))
+          + bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long"))
+      .filter(col("hamming") <= k)
+      .select(col("rep_a"), col("rep_b"), col("hamming"))
+    val members = p.join(reps, Seq("phash_lo", "phash_hi"))
+      .select(col("doc_id"), col("rep"))
+      .persistScoped()
+    val cross = qual
+      .join(members.select(col("rep").as("rep_a"), col("doc_id").as("ida")), "rep_a")
+      .join(members.select(col("rep").as("rep_b"), col("doc_id").as("idb")), "rep_b")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(within)
+  }
+
   /** The (doc_id, band k, band value) bucket frame — exposed so
     * ScaleLab can price Σ bucket² analytically from bucket sizes. */
   private[graft] def phashBands(spark: SparkSession, dir: String,

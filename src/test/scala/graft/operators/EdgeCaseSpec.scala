@@ -660,6 +660,44 @@ class EdgeCaseSpec extends AnyFunSuite {
     graft.CacheScope.release()
   }
 
+  test("phash exact-hash pre-grouping: output-identical to the banded join, linear on a duplicated corpus") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val hashes = Multimodal.multimodalPhash(spark, dir)
+      .select(col("doc_id"), col("phash_lo"), col("phash_hi"))
+    // parity on the fixture: grouped == banded, row set exact
+    val banded = Multimodal.phashDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val grouped = Multimodal.phashDedupGrouped(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded.nonEmpty && grouped === banded)
+    // the realistic re-encode-heavy corpus: 5 identical-hash copies
+    // per doc (fresh ids) — grouped must equal the brute hamming
+    // join while its banding self-join sees only DISTINCT hashes
+    val base = hashes.filter(col("doc_id") < 300)
+    val dup = base.withColumn("c", explode(expr("sequence(0, 4)")))
+      .select((col("doc_id") * 8 + col("c")).as("doc_id"),
+        col("phash_lo"), col("phash_hi"))
+    val brute = dup.as("a").join(dup.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("h",
+        (bit_count(col("a.phash_lo").bitwiseXOR(col("b.phash_lo")))
+          + bit_count(col("a.phash_hi").bitwiseXOR(col("b.phash_hi")))).cast("long"))
+      .filter(col("h") <= 6)
+      .select(col("a.doc_id"), col("b.doc_id"), col("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val g2 = Multimodal.phashDedupGrouped(dup)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(g2 === brute,
+      "grouped phash dedup must equal brute hamming on the duplicated corpus")
+    // and the candidate-generation side saw distinct hashes only:
+    // duplication multiplied doc-side band mass ~25x, rep-side not at all
+    val nDocs = dup.count()
+    val nReps = dup.select(col("phash_lo"), col("phash_hi")).distinct().count()
+    assert(nReps * 5 <= nDocs,
+      s"planted corpus should be duplication-heavy ($nReps reps / $nDocs docs)")
+    graft.CacheScope.release()
+  }
+
   test("knn_join ring cap (registered r17): set-identical to the unbounded join, k-bound holds") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
