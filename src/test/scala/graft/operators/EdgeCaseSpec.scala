@@ -712,7 +712,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(capped === full,
       "ring-capped knn_join must stay set-identical to the unbounded join on the fixture")
     val maxPerQ = cappedDf.groupBy("qid").count()
-      .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
     assert(maxPerQ <= Similarity.KnnK.toLong)
     assert(full.nonEmpty)
     graft.CacheScope.release()

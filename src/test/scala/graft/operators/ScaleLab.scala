@@ -155,7 +155,7 @@ object ScaleLab {
         }
         def strideOf(df: DataFrame, keys: String*): Map[String, Long] =
           keys.map(k => k ->
-            (df.agg(max(col(k))).head.getLong(0) + 1L)).toMap
+            (df.agg(max(col(k))).head().getLong(0) + 1L)).toMap
 
         val docs = spark.read.parquet(s"$Base/documents.parquet")
         val emb = spark.read.parquet(s"$Base/embeddings.parquet")
@@ -229,7 +229,7 @@ object ScaleLab {
         // (what the hot-gram cap is buying; skipped at 100× where the
         // uncapped pair set is billions)
         val fuzzyRaw = Dedup.dedupFuzzyCandidatesRawOn(docs)
-          .groupBy().count().head.getLong(0)
+          .groupBy().count().head().getLong(0)
         val fuzzyUncapped = if (f <= 10)
           Dedup.dedupFuzzyCandidatesRawOn(docs, maxGramDf = Long.MaxValue)
             .distinct().count()
@@ -260,11 +260,11 @@ object ScaleLab {
       // doubled inside the sum, halved on the driver — Spark's `/`
       // on longs is DOUBLE division and would lose exactness
       def pairMass(buckets: DataFrame): Long =
-        buckets.agg(sum(col("count") * (col("count") - 1))).head.getLong(0) / 2
+        buckets.agg(sum(col("count") * (col("count") - 1))).head().getLong(0) / 2
       def ringMass(buckets: DataFrame, cap: Int): Long =
         buckets.agg(sum(when(col("count") > cap,
             col("count") * (2L * cap) - cap.toLong * (cap + 1))
-          .otherwise(col("count") * (col("count") - 1)))).head.getLong(0) / 2
+          .otherwise(col("count") * (col("count") - 1)))).head().getLong(0) / 2
       for (f <- Seq(1, 10, 100)) {
         val d = dirFor(f)
         val sj = Dedup.simjoinPrefixCandidates(spark, d).count()
