@@ -1213,19 +1213,6 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
 
   private[operators] val KnnK = 3
 
-  /** All-vectors approximate k-NN JOIN: every vector finds its
-    * [[KnnK]] nearest LSH-candidate neighbors — the self-join
-    * counterpart of [[annLsh]]'s fixed query set, and the primitive
-    * behind neighbor-graph construction (embedding near-dup graphs,
-    * semantic clustering) at corpus scale. Candidates are bucket-mates
-    * in ≥1 of the 16 sign tables; only candidates are scored, so the
-    * shuffle carries (table, key, id) tuples and then (qid, nid)
-    * pairs — never all-pairs. Approximate BY CONSTRUCTION (neighbors
-    * outside every shared bucket are unseen — at the 16×6 operating
-    * point that loss concentrates on low-cos neighbors); the oracle
-    * replays the SAME bucketing, so the gate is exact for the operator
-    * as specified. Candidate volume scales with Σ bucket², the
-    * documented LSH trade (see [[annLsh]]). */
   /** Registered default for the kNN-join bucket-mate ring cap (r17,
     * same arc as [[GraphInitPairCap]] but with a STRONGER measured
     * license: ScaleLab `knncap` found the cap-64 output EXACTLY
@@ -1240,6 +1227,20 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
     * replay flip together; ∞ stays reachable as the dial. */
   private[operators] val KnnBucketCap = 64
 
+  /** All-vectors approximate k-NN JOIN: every vector finds its
+    * [[KnnK]] nearest LSH-candidate neighbors — the self-join
+    * counterpart of [[annLsh]]'s fixed query set, and the primitive
+    * behind neighbor-graph construction (embedding near-dup graphs,
+    * semantic clustering) at corpus scale. Candidates are bucket-mates
+    * in ≥1 of the 16 sign tables, ring-bounded by [[KnnBucketCap]]
+    * (r17 — linear in n, measured output-identical to unbounded);
+    * only candidates are scored, so the shuffle carries
+    * (table, key, id) tuples and then (qid, nid) pairs — never
+    * all-pairs. Approximate BY CONSTRUCTION (neighbors outside every
+    * shared bucket are unseen — at the 16×6 operating point that loss
+    * concentrates on low-cos neighbors); the oracle replays the SAME
+    * bucketing and ring, so the gate is exact for the operator as
+    * specified. */
   def knnJoin(spark: SparkSession, dir: String): DataFrame =
     knnJoinCapped(spark, dir, KnnBucketCap)
 
