@@ -123,10 +123,7 @@ object StreamOps {
     // as a real timestamp) and normalize after — hard-coding a
     // remembered physical type was the round-10 fixture-drift failure
     val scratch = graft.sources.TempDirs.scratch("streamsink", dir)
-    val q = graft.sources.Tables.normalizeEventsTs(spark.readStream
-        .schema(graft.sources.Tables.eventsDiskSchema(spark, dir))
-        .option("pathGlobFilter", "events.parquet") // single-file fixture; base path must be a dir
-        .parquet(dir))
+    val q = graft.sources.Tables.normalizeEventsTs(eventsStream(spark, dir))
       .filter(col("user_id") % 4 === 0)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"), col("value"))
@@ -171,6 +168,26 @@ object StreamOps {
     * not an inherited batch default (measured: the outer drain
     * 18.8 → ~8 s at 8 partitions). Restarts from an existing
     * checkpoint keep the checkpointed count regardless. */
+  /** Layout-agnostic streaming source for the events table (r17 —
+    * found by ScaleLab's stream family): the historical
+    * `parquet(dir)` + `pathGlobFilter "events.parquet"` form silently
+    * read ZERO files whenever events.parquet is a DIRECTORY of part
+    * files — i.e. every real parquet dataset layout — because the
+    * filter applies to LEAF file names, and the part files inside
+    * don't match. A direct table path fails the other way (the file
+    * source requires a directory basePath on the single-file fixture
+    * layout). So: probe the layout through the path's own FileSystem
+    * (scheme-agnostic — HDFS/S3 datasets are always the directory
+    * branch) and pick the matching reader. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rdr = spark.readStream
+      .schema(graft.sources.Tables.eventsDiskSchema(spark, dir))
+    if (fs.getFileStatus(p).isDirectory) rdr.parquet(p.toString)
+    else rdr.option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
   private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -184,10 +201,7 @@ object StreamOps {
     import org.apache.spark.sql.functions.expr
     import org.apache.spark.sql.streaming.Trigger
     val scratch = graft.sources.TempDirs.scratch("streamjoin", dir)
-    def src = graft.sources.Tables.normalizeEventsTs(spark.readStream
-        .schema(graft.sources.Tables.eventsDiskSchema(spark, dir))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+    def src = graft.sources.Tables.normalizeEventsTs(eventsStream(spark, dir))
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),

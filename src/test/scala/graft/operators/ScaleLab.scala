@@ -73,7 +73,16 @@ object ScaleLab {
     ("ann",   Seq("ann_ivf", "ann_pq", "ann_graph"), Seq(1, 10, 100)),
     ("graph", Seq("pagerank", "bfs_reach", "kcore", "jaccard_neighbors"), Seq(1, 3, 10)),
     ("sort",  Seq("sort_export"), Seq(1, 3, 10)),
-    ("text",  Seq("bpe_train", "trigram_lm", "doc_quality_ensemble"), Seq(1, 10, 100)))
+    ("text",  Seq("bpe_train", "trigram_lm", "doc_quality_ensemble"), Seq(1, 10, 100)),
+    // streaming drains (r17 late addition): AvailableNow file-source
+    // streams with watermarked state — the question at scale is the
+    // state store (dedup keys / join buffers at 8 pinned state
+    // partitions), not the plan. The scratch EPOCH flips per (f, rep)
+    // so every measurement is a genuine cold drain (the idempotence
+    // contract otherwise makes rep 2 a zero-file no-op). LAST in the
+    // list: the ops' 180 s drain guard can trip at 100× and a trip
+    // must not cost the other families their rows.
+    ("stream", Seq("stream_dedup", "stream_join"), Seq(1, 10, 100)))
 
   /** Extra timed configurations — the SCALE-DIAL settings of batch-2
     * ops (each family's registered op runs uncapped above; these are
@@ -353,6 +362,10 @@ object ScaleLab {
         // linear in n — so it runs at every factor; the UNCAPPED
         // quadratic init is the excluded configuration below.)
         if (rep == 1 || f < 100) {
+          // fresh scratch epoch per (factor, rep) so streaming drains
+          // are COLD each time (see the stream family comment)
+          if (fam == "stream")
+            sys.props(graft.sources.TempDirs.EpochProp) = s"slab${f}r$rep"
           val (sec, j, _) = timed(jobs, stages) {
             val q = SparkEntry.queries(op)(spark, dirFor(f))
             // count() lets the optimizer ELIMINATE an unconsumed
