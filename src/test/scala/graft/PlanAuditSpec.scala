@@ -273,8 +273,18 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("knn_join plans rank-limit pushdown; embed_q8 plans no wide shuffle at all") {
-    assert(plan("knn_join").contains("WindowGroupLimit"),
+    val kp = plan("knn_join")
+    assert(kp.contains("WindowGroupLimit"),
       "knn_join lost its per-query rank-limit pushdown")
+    // r17 ring init: the registered plan must carry the bucket-ring
+    // window (partitioned on the LSH bucket key — the shape whose
+    // candidate mass is linear in n) and attach vectors by broadcast
+    // at fixture scale (the vecHinted gate), never a sort-merge that
+    // drags vectors per candidate pair
+    assert(kp.contains("row_number") && kp.contains("table_key"),
+      "knn_join must plan the r17 bucket-ring window")
+    assert(kp.contains("BroadcastHashJoin"),
+      "knn_join's vector attach must broadcast under the size gate")
     // round-robin is Tables' fixture-only scan fan-out (exempt, as in
     // the text-shuffle checks); the quantization itself must add no
     // hash/range exchange
