@@ -289,13 +289,21 @@ object Multimodal {
     * band into 8×8-bit keys, bucket-mates become candidates, exact
     * hamming ≤ 6 confirms. LOSSLESS by pigeonhole: ≤6 flipped bits
     * touch at most 6 of the 8 bands, so every qualifying pair shares
-    * ≥2 untouched bands and is always a candidate. Candidate volume
-    * is the LSH Σ bucket² trade (band width is the 100 TB knob);
-    * hashes compute ONCE (persisted — encode/decode must not rerun
+    * ≥2 untouched bands and is always a candidate. The registered
+    * path is [[phashDedupGrouped]] (r18 default flip): an exact-hash
+    * pre-group runs the banding over DISTINCT hashes only and
+    * expands member pairs at the end — output-IDENTICAL to the
+    * per-document banded join (EdgeCaseSpec pins set equality on the
+    * fixture and a planted duplication-heavy corpus) while the
+    * realistic 100 TB image-corpus shape, where duplicate mass is
+    * re-encodes hashing identically, pays Σ bucket² over distinct
+    * hashes instead of documents. [[phashDedupBanded]] stays as the
+    * per-document dial; the (k, nBands) width trade is its scaladoc.
+    * Hashes compute ONCE (persisted — encode/decode must not rerun
     * for the self-join's two sides), and the wide joins carry only
-    * (doc_id, band, byte) / (doc_id, two longs) — never media. */
+    * (rep, band, bits) / (doc_id, rep) — never media. */
   def phashDedup(spark: SparkSession, dir: String): DataFrame =
-    phashDedupBanded(spark, dir)
+    phashDedupGrouped(phashesPersisted(spark, dir))
 
   /** Default operating point: hamming ≤ 6 over 8 bands of 8 bits —
     * the widest threshold the 64-bit hash supports losslessly with
@@ -319,9 +327,24 @@ object Multimodal {
     * bit-identical to the historical per-byte layout, so the
     * registered operator and its oracle are unchanged. */
   private[graft] def phashDedupBanded(spark: SparkSession, dir: String,
+      k: Int = PhashK, nBands: Int = PhashBands): DataFrame =
+    phashDedupBandedOn(phashesPersisted(spark, dir), k, nBands)
+
+  /** [[phashDedupBanded]] over a supplied hash frame — lets ScaleLab
+    * drive the per-document plan on planted corpora (the
+    * phashDedupGrouped signature precedent). */
+  private[graft] def phashDedupBandedOn(hashes: DataFrame,
       k: Int = PhashK, nBands: Int = PhashBands): DataFrame = {
-    val p = phashesPersisted(spark, dir)
-    phashCandidates(spark, dir, k, nBands)
+    import graft.CacheScope.ScopedDataset
+    val p = hashes.select(col("doc_id"), col("phash_lo"), col("phash_hi"))
+      .persistScoped()
+    val bands = phashBandsOf(p, k, nBands)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
       .join(p.select(col("doc_id").as("doc_a"),
         col("phash_lo").as("lo_a"), col("phash_hi").as("hi_a")), "doc_a")
       .join(p.select(col("doc_id").as("doc_b"),
@@ -342,19 +365,6 @@ object Multimodal {
     multimodalPhash(spark, dir)
       .select(col("doc_id"), col("phash_lo"), col("phash_hi"))
       .persistScoped()
-  }
-
-  /** The banded candidate stage alone — exposed for ScaleLab's
-    * candidate-growth audit (the dedupFuzzyCandidatesOn precedent). */
-  private[graft] def phashCandidates(spark: SparkSession, dir: String,
-      k: Int = PhashK, nBands: Int = PhashBands): DataFrame = {
-    val bands = phashBands(spark, dir, k, nBands)
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
   }
 
   /** [[phashDedupBanded]] with EXACT-HASH pre-grouping — the
@@ -385,15 +395,10 @@ object Multimodal {
     val reps = p.groupBy(col("phash_lo"), col("phash_hi"))
       .agg(min(col("doc_id")).as("rep"))
       .persistScoped()
-    val widths = Array.tabulate(nBands)(b => 64 / nBands + (if (b < 64 % nBands) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    val bandExprs = (0 until nBands).map { b =>
-      s"struct(${b}L AS k, shiftrightunsigned(ph, ${offsets(b)}) & ${(1L << widths(b)) - 1} AS bv)"
-    }
-    val bands = reps
-      .withColumn("ph", col("phash_lo").bitwiseOR(shiftleft(col("phash_hi"), 32)))
-      .select(col("rep"), explode(expr(s"array(${bandExprs.mkString(",")})")).as("b"))
-      .select(col("rep"), col("b.k").as("k"), col("b.bv").as("bv"))
+    val bands = phashBandsOf(
+        reps.select(col("rep").as("doc_id"), col("phash_lo"), col("phash_hi")),
+        k, nBands)
+      .select(col("doc_id").as("rep"), col("k"), col("bv"))
     val candReps = bands.as("a")
       .join(bands.as("b"),
         col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
@@ -429,6 +434,13 @@ object Multimodal {
   /** The (doc_id, band k, band value) bucket frame — exposed so
     * ScaleLab can price Σ bucket² analytically from bucket sizes. */
   private[graft] def phashBands(spark: SparkSession, dir: String,
+      k: Int, nBands: Int): DataFrame =
+    phashBandsOf(phashesPersisted(spark, dir), k, nBands)
+
+  /** [[phashBands]] over a supplied (doc_id, phash_lo, phash_hi)
+    * frame — the shared band-key layout for the per-document and
+    * per-representative joins and ScaleLab's planted corpora. */
+  private[graft] def phashBandsOf(hashes: DataFrame,
       k: Int, nBands: Int): DataFrame = {
     require(nBands > k && nBands <= 64,
       s"pigeonhole needs nBands > k for losslessness: got k=$k, nBands=$nBands")
@@ -437,7 +449,7 @@ object Multimodal {
     val bandExprs = (0 until nBands).map { b =>
       s"struct(${b}L AS k, shiftrightunsigned(ph, ${offsets(b)}) & ${(1L << widths(b)) - 1} AS bv)"
     }
-    phashesPersisted(spark, dir)
+    hashes
       .withColumn("ph", col("phash_lo").bitwiseOR(shiftleft(col("phash_hi"), 32)))
       .select(col("doc_id"), explode(expr(s"array(${bandExprs.mkString(",")})")).as("b"))
       .select(col("doc_id"), col("b.k").as("k"), col("b.bv").as("bv"))

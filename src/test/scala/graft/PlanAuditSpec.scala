@@ -946,10 +946,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "the |langs|-row sketch and totals must broadcast, not shuffle the grouped relation")
   }
 
-  test("phash_dedup: hashes compute once; wide exchanges never carry media bytes") {
+  test("phash_dedup: grouped default — hash pre-group feeds a rep-level band join; media never shuffles") {
     val p = plan("phash_dedup")
     assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
-      "the persisted phash relation must feed the band self-join AND both confirm sides")
+      "the persisted phash/rep/member relations must be reused, not recomputed per side")
+    // r18 default flip: the executed plan must pre-group identical
+    // hashes (partial min(doc_id) per distinct hash) and run the
+    // band self-join over REPRESENTATIVES — a doc_id-level banded
+    // self-join here would mean the quadratic per-document plan came back
+    assert(p.contains("partial_min"),
+      "the exact-hash pre-group (min doc_id per distinct hash) must partial-combine")
+    assert("rep#\\d+L? < rep#\\d+L?".r.findFirstIn(p).isDefined,
+      "the band self-join must compare representatives, not documents")
     assert(!p.linesIterator.exists(l => l.contains("Exchange") &&
       (l.contains("seed") || l.contains("png"))),
       "media/seed bytes must never shuffle — only (doc_id, band, longs)")

@@ -665,8 +665,10 @@ class EdgeCaseSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val hashes = Multimodal.multimodalPhash(spark, dir)
       .select(col("doc_id"), col("phash_lo"), col("phash_hi"))
-    // parity on the fixture: grouped == banded, row set exact
-    val banded = Multimodal.phashDedup(spark, dir)
+    // parity on the fixture: grouped (the r18 registered default) ==
+    // the per-document banded join, row set exact — the license that
+    // keeps the oracle untouched across the default flip
+    val banded = Multimodal.phashDedupBanded(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val grouped = Multimodal.phashDedupGrouped(hashes)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
