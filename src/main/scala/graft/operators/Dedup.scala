@@ -631,6 +631,47 @@ object Dedup {
   def dedupEmbeddingTight(spark: SparkSession, dir: String): DataFrame =
     dedupEmbeddingTightOn(Tables.embeddings(spark, dir))
 
+  // fixture synthesis for the registered tight-dedup gate: the id
+  // stride parks planted copies beyond every fixture id space, and
+  // the zero-prefix widths place planted pair cosines at ~1.0 /
+  // ~0.99 / ~0.98 (the operating point's near-lossless mass) and
+  // ~0.79 (straddling the τ=0.8 threshold from below)
+  private[graft] val PlantStride = 1L << 20
+  private[graft] val PlantZeroCounts = Seq(0, 1, 2, 24)
+
+  /** The planted cos ≥ 0.8 corpus that makes [[dedupEmbeddingTight]]
+    * registry-gateable: every driver fixture's max pairwise cosine is
+    * 0.5128, so the tight op over raw fixtures is permanently empty —
+    * vacuous evidence. This derives a DETERMINISTIC superset in-query:
+    * every 4th vector gains a copy with its first m coordinates
+    * zeroed (m cycling through [[PlantZeroCounts]]), an exact float
+    * operation both engines replay bit-for-bit, giving cos(v, v′) =
+    * √(1 − Σ_{i<m} v_i²/‖v‖²) — a planted near-dup mass spanning
+    * exact duplicates down to just-below-threshold distractors.
+    * Fixture-synthesis surface, not a production operator: real
+    * corpora call [[dedupEmbeddingTightOn]] directly. */
+  private[graft] def embPlantedTight(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val mCase = PlantZeroCounts.zipWithIndex
+      .map { case (m, i) => s"WHEN $i THEN $m" }.mkString(" ")
+    val copies = e.filter(col("vec_id") % 4 === 0)
+      .withColumn("m", expr(s"CASE CAST((vec_id DIV 4) % 4 AS INT) $mCase END"))
+      .select((col("vec_id") + PlantStride).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i < m, CAST(0.0 AS FLOAT), x))")
+          .as("embedding"))
+    e.unionByName(copies)
+  }
+
+  /** [[dedupEmbeddingTightOn]] over the planted corpus — the
+    * registered CORRECTNESS gate for the τ ≥ 0.8 / 8×16 scale
+    * operating point (r18, VERDICT r17 missing 1). The oracle replays
+    * the planting AND the full LSH pipeline (planes generated from
+    * the same constants), so approximation-by-construction is part of
+    * the contract on both sides; DedupScaleSpec asserts the recall
+    * floors against the brute-force truth per SF. */
+  def dedupEmbeddingTightPlanted(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingTightOn(embPlantedTight(spark, dir))
+
   /** Embedding near-dup pairs — random-hyperplane LSH bands generate
     * candidates, exact lattice cosine confirms; never all-pairs. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
@@ -1450,6 +1491,7 @@ object Dedup {
     "dedup_incr"      -> dedupIncremental,
     "dedup_simhash"   -> dedupSimhashMd5,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_embedding_tight" -> dedupEmbeddingTightPlanted,
     "dedup_semantic"  -> dedupSemantic,
     "dedup_cluster"   -> dedupCluster,
     "dup_cluster_hist" -> dupClusterHist,
@@ -1678,6 +1720,41 @@ object Dedup {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
         |                             list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.45""".stripMargin,
+    // full replay of the planted tight gate: the planting CTE
+    // derives the same copies (zero-prefix widths from the shared
+    // PlantZeroCounts constant, 1-based list indexing vs the
+    // engine's 0-based transform), then the 8×16 LSH pipeline with
+    // planes GENERATED from the same fixed-seed stream
+    // (planesLiteralFor — the DescentRounds / KnnBucketCap
+    // precedent: engine and replay flip together), then exact
+    // double-cosine confirm at the τ = 0.8 contract threshold.
+    // Approximation-by-construction (a pair outside every shared
+    // bucket is unseen) is part of the operator contract and
+    // therefore part of the oracle.
+    "dedup_embedding_tight" -> {
+      val mCase = PlantZeroCounts.zipWithIndex
+        .map { case (m, i) => s"WHEN $i THEN $m" }.mkString(" ")
+      s"""WITH planes(t, j, p) AS (VALUES ${
+            Similarity.planesLiteralFor(EmbTightTables, EmbTightBits)}),
+         |base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |copies AS (SELECT vec_id + $PlantStride AS vec_id,
+         |    list_transform(range(1, ${Similarity.Dim + 1}),
+         |      i -> CASE WHEN i <= m THEN 0.0 ELSE emb[i] END) AS emb
+         |  FROM (SELECT vec_id, emb,
+         |          CASE CAST((vec_id // 4) % 4 AS INT) $mCase END AS m
+         |        FROM base WHERE vec_id % 4 = 0) pm),
+         |e AS (SELECT vec_id, emb FROM base UNION ALL SELECT vec_id, emb FROM copies),
+         |bits AS (SELECT e.vec_id, pl.t, pl.j,
+         |    CASE WHEN list_inner_product(e.emb, pl.p) >= 0 THEN 1 << pl.j ELSE 0 END AS bit
+         |  FROM e CROSS JOIN planes pl),
+         |keys AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS key FROM bits GROUP BY 1, 2),
+         |cands AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM keys a JOIN keys b ON a.t = b.t AND a.key = b.key AND a.vec_id < b.vec_id),
+         |s AS (SELECT vec_a, vec_b, list_cosine_similarity(ea.emb, eb.emb) AS cos
+         |  FROM cands JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b)
+         |SELECT vec_a, vec_b, round(cos, 4) AS cos FROM s WHERE cos >= 0.8""".stripMargin
+    },
     // cluster-scoped replay: the IDENTICAL quantizer chain as the
     // ann_ivf oracle (shared fragment), then intra-cell pair scoring —
     // the approximation (cross-cluster dups unseen) is part of the

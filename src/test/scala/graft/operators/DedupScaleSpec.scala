@@ -122,6 +122,51 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(verified === truePairs)
   }
 
+  test("registered planted tight gate: brute-force recall floors hold at every SF") {
+    import org.apache.spark.sql.functions._
+    // the r18 registry entry (dedup_embedding_tight) runs the 8×16
+    // τ≥0.8 pipeline over the in-query planted corpus; this is the
+    // VERDICT-r17 "recall vs brute force executed per SF" gate. The
+    // corpus is deterministic, so the floors are pins, not bounds on
+    // randomness: exact duplicates are found ALWAYS (identical
+    // vectors ⇒ identical sign keys), the cos≥0.99 mass is the
+    // operating point's near-lossless regime, and the just-above-
+    // threshold tail is honestly approximate.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val corpus = Dedup.embPlantedTight(spark, dir)
+      val bruteRows = corpus.as("a")
+        .join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", cosine_sim(col("a.embedding"), col("b.embedding")))
+        .filter(col("cos") >= 0.8)
+        .select(col("a.vec_id"), col("b.vec_id"), col("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val out = Dedup.dedupEmbeddingTightPlanted(spark, dir)
+        .select(col("vec_a"), col("vec_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // exact cosine confirm ⇒ zero false positives
+      assert(out.subsetOf(bruteRows.keySet),
+        s"$dir: output contains non-near-dup pairs ${out.diff(bruteRows.keySet).take(3)}")
+      // every m=0 planted copy (vec_id % 16 == 0) pairs with its
+      // original at cos 1.0 and MUST be found — identical keys
+      val exactDups = bruteRows.keySet.filter { case (a, b) =>
+        b == a + Dedup.PlantStride && a % 16 == 0 }
+      assert(exactDups.nonEmpty && exactDups.subsetOf(out),
+        s"$dir: missed exact duplicates ${exactDups.diff(out).take(3)}")
+      def recall(floor: Double): Double = {
+        val mass = bruteRows.filter(_._2 >= floor).keySet
+        out.intersect(mass).size.toDouble / mass.size
+      }
+      val (r99, r95, rAll) = (recall(0.99), recall(0.95), recall(0.0))
+      info(f"$dir recall: cos≥0.99 $r99%.3f, cos≥0.95 $r95%.3f, " +
+        f"overall $rAll%.3f (${out.size}/${bruteRows.size})")
+      assert(r99 >= 0.98, s"$dir: cos≥0.99 recall $r99 below the near-lossless floor")
+      assert(r95 >= 0.90, s"$dir: cos≥0.95 recall $r95")
+      assert(rAll >= 0.70, s"$dir: overall recall $rAll")
+      graft.CacheScope.release()
+    }
+  }
+
   test("prefix-filtered set-similarity join is lossless and sub-quadratic on the fixture") {
     val dir = "/root/testdata/sf0.001"
     // lossless: bit-identical output to the exact all-pairs join —
