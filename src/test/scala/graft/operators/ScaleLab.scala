@@ -51,6 +51,19 @@ object ScaleLab {
   private val Root = "/tmp/graft_scalelab"
   private val Base = "/root/testdata/sf0.1"
 
+  /** Part files per staged replicated table. r18 spill-section
+    * finding: the original single-file staging collapsed scan
+    * parallelism — a 76 MB x100 documents.parquet is ONE split under
+    * the 128 MB default, so CPU-heavy scan-stage work (the
+    * dedup_substring span build: tokenize + sliding + toSet per doc)
+    * ran on ONE of 32 cores and the op's "superlinear 100× wall" was
+    * simply serial linear work (wall ≈ Σ task runtime, spill = 0,
+    * gc ≈ 0). A real F× corpus is multi-file and never loses scan
+    * parallelism, so staging now writes 32 part files per replicated
+    * table (= local[32] cores). Curves recorded before r18 used the
+    * single-file layout. */
+  private val StagedFiles = 32
+
   /** (family label, registered query names, factors to measure). The
     * doc/embedding tables are tiny at sf0.1 (5k docs / 2k vectors) so
     * their families stretch to 100×; the fact tables (600k lineitem /
@@ -200,19 +213,24 @@ object ScaleLab {
           extra = Seq("sfx" -> sfx, "text" -> suffixed,
             "n_chars" -> length(col("text")).cast("long")))
           .drop("sfx")
+          .repartition(StagedFiles)
           .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
         shifted(emb, Seq("vec_id"), strideOf(emb, "vec_id"))
+          .repartition(StagedFiles)
           .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
         val ordStride = strideOf(ord, "o_orderkey", "o_custkey")
         shifted(ord, Seq("o_orderkey", "o_custkey"), ordStride)
+          .repartition(StagedFiles)
           .write.mode("overwrite").parquet(s"$out/orders.parquet")
         val liStride = strideOf(li, "l_suppkey", "l_partkey") +
           ("l_orderkey" -> ordStride("o_orderkey"))
         shifted(li, Seq("l_orderkey", "l_suppkey", "l_partkey"), liStride)
+          .repartition(StagedFiles)
           .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
         shifted(ev, Seq("event_id", "user_id"), strideOf(ev, "event_id", "user_id"))
+          .repartition(StagedFiles)
           .write.mode("overwrite").parquet(s"$out/events.parquet")
 
         // dimension tables ride along unreplicated (referenced by
@@ -329,6 +347,9 @@ object ScaleLab {
       val diskSpill = new java.util.concurrent.atomic.AtomicLong()
       val shufWrite = new java.util.concurrent.atomic.AtomicLong()
       val peakMem = new java.util.concurrent.atomic.AtomicLong()
+      val gcMs = new java.util.concurrent.atomic.AtomicLong()
+      val cpuNs = new java.util.concurrent.atomic.AtomicLong()
+      val runMs = new java.util.concurrent.atomic.AtomicLong()
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
           val tm = t.taskMetrics
@@ -337,19 +358,24 @@ object ScaleLab {
             diskSpill.addAndGet(tm.diskBytesSpilled)
             shufWrite.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
             peakMem.updateAndGet(p => math.max(p, tm.peakExecutionMemory))
+            gcMs.addAndGet(tm.jvmGCTime)
+            cpuNs.addAndGet(tm.executorCpuTime)
+            runMs.addAndGet(tm.executorRunTime)
             ()
           }
         }
       })
       for (op <- Seq("simjoin_prefix", "dedup_substring"); f <- Seq(10, 100)) {
         memSpill.set(0); diskSpill.set(0); shufWrite.set(0); peakMem.set(0)
+        gcMs.set(0); cpuNs.set(0); runMs.set(0)
         val (sec, j, _) = timed(jobs, stages) {
           SparkEntry.queries(op)(spark, dirFor(f)).count(); ()
         }
         val mib = 1L << 20
         println(f"SCALELAB spill op=$op%-15s x$f%-3d sec=$sec%7.2f jobs=$j%3d " +
           f"memSpill=${memSpill.get / mib}%7d MiB diskSpill=${diskSpill.get / mib}%7d MiB " +
-          f"shufWrite=${shufWrite.get / mib}%7d MiB peakTaskMem=${peakMem.get / mib}%5d MiB")
+          f"shufWrite=${shufWrite.get / mib}%7d MiB peakTaskMem=${peakMem.get / mib}%5d MiB " +
+          f"gc=${gcMs.get / 1000.0}%7.1f s cpu=${cpuNs.get / 1e9}%8.1f s run=${runMs.get / 1000.0}%8.1f s")
         sweep()
       }
     }
