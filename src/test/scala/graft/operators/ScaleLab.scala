@@ -480,15 +480,20 @@ object ScaleLab {
           // are COLD each time (see the stream family comment)
           if (fam == "stream")
             sys.props(graft.sources.TempDirs.EpochProp) = s"slab${f}r$rep"
+          var rows = -1L
           val (sec, j, _) = timed(jobs, stages) {
             val q = SparkEntry.queries(op)(spark, dirFor(f))
             // count() lets the optimizer ELIMINATE an unconsumed
             // global sort (EliminateSorts) — sort_export measured
             // 0.1 s flat across factors until this action forced the
             // range-partition + sort to actually run
-            if (op == "sort_export") { q.rdd.count(); () } else { q.count(); () }
+            rows = if (op == "sort_export") q.rdd.count() else q.count()
+            ()
           }
-          println(f"SCALELAB time fam=$fam%-5s op=$op%-14s x$f%-3d rep=$rep sec=$sec%7.2f jobs=$j%3d")
+          // rows printed so a silently-empty result (the r17
+          // directory-layout empty-drain class) is visible in the row
+          // itself, not just as a too-fast wall
+          println(f"SCALELAB time fam=$fam%-5s op=$op%-14s x$f%-3d rep=$rep sec=$sec%7.2f jobs=$j%3d rows=$rows")
           results += ((op, f, sec, j))
           sweep()
         }
