@@ -272,6 +272,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_embedding_tight: vectors attach by broadcast; embeddings never key-shuffle") {
+    // the r18 registered τ≥0.8 gate: candidate generation shuffles
+    // (table, key, id) tuples only; the confirm side attaches the
+    // planted corpus's vectors through the vecHinted size gate — a
+    // sort-merge here would drag embeddings per candidate pair
+    val p = plan("dedup_embedding_tight")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "both vector-attach joins must broadcast under the size gate")
+    assert(!p.linesIterator.exists(l => l.contains("Exchange hashpartitioning")
+        && l.contains("embedding")),
+      "embeddings must never key-shuffle — only (table, key, id) tuples do")
+  }
+
   test("knn_join plans rank-limit pushdown; embed_q8 plans no wide shuffle at all") {
     val kp = plan("knn_join")
     assert(kp.contains("WindowGroupLimit"),
