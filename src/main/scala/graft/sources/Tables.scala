@@ -18,31 +18,57 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Fan CPU-heavy pipelines out to every core when the scan
-    * under-partitions. Parquet splits only at row-group boundaries,
-    * and the fixture files are single-row-group — so without this,
-    * an entire tokenize/shingle/hash pipeline (narrow, pipelined with
-    * the scan) runs on ONE task no matter how many cores the session
-    * has. Applied ONLY to the tables whose consumers are
-    * compute-bound (documents: shingling/fingerprinting; embeddings:
-    * LSH keys/cosine) — for scan-and-aggregate tables the exchange
-    * costs more than the single-task scan (measured: whole-suite A/B
-    * at sf0.1 regressed 20% with every fact table fanned out). The
-    * check is on the PLANNED scan partitioning, not data size: at
-    * production scale a table yields ≥ cores partitions and this is a
-    * no-op, so no gratuitous shuffle survives the scale-up. The
-    * round-robin exchange moves the raw rows once; every downstream
-    * result is partitioning-invariant (the oracle gate proves it). */
+    * under-parallelizes. Applied ONLY to the tables whose consumers
+    * are compute-bound (documents: shingling/fingerprinting;
+    * embeddings: LSH keys/cosine) — for scan-and-aggregate tables the
+    * exchange costs more than the single-task scan (measured:
+    * whole-suite A/B at sf0.1 regressed 20% with every fact table
+    * fanned out). The round-robin exchange moves the raw rows once;
+    * every downstream result is partitioning-invariant (the oracle
+    * gate proves it).
+    *
+    * The gate is the number of LOADABLE tasks, not the planned split
+    * count (r18 fix). Spark sizes file splits by
+    * `totalBytes / defaultParallelism`, so a mid-size single file
+    * plans ~cores nominal splits — but a parquet row group is read
+    * only by the split containing its midpoint, so a one-row-group
+    * 76 MB file runs 21 planned tasks of which 20 are EMPTY and one
+    * does all the work (measured: the whole span-build pipeline
+    * serial, wall ≈ Σ task runtime, while the old planned-count
+    * check read 21 ≥ cores/2 and skipped the fan-out). Row-group
+    * counts come from the parquet footers; footers are read only
+    * when the file count alone can't prove parallelism (< cores/2
+    * files), so at production scale — thousands of files — this
+    * costs nothing and the fan-out is a no-op. */
   private val scanParts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   private def fanOut(df: DataFrame, cacheKey: String): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // df.rdd builds a full QueryExecution just to read the planned
-    // partition count — cache it per (path, cores): operators call
-    // these accessors several times per query (dedupMinhash reads
-    // documents three times) and would otherwise pay analyzer+planner
-    // on the driver for each call
-    val n = scanParts.computeIfAbsent(s"$cacheKey#$target", _ => df.rdd.getNumPartitions)
-    if (n < math.max(2, target / 2)) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val floor = math.max(2, target / 2)
+    // loadable-task upper bound, cached per (path, cores): operators
+    // call these accessors several times per query (dedupMinhash
+    // reads documents three times) and would otherwise pay
+    // analyzer/planner + footer reads on the driver for each call
+    val n = scanParts.computeIfAbsent(s"$cacheKey#$target", { _ =>
+      // planned splits bound loadable tasks from above...
+      val planned = df.rdd.getNumPartitions
+      val files = df.inputFiles
+      if (planned < floor || files.length >= floor) planned
+      else {
+        // ...but with few files the real bound is Σ row groups: read
+        // the (< cores/2) footers rather than trust nominal splits
+        val conf = spark.sparkContext.hadoopConfiguration
+        val groups = files.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRowGroups.size finally r.close()
+        }.sum
+        math.min(planned, groups)
+      }
+    })
+    if (n < floor) df.repartition(target) else df
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "region")

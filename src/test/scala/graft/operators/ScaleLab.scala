@@ -380,6 +380,36 @@ object ScaleLab {
       }
     }
 
+    // ─────────────────────────── stages ───────────────────────────
+    // per-stage task-count / runtime histogram for one op over one
+    // dir (SCALELAB_OP / SCALELAB_DIR) — the microscope that pins
+    // WHICH stage serializes when a wall ≈ Σ task runtime (the r18
+    // single-file staging investigation).
+    if (sections("stages")) {
+      val op = sys.env.getOrElse("SCALELAB_OP", "dedup_substring")
+      val d = sys.env.getOrElse("SCALELAB_DIR", dirFor(100))
+      val stageRows = new scala.collection.concurrent.TrieMap[Int, (Int, Long, Long, String)]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+          val si = s.stageInfo
+          val tm = si.taskMetrics
+          val (run, cpu) =
+            if (tm == null) (0L, 0L) else (tm.executorRunTime, tm.executorCpuTime / 1000000L)
+          stageRows(si.stageId) = (si.numTasks, run, cpu, si.name.takeWhile(_ != '\n').take(70))
+          ()
+        }
+      })
+      val (sec, j, _) = timed(jobs, stages) {
+        SparkEntry.queries(op)(spark, d).count(); ()
+      }
+      println(f"SCALELAB stages op=$op dir=$d sec=$sec%.2f jobs=$j")
+      stageRows.toSeq.sortBy(-_._2._2).take(12).foreach { case (id, (n, run, cpu, name)) =>
+        println(f"SCALELAB stages   id=$id%4d tasks=$n%4d sumRun=${run / 1000.0}%8.2f s " +
+          f"sumCpu=${cpu / 1000.0}%8.2f s  $name")
+      }
+      sweep()
+    }
+
     // ────────────────────────── phashdup ──────────────────────────
     // r18 default-flip evidence (VERDICT r17 weak 1): the planted
     // duplicate-heavy corpus — every hash ×20 under fresh doc ids,
