@@ -1170,8 +1170,18 @@ object Dedup {
     * yields every qualifying pair — no recall loss below the hot
     * cap, proven by the lemma, verified by the exact levenshtein
     * only on candidates.
-    * Scale shape: shuffles carry (doc_id, 8-char gram) keys — never
-    * documents; the verify re-join touches candidates only. A hot
+    * Scale shape (reworked r18): the witness rows out of the segment
+    * equi-join carry BOTH fixed-width keys ([[dedupFuzzyWitnessesOn]]
+    * — the exploded sides are linear in n, so the 32-char columns
+    * widen a linear shuffle, not the candidate mass), and the verify
+    * runs MAP-SIDE on the join output inside the same codegen stage
+    * via the threshold form `levenshtein(ta, tb, K)` — a banded
+    * O(K·len) pass with early exit, exact for every distance ≤ K
+    * (−1 otherwise, so the ≤K filter is unchanged arithmetic). Only
+    * the verified true pairs reach the closing distinct, so the
+    * candidate-mass distinct (314M rows at ScaleLab 100×) and both
+    * pair-mass key re-attach joins never materialize; shuffled pair
+    * mass is output-sized. A hot
     * identical-prefix gram (boilerplate headers) fans out like a hot
     * shingle — the [[FuzzyMaxGramDf]] segment-df cap (shipped r16:
     * ScaleLab measured 219k → 39.9M candidates on a 10× corpus with
@@ -1186,16 +1196,17 @@ object Dedup {
 
   /** [[dedupFuzzy]] over any (doc_id, text) frame — the library
     * surface (and the randomized-property harness: EdgeCaseSpec
-    * proves losslessness on mutated corpora, not just the fixture). */
-  def dedupFuzzyOn(docs: DataFrame): DataFrame = {
-    val n = docs.select(col("doc_id"), fuzzyKey(col("text")).as("t"))
-    dedupFuzzyCandidatesOn(docs)
-      .join(n.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
-      .join(n.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
-      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
-      .filter(col("dist") <= FuzzyK)
+    * proves losslessness on mutated corpora, not just the fixture).
+    * `dist` is computed once per witness row (witness duplication a
+    * measured stable 1.33–1.47× of distinct pairs) and is identical
+    * across a pair's witnesses, so the closing distinct on
+    * (doc_a, doc_b, dist) is exactly the pair set. */
+  def dedupFuzzyOn(docs: DataFrame): DataFrame =
+    dedupFuzzyWitnessesOn(docs)
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), FuzzyK).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("dist"))
-  }
+      .distinct()
 
   private[operators] def dedupFuzzyCandidates(spark: SparkSession, dir: String): DataFrame =
     dedupFuzzyCandidatesOn(Tables.documents(spark, dir))
@@ -1209,14 +1220,28 @@ object Dedup {
   /** [[dedupFuzzyCandidatesOn]] BEFORE witness dedup — one row per
     * (pair, matching segment window), i.e. the volume the segment
     * join's shuffle and the distinct actually process; exposed for
-    * ScaleLab's candidate-growth audit. */
+    * ScaleLab's candidate-growth audit. (Column pruning drops the
+    * witness keys from this plan — it scans ids and grams only, as
+    * before the r18 rework.) */
   private[operators] def dedupFuzzyCandidatesRawOn(docs: DataFrame,
+      maxGramDf: Long = FuzzyMaxGramDf): DataFrame =
+    dedupFuzzyWitnessesOn(docs, maxGramDf).select(col("doc_a"), col("doc_b"))
+
+  /** Raw witness rows WITH both normalized keys attached —
+    * (doc_a, doc_b, ta, tb), one row per matching segment window,
+    * pair order normalized (doc_a < doc_b, keys swapped in lockstep).
+    * Both exploded join sides are linear in n (4 segment rows, ≤ 28
+    * probe windows per doc), so carrying the fixed 32-char key
+    * through them widens a LINEAR shuffle; in exchange the verify in
+    * [[dedupFuzzyOn]] runs pipelined on the join output and the
+    * candidate pair mass never shuffles at all. */
+  private[operators] def dedupFuzzyWitnessesOn(docs: DataFrame,
       maxGramDf: Long = FuzzyMaxGramDf): DataFrame = {
     val n = docs.select(col("doc_id"), fuzzyKey(col("text")).as("t"))
     val segIdx = (0 until FuzzyNSeg).map(lit(_))
     val segsAll = n.select(col("doc_id"), col("t"),
         explode(array(segIdx: _*)).as("i"))
-      .select(col("doc_id"), col("i"),
+      .select(col("doc_id"), col("t"), col("i"),
         expr(s"substring(t, i * $FuzzySegLen + 1, $FuzzySegLen)").as("s"))
     // Hot-gram cap (r16 ScaleLab finding: a boilerplate PREFIX shared
     // by m docs makes its digit-free segments m-hot, and the segment
@@ -1251,13 +1276,17 @@ object Dedup {
       .withColumn("start", col("i") * FuzzySegLen + 1 + col("dlt"))
       .filter(col("start") >= 1 &&
         col("start") <= FuzzyPrefixLen - FuzzySegLen + 1)
-      .select(col("doc_id"), col("i"),
+      .select(col("doc_id"), col("t"), col("i"),
         expr(s"substring(t, start, $FuzzySegLen)").as("s"))
+    val flip = col("a.doc_id") < col("b.doc_id")
     segs.as("a")
       .join(probes.as("b"), col("a.i") === col("b.i") && col("a.s") === col("b.s"))
       .filter(col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .select(
+        when(flip, col("a.doc_id")).otherwise(col("b.doc_id")).as("doc_a"),
+        when(flip, col("b.doc_id")).otherwise(col("a.doc_id")).as("doc_b"),
+        when(flip, col("a.t")).otherwise(col("b.t")).as("ta"),
+        when(flip, col("b.t")).otherwise(col("a.t")).as("tb"))
   }
 
   private[operators] val AccPerms = 16

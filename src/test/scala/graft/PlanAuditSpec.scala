@@ -221,6 +221,30 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
+  test("dedup_fuzzy: verify runs on the segment join output — no pair-mass exchange") {
+    // the r18 rework: witness rows out of the segment equi-join carry
+    // both fixed-width keys, the thresholded levenshtein filters them
+    // pipelined IN the join stage, and only true pairs reach the
+    // closing distinct. The failure mode this pins against is the old
+    // shape returning: candidate-mass distinct + two key re-attach
+    // joins keyed on doc_a/doc_b (314M-row shuffles at ScaleLab 100×,
+    // 618 → 102 s removed).
+    val p = plan("dedup_fuzzy")
+    val lines = p.linesIterator.toArray
+    assert(p.contains("levenshtein"), "verify expression missing from the plan")
+    // the distinct aggregates (doc_a, doc_b, dist) — dist present ⇒
+    // the verify sits BELOW it, so only survivors shuffle
+    assert(lines.exists(l => l.contains("HashAggregate") &&
+        l.contains("doc_a#") && l.contains("dist#")),
+      "closing distinct must group the VERIFIED (doc_a, doc_b, dist) rows")
+    // no join keyed on pair ids — the re-attach joins must stay gone
+    lines.filter(_.contains("Join")).foreach { l =>
+      assert(!l.contains("doc_a#") && !l.contains("doc_b#"),
+        s"pair-mass attach join is back:\n$l")
+    }
+    assertNoTextInWideExchanges("dedup_fuzzy")
+  }
+
   test("q19: the OR-of-ANDs predicate pushes its per-side projections to BOTH scans") {
     // Catalyst must derive from the cross-side disjunction that
     // lineitem only needs the union of the quantity ranges and part
