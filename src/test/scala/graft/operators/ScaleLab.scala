@@ -365,7 +365,12 @@ object ScaleLab {
           }
         }
       })
-      for (op <- Seq("simjoin_prefix", "dedup_substring"); f <- Seq(10, 100)) {
+      // SCALELAB_SPILL_OPS=dedup_fuzzy,... overrides the default pair
+      // (added for the r18 fuzzy verify rework's CPU attribution)
+      val spillOps = sys.env.get("SCALELAB_SPILL_OPS")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq("simjoin_prefix", "dedup_substring"))
+      for (op <- spillOps; f <- Seq(10, 100)) {
         memSpill.set(0); diskSpill.set(0); shufWrite.set(0); peakMem.set(0)
         gcMs.set(0); cpuNs.set(0); runMs.set(0)
         val (sec, j, _) = timed(jobs, stages) {
