@@ -1234,9 +1234,11 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
     * semantic clustering) at corpus scale. Candidates are bucket-mates
     * in ≥1 of the 16 sign tables, ring-bounded by [[KnnBucketCap]]
     * (r17 — linear in n, measured output-identical to unbounded);
-    * only candidates are scored, so the shuffle carries
-    * (table, key, id) tuples and then (qid, nid) pairs — never
-    * all-pairs. Approximate BY CONSTRUCTION (neighbors outside every
+    * candidates are scored map-side inside the ring join's stage
+    * (r18) and reduced to per-(table, query) winners before any
+    * exchange, so the shuffles carry (table, key, id) tuples and then
+    * ≤ NTables·K winner rows per query — never the candidate pair
+    * mass, never all-pairs. Approximate BY CONSTRUCTION (neighbors outside every
     * shared bucket are unseen — at the 16×6 operating point that loss
     * concentrates on low-cos neighbors); the oracle replays the SAME
     * bucketing and ring, so the gate is exact for the operator as
@@ -1258,15 +1260,46 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
       bucketCap: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val tagged = tableKeys(spark, dir)
-    val candPairs = if (bucketCap == Int.MaxValue) {
-      tagged.as("a")
+    def attach(pairs: DataFrame): DataFrame = pairs
+      .join(vecHinted(e.select(col("vec_id").as("nid"), col("embedding").as("ne"))), "nid")
+      .join(vecHinted(e.select(col("vec_id").as("qid"), col("embedding").as("qe"))), "qid")
+      .withColumn("cos", cosine_sim(col("qe"), col("ne")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    def topK(scored: DataFrame): DataFrame = scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= KnnK)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 4).as("cos"))
+    if (bucketCap == Int.MaxValue) {
+      // historical unbounded A/B branch: global pair distinct, then
+      // score + rank — the Σ bucket² mass this shape shuffles is the
+      // measured ENOSPC class at 100×; kept only as the dial
+      val cand = tagged.as("a")
         .join(tagged.as("b"),
           col("a.table_idx") === col("b.table_idx") &&
             col("a.table_key") === col("b.table_key") &&
             col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
         .distinct()
+      topK(attach(cand))
     } else {
+      // r18 rework (the dedup_fuzzy lesson re-applied): the global
+      // pair distinct dominated the 100× wall (KnnCostLab: raw ring
+      // mass 405.3M directional rows generates in ~10 s; the distinct
+      // to 350.4M — duplication factor only 1.16 — cost +53 s of a
+      // 91 s wall). Instead: score the RAW directional rows (vectors
+      // arrive by size-gated broadcast, so this is map-side over the
+      // ring join's output, never a pair shuffle) and take a
+      // PER-(table, qid) top-[[KnnK]] first. Lossless: each table's
+      // candidate set is a subset of the union, so any global top-K
+      // neighbor ranks ≤ K inside every table that generated it —
+      // the per-table winners are a superset of the global winners
+      // under the same deterministic (cos desc, nid asc) order. The
+      // ring join's output is partitioned by (table_idx, table_key)
+      // and a query's per-table candidates all share its bucket, so
+      // the rank-limit's PARTIAL WindowGroupLimit collapses the ring
+      // mass map-side — only ≤ NTables·K rows per query reach any
+      // exchange. Cross-table duplicates then dedup at winner scale
+      // (≤ 16·K·n rows, vs 350M before) ahead of the global rank.
       val wB = Window.partitionBy(col("table_idx"), col("table_key"))
         .orderBy(col("vec_id"))
       val ranked = tagged.withColumn("rn", row_number().over(wB))
@@ -1275,22 +1308,19 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
             col("a.table_key") === col("b.table_key") &&
             col("b.rn") > col("a.rn") &&
             col("b.rn") <= col("a.rn") + bucketCap)
-        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
-      fwdp.union(fwdp.select(col("nid").as("qid"), col("qid").as("nid")))
+        .select(col("a.table_idx").as("table_idx"),
+          col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+      val dirPairs = fwdp.union(
+        fwdp.select(col("table_idx"), col("nid").as("qid"), col("qid").as("nid")))
+      val wT = Window.partitionBy(col("table_idx"), col("qid"))
+        .orderBy(col("cos").desc, col("nid").asc)
+      val perTable = attach(dirPairs)
+        .withColumn("rt", row_number().over(wT))
+        .filter(col("rt") <= KnnK)
+        .select(col("qid"), col("nid"), col("cos"))
         .distinct()
+      topK(perTable)
     }
-    // candPairs is the Σ bucket² side — attach vectors via the
-    // size-gated broadcast ([[vecHinted]], the r16 descent-build
-    // lesson) so pair traffic stays (qid, nid) ids, never vectors
-    val scored = candPairs
-      .join(vecHinted(e.select(col("vec_id").as("nid"), col("embedding").as("ne"))), "nid")
-      .join(vecHinted(e.select(col("vec_id").as("qid"), col("embedding").as("qe"))), "qid")
-      .withColumn("cos", cosine_sim(col("qe"), col("ne")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= KnnK)
-      .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 4).as("cos"))
   }
 
   // -- graph ANN: bounded NN-descent k-NN graph + beam search --------
@@ -1454,6 +1484,22 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
         .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
         .distinct()
     } else {
+      // r18 rework (the knn_join/dedup_fuzzy lesson): the ring pairs'
+      // global distinct shuffled ~405M directional rows at the 100×
+      // corpus with a duplication factor of only ~1.16. Instead,
+      // score the raw directional rows (vectors arrive broadcast, so
+      // this is map-side over the ring join's bucket-partitioned
+      // output) and keep a per-(table, src) top-[[GraphDeg]] FIRST —
+      // lossless: each table's candidate set is a subset of the
+      // union, so every global top-M neighbor ranks ≤ M inside each
+      // table that generated it, and [[topM]] over these winners
+      // (dedup'd at winner scale, ≤ NTables·deg·n rows) returns the
+      // identical graph under the same (cos desc, dst asc) order.
+      // The rank-limit's PARTIAL WindowGroupLimit collapses the ring
+      // mass before any exchange — a src's per-table candidates all
+      // share its bucket partition. Winners re-score in topM (a ≤
+      // NTables·deg·n re-pass) — measured far cheaper than the
+      // pair-mass distinct it replaces.
       val wB = Window.partitionBy(col("table_idx"), col("table_key"))
         .orderBy(col("vec_id"))
       val ranked = tagged.withColumn("rn", row_number().over(wB))
@@ -1462,8 +1508,19 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
             col("a.table_key") === col("b.table_key") &&
             col("b.rn") > col("a.rn") &&
             col("b.rn") <= col("a.rn") + initPairCap)
-        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-      fwdp.union(fwdp.select(col("dst").as("src"), col("src").as("dst")))
+        .select(col("a.table_idx").as("table_idx"),
+          col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      val dirPairs = fwdp.union(
+        fwdp.select(col("table_idx"), col("dst").as("src"), col("src").as("dst")))
+      val scoredT = dirPairs
+        .join(eHinted.select(col("vec_id").as("src"), col("embedding").as("se")), "src")
+        .join(eHinted.select(col("vec_id").as("dst"), col("embedding").as("de")), "dst")
+        .withColumn("cos", cosine_sim(col("se"), col("de")))
+      val wT = Window.partitionBy(col("table_idx"), col("src"))
+        .orderBy(col("cos").desc, col("dst").asc)
+      scoredT.withColumn("rt", row_number().over(wT))
+        .filter(col("rt") <= GraphDeg)
+        .select(col("src"), col("dst"))
         .distinct()
     }
     def topM(cand: DataFrame): DataFrame = {

@@ -322,6 +322,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "knn_join must plan the r17 bucket-ring window")
     assert(kp.contains("BroadcastHashJoin"),
       "knn_join's vector attach must broadcast under the size gate")
+    // r18: candidates reduce to per-(table, qid) winners BEFORE the
+    // pair dedup — the winner distinct's aggregate keys include cos
+    // (dedup AFTER scoring, at winner scale), and both rank limits
+    // (per-table and global) must push partial group limits. The
+    // failure mode pinned against is the old shape returning: a
+    // pair-mass distinct (keys qid, nid and NO cos) ahead of scoring
+    // — a 405M-row shuffle at the 100× lab corpus (KnnCostLab).
+    assert("WindowGroupLimit".r.findAllIn(kp).size >= 2,
+      "knn_join must push BOTH the per-table and global rank limits")
+    val kLines = kp.linesIterator.toArray
+    kLines.filter(l => l.contains("HashAggregate") && l.contains("qid#") &&
+        l.contains("nid#"))
+      .foreach { l =>
+        assert(l.contains("cos#"),
+          s"pair-mass distinct (pre-scoring) is back:\n$l")
+      }
     // round-robin is Tables' fixture-only scan fan-out (exempt, as in
     // the text-shuffle checks); the quantization itself must add no
     // hash/range exchange
