@@ -244,19 +244,32 @@ object Dedup {
     * would silently drop true boundary pairs. */
   def simjoinPrefix(spark: SparkSession, dir: String): DataFrame = {
     val sh = cappedShingleUniverse(spark, dir)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // r18 verify rework (the dedup_fuzzy/knn_join lesson, third
+    // site): the old verify re-joined each candidate pair against
+    // the shingle universe and SHUFFLED the per-pair shingle fan-out
+    // (Σ |S(a)| over pairs — 430M rows at the 100× lab corpus, ~99×
+    // the 4.35M candidate pairs it served) into a pair-keyed count.
+    // Instead, fold each doc's capped shingle-hash set into ONE
+    // sorted array row (43M → 500k rows at 100×; sets are distinct
+    // per doc by construction, docSpansOf's toSet), attach the two
+    // arrays to each candidate pair, and take the exact intersection
+    // size per pair with the codegen'd array_intersect — the verify
+    // becomes candidate-mass work (SimjoinCostLab: verify was ~3/4
+    // of the wall). Counts and intersections still both come from
+    // the capped universe, so the Jaccard stays internally
+    // consistent and the long→double division is bit-identical to
+    // the fan-join form the oracle replays.
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("shs"), count(lit(1)).as("n"))
     val cand = simjoinPrefixCandidates(spark, dir)
-    // exact verify over candidate docs only: intersect the full sets
-    val inter = cand
-      .join(sh.as("ta"), col("doc_a") === col("ta.doc_id"))
-      .join(sh.as("tb"),
-        col("doc_b") === col("tb.doc_id") && col("ta.sh") === col("tb.sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("shs").as("sa"), col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("shs").as("sb"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .select(col("doc_a"), col("doc_b"),
-        (col("inter") / (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
   }
 

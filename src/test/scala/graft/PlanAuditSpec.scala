@@ -245,6 +245,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assertNoTextInWideExchanges("dedup_fuzzy")
   }
 
+  test("simjoin_prefix: verify is an array intersect over candidate pairs, not a shingle fan-out") {
+    // the r18 rework: per-doc shingle sets fold to one array row and
+    // each candidate pair verifies with array_intersect — the failure
+    // mode pinned against is the old verify returning: candidates
+    // re-joined against the (doc_id, sh) universe with a (doc_a,
+    // doc_b)-keyed count, which shuffled the per-pair shingle fan
+    // (430M rows at the 100× lab corpus for 4.35M pairs).
+    val p = plan("simjoin_prefix")
+    assert(p.contains("array_intersect"),
+      "simjoin_prefix verify must intersect per-doc shingle arrays")
+    // the candidate distinct (keys only, no functions) is the wanted
+    // 4.35M-scale dedup; the banned shape is the pair-keyed COUNT of
+    // the shingle fan
+    p.linesIterator.filter(l => l.contains("HashAggregate") &&
+        l.contains("count")).foreach { l =>
+      assert(!(l.contains("doc_a#") && l.contains("doc_b#")),
+        s"pair-keyed fan-out count is back:\n$l")
+    }
+  }
+
   test("q19: the OR-of-ANDs predicate pushes its per-side projections to BOTH scans") {
     // Catalyst must derive from the cross-side disjunction that
     // lineitem only needs the union of the quantity ranges and part
