@@ -85,6 +85,15 @@ object ScaleLab {
     ("index",  Seq("ann_index", "ann_index_add"), Seq(1, 10, 100)),
     ("ann",   Seq("ann_ivf", "ann_pq", "ann_graph"), Seq(1, 10, 100)),
     ("graph", Seq("pagerank", "bfs_reach", "kcore", "jaccard_neighbors"), Seq(1, 3, 10)),
+    // r18: the relational/TPC-H family was the one registry family
+    // with no measured scale curve. q9 = the 5-way join through a
+    // broadcast dim filter; q18 = HAVING-filtered fact agg joined
+    // back to parents + top-100; q21 = EXISTS/NOT-EXISTS (semi+anti
+    // self-joins on the fact); the three window ops are the
+    // corpus-scale per-key window shapes (running fill / islands /
+    // interval merge over events). Facts stop at 10× like graph.
+    ("relational", Seq("q9", "q18", "q21", "forward_fill",
+      "gaps_islands", "interval_merge"), Seq(1, 3, 10)),
     ("sort",  Seq("sort_export"), Seq(1, 3, 10)),
     ("text",  Seq("bpe_train", "trigram_lm", "doc_quality_ensemble"), Seq(1, 10, 100)),
     // streaming drains (r17 late addition): AvailableNow file-source
@@ -220,22 +229,48 @@ object ScaleLab {
           .repartition(StagedFiles)
           .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-        val ordStride = strideOf(ord, "o_orderkey", "o_custkey")
-        shifted(ord, Seq("o_orderkey", "o_custkey"), ordStride)
+        // r18 relational family: customer/supplier/part replicate WITH
+        // the facts, on strides SHARED between fact FK and dim PK (max
+        // over both sides — a fact-only stride would orphan replica-k
+        // foreign keys and silently shrink every dim join to replica
+        // 0, making the q* curves measure scan growth, not join/agg
+        // growth). nation/region stay unreplicated: they are genuinely
+        // constant-cardinality dimensions at any corpus size (TPC-H
+        // fixes them at 25/5 rows), and s_nationkey/c_nationkey are
+        // not shifted, so every replica's rows still resolve.
+        val cust = spark.read.parquet(s"$Base/customer.parquet")
+        val supp = spark.read.parquet(s"$Base/supplier.parquet")
+        val prt = spark.read.parquet(s"$Base/part.parquet")
+        def maxKey(df: DataFrame, k: String): Long =
+          df.agg(max(col(k))).head().getLong(0)
+        val custStride = math.max(maxKey(ord, "o_custkey"), maxKey(cust, "c_custkey")) + 1L
+        val suppStride = math.max(maxKey(li, "l_suppkey"), maxKey(supp, "s_suppkey")) + 1L
+        val partStride = math.max(maxKey(li, "l_partkey"), maxKey(prt, "p_partkey")) + 1L
+        val ordKeyStride = strideOf(ord, "o_orderkey")
+        shifted(ord, Seq("o_orderkey", "o_custkey"),
+            ordKeyStride + ("o_custkey" -> custStride))
           .repartition(StagedFiles)
           .write.mode("overwrite").parquet(s"$out/orders.parquet")
-        val liStride = strideOf(li, "l_suppkey", "l_partkey") +
-          ("l_orderkey" -> ordStride("o_orderkey"))
-        shifted(li, Seq("l_orderkey", "l_suppkey", "l_partkey"), liStride)
+        shifted(li, Seq("l_orderkey", "l_suppkey", "l_partkey"),
+            Map("l_orderkey" -> ordKeyStride("o_orderkey"),
+              "l_suppkey" -> suppStride, "l_partkey" -> partStride))
           .repartition(StagedFiles)
           .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+        shifted(cust, Seq("c_custkey"), Map("c_custkey" -> custStride))
+          .repartition(StagedFiles)
+          .write.mode("overwrite").parquet(s"$out/customer.parquet")
+        shifted(supp, Seq("s_suppkey"), Map("s_suppkey" -> suppStride))
+          .repartition(StagedFiles)
+          .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+        shifted(prt, Seq("p_partkey"), Map("p_partkey" -> partStride))
+          .repartition(StagedFiles)
+          .write.mode("overwrite").parquet(s"$out/part.parquet")
         shifted(ev, Seq("event_id", "user_id"), strideOf(ev, "event_id", "user_id"))
           .repartition(StagedFiles)
           .write.mode("overwrite").parquet(s"$out/events.parquet")
 
-        // dimension tables ride along unreplicated (referenced by
-        // replica-0 keys only; none of the measured ops aggregate them)
-        for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+        // constant-cardinality dimensions ride along unreplicated
+        for (t <- Seq("region", "nation"))
           spark.read.parquet(s"$Base/$t.parquet")
             .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
