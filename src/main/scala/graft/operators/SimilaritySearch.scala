@@ -1529,7 +1529,29 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
         .join(eHinted.select(col("vec_id").as("dst"), col("embedding").as("de")), "dst")
         .withColumn("cos", cosine_sim(col("se"), col("de")))
       val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
-      val ranked = scored.withColumn("rn", row_number().over(w))
+      // r18 descent rework (the knn_join/dedup_fuzzy lesson, applied
+      // to the build's LAST pair-mass distinct): the descent union
+      // arrives RAW, so duplicate (src, dst) pairs are removed
+      // INSIDE the top-M window instead of by an upstream global
+      // distinct. Duplicates carry identical (cos, dst) — cosine_sim
+      // is a pure function of the attached embeddings — so they sort
+      // ADJACENT under (cos desc, dst asc): lag(dst) flags every copy
+      // after the first, and row_number then ranks the surviving
+      // distinct rows exactly as it ranked the old distinct input
+      // (GraphDescentParityLab: set-identical at sf0.1 and x10; the
+      // oracle replays the distinct-based construction and stays
+      // green). Both window functions share one (src) exchange +
+      // sort, so the n·(2·deg² + 2·deg) descent mass crosses ONE
+      // exchange where the old plan paid two — the (src, dst)
+      // distinct's, then the per-src window's. The score is computed
+      // per RAW row (duplication ≈ the union overlap factor), the
+      // same CPU-for-shuffle trade the dedup_fuzzy/knn_join reworks
+      // measured as a clear win. Pre-deduplicated input (the init
+      // branches) passes the lag filter untouched.
+      val deduped = scored
+        .withColumn("dup", lag(col("dst"), 1).over(w) === col("dst"))
+        .filter(!coalesce(col("dup"), lit(false)))
+      val ranked = deduped.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= GraphDeg)
       if (needRank) ranked.select("src", "dst", "rn")
       else ranked.select("src", "dst")
@@ -1546,7 +1568,7 @@ private[operators] trait SimilaritySearch extends Serializable { this: Similarit
       val co = cg.as("a").join(cg.as("b"),
           col("a.src") === col("b.src") && col("a.dst") =!= col("b.dst"))
         .select(col("a.dst").as("src"), col("b.dst").as("dst"))
-      g = materialize(topM(edges.union(fwd).union(rev).union(co).distinct()))
+      g = materialize(topM(edges.union(fwd).union(rev).union(co)))
     }
     if (needRank) g.select("src", "dst") else g
   }
