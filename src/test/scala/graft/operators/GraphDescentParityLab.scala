@@ -69,14 +69,61 @@ object GraphDescentParityLab {
         gOld = graft.StateMode.cut(
           topMOld(gOld.union(fwd).union(rev).union(co).distinct()))
       }
-      val old = gOld.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val neu = Similarity.neighborGraph(spark, dir)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      println(s"GRAPHDESCENTPARITY dir=$dir old=${old.size} new=${neu.size} " +
-        s"old-minus-new=${(old -- neu).size} new-minus-old=${(neu -- old).size}")
+      // distributed diff (exceptAll) so the parity runs at x100 too —
+      // a driver collect of the x100 graph would be millions of pairs.
+      // GRAFT_DESCENT_COST_ONLY=1 skips it (both graphs + the diff
+      // exceed the default 8g lab heap at x100; parity there needs
+      // SPARK_DRIVER_MEM=48g, or run cost-only and rely on the x10 +
+      // CI parity pins)
+      if (!sys.env.get("GRAFT_DESCENT_COST_ONLY").exists(_.trim == "1")) {
+        val neu = Similarity.neighborGraph(spark, dir)
+        val oldMinusNew = gOld.exceptAll(neu).count()
+        val newMinusOld = neu.exceptAll(gOld).count()
+        println(s"GRAPHDESCENTPARITY dir=$dir old=${gOld.count()} new=${neu.count()} " +
+          s"old-minus-new=$oldMinusNew new-minus-old=$newMinusOld")
+      }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       graft.CacheScope.release(blocking = true)
+
+      // Same-session COST A/B (the parity above is the license; this
+      // is the decision number): wall of each construction, 2 reps,
+      // cold per rep — the two builds differ only in the descent's
+      // dedup placement, so the delta is the rework's real cost.
+      def sweep(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        graft.CacheScope.release(blocking = true)
+        System.gc(); Thread.sleep(500)
+      }
+      def rebuildOld(): DataFrame = {
+        val cand0b = scoredT.withColumn("rt", row_number().over(wT))
+          .filter(col("rt") <= deg).select(col("src"), col("dst")).distinct()
+        var gb = graft.StateMode.cut(topMOld(cand0b))
+        for (_ <- 1 to Similarity.DescentRounds) {
+          val fwd = gb.as("a").join(gb.as("b"),
+              col("a.dst") === col("b.src") && col("a.src") =!= col("b.dst"))
+            .select(col("a.src").as("src"), col("b.dst").as("dst"))
+          val rev = gb.select(col("dst").as("src"), col("src").as("dst"))
+          val co = gb.as("a").join(gb.as("b"),
+              col("a.src") === col("b.src") && col("a.dst") =!= col("b.dst"))
+            .select(col("a.dst").as("src"), col("b.dst").as("dst"))
+          gb = graft.StateMode.cut(
+            topMOld(gb.union(fwd).union(rev).union(co).distinct()))
+        }
+        gb
+      }
+      for (rep <- 1 to 2) {
+        sweep()
+        val t0 = System.nanoTime()
+        rebuildOld().count()
+        val tOld = (System.nanoTime() - t0) / 1e9
+        sweep()
+        val t1 = System.nanoTime()
+        Similarity.neighborGraph(spark, dir).count()
+        val tNew = (System.nanoTime() - t1) / 1e9
+        println(f"GRAPHDESCENTCOST dir=$dir rep=$rep old=$tOld%.2f new=$tNew%.2f")
+      }
     }
     spark.stop()
   }
