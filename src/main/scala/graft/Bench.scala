@@ -110,18 +110,43 @@ object Bench {
     *    or the op would burn rerun budget every round forever);
     *  - otherwise → ref (ambient inflation never degrades it).
     * Ops absent from this run's results are dropped (renames must not
-    * linger); ops new this run enter at their recorded time. */
+    * linger); ops new this run enter at their recorded time.
+    *
+    * Hot-run circuit breaker (r18, the r16 "heat-ratchet" item —
+    * observed live this round: a run where the whole machine sat
+    * ~25% above idle confirmed NINE unrelated ops >1.5× ref through
+    * min-of-two damping and ratcheted the reference up 16 s on
+    * unchanged code): one code change cannot plausibly slow many
+    * unrelated ops 50% at once — that signature is ambient load
+    * hitting both damping samples. When more than [[MaxRefRatchets]]
+    * ops qualify for the upward arm in a single run, ALL upward
+    * moves are suppressed for that run (downward min-merge always
+    * applies). A genuine localized regression (≤ the cap) still
+    * moves its refs the same run; a genuine global regression keeps
+    * re-damping each run until a calm machine confirms it, which is
+    * the honest cost of not letting one hot afternoon poison the
+    * reference. */
+  private[graft] val MaxRefRatchets = 3
+
   private[graft] def mergeReference(
       ref: Map[String, Double],
       recorded: Seq[(String, Double)],
-      damped: Set[String]): Map[String, Double] =
+      damped: Set[String]): Map[String, Double] = {
+    val up = recorded.count { case (n, t) =>
+      damped(n) && ref.get(n).exists(c => t > c * 1.5) }
+    val allowUp = up <= MaxRefRatchets
+    if (!allowUp)
+      System.err.println(s"BENCH hot-run breaker: $up ops measured >1.5x " +
+        "their idle reference even after damping — ambient signature, " +
+        "upward ref moves suppressed this run")
     recorded.map { case (n, t) =>
       n -> (ref.get(n) match {
-        case Some(c) if t > c * 1.5 && damped(n) => t
-        case Some(c)                             => math.min(c, t)
-        case None                                => t
+        case Some(c) if t > c * 1.5 && damped(n) && allowUp => t
+        case Some(c)                                        => math.min(c, t)
+        case None                                           => t
       })
     }.toMap
+  }
 
   /** Resolve a bench module selector ("relational" or "dedup,graph")
     * against SparkEntry.namedModules: Right(query-name set) or

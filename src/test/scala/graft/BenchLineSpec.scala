@@ -283,6 +283,28 @@ class BenchLineSpec extends AnyFunSuite {
     assert(m2 === Map("q_d" -> 2.0))
   }
 
+  test("mergeReference hot-run breaker: many simultaneous upward ratchets = ambient, suppressed (r18)") {
+    // MaxRefRatchets+1 unrelated ops all confirmed >1.5x ref through
+    // damping in ONE run — the hot-afternoon signature observed live
+    // in r18 (9 ops, +16 s of ref pollution on unchanged code). All
+    // upward moves must be suppressed; downward merges still apply.
+    val n = Bench.MaxRefRatchets + 1
+    val ref = (1 to n).map(i => s"q_$i" -> 1.0).toMap + ("q_fast" -> 2.0)
+    val recorded = (1 to n).map(i => s"q_$i" -> 2.0) :+ ("q_fast" -> 1.0)
+    val damped = (1 to n).map(i => s"q_$i").toSet
+    val merged = Bench.mergeReference(ref, recorded, damped)
+    assert((1 to n).forall(i => merged(s"q_$i") == 1.0),
+      s"hot run must not ratchet any ref upward: $merged")
+    assert(merged("q_fast") == 1.0, "downward min-merge must survive the breaker")
+    // at or below the cap the upward arm still works (a genuine
+    // localized regression must move its ref, r14 item 6 unchanged)
+    val refOk = (1 to Bench.MaxRefRatchets).map(i => s"r_$i" -> 1.0).toMap
+    val recOk = (1 to Bench.MaxRefRatchets).map(i => s"r_$i" -> 2.0)
+    val mOk = Bench.mergeReference(refOk, recOk, recOk.map(_._1).toSet)
+    assert((1 to Bench.MaxRefRatchets).forall(i => mOk(s"r_$i") == 2.0),
+      s"<=cap confirmed regressions must still move the ref: $mOk")
+  }
+
   test("damped flag caps at 15 names + count so a loaded run can't crowd the line (r13 item 1)") {
     val results = (1 to 50).map(i => f"q$i%02d" -> 1.0)
     val damped = (1 to 46).map(i => f"q$i%02d")
